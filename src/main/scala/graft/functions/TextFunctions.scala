@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for document-pipeline queries: token counting,
+  * quality scoring, language-ID heuristics, fingerprinting. All pure
+  * built-in expressions (codegen'd, no UDFs).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word-piece regex (letters / digits /
+    * single punctuation) as a cheap proxy for tokenizer cost. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  def avgTokenLen(c: Column): Column =
+    (length(c) - tokenCount(c) + 1).cast("double") / tokenCount(c)
+
+  /** Fraction of characters that are not alphanumeric or space. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / length(c)
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val sw = stopwords.map(lit(_))
+    size(filter(tokens(c), t => t.isin(sw: _*))).cast("double") / tokenCount(c)
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * low punctuation density and a natural stopword rate. Deterministic
+    * arithmetic only, so an external oracle can reproduce it. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0d, lit(1.0d))
+    val punct = punctRatio(c)
+    val stop = stopwordRatio(c)
+    round(lenScore * (lit(1.0d) - punct) * least(stop * 5.0d, lit(1.0d)), 6)
+  }
+
+  /** n-gram-heuristic language guess: scores per-language marker-word
+    * hit counts and picks the argmax (ties → 'und'). Cheap and
+    * deterministic; a real model would be a broadcast lookup table. */
+  def langGuess(c: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "de" -> Seq("der", "und", "die", "das", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "est"),
+      "es" -> Seq("el", "los", "que", "es", "y"))
+    val toks = tokens(c)
+    val scores = markers.map { case (lang, ws) =>
+      struct(
+        size(filter(toks, t => t.isin(ws.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Normalized-content fingerprint: md5 of lowercased,
+    * whitespace-collapsed text (rolling-hash stand-in, portable). */
+  def docFingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash.phash
+
+/** Deduplication operators for large-scale document pipelines.
+  *
+  * Exact dedup is a hash-groupBy; near-dup comes in three flavors —
+  * exact n-gram Jaccard (quadratic, ground truth at small scale),
+  * MinHash+LSH (the 100 TB path: shingle → signature → band buckets →
+  * candidate join → verify), and SimHash (64-bit bitwise-majority
+  * fingerprints). All hashes are engine-portable (see
+  * [[graft.functions.PortableHash]]) so an external SQL oracle can
+  * reproduce results bit-for-bit.
+  *
+  * The reference has only the Q12 keep-latest dedup
+  * (dump1090-postgis `database/sql/maintenance.sql:1-16`); the rest is
+  * the training-data-pipeline extension surface.
+  */
+object Dedup {
+
+  /** maintenance.sql keep-one-per-group: keeps the first row of each
+    * key group under `orderBy` (e.g. id desc = keep max id). */
+  def keepOnePerGroup(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact duplicate groups by content hash: (text_hash, canonical_id,
+    * n_copies), canonical = min id. Map-side combinable single shuffle. */
+  def exactDuplicates(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.groupBy(md5(textCol).as("text_hash"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles over a *materialized* token-array
+    * column. `toksCol` must be a bound attribute (e.g. via
+    * `withColumn("toks", split(text, " "))`), not an inline `split` —
+    * a subexpression inside a `transform` lambda is re-evaluated per
+    * element, turning shingling O(tokens²) (measured 10×+ slower). */
+  def shingles(toksCol: Column, n: Int): Column =
+    array_distinct(transform(
+      when(size(toksCol) >= n, sequence(lit(0), size(toksCol) - n))
+        .otherwise(array().cast("array<int>")),
+      j => concat_ws(" ", slice(toksCol, j + 1, lit(n)))))
+
+  /** (id, sh) exploded distinct-shingle rows — the shared scan shape
+    * for Jaccard and MinHash. */
+  def shingleRows(docs: DataFrame, idCol: Column, textCol: Column,
+      n: Int): DataFrame =
+    docs.select(idCol.as("id"), split(textCol, " ").as("toks"))
+      .select(col("id"), explode(shingles(col("toks"), n)).as("sh"))
+
+  /** Exact pairwise n-gram Jaccard similarity ≥ threshold.
+    * Ground-truth near-dup: explode distinct shingles, self-join on a
+    * 60-bit shingle hash (joining longs, not strings — the string join
+    * measured 5×+ slower and shuffles the full shingle text), count
+    * co-occurrences, Jaccard = |∩| / (|A|+|B|−|∩|).
+    * Quadratic in duplicates-per-shingle — at 100 TB use
+    * [[minhashCandidates]] to pre-filter; this operator is the
+    * verifier/oracle. */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), phash(col("sh"), 0).as("h"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val co = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    co.join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash min-table: one row per (id, seed i) with the minimum
+    * hash over the document's shingles.
+    *
+    * Shaped for scale: shingles explode to rows once, each shingle is
+    * MD5-hashed ONCE to a 32-bit base h0, and the `numHashes` functions
+    * are affine transforms (aᵢ·h0+bᵢ) mod p — pure 64-bit arithmetic
+    * (the md5-per-(shingle,seed) variant measured 10× slower). The
+    * per-(id, seed) minimum is a map-side-combinable groupBy keyed by
+    * (id, i) — 24M input rows reduce to |docs|·k before the shuffle. */
+  def minhashMinTable(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      numHashes: Int): DataFrame = {
+    import graft.functions.PortableHash.{phash32, minhashCoeffs, MinhashPrime}
+    val hvals = array((0 until numHashes).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      (lit(a) * col("h0") + lit(b)) % lit(MinhashPrime)
+    }: _*)
+    shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), phash32(col("sh")).as("h0"))
+      .select(col("id"), posexplode(hvals).as(Seq("i", "h")))
+      .groupBy("id", "i").agg(min(col("h")).as("mh"))
+  }
+
+  /** MinHash signatures as a table: (id, sig array<long>), seed order. */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      numHashes: Int): DataFrame =
+    minhashMinTable(docs, idCol, textCol, n, numHashes)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s("mh")).as("sig"))
+
+  /** LSH candidate pairs: band the signature, bucket-join within bands,
+    * emit distinct (id_a < id_b) candidates. `bands` must divide
+    * `numHashes`. This is the scale path: cost is Σ per-bucket pairs,
+    * not n². */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    // Bucket = portable hash of the band's comma-joined minima (seed
+    // order). Built straight off the min-table: one groupBy, no
+    // signature-array detour.
+    val banded = minhashMinTable(docs, idCol, textCol, n, numHashes)
+      .withColumn("band", expr(s"i div $rows"))
+      .groupBy("id", "band")
+      .agg(phash(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s("mh").cast("string")), ","), -1).as("bucket"))
+    // Pairs via per-bucket grouping — a single pipeline; the self-join
+    // alternative recomputes the whole signature plan for each side.
+    banded
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash per document: bitwise majority over per-token
+    * portable hashes (60 usable bits). Emits (id, simhash). */
+  def simhash(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val tok = docs.select(
+      idCol.as("id"),
+      explode(array_distinct(split(textCol, " "))).as("tok"))
+    val hashed = tok.select(col("id"), phash(col("tok"), 0).as("h"))
+    // shiftright with a non-literal shift needs the SQL form.
+    val bits = hashed
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .select(col("id"), col("bit"),
+        when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1).as("w"))
+    bits.groupBy("id", "bit")
+      .agg(sum(col("w")).as("s"))
+      .groupBy("id")
+      .agg(sum(
+        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+          .otherwise(0L)).as("simhash"))
+  }
+}

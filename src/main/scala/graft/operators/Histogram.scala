@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-binned event histograms with gap fill.
+  *
+  * Re-expresses the reference's `events_histogram` /
+  * `landings_histogram` / `takeoffs_histogram` SQL functions
+  * (dump1090-postgis `database/sql/create_public_schema.sql:182-197`,
+  * `:289-307`, `:484-499`) as Spark plans: a generated bin spine
+  * LEFT-OUTER-joined to a pre-aggregated per-bin count, so empty bins
+  * surface as NULL rows exactly like the reference's `generate_series`
+  * LEFT OUTER JOIN.
+  *
+  * Scale design:
+  *  - the per-bin aggregation is a map-side-combinable `groupBy` on the
+  *    truncated time (partial aggregation before the shuffle), keyed by
+  *    bin — the natural partitioning for the result;
+  *  - the spine is tiny (#bins rows) and generated on the fly; the
+  *    aggregated side is ≤ #bins groups, so the gap-fill join is a
+  *    broadcast hash join with no extra shuffle;
+  *  - only `timeCol`/`idCol` are read, so parquet column pruning and
+  *    (with a time predicate) row-group skipping apply.
+  */
+object Histogram {
+
+  /** One row per bin timestamp in [start, end], step = 1 `bin`.
+    * `start`/`end` are naive timestamps interpreted in `tz` (UTC when
+    * None), mirroring `generate_series(date_trunc(bin, from), ..., '1
+    * bin')`. Output column: `datetime` (TimestampType, session UTC). */
+  def binSpine(base: DataFrame, start: String, end: String, bin: String): DataFrame =
+    base.sparkSession.range(1).select(
+      explode(sequence(
+        date_trunc(bin, lit(start).cast("timestamp")),
+        date_trunc(bin, lit(end).cast("timestamp")),
+        expr(s"interval 1 $bin"))).as("datetime"))
+
+  /** Gap-filled histogram: (datetime, events, ids) where `events` is
+    * NULL (not 0) in empty bins and `ids` is the sorted, comma-joined
+    * id list (`array_agg(flight_id)` analog made deterministic).
+    *
+    * When `tz` is set, bins are computed on local wall-clock time and
+    * labelled by the local bin start expressed back in UTC — the double
+    * `AT TIME ZONE` round-trip of `create_public_schema.sql:289-307`.
+    */
+  def eventsHistogram(
+      events: DataFrame,
+      timeCol: Column,
+      idCol: Column,
+      start: String,
+      end: String,
+      bin: String,
+      tz: Option[String] = None): DataFrame = {
+
+    def toLocal(c: Column): Column =
+      tz.fold(c)(z => from_utc_timestamp(c, z))
+    def toUtc(c: Column): Column =
+      tz.fold(c)(z => to_utc_timestamp(c, z))
+
+    val spine = binSpine(events, start, end, bin)
+    val agg = events
+      .select(
+        date_trunc(bin, toLocal(timeCol.cast("timestamp"))).as("bin_time"),
+        idCol.as("id"))
+      .where(col("bin_time").between(
+        date_trunc(bin, lit(start).cast("timestamp")),
+        date_trunc(bin, lit(end).cast("timestamp"))))
+      .groupBy(col("bin_time"))
+      .agg(
+        count(col("id")).as("events"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("ids"))
+
+    spine
+      .join(broadcast(agg), spine("datetime") === agg("bin_time"), "left_outer")
+      .select(
+        toUtc(spine("datetime")).cast("timestamp_ntz").as("datetime"),
+        col("events"),
+        col("ids"))
+      .orderBy("datetime")
+  }
+
+  /** Plain bin+count histogram without gap fill — `landings_hist_on`
+    * (`create_public_schema.sql:264-273`). */
+  def simpleHistogram(events: DataFrame, timeCol: Column, bin: String): DataFrame =
+    events
+      .select(date_trunc(bin, timeCol.cast("timestamp")).as("bin_time"))
+      .groupBy(col("bin_time"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("bin_time").cast("timestamp_ntz").as("datetime"), col("events"))
+      .orderBy("datetime")
+
+  /** Half-open local-date range slice [fromDate, toDate) evaluated in
+    * `tz` — `landings_fromto` (`create_materialized_views.sql:3-46`). */
+  def localDateRange(timeCol: Column, fromDate: String, toDate: String, tz: String): Column = {
+    val local = from_utc_timestamp(timeCol.cast("timestamp"), tz)
+    local >= lit(fromDate).cast("timestamp") && local < lit(toDate).cast("timestamp")
+  }
+
+  /** Single-day slice [day, day+1) in UTC — `landings_on`
+    * (`create_public_schema.sql:331-339`). */
+  def onDay(timeCol: Column, day: String): Column = {
+    val t = timeCol.cast("timestamp")
+    t >= lit(day).cast("timestamp") &&
+      t < lit(day).cast("timestamp") + expr("interval 1 day")
+  }
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
+  * search, and text analysis. Hashing is engine-portable (md5-derived)
+  * so every query here has a bit-exact DuckDB oracle.
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact content dedup via hash-groupBy.
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDuplicates(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("text_hash"))),
+
+    // MinHash + LSH candidate pairs (16 hashes, 4 bands × 4 rows).
+    "d2_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), col("doc_id"), col("text"),
+          n = 3, numHashes = 16, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact pairwise 3-gram Jaccard ≥ 0.2 (ground truth for LSH).
+    "d3_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), col("doc_id"), col("text"),
+          n = 3, threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // 60-bit SimHash fingerprints.
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("id"))),
+
+    // Brute-force cosine top-5 for the first 10 vectors.
+    "s1_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(q, e, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Per-document text statistics + quality score + fingerprint.
+    "t1_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.docFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // Marker-word language guess vs the labelled lang column.
+    "t2_lang_guess" -> ((s, dir) =>
+      docs(s, dir).select(
+          col("doc_id"), col("lang"),
+          TextFunctions.langGuess(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id")))
+  )
+
+  // DuckDB-side portable hash of expression e with seed s:
+  private def dkHash(e: String, s: String): String =
+    s"('0x' || substr(md5($e || '#' || ($s)), 1, 15))::BIGINT"
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "d2_minhash_lsh" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |sh2 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mh
+        |  FROM sh2, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "d3_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+        |sh2 AS (
+        |  SELECT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
+        |co AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+        |FROM co
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d4_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, u.t AS tok
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |h AS (SELECT doc_id, ${dkHash("tok", "0")} AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.i AS bit,
+        |    CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END AS w
+        |  FROM h, UNNEST(range(0, 60)) AS r(i)),
+        |agg AS (SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY 1, 2)
+        |SELECT doc_id AS id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+        |    AS simhash
+        |FROM agg GROUP BY 1 ORDER BY id""".stripMargin,
+
+    "s1_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ve
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |comp AS (
+        |  SELECT qid, vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+        |  FROM pairs),
+        |sims AS (SELECT qid, vec_id, round(dot / sqrt(nq * nv), 5) AS sim FROM comp),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM sims)
+        |SELECT qid, vec_id, sim, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "t1_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |    AS BIGINT) AS n_subwords,
+        |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+        |    / length(text), 6) AS punct_ratio,
+        |  round(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the','a','an','of','and','or','to','in','is','on','for','with'], tk)))::DOUBLE
+        |    / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |  round(least(length(text)::DOUBLE / 500.0, 1.0)
+        |    * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text))
+        |    * least((len(list_filter(string_split(text, ' '),
+        |        tk -> list_contains(['the','a','an','of','and','or','to','in','is','on','for','with'], tk)))::DOUBLE
+        |        / len(string_split(text, ' '))) * 5.0, 1.0), 6) AS quality,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_lang_guess" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, m.l AS cand,
+        |    len(list_filter(t, tk -> list_contains(m.w, tk))) AS score
+        |  FROM sc, (VALUES
+        |    ('en', ['the','and','of','to','is']),
+        |    ('de', ['der','und','die','das','ist']),
+        |    ('fr', ['le','la','et','les','est']),
+        |    ('es', ['el','los','que','es','y'])) AS m(l, w)),
+        |best AS (
+        |  SELECT doc_id, lang, cand, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, lang,
+        |  CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_guess
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Histogram, PeakHour, Paths, Sessionize, Dedup}
+
+/** Bindings of the reference's analytics surface (SURVEY.md §2.4) onto
+  * the driver's `events` table (`ts` plays `time`, `user_id` plays
+  * `flight_id`, `event_id` the surrogate id, `event_type='purchase'`
+  * the landings stream, `'signup'` the takeoffs stream).
+  *
+  * Every entry has a DuckDB oracle; columns are aliased identically on
+  * both sides (the driver hashes by column name). Counts are BIGINT on
+  * both sides; timestamps TIMESTAMP_NTZ/naive.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1: gap-filled hourly histogram over the whole month.
+    "q1_events_histogram" -> ((s, dir) =>
+      Histogram.eventsHistogram(ev(s, dir), col("ts"), col("event_id"),
+        "2024-01-01 00:00:00", "2024-01-31 00:00:00", "hour")),
+
+    // Q2: gap-filled daily histogram binned in Europe/Paris local time.
+    "q2_histogram_tz" -> ((s, dir) =>
+      Histogram.eventsHistogram(ev(s, dir), col("ts"), col("event_id"),
+        "2024-01-01 00:00:00", "2024-01-30 00:00:00", "day",
+        Some("Europe/Paris"))),
+
+    // Q3: plain hourly histogram of one day of purchases (no gap fill).
+    "q3_hourly_hist" -> ((s, dir) =>
+      Histogram.simpleHistogram(
+        ev(s, dir).where(col("event_type") === "purchase" &&
+          Histogram.onDay(col("ts"), "2024-01-05")),
+        col("ts"), "hour")),
+
+    // Q4: day slice scan, ordered.
+    "q4_day_slice" -> ((s, dir) =>
+      ev(s, dir).where(Histogram.onDay(col("ts"), "2024-01-05"))
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("time"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("time"), col("event_id"))),
+
+    // Q5: Paris-local half-open date-range scan.
+    "q5_range_tz" -> ((s, dir) =>
+      ev(s, dir)
+        .where(Histogram.localDateRange(col("ts"), "2024-01-10", "2024-01-15",
+          "Europe/Paris"))
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("time"),
+          col("user_id"), col("event_type"))
+        .orderBy(col("time"), col("event_id"))),
+
+    // Q6: trailing-hour sliding-window peak per Paris-local day.
+    "q6_peak_hour" -> ((s, dir) =>
+      PeakHour.peakHours(
+        ev(s, dir).where(col("event_type") === "purchase"), col("ts"))),
+
+    // Q7: UNION DISTINCT of the two event streams.
+    "q7_union_distinct" -> ((s, dir) => {
+      val e = ev(s, dir)
+      // day as yyyy-MM-dd string: DATE columns round-trip differently
+      // through parquet/pandas than DuckDB DATE results.
+      val a = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val b = e.where(col("event_type") === "signup")
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      a.union(b).distinct().orderBy(col("user_id"), col("day"))
+    }),
+
+    // Q8/Q9: time-ordered per-user path emitted as GeoJSON LineString.
+    "q8_user_paths" -> ((s, dir) =>
+      Paths.pathGeoJson(ev(s, dir), col("user_id"), col("ts"),
+        col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double"), precision = 2)
+        .orderBy(col("key"))),
+
+    // Q10: set-returning fan-out — requested ids exploded and joined.
+    "q10_path_fanout" -> ((s, dir) =>
+      Paths.fanout(0L to 9L,
+        Paths.pathGeoJson(ev(s, dir), col("user_id"), col("ts"),
+          col("event_id"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double"), precision = 2))
+        .orderBy(col("key"))),
+
+    // Q11-shaped: expression equi-join enrichment against a broadcast dim
+    // (json-extracted key, like the reference's SUBSTRING(callsign) join).
+    "q11_expr_enrich" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cust = Tables.load(s, dir, "customer")
+      e.join(broadcast(cust),
+          get_json_object(col("props"), "$.k").cast("bigint") + 1 ===
+            col("c_custkey"), "left")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q12: maintenance dedup — keep the latest event per (user, type).
+    "q12_dedup_latest" -> ((s, dir) =>
+      Dedup.keepOnePerGroup(ev(s, dir),
+          Seq(col("user_id"), col("event_type")),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("time"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // T1-T3: gap-based sessionization (300 s analog → 1800 s here).
+    "q13_sessionize" -> ((s, dir) =>
+      Sessionize.sessionSummary(ev(s, dir), col("user_id"), col("ts"),
+          1800L, col("event_id"))
+        .orderBy(col("key"), col("session_seq"))),
+
+    // T5/T6: flag-flip transition detection with debounce (the
+    // "suppressed bounce resets the clock" semantics).
+    "q14_transitions" -> ((s, dir) =>
+      Sessionize.detectTransitions(ev(s, dir), col("user_id"), col("ts"),
+          col("event_type") === "purchase", 3600.0, col("event_id"))
+        .orderBy(col("key"), col("time")))
+  )
+
+  private val parisLocal = "timezone('Europe/Paris', timezone('UTC', ts))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_events_histogram" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 HOUR)) AS datetime),
+        |agg AS (
+        |  SELECT date_trunc('hour', ts) AS bin_time,
+        |         count(event_id) AS events,
+        |         string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+        |  FROM events
+        |  WHERE date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+        |    AND TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.datetime AS datetime, a.events AS events, a.ids AS ids
+        |FROM spine s LEFT JOIN agg a ON s.datetime = a.bin_time
+        |ORDER BY datetime""".stripMargin,
+
+    "q2_histogram_tz" ->
+      s"""WITH spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-30 00:00:00', INTERVAL 1 DAY)) AS ldt),
+        |agg AS (
+        |  SELECT date_trunc('day', $parisLocal) AS bin_time,
+        |         count(event_id) AS events,
+        |         string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+        |  FROM events
+        |  WHERE date_trunc('day', $parisLocal)
+        |    BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
+        |  GROUP BY 1)
+        |SELECT timezone('UTC', timezone('Europe/Paris', s.ldt)) AS datetime,
+        |       a.events AS events, a.ids AS ids
+        |FROM spine s LEFT JOIN agg a ON s.ldt = a.bin_time
+        |ORDER BY datetime""".stripMargin,
+
+    "q3_hourly_hist" ->
+      """SELECT date_trunc('hour', ts) AS datetime, count(*) AS events
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        |GROUP BY 1 ORDER BY datetime""".stripMargin,
+
+    "q4_day_slice" ->
+      """SELECT event_id, ts AS time, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        |ORDER BY time, event_id""".stripMargin,
+
+    "q5_range_tz" ->
+      s"""SELECT event_id, ts AS time, user_id, event_type
+        |FROM events
+        |WHERE $parisLocal >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND $parisLocal < TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY time, event_id""".stripMargin,
+
+    "q6_peak_hour" ->
+      """WITH cnt AS (
+        |  SELECT date_trunc('minute', ts - INTERVAL 30 MINUTE) AS peak_hour,
+        |         count(*) OVER (ORDER BY ts
+        |           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS events
+        |  FROM events WHERE event_type = 'purchase'),
+        |ranked AS (
+        |  SELECT peak_hour, events, row_number() OVER (
+        |    PARTITION BY CAST(timezone('Europe/Paris', timezone('UTC', peak_hour)) AS DATE)
+        |    ORDER BY events DESC, peak_hour DESC) AS rn
+        |  FROM cnt)
+        |SELECT peak_hour, events FROM ranked WHERE rn = 1
+        |ORDER BY events DESC, peak_hour DESC""".stripMargin,
+
+    "q7_union_distinct" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type='purchase'
+        |UNION
+        |SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type='signup'
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q8_user_paths" ->
+      """SELECT user_id AS key,
+        |  '{"type":"LineString","coordinates":[' ||
+        |  string_agg(printf('[%.2f,%.2f]', value, CAST(props->>'k' AS DOUBLE)),
+        |             ',' ORDER BY ts, event_id) || ']}' AS path
+        |FROM events GROUP BY user_id ORDER BY key""".stripMargin,
+
+    "q10_path_fanout" ->
+      """SELECT user_id AS key,
+        |  '{"type":"LineString","coordinates":[' ||
+        |  string_agg(printf('[%.2f,%.2f]', value, CAST(props->>'k' AS DOUBLE)),
+        |             ',' ORDER BY ts, event_id) || ']}' AS path
+        |FROM events WHERE user_id BETWEEN 0 AND 9
+        |GROUP BY user_id ORDER BY key""".stripMargin,
+
+    "q11_expr_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c
+        |  ON CAST(e.props->>'k' AS BIGINT) + 1 = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q12_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, ts AS time
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q13_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id AS key, session_seq,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY key, session_seq""".stripMargin,
+
+    "q14_transitions" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, (event_type = 'purchase') AS flag,
+        |    lag(event_type = 'purchase') OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, flag FROM f
+        |      WHERE prev IS NOT NULL AND prev <> flag),
+        |v AS (
+        |  SELECT user_id, ts, flag,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS dgap
+        |  FROM c)
+        |SELECT user_id AS key, ts AS time, flag FROM v
+        |WHERE dgap IS NULL OR dgap > 3600000000
+        |ORDER BY key, time""".stripMargin
+  )
+}

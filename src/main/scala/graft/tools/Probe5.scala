@@ -1,0 +1,17 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+object Probe5 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val t0 = System.nanoTime()
+    val c = Dedup.minhashCandidates(docs, col("doc_id"), col("text"), 3, 16, 4).count()
+    println(f"[p5] cold candidates: rows=$c in ${(System.nanoTime()-t0)/1e9}%.1fs")
+    spark.stop()
+  }
+}
