@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DocQueries, EventQueries, TpchQueries}
+import graft.queries.{AdsbQueries, DocQueries, EventQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,8 +19,9 @@ object SparkEntry {
     queries("q1_events_histogram")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.defs ++ TpchQueries.defs ++ DocQueries.defs
+    EventQueries.defs ++ TpchQueries.defs ++ DocQueries.defs ++ AdsbQueries.defs
 
   def oracleSql: Map[String, String] =
-    EventQueries.oracles ++ TpchQueries.oracles ++ DocQueries.oracles
+    EventQueries.oracles ++ TpchQueries.oracles ++ DocQueries.oracles ++
+      AdsbQueries.oracles
 }

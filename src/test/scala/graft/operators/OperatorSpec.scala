@@ -1,0 +1,137 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OperatorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("histogram gap-fill: empty bins surface as NULL rows") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:20:00")),
+      (3L, ts("2024-01-01 02:05:00")))
+      .toDF("event_id", "ts")
+    val h = Histogram.eventsHistogram(ev, col("ts"), col("event_id"),
+      "2024-01-01 00:00:00", "2024-01-01 03:00:00", "hour").collect()
+    assert(h.length === 4)
+    assert(h(0).getLong(1) === 2 && h(0).getString(2) === "1,2")
+    assert(h(1).isNullAt(1) && h(1).isNullAt(2)) // gap bin: NULL not 0
+    assert(h(2).getLong(1) === 1)
+    assert(h(3).isNullAt(1))
+  }
+
+  test("tz histogram bins on Paris wall-clock") {
+    // 23:30 UTC on Jan 1 is 00:30 Paris on Jan 2.
+    val ev = Seq((1L, ts("2024-01-01 23:30:00"))).toDF("event_id", "ts")
+    val h = Histogram.eventsHistogram(ev, col("ts"), col("event_id"),
+      "2024-01-02 00:00:00", "2024-01-02 00:00:00", "day",
+      Some("Europe/Paris")).collect()
+    assert(h.length === 1)
+    assert(h(0).getLong(1) === 1)
+    // bin labelled at Paris midnight expressed in UTC
+    assert(h(0).get(0).toString.startsWith("2024-01-01T23:00"))
+  }
+
+  test("peak hour: trailing 60-min frame, latest peak wins ties") {
+    val ev = (0 until 5).map(i => Tuple1(ts(f"2024-01-01 10:0$i:00"))).toDF("t")
+    val p = PeakHour.peakHours(ev, col("t")).collect()
+    assert(p.length === 1)
+    assert(p(0).getLong(1) === 5)     // all five within the trailing hour
+    // labelled at window midpoint minute of the *last* event: 09:34
+    assert(p(0).get(0).toString.startsWith("2024-01-01T09:34"))
+  }
+
+  test("peak hour day-partitioned frame sees across midnight") {
+    val ev = Seq(
+      Tuple1(ts("2024-01-01 23:40:00")),
+      Tuple1(ts("2024-01-01 23:50:00")),
+      Tuple1(ts("2024-01-02 00:10:00"))).toDF("t")
+    val p = PeakHour.peakHours(ev, col("t"), tz = "UTC").collect()
+    // day 2's peak must count the two borrowed rows from day 1's tail
+    val day2 = p.find(_.get(0).toString.startsWith("2024-01-01T23:40")).get
+    assert(day2.getLong(1) === 3)
+  }
+
+  test("sessionize: gap splits, summary aggregates") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1L),
+      (7L, ts("2024-01-01 10:10:00"), 2L),
+      (7L, ts("2024-01-01 11:00:00"), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val s = Sessionize.sessionSummary(ev, col("user_id"), col("ts"),
+      1800L, col("event_id")).orderBy("session_seq").collect()
+    assert(s.length === 2)
+    assert(s(0).getLong(4) === 2 && s(1).getLong(4) === 1)
+  }
+
+  test("transitions: candidate updates the debounce clock even when suppressed") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:10:00"), 2L, "b"), // candidate 1: valid
+      (1L, ts("2024-01-01 10:10:30"), 3L, "a"), // cand 2: 30 s after 1 → suppressed
+      (1L, ts("2024-01-01 10:11:00"), 4L, "b")) // cand 3: 30 s after 2 → suppressed
+      .toDF("user_id", "ts", "event_id", "tp")
+    val t = Sessionize.detectTransitions(ev, col("user_id"), col("ts"),
+      col("tp") === "b", 60.0, col("event_id")).collect()
+    assert(t.length === 1)
+  }
+
+  test("jaccard: identical docs similarity 1, hash-join exactness") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val p = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .collect()
+    assert(p.length === 1)
+    assert(p(0).getLong(0) === 1 && p(0).getLong(1) === 2)
+    assert(p(0).getDouble(2) === 1.0)
+  }
+
+  test("minhash LSH: exact duplicates always collide in every band") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q w e r t y u i"))
+      .toDF("doc_id", "text")
+    val c = Dedup.minhashCandidates(docs, col("doc_id"), col("text"), 3, 16, 4)
+      .collect()
+    assert(c.length === 1)
+    assert(c(0).getLong(0) === 1 && c(0).getLong(1) === 2)
+  }
+
+  test("simhash: identical docs get identical fingerprints") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val s = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) === s(2L))
+    assert(s(1L) !== s(3L))
+  }
+
+  test("cosine top-k: exact duplicate vector ranks first with sim 1") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" === 1)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val top = Similarity.bruteForceTopK(q, corpus, k = 2).collect()
+    assert(top(0).getLong(1) === 2 && top(0).getDouble(2) === 1.0)
+    assert(top(1).getLong(1) === 4)
+  }
+
+  test("keepOnePerGroup keeps exactly the ordered head") {
+    val ev = Seq((1L, "a", 1L), (1L, "a", 9L), (2L, "a", 4L))
+      .toDF("k", "t", "id")
+    val kept = Dedup.keepOnePerGroup(ev, Seq(col("k"), col("t")),
+      Seq(col("id").desc)).orderBy("k").collect()
+    assert(kept.map(_.getLong(2)).toSeq === Seq(9L, 4L))
+  }
+}
