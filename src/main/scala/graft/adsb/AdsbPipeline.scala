@@ -1,7 +1,5 @@
 package graft.adsb
 
-import java.time.ZoneOffset
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,8 +17,8 @@ import graft.adsb.FlightStateMachine.Out
   */
 object AdsbPipeline {
 
-  private def orderKey(m: AdsbMsg): (Long, Long) =
-    (m.gen_date_time.toInstant(ZoneOffset.UTC).toEpochMilli, m.seq)
+  private[graft] def orderKey(m: AdsbMsg): (Long, Long) =
+    (FlightStateMachine.micros(m.gen_date_time), m.seq)
 
   /** Full tagged output of the pipeline. */
   def process(

@@ -1,7 +1,6 @@
 package graft.adsb
 
-import java.time.LocalDateTime
-import java.time.temporal.ChronoUnit
+import java.sql.Timestamp
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -28,9 +27,11 @@ import scala.collection.mutable.ArrayBuffer
   *    positions (`models.py:134-140`, `airports.py:90-125`); events
   *    with no runway match are dropped (`flights.py:155-187`).
   *
-  * Used by both the batch sessionizer (sort + fold per hexident) and
-  * the Structured Streaming `flatMapGroupsWithState` operator, so batch
-  * and streaming agree by construction.
+  * Times are epoch micros internally (encoder-friendly state for the
+  * streaming operator). Used by both the batch sessionizer (sort +
+  * fold per hexident) and the Structured Streaming
+  * `flatMapGroupsWithState` operator, so batch and streaming agree by
+  * construction.
   */
 object FlightStateMachine {
 
@@ -39,14 +40,23 @@ object FlightStateMachine {
   val AltitudeBelow = 100000
   val AltitudeAbove = -1000
 
+  def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Serializable per-session state (encoder-friendly for streaming). */
   final case class State(
       hexident: String,
-      firstSeen: LocalDateTime,
-      var lastSeen: LocalDateTime,
+      firstSeenUs: Long,
+      var lastSeenUs: Long,
       var callsign: Option[String],
       var onground: Option[Boolean],
-      var lastEvent: LocalDateTime,
+      var lastEventUs: Long,
       // last two positions for track interpolation: (lon, lat)
       var prevLon: Option[Double], var prevLat: Option[Double],
       var lastLon: Option[Double], var lastLat: Option[Double],
@@ -56,10 +66,10 @@ object FlightStateMachine {
   final case class Out(
       kind: String,
       hexident: String,
-      session_start: LocalDateTime,
-      time: LocalDateTime,
-      first_seen: Option[LocalDateTime],
-      last_seen: Option[LocalDateTime],
+      session_start: Timestamp,
+      time: Timestamp,
+      first_seen: Option[Timestamp],
+      last_seen: Option[Timestamp],
       callsign: Option[String],
       n_positions: Option[Long],
       lon: Option[Double],
@@ -68,27 +78,27 @@ object FlightStateMachine {
       onground: Option[Boolean],
       runway: Option[String])
 
-  private def micros(a: LocalDateTime, b: LocalDateTime): Long =
-    ChronoUnit.MICROS.between(b, a)
-
   def admissible(m: AdsbMsg, below: Int, above: Int): Boolean =
     m.transmission_type == 2 ||
       (m.transmission_type == 3 &&
         m.altitude.exists(a => a < below && a > above))
 
-  def newState(m: AdsbMsg): State =
-    State(m.hexident, m.gen_date_time, m.gen_date_time, None, None,
-      m.gen_date_time, None, None, None, None, 0L)
+  def newState(m: AdsbMsg): State = {
+    val us = micros(m.gen_date_time)
+    State(m.hexident, us, us, None, None, us,
+      None, None, None, None, 0L)
+  }
 
   /** Close a session → flight summary row (`models.py:176-181`). */
   def flightRow(st: State): Out =
-    Out("flight", st.hexident, st.firstSeen, st.lastSeen,
-      Some(st.firstSeen), Some(st.lastSeen), st.callsign,
+    Out("flight", st.hexident, toTs(st.firstSeenUs), toTs(st.lastSeenUs),
+      Some(toTs(st.firstSeenUs)), Some(toTs(st.lastSeenUs)), st.callsign,
       Some(st.nPositions), None, None, None, None, None)
 
-  /** Apply one admitted message; returns emitted positions/events. */
+  /** Apply one admitted message; appends emitted positions/events. */
   def update(st: State, m: AdsbMsg, outs: ArrayBuffer[Out]): Unit = {
-    st.lastSeen = m.gen_date_time
+    val mUs = micros(m.gen_date_time)
+    st.lastSeenUs = mUs
     // MSG1 sets callsign unconditionally (an empty one nulls it out,
     // matching setattr of None in models.py:186-188).
     if (m.transmission_type == 1) st.callsign = m.callsign
@@ -109,8 +119,9 @@ object FlightStateMachine {
       st.prevLon = st.lastLon; st.prevLat = st.lastLat
       st.lastLon = Some(lon); st.lastLat = Some(lat)
       st.nPositions += 1
-      outs += Out("position", st.hexident, st.firstSeen, m.gen_date_time,
-        None, None, None, None, Some(lon), Some(lat), Some(altM), og, None)
+      outs += Out("position", st.hexident, toTs(st.firstSeenUs),
+        m.gen_date_time, None, None, None, None, Some(lon), Some(lat),
+        Some(altM), og, None)
 
       // update_onground (models.py:218-228): only position appends flip.
       (st.onground, og) match {
@@ -119,9 +130,8 @@ object FlightStateMachine {
           st.onground = v
           val kind = if (prev) "takeoff" else "landing"
           // debounce (models.py:256-270): every candidate resets clock
-          val valid =
-            micros(m.gen_date_time, st.lastEvent) > (DebounceSec * 1e6).toLong
-          st.lastEvent = m.gen_date_time
+          val valid = mUs - st.lastEventUs > (DebounceSec * 1e6).toLong
+          st.lastEventUs = mUs
           if (valid) {
             val heading = for {
               px <- st.prevLon; py <- st.prevLat
@@ -129,9 +139,9 @@ object FlightStateMachine {
             } yield Geometry.interpolateTrack(px, py, lx, ly)
             val runway = heading.flatMap(h => Airports.attribute(lon, lat, h))
             runway.foreach { rw =>
-              outs += Out(kind, st.hexident, st.firstSeen, m.gen_date_time,
-                None, None, None, None, Some(lon), Some(lat), Some(altM),
-                og, Some(rw))
+              outs += Out(kind, st.hexident, toTs(st.firstSeenUs),
+                m.gen_date_time, None, None, None, None, Some(lon),
+                Some(lat), Some(altM), og, Some(rw))
             }
           }
         case _ => ()
@@ -139,17 +149,19 @@ object FlightStateMachine {
     }
   }
 
-  /** Fold a chronologically sorted message iterator for one hexident
-    * into output rows (batch path). */
-  def processSorted(
+  /** Fold messages (chronologically sorted) into an optional carried
+    * state, emitting outputs and closing sessions on gaps. Shared by
+    * the batch fold and the streaming operator's per-batch step. */
+  def fold(
+      initial: Option[State],
       msgs: Iterator[AdsbMsg],
+      outs: ArrayBuffer[Out],
       below: Int = AltitudeBelow,
-      above: Int = AltitudeAbove): Iterator[Out] = {
-    val outs = ArrayBuffer.empty[Out]
-    var st: State = null
+      above: Int = AltitudeAbove): Option[State] = {
+    var st: State = initial.orNull
     msgs.foreach { m =>
       if (st != null &&
-          micros(m.gen_date_time, st.lastSeen) > MaxAgeSec * 1000000L) {
+          micros(m.gen_date_time) - st.lastSeenUs > MaxAgeSec * 1000000L) {
         outs += flightRow(st)
         st = null
       }
@@ -162,7 +174,16 @@ object FlightStateMachine {
         update(st, m, outs)
       }
     }
-    if (st != null) outs += flightRow(st)
+    Option(st)
+  }
+
+  /** Batch path: fold and close the final session. */
+  def processSorted(
+      msgs: Iterator[AdsbMsg],
+      below: Int = AltitudeBelow,
+      above: Int = AltitudeAbove): Iterator[Out] = {
+    val outs = ArrayBuffer.empty[Out]
+    fold(None, msgs, outs, below, above).foreach(outs += flightRow(_))
     outs.iterator
   }
 }

@@ -71,6 +71,11 @@ object Sbs {
     val f = from_csv(col("value"), rawSchema, Map.empty[String, String])
     val withSeq =
       if (lines.columns.contains("seq")) lines.select(col("value"), col("seq"))
+      else if (lines.isStreaming)
+        // monotonically_increasing_id is unsupported on streams; the
+        // seq only tie-breaks identical timestamps, so a content hash
+        // gives a deterministic (if arbitrary) total order.
+        lines.select(col("value"), xxhash64(col("value")).as("seq"))
       else lines.select(col("value"), monotonically_increasing_id().as("seq"))
     withSeq
       // P1: 22 comma-separated fields; P2: strict anchored regex.
@@ -128,7 +133,7 @@ object Sbs {
     import spark.implicits._
     parse(lines).select(
       col("seq"), col("transmission_type"), col("hexident"),
-      col("gen_date_time").cast("timestamp_ntz").as("gen_date_time"),
+      col("gen_date_time"),
       col("callsign"), col("altitude"), col("speed"), col("track"),
       col("latitude"), col("longitude"), col("verticalrate"),
       col("onground")).as[AdsbMsg]
@@ -140,7 +145,7 @@ final case class AdsbMsg(
     seq: Long,
     transmission_type: Int,
     hexident: String,
-    gen_date_time: java.time.LocalDateTime,
+    gen_date_time: java.sql.Timestamp,
     callsign: Option[String],
     altitude: Option[Int],
     speed: Option[Int],

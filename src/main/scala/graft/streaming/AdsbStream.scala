@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.adsb.{AdsbMsg, AdsbPipeline, FlightStateMachine, Sbs}
+import graft.adsb.FlightStateMachine.{Out, State}
+
+/** Structured Streaming twin of the batch pipeline (SURVEY.md §2.3).
+  *
+  * Replaces the reference's socket/thread/queue machinery
+  * (`adsb_parser.py:94-145`, `adsb_logger.py:25-88`): Spark's
+  * micro-batch scheduler owns backpressure; resilience is checkpoint +
+  * query restart rather than 5×5 s socket retries. The stateful
+  * operator is `flatMapGroupsWithState` over hexident, folding each
+  * micro-batch through the SAME [[FlightStateMachine]] the batch path
+  * uses, with an event-time timeout standing in for the 300 s
+  * wall-clock prune (`flights.py:111-117`; see T2/T12 parity notes).
+  *
+  * Scale: state is shuffled by hexident (the natural key, ~thousands of
+  * live aircraft per receiver — tiny state), and every downstream sink
+  * write is an append of the micro-batch only.
+  */
+object AdsbStream {
+
+  val WatermarkDelay = "10 seconds"
+
+  private def updateGroup(
+      hexident: String,
+      msgs: Iterator[AdsbMsg],
+      state: GroupState[State]): Iterator[Out] = {
+    import scala.collection.mutable.ArrayBuffer
+    val outs = ArrayBuffer.empty[Out]
+    if (msgs.isEmpty && state.hasTimedOut) {
+      // 300 s of event-time silence: close the session (T2)
+      state.getOption.foreach(outs += FlightStateMachine.flightRow(_))
+      state.remove()
+    } else {
+      val sorted = msgs.toArray.sortBy(AdsbPipeline.orderKey)
+      val st = FlightStateMachine.fold(state.getOption, sorted.iterator, outs)
+      st match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(
+            s.lastSeenUs / 1000 + FlightStateMachine.MaxAgeSec * 1000)
+        case None => if (state.exists) state.remove()
+      }
+    }
+    outs.iterator
+  }
+
+  /** Stateful sessionization of a (possibly streaming) message set. */
+  def sessionize(msgs: Dataset[AdsbMsg]): Dataset[Out] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs
+      .withWatermark("gen_date_time", WatermarkDelay)
+      .groupByKey(_.hexident)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateGroup)
+  }
+
+  /** Raw lines from a dump1090 TCP port (S1). */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Raw lines from a drop directory (S2 replay, streaming). */
+  def fileLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+
+  /** Wire the full ingest: lines → parse → sessionize → multi-sink.
+    *
+    * foreachBatch splits the tagged union into the four tables and
+    * appends parquet; `positions_live` is the same positions batch
+    * written into a date-partitioned copy whose old partitions a
+    * retention sweep drops (S7's RULE pair re-expressed). Trigger
+    * matches the reference's 1 s commit cadence (T11).
+    */
+  def start(lines: DataFrame, outDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val msgs = Sbs.messages(lines)
+    sessionize(msgs).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Out], _: Long) =>
+        val b = batch.cache()
+        try {
+          val df = b.toDF()
+          df.where(col("kind") === "flight")
+            .write.mode("append").parquet(s"$outDir/flights")
+          val pos = df.where(col("kind") === "position")
+          pos.write.mode("append").parquet(s"$outDir/positions")
+          pos.withColumn("day", to_date(col("time")))
+            .write.mode("append").partitionBy("day")
+            .parquet(s"$outDir/positions_live")
+          df.where(col("kind") === "landing")
+            .write.mode("append").parquet(s"$outDir/landings")
+          df.where(col("kind") === "takeoff")
+            .write.mode("append").parquet(s"$outDir/takeoffs")
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** S7 retention: drop `positions_live` day-partitions older than
+    * `retentionDays` (partition drop ≫ row deletes at scale). */
+  def prunePositionsLive(spark: SparkSession, outDir: String,
+      retentionDays: Int = 1): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/positions_live")
+    if (fs.exists(root)) {
+      val cutoff = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+        .minusDays(retentionDays.toLong)
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("day=")) {
+          val d = java.time.LocalDate.parse(name.stripPrefix("day="))
+          if (d.isBefore(cutoff)) fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.adsb
 
-import java.time.LocalDateTime
+import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -11,14 +11,15 @@ import graft.adsb.FlightStateMachine._
   * landing sequences from `src/tests/__init__.py:19-30`. */
 class FlightStateMachineSpec extends AnyFunSuite {
 
-  private val t0 = LocalDateTime.parse("2019-10-20T11:00:00")
+  private val t0us = micros(Timestamp.valueOf("2019-10-20 11:00:00"))
+  private def at(sec: Double): Timestamp = toTs(t0us + (sec * 1e6).toLong)
 
   private def msg(
       tpe: Int, sec: Double, hex: String = "ABC123",
       alt: Option[Int] = None, lat: Option[Double] = None,
       lon: Option[Double] = None, og: Option[Boolean] = Some(false),
       cs: Option[String] = None, seq: Long = 0): AdsbMsg =
-    AdsbMsg(seq, tpe, hex, t0.plusNanos((sec * 1e9).toLong), cs, alt,
+    AdsbMsg(seq, tpe, hex, at(sec), cs, alt,
       None, None, lat, lon, None, og)
 
   private def run(ms: AdsbMsg*): Seq[Out] =
@@ -42,8 +43,8 @@ class FlightStateMachineSpec extends AnyFunSuite {
     val r = run(msg(2, 0), msg(2, 100), msg(2, 500))
     assert(r.count(_.kind == "flight") === 2)
     val Seq(f1, f2) = r.filter(_.kind == "flight")
-    assert(f1.last_seen.contains(t0.plusSeconds(100)))
-    assert(f2.first_seen.contains(t0.plusSeconds(500)))
+    assert(f1.last_seen.contains(at(100)))
+    assert(f2.first_seen.contains(at(500)))
   }
 
   test("position append: MSG3 needs lon∧lat∧alt, MSG2 forces 0 m") {
@@ -130,7 +131,6 @@ class FlightStateMachineSpec extends AnyFunSuite {
 
   test("last_seen updates from any message type (6/7 included)") {
     val r = run(msg(2, 0), msg(6, 50), msg(7, 99))
-    assert(r.find(_.kind == "flight").get.last_seen
-      .contains(t0.plusSeconds(99)))
+    assert(r.find(_.kind == "flight").get.last_seen.contains(at(99)))
   }
 }

@@ -1,7 +1,5 @@
 package graft.adsb
 
-import java.time.LocalDateTime
-
 import graft.SparkSpec
 
 /** Parser behavior pinned against the reference's fixture corpora
@@ -23,7 +21,7 @@ class SbsParserSpec extends SparkSpec {
     val m = ok(0)
     assert(m.getString(4) === "40757F")
     assert(m.getTimestamp(6) ===
-      java.sql.Timestamp.valueOf(LocalDateTime.parse("2019-10-20T11:33:40.311")))
+      java.sql.Timestamp.valueOf("2019-10-20 11:33:40.311"))
     assert(m.isNullAt(8))                         // callsign empty → null
     assert(m.getInt(9) === 5000)                  // altitude
     assert(m.isNullAt(10))                        // speed empty → null
