@@ -1,0 +1,151 @@
+package graft.adsb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metadata dimension loaders + GeoJSON metadata views.
+  *
+  * S4 — the `\copy` CSV ingest (`database/csv2db.sh:13-17`,
+  * `read_csv_data.sql:1-10`): openflights `airlines.csv` (nulls as
+  * `\N`, quoted) and ourairports `countries.csv`. These are small
+  * broadcast dims.
+  *
+  * S5 — `meta.load_aircraft` (`read_csv_data.sql:12-38`): silhouette
+  * `.bmp` blobs keyed by filename stem, rebuilt on the `binaryFile`
+  * source + `input_file_name()` instead of a plpgsql directory loop.
+  *
+  * Q14 — `airports_geojson` / `runways_geojson` / `range_rings_geojson`
+  * (`create_meta_schema.sql:108-119,159-167,191-201`): projections of
+  * the seed geometry emitted as 6-decimal GeoJSON.
+  */
+object Meta {
+
+  /** Bundled resource → temp file path (metadata ships with the jar). */
+  def resourcePath(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/meta/$name")
+    require(in != null, s"missing resource $name")
+    val tmp = java.nio.file.Files.createTempFile("graft-meta-",
+      name.replace('/', '_'))
+    java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toString
+  }
+
+  private val bundledSilhouettes =
+    Seq("A1.bmp", "A10.bmp", "A109.bmp", "A119.bmp", "A122.bmp", "A124.bmp")
+
+  /** Extract the bundled sample silhouettes to a temp dir (for S5). */
+  def silhouettesDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sil")
+    bundledSilhouettes.foreach { n =>
+      val in = getClass.getResourceAsStream(s"/meta/silhouettes/$n")
+      require(in != null, s"missing $n")
+      java.nio.file.Files.copy(in, dir.resolve(n))
+    }
+    dir.toString
+  }
+
+  /** openflights airlines: join key `icao` = first 3 chars of a flight
+    * callsign (`create_graphql_functions.sql:53`). */
+  def loadAirlines(spark: SparkSession,
+      path: String = resourcePath("airlines.csv")): DataFrame = {
+    val raw = spark.read
+      .option("header", true).option("quote", "\"")
+      .option("nullValue", "\\N")
+      .csv(path)
+    // header row has spaces after commas: normalize names
+    raw.toDF(raw.columns.map(_.trim): _*)
+  }
+
+  def loadCountries(spark: SparkSession,
+      path: String = resourcePath("countries.csv")): DataFrame =
+    spark.read.option("header", true).option("quote", "\"")
+      .option("nullValue", "\\N").csv(path)
+
+  /** S5: silhouette BMPs as (model, silhouette) binary rows. */
+  def loadAircraftSilhouettes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp")
+      .load(dir)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.bmp$", 1).as("model"),
+        col("content").as("silhouette"),
+        col("length"))
+
+  // ---- GeoJSON emitters (Q17 scalar surface) ----
+
+  private def fmt(precision: Int) = s"%.${precision}f"
+
+  /** [x,y] pair list from an array<struct<x,y>> column. */
+  private def ring(pts: Column, precision: Int): Column =
+    concat(lit("["), array_join(transform(pts,
+      p => format_string(s"[${fmt(precision)},${fmt(precision)}]",
+        p("x"), p("y"))), ","), lit("]"))
+
+  def pointGeoJson(x: Column, y: Column, precision: Int = 6): Column =
+    format_string(
+      s"""{"type":"Point","coordinates":[${fmt(precision)},${fmt(precision)}]}""",
+      x, y)
+
+  /** Polygon GeoJSON from a closed-or-open ring (closes it if open,
+    * like ST_AsGeoJSON of a valid polygon). */
+  def polygonGeoJson(pts: Column, precision: Int = 6): Column = {
+    val closed = when(
+      element_at(pts, 1) === element_at(pts, -1), pts)
+      .otherwise(concat(pts, array(element_at(pts, 1))))
+    concat(lit("{\"type\":\"Polygon\",\"coordinates\":["),
+      ring(closed, precision), lit("]}"))
+  }
+
+  /** Ray-cast point-in-polygon as a pure Column expression (no UDF):
+    * fold over the ring edges with `aggregate`, toggling a crossing
+    * flag — stays inside codegen. Boundary points excluded (shapely
+    * `contains` parity, `airports.py:44-49`). */
+  def pointInPolygon(x: Column, y: Column, pts: Column): Column = {
+    val n = size(pts)
+    val idx = sequence(lit(0), n - 1)
+    aggregate(idx, lit(false), (acc, i) => {
+      val a = element_at(pts, i + 1)
+      val b = element_at(pts, when(i === 0, n).otherwise(i))
+      val cross = (a("y") > y) =!= (b("y") > y) &&
+        x < (b("x") - a("x")) * (y - a("y")) / (b("y") - a("y")) + a("x")
+      when(cross, !acc).otherwise(acc)
+    })
+  }
+
+  private def xy(df: DataFrame): DataFrame =
+    df.withColumn("bbox", transform(col("bbox"),
+      p => struct(p("_1").as("x"), p("_2").as("y"))))
+
+  /** Seed geometry tables from the hardcoded NTE instances. */
+  def airportsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    xy(Airports.Known.map(a =>
+      (a.icao, a.iata, a.lon, a.lat, a.altitudeM,
+        a.bbox.map(p => (p.x, p.y))))
+      .toDF("icao", "iata", "lon", "lat", "altitude", "bbox"))
+  }
+
+  def runwaysTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    xy(Airports.Known.flatMap(a => a.runways.map(r =>
+      (a.icao, r.name, r.refLon, r.refLat, r.refAltitudeM, r.direction,
+        r.lengthM, r.bbox.map(p => (p.x, p.y)))))
+      .toDF("airport", "name", "ref_lon", "ref_lat", "ref_altitude",
+        "direction", "length_m", "bbox"))
+  }
+
+  /** Q14: `airports_geojson` view analog. */
+  def airportsGeoJson(spark: SparkSession): DataFrame =
+    airportsTable(spark).select(
+      col("icao"), col("iata"),
+      pointGeoJson(col("lon"), col("lat")).as("location"),
+      polygonGeoJson(col("bbox")).as("boundary"))
+
+  /** Q14: `runways_geojson` view analog. */
+  def runwaysGeoJson(spark: SparkSession): DataFrame =
+    runwaysTable(spark).select(
+      col("airport"), col("name"), col("direction"),
+      pointGeoJson(col("ref_lon"), col("ref_lat")).as("location"),
+      polygonGeoJson(col("bbox")).as("boundary"))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Media travel as opaque `binary` columns next to a typed metadata
+  * struct; transforms are per-partition batch functions so a real
+  * decoder drops in without changing the plan shape. The decode step
+  * itself is STUBBED with a deterministic fake (no media libraries in
+  * this environment) — the Spark-side contract (schema, partitioning,
+  * batch shape, null handling) is real and tested.
+  *
+  * Scale notes: blobs never enter a shuffle key; metadata-only plans
+  * prune the binary column at the parquet scan (check ReadSchema), and
+  * repartitioning for decode parallelism uses the row count not byte
+  * size — pair with `maxRecordsPerFile` when writing.
+  */
+object Multimodal {
+
+  /** Typed media metadata carried beside the blob. */
+  val metadataCols: Seq[String] =
+    Seq("media_type", "width", "height", "duration_ms", "sample_rate")
+
+  /** Wrap a raw binary column with parsed header metadata.
+    * STUB: a real impl sniffs magic bytes; the fake derives
+    * deterministic dimensions from the content hash so tests are
+    * stable. */
+  def withFakeMetadata(df: DataFrame, bin: Column): DataFrame = {
+    val h = abs(xxhash64(bin))
+    df.withColumn("media_type",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (h % 3 + 1).cast("int")))
+      .withColumn("width", (h % 1920 + 1).cast("int"))
+      .withColumn("height", (h % 1080 + 1).cast("int"))
+      .withColumn("duration_ms", (h % 60000).cast("long"))
+      .withColumn("sample_rate", lit(16000))
+  }
+
+  /** Feature extraction: binary → fixed-size float vector.
+    * STUB: deterministic pseudo-features from chunk hashes (a real
+    * impl runs a model over decoded frames — same signature). Pure
+    * column expressions, stays in codegen, no driver involvement. */
+  def fakeEmbedding(bin: Column, dim: Int = 8): Column =
+    array((0 until dim).map { i =>
+      (pmod(xxhash64(bin, lit(i)), lit(1000000)).cast("double") / 1e6)
+    }: _*)
+
+  /** "Resize": emits the transformed blob + new dims. STUB keeps the
+    * bytes, real impl re-encodes; the plan shape (project, no shuffle)
+    * is what matters. */
+  def resize(df: DataFrame, bin: Column, w: Int, hgt: Int): DataFrame =
+    df.withColumn("resized", bin)
+      .withColumn("width", lit(w))
+      .withColumn("height", lit(hgt))
+
+  /** Frame sampling for video rows: explode k pseudo-frames per blob
+    * (real impl decodes I-frames). Fan-out happens AFTER metadata
+    * filters so only selected rows pay the explosion. */
+  def sampleFrames(df: DataFrame, bin: Column, k: Int): DataFrame =
+    df.withColumn("frame_no", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("frame",
+        sha2(concat(base64(bin), col("frame_no").cast("string")), 256))
+
+  /** Partition-for-decode: spread rows evenly for the expensive decode
+    * stage regardless of input file layout. */
+  def repartitionForDecode(df: DataFrame, parallelism: Int): DataFrame =
+    df.repartition(parallelism)
+}

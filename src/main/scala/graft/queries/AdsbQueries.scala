@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.adsb.{AdsbPipeline, Sbs}
-import graft.operators.Histogram
+import graft.adsb.{AdsbPipeline, Meta, Sbs}
+import graft.operators.{Histogram, Multimodal}
 
 /** The ADS-B domain pipeline replayed over the reference's own 2,069
   * message capture (bundled fixture). These are rows-only checks for
@@ -42,6 +42,49 @@ object AdsbQueries {
         unix_micros(col("time").cast("timestamp")),
         "2019-10-20 00:00:00", "2019-10-20 23:00:00", "hour",
         Some("Europe/Paris"))
+    }),
+
+    // T7: per-flight transmission-type census (pivot 1..8).
+    "adsb_type_census" -> ((s, _) =>
+      Sbs.parse(Sbs.fixtureLines(s, "adsb_message_stream.txt"))
+        .groupBy(col("hexident"))
+        .pivot("transmission_type", (1 to 8).map(Int.box).toSeq)
+        .count()
+        .orderBy(col("hexident"))),
+
+    // Q11: flights ⟕ airlines (expression equi-join on
+    // substring(callsign,1,3) = icao) ⟕ countries — the
+    // landings_on_details shape with the real openflights dims.
+    "adsb_flight_details" -> ((s, _) => {
+      val flights = AdsbPipeline.flights(out(s))
+      val airlines = Meta.loadAirlines(s)
+      val countries = Meta.loadCountries(s)
+      flights
+        .join(broadcast(airlines),
+          substring(flights("callsign"), 1, 3) === airlines("icao"), "left")
+        .join(broadcast(countries),
+          airlines("country") === countries("name"), "left")
+        .select(flights("hexident"), flights("session_start"),
+          flights("callsign"),
+          airlines("name").as("airline"), airlines("country"),
+          countries("code").as("country_code"),
+          flights("first_seen"), flights("last_seen"))
+        .orderBy(flights("hexident"), flights("session_start"))
+    }),
+
+    // Q14: GeoJSON metadata views over the seed airport/runway geometry.
+    "meta_airports_geojson" -> ((s, _) => Meta.airportsGeoJson(s)),
+    "meta_runways_geojson" -> ((s, _) => Meta.runwaysGeoJson(s)),
+
+    // S5 + multimodal: silhouette BMP blobs → typed metadata +
+    // stubbed feature vector (plumbing real, decode deterministic).
+    "mm_media_features" -> ((s, _) => {
+      val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
+      Multimodal.withFakeMetadata(bin, col("silhouette"))
+        .withColumn("embedding", Multimodal.fakeEmbedding(col("silhouette")))
+        .select(col("model"), col("length"), col("media_type"),
+          col("width"), col("height"), col("embedding"))
+        .orderBy(col("model"))
     })
   )
 

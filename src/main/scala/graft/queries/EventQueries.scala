@@ -120,7 +120,29 @@ object EventQueries {
     "q14_transitions" -> ((s, dir) =>
       Sessionize.detectTransitions(ev(s, dir), col("user_id"), col("ts"),
           col("event_type") === "purchase", 3600.0, col("event_id"))
-        .orderBy(col("key"), col("time")))
+        .orderBy(col("key"), col("time"))),
+
+    // Q13: materialized path view analog — DISTINCT per-(user, day)
+    // paths over the current-week slice, built once and cacheable.
+    "q15_matview_paths" -> ((s, dir) => {
+      val e = ev(s, dir).where(
+        col("ts") >= lit("2024-01-22 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-29 00:00:00").cast("timestamp"))
+      e.groupBy(col("user_id").as("key"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(concat(
+          lit("{\"type\":\"LineString\",\"coordinates\":["),
+          array_join(transform(
+            array_sort(collect_list(struct(
+              col("ts").as("t"), col("event_id").as("o"),
+              format_string("[%.2f,%.2f]", col("value"),
+                get_json_object(col("props"), "$.k").cast("double"))
+                .as("fmt")))),
+            p => p("fmt")), ","),
+          lit("]}")).as("path"))
+        .distinct()
+        .orderBy(col("key"), col("day"))
+    })
   )
 
   private val parisLocal = "timezone('Europe/Paris', timezone('UTC', ts))"
@@ -260,6 +282,19 @@ object EventQueries {
         |  FROM c)
         |SELECT user_id AS key, ts AS time, flag FROM v
         |WHERE dgap IS NULL OR dgap > 3600000000
-        |ORDER BY key, time""".stripMargin
+        |ORDER BY key, time""".stripMargin,
+
+    "q15_matview_paths" ->
+      """SELECT DISTINCT user_id AS key, strftime(ts_day, '%Y-%m-%d') AS day, path
+        |FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS ts_day,
+        |    '{"type":"LineString","coordinates":[' ||
+        |    string_agg(printf('[%.2f,%.2f]', value, CAST(props->>'k' AS DOUBLE)),
+        |               ',' ORDER BY ts, event_id) || ']}' AS path
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-29 00:00:00'
+        |  GROUP BY user_id, CAST(ts AS DATE))
+        |ORDER BY key, day""".stripMargin
   )
 }

@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink-side physical design (SURVEY.md §4 + S6/S7/S9).
+  *
+  * The reference's write path is SQLAlchemy `add()` + 1 s commits into
+  * Postgres with btree-DESC indexes and `CLUSTER ... ON flight_id`
+  * (`create_public_schema.sql:759-811`). The Spark equivalents:
+  * clustering = repartition-by-key + sortWithinPartitions on write;
+  * indexes = parquet min/max row-group statistics that Catalyst prunes
+  * on; the JDBC sink stays available for drop-in parity.
+  */
+object Sinks {
+
+  /** `CLUSTER positions ON flight_id` analog: co-locate each key's
+    * rows and sort by time within files so per-key scans are
+    * contiguous and min/max pruning is effective at 100 TB. */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      sortCols: Seq[String],
+      partitions: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(partitions, keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ sortCols).map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Day-partitioned event table: partition pruning for the time-slice
+    * queries (P9/Q4/Q5). */
+  def writeDayPartitioned(df: DataFrame, path: String, timeCol: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    df.withColumn("day", to_date(col(timeCol)))
+      .write.mode(mode).partitionBy("day").parquet(path)
+  }
+
+  /** S6: JDBC sink (`db.py:24-38`, `flights.py:119-131`). In streaming,
+    * call from `foreachBatch` for the 1 s commit cadence; `batchsize`
+    * plays the role of the reference's session batching. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      user: String, password: String,
+      batchSize: Int = 1000,
+      mode: SaveMode = SaveMode.Append): Unit = {
+    val props = new Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** S9: `d1090_copy_flight` analog — copy one flight session and its
+    * child rows from one store to another, remapping the session key.
+    * The reference does four INSERT…SELECTs in a CTE
+    * (`create_public_schema.sql:149-172`); here each child table is a
+    * filtered append with the new key stamped on. */
+  def copySession(
+      from: String, to: String,
+      hexident: String, sessionStart: java.sql.Timestamp,
+      newSessionStart: java.sql.Timestamp,
+      tables: Seq[String] = Seq("flights", "positions", "landings", "takeoffs"))(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$from/$t")
+      src.where(col("hexident") === hexident &&
+          col("session_start") === sessionStart)
+        .withColumn("session_start", lit(newSessionStart))
+        .write.mode(SaveMode.Append).parquet(s"$to/$t")
+    }
+  }
+}
