@@ -17,12 +17,32 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
       // ([PARQUET_TYPE_ILLEGAL]); read as long and truncate ns→µs —
       // exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does, so the
-      // oracle sees identical values.
+      // oracle sees identical values. The raw long survives as `ts_ns`:
+      // filters on the derived `ts` cannot reach the parquet scan, so
+      // time-sliced queries add an equivalent `ts_ns` range (the
+      // truncation is monotone) to get row-group pruning back.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
         .withColumn("ts", org.apache.spark.sql.functions
           .expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with a pushdown-capable UTC time range pre-filter:
+    * [lo, hi) on the raw ns column (exact for the truncated `ts` —
+    * floor(ns/1000) ≥ L·1000 ⟺ ns ≥ L·1000·1000). Callers layering a
+    * timezone-local filter should widen the bounds and keep their
+    * exact predicate on `ts`. */
+  def eventsRanged(spark: SparkSession, dir: String,
+      loUtc: String, hiUtc: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lo = java.sql.Timestamp.valueOf(loUtc)
+    val hi = java.sql.Timestamp.valueOf(hiUtc)
+    def us(t: java.sql.Timestamp) =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    load(spark, dir, "events")
+      .where(col("ts_ns") >= us(lo) * 1000 && col("ts_ns") < us(hi) * 1000)
+  }
 
   /** Register every table as a temp view so the same queries run via
     * spark.sql(...) too. */

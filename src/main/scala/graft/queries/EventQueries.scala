@@ -33,22 +33,27 @@ object EventQueries {
         Some("Europe/Paris"))),
 
     // Q3: plain hourly histogram of one day of purchases (no gap fill).
+    // eventsRanged pushes the [day, day+1) range to the parquet scan.
     "q3_hourly_hist" -> ((s, dir) =>
       Histogram.simpleHistogram(
-        ev(s, dir).where(col("event_type") === "purchase" &&
-          Histogram.onDay(col("ts"), "2024-01-05")),
+        Tables.eventsRanged(s, dir, "2024-01-05 00:00:00", "2024-01-06 00:00:00")
+          .where(col("event_type") === "purchase" &&
+            Histogram.onDay(col("ts"), "2024-01-05")),
         col("ts"), "hour")),
 
-    // Q4: day slice scan, ordered.
+    // Q4: day slice scan, ordered (pushdown via ts_ns range).
     "q4_day_slice" -> ((s, dir) =>
-      ev(s, dir).where(Histogram.onDay(col("ts"), "2024-01-05"))
+      Tables.eventsRanged(s, dir, "2024-01-05 00:00:00", "2024-01-06 00:00:00")
+        .where(Histogram.onDay(col("ts"), "2024-01-05"))
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("time"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy(col("time"), col("event_id"))),
 
-    // Q5: Paris-local half-open date-range scan.
+    // Q5: Paris-local half-open date-range scan. The pushdown range is
+    // the local range widened by ±1 day (correct superset for any tz);
+    // the exact local predicate stays on `ts`.
     "q5_range_tz" -> ((s, dir) =>
-      ev(s, dir)
+      Tables.eventsRanged(s, dir, "2024-01-09 00:00:00", "2024-01-16 00:00:00")
         .where(Histogram.localDateRange(col("ts"), "2024-01-10", "2024-01-15",
           "Europe/Paris"))
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("time"),

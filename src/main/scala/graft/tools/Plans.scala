@@ -1,0 +1,17 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    args.foreach { n =>
+      println(s"######## $n")
+      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
