@@ -13,8 +13,16 @@ import graft.operators.{Histogram, Multimodal}
   */
 object AdsbQueries {
 
+  // One cached replay per session: five queries read it, and Bench
+  // runs them all in one JVM — re-parsing per query would quintuple
+  // the fixture cost.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.spark.sql.Dataset[graft.adsb.FlightStateMachine.Out]]()
+
   private def out(s: SparkSession) =
-    AdsbPipeline.replayFixture(s, "adsb_message_stream.txt").cache()
+    memo.computeIfAbsent(s,
+      _ => AdsbPipeline.replayFixture(s, "adsb_message_stream.txt").cache())
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adsb_parse" -> ((s, _) =>

@@ -43,6 +43,13 @@ object DocQueries {
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
         .orderBy(col("id"))),
 
+    // Embedding-cosine near-duplicate pairs (exact ground truth; the
+    // hyperplane-LSH bucket path is the 100 TB variant).
+    "d5_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(emb(s, dir), col("vec_id"),
+          col("embedding"), threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Brute-force cosine top-5 for the first 10 vectors.
     "s1_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -142,6 +149,22 @@ object DocQueries {
         |    AS simhash
         |FROM agg GROUP BY 1 ORDER BY id""".stripMargin,
 
+    "d5_embed_neardup" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |comp AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.vec[i] AS DOUBLE) * CAST(a.vec[i] AS DOUBLE))) AS na,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE))) AS nb
+        |  FROM v a JOIN v b ON a.id < b.id)
+        |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 5) AS sim
+        |FROM comp
+        |WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "s1_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -157,7 +180,7 @@ object DocQueries {
         |    list_sum(list_transform(range(1, 65),
         |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
         |  FROM pairs),
-        |sims AS (SELECT qid, vec_id, round(dot / sqrt(nq * nv), 5) AS sim FROM comp),
+        |sims AS (SELECT qid, vec_id, round(dot / (sqrt(nq) * sqrt(nv)), 5) AS sim FROM comp),
         |ranked AS (
         |  SELECT qid, vec_id, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The analytics surface is also reachable through plain Spark SQL over
+  * registered views (SURVEY §7: "each also registered for Spark SQL
+  * use") — same engine, so results must agree with the DataFrame API. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("registerAll exposes every table to spark.sql") {
+    Tables.registerAll(spark, dir)
+    assert(spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
+  }
+
+  test("SQL histogram equals DataFrame histogram") {
+    Tables.registerAll(spark, dir)
+    val sql = spark.sql(
+      """SELECT date_trunc('hour', ts) AS datetime, count(*) AS events
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    val df = graft.operators.Histogram.simpleHistogram(
+      Tables.load(spark, dir, "events").where(col("event_type") === "purchase"),
+      col("ts"), "hour")
+    assert(sql.count() === df.count())
+    assert(df.selectExpr("cast(datetime as string)", "events")
+      .exceptAll(sql.selectExpr("cast(datetime as string)", "events"))
+      .count() === 0)
+  }
+
+  test("session_window variant agrees with the explicit-window sessionizer") {
+    val ev = Tables.load(spark, dir, "events")
+    val a = graft.operators.Sessionize.sessionSummary(
+      ev, col("user_id"), col("ts"), 1800L, col("event_id"))
+    val b = graft.operators.Sessionize.sessionWindowSummary(
+      ev, col("user_id"), col("ts"), 1800L)
+    // boundary semantics differ only at gaps exactly == gapSec —
+    // absent in this data, so the summaries match.
+    assert(a.select("key", "session_start", "session_end", "n_events")
+      .exceptAll(b.select("key", "session_start", "session_end", "n_events"))
+      .count() === 0)
+    assert(a.count() === b.count())
+  }
+}
