@@ -19,7 +19,8 @@ object SparkEntry {
     queries("q1_events_histogram")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.defs ++ TpchQueries.defs ++ DocQueries.defs ++ AdsbQueries.defs
+    EventQueries.defs ++ TpchQueries.defs ++ TpchQueries.extraDefs ++
+      DocQueries.defs ++ AdsbQueries.defs
 
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ TpchQueries.oracles ++ DocQueries.oracles ++

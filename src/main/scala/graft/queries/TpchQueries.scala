@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import org.apache.spark.sql.Column
 
 /** Warehouse-analytics headliners over the TPC-H-ish tables: the
   * grouped-aggregate / multi-way-join / top-k shapes the engine must
@@ -17,6 +18,13 @@ import graft.Tables
   */
 object TpchQueries {
 
+  // Money math runs in integer cents: per-row floor(x·100+0.5) is
+  // engine-deterministic, and integer sums are order-independent —
+  // double sums round differently across engines at half-cent
+  // boundaries (observed on the running-total query).
+  private def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pricing summary (TPC-H Q1 shape): single-pass grouped aggregate.
     "qa_pricing_summary" -> ((s, dir) => {
@@ -24,16 +32,17 @@ object TpchQueries {
       li.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-            (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")))).as("sum_charge_c"),
           count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          round(col("sum_qty_c") / 100.0 / col("count_order"), 6))
+        .withColumn("avg_price",
+          round(col("sum_base_price_c") / 100.0 / col("count_order"), 6))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -52,9 +61,9 @@ object TpchQueries {
         .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("r_name"), col("n_name"))
     }),
 
     // Top-k customers by revenue: join + agg + window top-k (the Q6
@@ -65,29 +74,80 @@ object TpchQueries {
       val c = Tables.load(s, dir, "customer")
       val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-      val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+      val w = Window.orderBy(col("revenue_cents").desc, col("o_custkey"))
       rev.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 10)
         .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("rank"), col("o_custkey").as("custkey"), col("c_name"),
-          col("revenue"))
+          col("revenue_cents"))
         .orderBy(col("rank"))
     })
   )
 
+  val extraDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Semi/anti join surface: customers with 1996 orders vs customers
+    // with no orders at all (EXISTS / NOT EXISTS shapes).
+    "qd_semi_anti" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val o96 = o.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val active = c.join(o96, c("c_custkey") === o96("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_active"))
+      val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_inactive"))
+      active.crossJoin(inactive)
+    }),
+
+    // Running cumulative revenue by ship date. Money is summed as
+    // integer cents (per-row floor(x·100+0.5)) — double sums round
+    // differently across engines at half-cent boundaries when the
+    // accumulation order differs, integer sums never do.
+    "qe_running_total" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + 0.5).cast("long")
+      val daily = li
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents).as("revenue_cents"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+        .orderBy(col("day"))
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "qd_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE EXISTS (
+        |     SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |       AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')) AS n_active,
+        |  (SELECT count(*) FROM customer WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_inactive""".stripMargin,
+
+    "qe_running_total" ->
+      """WITH daily AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |           AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM daily ORDER BY day""".stripMargin,
     "qa_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
-        |  count(*) AS count_order
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+        |  count(*) AS count_order,
+        |  round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_price
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -95,7 +155,7 @@ object TpchQueries {
 
     "qb_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -104,18 +164,19 @@ object TpchQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY r_name, n_name
-        |ORDER BY revenue DESC, r_name, n_name""".stripMargin,
+        |ORDER BY revenue_cents DESC, r_name, n_name""".stripMargin,
 
     "qc_top_customers" ->
       """WITH rev AS (
-        |  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY o_custkey),
         |ranked AS (
-        |  SELECT o_custkey, revenue,
-        |    row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rank
+        |  SELECT o_custkey, revenue_cents,
+        |    row_number() OVER (ORDER BY revenue_cents DESC, o_custkey) AS rank
         |  FROM rev)
-        |SELECT rank, o_custkey AS custkey, c_name, revenue
+        |SELECT rank, o_custkey AS custkey, c_name, revenue_cents
         |FROM ranked JOIN customer ON o_custkey = c_custkey
         |WHERE rank <= 10 ORDER BY rank""".stripMargin
   )
