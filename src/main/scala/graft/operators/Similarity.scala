@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotProduct.dotF
 import graft.functions.PortableHash.phash
 
 /** Approximate-nearest-neighbor search over embedding columns.
@@ -33,12 +34,12 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, v) => acc + v)
 
-  def norm(v: Column, dim: Int): Column = sqrt(dotFixed(v, v, dim))
+  /** Norm via the native dot-product expression (any dimension). */
+  def norm(v: Column): Column = sqrt(dotF(v, v))
 
   /** cosine via precomputed norms: dot / (normA·normB). */
-  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column,
-      dim: Int): Column =
-    dotFixed(a, b, dim) / (normA * normB)
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotF(a, b) / (normA * normB)
 
   /** Exact top-k neighbors for each query vector.
     * queries: (qid, qvec), corpus: (vec_id, embedding). The query side
@@ -51,17 +52,16 @@ object Similarity {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      dim: Int = 64,
       roundDigits: Int = 5,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.withColumn("qnorm", norm(col("qvec"), dim))
-    val c = corpus.withColumn("vnorm", norm(col("embedding"), dim))
+    val q = queries.withColumn("qnorm", norm(col("qvec")))
+    val c = corpus.withColumn("vnorm", norm(col("embedding")))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
     val sims = joined.select(
       col("qid"), col("vec_id"),
       round(cosineWithNorms(col("qvec"), col("embedding"),
-        col("qnorm"), col("vnorm"), dim), roundDigits).as("sim"))
+        col("qnorm"), col("vnorm")), roundDigits).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -144,18 +144,17 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       nBits: Int = 12,
-      dim: Int = 64,
       roundDigits: Int = 5): DataFrame = {
     val qb = queries.withColumn("bucket", hyperplaneSignature(col("qvec"), nBits))
-      .withColumn("qnorm", norm(col("qvec"), dim))
+      .withColumn("qnorm", norm(col("qvec")))
     val cb = corpus.withColumn("bucket", hyperplaneSignature(col("embedding"), nBits))
-      .withColumn("vnorm", norm(col("embedding"), dim))
+      .withColumn("vnorm", norm(col("embedding")))
     val joined = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("qid") =!= col("vec_id"))
     val sims = joined.select(
       col("qid"), col("vec_id"),
       round(cosineWithNorms(col("qvec"), col("embedding"),
-        col("qnorm"), col("vnorm"), dim), roundDigits).as("sim"))
+        col("qnorm"), col("vnorm")), roundDigits).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 made the converters
+  * `private[sql]` (Column is backed by ColumnNode now); custom Catalyst
+  * expressions still need them, so this shim lives inside the sql
+  * package namespace — the standard extension-point technique, no
+  * internals are modified. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a 2-arg expression builder as a SQL function. */
+  def registerBinary(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: (Expression, Expression) => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name,
+        exprs => builder(exprs(0), exprs(1)), "scala_udf")
+}

@@ -122,7 +122,7 @@ class OperatorSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val q = corpus.where($"vec_id" === 1)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-    val top = Similarity.bruteForceTopK(q, corpus, k = 2, dim = 3).collect()
+    val top = Similarity.bruteForceTopK(q, corpus, k = 2).collect()
     assert(top(0).getLong(1) === 2 && top(0).getDouble(2) === 1.0)
     assert(top(1).getLong(1) === 4)
   }
