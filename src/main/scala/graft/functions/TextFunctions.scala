@@ -66,7 +66,32 @@ object TextFunctions {
   }
 
   /** Normalized-content fingerprint: md5 of lowercased,
-    * whitespace-collapsed text (rolling-hash stand-in, portable). */
+    * whitespace-collapsed text (portable). */
   def docFingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  val RollBase: Long = 131L
+  val RollPrime: Long = graft.functions.PortableHash.MinhashPrime
+
+  /** Precomputed B^i mod p powers (engine-portable literals). */
+  def rollPowers(n: Int): IndexedSeq[Long] =
+    (0 until n).scanLeft(1L)((acc, _) => acc * RollBase % RollPrime).toIndexedSeq
+
+  /** Position-sensitive polynomial rolling hash over tokens:
+    * Σ h32(tokᵢ)·Bⁱ mod p, with the powers as a literal table so an
+    * external engine reproduces it exactly. Tokens beyond `maxTokens`
+    * are ignored (document and cap consistently with the oracle).
+    * Unlike [[docFingerprint]], token ORDER matters — permuted
+    * documents get different fingerprints but equal md5 token-bags
+    * would too; this is the streaming-friendly incremental form. */
+  def rollingFingerprint(toksCol: Column, maxTokens: Int = 128): Column = {
+    import graft.functions.PortableHash.phash32
+    val pows = rollPowers(maxTokens)
+    // token hash reduced below 2^31 so hash·power stays within int64
+    val terms = transform(
+      slice(toksCol, 1, maxTokens),
+      (t, i) => phash32(t) % lit(2147483647L) *
+        element_at(typedlit(pows), i + 1) % RollPrime)
+    aggregate(terms, lit(0L), (acc, v) => (acc + v) % RollPrime)
+  }
 }

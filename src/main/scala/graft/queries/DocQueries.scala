@@ -76,6 +76,14 @@ object DocQueries {
       docs(s, dir).select(
           col("doc_id"), col("lang"),
           TextFunctions.langGuess(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    // Position-sensitive polynomial rolling-hash fingerprint.
+    "t3_rolling_fp" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          TextFunctions.rollingFingerprint(col("toks")).as("roll_fp"))
         .orderBy(col("doc_id")))
   )
 
@@ -164,6 +172,21 @@ object DocQueries {
         |FROM comp
         |WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "t3_rolling_fp" -> {
+      val powRows = graft.functions.TextFunctions.rollPowers(128)
+        .zipWithIndex.map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |terms AS (
+        |  SELECT doc_id,
+        |    ((('0x' || substr(md5(t[u.i]), 1, 8))::BIGINT % 2147483647)
+        |      * pw.p) % 4294967291 AS term
+        |  FROM toks, UNNEST(range(1, least(len(t), 128) + 1)) AS u(i)
+        |  JOIN (VALUES $powRows) AS pw(i, p) ON pw.i = u.i)
+        |SELECT doc_id, CAST(sum(term) % 4294967291 AS BIGINT) AS roll_fp
+        |FROM terms GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
 
     "s1_cosine_topk" ->
       """WITH q AS (
