@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs: local-disk writeback from earlier runs
+      // otherwise intermittently slows fresh JVMs 3-10x
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -37,19 +37,23 @@ object Dedup {
     docs.groupBy(md5(textCol).as("text_hash"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles over a *materialized* token-array
-    * column. `toksCol` must be a bound attribute (e.g. via
+  /** Word n-gram shingles (with duplicates) over a *materialized*
+    * token-array column. `toksCol` must be a bound attribute (e.g. via
     * `withColumn("toks", split(text, " "))`), not an inline `split` —
     * a subexpression inside a `transform` lambda is re-evaluated per
-    * element, turning shingling O(tokens²) (measured 10×+ slower). */
+    * element, turning shingling O(tokens²) (measured 10×+ slower).
+    * Dedup is NOT done here: `array_distinct` is O(n²) string compares
+    * per document; min-based consumers (MinHash) are duplicate-
+    * insensitive, and set-based consumers dedup hashed rows with a
+    * shuffle instead. */
   def shingles(toksCol: Column, n: Int): Column =
-    array_distinct(transform(
+    transform(
       when(size(toksCol) >= n, sequence(lit(0), size(toksCol) - n))
         .otherwise(array().cast("array<int>")),
-      j => concat_ws(" ", slice(toksCol, j + 1, lit(n)))))
+      j => concat_ws(" ", slice(toksCol, j + 1, lit(n))))
 
-  /** (id, sh) exploded distinct-shingle rows — the shared scan shape
-    * for Jaccard and MinHash. */
+  /** (id, sh) exploded shingle rows (duplicates included) — the shared
+    * scan shape for Jaccard and MinHash. */
   def shingleRows(docs: DataFrame, idCol: Column, textCol: Column,
       n: Int): DataFrame =
     docs.select(idCol.as("id"), split(textCol, " ").as("toks"))
@@ -69,8 +73,13 @@ object Dedup {
       textCol: Column,
       n: Int,
       threshold: Double): DataFrame = {
+    // distinct AFTER hashing (shuffle dedup beats per-doc O(n²)
+    // array_distinct), cached so the self-join doesn't recompute the
+    // whole shingle+md5 pipeline for each side.
     val sh = shingleRows(docs, idCol, textCol, n)
       .select(col("id"), phash(col("sh"), 0).as("h"))
+      .distinct()
+      .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val co = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))

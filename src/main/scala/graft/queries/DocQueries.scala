@@ -91,10 +91,12 @@ object DocQueries {
   private def dkHash(e: String, s: String): String =
     s"('0x' || substr(md5($e || '#' || ($s)), 1, 15))::BIGINT"
 
+  // shingles with duplicates (dedup happens downstream where needed —
+  // min-based MinHash is duplicate-insensitive)
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i))""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -128,7 +130,7 @@ object DocQueries {
     "d3_ngram_jaccard" ->
       s"""WITH $shingleCte,
         |sh2 AS (
-        |  SELECT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
         |co AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
