@@ -20,15 +20,24 @@ object AdsbPipeline {
   private[graft] def orderKey(m: AdsbMsg): (Long, Long) =
     (FlightStateMachine.micros(m.gen_date_time), m.seq)
 
-  /** Full tagged output of the pipeline. */
+  /** Full tagged output of the pipeline.
+    *
+    * `arrivalOrder = true` folds messages in arrival (seq) order — the
+    * reference's exact live behavior, which never reorders
+    * (`adsb_logger.py:40-66`, T12). The default event-time order is
+    * the deterministic replay semantics (identical when the input is
+    * time-monotone, as real captures are). */
   def process(
       msgs: Dataset[AdsbMsg],
       below: Int = FlightStateMachine.AltitudeBelow,
-      above: Int = FlightStateMachine.AltitudeAbove): Dataset[Out] = {
+      above: Int = FlightStateMachine.AltitudeAbove,
+      arrivalOrder: Boolean = false): Dataset[Out] = {
     val spark = msgs.sparkSession
     import spark.implicits._
     msgs.groupByKey(_.hexident).flatMapGroups { (_, it) =>
-      val sorted = it.toArray.sortBy(orderKey)
+      val sorted =
+        if (arrivalOrder) it.toArray.sortBy(_.seq)
+        else it.toArray.sortBy(orderKey)
       FlightStateMachine.processSorted(sorted.iterator, below, above)
     }
   }

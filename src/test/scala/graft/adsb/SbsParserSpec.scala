@@ -56,4 +56,22 @@ class SbsParserSpec extends SparkSpec {
     val n = Sbs.parse(Sbs.fixtureLines(spark, "adsb_message_stream.txt")).count()
     assert(n === 2070)
   }
+
+  test("P5 full filter surface: conjunction of enabled sub-tests") {
+    import org.apache.spark.sql.functions.col
+    val df = Sbs.parse(Sbs.fixtureLines(spark, "adsb_messages_ok.txt"))
+    // altitude band + onground=false keeps only the airborne MSG3
+    val f1 = Sbs.MessageFilter(below = 10000, onground = Some(false))
+    assert(df.where(f1.filter(df)).count() === 1)
+    // radius around the MSG3 position keeps it; a far reference drops it
+    val near = Sbs.MessageFilter(below = 10000,
+      radiusM = Some(50000), refLon = -2.77776, refLat = 46.65470)
+    assert(df.where(near.filter(df)).count() === 1)
+    val far = Sbs.MessageFilter(below = 10000,
+      radiusM = Some(1000), refLon = 0.0, refLat = 0.0)
+    assert(df.where(far.filter(df)).count() === 0)
+    // non-strict mode admits NULL-field rows for the tested predicate
+    val lax = Sbs.MessageFilter(strict = false)
+    assert(df.where(lax.filter(df)).count() === 3)
+  }
 }
