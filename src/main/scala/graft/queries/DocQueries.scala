@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ivf, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -57,6 +57,16 @@ object DocQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.bruteForceTopK(q, e, k = 5)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // IVF ANN scale path (rows-only: centroid means are FP-order
+    // dependent; exactness is pinned by IvfSpec against brute force).
+    "s2_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val index = Ivf.build(e, col("vec_id"), col("embedding"), k = 16)
+      Ivf.search(index, q, topK = 5, nProbe = 4)
     }),
 
     // Per-document text statistics + quality score + fingerprint.
