@@ -37,4 +37,13 @@ class ReplaySpec extends SparkSpec {
     val again = AdsbPipeline.replayFixture(spark, "adsb_message_stream.txt")
     assert(again.count() === out.count())
   }
+
+  test("arrival-order mode equals event-time replay on monotone capture") {
+    val arr = AdsbPipeline.process(
+      graft.adsb.Sbs.messages(
+        graft.adsb.Sbs.fixtureLines(spark, "adsb_message_stream.txt")),
+      arrivalOrder = true)
+    assert(arr.toDF().exceptAll(out.toDF()).count() === 0)
+    assert(out.toDF().exceptAll(arr.toDF()).count() === 0)
+  }
 }
