@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.adsb.AdsbPipeline
+
+/** Sink-side physical design: clustered/day-partitioned writers and
+  * the S9 cross-store session copy. */
+class SinksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("writeClustered co-locates keys and sorts within files") {
+    val dir = Files.createTempDirectory("graft-clustered").toString
+    val df = Seq((1L, 3, "c"), (2L, 1, "a"), (1L, 1, "a"), (2L, 2, "b"),
+      (1L, 2, "b")).toDF("k", "t", "v")
+    Sinks.writeClustered(df, dir, Seq("k"), Seq("t"), partitions = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 5)
+    // within each physical file, rows are (k, t)-sorted
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    val ordered = back
+      .withColumn("file", input_file_name())
+      .withColumn("prev_k", lag(col("k"), 1).over(w))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+    val violations = ordered.where(col("prev_k").isNotNull &&
+      (col("prev_k") > col("k") ||
+        (col("prev_k") === col("k") && col("prev_t") > col("t"))))
+    assert(violations.count() === 0)
+  }
+
+  test("writeDayPartitioned produces day= partition dirs") {
+    val dir = Files.createTempDirectory("graft-daypart").toString
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("id", "ts")
+    Sinks.writeDayPartitioned(df, dir, "ts")
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).toSet
+    assert(dirs === Set("day=2024-01-01", "day=2024-01-02"))
+    // partition pruning: reading one day touches one partition
+    val one = spark.read.parquet(dir).where(col("day") === "2024-01-01")
+    assert(one.count() === 1)
+  }
+
+  test("copySession clones one session with a remapped key (S9)") {
+    implicit val s = spark
+    val from = Files.createTempDirectory("graft-from").toString
+    val to = Files.createTempDirectory("graft-to").toString
+    val out = AdsbPipeline.replayFixture(spark, "adsb_message_stream.txt")
+    AdsbPipeline.flights(out).write.parquet(s"$from/flights")
+    AdsbPipeline.positions(out).write.parquet(s"$from/positions")
+
+    val f0 = spark.read.parquet(s"$from/flights")
+      .orderBy("hexident").limit(1).collect()(0)
+    val hex = f0.getString(0)
+    val ss = f0.getTimestamp(1)
+    val newSs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    Sinks.copySession(from, to, hex, ss, newSs,
+      tables = Seq("flights", "positions"))
+
+    val copied = spark.read.parquet(s"$to/flights")
+    assert(copied.count() === 1)
+    assert(copied.collect()(0).getTimestamp(1) === newSs)
+    val pos = spark.read.parquet(s"$to/positions")
+    assert(pos.where(col("session_start") === newSs).count() === pos.count())
+  }
+}
