@@ -9,16 +9,45 @@ import graft.adsb.FlightStateMachine.Out
   * parse → filter/admission → per-hexident event-time sessionization →
   * positions + flights + runway-attributed landing/takeoff events.
   *
-  * Spark shape: one `groupByKey(hexident)` shuffle; each group is
-  * sorted in memory (per-aircraft message counts are bounded by session
-  * activity, not table size) and folded through
-  * [[FlightStateMachine]] — the same transition function the streaming
-  * operator uses, so batch and streaming agree by construction.
+  * Spark shape: one hash repartition on hexident, then a
+  * `sortWithinPartitions` (Tungsten external sort — spillable, never
+  * materializes a key group in memory) and a streaming `mapPartitions`
+  * fold over consecutive same-key runs through [[FlightStateMachine]]
+  * — the same transition function the streaming operator uses, so
+  * batch and streaming agree by construction. Unlike a
+  * `groupByKey(...).flatMapGroups` + in-memory sort, one aircraft's
+  * entire history (months of it at 100 TB) never has to fit in an
+  * array: per-run memory is bounded by the state machine's O(1) state
+  * plus its emitted rows.
   */
 object AdsbPipeline {
 
   private[graft] def orderKey(m: AdsbMsg): (Long, Long) =
     (FlightStateMachine.micros(m.gen_date_time), m.seq)
+
+  /** Fold `f` over consecutive runs of equal `key` in `it` (which must
+    * be key-clustered, e.g. sorted). Streaming: a run's rows are pulled
+    * lazily; any unconsumed tail is drained before the next run. */
+  private[graft] def foldRuns[A, B, K](it: Iterator[A], key: A => K)(
+      f: Iterator[A] => Iterator[B]): Iterator[B] = {
+    val buf = it.buffered
+    new Iterator[B] {
+      private var cur: Iterator[B] = Iterator.empty
+      def hasNext: Boolean = {
+        while (!cur.hasNext && buf.hasNext) {
+          val k = key(buf.head)
+          val run = new Iterator[A] {
+            def hasNext: Boolean = buf.hasNext && key(buf.head) == k
+            def next(): A = buf.next()
+          }
+          cur = f(run)
+          while (run.hasNext) run.next()
+        }
+        cur.hasNext
+      }
+      def next(): B = { hasNext; cur.next() }
+    }
+  }
 
   /** Full tagged output of the pipeline.
     *
@@ -34,12 +63,16 @@ object AdsbPipeline {
       arrivalOrder: Boolean = false): Dataset[Out] = {
     val spark = msgs.sparkSession
     import spark.implicits._
-    msgs.groupByKey(_.hexident).flatMapGroups { (_, it) =>
-      val sorted =
-        if (arrivalOrder) it.toArray.sortBy(_.seq)
-        else it.toArray.sortBy(orderKey)
-      FlightStateMachine.processSorted(sorted.iterator, below, above)
-    }
+    val sortCols =
+      if (arrivalOrder) Seq(col("hexident"), col("seq"))
+      else Seq(col("hexident"), col("gen_date_time"), col("seq"))
+    msgs
+      .repartition(col("hexident"))
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { it =>
+        foldRuns(it, (m: AdsbMsg) => m.hexident)(
+          run => FlightStateMachine.processSorted(run, below, above))
+      }
   }
 
   /** `flights` table (`create_public_schema.sql:539-549` analog). */
@@ -50,11 +83,17 @@ object AdsbPipeline {
         col("n_positions"), lit("unknown").as("intention"))
 
   /** `positions` table (`create_public_schema.sql:606-617` analog);
-    * the PointZ geometry is the (lon, lat, alt_m) triple. */
+    * the PointZ geometry is the (lon, lat, alt_m) triple.
+    * `verticalrate`/`track` exist in the reference schema
+    * (`models.py:52-60`) but `Flight.update` never assigns them, so
+    * they are always NULL in practice — carried here for schema
+    * parity. */
   def positions(out: Dataset[Out]): DataFrame =
     out.where(col("kind") === "position")
       .select(col("hexident"), col("session_start"), col("time"),
-        col("lon"), col("lat"), col("alt_m"), col("onground"))
+        col("lon"), col("lat"), col("alt_m"), col("onground"),
+        lit(null).cast("int").as("verticalrate"),
+        lit(null).cast("int").as("track"))
 
   /** `landings` ∪ `takeoffs` rows with attributed runway. */
   def events(out: Dataset[Out]): DataFrame =

@@ -25,15 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Histogram {
 
-  /** One row per bin timestamp in [start, end], step = 1 `bin`.
-    * `start`/`end` are naive timestamps interpreted in `tz` (UTC when
-    * None), mirroring `generate_series(date_trunc(bin, from), ..., '1
-    * bin')`. Output column: `datetime` (TimestampType, session UTC). */
-  def binSpine(base: DataFrame, start: String, end: String, bin: String): DataFrame =
+  /** One row per bin timestamp in [start, end + endExtensionHours],
+    * step = 1 `bin`. `start`/`end` are naive timestamps interpreted in
+    * `tz` (UTC when None), mirroring `generate_series(date_trunc(bin,
+    * from), date_trunc(bin, ends + interval '23 hours'), '1 bin')` —
+    * the reference extends the spine end by 23 h
+    * (`create_public_schema.sql:189`) so a date-typed `ends` still
+    * covers its final day's hour bins. Output column: `datetime`
+    * (TimestampType, session UTC). */
+  def binSpine(base: DataFrame, start: String, end: String, bin: String,
+      endExtensionHours: Int = 0): DataFrame =
     base.sparkSession.range(1).select(
       explode(sequence(
         date_trunc(bin, lit(start).cast("timestamp")),
-        date_trunc(bin, lit(end).cast("timestamp")),
+        date_trunc(bin, lit(end).cast("timestamp") +
+          expr(s"interval $endExtensionHours hours")),
         expr(s"interval 1 $bin"))).as("datetime"))
 
   /** Gap-filled histogram: (datetime, events, ids) where `events` is
@@ -43,6 +49,11 @@ object Histogram {
     * When `tz` is set, bins are computed on local wall-clock time and
     * labelled by the local bin start expressed back in UTC — the double
     * `AT TIME ZONE` round-trip of `create_public_schema.sql:289-307`.
+    *
+    * `endExtensionHours` defaults to the reference's `+ interval '23
+    * hours'` spine extension (`create_public_schema.sql:189`): a
+    * day-granularity `end` still covers its final day's hour bins.
+    * Pass 0 for an exact [start, end] spine.
     */
   def eventsHistogram(
       events: DataFrame,
@@ -51,21 +62,23 @@ object Histogram {
       start: String,
       end: String,
       bin: String,
-      tz: Option[String] = None): DataFrame = {
+      tz: Option[String] = None,
+      endExtensionHours: Int = 23): DataFrame = {
 
     def toLocal(c: Column): Column =
       tz.fold(c)(z => from_utc_timestamp(c, z))
     def toUtc(c: Column): Column =
       tz.fold(c)(z => to_utc_timestamp(c, z))
 
-    val spine = binSpine(events, start, end, bin)
+    val spine = binSpine(events, start, end, bin, endExtensionHours)
     val agg = events
       .select(
         date_trunc(bin, toLocal(timeCol.cast("timestamp"))).as("bin_time"),
         idCol.as("id"))
       .where(col("bin_time").between(
         date_trunc(bin, lit(start).cast("timestamp")),
-        date_trunc(bin, lit(end).cast("timestamp"))))
+        date_trunc(bin, lit(end).cast("timestamp") +
+          expr(s"interval $endExtensionHours hours"))))
       .groupBy(col("bin_time"))
       .agg(
         count(col("id")).as("events"),

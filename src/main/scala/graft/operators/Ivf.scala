@@ -13,9 +13,16 @@ import graft.functions.DotProduct.dotF
   * The 100 TB path alongside [[Similarity.lshTopK]]: the corpus
   * shuffles ONCE by cluster id at build time (`Sinks.writeClustered`
   * persists it co-located), and a query touches nProbe/k of the data.
-  * Everything is DataFrame ops — assignment is a broadcast join +
-  * per-vector argmin window, centroid recomputation is a
-  * posexplode/groupBy mean (map-side combinable).
+  *
+  * The quantizer codebook (k centroids, k ≪ corpus) lives on the
+  * driver between Lloyd rounds — standard IVF practice, it is the
+  * index metadata, not data. Assignment is therefore a pure map-side
+  * `greatest(struct(csim, -cid))` argmax over centroid literals: zero
+  * joins, zero shuffles, zero windows per iteration (the round-1
+  * crossJoin + per-id row_number plan shuffled the full corpus once
+  * per Lloyd round). The only shuffle per round is the centroid
+  * recomputation groupBy, which partial-aggregates to k·dim rows
+  * map-side.
   *
   * Determinism: centroids seed from the first k vectors by id and
   * Lloyd iterations are fixed-count, so builds are reproducible run to
@@ -23,25 +30,52 @@ import graft.functions.DotProduct.dotF
   */
 object Ivf {
 
-  final case class Index(centroids: DataFrame, assigned: DataFrame)
+  /** `codebook` is the driver-side quantizer: (cid, centroid, norm). */
+  final case class Index(
+      centroids: DataFrame,
+      assigned: DataFrame,
+      codebook: Array[(Int, Array[Float], Double)])
 
   private def simTo(vec: Column, cvec: Column): Column =
     dotF(vec, cvec) /
       (sqrt(dotF(vec, vec)) * sqrt(dotF(cvec, cvec)))
 
-  /** Assign each (id, vec) row to its max-cosine centroid. */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val joined = vectors.crossJoin(broadcast(centroids))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("csim").desc, col("cid"))
-    joined
-      .withColumn("csim", simTo(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cid"))
+  private def vnorm(v: Array[Float]): Double = {
+    var s = 0.0d; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
   }
 
-  /** Mean vector per cluster via posexplode — no vector UDAF needed. */
+  /** Per-row cosine of `vec` (with precomputed norm column `vn`)
+    * against one codebook centroid — a literal-array dot product that
+    * stays in whole-stage codegen. */
+  private def csimExpr(vec: Column, vn: Column,
+      entry: (Int, Array[Float], Double)): Column =
+    dotF(vec, typedlit(entry._2)) / (vn * lit(entry._3))
+
+  /** Map-side argmax centroid id: greatest over (csim, -cid) structs =
+    * max csim, ties to the smallest cid (matching the old
+    * row_number(csim desc, cid asc) exactly). */
+  private def argmaxCid(vec: Column, vn: Column,
+      codebook: Array[(Int, Array[Float], Double)]): Column = {
+    val cands = codebook.map { e =>
+      struct(csimExpr(vec, vn, e).as("csim"), lit(-e._1).as("ncid"))
+    }
+    if (cands.length == 1) lit(codebook.head._1).cast("int")
+    else (-greatest(cands.toSeq: _*).getField("ncid")).cast("int")
+  }
+
+  /** Assign each (id, vec) row to its max-cosine centroid — a single
+    * narrow projection, no shuffle. */
+  private def assign(vectors: DataFrame,
+      codebook: Array[(Int, Array[Float], Double)]): DataFrame =
+    vectors
+      .withColumn("_vn", sqrt(dotF(col("vec"), col("vec"))))
+      .withColumn("cid", argmaxCid(col("vec"), col("_vn"), codebook))
+      .select(col("id"), col("vec"), col("cid"))
+
+  /** Mean vector per cluster via posexplode — no vector UDAF needed.
+    * Partial aggregation reduces to k·dim rows before the shuffle. */
   private def recompute(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
@@ -52,35 +86,55 @@ object Ivf {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s("m").cast("float")).as("cvec"))
 
-  /** Build the index: seed = first k vectors by id, `iters` fixed
-    * Lloyd rounds. */
+  private def collectCodebook(centroids: DataFrame): Array[(Int, Array[Float], Double)] =
+    centroids.select(col("cid"), col("cvec")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        (r.getInt(0), v, vnorm(v))
+      }
+      .sortBy(_._1)
+
+  /** Build the index: seed = first k vectors by id (TakeOrdered — no
+    * global window), `iters` fixed Lloyd rounds. */
   def build(corpus: DataFrame, idCol: Column, vecCol: Column,
       k: Int, iters: Int = 2): Index = {
     val vectors = corpus.select(idCol.as("id"), vecCol.as("vec"))
-    val seed = vectors.orderBy(col("id")).limit(k)
-      .select(row_number().over(Window.orderBy(col("id"))).as("cid"),
-        col("vec").as("cvec"))
-    var centroids = seed
-    var assigned: DataFrame = null
+    var codebook = vectors.orderBy(col("id")).limit(k)
+      .select(col("vec")).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Float](0).toArray
+        (i + 1, v, vnorm(v))
+      }
     (0 until math.max(iters, 1)).foreach { _ =>
-      assigned = assign(vectors, centroids)
-      centroids = recompute(assigned)
+      codebook = collectCodebook(recompute(assign(vectors, codebook)))
     }
-    Index(centroids.cache(), assign(vectors, centroids).cache())
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = codebook.toSeq
+      .map { case (cid, v, _) => (cid, v) }.toDF("cid", "cvec")
+    Index(centroids, assign(vectors, codebook).cache(), codebook)
   }
 
   /** Top-k search probing the `nProbe` nearest clusters per query.
-    * queries: (qid, qvec). Output matches
-    * [[Similarity.bruteForceTopK]]: (qid, vec_id, sim, rank). */
+    * queries: (qid, qvec). Probe selection is a per-row sorted slice
+    * over codebook literals (no join, no window); only the final
+    * per-qid top-k is a window, which WindowGroupLimit prunes.
+    * Output matches [[Similarity.bruteForceTopK]]:
+    * (qid, vec_id, sim, rank). */
   def search(index: Index, queries: DataFrame, topK: Int,
       nProbe: Int = 2, roundDigits: Int = 5): DataFrame = {
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("csim").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(index.centroids))
-      .withColumn("csim", simTo(col("qvec"), col("cvec")))
-      .withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cid"))
+    // array_sort ascending over (-csim, cid) = csim desc, cid asc —
+    // the same probe order as the old per-qid row_number window.
+    val ranked = array_sort(array(index.codebook.map { e =>
+      struct((-csimExpr(col("qvec"), col("_qn"), e)).as("nsim"),
+        lit(e._1).as("cid"))
+    }.toSeq: _*))
+    val probes = queries
+      .withColumn("_qn", sqrt(dotF(col("qvec"), col("qvec"))))
+      .select(col("qid"), col("qvec"),
+        explode(slice(ranked, 1, nProbe)).as("probe"))
+      .select(col("qid"), col("qvec"), col("probe.cid").as("cid"))
     val cands = index.assigned.join(broadcast(probes), Seq("cid"))
       .where(col("qid") =!= col("id"))
     val w = Window.partitionBy(col("qid"))

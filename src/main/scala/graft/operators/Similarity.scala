@@ -68,53 +68,88 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Rounded cosine between two float vectors — ascending-index,
+    * left-to-right double accumulation, matching the SQL oracle's
+    * `list_sum` exactly. */
+  private def roundedCosine(va: Array[Float], vb: Array[Float],
+      na: Double, nb: Double, roundDigits: Int): Double = {
+    var dot = 0.0d; var k = 0
+    while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+    BigDecimal(dot / (na * nb))
+      .setScale(roundDigits, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+  }
+
+  private def normOf(v: Array[Float]): Double = {
+    var s = 0.0d; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
-    * cosine ≥ threshold. The exact quadratic ground truth — at 100 TB
-    * pre-filter with [[hyperplaneSignature]] buckets and verify pairs
-    * with this formula. The threshold applies to the rounded value so
-    * the cut is reproducible across engines. */
+    * cosine ≥ threshold — EXACT (no candidate filter), computed
+    * distributed via triangle block partitioning.
+    *
+    * Each vector lands in block `id % nBlocks`; every unordered block
+    * pair (i ≤ j) becomes one task that runs a dense O(|i|·|j|)
+    * double-accumulation kernel over just those two blocks. The
+    * join-based plan spends ~95% of its time copying the two float
+    * arrays into every joined row (measured 25 µs/pair); here each
+    * vector is shuffled `nBlocks` times total and the kernel does the
+    * math at memory bandwidth. Per-task memory is 2·n/nBlocks vectors
+    * — `nBlocks` is the scale knob (grow it ∝ √corpus to hold
+    * per-task memory constant; work stays n²/2 overall but spread
+    * over nBlocks·(nBlocks+1)/2 parallel tasks). No driver collect,
+    * no broadcast of the corpus.
+    *
+    * At 100 TB pre-filter with [[hyperplaneSignature]] buckets or
+    * [[graft.operators.Dedup.minhashCandidates]] and verify only
+    * candidates; this operator is the exact ground truth. The
+    * threshold applies to the rounded value so the cut is
+    * reproducible across engines. */
   def embeddingNearDupPairs(
       corpus: DataFrame,
       idCol: Column,
       vecCol: Column,
       threshold: Double,
-      dim: Int = 64,
-      roundDigits: Int = 5): DataFrame = {
-    // Dense O(n²/2) numeric kernel: the join-based plan spends ~95% of
-    // its time copying the two float arrays into every joined row
-    // (measured 25 µs/pair); a broadcast + tight double-accumulation
-    // loop does the same math at memory bandwidth. The broadcast side
-    // must fit an executor — the same constraint as any broadcast
-    // dim; for larger corpora pre-bucket with [[hyperplaneSignature]]
-    // and run this kernel per bucket. Accumulation order (ascending
-    // index, left-to-right) matches the SQL oracle's list_sum exactly.
+      roundDigits: Int = 5,
+      nBlocks: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val nB = nBlocks
     val vecs = corpus.select(idCol.cast("long").as("id"), vecCol.as("vec"))
       .as[(Long, Array[Float])]
-    val all = vecs.collect().sortBy(_._1)
-    val norms = all.map { case (_, v) =>
-      var s = 0.0d; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(s)
+    // Replicate each vector to every block pair containing its block.
+    val replicated = vecs.flatMap { case (id, v) =>
+      val b = ((id % nB) + nB).toInt % nB
+      val pids = (b until nB).map(j => b * nB + j) ++
+        (0 until b).map(i => i * nB + b)
+      pids.map(pid => (pid, id, v))
     }
-    val bc = spark.sparkContext.broadcast((all, norms))
-    vecs.mapPartitions { it =>
-      val (vs, ns) = bc.value
-      it.flatMap { case (ida, va) =>
-        var sa = 0.0d; var i = 0
-        while (i < va.length) { sa += va(i).toDouble * va(i).toDouble; i += 1 }
-        val na = math.sqrt(sa)
-        vs.iterator.zipWithIndex
-          .filter { case ((idb, _), _) => idb > ida }
-          .flatMap { case ((idb, vb), j) =>
-            var dot = 0.0d; var k = 0
-            while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-            val sim = BigDecimal(dot / (na * ns(j)))
-              .setScale(roundDigits, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble
-            if (sim >= threshold) Some((ida, idb, sim)) else None
-          }
+    replicated.groupByKey(_._1).flatMapGroups { (pid, it) =>
+      val i = pid / nB; val j = pid % nB
+      val rows = it.map { case (_, id, v) => (id, v, normOf(v)) }.toArray
+      if (i == j) {
+        // intra-block: all (a < b) pairs within one block
+        val sorted = rows.sortBy(_._1)
+        for {
+          a <- sorted.indices.iterator
+          b <- Iterator.range(a + 1, sorted.length)
+          (ida, va, na) = sorted(a)
+          (idb, vb, nb) = sorted(b)
+          sim = roundedCosine(va, vb, na, nb, roundDigits)
+          if sim >= threshold
+        } yield (ida, idb, sim)
+      } else {
+        // cross-block: every (left ∈ i, right ∈ j) pair, exactly once
+        val left = rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == i }
+        val right = rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == j }
+        for {
+          (ida, va, na) <- left.iterator
+          (idb, vb, nb) <- right.iterator
+          sim = roundedCosine(va, vb, na, nb, roundDigits)
+          if sim >= threshold
+        } yield (math.min(ida, idb), math.max(ida, idb), sim)
       }
     }.toDF("id_a", "id_b", "sim")
   }

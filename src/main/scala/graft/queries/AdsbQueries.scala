@@ -42,13 +42,16 @@ object AdsbQueries {
 
     // Q2 over the pipeline's own output: landings histogram binned in
     // Europe/Paris — the reference's flagship analytics shape fed by
-    // its own ingest (SURVEY.md §7.2 end-to-end slice).
+    // its own ingest (SURVEY.md §7.2 end-to-end slice). The call is
+    // the reference idiom landings_histogram(date, date, 'hour'):
+    // a day-granularity `ends` whose final day the +23 h spine
+    // extension covers (create_public_schema.sql:189).
     "adsb_landings_histogram" -> ((s, _) => {
       val landings = AdsbPipeline.events(out(s))
         .where(col("kind") === "landing")
       Histogram.eventsHistogram(landings, col("time"),
         unix_micros(col("time").cast("timestamp")),
-        "2019-10-20 00:00:00", "2019-10-20 23:00:00", "hour",
+        "2019-10-20 00:00:00", "2019-10-20 00:00:00", "hour",
         Some("Europe/Paris"))
     }),
 
@@ -86,12 +89,17 @@ object AdsbQueries {
 
     // S5 + multimodal: silhouette BMP blobs → typed metadata +
     // stubbed feature vector (plumbing real, decode deterministic).
+    // The embedding is emitted as a fixed-precision comma-joined string:
+    // the driver's rows-only check sorts result columns with pandas,
+    // which cannot hash array cells (observed TypeError in round 1).
     "mm_media_features" -> ((s, _) => {
       val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
       Multimodal.withFakeMetadata(bin, col("silhouette"))
         .withColumn("embedding", Multimodal.fakeEmbedding(col("silhouette")))
         .select(col("model"), col("length"), col("media_type"),
-          col("width"), col("height"), col("embedding"))
+          col("width"), col("height"),
+          array_join(transform(col("embedding"),
+            e => format_string("%.6f", e)), ",").as("embedding"))
         .orderBy(col("model"))
     })
   )

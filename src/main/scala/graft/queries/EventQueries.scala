@@ -153,17 +153,19 @@ object EventQueries {
   private val parisLocal = "timezone('Europe/Paris', timezone('UTC', ts))"
 
   val oracles: Map[String, String] = Map(
+    // Spine end carries the reference's +23 h extension
+    // (create_public_schema.sql:189): 2024-01-31 00:00 → 23:00.
     "q1_events_histogram" ->
       """WITH spine AS (
         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-        |    TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 HOUR)) AS datetime),
+        |    TIMESTAMP '2024-01-31 23:00:00', INTERVAL 1 HOUR)) AS datetime),
         |agg AS (
         |  SELECT date_trunc('hour', ts) AS bin_time,
         |         count(event_id) AS events,
         |         string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
         |  FROM events
         |  WHERE date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-01 00:00:00'
-        |    AND TIMESTAMP '2024-01-31 00:00:00'
+        |    AND TIMESTAMP '2024-01-31 23:00:00'
         |  GROUP BY 1)
         |SELECT s.datetime AS datetime, a.events AS events, a.ids AS ids
         |FROM spine s LEFT JOIN agg a ON s.datetime = a.bin_time

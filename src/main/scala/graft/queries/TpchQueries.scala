@@ -76,9 +76,14 @@ object TpchQueries {
         .groupBy(col("o_custkey"))
         .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue_cents"))
+      // Top-10 via orderBy+limit → TakeOrderedAndProject (parallel
+      // partial top-k on every partition, no global single-task window
+      // sort). The rank window then runs on the 10 surviving rows only.
+      val top10 = rev
+        .orderBy(col("revenue_cents").desc, col("o_custkey"))
+        .limit(10)
       val w = Window.orderBy(col("revenue_cents").desc, col("o_custkey"))
-      rev.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 10)
+      top10.withColumn("rank", row_number().over(w).cast("long"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("rank"), col("o_custkey").as("custkey"), col("c_name"),
           col("revenue_cents"))

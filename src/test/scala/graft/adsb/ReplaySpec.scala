@@ -33,6 +33,15 @@ class ReplaySpec extends SparkSpec {
       .where(col("count") > 1).count() === 0)
   }
 
+  test("positions carry reference schema incl. always-null verticalrate/track") {
+    // models.py:52-60 declares them; Flight.update never assigns them.
+    val p = AdsbPipeline.positions(out)
+    assert(p.columns.toSeq === Seq("hexident", "session_start", "time",
+      "lon", "lat", "alt_m", "onground", "verticalrate", "track"))
+    assert(p.where(col("verticalrate").isNotNull ||
+      col("track").isNotNull).count() === 0)
+  }
+
   test("deterministic across runs (same counts)") {
     val again = AdsbPipeline.replayFixture(spark, "adsb_message_stream.txt")
     assert(again.count() === out.count())

@@ -19,12 +19,27 @@ class OperatorSpec extends SparkSpec {
       (3L, ts("2024-01-01 02:05:00")))
       .toDF("event_id", "ts")
     val h = Histogram.eventsHistogram(ev, col("ts"), col("event_id"),
-      "2024-01-01 00:00:00", "2024-01-01 03:00:00", "hour").collect()
+      "2024-01-01 00:00:00", "2024-01-01 03:00:00", "hour",
+      endExtensionHours = 0).collect()
     assert(h.length === 4)
     assert(h(0).getLong(1) === 2 && h(0).getString(2) === "1,2")
     assert(h(1).isNullAt(1) && h(1).isNullAt(2)) // gap bin: NULL not 0
     assert(h(2).getLong(1) === 1)
     assert(h(3).isNullAt(1))
+  }
+
+  test("histogram +23h end extension: date-typed ends covers its full day") {
+    // Reference parity (create_public_schema.sql:189): ends passed at
+    // day granularity still yields every hour bin of that final day.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 23:40:00")))
+      .toDF("event_id", "ts")
+    val h = Histogram.eventsHistogram(ev, col("ts"), col("event_id"),
+      "2024-01-01 00:00:00", "2024-01-01 00:00:00", "hour").collect()
+    assert(h.length === 24)
+    assert(h(0).getLong(1) === 1)
+    assert(h(23).getLong(1) === 1) // 23:00 bin exists and counts
   }
 
   test("tz histogram bins on Paris wall-clock") {
