@@ -148,4 +148,82 @@ object Meta {
       col("airport"), col("name"), col("direction"),
       pointGeoJson(col("ref_lon"), col("ref_lat")).as("location"),
       polygonGeoJson(col("bbox")).as("boundary"))
+
+  // ---- range_rings (the third Q14 metadata view) ----
+
+  /** Minimal EWKB MultiLineString reader for the `meta.range_rings`
+    * seed rows (`create_meta_schema.sql:144-152`, data `:250-257` —
+    * pg_dump hex EWKB, little-endian, SRID flag set). Pure data port,
+    * parsed once at table construction (3 rows). */
+  private[adsb] def parseWkbMultiLineString(hex: String): Seq[Seq[(Double, Double)]] = {
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    def setOrder(): Unit = buf.order(
+      if (buf.get() == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    setOrder()
+    val t = buf.getInt()
+    require((t & 0xffff) == 5, s"not a MultiLineString: $t")
+    if ((t & 0x20000000) != 0) buf.getInt() // SRID (4326)
+    Seq.fill(buf.getInt()) {
+      setOrder()
+      val lt = buf.getInt()
+      require((lt & 0xffff) == 2, s"not a LineString: $lt")
+      Seq.fill(buf.getInt())((buf.getDouble(), buf.getDouble()))
+    }
+  }
+
+  /** `meta.range_rings` seed table: (id, radius, icao, geom) with geom
+    * an array of rings, each an array of (x, y) points. */
+  def rangeRingsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream("/meta/range_rings.tsv")
+    require(in != null, "missing range_rings.tsv")
+    val rows = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val f = line.split('\t')
+        (f(1).toInt, f(2).toDouble, f(3), parseWkbMultiLineString(f(0)))
+      }.toSeq
+    rows.toDF("id", "radius", "icao", "geom")
+      .withColumn("geom", transform(col("geom"), ls =>
+        transform(ls, p => struct(p("_1").as("x"), p("_2").as("y")))))
+  }
+
+  /** MultiLineString GeoJSON from an array-of-rings column, with the
+    * PostGIS `ST_AsGeoJSON(geom, precision, options)` option bits:
+    * 1 = bbox member, 2 = short CRS member. The reference view uses
+    * options=2 (`create_meta_schema.sql:159-164`) — note option 2 is
+    * the short-CRS flag in PostGIS, not bbox. Member order matches
+    * PostGIS output: type, crs, bbox, coordinates. */
+  def multiLineStringGeoJson(lines: Column, precision: Int = 6,
+      options: Int = 0): Column = {
+    val body = concat(lit("["),
+      array_join(transform(lines, ls => ring(ls, precision)), ","),
+      lit("]"))
+    val crsPart =
+      if ((options & 2) != 0)
+        lit("\"crs\":{\"type\":\"name\",\"properties\":{\"name\":\"EPSG:4326\"}},")
+      else lit("")
+    val bboxPart =
+      if ((options & 1) != 0) {
+        val flat = flatten(lines)
+        concat(lit("\"bbox\":["),
+          format_string(
+            s"${fmt(precision)},${fmt(precision)},${fmt(precision)},${fmt(precision)}",
+            array_min(transform(flat, p => p("x"))),
+            array_min(transform(flat, p => p("y"))),
+            array_max(transform(flat, p => p("x"))),
+            array_max(transform(flat, p => p("y")))),
+          lit("],"))
+      } else lit("")
+    concat(lit("{\"type\":\"MultiLineString\","), crsPart, bboxPart,
+      lit("\"coordinates\":"), body, lit("}"))
+  }
+
+  /** Q14: `range_rings_geojson` view analog
+    * (`create_meta_schema.sql:159-164`). */
+  def rangeRingsGeoJson(spark: SparkSession): DataFrame =
+    rangeRingsTable(spark).select(
+      col("id"), col("radius"), col("icao"),
+      multiLineStringGeoJson(col("geom"), 6, 2).as("geom"))
 }

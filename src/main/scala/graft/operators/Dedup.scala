@@ -94,6 +94,40 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard over a *candidate pair list* — the
+    * production shape at 100 TB: [[minhashCandidates]] proposes,
+    * this verifies. Cost is Σ per-candidate shingle overlap (each
+    * candidate pair explodes to its matching shingle hashes via two
+    * hash joins), not the all-pairs quadratic of [[jaccardPairs]].
+    * Semantics are identical to [[jaccardPairs]] restricted to
+    * `candidates` (id_a < id_b assumed, as minhashCandidates emits). */
+  def jaccardVerify(
+      docs: DataFrame,
+      candidates: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), phash(col("sh"), 0).as("h"))
+      .distinct()
+      .cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val co = candidates
+      .join(sh.as("ca"), col("id_a") === col("ca.id"))
+      .join(sh.as("cb"),
+        col("id_b") === col("cb.id") && col("ca.h") === col("cb.h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    co.join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash min-table: one row per (id, seed i) with the minimum
     * hash over the document's shingles.
     *

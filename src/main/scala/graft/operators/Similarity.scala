@@ -68,18 +68,6 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Rounded cosine between two float vectors — ascending-index,
-    * left-to-right double accumulation, matching the SQL oracle's
-    * `list_sum` exactly. */
-  private def roundedCosine(va: Array[Float], vb: Array[Float],
-      na: Double, nb: Double, roundDigits: Int): Double = {
-    var dot = 0.0d; var k = 0
-    while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-    BigDecimal(dot / (na * nb))
-      .setScale(roundDigits, BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
-  }
-
   private def normOf(v: Array[Float]): Double = {
     var s = 0.0d; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
@@ -126,31 +114,57 @@ object Similarity {
         (0 until b).map(i => i * nB + b)
       pids.map(pid => (pid, id, v))
     }
+    // Below this raw-double bound a value can never round up to the
+    // threshold — the expensive exact BigDecimal rounding only runs on
+    // the (rare) pairs at or above it.
+    val preBound = threshold - 0.5 * math.pow(10, -roundDigits) - 1e-12
     replicated.groupByKey(_._1).flatMapGroups { (pid, it) =>
       val i = pid / nB; val j = pid % nB
       val rows = it.map { case (_, id, v) => (id, v, normOf(v)) }.toArray
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def kernel(ida: Long, va: Array[Float], na: Double,
+          idb: Long, vb: Array[Float], nb: Double): Unit = {
+        var dot = 0.0d; var k = 0
+        while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+        val raw = dot / (na * nb)
+        if (raw >= preBound) {
+          val sim = BigDecimal(raw)
+            .setScale(roundDigits, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+          if (sim >= threshold)
+            hits += ((math.min(ida, idb), math.max(ida, idb), sim))
+        }
+      }
       if (i == j) {
         // intra-block: all (a < b) pairs within one block
-        val sorted = rows.sortBy(_._1)
-        for {
-          a <- sorted.indices.iterator
-          b <- Iterator.range(a + 1, sorted.length)
-          (ida, va, na) = sorted(a)
-          (idb, vb, nb) = sorted(b)
-          sim = roundedCosine(va, vb, na, nb, roundDigits)
-          if sim >= threshold
-        } yield (ida, idb, sim)
+        var a = 0
+        while (a < rows.length) {
+          val (ida, va, na) = rows(a)
+          var b = a + 1
+          while (b < rows.length) {
+            val (idb, vb, nb) = rows(b)
+            kernel(ida, va, na, idb, vb, nb)
+            b += 1
+          }
+          a += 1
+        }
       } else {
         // cross-block: every (left ∈ i, right ∈ j) pair, exactly once
         val left = rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == i }
         val right = rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == j }
-        for {
-          (ida, va, na) <- left.iterator
-          (idb, vb, nb) <- right.iterator
-          sim = roundedCosine(va, vb, na, nb, roundDigits)
-          if sim >= threshold
-        } yield (math.min(ida, idb), math.max(ida, idb), sim)
+        var a = 0
+        while (a < left.length) {
+          val (ida, va, na) = left(a)
+          var b = 0
+          while (b < right.length) {
+            val (idb, vb, nb) = right(b)
+            kernel(ida, va, na, idb, vb, nb)
+            b += 1
+          }
+          a += 1
+        }
       }
+      hits.iterator
     }.toDF("id_a", "id_b", "sim")
   }
 

@@ -1,9 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.adsb.{AdsbPipeline, Meta, Sbs}
+import graft.adsb.FlightStateMachine.Out
+import org.apache.spark.sql.Dataset
 import graft.operators.{Histogram, Multimodal}
 
 /** The ADS-B domain pipeline replayed over the reference's own 2,069
@@ -83,9 +86,16 @@ object AdsbQueries {
         .orderBy(flights("hexident"), flights("session_start"))
     }),
 
-    // Q14: GeoJSON metadata views over the seed airport/runway geometry.
+    // Q11 event-side composite: the reference's GraphQL workhorse
+    // landings_on_details/takeoffs_on_details event type.
+    "adsb_event_details" -> ((s, _) =>
+      eventDetails(out(s), Meta.loadAirlines(s), Meta.loadCountries(s))),
+
+    // Q14: GeoJSON metadata views over the seed airport/runway geometry
+    // and the WKB-seeded range rings.
     "meta_airports_geojson" -> ((s, _) => Meta.airportsGeoJson(s)),
     "meta_runways_geojson" -> ((s, _) => Meta.runwaysGeoJson(s)),
+    "meta_range_rings_geojson" -> ((s, _) => Meta.rangeRingsGeoJson(s)),
 
     // S5 + multimodal: silhouette BMP blobs → typed metadata +
     // stubbed feature vector (plumbing real, decode deterministic).
@@ -105,4 +115,41 @@ object AdsbQueries {
   )
 
   val oracles: Map[String, String] = Map.empty
+
+  /** The reference's `event` composite type
+    * (`create_graphql_functions.sql:3-15`): landing/takeoff events
+    * joined to their flight (inner) then airlines ⟕ countries,
+    * producing (id, flight_id, callsign, airline, country,
+    * country_code, first_seen, last_seen, time, runway) exactly as
+    * `landings_on_details`/`takeoffs_on_details` (`:30-95`) do.
+    *
+    * The reference's serial ids are replaced by deterministic
+    * row_numbers; the global windows run on the post-sessionization
+    * flight/event sets (tens of rows per replayed day — the same
+    * bounded cardinality as the reference's SETOF result), not on raw
+    * message data. */
+  def eventDetails(out: Dataset[Out], airlines: DataFrame,
+      countries: DataFrame): DataFrame = {
+    // events and flights share the `out` lineage — alias both sides so
+    // Spark's ambiguous-self-join detection sees qualified columns.
+    val fW = Window.orderBy(col("hexident"), col("session_start"))
+    val flights = AdsbPipeline.flights(out)
+      .withColumn("flight_id", row_number().over(fW).cast("long")).as("f")
+    val eW = Window.orderBy(col("time"), col("hexident"), col("kind"))
+    val events = AdsbPipeline.events(out)
+      .withColumn("id", row_number().over(eW).cast("long")).as("e")
+    events
+      .join(flights, col("e.hexident") === col("f.hexident") &&
+        col("e.session_start") === col("f.session_start"))
+      .join(broadcast(airlines.as("a")),
+        substring(col("f.callsign"), 1, 3) === col("a.icao"), "left")
+      .join(broadcast(countries.as("c")),
+        col("a.country") === col("c.name"), "left")
+      .select(col("e.id"), col("f.flight_id"), col("f.callsign"),
+        col("a.name").as("airline"), col("a.country"),
+        col("c.code").as("country_code"),
+        col("f.first_seen"), col("f.last_seen"),
+        col("e.time"), col("e.runway"))
+      .orderBy(col("id"))
+  }
 }

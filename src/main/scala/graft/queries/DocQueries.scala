@@ -38,6 +38,18 @@ object DocQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The production near-dup pipeline: LSH candidates verified by
+    // exact Jaccard — linear-ish, unlike the quadratic d3 ground truth.
+    "d3v_jaccard_verify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.jaccardVerify(d,
+          Dedup.minhashCandidates(d, col("doc_id"), col("text"),
+            n = 3, numHashes = 16, bands = 4),
+          col("doc_id"), col("text"), n = 3, threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // 60-bit SimHash fingerprints.
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
@@ -153,6 +165,44 @@ object DocQueries {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d3v_jaccard_verify" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+        |FROM co
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "d4_simhash" ->
       s"""WITH tok AS (

@@ -42,6 +42,43 @@ class MetaSpec extends SparkSpec {
     assert(s.where(length(col("silhouette")) > 0).count() === 6)
   }
 
+  test("range_rings WKB seed parses: 3 LFRS rings of 161 points") {
+    val t = Meta.rangeRingsTable(spark).orderBy(col("id")).collect()
+    assert(t.map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSeq ===
+      Seq((1, 50000.0, "LFRS"), (2, 100000.0, "LFRS"), (3, 150000.0, "LFRS")))
+    val geom = t(0).getSeq[Seq[org.apache.spark.sql.Row]](3)
+    assert(geom.length === 1)
+    assert(geom.head.length === 161)
+    // ring 1 (50 km) stays within ~0.8° of NTE (-1.608, 47.157)
+    val p0 = geom.head.head
+    assert(math.abs(p0.getDouble(0) - (-1.608)) < 1.0)
+    assert(math.abs(p0.getDouble(1) - 47.157) < 1.0)
+  }
+
+  test("MultiLineString GeoJSON: exact emission incl. crs/bbox options") {
+    val df = Seq(Tuple1(Seq(Seq((0.0, 0.0), (1.5, 2.25)), Seq((3.0, 4.0), (5.0, 6.0)))))
+      .toDF("g")
+      .withColumn("g", transform(col("g"), ls =>
+        transform(ls, p => struct(p("_1").as("x"), p("_2").as("y")))))
+    def emit(opts: Int) = df.select(
+      Meta.multiLineStringGeoJson(col("g"), 2, opts)).head.getString(0)
+    assert(emit(0) ===
+      """{"type":"MultiLineString","coordinates":[[[0.00,0.00],[1.50,2.25]],[[3.00,4.00],[5.00,6.00]]]}""")
+    assert(emit(2) ===
+      """{"type":"MultiLineString","crs":{"type":"name","properties":{"name":"EPSG:4326"}},"coordinates":[[[0.00,0.00],[1.50,2.25]],[[3.00,4.00],[5.00,6.00]]]}""")
+    assert(emit(1) ===
+      """{"type":"MultiLineString","bbox":[0.00,0.00,5.00,6.00],"coordinates":[[[0.00,0.00],[1.50,2.25]],[[3.00,4.00],[5.00,6.00]]]}""")
+  }
+
+  test("range_rings_geojson view: 3 rows, short-CRS members, 6-decimal") {
+    val v = Meta.rangeRingsGeoJson(spark).orderBy(col("id")).collect()
+    assert(v.length === 3)
+    val g = v(0).getString(3)
+    assert(g.startsWith(
+      """{"type":"MultiLineString","crs":{"type":"name","properties":{"name":"EPSG:4326"}},"coordinates":[[["""))
+    assert(g.count(_ == '[') === 1 + 1 + 161) // coords + 1 ring + 161 points
+  }
+
   test("multimodal stubs are deterministic and schema-stable") {
     import graft.operators.Multimodal
     val bin = Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir())

@@ -47,6 +47,39 @@ class ReplaySpec extends SparkSpec {
     assert(again.count() === out.count())
   }
 
+  test("event details composite: the reference's 10-column event type") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0us = FlightStateMachine.micros(
+      Timestamp.valueOf("2019-10-20 11:00:00"))
+    def at(sec: Double) = FlightStateMachine.toTs(t0us + (sec * 1e6).toLong)
+    // golden R21 landing (FlightStateMachineSpec) + an AFR callsign
+    val msgs = Seq(
+      AdsbMsg(0, 3, "ABC123", at(0), None, Some(900), None, None,
+        Some(47.170), Some(-1.598), None, Some(false)),
+      AdsbMsg(1, 1, "ABC123", at(5), Some("AFR1234"), None, None, None,
+        None, None, None, Some(false)),
+      AdsbMsg(2, 3, "ABC123", at(10), None, Some(300), None, None,
+        Some(47.1630), Some(-1.6035), None, Some(false)),
+      AdsbMsg(3, 3, "ABC123", at(20), None, Some(0), None, None,
+        Some(47.15356), Some(-1.61046), None, Some(true)))
+    val out = AdsbPipeline.process(msgs.toDS())
+    val d = graft.queries.AdsbQueries.eventDetails(out,
+      Meta.loadAirlines(spark), Meta.loadCountries(spark)).collect()
+    assert(d.length === 1)
+    val r = d.head
+    assert(r.getLong(0) === 1L)                  // id
+    assert(r.getLong(1) === 1L)                  // flight_id
+    assert(r.getString(2) === "AFR1234")         // callsign
+    assert(r.getString(3) === "Air France")      // airline
+    assert(r.getString(4) === "France")          // country
+    assert(r.getString(5) === "FR")              // country_code
+    assert(r.getTimestamp(6) === at(0))          // first_seen
+    assert(r.getTimestamp(7) === at(20))         // last_seen
+    assert(r.getTimestamp(8) === at(20))         // time
+    assert(r.getString(9) === "21")              // runway
+  }
+
   test("arrival-order mode equals event-time replay on monotone capture") {
     val arr = AdsbPipeline.process(
       graft.adsb.Sbs.messages(
