@@ -74,6 +74,72 @@ object Similarity {
     math.sqrt(s)
   }
 
+  /** Raw-double lower bound below which no value can round up to
+    * `threshold` at `roundDigits` — gates the exact BigDecimal
+    * rounding to the rare near-threshold pairs. */
+  private def preBoundOf(threshold: Double, roundDigits: Int): Double =
+    threshold - 0.5 * math.pow(10, -roundDigits) - 1e-12
+
+  /** Dense pair kernel: emit (min, max, sim) for one (a, b) pair if
+    * the rounded cosine clears the threshold. Ascending-index
+    * left-to-right accumulation matches the SQL oracle's list_sum. */
+  private def emitPair(
+      ida: Long, va: Array[Float], na: Double,
+      idb: Long, vb: Array[Float], nb: Double,
+      threshold: Double, preBound: Double, roundDigits: Int,
+      hits: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+    var dot = 0.0d; var k = 0
+    while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+    val raw = dot / (na * nb)
+    if (raw >= preBound) {
+      val sim = BigDecimal(raw)
+        .setScale(roundDigits, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      if (sim >= threshold)
+        hits += ((math.min(ida, idb), math.max(ida, idb), sim))
+    }
+  }
+
+  /** All (a < b) pairs within one row set clearing the threshold. */
+  private def pairsWithin(rows: Array[(Long, Array[Float], Double)],
+      threshold: Double, roundDigits: Int): Iterator[(Long, Long, Double)] = {
+    val preBound = preBoundOf(threshold, roundDigits)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var a = 0
+    while (a < rows.length) {
+      val (ida, va, na) = rows(a)
+      var b = a + 1
+      while (b < rows.length) {
+        val (idb, vb, nb) = rows(b)
+        emitPair(ida, va, na, idb, vb, nb, threshold, preBound, roundDigits, hits)
+        b += 1
+      }
+      a += 1
+    }
+    hits.iterator
+  }
+
+  /** Every (left, right) cross pair clearing the threshold. */
+  private def pairsAcross(
+      left: Array[(Long, Array[Float], Double)],
+      right: Array[(Long, Array[Float], Double)],
+      threshold: Double, roundDigits: Int): Iterator[(Long, Long, Double)] = {
+    val preBound = preBoundOf(threshold, roundDigits)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var a = 0
+    while (a < left.length) {
+      val (ida, va, na) = left(a)
+      var b = 0
+      while (b < right.length) {
+        val (idb, vb, nb) = right(b)
+        emitPair(ida, va, na, idb, vb, nb, threshold, preBound, roundDigits, hits)
+        b += 1
+      }
+      a += 1
+    }
+    hits.iterator
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine ≥ threshold — EXACT (no candidate filter), computed
     * distributed via triangle block partitioning.
@@ -114,63 +180,79 @@ object Similarity {
         (0 until b).map(i => i * nB + b)
       pids.map(pid => (pid, id, v))
     }
-    // Below this raw-double bound a value can never round up to the
-    // threshold — the expensive exact BigDecimal rounding only runs on
-    // the (rare) pairs at or above it.
-    val preBound = threshold - 0.5 * math.pow(10, -roundDigits) - 1e-12
     replicated.groupByKey(_._1).flatMapGroups { (pid, it) =>
       val i = pid / nB; val j = pid % nB
       val rows = it.map { case (_, id, v) => (id, v, normOf(v)) }.toArray
-      val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      def kernel(ida: Long, va: Array[Float], na: Double,
-          idb: Long, vb: Array[Float], nb: Double): Unit = {
-        var dot = 0.0d; var k = 0
-        while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-        val raw = dot / (na * nb)
-        if (raw >= preBound) {
-          val sim = BigDecimal(raw)
-            .setScale(roundDigits, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble
-          if (sim >= threshold)
-            hits += ((math.min(ida, idb), math.max(ida, idb), sim))
-        }
-      }
-      if (i == j) {
-        // intra-block: all (a < b) pairs within one block
-        var a = 0
-        while (a < rows.length) {
-          val (ida, va, na) = rows(a)
-          var b = a + 1
-          while (b < rows.length) {
-            val (idb, vb, nb) = rows(b)
-            kernel(ida, va, na, idb, vb, nb)
-            b += 1
-          }
-          a += 1
-        }
-      } else {
-        // cross-block: every (left ∈ i, right ∈ j) pair, exactly once
-        val left = rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == i }
-        val right = rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == j }
-        var a = 0
-        while (a < left.length) {
-          val (ida, va, na) = left(a)
-          var b = 0
-          while (b < right.length) {
-            val (idb, vb, nb) = right(b)
-            kernel(ida, va, na, idb, vb, nb)
-            b += 1
-          }
-          a += 1
-        }
-      }
-      hits.iterator
+      if (i == j) pairsWithin(rows, threshold, roundDigits)
+      else pairsAcross(
+        rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == i },
+        rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == j },
+        threshold, roundDigits)
     }.toDF("id_a", "id_b", "sim")
+  }
+
+  /** Approximate near-dup pairs — the 100 TB pre-filter path: bucket
+    * by `nBits` hyperplane signature, then run the exact dense kernel
+    * within each bucket only. Cross-bucket pairs are missed by
+    * construction (recall < 1; identical vectors always share a
+    * bucket) — [[embeddingNearDupPairs]] is the exact counterpart and
+    * ground truth. Per-bucket memory is the bucket's vectors; at scale
+    * raise `nBits` to shrink buckets. */
+  def lshNearDupPairs(
+      corpus: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double,
+      dim: Int,
+      nBits: Int = 8,
+      roundDigits: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .select(idCol.cast("long").as("id"), vecCol.as("vec"),
+        hyperplaneSignatureFixed(vecCol, nBits, dim).as("bucket"))
+      .as[(Long, Array[Float], Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map { case (id, v, _) => (id, v, normOf(v)) }.toArray
+        pairsWithin(rows, threshold, roundDigits)
+      }
+      .toDF("id_a", "id_b", "sim")
+  }
+
+  /** Driver-side replica of [[graft.functions.PortableHash.phash]]
+    * (60-bit from the leading 15 hex of MD5) — spec-pinned to stay
+    * bit-identical with the Column expression. */
+  private[operators] def phashLocal(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** [[hyperplaneSignature]] for a known dimension: the ±1 hyperplane
+    * matrix is data-independent, so it is built once on the driver and
+    * the per-row work becomes `nBits` codegen'd native dot products
+    * against sign-vector literals — the HOF formulation below runs
+    * interpreted (~10× slower per the measured perf notes). Bit
+    * values agree with [[hyperplaneSignature]] exactly (spec-pinned):
+    * products x·(±1) are exact in double and accumulate in the same
+    * ascending-index order. */
+  def hyperplaneSignatureFixed(vec: Column, nBits: Int, dim: Int): Column = {
+    val bits = (0 until nBits).map { i =>
+      val signs = Array.tabulate(dim)(d =>
+        if (phashLocal(s"$d#$i") % 2 == 0) 1.0f else -1.0f)
+      when(dotF(vec, typedlit(signs)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(0L)
+    }
+    bits.reduce(_ + _)
   }
 
   /** `nBits`-bit random-hyperplane signature of a vector: bit i = sign
     * of the dot product with a deterministic pseudo-random ±1
-    * hyperplane derived from portable hashes of (i, dim). */
+    * hyperplane derived from portable hashes of (i, dim). Dimension-
+    * generic (interpreted HOFs) — prefer [[hyperplaneSignatureFixed]]
+    * when the dimension is known. */
   def hyperplaneSignature(vec: Column, nBits: Int): Column = {
     val sigBits = (0 until nBits).map { i =>
       val proj = aggregate(
@@ -187,16 +269,22 @@ object Similarity {
 
   /** ANN via hyperplane-LSH bucketing: compare only within signature
     * buckets. Returns the same schema as [[bruteForceTopK]]; recall<1
-    * by construction. */
+    * by construction. Pass `dim` to bucket via the codegen'd
+    * fixed-dimension signature. */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       nBits: Int = 12,
-      roundDigits: Int = 5): DataFrame = {
-    val qb = queries.withColumn("bucket", hyperplaneSignature(col("qvec"), nBits))
+      roundDigits: Int = 5,
+      dim: Option[Int] = None): DataFrame = {
+    def sig(c: Column) = dim match {
+      case Some(d) => hyperplaneSignatureFixed(c, nBits, d)
+      case None => hyperplaneSignature(c, nBits)
+    }
+    val qb = queries.withColumn("bucket", sig(col("qvec")))
       .withColumn("qnorm", norm(col("qvec")))
-    val cb = corpus.withColumn("bucket", hyperplaneSignature(col("embedding"), nBits))
+    val cb = corpus.withColumn("bucket", sig(col("embedding")))
       .withColumn("vnorm", norm(col("embedding")))
     val joined = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("qid") =!= col("vec_id"))

@@ -62,6 +62,14 @@ object DocQueries {
           col("embedding"), threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The scale path for d5: hyperplane-LSH buckets, exact dense
+    // kernel within buckets. The md5-parity signature is portable, so
+    // this approximate operator still has a bit-exact oracle.
+    "d5v_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(emb(s, dir), col("vec_id"),
+          col("embedding"), threshold = 0.3, dim = 64, nBits = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Brute-force cosine top-5 for the first 10 vectors.
     "s1_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -233,6 +241,32 @@ object DocQueries {
         |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 5) AS sim
         |FROM comp
         |WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d5v_embed_neardup_lsh" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |bits AS (
+        |  SELECT id, b.i AS i,
+        |    CASE WHEN list_sum(list_transform(range(1, 65),
+        |      d -> CAST(vec[d] AS DOUBLE) *
+        |        (CASE WHEN ('0x'||substr(md5(CAST(d-1 AS VARCHAR)||'#'||CAST(b.i AS VARCHAR)),1,15))::BIGINT % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END))) >= 0
+        |    THEN (1::BIGINT << b.i) ELSE 0 END AS bit
+        |  FROM v, (SELECT unnest(range(0, 6)) AS i) AS b(i)),
+        |buck AS (SELECT id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+        |vb AS (SELECT v.id, v.vec, buck.bucket FROM v JOIN buck USING (id)),
+        |comp AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.vec[i] AS DOUBLE) * CAST(a.vec[i] AS DOUBLE))) AS na,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE))) AS nb
+        |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 5) AS sim
+        |FROM comp
+        |WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "t3_rolling_fp" -> {

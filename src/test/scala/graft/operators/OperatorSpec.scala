@@ -142,6 +142,46 @@ class OperatorSpec extends SparkSpec {
     assert(top(1).getLong(1) === 4)
   }
 
+  test("fixed-dim hyperplane signature equals the generic expression") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val both = emb.select(
+      Similarity.hyperplaneSignature(col("embedding"), 10).as("generic"),
+      Similarity.hyperplaneSignatureFixed(col("embedding"), 10, 64).as("fixed"))
+    assert(both.where(col("generic") =!= col("fixed")).count() === 0)
+  }
+
+  test("LSH near-dup: subset of exact pairs; identical vectors found") {
+    val corpus = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f)),            // exact duplicate of 1
+      (3L, Array.tabulate(8)(i => if (i == 0) -1.0f else 1.0f)),
+      (4L, Array.fill(8)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val lsh = Similarity.lshNearDupPairs(corpus, col("vec_id"),
+      col("embedding"), threshold = 0.7, dim = 8, nBits = 6)
+    val exact = Similarity.embeddingNearDupPairs(corpus, col("vec_id"),
+      col("embedding"), threshold = 0.7)
+    assert(lsh.exceptAll(exact).count() === 0) // never invents pairs
+    val dup = lsh.where(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(dup.length === 1 && dup(0).getDouble(2) === 1.0)
+  }
+
+  test("exact near-dup block partitioning is block-count invariant") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 1.0f)),
+      (5L, Array(1.0f, 0.1f)), (6L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def run(nb: Int) = Similarity.embeddingNearDupPairs(corpus,
+      col("vec_id"), col("embedding"), threshold = 0.9, nBlocks = nb)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(run(1) === run(3))
+    assert(run(1) === run(8)) // more blocks than rows still exact
+    assert(run(1).nonEmpty)
+  }
+
   test("keepOnePerGroup keeps exactly the ordered head") {
     val ev = Seq((1L, "a", 1L), (1L, "a", 9L), (2L, "a", 4L))
       .toDF("k", "t", "id")
