@@ -16,6 +16,35 @@ class AdsbStreamSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("start() runs the multi-sink pipeline end-to-end (T10/T11/S7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lines = MemoryStream[String]
+    val outDir = Files.createTempDirectory("graft-sink-e2e").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-e2e").toString
+    val raw = Sbs.fixtureLines(spark, "adsb_message_stream.txt")
+      .select("value").as[String].collect()
+    lines.addData(raw.toSeq)
+    val q = AdsbStream.start(lines.toDF(), outDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = AdsbPipeline.replayFixture(spark, "adsb_message_stream.txt")
+    val pos = spark.read.parquet(s"$outDir/positions")
+    assert(pos.count() ===
+      batch.toDF().where("kind = 'position'").count())
+    // S7 dual sink: the live copy holds the same rows, day-partitioned
+    val live = spark.read.parquet(s"$outDir/positions_live")
+    assert(live.count() === pos.count())
+    val days = new java.io.File(s"$outDir/positions_live").listFiles()
+      .map(_.getName).filter(_.startsWith("day="))
+    assert(days.toSeq === Seq("day=2019-10-20"))
+    // S7 retention: 2019 partitions are older than any cutoff → dropped
+    AdsbStream.prunePositionsLive(spark, outDir, retentionDays = 1)
+    val after = new java.io.File(s"$outDir/positions_live").listFiles()
+      .map(_.getName).filter(_.startsWith("day="))
+    assert(after.isEmpty)
+  }
+
   test("streaming replay equals batch replay (3 micro-batches)") {
     val msgs = Sbs.messages(
       Sbs.fixtureLines(spark, "adsb_message_stream.txt"))
