@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan pins: the scale-critical plan shapes must not
+  * silently regress. These assert on the planned (not executed)
+  * physical plan at sf0.001. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("qc top-10 is a parallel TakeOrderedAndProject, not a global window sort") {
+    val p = plan("qc_top_customers")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("IVF search plans without a cartesian product") {
+    val p = plan("s2_ivf_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit")) // top-k prune active
+  }
+
+  test("day-slice scan pushes the time range into the parquet source") {
+    val p = plan("q4_day_slice")
+    // the raw ns long (file column `ts`) carries the range to the scan
+    assert(p.contains("GreaterThanOrEqual(ts,"))
+    assert(p.contains("LessThan(ts,"))
+  }
+
+  test("gap-fill histogram joins the tiny spine by broadcast") {
+    val p = plan("q1_events_histogram")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("enrichment joins broadcast the dimension side") {
+    assert(plan("q11_expr_enrich").contains("BroadcastHashJoin"))
+    assert(plan("qb_revenue_by_nation").contains("BroadcastHashJoin"))
+  }
+}
