@@ -164,7 +164,12 @@ object Meta {
     setOrder()
     val t = buf.getInt()
     require((t & 0xffff) == 5, s"not a MultiLineString: $t")
-    if ((t & 0x20000000) != 0) buf.getInt() // SRID (4326)
+    if ((t & 0x20000000) != 0) {
+      // the reference's enforce_srid CHECK (create_meta_schema.sql)
+      // becomes a load-time assertion
+      val srid = buf.getInt()
+      require(srid == 4326, s"unexpected SRID $srid")
+    }
     Seq.fill(buf.getInt()) {
       setOrder()
       val lt = buf.getInt()

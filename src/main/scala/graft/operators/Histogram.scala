@@ -45,6 +45,10 @@ object Histogram {
   /** Gap-filled histogram: (datetime, events, ids) where `events` is
     * NULL (not 0) in empty bins and `ids` is the sorted, comma-joined
     * id list (`array_agg(flight_id)` analog made deterministic).
+    * Parity note: like the reference's `array_agg`, per-bin `ids`
+    * state is unbounded in the bin's event count — at 100 TB callers
+    * that don't need the id list should aggregate counts only, or
+    * bound it with `slice(sort_array(...), 1, k)`.
     *
     * When `tz` is set, bins are computed on local wall-clock time and
     * labelled by the local bin start expressed back in UTC — the double

@@ -108,6 +108,20 @@ object DocQueries {
           TextFunctions.langGuess(col("text")).as("lang_guess"))
         .orderBy(col("doc_id"))),
 
+    // t4: per-token document frequency — the TF-IDF building block.
+    // Skew-safe two-stage shape: stage 1 dedups (tok, doc) pairs with
+    // the shuffle keyed on BOTH columns (a Zipf-hot token like "the"
+    // spreads over all reducers), stage 2 counts one row per pair.
+    // The naive groupBy(tok).agg(countDistinct(doc_id)) funnels every
+    // occurrence of a hot token into one reducer's distinct set.
+    "t4_doc_frequency" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("tok"))),
+
     // Position-sensitive polynomial rolling-hash fingerprint.
     "t3_rolling_fp" -> ((s, dir) =>
       docs(s, dir)
@@ -324,6 +338,13 @@ object DocQueries {
         |        / len(string_split(text, ' '))) * 5.0, 1.0), 6) AS quality,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_doc_frequency" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, u.t AS tok
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t))
+        |SELECT tok, count(*) AS doc_freq
+        |FROM tok GROUP BY 1 ORDER BY tok""".stripMargin,
 
     "t2_lang_guess" ->
       """WITH sc AS (
