@@ -45,6 +45,37 @@ class AdsbStreamSpec extends SparkSpec {
     assert(after.isEmpty)
   }
 
+  test("event-time timeout closes a silent session (T2, streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2019-10-20 11:00:00")
+    def at(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    def msg(hex: String, sec: Long, seq: Long) =
+      graft.adsb.AdsbMsg(seq, 2, hex, at(sec), None, None, None, None,
+        Some(47.1), Some(-1.6), None, Some(false))
+    val stream = MemoryStream[graft.adsb.AdsbMsg]
+    val ckpt = Files.createTempDirectory("graft-ckpt-to").toString
+    val q = AdsbStream.sessionize(stream.toDS()).writeStream
+      .format("memory").queryName("adsb_timeout_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    // batch 1: aircraft A transmits, then goes silent
+    stream.addData(msg("AAAAAA", 0, 0))
+    q.processAllAvailable()
+    // batch 2: aircraft B 20 min later pushes the watermark far past
+    // A's 300 s timeout → A's session must close with a flight row
+    stream.addData(msg("BBBBBB", 1200, 1))
+    q.processAllAvailable()
+    // batch 3: one more advance so the timeout fires in its own batch
+    stream.addData(msg("BBBBBB", 1300, 2))
+    q.processAllAvailable()
+    q.stop()
+    val flights = spark.table("adsb_timeout_out")
+      .where("kind = 'flight' AND hexident = 'AAAAAA'")
+    assert(flights.count() === 1)
+  }
+
   test("streaming replay equals batch replay (3 micro-batches)") {
     val msgs = Sbs.messages(
       Sbs.fixtureLines(spark, "adsb_message_stream.txt"))
