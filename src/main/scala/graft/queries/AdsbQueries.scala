@@ -86,6 +86,17 @@ object AdsbQueries {
         .orderBy(flights("hexident"), flights("session_start"))
     }),
 
+    // Q8 on the domain's own data: the reference's flight_path(id) —
+    // ST_MakeLine(ST_Force2D(coordinates) ORDER BY time) per flight
+    // session (create_public_schema.sql:207-218), emitted as GeoJSON.
+    "adsb_flight_paths" -> ((s, _) =>
+      graft.operators.Paths.pathGeoJson(
+        AdsbPipeline.positions(out(s)),
+        concat_ws("/", col("hexident"), col("session_start")),
+        col("time"), concat_ws(",", col("lon"), col("lat")),
+        col("lon"), col("lat"), precision = 6)
+        .orderBy(col("key"))),
+
     // Q11 event-side composite: the reference's GraphQL workhorse
     // landings_on_details/takeoffs_on_details event type.
     "adsb_event_details" -> ((s, _) =>

@@ -47,6 +47,16 @@ class ReplaySpec extends SparkSpec {
     assert(again.count() === out.count())
   }
 
+  test("flight paths: one LineString per session over its positions") {
+    val paths = graft.queries.AdsbQueries.defs("adsb_flight_paths")(spark, "")
+      .collect()
+    val posKeys = AdsbPipeline.positions(out)
+      .select(concat_ws("/", col("hexident"), col("session_start")))
+      .distinct().count()
+    assert(paths.length === posKeys)
+    assert(paths.forall(_.getString(1).startsWith("{\"type\":\"LineString\"")))
+  }
+
   test("event details composite: the reference's 10-column event type") {
     import spark.implicits._
     import java.sql.Timestamp
