@@ -89,6 +89,33 @@ object DocQueries {
       Ivf.search(index, q, topK = 5, nProbe = 4)
     }),
 
+    // p1: the end-to-end corpus-curation pipeline — what a training-
+    // data run actually executes: quality gate ∧ language match, keep
+    // only exact-dup canonicals (min doc_id per content hash), then
+    // drop the higher id of every LSH-verified near-dup pair. Pure
+    // composition of t1/t2/d1/d2+d3v — every stage individually
+    // oracle-proven, and the composite has its own oracle.
+    "p1_corpus_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = d.select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langGuess(col("text")).as("lang_guess"))
+      val base = scored.where(col("quality") >= 0.3 &&
+        col("lang_guess") === col("lang"))
+      val canon = Dedup.exactDuplicates(d, col("doc_id"), col("text"))
+        .select(col("canonical_id").as("doc_id"))
+      val nearLosers = Dedup.jaccardVerify(d,
+          Dedup.minhashCandidates(d, col("doc_id"), col("text"),
+            n = 3, numHashes = 16, bands = 4),
+          col("doc_id"), col("text"), n = 3, threshold = 0.2)
+        .select(col("id_b").as("doc_id")).distinct()
+      base
+        .join(canon, Seq("doc_id"), "left_semi")
+        .join(nearLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-document text statistics + quality score + fingerprint.
     "t1_text_stats" -> ((s, dir) =>
       docs(s, dir).select(
@@ -134,6 +161,21 @@ object DocQueries {
   // DuckDB-side portable hash of expression e with seed s:
   private def dkHash(e: String, s: String): String =
     s"('0x' || substr(md5($e || '#' || ($s)), 1, 15))::BIGINT"
+
+  // DuckDB quality formula — must stay textually identical to the one
+  // in the t1 oracle (t1's green hash is what proves its parity).
+  private val dkQuality =
+    """round(least(length(text)::DOUBLE / 500.0, 1.0)
+      |    * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text))
+      |    * least((len(list_filter(string_split(text, ' '),
+      |        tk -> list_contains(['the','a','an','of','and','or','to','in','is','on','for','with'], tk)))::DOUBLE
+      |        / len(string_split(text, ' '))) * 5.0, 1.0), 6)""".stripMargin
+
+  private val dkLangMarkers =
+    """('en', ['the','and','of','to','is']),
+      |    ('de', ['der','und','die','das','ist']),
+      |    ('fr', ['le','la','et','les','est']),
+      |    ('es', ['el','los','que','es','y'])""".stripMargin
 
   // shingles with duplicates (dedup happens downstream where needed —
   // min-based MinHash is duplicate-insensitive)
@@ -338,6 +380,66 @@ object DocQueries {
         |        / len(string_split(text, ' '))) * 5.0, 1.0), 6) AS quality,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p1_corpus_curation" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT DISTINCT id_b AS doc_id
+        |  FROM co
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |lgs AS (
+        |  SELECT doc_id, m.l AS cand,
+        |    len(list_filter(string_split(text, ' '), tk -> list_contains(m.w, tk))) AS score
+        |  FROM documents, (VALUES
+        |    $dkLangMarkers) AS m(l, w)),
+        |lgb AS (
+        |  SELECT doc_id, cand, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+        |  FROM lgs),
+        |lg AS (
+        |  SELECT doc_id, CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_guess
+        |  FROM lgb WHERE rn = 1),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |  $dkQuality AS quality
+        |  FROM documents)
+        |SELECT q.doc_id, q.quality
+        |FROM q JOIN lg USING (doc_id)
+        |WHERE q.quality >= 0.3 AND lg.lang_guess = q.lang
+        |  AND q.doc_id IN (SELECT doc_id FROM canon)
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM near)
+        |ORDER BY q.doc_id""".stripMargin
+    },
 
     "t4_doc_frequency" ->
       """WITH tok AS (
