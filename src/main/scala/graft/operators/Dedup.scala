@@ -107,8 +107,19 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       n: Int,
+      threshold: Double): DataFrame =
+    jaccardVerifyFromShingles(shingleRows(docs, idCol, textCol, n),
+      candidates, threshold)
+
+  /** [[jaccardVerify]] over a prebuilt (id, sh) shingle table — cache
+    * and share it with [[minhashCandidatesFromShingles]] so the
+    * candidate and verify stages scan/shingle the corpus once, not
+    * twice (the shingle explode is the dominant scan at scale). */
+  def jaccardVerifyFromShingles(
+      shingles: DataFrame,
+      candidates: DataFrame,
       threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+    val sh = shingles
       .select(col("id"), phash(col("sh"), 0).as("h"))
       .distinct()
       .cache()
@@ -142,13 +153,19 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       n: Int,
+      numHashes: Int): DataFrame =
+    minhashMinTableFromShingles(shingleRows(docs, idCol, textCol, n), numHashes)
+
+  /** [[minhashMinTable]] over a prebuilt (id, sh) shingle table. */
+  def minhashMinTableFromShingles(
+      shingles: DataFrame,
       numHashes: Int): DataFrame = {
     import graft.functions.PortableHash.{phash32, minhashCoeffs, MinhashPrime}
     val hvals = array((0 until numHashes).map { k =>
       val (a, b) = minhashCoeffs(k)
       (lit(a) * col("h0") + lit(b)) % lit(MinhashPrime)
     }: _*)
-    shingleRows(docs, idCol, textCol, n)
+    shingles
       .select(col("id"), phash32(col("sh")).as("h0"))
       .select(col("id"), posexplode(hvals).as(Seq("i", "h")))
       .groupBy("id", "i").agg(min(col("h")).as("mh"))
@@ -176,12 +193,20 @@ object Dedup {
       textCol: Column,
       n: Int,
       numHashes: Int,
+      bands: Int): DataFrame =
+    minhashCandidatesFromShingles(shingleRows(docs, idCol, textCol, n),
+      numHashes, bands)
+
+  /** [[minhashCandidates]] over a prebuilt (id, sh) shingle table. */
+  def minhashCandidatesFromShingles(
+      shingles: DataFrame,
+      numHashes: Int,
       bands: Int): DataFrame = {
     val rows = numHashes / bands
     // Bucket = portable hash of the band's comma-joined minima (seed
     // order). Built straight off the min-table: one groupBy, no
     // signature-array detour.
-    val banded = minhashMinTable(docs, idCol, textCol, n, numHashes)
+    val banded = minhashMinTableFromShingles(shingles, numHashes)
       .withColumn("band", expr(s"i div $rows"))
       .groupBy("id", "band")
       .agg(phash(array_join(transform(

@@ -39,13 +39,14 @@ object DocQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     // The production near-dup pipeline: LSH candidates verified by
-    // exact Jaccard — linear-ish, unlike the quadratic d3 ground truth.
+    // exact Jaccard — linear-ish, unlike the quadratic d3 ground
+    // truth. One cached shingle scan feeds both stages.
     "d3v_jaccard_verify" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.jaccardVerify(d,
-          Dedup.minhashCandidates(d, col("doc_id"), col("text"),
-            n = 3, numHashes = 16, bands = 4),
-          col("doc_id"), col("text"), n = 3, threshold = 0.2)
+      val sh = Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text"),
+        n = 3).cache()
+      Dedup.jaccardVerifyFromShingles(sh,
+          Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
+          threshold = 0.2)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -104,10 +105,10 @@ object DocQueries {
         col("lang_guess") === col("lang"))
       val canon = Dedup.exactDuplicates(d, col("doc_id"), col("text"))
         .select(col("canonical_id").as("doc_id"))
-      val nearLosers = Dedup.jaccardVerify(d,
-          Dedup.minhashCandidates(d, col("doc_id"), col("text"),
-            n = 3, numHashes = 16, bands = 4),
-          col("doc_id"), col("text"), n = 3, threshold = 0.2)
+      val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3).cache()
+      val nearLosers = Dedup.jaccardVerifyFromShingles(sh,
+          Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
+          threshold = 0.2)
         .select(col("id_b").as("doc_id")).distinct()
       base
         .join(canon, Seq("doc_id"), "left_semi")
