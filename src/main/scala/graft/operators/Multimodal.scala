@@ -67,4 +67,45 @@ object Multimodal {
     * stage regardless of input file layout. */
   def repartitionForDecode(df: DataFrame, parallelism: Int): DataFrame =
     df.repartition(parallelism)
+
+  /** STUB decoder: deterministic FNV-1a pseudo-features per dimension.
+    * A real decoder (JNI codec / ONNX session) has this signature. */
+  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      var h = 2166136261L + i.toLong * 1099511628211L
+      var j = 0
+      while (j < bytes.length) {
+        h = (h ^ (bytes(j) & 0xffL)) * 1099511628211L
+        j += 1
+      }
+      (h & 0xfffff).toFloat / 0xfffff.toFloat
+    }
+
+  /** Batched per-partition decode → embedding — the Scala analog of
+    * `mapInPandas`: the partition's rows stream through in
+    * `batchSize`-row groups, which is where a real implementation
+    * amortizes model load / JNI session setup across a whole batch
+    * rather than paying it per row. The decoder is pluggable (default
+    * = the deterministic stub); plan shape, schema contract, and batch
+    * boundaries are real regardless. Blobs stay in their partitions —
+    * no shuffle. */
+  def decodeEmbedBatched(
+      df: DataFrame,
+      keyCol: Column,
+      binCol: Column,
+      dim: Int = 8,
+      batchSize: Int = 32,
+      decoder: (Array[Byte], Int) => Array[Float] = stubDecode): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(keyCol.cast("string").as("key"), binCol.as("bin"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "model invocation" per batch in a real decoder
+          batch.iterator.map { case (k, b) => (k, decoder(b, dim)) }
+        }
+      }
+      .toDF("key", "embedding")
+  }
 }

@@ -91,4 +91,18 @@ class MetaSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(bin, col("silhouette"), 3)
     assert(frames.count() === 18)
   }
+
+  test("batched decode: schema contract, determinism, batch-size invariance") {
+    import graft.operators.Multimodal
+    val bin = Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir())
+    def run(bs: Int) = Multimodal.decodeEmbedBatched(bin,
+      col("model"), col("silhouette"), dim = 8, batchSize = bs)
+    val a = run(2).collect().map(r =>
+      r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
+    val b = run(32).collect().map(r =>
+      r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(a.keySet === Set("A1", "A10", "A109", "A119", "A122", "A124"))
+    assert(a === b) // batch boundaries must not change results
+    assert(a.values.forall(_.length === 8))
+  }
 }
