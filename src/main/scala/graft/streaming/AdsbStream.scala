@@ -106,6 +106,30 @@ object AdsbStream {
       .start()
   }
 
+  /** S1 resilience analog (`adsb_parser.py:120-137`): the reference
+    * retries its TCP connect 5× with 1 s backoff; the Spark
+    * equivalent is restarting the failed streaming query from its
+    * checkpoint (exactly-once sinks make the restart transparent).
+    * Runs `start` and, on query failure, restarts it up to
+    * `attempts − 1` more times with `backoffMs` pause; rethrows once
+    * the budget is exhausted. Returns when the query terminates
+    * cleanly. */
+  def supervise(attempts: Int = 5, backoffMs: Long = 1000)(
+      start: () => StreamingQuery): Unit = {
+    var remaining = attempts
+    var done = false
+    while (!done) {
+      val q = start()
+      try { q.awaitTermination(); done = true }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          if (remaining <= 1) throw e
+          remaining -= 1
+          Thread.sleep(backoffMs)
+      }
+    }
+  }
+
   /** S7 retention: drop `positions_live` day-partitions older than
     * `retentionDays` (partition drop ≫ row deletes at scale). */
   def prunePositionsLive(spark: SparkSession, outDir: String,

@@ -45,6 +45,30 @@ class AdsbStreamSpec extends SparkSpec {
     assert(after.isEmpty)
   }
 
+  test("supervise restarts a failed query from checkpoint (S1 resilience)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = MemoryStream[Int]
+    stream.addData(1 to 10)
+    val ckpt = Files.createTempDirectory("graft-supervise").toString
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    AdsbStream.supervise(attempts = 5, backoffMs = 10) { () =>
+      stream.toDS().writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Int], _: Long) =>
+          if (failures.getAndDecrement() > 0)
+            throw new RuntimeException("injected sink failure")
+          seen.addAndGet(b.collect().sum)
+          ()
+        }
+        .start()
+    }
+    assert(failures.get() <= 0)     // both injected failures consumed
+    assert(seen.get() === 55)       // the batch landed exactly once
+  }
+
   test("event-time timeout closes a silent session (T2, streaming)") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
