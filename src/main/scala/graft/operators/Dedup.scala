@@ -197,11 +197,21 @@ object Dedup {
     minhashCandidatesFromShingles(shingleRows(docs, idCol, textCol, n),
       numHashes, bands)
 
-  /** [[minhashCandidates]] over a prebuilt (id, sh) shingle table. */
+  /** [[minhashCandidates]] over a prebuilt (id, sh) shingle table.
+    *
+    * `maxBucketSize` bounds the per-bucket pair blowup at scale: a
+    * bucket of k colliding docs emits k·(k−1)/2 candidates, and a
+    * mega-bucket (thousands of near-identical boilerplate docs) turns
+    * quadratic. Buckets above the cap are dropped — their members are
+    * near-identical by construction, which exact dedup ([[exactDuplicates]]
+    * first, then canonical-only input here) should collapse before
+    * LSH runs. Default keeps everything (bit-compatible with the
+    * oracle). */
   def minhashCandidatesFromShingles(
       shingles: DataFrame,
       numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rows = numHashes / bands
     // Bucket = portable hash of the band's comma-joined minima (seed
     // order). Built straight off the min-table: one groupBy, no
@@ -217,7 +227,7 @@ object Dedup {
     banded
       .groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))

@@ -119,6 +119,17 @@ class OperatorSpec extends SparkSpec {
     assert(c(0).getLong(0) === 1 && c(0).getLong(1) === 2)
   }
 
+  test("minhash LSH: bucket-size cap drops mega-buckets") {
+    val clones = (1L to 8L).map(i => (i, "a b c d e f g h"))
+    val docs = (clones :+ (9L, "q w e r t y u i")).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs, col("doc_id"), col("text"), 3)
+    val all = Dedup.minhashCandidatesFromShingles(sh, 16, 4).count()
+    assert(all === 28) // 8 identical docs → full pair set
+    val capped = Dedup.minhashCandidatesFromShingles(sh, 16, 4,
+      maxBucketSize = 4).count()
+    assert(capped === 0) // the 8-clone bucket exceeds the cap
+  }
+
   test("simhash: identical docs get identical fingerprints") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s"))
       .toDF("doc_id", "text")
