@@ -91,6 +91,11 @@ object Airports {
   val NteRunway21: Runway =
     Runway("21", -1.605619, 47.159876, 27, 210, nteStrip, 2900)
 
+  // Bug-compatible with the reference: airports.py:150 passes
+  // (47.156944, -1.607778) into (lon, lat) positions — lat/lon
+  // swapped. Harmless there and here (the airport point is only a
+  // label; all containment math uses the bbox), and reproduced
+  // verbatim for parity.
   val Nte: Airport = Airport("LFRS", "NTE", 47.156944, -1.607778, 27,
     IndexedSeq(
       Pt(-1.621437, 47.142339), Pt(-1.603608, 47.165234),
