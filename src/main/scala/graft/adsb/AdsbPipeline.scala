@@ -26,8 +26,11 @@ object AdsbPipeline {
     (FlightStateMachine.micros(m.gen_date_time), m.seq)
 
   /** Fold `f` over consecutive runs of equal `key` in `it` (which must
-    * be key-clustered, e.g. sorted). Streaming: a run's rows are pulled
-    * lazily; any unconsumed tail is drained before the next run. */
+    * be key-clustered, e.g. sorted). `f` MUST be strict — it must
+    * fully consume (or be done with) its run before returning, as
+    * [[FlightStateMachine.processSorted]] is: any tail left unread is
+    * drained before the next run starts, so a lazily-evaluating `f`
+    * would see an exhausted iterator. */
   private[graft] def foldRuns[A, B, K](it: Iterator[A], key: A => K)(
       f: Iterator[A] => Iterator[B]): Iterator[B] = {
     val buf = it.buffered

@@ -124,7 +124,10 @@ object Dedup {
       .distinct()
       .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val co = candidates
+    // distinct defensively: a duplicated candidate row would double
+    // `common` and inflate jaccard past 1. No-op on the (already
+    // distinct) minhashCandidates output.
+    val co = candidates.distinct()
       .join(sh.as("ca"), col("id_a") === col("ca.id"))
       .join(sh.as("cb"),
         col("id_b") === col("cb.id") && col("ca.h") === col("cb.h"))

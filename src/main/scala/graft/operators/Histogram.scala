@@ -34,7 +34,7 @@ object Histogram {
     * covers its final day's hour bins. Output column: `datetime`
     * (TimestampType, session UTC). */
   def binSpine(base: DataFrame, start: String, end: String, bin: String,
-      endExtensionHours: Int = 0): DataFrame =
+      endExtensionHours: Int): DataFrame =
     base.sparkSession.range(1).select(
       explode(sequence(
         date_trunc(bin, lit(start).cast("timestamp")),

@@ -66,10 +66,14 @@ object Ivf {
   }
 
   /** Assign each (id, vec) row to its max-cosine centroid — a single
-    * narrow projection, no shuffle. */
+    * narrow projection, no shuffle. Empty codebook (empty corpus) ⇒
+    * empty assignment, same schema. */
   private def assign(vectors: DataFrame,
       codebook: Array[(Int, Array[Float], Double)]): DataFrame =
-    vectors
+    if (codebook.isEmpty)
+      vectors.where(lit(false)).withColumn("cid", lit(0))
+        .select(col("id"), col("vec"), col("cid"))
+    else vectors
       .withColumn("_vn", sqrt(dotF(col("vec"), col("vec"))))
       .withColumn("cid", argmaxCid(col("vec"), col("_vn"), codebook))
       .select(col("id"), col("vec"), col("cid"))
@@ -107,7 +111,8 @@ object Ivf {
         (i + 1, v, vnorm(v))
       }
     (0 until math.max(iters, 1)).foreach { _ =>
-      codebook = collectCodebook(recompute(assign(vectors, codebook)))
+      if (codebook.nonEmpty)
+        codebook = collectCodebook(recompute(assign(vectors, codebook)))
     }
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -124,11 +129,18 @@ object Ivf {
     * (qid, vec_id, sim, rank). */
   def search(index: Index, queries: DataFrame, topK: Int,
       nProbe: Int = 2, roundDigits: Int = 5): DataFrame = {
+    if (index.codebook.isEmpty)
+      return queries.where(lit(false)).select(col("qid"),
+        col("qid").as("vec_id"), lit(0.0d).as("sim"), lit(0L).as("rank"))
     // array_sort ascending over (-csim, cid) = csim desc, cid asc —
-    // the same probe order as the old per-qid row_number window.
+    // the same probe order as a csim-desc ranking. NaN csim (a
+    // degenerate zero-norm centroid) maps to -∞ so it still sorts
+    // FIRST, matching how assign()'s greatest() treats NaN as the
+    // maximum — probe order and assignment stay consistent.
     val ranked = array_sort(array(index.codebook.map { e =>
-      struct((-csimExpr(col("qvec"), col("_qn"), e)).as("nsim"),
-        lit(e._1).as("cid"))
+      val c = csimExpr(col("qvec"), col("_qn"), e)
+      struct(when(isnan(c), lit(Double.NegativeInfinity)).otherwise(-c)
+        .as("nsim"), lit(e._1).as("cid"))
     }.toSeq: _*))
     val probes = queries
       .withColumn("_qn", sqrt(dotF(col("qvec"), col("qvec"))))

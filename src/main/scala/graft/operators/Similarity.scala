@@ -82,12 +82,15 @@ object Similarity {
 
   /** Dense pair kernel: emit (min, max, sim) for one (a, b) pair if
     * the rounded cosine clears the threshold. Ascending-index
-    * left-to-right accumulation matches the SQL oracle's list_sum. */
+    * left-to-right accumulation matches the SQL oracle's list_sum.
+    * Equal ids never pair (the oracle's `a.id < b.id`), so duplicate
+    * ids in the corpus cannot emit self-pairs. */
   private def emitPair(
       ida: Long, va: Array[Float], na: Double,
       idb: Long, vb: Array[Float], nb: Double,
       threshold: Double, preBound: Double, roundDigits: Int,
       hits: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+    if (ida == idb) return
     var dot = 0.0d; var k = 0
     while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
     val raw = dot / (na * nb)

@@ -137,11 +137,13 @@ object DocQueries {
         .orderBy(col("doc_id"))),
 
     // t4: per-token document frequency — the TF-IDF building block.
-    // Skew-safe two-stage shape: stage 1 dedups (tok, doc) pairs with
-    // the shuffle keyed on BOTH columns (a Zipf-hot token like "the"
-    // spreads over all reducers), stage 2 counts one row per pair.
-    // The naive groupBy(tok).agg(countDistinct(doc_id)) funnels every
-    // occurrence of a hot token into one reducer's distinct set.
+    // Skew-safe shape: per-document array_distinct dedups tokens
+    // BEFORE the explode (each doc contributes one row per token),
+    // and the count is map-side combinable — a Zipf-hot token like
+    // "the" reduces to one partial row per partition before the
+    // shuffle. The naive groupBy(tok).agg(countDistinct(doc_id)) over
+    // raw occurrences would instead funnel every occurrence of a hot
+    // token into one reducer's distinct set.
     "t4_doc_frequency" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -163,8 +165,9 @@ object DocQueries {
   private def dkHash(e: String, s: String): String =
     s"('0x' || substr(md5($e || '#' || ($s)), 1, 15))::BIGINT"
 
-  // DuckDB quality formula — must stay textually identical to the one
-  // in the t1 oracle (t1's green hash is what proves its parity).
+  // DuckDB quality formula — the single source, interpolated into both
+  // the t1 and p1 oracles (t1's green hash is what proves its parity
+  // with TextFunctions.qualityScore).
   private val dkQuality =
     """round(least(length(text)::DOUBLE / 500.0, 1.0)
       |    * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text))
@@ -365,7 +368,7 @@ object DocQueries {
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "t1_text_stats" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
         |    AS BIGINT) AS n_subwords,
@@ -374,12 +377,8 @@ object DocQueries {
         |  round(len(list_filter(string_split(text, ' '),
         |      tk -> list_contains(['the','a','an','of','and','or','to','in','is','on','for','with'], tk)))::DOUBLE
         |    / len(string_split(text, ' ')), 6) AS stopword_ratio,
-        |  round(least(length(text)::DOUBLE / 500.0, 1.0)
-        |    * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text))
-        |    * least((len(list_filter(string_split(text, ' '),
-        |        tk -> list_contains(['the','a','an','of','and','or','to','in','is','on','for','with'], tk)))::DOUBLE
-        |        / len(string_split(text, ' '))) * 5.0, 1.0), 6) AS quality,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  $dkQuality AS quality,
+        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p1_corpus_curation" -> {
@@ -450,16 +449,13 @@ object DocQueries {
         |FROM tok GROUP BY 1 ORDER BY tok""".stripMargin,
 
     "t2_lang_guess" ->
-      """WITH sc AS (
+      s"""WITH sc AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         |scores AS (
         |  SELECT doc_id, lang, m.l AS cand,
         |    len(list_filter(t, tk -> list_contains(m.w, tk))) AS score
         |  FROM sc, (VALUES
-        |    ('en', ['the','and','of','to','is']),
-        |    ('de', ['der','und','die','das','ist']),
-        |    ('fr', ['le','la','et','les','est']),
-        |    ('es', ['el','los','que','es','y'])) AS m(l, w)),
+        |    $dkLangMarkers) AS m(l, w)),
         |best AS (
         |  SELECT doc_id, lang, cand, score, row_number() OVER
         |    (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
