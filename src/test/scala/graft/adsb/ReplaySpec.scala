@@ -47,6 +47,21 @@ class ReplaySpec extends SparkSpec {
     assert(again.count() === out.count())
   }
 
+  test("foldRuns: run boundaries respected, partial consumption drained") {
+    // strict f that reads only the first element of each run: the
+    // helper must drain the rest so the next run starts clean.
+    val rows = Seq("a" -> 1, "a" -> 2, "b" -> 3, "c" -> 4, "c" -> 5)
+    val heads = AdsbPipeline.foldRuns(rows.iterator, (r: (String, Int)) => r._1) {
+      run => Iterator.single(run.next())
+    }.toList
+    assert(heads === List("a" -> 1, "b" -> 3, "c" -> 4))
+    // and a fully-consuming f sees every element of its run
+    val sums = AdsbPipeline.foldRuns(rows.iterator, (r: (String, Int)) => r._1) {
+      run => Iterator.single(run.map(_._2).sum)
+    }.toList
+    assert(sums === List(3, 3, 9))
+  }
+
   test("flight paths: one LineString per session over its positions") {
     val paths = graft.queries.AdsbQueries.defs("adsb_flight_paths")(spark, "")
       .collect()

@@ -179,6 +179,27 @@ class OperatorSpec extends SparkSpec {
     assert(dup.length === 1 && dup(0).getDouble(2) === 1.0)
   }
 
+  test("near-dup never emits self-pairs for duplicated corpus ids") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), // duplicated id
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.embeddingNearDupPairs(corpus, col("vec_id"),
+      col("embedding"), threshold = 0.5, nBlocks = 3)
+    assert(p.where(col("id_a") === col("id_b")).count() === 0)
+  }
+
+  test("jaccard verify is robust to duplicated candidate rows") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val dupCands = Seq((1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val v = Dedup.jaccardVerify(docs, dupCands, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5).collect()
+    assert(v.length === 1)
+    assert(v(0).getDouble(2) === 1.0) // not inflated past 1 by the dup
+  }
+
   test("exact near-dup block partitioning is block-count invariant") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)),
