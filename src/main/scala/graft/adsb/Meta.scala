@@ -231,4 +231,18 @@ object Meta {
     rangeRingsTable(spark).select(
       col("id"), col("radius"), col("icao"),
       multiLineStringGeoJson(col("geom"), 6, 2).as("geom"))
+
+  /** Register the `meta.*` surface as Spark SQL temp views — the
+    * reference's `SELECT * FROM meta.airports_geojson` experience
+    * (dots aren't legal in temp view names; underscores stand in). */
+  def registerMetaViews(spark: SparkSession): Unit = {
+    loadAirlines(spark).createOrReplaceTempView("meta_airlines")
+    loadCountries(spark).createOrReplaceTempView("meta_countries")
+    airportsTable(spark).createOrReplaceTempView("meta_airports")
+    runwaysTable(spark).createOrReplaceTempView("meta_runways")
+    rangeRingsTable(spark).createOrReplaceTempView("meta_range_rings")
+    airportsGeoJson(spark).createOrReplaceTempView("meta_airports_geojson")
+    runwaysGeoJson(spark).createOrReplaceTempView("meta_runways_geojson")
+    rangeRingsGeoJson(spark).createOrReplaceTempView("meta_range_rings_geojson")
+  }
 }

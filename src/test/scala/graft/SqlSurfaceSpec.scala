@@ -30,6 +30,21 @@ class SqlSurfaceSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("meta.* views are SQL-queryable like the reference schema") {
+    graft.adsb.Meta.registerMetaViews(spark)
+    val ring = spark.sql(
+      "SELECT geom FROM meta_range_rings_geojson WHERE radius = 50000")
+      .collect()
+    assert(ring.length === 1)
+    assert(ring(0).getString(0).startsWith("{\"type\":\"MultiLineString\""))
+    val join = spark.sql(
+      """SELECT a.name, c.code FROM meta_airlines a
+        |JOIN meta_countries c ON a.country = c.name
+        |WHERE a.icao = 'AFR'""".stripMargin).collect()
+    assert(join.length === 1)
+    assert(join(0).getString(1) === "FR")
+  }
+
   test("session_window variant agrees with the explicit-window sessionizer") {
     val ev = Tables.load(spark, dir, "events")
     val a = graft.operators.Sessionize.sessionSummary(
