@@ -108,4 +108,16 @@ object AdsbPipeline {
   def replayFixture(spark: SparkSession, name: String,
       below: Int = 100000): Dataset[Out] =
     process(Sbs.messages(Sbs.fixtureLines(spark, name)), below = below)
+
+  /** Register the public-schema table surface as SQL temp views —
+    * the reference's `SELECT * FROM flights` experience over a
+    * processed output set. */
+  def registerViews(out: Dataset[Out]): Unit = {
+    flights(out).createOrReplaceTempView("flights")
+    positions(out).createOrReplaceTempView("positions")
+    events(out).where(col("kind") === "landing")
+      .createOrReplaceTempView("landings")
+    events(out).where(col("kind") === "takeoff")
+      .createOrReplaceTempView("takeoffs")
+  }
 }

@@ -30,6 +30,18 @@ class SqlSurfaceSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("public-schema tables are SQL-queryable over replay output") {
+    val out = graft.adsb.AdsbPipeline.replayFixture(spark,
+      "adsb_message_stream.txt")
+    graft.adsb.AdsbPipeline.registerViews(out)
+    val f = spark.sql(
+      """SELECT hexident, count(*) AS n FROM positions
+        |GROUP BY hexident ORDER BY n DESC LIMIT 1""".stripMargin).collect()
+    assert(f.length === 1 && f(0).getLong(1) > 0)
+    assert(spark.sql("SELECT count(*) FROM flights").collect()(0).getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM landings").collect()(0).getLong(0) === 0)
+  }
+
   test("meta.* views are SQL-queryable like the reference schema") {
     graft.adsb.Meta.registerMetaViews(spark)
     val ring = spark.sql(
