@@ -40,4 +40,19 @@ class PlanSpec extends SparkSpec {
     assert(plan("q11_expr_enrich").contains("BroadcastHashJoin"))
     assert(plan("qb_revenue_by_nation").contains("BroadcastHashJoin"))
   }
+
+  test("no query plans an unintended cartesian product") {
+    // qd: deliberate 1×1 cross of two single-row aggregates.
+    // s1: brute-force top-k broadcasts the query side into a
+    //     non-equi join by design (the corpus scans once).
+    val intended = Set("qd_semi_anti", "s1_cosine_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intended)
+      .flatMap { n =>
+        val p = plan(n)
+        if (p.contains("CartesianProduct")) Some(s"$n: CartesianProduct")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
