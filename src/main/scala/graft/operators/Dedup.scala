@@ -142,36 +142,25 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash min-table: one row per (id, seed i) with the minimum
-    * hash over the document's shingles.
+  /** Columnar MinHash min-table: one row per id with the `numHashes`
+    * per-seed minima as columns `mh0..mh{k-1}`.
     *
     * Shaped for scale: shingles explode to rows once, each shingle is
     * MD5-hashed ONCE to a 32-bit base h0, and the `numHashes` functions
     * are affine transforms (aᵢ·h0+bᵢ) mod p — pure 64-bit arithmetic
-    * (the md5-per-(shingle,seed) variant measured 10× slower). The
-    * per-(id, seed) minimum is a map-side-combinable groupBy keyed by
-    * (id, i) — 24M input rows reduce to |docs|·k before the shuffle. */
-  def minhashMinTable(
-      docs: DataFrame,
-      idCol: Column,
-      textCol: Column,
-      n: Int,
-      numHashes: Int): DataFrame =
-    minhashMinTableFromShingles(shingleRows(docs, idCol, textCol, n), numHashes)
-
-  /** [[minhashMinTable]] over a prebuilt (id, sh) shingle table. */
-  def minhashMinTableFromShingles(
-      shingles: DataFrame,
-      numHashes: Int): DataFrame = {
+    * (the md5-per-(shingle,seed) variant measured 10× slower). All k
+    * minima are aggregated in ONE map-side-combinable groupBy(id) — the
+    * earlier posexplode-to-(id, i) rows variant pushed k× the rows
+    * through the exchange and needed a second shuffle to band them. */
+  def minhashMinColumns(shingles: DataFrame, numHashes: Int): DataFrame = {
     import graft.functions.PortableHash.{phash32, minhashCoeffs, MinhashPrime}
-    val hvals = array((0 until numHashes).map { k =>
+    val aggs = (0 until numHashes).map { k =>
       val (a, b) = minhashCoeffs(k)
-      (lit(a) * col("h0") + lit(b)) % lit(MinhashPrime)
-    }: _*)
+      min((lit(a) * col("h0") + lit(b)) % lit(MinhashPrime)).as(s"mh$k")
+    }
     shingles
       .select(col("id"), phash32(col("sh")).as("h0"))
-      .select(col("id"), posexplode(hvals).as(Seq("i", "h")))
-      .groupBy("id", "i").agg(min(col("h")).as("mh"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash signatures as a table: (id, sig array<long>), seed order. */
@@ -181,10 +170,9 @@ object Dedup {
       textCol: Column,
       n: Int,
       numHashes: Int): DataFrame =
-    minhashMinTable(docs, idCol, textCol, n, numHashes)
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s("mh")).as("sig"))
+    minhashMinColumns(shingleRows(docs, idCol, textCol, n), numHashes)
+      .select(col("id"),
+        array((0 until numHashes).map(k => col(s"mh$k")): _*).as("sig"))
 
   /** LSH candidate pairs: band the signature, bucket-join within bands,
     * emit distinct (id_a < id_b) candidates. `bands` must divide
@@ -217,14 +205,16 @@ object Dedup {
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rows = numHashes / bands
     // Bucket = portable hash of the band's comma-joined minima (seed
-    // order). Built straight off the min-table: one groupBy, no
-    // signature-array detour.
-    val banded = minhashMinTableFromShingles(shingles, numHashes)
-      .withColumn("band", expr(s"i div $rows"))
-      .groupBy("id", "band")
-      .agg(phash(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s("mh").cast("string")), ","), -1).as("bucket"))
+    // order), computed straight off the columnar min-table — banding is
+    // a projection, not a shuffle: the whole candidate plan is two
+    // exchanges (groupBy id, groupBy band+bucket).
+    val bandBuckets = array((0 until bands).map { b =>
+      phash(concat_ws(",",
+        (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*),
+        -1)
+    }: _*)
+    val banded = minhashMinColumns(shingles, numHashes)
+      .select(col("id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
     // Pairs via per-bucket grouping — a single pipeline; the self-join
     // alternative recomputes the whole signature plan for each side.
     banded
