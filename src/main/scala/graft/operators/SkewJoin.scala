@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle equi-joins.
+  *
+  * A hot join key (one mega-aircraft's hexident, a boilerplate
+  * document hash, a sentinel id) funnels its entire partition into a
+  * single reducer task at 100 TB. Salting spreads each key over
+  * `salts` reducer partitions: the big side gets a deterministic
+  * per-row salt, the other side is replicated once per salt value,
+  * and the join key becomes (key, salt). Output equals the plain
+  * equi-join exactly.
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`)
+  * handles moderate runtime skew on its own; explicit salting is for
+  * the pathological keys known in advance, and for aggregations-after-
+  * join where AQE's split does not reach.
+  */
+object SkewJoin {
+
+  /** `big ⋈ other` on `bigKey = otherKey` with the big side salted
+    * over `salts` buckets. `joinType` supports "inner" and "left"
+    * (big side preserved); the replicated side must stay the lookup
+    * side. */
+  def saltedJoin(
+      big: DataFrame,
+      other: DataFrame,
+      bigKey: String,
+      otherKey: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"salted join preserves the big side only (got $joinType)")
+    // Row-id hash spreads a hot key's rows evenly; the salt value is
+    // irrelevant to the result, only its distribution matters.
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedBig
+      .join(replicated,
+        saltedBig(bigKey) === replicated(otherKey) &&
+          saltedBig("__salt") === replicated("__salt"),
+        joinType)
+      .drop(replicated(otherKey)).drop(replicated("__salt")).drop("__salt")
+  }
+
+  /** Two-stage skew-safe aggregation: partial-aggregate on
+    * (key, salt) first, then final-aggregate on key. For algebraic
+    * aggregates Spark's own map-side partial aggregation already does
+    * this; the explicit form is for holistic aggregates
+    * (`collect_list`, `collect_set`) where one hot key would
+    * otherwise accumulate its whole group in a single task. */
+  def twoStageCollectSet(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      salts: Int): DataFrame =
+    df.select(key.as("k"),
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+          .as("__salt"),
+        value.as("v"))
+      .groupBy(col("k"), col("__salt"))
+      .agg(collect_set(col("v")).as("vs"))
+      .groupBy(col("k"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("vs")))))
+        .as("values"))
+}

@@ -119,6 +119,25 @@ object TpchQueries {
       active.crossJoin(inactive)
     }),
 
+    // Skew-hardened fact join: revenue by order priority through an
+    // explicitly salted lineitem ⋈ orders (each orderkey spread over 4
+    // reducer buckets, orders replicated per salt). The oracle is the
+    // PLAIN equi-join — salting must be invisible in the result.
+    "qf_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("item_cents"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(li, o,
+          bigKey = "l_orderkey", otherKey = "o_orderkey", salts = 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("item_cents")).as("revenue_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Running cumulative revenue by ship date. Money is summed as
     // integer cents (per-row floor(x·100+0.5)) — double sums round
     // differently across engines at half-cent boundaries when the
@@ -146,6 +165,14 @@ object TpchQueries {
         |       AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')) AS n_active,
         |  (SELECT count(*) FROM customer WHERE NOT EXISTS (
         |     SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_inactive""".stripMargin,
+
+    "qf_salted_join" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "qe_running_total" ->
       """WITH daily AS (

@@ -40,6 +40,26 @@ object Sinks {
       .write.mode(mode).partitionBy("day").parquet(path)
   }
 
+  /** Bucketed fact table: pre-shuffle on the join/aggregation key at
+    * write time so downstream fact-fact joins and per-key aggregations
+    * plan NO exchange at read time — the co-location strategy for
+    * repeatedly-joined 100 TB tables (`flights ⋈ positions ⋈ events`
+    * on flight_id). Both sides of a join must use the same bucket
+    * count. Bucketing lives in the table catalog, so this writes via
+    * `saveAsTable`, not a bare path. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int,
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S6: JDBC sink (`db.py:24-38`, `flights.py:119-131`). In streaming,
     * call from `foreachBatch` for the 1 s commit cadence; `batchsize`
     * plays the role of the reference's session batching. */

@@ -49,6 +49,38 @@ class SinksSpec extends SparkSpec {
     assert(one.count() === 1)
   }
 
+  test("bucketed tables join and aggregate with no exchange") {
+    val flights = Seq((1L, "ABC"), (2L, "DEF"), (3L, "GHI"))
+      .toDF("flight_id", "callsign")
+    val positions = Seq((1L, 10.0), (1L, 11.0), (2L, 12.0), (3L, 13.0))
+      .toDF("flight_id", "alt")
+    Sinks.writeBucketed(flights, "b_flights", Seq("flight_id"), buckets = 4)
+    Sinks.writeBucketed(positions, "b_positions", Seq("flight_id"),
+      buckets = 4, sortCols = Seq("flight_id"))
+    // force the shuffle-join path (broadcast would trivially hide the
+    // exchange) and a static plan string
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("b_positions")
+        .join(spark.table("b_flights"), "flight_id")
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"), jp)
+      assert(joined.count() === 4)
+
+      val agg = spark.table("b_positions")
+        .groupBy("flight_id").agg(max(col("alt")).as("max_alt"))
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"), ap)
+      assert(agg.count() === 3)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_flights")
+      spark.sql("DROP TABLE IF EXISTS b_positions")
+    }
+  }
+
   test("writeJdbc round-trips through a real JDBC database (S6)") {
     // Embedded Derby (bundled with Spark) stands in for the
     // reference's Postgres: same Spark JDBC write path, real SQL DB.
