@@ -40,6 +40,26 @@ object Sinks {
       .write.mode(mode).partitionBy("day").parquet(path)
   }
 
+  /** GiST-index analog for the positions table: cluster on the Z-order
+    * curve so each parquet file covers a tight lon/lat box and bbox
+    * queries prune on file min/max statistics
+    * (see [[graft.functions.ZOrder]]). Range-partitioning by z keeps
+    * the curve contiguous across files. */
+  def writeSpatialClustered(
+      df: DataFrame,
+      path: String,
+      lonCol: String,
+      latCol: String,
+      partitions: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", graft.functions.ZOrder.zValue(col(lonCol), col(latCol)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Bucketed fact table: pre-shuffle on the join/aggregation key at
     * write time so downstream fact-fact joins and per-key aggregations
     * plan NO exchange at read time — the co-location strategy for
