@@ -158,7 +158,27 @@ object DocQueries {
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"),
           TextFunctions.rollingFingerprint(col("toks")).as("roll_fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // t5: per-language corpus statistics — doc counts, exact vocabulary
+    // size, mean document length. The distinct-vocabulary count dedups
+    // (lang, tok) per document BEFORE the global distinct (two-stage
+    // shape, same skew rationale as t4); at 100 TB the drop-in
+    // replacement is approx_count_distinct (HLL sketch, merge-combinable,
+    // no distinct shuffle) — pinned against this exact version in
+    // OperatorSpec.
+    "t5_vocab_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = d
+        .select(col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("_n"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("vocab"))
+      val stats = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(size(split(col("text"), " "))), 6).as("avg_tokens"))
+      stats.join(vocab, Seq("lang")).orderBy(col("lang"))
+    })
   )
 
   // DuckDB-side portable hash of expression e with seed s:
@@ -440,6 +460,18 @@ object DocQueries {
         |  AND q.doc_id NOT IN (SELECT doc_id FROM near)
         |ORDER BY q.doc_id""".stripMargin
     },
+
+    "t5_vocab_stats" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT lang, u.t AS tok
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |voc AS (SELECT lang, count(*) AS vocab FROM tok GROUP BY 1),
+        |st AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT st.lang, st.n_docs, st.avg_tokens, voc.vocab
+        |FROM st JOIN voc USING (lang) ORDER BY st.lang""".stripMargin,
 
     "t4_doc_frequency" ->
       """WITH tok AS (

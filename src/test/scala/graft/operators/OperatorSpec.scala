@@ -221,4 +221,24 @@ class OperatorSpec extends SparkSpec {
       Seq(col("id").desc)).orderBy("k").collect()
     assert(kept.map(_.getLong(2)).toSeq === Seq(9L, 4L))
   }
+
+  test("HLL sketch vocabulary tracks the exact distinct count") {
+    // t5's exact two-stage distinct is the oracle; at 100 TB the
+    // drop-in is approx_count_distinct — an HLL sketch whose partials
+    // merge map-side with NO distinct shuffle. Pin the sketch within
+    // its error bound so the swap stays safe.
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tok = d.select(col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val both = tok.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact"),
+        approx_count_distinct(col("tok"), rsd = 0.02).as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.1,
+        s"lang=${r.getString(0)} exact=$e approx=$a")
+    }
+  }
 }
