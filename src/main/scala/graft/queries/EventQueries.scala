@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Histogram, PeakHour, Paths, Sessionize, Dedup}
+import graft.operators.{AsOfJoin, Histogram, PeakHour, Paths, Sessionize, Dedup}
 
 /** Bindings of the reference's analytics surface (SURVEY.md §2.4) onto
   * the driver's `events` table (`ts` plays `time`, `user_id` plays
@@ -147,6 +147,28 @@ object EventQueries {
           lit("]}")).as("path"))
         .distinct()
         .orderBy(col("key"), col("day"))
+    }),
+
+    // As-of join (SURVEY §2.5 beyond-parity): attribute each purchase
+    // to the user's latest preceding click. One shuffle by user_id +
+    // one ordered window pass; the DuckDB oracle is a native ASOF
+    // LEFT JOIN, so the nearest-preceding semantics (incl. ties at
+    // equal timestamps and no-preceding-click nulls) are cross-checked
+    // engine-to-engine.
+    "q16_asof_attribution" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      AsOfJoin.asOf(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "click_ts",
+          payload = Seq("click_id", "click_ts"))
+        .select(col("purchase_id"), col("user_id"), col("ts"),
+          col("asof.click_id").as("click_id"),
+          col("asof.click_ts").as("click_ts"))
+        .orderBy(col("purchase_id"))
     })
   )
 
@@ -302,6 +324,18 @@ object EventQueries {
         |  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
         |    AND ts < TIMESTAMP '2024-01-29 00:00:00'
         |  GROUP BY user_id, CAST(ts AS DATE))
-        |ORDER BY key, day""".stripMargin
+        |ORDER BY key, day""".stripMargin,
+
+    "q16_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts >= c.click_ts
+        |ORDER BY p.purchase_id""".stripMargin
   )
 }
