@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Histogram, PeakHour, Paths, Sessionize, Dedup}
+import graft.operators.{AsOfJoin, Histogram, PeakHour, Paths, RangeJoin, Sessionize, Dedup}
 
 /** Bindings of the reference's analytics surface (SURVEY.md §2.4) onto
   * the driver's `events` table (`ts` plays `time`, `user_id` plays
@@ -169,6 +169,28 @@ object EventQueries {
           col("asof.click_id").as("click_id"),
           col("asof.click_ts").as("click_ts"))
         .orderBy(col("purchase_id"))
+    }),
+
+    // Range join (SURVEY §2.5 beyond-parity): errors landing inside
+    // each purchase-session window. The binned equi-join shape — NOT
+    // a BETWEEN inequality join (which plans a per-key cross product).
+    "q17_range_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val sessions = Sessionize.sessionSummary(
+          e.where(col("event_type") === "purchase"),
+          col("user_id"), col("ts"), 1800L, col("event_id"))
+        .select(col("key"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      RangeJoin.pointInInterval(errors, sessions,
+          pointKey = "err_user", intervalKey = "key",
+          pointTime = "err_ts", startCol = "session_start",
+          endCol = "session_end", binSec = 3600L)
+        .groupBy(col("key"), col("session_seq"),
+          col("session_start"), col("session_end"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy(col("key"), col("session_seq"))
     })
   )
 
@@ -336,6 +358,29 @@ object EventQueries {
         |SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.ts >= c.click_ts
-        |ORDER BY p.purchase_id""".stripMargin
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    "q17_range_join" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id AS key, session_seq,
+        |         min(ts) AS session_start, max(ts) AS session_end
+        |  FROM s GROUP BY 1, 2),
+        |err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT sess.key, sess.session_seq, sess.session_start,
+        |       sess.session_end, count(*) AS n_errors
+        |FROM sess JOIN err ON err.user_id = sess.key
+        |  AND err.ts >= sess.session_start AND err.ts <= sess.session_end
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY key, session_seq""".stripMargin
   )
 }
