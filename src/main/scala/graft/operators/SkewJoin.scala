@@ -47,6 +47,34 @@ object SkewJoin {
       .drop(replicated(otherKey)).drop(replicated("__salt")).drop("__salt")
   }
 
+  /** Production shape at 100 TB: salt ONLY the known-hot keys.
+    * Salting everything replicates the whole lookup side `salts`×;
+    * here the big side splits into hot and cold partitions — hot keys
+    * take the salted path against just their own (tiny, replicated)
+    * lookup rows, everything else takes the plain equi-join — and the
+    * union is the exact plain-join result. `hotKeys` typically comes
+    * from a cheap pre-pass (`groupBy(key).count().orderBy(desc).limit(n)`)
+    * or is known a priori (sentinel ids, boilerplate hashes). */
+  def saltedJoinHotKeys(
+      big: DataFrame,
+      other: DataFrame,
+      bigKey: String,
+      otherKey: String,
+      hotKeys: Seq[Any],
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val hot = saltedJoin(
+      big.where(col(bigKey).isin(hotKeys: _*)),
+      other.where(col(otherKey).isin(hotKeys: _*)),
+      bigKey, otherKey, salts, joinType)
+    val cold = {
+      val b = big.where(!col(bigKey).isin(hotKeys: _*) || col(bigKey).isNull)
+      val o = other.where(!col(otherKey).isin(hotKeys: _*))
+      b.join(o, b(bigKey) === o(otherKey), joinType).drop(o(otherKey))
+    }
+    hot.unionByName(cold)
+  }
+
   /** Two-stage skew-safe aggregation: partial-aggregate on
     * (key, salt) first, then final-aggregate on key. For algebraic
     * aggregates Spark's own map-side partial aggregation already does

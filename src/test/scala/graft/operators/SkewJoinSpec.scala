@@ -48,6 +48,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(saltsSeen > 1)
   }
 
+  test("hot-key-only salting equals the plain join (inner and left)") {
+    val dimMissing = dim.where(col("dk") =!= 3L)
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(dimMissing, big("k") === dimMissing("dk"), jt)
+        .drop("dk")
+      val salted = SkewJoin.saltedJoinHotKeys(big, dimMissing, "k", "dk",
+        hotKeys = Seq(1L), salts = 8, joinType = jt)
+      assert(salted.exceptAll(plain).count() === 0, jt)
+      assert(plain.exceptAll(salted).count() === 0, jt)
+    }
+  }
+
   test("two-stage collect_set equals direct collect_set") {
     val direct = big.groupBy(col("k"))
       .agg(array_sort(collect_set(col("v"))).as("values"))
