@@ -138,6 +138,46 @@ object TpchQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Hierarchical totals in one pass: ROLLUP (region → nation → grand
+    // total) — one shuffle, the subtotal rows come from Spark's
+    // Expand, not repeated scans. NULL grouping columns are mapped to
+    // sentinel labels so the oracle compares cleanly.
+    "qh_rollup_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("revenue_cents"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    // Set operations beyond UNION: INTERSECT / EXCEPT (distinct
+    // semantics) over customer key sets from two order years.
+    "qi_setops" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def custs(y: Int) = o.where(
+          col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = custs(1996).intersect(custs(1997))
+        .agg(count(lit(1)).as("n")).select(lit("both").as("side"), col("n"))
+      val only96 = custs(1996).except(custs(1997))
+        .agg(count(lit(1)).as("n")).select(lit("only_1996").as("side"), col("n"))
+      val only97 = custs(1997).except(custs(1996))
+        .agg(count(lit(1)).as("n")).select(lit("only_1997").as("side"), col("n"))
+      both.unionByName(only96).unionByName(only97).orderBy(col("side"))
+    }),
+
     // Running cumulative revenue by ship date. Money is summed as
     // integer cents (per-row floor(x·100+0.5)) — double sums round
     // differently across engines at half-cent boundaries when the
@@ -165,6 +205,37 @@ object TpchQueries {
         |       AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')) AS n_active,
         |  (SELECT count(*) FROM customer WHERE NOT EXISTS (
         |     SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_inactive""".stripMargin,
+
+    "qh_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "qi_setops" ->
+      """WITH c96 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |c97 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT 'both' AS side,
+        |  (SELECT count(*) FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)) AS n
+        |UNION ALL
+        |SELECT 'only_1996',
+        |  (SELECT count(*) FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97))
+        |UNION ALL
+        |SELECT 'only_1997',
+        |  (SELECT count(*) FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c96))
+        |ORDER BY side""".stripMargin,
 
     "qf_salted_join" ->
       """SELECT o_orderpriority,
