@@ -171,6 +171,31 @@ object EventQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // JSON parsing (§2.5 notes the reference only EMITS JSON; a
+    // training pipeline also parses it): typed extraction from the
+    // props payload with schema-on-read, aggregated per event type.
+    "q18_json_props" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.select(col("event_type"),
+          expr("from_json(props, 'k INT').k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Pivot/conditional aggregation: per-user event-type counts as
+    // columns (the oracle-checked twin of the rows-only ADS-B census).
+    "q19_pivot_census" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
     // Range join (SURVEY §2.5 beyond-parity): errors landing inside
     // each purchase-session window. The binned equi-join shape — NOT
     // a BETWEEN inequality join (which plans a per-key cross product).
@@ -359,6 +384,22 @@ object EventQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.ts >= c.click_ts
         |ORDER BY p.purchase_id""".stripMargin,
+
+    "q18_json_props" ->
+      """SELECT event_type,
+        |  count(CAST(props->>'k' AS INT)) AS n_with_k,
+        |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(props->>'k' AS INT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q19_pivot_census" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q17_range_join" ->
       """WITH g AS (
