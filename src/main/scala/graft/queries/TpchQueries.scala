@@ -178,6 +178,21 @@ object TpchQueries {
       both.unionByName(only96).unionByName(only97).orderBy(col("side"))
     }),
 
+    // Distribution statistics: exact interpolated percentiles (both
+    // engines use linear interpolation on the sorted values, so the
+    // rounded quantiles hash-match). At 100 TB swap in
+    // approx_percentile — same column surface, sketch-mergeable, no
+    // per-group sort (pinned in OperatorSpec).
+    "ql_percentiles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Running cumulative revenue by ship date. Money is summed as
     // integer cents (per-row floor(x·100+0.5)) — double sums round
     // differently across engines at half-cent boundaries when the
@@ -236,6 +251,13 @@ object TpchQueries {
         |SELECT 'only_1997',
         |  (SELECT count(*) FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c96))
         |ORDER BY side""".stripMargin,
+
+    "ql_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "qf_salted_join" ->
       """SELECT o_orderpriority,

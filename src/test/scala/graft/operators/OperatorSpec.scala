@@ -222,6 +222,21 @@ class OperatorSpec extends SparkSpec {
     assert(kept.map(_.getLong(2)).toSeq === Seq(9L, 4L))
   }
 
+  test("approx_percentile tracks exact percentile within tolerance") {
+    // ql's exact percentile sorts each group; the 100 TB swap-in is
+    // the mergeable approx_percentile sketch. Pin it close.
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e < 0.02, s"${r.getString(0)}: $e vs $a")
+    }
+  }
+
   test("HLL sketch vocabulary tracks the exact distinct count") {
     // t5's exact two-stage distinct is the oracle; at 100 TB the
     // drop-in is approx_count_distinct — an HLL sketch whose partials
