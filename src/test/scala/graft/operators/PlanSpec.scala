@@ -41,6 +41,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("qb_revenue_by_nation").contains("BroadcastHashJoin"))
   }
 
+  test("minhash LSH candidates plan at most three exchanges") {
+    // columnar min-table: groupBy(id) + groupBy(band, bucket) +
+    // the final candidate distinct — banding itself must stay a
+    // projection (the old per-seed-row shape needed a fourth).
+    val p = plan("d2_minhash_lsh")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).length
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
