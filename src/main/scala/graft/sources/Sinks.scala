@@ -40,6 +40,30 @@ object Sinks {
       .write.mode(mode).partitionBy("day").parquet(path)
   }
 
+  /** Small-file compaction for streaming sinks. A 1 s-trigger
+    * micro-batch sink (the reference's commit cadence, S6/T11) writes
+    * one file per partition per batch — ~86k tiny files/day/partition
+    * at scale, which degrades scans (footer reads dominate) and
+    * listing. Rewrite a day partition into `ceil(rows/rowsPerFile)`
+    * right-sized files once the day is sealed; pair with
+    * `writeDayPartitioned` so compaction replaces exactly one
+    * partition directory atomically-enough for batch readers. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val n = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: overwrite the original from the compacted copy
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    // best-effort cleanup of the staging dir
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** GiST-index analog for the positions table: cluster on the Z-order
     * curve so each parquet file covers a tight lon/lat box and bbox
     * queries prune on file min/max statistics

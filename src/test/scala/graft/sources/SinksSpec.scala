@@ -81,6 +81,21 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites a fragmented sink into right-sized files") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val df = spark.range(100).toDF("id")
+    df.repartition(20).write.mode("overwrite").parquet(dir) // 20 tiny files
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() === 20)
+    Sinks.compact(spark, dir, rowsPerFile = 50L)
+    assert(files() === 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) === 4950L)
+    assert(!new java.io.File(dir + "__compacting").exists())
+  }
+
   test("writeJdbc round-trips through a real JDBC database (S6)") {
     // Embedded Derby (bundled with Spark) stands in for the
     // reference's Postgres: same Spark JDBC write path, real SQL DB.
