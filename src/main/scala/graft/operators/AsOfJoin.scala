@@ -25,14 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** `left ⟕asof right` on `key`, `right[rightTime] <= left[leftTime]`.
-    * `payload` names the right-side columns to carry; they arrive in a
-    * struct column `asofCol`, NULL when no right row precedes (left
-    * -join semantics). */
+  /** `left ⟕asof right` on `leftKey = rightKey`,
+    * `right[rightTime] <= left[leftTime]`. `payload` names the
+    * right-side columns to carry; they arrive in a struct column
+    * `asofCol`, NULL when no right row precedes (left-join
+    * semantics). */
   def asOf(
       left: DataFrame,
       right: DataFrame,
-      key: String,
+      leftKey: String,
+      rightKey: String,
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
@@ -43,10 +45,10 @@ object AsOfJoin {
     val payloadType = right.select(payloadStruct).schema.head.dataType
 
     val l = left.select(
-      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       leftStruct.as("__l"), lit(null).cast(payloadType).as("__p"))
     val r = right.select(
-      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
       lit(null).cast(leftType).as("__l"), payloadStruct.as("__p"))
 
     val w = Window.partitionBy(col("__k"))

@@ -162,7 +162,8 @@ object EventQueries {
       val clicks = e.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
-      AsOfJoin.asOf(purchases, clicks, key = "user_id",
+      AsOfJoin.asOf(purchases, clicks,
+          leftKey = "user_id", rightKey = "user_id",
           leftTime = "ts", rightTime = "click_ts",
           payload = Seq("click_id", "click_ts"))
         .select(col("purchase_id"), col("user_id"), col("ts"),

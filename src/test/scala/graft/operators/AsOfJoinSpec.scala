@@ -28,7 +28,8 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", ts("2024-01-01 10:00:20"), 55.0)
     ).toDF("sym", "qt", "px")
 
-    val out = AsOfJoin.asOf(trades, quotes, key = "sym",
+    val out = AsOfJoin.asOf(trades, quotes, leftKey = "sym",
+        rightKey = "sym",
         leftTime = "t", rightTime = "qt", payload = Seq("px", "qt"))
       .orderBy(col("trade_id"))
       .select(col("trade_id"), col("asof.px"))
@@ -43,7 +44,7 @@ class AsOfJoinSpec extends SparkSpec {
   test("asOf plans one shuffle, not an inequality cross product") {
     val l = Seq((1L, "A", ts("2024-01-01 10:00:05"))).toDF("id", "k", "t")
     val r = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "qt", "v")
-    val p = AsOfJoin.asOf(l, r, "k", "t", "qt", Seq("v"))
+    val p = AsOfJoin.asOf(l, r, "k", "k", "t", "qt", Seq("v"))
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
