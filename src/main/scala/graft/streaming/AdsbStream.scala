@@ -50,12 +50,15 @@ object AdsbStream {
     outs.iterator
   }
 
-  /** Stateful sessionization of a (possibly streaming) message set. */
-  def sessionize(msgs: Dataset[AdsbMsg]): Dataset[Out] = {
+  /** Stateful sessionization of a (possibly streaming) message set.
+    * `watermarked` = the input already carries its event-time
+    * watermark (Spark forbids redefining one). */
+  def sessionize(msgs: Dataset[AdsbMsg],
+      watermarked: Boolean = false): Dataset[Out] = {
     val spark = msgs.sparkSession
     import spark.implicits._
-    msgs
-      .withWatermark("gen_date_time", WatermarkDelay)
+    (if (watermarked) msgs
+     else msgs.withWatermark("gen_date_time", WatermarkDelay))
       .groupByKey(_.hexident)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateGroup)
@@ -77,11 +80,24 @@ object AdsbStream {
     * written into a date-partitioned copy whose old partitions a
     * retention sweep drops (S7's RULE pair re-expressed). Trigger
     * matches the reference's 1 s commit cadence (T11).
+    *
+    * `dedupReplays`: a reconnecting socket re-delivers the tail of the
+    * previous capture (the reference re-processes it, duplicating
+    * rows). Exact re-deliveries carry identical columns — streaming
+    * `seq` is a content hash, not an arrival counter — so
+    * `dropDuplicatesWithinWatermark` collapses them with state bounded
+    * by the watermark delay. Off by default: batch/stream parity specs
+    * compare against the reference's duplicate-keeping behavior.
     */
   def start(lines: DataFrame, outDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val msgs = Sbs.messages(lines)
-    sessionize(msgs).writeStream
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      dedupReplays: Boolean = false): StreamingQuery = {
+    val parsed = Sbs.messages(lines)
+    val msgs = if (dedupReplays)
+      parsed.withWatermark("gen_date_time", WatermarkDelay)
+        .dropDuplicatesWithinWatermark()
+    else parsed
+    sessionize(msgs, watermarked = dedupReplays).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

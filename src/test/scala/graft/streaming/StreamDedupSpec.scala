@@ -14,6 +14,31 @@ class StreamDedupSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("ingest with dedupReplays collapses a full socket re-delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val lines = MemoryStream[String]
+    val outDir = Files.createTempDirectory("graft-dedup-e2e").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-e2e-ckpt").toString
+    val raw = graft.adsb.Sbs.fixtureLines(spark, "adsb_message_stream.txt")
+      .select("value").as[String].collect().toSeq
+    val q = AdsbStream.start(lines.toDF(), outDir, ckpt,
+      dedupReplays = true)
+    lines.addData(raw)
+    q.processAllAvailable()
+    lines.addData(raw) // reconnect replays the whole capture
+    q.processAllAvailable()
+    q.stop()
+
+    // the capture spans <2 s, far inside the watermark delay, so every
+    // re-delivered row is still in dedup state → output equals the
+    // single-delivery batch replay
+    val batchPositions = graft.adsb.AdsbPipeline
+      .replayFixture(spark, "adsb_message_stream.txt")
+      .toDF().where("kind = 'position'").count()
+    val got = spark.read.parquet(s"$outDir/positions").count()
+    assert(got === batchPositions)
+  }
+
   test("retransmitted rows within the watermark dedup to one output") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp, Int)]
