@@ -160,6 +160,21 @@ object DocQueries {
           TextFunctions.rollingFingerprint(col("toks")).as("roll_fp"))
         .orderBy(col("doc_id"))),
 
+    // p2: deterministic train/val/test assignment — content-hash
+    // bucketing, NOT rng sampling: reproducible across runs/engines,
+    // stable under re-partitioning, and duplicate texts land in the
+    // same split (no train/eval leakage through copies). 60-bit
+    // portable hash mod 100 → 80/10/10.
+    "p2_split_assign" -> ((s, dir) =>
+      docs(s, dir).select(
+          col("doc_id"),
+          when(graft.functions.PortableHash.phash(col("text"), 7) % 100 < 80,
+            "train")
+            .when(graft.functions.PortableHash.phash(col("text"), 7) % 100 < 90,
+              "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))),
+
     // t5: per-language corpus statistics — doc counts, exact vocabulary
     // size, mean document length. The distinct-vocabulary count dedups
     // (lang, tok) per document BEFORE the global distinct (two-stage
@@ -460,6 +475,13 @@ object DocQueries {
         |  AND q.doc_id NOT IN (SELECT doc_id FROM near)
         |ORDER BY q.doc_id""".stripMargin
     },
+
+    "p2_split_assign" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN ${dkHash("text", "7")} % 100 < 80 THEN 'train'
+        |       WHEN ${dkHash("text", "7")} % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t5_vocab_stats" ->
       """WITH tok AS (
