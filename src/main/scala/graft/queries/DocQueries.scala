@@ -175,6 +175,43 @@ object DocQueries {
             .otherwise("test").as("split"))
         .orderBy(col("doc_id"))),
 
+    // p3: balanced per-language subsample — corpus balancing without
+    // RNG: rank docs inside each language by the portable content hash
+    // (a deterministic "random" order) and keep the first k. Same
+    // result on any engine, any partitioning, any run.
+    "p3_balanced_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(graft.functions.PortableHash.phash(col("text"), 11),
+          col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 25)
+        .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // p4: train/eval contamination report — test-split docs whose
+    // exact content also appears in the train split. Deliberately run
+    // over the NAIVE id-hash split (splitting by doc_id leaks copies
+    // across splits); p2's content-hash split makes this report empty
+    // by construction, which is exactly why p2 is the default. The
+    // near-dup variant is the same shape over d2/d3v candidates.
+    "p4_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bucket = graft.functions.PortableHash
+        .phash(col("doc_id").cast("string"), 7) % 100
+      val withSplit = d.select(col("doc_id"), md5(col("text")).as("h"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      val trainHashes = withSplit.where(col("split") === "train")
+        .select(col("h")).distinct()
+      withSplit.where(col("split") === "test")
+        .join(trainHashes, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("h").as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t5: per-language corpus statistics — doc counts, exact vocabulary
     // size, mean document length. The distinct-vocabulary count dedups
     // (lang, tok) per document BEFORE the global distinct (two-stage
@@ -475,6 +512,29 @@ object DocQueries {
         |  AND q.doc_id NOT IN (SELECT doc_id FROM near)
         |ORDER BY q.doc_id""".stripMargin
     },
+
+    "p3_balanced_sample" ->
+      s"""WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY ${dkHash("text", "11")}, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, rn FROM ranked
+        |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
+
+    "p4_contamination" ->
+      s"""WITH sp AS (
+        |  SELECT doc_id, md5(text) AS text_hash,
+        |    CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 80 THEN 'train'
+        |         WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT t.doc_id, t.text_hash
+        |FROM sp t
+        |WHERE t.split = 'test' AND EXISTS (
+        |  SELECT 1 FROM sp tr
+        |  WHERE tr.split = 'train' AND tr.text_hash = t.text_hash)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "p2_split_assign" ->
       s"""SELECT doc_id,

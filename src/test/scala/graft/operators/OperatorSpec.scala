@@ -237,6 +237,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("contamination report catches duplicate text across id-split") {
+    // the driver corpus has unique texts (p4 is correctly empty
+    // there); on a corpus WITH copies, the naive id-hash split must
+    // leak and p4 must report the leaked test docs
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    val rows = (1 to 400).map { i =>
+      // 40 distinct texts × 10 copies each → copies spread across the
+      // id-hash split buckets
+      (i.toLong, s"copy of text number ${i % 40}", "en")
+    }
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val report = graft.SparkEntry.queries("p4_contamination")(spark, dir)
+    val n = report.count()
+    assert(n > 0) // leakage found
+    // every reported doc is genuinely in 'test' with a train twin
+    val bucket = graft.functions.PortableHash
+      .phash(col("doc_id").cast("string"), 7) % 100
+    val withSplit = rows.toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    val testDocs = withSplit.where(col("split") === "test")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val reported = report.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(reported.subsetOf(testDocs))
+  }
+
   test("HLL sketch vocabulary tracks the exact distinct count") {
     // t5's exact two-stage distinct is the oracle; at 100 TB the
     // drop-in is approx_count_distinct — an HLL sketch whose partials
