@@ -51,6 +51,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
   }
 
+  test("headline aggregations stay inside whole-stage codegen") {
+    for (q <- Seq("qa_pricing_summary", "q1_events_histogram",
+        "t1_text_stats", "d2_minhash_lsh"))
+      assert(plan(q).contains("WholeStageCodegen"), q)
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
