@@ -27,6 +27,19 @@ object AdsbQueries {
     memo.computeIfAbsent(s,
       _ => AdsbPipeline.replayFixture(s, "adsb_message_stream.txt").cache())
 
+  // The reference capture spans 1.65 s with zero onground flips, so
+  // its events output is structurally empty (correct, oracle-pinned).
+  // The golden fixture replays the reference's own landing sequences
+  // (src/tests/__init__.py:19-30) plus a takeoff so the event path is
+  // exercised end-to-end with non-empty output in the driver gate.
+  private val goldenMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.spark.sql.Dataset[graft.adsb.FlightStateMachine.Out]]()
+
+  private def goldenOut(s: SparkSession) =
+    goldenMemo.computeIfAbsent(s,
+      _ => AdsbPipeline.replayFixture(s, "adsb_golden_landings.txt").cache())
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adsb_parse" -> ((s, _) =>
       Sbs.parse(Sbs.fixtureLines(s, "adsb_message_stream.txt"))
@@ -42,6 +55,13 @@ object AdsbQueries {
 
     "adsb_events" -> ((s, _) =>
       AdsbPipeline.events(out(s)).orderBy(col("time"))),
+
+    "adsb_events_golden" -> ((s, _) =>
+      AdsbPipeline.events(goldenOut(s))
+        .orderBy(col("time"), col("hexident"))),
+
+    "adsb_event_details_golden" -> ((s, _) =>
+      eventDetails(goldenOut(s), Meta.loadAirlines(s), Meta.loadCountries(s))),
 
     // Q2 over the pipeline's own output: landings histogram binned in
     // Europe/Paris — the reference's flagship analytics shape fed by

@@ -105,6 +105,28 @@ class ReplaySpec extends SparkSpec {
     assert(r.getString(9) === "21")              // runway
   }
 
+  test("golden fixture replay: both reference landings + takeoff attributed") {
+    // adsb_golden_landings.txt = the reference's golden sequences
+    // (src/tests/__init__.py:19-30) as real SBS lines, so the event
+    // path runs end-to-end from text parse, not just from AdsbMsg.
+    val g = AdsbPipeline.replayFixture(spark, "adsb_golden_landings.txt")
+    val ev = AdsbPipeline.events(g).orderBy("time").collect()
+      .map(r => (r.getAs[String]("hexident"), r.getAs[String]("kind"),
+        r.getAs[String]("runway")))
+    assert(ev.toSeq === Seq(
+      ("AAA111", "landing", "21"),
+      ("BBB222", "landing", "03"),
+      ("CCC333", "takeoff", "03")))
+    val d = graft.queries.AdsbQueries.eventDetails(g,
+      Meta.loadAirlines(spark), Meta.loadCountries(spark))
+      .orderBy("id").collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(5)))
+    assert(d.toSeq === Seq(
+      ("AFR1234", "Air France", "FR"),
+      ("BAW55", "British Airways", "GB"),
+      ("DLH9E", "Lufthansa", "DE")))
+  }
+
   test("arrival-order mode equals event-time replay on monotone capture") {
     val arr = AdsbPipeline.process(
       graft.adsb.Sbs.messages(
