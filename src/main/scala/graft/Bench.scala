@@ -31,11 +31,19 @@ object Bench {
 
     // min of two runs per query: the host shows multi-minute stall
     // windows (steal/noisy-neighbor) that would otherwise attribute
-    // 10-80 s to whichever query they land on.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // 10-80 s to whichever query they land on. A throwing query is a
+    // FAILURE, not a time: it benches as -1 and lands in "errors" —
+    // a swallowed exception would otherwise read as a ~0 s "speedup".
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse(""))
+          .filter(c => c >= ' ' && c <= '~' && c != '"' && c != '\\')
+          .take(160))
+      }
     }
     // d3 is, by declaration, the quadratic ground-truth verifier
     // (see Dedup.jaccardPairs): it exists to validate the LSH path
@@ -44,12 +52,23 @@ object Bench {
     // (LSH candidates + exact verify) instead; Verify still
     // oracle-checks d3 itself.
     val results = (SparkEntry.queries - "d3_ngram_jaccard").map {
-      case (name, fn) => name -> math.min(once(fn), once(fn))
+      case (name, fn) =>
+        name -> ((once(fn), once(fn)) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Left(e), _) => Left(e)
+          case (_, Left(e)) => Left(e)
+        })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_)) => s"\"" + k + "\":-1.0"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(e)) =>
+      s"\"" + k + "\":\"" + e + "\"" }
+    val errJson =
+      if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
+    val total = results.values.collect { case Right(v) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

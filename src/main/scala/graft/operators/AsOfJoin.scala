@@ -47,7 +47,11 @@ object AsOfJoin {
     val l = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       leftStruct.as("__l"), lit(null).cast(payloadType).as("__p"))
-    val r = right.select(
+    // A NULL rightTime can never satisfy rightTime <= leftTime, but the
+    // ascending nulls-first sort would place such a row before every
+    // genuine one and let its payload leak into left rows that have no
+    // preceding match — drop them up front.
+    val r = right.where(col(rightTime).isNotNull).select(
       col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
       lit(null).cast(leftType).as("__l"), payloadStruct.as("__p"))
 

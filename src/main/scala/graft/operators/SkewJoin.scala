@@ -33,10 +33,17 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"salted join preserves the big side only (got $joinType)")
-    // Row-id hash spreads a hot key's rows evenly; the salt value is
-    // irrelevant to the result, only its distribution matters.
+    // Content hash spreads a hot key's rows evenly; the salt value is
+    // irrelevant to the result, only its distribution matters. It must
+    // be DETERMINISTIC per row (not row-position based): on a shuffle
+    // fetch failure Spark recomputes upstream partitions, and a
+    // position-derived salt could land recomputed rows in different
+    // buckets than the copies already fetched — duplicating or
+    // dropping rows. Hashing the full row content reproduces identical
+    // salts on recompute. (Fully identical rows share a bucket; that
+    // only matters if one key's rows are mostly verbatim copies.)
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts.toLong)))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig
@@ -86,9 +93,11 @@ object SkewJoin {
       key: Column,
       value: Column,
       salts: Int): DataFrame =
+    // value-hash salt: deterministic under task retries (see saltedJoin),
+    // and duplicate values collapsing into one bucket is harmless here —
+    // collect_set dedups them anyway.
     df.select(key.as("k"),
-        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
-          .as("__salt"),
+        pmod(xxhash64(key, value), lit(salts.toLong)).as("__salt"),
         value.as("v"))
       .groupBy(col("k"), col("__salt"))
       .agg(collect_set(col("v")).as("vs"))

@@ -98,6 +98,14 @@ case class RangeBinJoin(session: SparkSession)
   private def binOf(e: Expression, w: Long): Expression = {
     val x = e.dataType match {
       case LongType => e
+      // TIMESTAMP_NTZ has no direct Cast to BIGINT in Spark 4
+      // (Cast.canCast rejects it) — route through TimestampType first.
+      // The session-tz reinterpretation is monotone non-decreasing, and
+      // both join sides shift identically, so bin containment is
+      // preserved; the residual predicates keep exact NTZ semantics.
+      case TimestampNTZType =>
+        Cast(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)),
+          LongType, Some(conf.sessionLocalTimeZone))
       // timestamp→long casts to epoch seconds, integrals widen
       case _ => Cast(e, LongType, Some(conf.sessionLocalTimeZone))
     }

@@ -57,10 +57,12 @@ object DocQueries {
         .orderBy(col("id"))),
 
     // Embedding-cosine near-duplicate pairs (exact ground truth; the
-    // hyperplane-LSH bucket path is the 100 TB variant).
+    // hyperplane-LSH bucket path is the 100 TB variant). Threshold 0.3
+    // matches d5v: the driver's random embeddings have no 0.9-cosine
+    // pairs, and a 0 = 0 oracle green proves nothing.
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(emb(s, dir), col("vec_id"),
-          col("embedding"), threshold = 0.9)
+          col("embedding"), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // The scale path for d5: hyperplane-LSH buckets, exact dense
@@ -192,13 +194,20 @@ object DocQueries {
     }),
 
     // p4: train/eval contamination report — test-split docs whose
-    // exact content also appears in the train split. Deliberately run
-    // over the NAIVE id-hash split (splitting by doc_id leaks copies
-    // across splits); p2's content-hash split makes this report empty
-    // by construction, which is exactly why p2 is the default. The
-    // near-dup variant is the same shape over d2/d3v candidates.
+    // exact content also appears in the train split. The corpus is the
+    // documents table unioned with a re-idified copy of every 5th doc
+    // (modeling scraped mirror content — the same text under two ids),
+    // split by the NAIVE id-hash (splitting by doc_id leaks copies
+    // across splits, which is the failure mode this report detects:
+    // ~17 leaked rows at sf0.01). p2's content-hash split makes this
+    // report empty by construction, which is exactly why p2 is the
+    // default. The near-dup variant is the same shape over d2/d3v
+    // candidates.
     "p4_contamination" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = d0.unionByName(
+        d0.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
       val bucket = graft.functions.PortableHash
         .phash(col("doc_id").cast("string"), 7) % 100
       val withSplit = d.select(col("doc_id"), md5(col("text")).as("h"),
@@ -372,7 +381,7 @@ object DocQueries {
         |  FROM v a JOIN v b ON a.id < b.id)
         |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 5) AS sim
         |FROM comp
-        |WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.9
+        |WHERE round(dot / (sqrt(na) * sqrt(nb)), 5) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d5v_embed_neardup_lsh" ->
@@ -523,12 +532,17 @@ object DocQueries {
         |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
 
     "p4_contamination" ->
-      s"""WITH sp AS (
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |sp AS (
         |  SELECT doc_id, md5(text) AS text_hash,
         |    CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 80 THEN 'train'
         |         WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 90 THEN 'val'
         |         ELSE 'test' END AS split
-        |  FROM documents)
+        |  FROM corpus)
         |SELECT t.doc_id, t.text_hash
         |FROM sp t
         |WHERE t.split = 'test' AND EXISTS (

@@ -159,9 +159,13 @@ object EventQueries {
       val e = ev(s, dir)
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      // Dedupe to max click_id per (user, instant) BEFORE the as-of:
+      // DuckDB's ASOF leaves the chosen row unspecified on duplicate
+      // timestamps, so the oracle comparison is only deterministic once
+      // both engines resolve the tie the same way up front.
       val clicks = e.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts").as("click_ts"))
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
       AsOfJoin.asOf(purchases, clicks,
           leftKey = "user_id", rightKey = "user_id",
           leftTime = "ts", rightTime = "click_ts",
@@ -198,13 +202,17 @@ object EventQueries {
         .orderBy(col("user_id"))),
 
     // Range join (SURVEY §2.5 beyond-parity): errors landing inside
-    // each purchase-session window. The binned equi-join shape — NOT
+    // each click-session window. The binned equi-join shape — NOT
     // a BETWEEN inequality join (which plans a per-key cross product).
+    // Click sessions with a 12 h gap: the driver's event stream is
+    // sparse (~0.5 events/user/day), so tighter gaps collapse every
+    // session to a point and the join is vacuously empty — this
+    // setting yields a non-empty, non-trivial result at sf0.01.
     "q17_range_join" -> ((s, dir) => {
       val e = ev(s, dir)
       val sessions = Sessionize.sessionSummary(
-          e.where(col("event_type") === "purchase"),
-          col("user_id"), col("ts"), 1800L, col("event_id"))
+          e.where(col("event_type") === "click"),
+          col("user_id"), col("ts"), 43200L, col("event_id"))
         .select(col("key"), col("session_seq"),
           col("session_start"), col("session_end"))
       val errors = e.where(col("event_type") === "error")
@@ -212,7 +220,7 @@ object EventQueries {
       RangeJoin.pointInInterval(errors, sessions,
           pointKey = "err_user", intervalKey = "key",
           pointTime = "err_ts", startCol = "session_start",
-          endCol = "session_end", binSec = 3600L)
+          endCol = "session_end", binSec = 43200L)
         .groupBy(col("key"), col("session_seq"),
           col("session_start"), col("session_end"))
         .agg(count(lit(1)).as("n_errors"))
@@ -379,8 +387,8 @@ object EventQueries {
         |  SELECT event_id AS purchase_id, user_id, ts
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (
-        |  SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
-        |  FROM events WHERE event_type = 'click')
+        |  SELECT user_id AS c_user, max(event_id) AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.ts >= c.click_ts
@@ -407,10 +415,10 @@ object EventQueries {
         |  SELECT user_id, ts, event_id,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER
         |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'click'),
         |s AS (
         |  SELECT user_id, ts,
-        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 43200000000 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
         |  FROM g),
         |sess AS (

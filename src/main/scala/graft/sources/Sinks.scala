@@ -48,6 +48,15 @@ object Sinks {
     * right-sized files once the day is sealed; pair with
     * `writeDayPartitioned` so compaction replaces exactly one
     * partition directory atomically-enough for batch readers. */
+  /** Swap protocol: the full rewrite lands in a staging dir first, then
+    * two directory renames (metadata-only ops) swap it in — the data is
+    * complete in either the staging or the live path at every instant,
+    * and a mid-swap crash loses nothing (recover from `__compacting` /
+    * `__precompact`). The target partition must still be QUIESCED for
+    * the instant between the two renames: a reader listing files right
+    * then sees a missing directory. (The earlier Overwrite-in-place
+    * swap instead deleted the live dir before rewriting it — a
+    * mid-rewrite failure left only the staging copy.) */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -56,12 +65,19 @@ object Sinks {
     val n = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
     val tmp = path.stripSuffix("/") + "__compacting"
     df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: overwrite the original from the compacted copy
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
-    // best-effort cleanup of the staging dir
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val live = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__precompact")
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact: cannot move $live aside")
+    if (!fs.rename(staged, live)) {
+      fs.rename(old, live) // roll back: restore the original
+      throw new java.io.IOException(s"compact: cannot swap $staged in")
+    }
+    fs.delete(old, true)
   }
 
   /** GiST-index analog for the positions table: cluster on the Z-order

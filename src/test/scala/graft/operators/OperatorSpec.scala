@@ -252,10 +252,17 @@ class OperatorSpec extends SparkSpec {
     val report = graft.SparkEntry.queries("p4_contamination")(spark, dir)
     val n = report.count()
     assert(n > 0) // leakage found
-    // every reported doc is genuinely in 'test' with a train twin
+    // every reported doc is genuinely in 'test' with a train twin —
+    // over the SAME augmented corpus p4 builds (documents ∪ re-idified
+    // every-5th copy at doc_id+100000, modeling mirrored content)
     val bucket = graft.functions.PortableHash
       .phash(col("doc_id").cast("string"), 7) % 100
-    val withSplit = rows.toDF("doc_id", "text", "lang")
+    val base = rows.toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val withSplit = corpus
       .select(col("doc_id"), col("text"),
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))
