@@ -17,8 +17,10 @@ import graft.adsb.FlightStateMachine.Out
   * batch and streaming agree by construction. Unlike a
   * `groupByKey(...).flatMapGroups` + in-memory sort, one aircraft's
   * entire history (months of it at 100 TB) never has to fit in an
-  * array: per-run memory is bounded by the state machine's O(1) state
-  * plus its emitted rows.
+  * array on EITHER side: input streams from the spillable sort, and
+  * the fold yields each emitted row as it is produced (a ≤3-row
+  * pending queue), so per-run memory is the state machine's O(1)
+  * state — full stop.
   */
 object AdsbPipeline {
 
@@ -26,25 +28,25 @@ object AdsbPipeline {
     (FlightStateMachine.micros(m.gen_date_time), m.seq)
 
   /** Fold `f` over consecutive runs of equal `key` in `it` (which must
-    * be key-clustered, e.g. sorted). `f` MUST be strict — it must
-    * fully consume (or be done with) its run before returning, as
-    * [[FlightStateMachine.processSorted]] is: any tail left unread is
-    * drained before the next run starts, so a lazily-evaluating `f`
-    * would see an exhausted iterator. */
+    * be key-clustered, e.g. sorted). `f` may be LAZY — outputs stream:
+    * pulling from the result pulls from `f`'s iterator, which pulls
+    * messages from the run on demand, so one run's rows never
+    * materialize here. Only once `f`'s output is exhausted is the
+    * run's unread tail drained and the next run started. */
   private[graft] def foldRuns[A, B, K](it: Iterator[A], key: A => K)(
       f: Iterator[A] => Iterator[B]): Iterator[B] = {
     val buf = it.buffered
     new Iterator[B] {
       private var cur: Iterator[B] = Iterator.empty
+      private var run: Iterator[A] = Iterator.empty
       def hasNext: Boolean = {
-        while (!cur.hasNext && buf.hasNext) {
+        while (!cur.hasNext && { while (run.hasNext) run.next(); buf.hasNext }) {
           val k = key(buf.head)
-          val run = new Iterator[A] {
+          run = new Iterator[A] {
             def hasNext: Boolean = buf.hasNext && key(buf.head) == k
             def next(): A = buf.next()
           }
           cur = f(run)
-          while (run.hasNext) run.next()
         }
         cur.hasNext
       }

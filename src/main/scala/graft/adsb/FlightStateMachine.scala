@@ -2,7 +2,8 @@ package graft.adsb
 
 import java.sql.Timestamp
 
-import scala.collection.mutable.ArrayBuffer
+import scala.collection.mutable
+import scala.collection.mutable.Growable
 
 /** The per-aircraft flight state machine — the one genuinely bespoke
   * piece of the rebuild (SURVEY.md §7.3). Encodes, in event time:
@@ -96,7 +97,7 @@ object FlightStateMachine {
       Some(st.nPositions), None, None, None, None, None)
 
   /** Apply one admitted message; appends emitted positions/events. */
-  def update(st: State, m: AdsbMsg, outs: ArrayBuffer[Out]): Unit = {
+  def update(st: State, m: AdsbMsg, outs: Growable[Out]): Unit = {
     val mUs = micros(m.gen_date_time)
     st.lastSeenUs = mUs
     // MSG1 sets callsign unconditionally (an empty one nulls it out,
@@ -149,41 +150,72 @@ object FlightStateMachine {
     }
   }
 
+  /** Apply ONE message to an optional carried state (null = no open
+    * session): close on gap, admit, update. Appends 0–3 rows (an
+    * expiry flight row, a position, an event) and returns the new
+    * state. The single shared transition for batch and streaming. */
+  def step(
+      st: State,
+      m: AdsbMsg,
+      outs: Growable[Out],
+      below: Int,
+      above: Int): State = {
+    var s = st
+    if (s != null &&
+        micros(m.gen_date_time) - s.lastSeenUs > MaxAgeSec * 1000000L) {
+      outs += flightRow(s)
+      s = null
+    }
+    if (s == null) {
+      if (admissible(m, below, above)) {
+        s = newState(m)
+        update(s, m, outs)
+      } // else: dropped — unknown aircraft, inadmissible type
+    } else {
+      update(s, m, outs)
+    }
+    s
+  }
+
   /** Fold messages (chronologically sorted) into an optional carried
-    * state, emitting outputs and closing sessions on gaps. Shared by
-    * the batch fold and the streaming operator's per-batch step. */
+    * state, emitting outputs and closing sessions on gaps. Used by the
+    * streaming operator's per-batch step (a micro-batch's group is
+    * bounded, so a buffered `outs` is fine there). */
   def fold(
       initial: Option[State],
       msgs: Iterator[AdsbMsg],
-      outs: ArrayBuffer[Out],
+      outs: Growable[Out],
       below: Int = AltitudeBelow,
       above: Int = AltitudeAbove): Option[State] = {
     var st: State = initial.orNull
-    msgs.foreach { m =>
-      if (st != null &&
-          micros(m.gen_date_time) - st.lastSeenUs > MaxAgeSec * 1000000L) {
-        outs += flightRow(st)
-        st = null
-      }
-      if (st == null) {
-        if (admissible(m, below, above)) {
-          st = newState(m)
-          update(st, m, outs)
-        } // else: dropped — unknown aircraft, inadmissible type
-      } else {
-        update(st, m, outs)
-      }
-    }
+    msgs.foreach { m => st = step(st, m, outs, below, above) }
     Option(st)
   }
 
-  /** Batch path: fold and close the final session. */
+  /** Batch path: INCREMENTAL fold — one message consumed per pull,
+    * emitted rows yielded as produced. Neither the input nor the
+    * output of one hexident's run ever materializes in memory: at
+    * 100 TB an aircraft's months-long history (positions ≈ messages)
+    * flows through a ≤3-row pending queue instead of an ArrayBuffer.
+    * The final session closes when the input is exhausted. */
   def processSorted(
       msgs: Iterator[AdsbMsg],
       below: Int = AltitudeBelow,
-      above: Int = AltitudeAbove): Iterator[Out] = {
-    val outs = ArrayBuffer.empty[Out]
-    fold(None, msgs, outs, below, above).foreach(outs += flightRow(_))
-    outs.iterator
+      above: Int = AltitudeAbove): Iterator[Out] = new Iterator[Out] {
+    private val pending = mutable.Queue.empty[Out]
+    private var st: State = null
+    private var closed = false
+    private def advance(): Unit = {
+      while (pending.isEmpty && msgs.hasNext)
+        st = step(st, msgs.next(), pending, below, above)
+      if (pending.isEmpty && !closed && !msgs.hasNext) {
+        closed = true
+        if (st != null) { pending += flightRow(st); st = null }
+      }
+    }
+    def hasNext: Boolean = { if (pending.isEmpty) advance(); pending.nonEmpty }
+    def next(): Out =
+      if (hasNext) pending.dequeue()
+      else throw new NoSuchElementException("processSorted: empty")
   }
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.adsb.{AdsbPipeline, Meta, Sbs}
@@ -154,21 +153,24 @@ object AdsbQueries {
     * country_code, first_seen, last_seen, time, runway) exactly as
     * `landings_on_details`/`takeoffs_on_details` (`:30-95`) do.
     *
-    * The reference's serial ids are replaced by deterministic
-    * row_numbers; the global windows run on the post-sessionization
-    * flight/event sets (tens of rows per replayed day — the same
-    * bounded cardinality as the reference's SETOF result), not on raw
-    * message data. */
+    * The reference's serial ids are surrogate join keys, not
+    * semantics (SURVEY §1.3) — here they are derived DETERMINISTICALLY
+    * from the natural keys (`xxhash64` of (hexident, session_start)
+    * for flights, plus (time, kind) for events): no global
+    * no-partition window assigning row_numbers, so the id assignment
+    * is embarrassingly parallel at any scale. The only total order is
+    * the final presentation sort by event time. */
   def eventDetails(out: Dataset[Out], airlines: DataFrame,
       countries: DataFrame): DataFrame = {
     // events and flights share the `out` lineage — alias both sides so
     // Spark's ambiguous-self-join detection sees qualified columns.
-    val fW = Window.orderBy(col("hexident"), col("session_start"))
     val flights = AdsbPipeline.flights(out)
-      .withColumn("flight_id", row_number().over(fW).cast("long")).as("f")
-    val eW = Window.orderBy(col("time"), col("hexident"), col("kind"))
+      .withColumn("flight_id",
+        xxhash64(col("hexident"), col("session_start"))).as("f")
     val events = AdsbPipeline.events(out)
-      .withColumn("id", row_number().over(eW).cast("long")).as("e")
+      .withColumn("id",
+        xxhash64(col("hexident"), col("session_start"), col("time"),
+          col("kind"))).as("e")
     events
       .join(flights, col("e.hexident") === col("f.hexident") &&
         col("e.session_start") === col("f.session_start"))
@@ -181,6 +183,6 @@ object AdsbQueries {
         col("c.code").as("country_code"),
         col("f.first_seen"), col("f.last_seen"),
         col("e.time"), col("e.runway"))
-      .orderBy(col("id"))
+      .orderBy(col("time"), col("id"))
   }
 }

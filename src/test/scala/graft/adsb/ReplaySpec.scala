@@ -62,6 +62,46 @@ class ReplaySpec extends SparkSpec {
     assert(sums === List(3, 3, 9))
   }
 
+  test("foldRuns: a lazy f streams — outputs before its run is drained") {
+    // f echoes its run lazily; if foldRuns drained the run eagerly
+    // (the old strict contract) the echo would see an exhausted
+    // iterator and emit nothing.
+    val rows = Seq("a" -> 1, "a" -> 2, "b" -> 3, "c" -> 4, "c" -> 5)
+    val echoed = AdsbPipeline.foldRuns(rows.iterator, (r: (String, Int)) => r._1) {
+      run => run.map(_._2)
+    }.toList
+    assert(echoed === List(1, 2, 3, 4, 5))
+  }
+
+  test("processSorted streams: first rows yielded before input is drained") {
+    // 100 TB contract: one aircraft's history must not materialize on
+    // the output side. Feed a long run through a consumption-counting
+    // iterator and check the first position arrives after O(1) pulls.
+    import java.sql.Timestamp
+    val t0us = FlightStateMachine.micros(
+      Timestamp.valueOf("2019-10-20 11:00:00"))
+    val msgs = (0 until 10000).map { i =>
+      graft.adsb.AdsbMsg(
+        seq = i.toLong, transmission_type = 3, hexident = "ABC123",
+        gen_date_time = FlightStateMachine.toTs(t0us + i * 1000000L),
+        callsign = None, altitude = Some(1000), speed = None,
+        track = None, latitude = Some(47.15), longitude = Some(-1.6),
+        verticalrate = None, onground = Some(false))
+    }
+    var consumed = 0
+    val counting = msgs.iterator.map { m => consumed += 1; m }
+    val out = FlightStateMachine.processSorted(counting)
+    assert(out.hasNext)
+    val first = out.next()
+    assert(first.kind === "position")
+    assert(consumed <= 2, s"processSorted buffered $consumed inputs")
+    // ... and full consumption still closes the session with a flight
+    val rest = out.toList
+    assert(consumed === 10000)
+    assert(rest.last.kind === "flight")
+    assert(rest.count(_.kind == "position") === 9999)
+  }
+
   test("flight paths: one LineString per session over its positions") {
     val paths = graft.queries.AdsbQueries.defs("adsb_flight_paths")(spark, "")
       .collect()
@@ -93,8 +133,16 @@ class ReplaySpec extends SparkSpec {
       Meta.loadAirlines(spark), Meta.loadCountries(spark)).collect()
     assert(d.length === 1)
     val r = d.head
-    assert(r.getLong(0) === 1L)                  // id
-    assert(r.getLong(1) === 1L)                  // flight_id
+    // ids are deterministic natural-key hashes (join keys, not
+    // semantics): pin them against an independent computation
+    val expected = spark.range(1)
+      .select(
+        xxhash64(lit("ABC123"), lit(at(0))).as("fid"),
+        xxhash64(lit("ABC123"), lit(at(0)), lit(at(20)), lit("landing"))
+          .as("id"))
+      .collect().head
+    assert(r.getLong(0) === expected.getLong(1)) // id
+    assert(r.getLong(1) === expected.getLong(0)) // flight_id
     assert(r.getString(2) === "AFR1234")         // callsign
     assert(r.getString(3) === "Air France")      // airline
     assert(r.getString(4) === "France")          // country
@@ -119,7 +167,7 @@ class ReplaySpec extends SparkSpec {
       ("CCC333", "takeoff", "03")))
     val d = graft.queries.AdsbQueries.eventDetails(g,
       Meta.loadAirlines(spark), Meta.loadCountries(spark))
-      .orderBy("id").collect()
+      .orderBy("time").collect()
       .map(r => (r.getString(2), r.getString(3), r.getString(5)))
     assert(d.toSeq === Seq(
       ("AFR1234", "Air France", "FR"),

@@ -16,6 +16,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("event details assigns ids without a global no-partition window") {
+    // hash-derived surrogate ids: the only total order left is the
+    // final presentation sort — a row_number() Window with no
+    // PARTITION BY would be a single-task bottleneck at 100 TB.
+    val p = plan("adsb_event_details")
+    assert(!p.contains("Window ["), s"no-partition window in:\n$p")
+    assert(!p.contains("row_number()"), s"row_number window in:\n$p")
+  }
+
   test("IVF search plans without a cartesian product") {
     val p = plan("s2_ivf_topk")
     assert(!p.contains("CartesianProduct"))
