@@ -72,4 +72,34 @@ object PeakHour {
       .select(col("peak_hour").cast("timestamp_ntz").as("peak_hour"), col("events"))
       .orderBy(col("events").desc, col("peak_hour").desc)
   }
+
+  /** The reference's full `peak_hour_all(startdate, enddate)`
+    * composition (`create_public_schema.sql:346-376`): UNION —
+    * DISTINCT, per SQL `union` — of the landings and takeoffs streams,
+    * bounded to `[localDayStart(start)+w/2, localDayStart(end)+w/2)`
+    * where the day boundary is taken in `tz` and the half-window shift
+    * mirrors the reference's fixed `'30 minutes'` (half its 1 h
+    * window), then the per-local-day trailing-window peak.
+    *
+    * Both inputs must share a schema; `timeCol` names the event-time
+    * column after the union. The union-distinct is one shuffle on the
+    * projected row — project the inputs to the columns that define
+    * event identity before calling. */
+  def peakHoursAll(
+      landings: DataFrame,
+      takeoffs: DataFrame,
+      timeCol: Column,
+      startDate: String,
+      endDate: String,
+      tz: String = "Europe/Paris",
+      windowSec: Long = 3600L): DataFrame = {
+    val half = s"interval ${windowSec / 2} seconds"
+    val lo = to_utc_timestamp(
+      date_trunc("DAY", lit(startDate).cast("timestamp")), tz) + expr(half)
+    val hi = to_utc_timestamp(
+      date_trunc("DAY", lit(endDate).cast("timestamp")), tz) + expr(half)
+    val unioned = landings.unionByName(takeoffs).distinct()
+    peakHours(
+      unioned.where(timeCol >= lo && timeCol < hi), timeCol, tz, windowSec)
+  }
 }

@@ -65,6 +65,20 @@ object EventQueries {
       PeakHour.peakHours(
         ev(s, dir).where(col("event_type") === "purchase"), col("ts"))),
 
+    // Q6 full composition — the reference's exact peak_hour_all
+    // surface (create_public_schema.sql:346-376): UNION DISTINCT of
+    // the two event streams (landings ∪ takeoffs analog) bounded to a
+    // startdate/enddate local-day slice, then the per-day peak. The
+    // padded eventsRanged scan keeps parquet pushdown on ts_ns.
+    "q9_peak_hour_all" -> ((s, dir) => {
+      val e = Tables.eventsRanged(s, dir,
+        "2024-01-07 00:00:00", "2024-01-23 00:00:00")
+      def side(t: String) = e.where(col("event_type") === t)
+        .select(col("user_id"), col("ts"))
+      PeakHour.peakHoursAll(side("purchase"), side("signup"), col("ts"),
+        "2024-01-08 00:00:00", "2024-01-22 00:00:00")
+    }),
+
     // Q7: UNION DISTINCT of the two event streams.
     "q7_union_distinct" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -294,6 +308,30 @@ object EventQueries {
         |         count(*) OVER (ORDER BY ts
         |           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS events
         |  FROM events WHERE event_type = 'purchase'),
+        |ranked AS (
+        |  SELECT peak_hour, events, row_number() OVER (
+        |    PARTITION BY CAST(timezone('Europe/Paris', timezone('UTC', peak_hour)) AS DATE)
+        |    ORDER BY events DESC, peak_hour DESC) AS rn
+        |  FROM cnt)
+        |SELECT peak_hour, events FROM ranked WHERE rn = 1
+        |ORDER BY events DESC, peak_hour DESC""".stripMargin,
+
+    "q9_peak_hour_all" ->
+      """WITH u AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        |  UNION
+        |  SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+        |b AS (
+        |  SELECT ts FROM u
+        |  WHERE ts >= timezone('UTC', timezone('Europe/Paris',
+        |          date_trunc('day', TIMESTAMP '2024-01-08 00:00:00'))) + INTERVAL 30 MINUTE
+        |    AND ts < timezone('UTC', timezone('Europe/Paris',
+        |          date_trunc('day', TIMESTAMP '2024-01-22 00:00:00'))) + INTERVAL 30 MINUTE),
+        |cnt AS (
+        |  SELECT date_trunc('minute', ts - INTERVAL 30 MINUTE) AS peak_hour,
+        |         count(*) OVER (ORDER BY ts
+        |           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS events
+        |  FROM b),
         |ranked AS (
         |  SELECT peak_hour, events, row_number() OVER (
         |    PARTITION BY CAST(timezone('Europe/Paris', timezone('UTC', peak_hour)) AS DATE)

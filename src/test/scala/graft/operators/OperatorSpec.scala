@@ -63,6 +63,32 @@ class OperatorSpec extends SparkSpec {
     assert(p(0).get(0).toString.startsWith("2024-01-01T09:34"))
   }
 
+  test("peak_hour_all: union is DISTINCT and date bounds are local-day") {
+    // The reference's `select * from landings union select * from
+    // takeoffs` dedups identical rows — an event present in both
+    // streams counts once. Bounds: [Paris day start + 30min, ...).
+    val landings = Seq(
+      (1L, ts("2024-01-10 10:00:00")),
+      (2L, ts("2024-01-10 10:01:00"))).toDF("user_id", "t")
+    val takeoffs = Seq(
+      (1L, ts("2024-01-10 10:00:00")), // exact duplicate of a landing
+      (3L, ts("2024-01-10 10:02:00")),
+      (4L, ts("2024-01-07 12:00:00")), // before startdate bound
+      (5L, ts("2024-01-22 12:00:00"))) // after enddate bound
+      .toDF("user_id", "t")
+    val p = PeakHour.peakHoursAll(landings, takeoffs, col("t"),
+      "2024-01-08 00:00:00", "2024-01-22 00:00:00").collect()
+    assert(p.length === 1)
+    // 3 distinct in-bounds events, NOT 4: the duplicate collapsed
+    assert(p(0).getLong(1) === 3)
+    // boundary: day-start+30min Paris = 23:30 UTC the previous day is
+    // INCLUDED, so an event right at the bound counts
+    val atBound = Seq((9L, ts("2024-01-07 23:30:00"))).toDF("user_id", "t")
+    val pb = PeakHour.peakHoursAll(atBound, atBound.limit(0), col("t"),
+      "2024-01-08 00:00:00", "2024-01-22 00:00:00").collect()
+    assert(pb.length === 1 && pb(0).getLong(1) === 1)
+  }
+
   test("peak hour day-partitioned frame sees across midnight") {
     val ev = Seq(
       Tuple1(ts("2024-01-01 23:40:00")),
