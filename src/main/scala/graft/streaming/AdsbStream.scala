@@ -122,6 +122,48 @@ object AdsbStream {
       .start()
   }
 
+  /** S6+T11 together: the reference's LIVE path — sessionized output
+    * committed to a relational store once per micro-batch on the 1 s
+    * trigger (`flights.py:119-131` commits its session each loop;
+    * `db.py:24-38` holds the connection). Each batch appends only its
+    * own rows, stamped with the micro-batch id, so the commit cadence
+    * is auditable from the store itself: one distinct `batch_id` per
+    * trigger that had data. Tables: `flights_live`, `positions_live`,
+    * `events_live` (landing ∪ takeoff, tagged by `kind`). */
+  def startJdbc(lines: DataFrame, url: String, user: String,
+      password: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    sessionize(Sbs.messages(lines)).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Out], batchId: Long) =>
+        val b = batch.cache()
+        try {
+          val df = b.toDF().withColumn("batch_id", lit(batchId))
+          val flights = df.where(col("kind") === "flight")
+            .select(col("hexident"), col("session_start"),
+              col("first_seen"), col("last_seen"), col("callsign"),
+              col("n_positions"), col("batch_id"))
+          val positions = df.where(col("kind") === "position")
+            .select(col("hexident"), col("session_start"), col("time"),
+              col("lon"), col("lat"), col("alt_m"), col("onground"),
+              col("batch_id"))
+          val events = df.where(
+              col("kind") === "landing" || col("kind") === "takeoff")
+            .select(col("kind"), col("hexident"), col("session_start"),
+              col("time"), col("runway"), col("batch_id"))
+          graft.sources.Sinks.writeJdbc(flights, url, "flights_live",
+            user, password)
+          graft.sources.Sinks.writeJdbc(positions, url, "positions_live",
+            user, password)
+          graft.sources.Sinks.writeJdbc(events, url, "events_live",
+            user, password)
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   /** S1 resilience analog (`adsb_parser.py:120-137`): the reference
     * retries its TCP connect 5× with 1 s backoff; the Spark
     * equivalent is restarting the failed streaming query from its

@@ -161,10 +161,18 @@ class ReplaySpec extends SparkSpec {
     val ev = AdsbPipeline.events(g).orderBy("time").collect()
       .map(r => (r.getAs[String]("hexident"), r.getAs[String]("kind"),
         r.getAs[String]("runway")))
+    // DDD444 is the bounce train (models.py:256-270): landing at
+    // :20 (valid), bounce up :21 / down :22.5 / up :23.5 all
+    // suppressed — the :22.5 candidate is 2.5 s after the last VALID
+    // event, so it only stays suppressed because the SUPPRESSED :21
+    // candidate reset the debounce clock — then touchdown :26 valid
+    // (2.5 s after :23.5). Exactly two landings survive.
     assert(ev.toSeq === Seq(
       ("AAA111", "landing", "21"),
       ("BBB222", "landing", "03"),
-      ("CCC333", "takeoff", "03")))
+      ("CCC333", "takeoff", "03"),
+      ("DDD444", "landing", "21"),
+      ("DDD444", "landing", "21")))
     val d = graft.queries.AdsbQueries.eventDetails(g,
       Meta.loadAirlines(spark), Meta.loadCountries(spark))
       .orderBy("time").collect()
@@ -172,7 +180,9 @@ class ReplaySpec extends SparkSpec {
     assert(d.toSeq === Seq(
       ("AFR1234", "Air France", "FR"),
       ("BAW55", "British Airways", "GB"),
-      ("DLH9E", "Lufthansa", "DE")))
+      ("DLH9E", "Lufthansa", "DE"),
+      ("KLM77", "KLM Royal Dutch Airlines", "NL"),
+      ("KLM77", "KLM Royal Dutch Airlines", "NL")))
   }
 
   test("arrival-order mode equals event-time replay on monotone capture") {

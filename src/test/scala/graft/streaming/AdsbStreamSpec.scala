@@ -45,6 +45,47 @@ class AdsbStreamSpec extends SparkSpec {
     assert(after.isEmpty)
   }
 
+  test("startJdbc commits each micro-batch to the store (S6+T11)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lines = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("graft-jdbc-ckpt").toString
+    val db = Files.createTempDirectory("graft-jdbc-live").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val raw = Sbs.fixtureLines(spark, "adsb_golden_landings.txt")
+      .select("value").as[String].collect()
+    // two deliveries → two micro-batches, each committed on its own
+    val (chunk1, chunk2) = raw.partition(l =>
+      l.contains("AAA111") || l.contains("BBB222"))
+    val q = AdsbStream.startJdbc(lines.toDF(), url, "app", "app", ckpt)
+    lines.addData(chunk1.toSeq)
+    q.processAllAvailable()
+    lines.addData(chunk2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    def table(name: String) = {
+      val props = new java.util.Properties()
+      props.setProperty("user", "app"); props.setProperty("password", "app")
+      spark.read.jdbc(url, name, props)
+    }
+    val pos = table("positions_live").collect()
+    val batchTotal = AdsbPipeline
+      .replayFixture(spark, "adsb_golden_landings.txt")
+      .toDF().where("kind = 'position'").count()
+    assert(pos.length.toLong === batchTotal)
+    // commit cadence: each delivery landed under its OWN batch_id,
+    // appended per-trigger (not one bulk write at shutdown)
+    val perBatch = pos.groupBy(_.getAs[Long]("batch_id")).view
+      .mapValues(_.length).toMap
+    assert(perBatch.size === 2, s"expected 2 micro-batch commits: $perBatch")
+    assert(perBatch.values.forall(_ > 0))
+    // events ride the same cadence: goldens split 2 (AAA+BBB landings)
+    // then 3 (CCC takeoff + DDD debounced double landing)
+    val ev = table("events_live").collect()
+    assert(ev.length === 5)
+    assert(ev.map(_.getAs[Long]("batch_id")).distinct.length === 2)
+  }
+
   test("supervise restarts a failed query from checkpoint (S1 resilience)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.streaming.Trigger
