@@ -27,14 +27,40 @@ case class DotProductF(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Element accessor picked from the CHILD's array element type:
+  // ArrayData.getFloat on a double array reinterprets bits and
+  // produces silent garbage, so float-only access must not be assumed.
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product_f needs array<float|double>, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0d
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xi * yi
       i += 1
     }
     acc
@@ -45,11 +71,13 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(v: String, dbl: Boolean) =
+        if (dbl) s"$v.getDouble($i)" else s"(double) $v.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += ${get(a, isDouble(left))} * ${get(b, isDouble(right))};
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -46,6 +46,47 @@ object TextFunctions {
     round(lenScore * (lit(1.0d) - punct) * least(stop * 5.0d, lit(1.0d)), 6)
   }
 
+  /** Number of tokens that are common English stopwords. */
+  def stopwordCount(c: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val sw = stopwords.map(lit(_))
+    size(filter(tokens(c), t => t.isin(sw: _*))).cast("long")
+  }
+
+  /** Gopher-style hard-filter report (Rae et al. 2021, §A1.1 rule
+    * family): per document, the word-count band, mean-word-length
+    * band, symbol-density cap and minimum-stopword-evidence rules as
+    * separate booleans plus the conjunctive keep flag — the report
+    * form (rather than a bare filter) is what a curation run audits.
+    * Pure codegen'd built-ins; deterministic arithmetic only, so an
+    * external engine reproduces every flag bit-for-bit. */
+  def gopherReport(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: Column,
+      textCol: Column,
+      minWords: Int = 3, maxWords: Int = 256,
+      minAvgLen: Double = 2.0, maxAvgLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.2,
+      minStopwords: Int = 1): org.apache.spark.sql.DataFrame =
+    docs.select(
+        idCol.as("doc_id"),
+        tokenCount(textCol).cast("long").as("n_words"),
+        round(avgTokenLen(textCol), 6).as("avg_word_len"),
+        round(punctRatio(textCol), 6).as("symbol_ratio"),
+        stopwordCount(textCol).as("n_stop"),
+        (avgTokenLen(textCol) >= minAvgLen &&
+          avgTokenLen(textCol) <= maxAvgLen).as("ok_wordlen"),
+        (punctRatio(textCol) <= maxSymbolRatio).as("ok_symbols"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_stopwords", col("n_stop") >= minStopwords)
+      .withColumn("keep",
+        col("ok_words") && col("ok_wordlen") &&
+          col("ok_symbols") && col("ok_stopwords"))
+      .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+        col("symbol_ratio"), col("n_stop"), col("ok_words"),
+        col("ok_wordlen"), col("ok_symbols"), col("ok_stopwords"),
+        col("keep"))
+
   /** n-gram-heuristic language guess: scores per-language marker-word
     * hit counts and picks the argmax (ties → 'und'). Cheap and
     * deterministic; a real model would be a broadcast lookup table. */

@@ -227,6 +227,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus boilerplate report (the RefinedWeb/C4-style
+    * repeated-span filter, re-expressed over n-grams): an n-gram
+    * occurring in ≥ `minDf` DISTINCT documents is boilerplate; each
+    * document reports its total grams, boilerplate grams, the
+    * boilerplate fraction, and a keep flag (`hot_frac ≤ maxHotFrac`).
+    * Docs shorter than n tokens emit no grams and are excluded.
+    *
+    * Scale shape: per-doc gram occurrence counts first (map-side
+    * combinable groupBy), then gram document-frequency as a second
+    * groupBy over the FIRST's output — the df join back to per-doc
+    * rows reuses the gram hash partitioning from that groupBy, so the
+    * whole report is two exchanges and never ships raw text twice.
+    * Join keys are the gram strings for oracle portability; at 100 TB
+    * pre-hash them to 60-bit longs as [[jaccardPairs]] does. */
+  def boilerplateReport(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      minDf: Long = 10L,
+      maxHotFrac: Double = 0.3): DataFrame = {
+    val perDocGram = shingleRows(docs, idCol, textCol, n)
+      .groupBy(col("id"), col("sh"))
+      .agg(count(lit(1)).as("occ"))
+    val gramDf = perDocGram.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+    perDocGram.join(gramDf, "sh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        sum(col("occ")).as("n_grams"),
+        sum(when(col("df") >= minDf, col("occ")).otherwise(0L)).as("n_hot"))
+      .withColumn("hot_frac",
+        round(col("n_hot").cast("double") / col("n_grams"), 6))
+      .withColumn("keep",
+        col("n_hot").cast("double") / col("n_grams") <= maxHotFrac)
+  }
+
   /** 64-bit SimHash per document: bitwise majority over per-token
     * portable hashes (60 usable bits). Emits (id, simhash). */
   def simhash(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {

@@ -68,6 +68,58 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-dimension symmetric max-abs scales of a vector corpus, as a
+    * ONE-ROW DataFrame holding the scale array (no driver collect:
+    * posexplode → per-dim max → re-assembled via a sorted
+    * collect_list, then broadcast into consumers). Dims are tiny
+    * (64–4096) so the aggregate output is index metadata. */
+  def maxAbsScales(corpus: DataFrame, vecCol: Column): DataFrame =
+    corpus
+      .select(posexplode(vecCol).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(max(abs(col("v"))).as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mx"))))
+        .as("dm"))
+      .select(transform(col("dm"), e => e.getField("mx").cast("double"))
+        .as("scales"))
+
+  /** Int8 scalar quantization of `v` against per-dim `scales`:
+    * qᵢ = ⌊vᵢ/sᵢ·127⌋ ∈ [−127,127]. Floor on IEEE doubles — exactly
+    * reproducible by any engine, unlike a float sum. */
+  def quantize(v: Column, scales: Column): Column =
+    zip_with(v, scales,
+      (x, s) => floor(x.cast("double") / s * lit(127.0d)).cast("long"))
+
+  /** Top-k by INTEGER dot product over int8-quantized vectors — the
+    * memory-bandwidth-bound scale path for brute-force search: 4×
+    * smaller vectors than float32 and an exact integer accumulator
+    * (≤127²·dim ≪ 2⁶³), so scores are bit-identical on every engine
+    * and SIMD-friendly on real hardware. Same broadcast-query +
+    * WindowGroupLimit shape as [[bruteForceTopK]]; recall vs the
+    * exact float path is pinned in `SimilaritySpec`. */
+  def quantizedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      scales: DataFrame,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val sc = broadcast(scales)
+    val q = queries.crossJoin(sc)
+      .select(col("qid"), quantize(col("qvec"), col("scales")).as("qq"))
+    val c = corpus.crossJoin(sc)
+      .select(col("vec_id"), quantize(col("embedding"), col("scales")).as("qv"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+    val sims = joined.select(
+      col("qid"), col("vec_id"),
+      aggregate(zip_with(col("qq"), col("qv"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("qdot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private def normOf(v: Array[Float]): Double = {
     var s = 0.0d; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }

@@ -239,6 +239,33 @@ object DocQueries {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(size(split(col("text"), " "))), 6).as("avg_tokens"))
       stats.join(vocab, Seq("lang")).orderBy(col("lang"))
+    }),
+
+    // t6: Gopher-style hard-filter report — the rule-by-rule audit a
+    // curation run reads before committing to thresholds.
+    "t6_gopher_filter" -> ((s, dir) =>
+      TextFunctions.gopherReport(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // d6: cross-corpus boilerplate (repeated n-gram spans): grams in
+    // ≥5 distinct docs are boilerplate; per-doc coverage report.
+    // Thresholds tuned to the driver corpus so the keep flag actually
+    // discriminates (339 docs carry hot grams, a few exceed 10%
+    // coverage) — a green over an all-true column proves nothing.
+    "d6_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateReport(docs(s, dir), col("doc_id"), col("text"),
+          n = 3, minDf = 5L, maxHotFrac = 0.1)
+        .orderBy(col("doc_id"))),
+
+    // s3: int8-quantized brute-force top-k — integer dot products are
+    // exact on every engine, so unlike s1/s2 the SCORES themselves
+    // oracle-check bit-for-bit, not just the ranking.
+    "s3_quantized_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.quantizedTopK(q, e,
+        Similarity.maxAbsScales(e, col("embedding")), k = 5)
     })
   )
 
@@ -590,6 +617,71 @@ object DocQueries {
         |  FROM scores)
         |SELECT doc_id, lang,
         |  CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_guess
-        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "t6_gopher_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+        |      / len(string_split(text, ' ')) AS awl,
+        |    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+        |      / length(text) AS sym,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the','a','an','of','and','or','to','in','is','on','for','with'], tk)))
+        |      AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  round(awl, 6) AS avg_word_len,
+        |  round(sym, 6) AS symbol_ratio,
+        |  n_stop,
+        |  (n_words >= 3 AND n_words <= 256) AS ok_words,
+        |  (awl >= 2.0 AND awl <= 12.0) AS ok_wordlen,
+        |  (sym <= 0.2) AS ok_symbols,
+        |  (n_stop >= 1) AS ok_stopwords,
+        |  ((n_words >= 3 AND n_words <= 256) AND (awl >= 2.0 AND awl <= 12.0)
+        |    AND (sym <= 0.2) AND (n_stop >= 1)) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "d6_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |pdg AS (SELECT doc_id, sh, count(*) AS occ FROM g GROUP BY 1, 2),
+        |gdf AS (SELECT sh, count(*) AS df FROM pdg GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST(sum(occ) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df >= 5 THEN occ ELSE 0 END) AS BIGINT) AS n_hot
+        |  FROM pdg JOIN gdf USING (sh) GROUP BY 1)
+        |SELECT doc_id, n_grams, n_hot,
+        |  round(n_hot::DOUBLE / n_grams, 6) AS hot_frac,
+        |  (n_hot::DOUBLE / n_grams <= 0.1) AS keep
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "s3_quantized_topk" ->
+      """WITH s AS (
+        |  SELECT u.i AS dim, max(abs(CAST(embedding[u.i] AS DOUBLE))) AS mx
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)
+        |  GROUP BY 1),
+        |sc AS (SELECT list(mx ORDER BY dim) AS scales FROM s),
+        |quant AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64),
+        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) / sc.scales[i] * 127) AS BIGINT)) AS qv
+        |  FROM embeddings, sc),
+        |q AS (SELECT vec_id AS qid, qv AS qq FROM quant WHERE vec_id < 10),
+        |dots AS (
+        |  SELECT q.qid, v.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.qq[i] * v.qv[i])) AS qdot
+        |  FROM quant v, q WHERE v.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, CAST(qdot AS BIGINT) AS qdot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS rank
+        |  FROM dots)
+        |SELECT qid, vec_id, qdot, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

@@ -179,6 +179,60 @@ class OperatorSpec extends SparkSpec {
     assert(top(1).getLong(1) === 4)
   }
 
+  test("quantized top-k tracks exact cosine top-k (recall@5 >= 0.8)") {
+    // int8 scalar quantization distorts scores but should preserve the
+    // neighborhood: recall of s3 vs the float ground truth over the
+    // real sf0.001 corpus — whose vectors are unit-norm (checked), so
+    // cosine ordering ≡ dot ordering and the two rankings compare.
+    import org.apache.spark.sql.functions._
+    val nrm = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val norms = nrm.select(Similarity.norm(col("embedding")).as("n"))
+      .agg(min("n"), max("n")).collect().head
+    assert(math.abs(norms.getDouble(0) - 1) < 1e-5 &&
+      math.abs(norms.getDouble(1) - 1) < 1e-5)
+    val q = nrm.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(q, nrm, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(q, nrm,
+        Similarity.maxAbsScales(nrm, col("embedding")), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+    // determinism: integer scores are exactly reproducible
+    val again = Similarity.quantizedTopK(q, nrm,
+        Similarity.maxAbsScales(nrm, col("embedding")), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val first = Similarity.quantizedTopK(q, nrm,
+        Similarity.maxAbsScales(nrm, col("embedding")), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === first.toSeq)
+  }
+
+  test("boilerplate report flags docs dominated by corpus-hot grams") {
+    // 6 docs share the gram "x y z" (df=6 ≥ 3); doc 10 is ONLY that
+    // gram (hot_frac 1.0 → dropped), doc 20 has it amid fresh text
+    // (hot_frac < 0.5 → kept), doc 30 shares nothing (0.0). Docs
+    // shorter than n tokens emit no grams and are absent.
+    val docs = (
+      (1L to 5L).map(i => (i, s"x y z filler$i one two three")) ++
+        Seq((10L, "x y z"), (20L, "x y z a b c d e f g"),
+          (30L, "p q r s t u"), (40L, "too short")))
+      .toDF("doc_id", "text")
+    val rep = Dedup.boilerplateReport(docs, $"doc_id", $"text",
+        n = 3, minDf = 3L, maxHotFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(rep(10L) === ((1L, 1.0, false)))
+    assert(rep(20L)._3 === true && rep(20L)._1 === 1L)
+    assert(rep(30L) === ((0L, 0.0, true)))
+    assert(!rep.contains(40L)) // < n tokens → no grams
+    // sharers carry BOTH corpus-hot grams: "x y z" (df 7) and the
+    // tail "one two three" (df 5)
+    assert(rep(1L)._1 === 2L)
+  }
+
   test("fixed-dim hyperplane signature equals the generic expression") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
