@@ -111,6 +111,82 @@ object TextFunctions {
   def docFingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** ASCII-conservative PII patterns — the subset of regex syntax that
+    * Java regex and RE2-family engines interpret identically, so the
+    * match counts and the redacted text oracle-check bit-for-bit. */
+  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern: String = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0))).cast("long")
+
+  def ipCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(Ipv4Pattern), lit(0))).cast("long")
+
+  /** Redact emails then IPs (emails first: an address can embed
+    * digit runs, never vice versa once `<EMAIL>` is in place). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Within-document repetition report (Gopher §A1.1's repetition rule
+    * family): duplicate-token fraction, most-common-token fraction and
+    * most-common-bigram fraction, plus the conjunctive keep flag.
+    *
+    * Skew/scale shape: token and bigram counts are per-(doc, gram)
+    * groupBys (map-side combinable, keyed by the doc — no hot global
+    * token key); the top-token pick is a doc-partitioned window.
+    * Bigrams index the materialized token array (O(1) `element_at`
+    * per gram — not a re-split per lambda element). */
+  def repetitionReport(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: Column,
+      textCol: Column,
+      maxDupFrac: Double = 0.55,
+      maxTopTokFrac: Double = 0.10,
+      maxTopBigramFrac: Double = 0.08): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(idCol.as("doc_id"), tokens(textCol).as("toks"))
+    val perTok = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tokAgg = perTok.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+    // max count, ties to the lexicographically smallest token
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("tok"))
+    val top = perTok.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("doc_id"), col("tok").as("top_tok"),
+        col("cnt").as("_top_cnt"))
+    val perBg = t.where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val bgAgg = perBg.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("_n_bg"), max(col("cnt")).as("_top_bg"))
+    tokAgg.join(top, Seq("doc_id"))
+      .join(bgAgg, Seq("doc_id"), "left")
+      .withColumn("dup_frac",
+        round(lit(1.0d) - col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_tok_frac",
+        round(col("_top_cnt").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_bigram_frac",
+        coalesce(round(col("_top_bg").cast("double") / col("_n_bg"), 6),
+          lit(0.0d)))
+      .withColumn("keep",
+        col("dup_frac") <= maxDupFrac &&
+          col("top_tok_frac") <= maxTopTokFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("dup_frac"), col("top_tok"), col("top_tok_frac"),
+        col("top_bigram_frac"), col("keep"))
+  }
+
   val RollBase: Long = 131L
   val RollPrime: Long = graft.functions.PortableHash.MinhashPrime
 

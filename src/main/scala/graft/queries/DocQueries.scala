@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Ivf, Similarity}
+import graft.operators.{Dedup, Ivf, Pack, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -256,6 +256,69 @@ object DocQueries {
       Dedup.boilerplateReport(docs(s, dir), col("doc_id"), col("text"),
           n = 3, minDf = 5L, maxHotFrac = 0.1)
         .orderBy(col("doc_id"))),
+
+    // p5: GPT-style sequence packing — concatenate docs in a
+    // deterministic hash order, cut 512-token training sequences,
+    // report each doc's offset and sequence span. The global prefix
+    // sum is distributed (bucketed two-pass — see Pack's scaladoc);
+    // no single-task global window.
+    "p5_pack_sequences" -> ((s, dir) =>
+      Pack.packReport(docs(s, dir), col("doc_id"),
+          size(split(col("text"), " ")), budget = 512L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // t7: PII scrub report over a corpus with deterministically
+    // injected emails/IPs (the driver corpus has none — same
+    // by-construction pattern as p4; a 0-hit green proves nothing).
+    "t7_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0.1"))).otherwise(lit(""))).as("text"))
+      d.select(col("doc_id"),
+          TextFunctions.emailCount(col("text")).as("n_emails"),
+          TextFunctions.ipCount(col("text")).as("n_ips"),
+          md5(TextFunctions.scrubPii(col("text"))).as("clean_hash"))
+        .withColumn("pii_free",
+          col("n_emails") === 0 && col("n_ips") === 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // t8: within-doc repetition report (Gopher repetition rules).
+    // Thresholds tuned on the driver corpus so every rule
+    // discriminates (240/188/33 individual violations, 102/500 kept).
+    "t8_repetition" -> ((s, dir) =>
+      TextFunctions.repetitionReport(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // p6: mixture resampling toward target language weights
+    // (en:de:fr:es = 4:3:2:1) — the binding language keeps ~everything
+    // and the rest downsample by deterministic content-hash threshold.
+    // Pure integer arithmetic end-to-end (no FP rate), so the keep set
+    // is bit-exact on any engine; langs outside the target mixture
+    // (zh here) drop via the inner weight join. All stats stay
+    // distributed: counts groupBy → 4-row broadcast, no collect.
+    "p6_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val w = Seq(("en", 4L), ("de", 3L), ("fr", 2L), ("es", 1L))
+        .toDF("lang", "wt")
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .join(broadcast(w), Seq("lang"))
+      val scale = counts.agg(min(expr("n * 1000000 div wt")).as("sc"))
+      val thresh = counts.crossJoin(broadcast(scale))
+        .select(col("lang"), expr("wt * sc div n").as("thresh"))
+      d.join(broadcast(thresh), Seq("lang"))
+        .where(pmod(graft.functions.PortableHash.phash(col("text"), 23),
+          lit(1000000L)) < col("thresh"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
 
     // s3: int8-quantized brute-force top-k — integer dot products are
     // exact on every engine, so unlike s1/s2 the SCORES themselves
@@ -661,6 +724,94 @@ object DocQueries {
         |  round(n_hot::DOUBLE / n_grams, 6) AS hot_frac,
         |  (n_hot::DOUBLE / n_grams <= 0.1) AS keep
         |FROM per ORDER BY doc_id""".stripMargin,
+
+    "p5_pack_sequences" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ${dkHash("CAST(doc_id AS VARCHAR)", "13")} AS k
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens, k, k % 8 AS bk FROM d),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY bk, k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+        |  FROM b)
+        |SELECT doc_id, n_tokens, "offset",
+        |  CAST("offset" // 512 AS BIGINT) AS seq_first,
+        |  CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
+        |  CAST(("offset" + n_tokens - 1) // 512 - "offset" // 512 + 1
+        |    AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t7_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |    md5(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS clean_hash
+        |  FROM d)
+        |SELECT doc_id, n_emails, n_ips, clean_hash,
+        |  (n_emails = 0 AND n_ips = 0) AS pii_free
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t8_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, u.t AS tok FROM t, UNNEST(toks) AS u(t)),
+        |pt AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct
+        |  FROM pt GROUP BY 1),
+        |tp AS (
+        |  SELECT doc_id, tok AS top_tok, cnt AS top_cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+        |  FROM pt),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |pb AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, sum(cnt) AS n_bg, max(cnt) AS top_bg
+        |  FROM pb GROUP BY 1),
+        |f AS (
+        |  SELECT a1.doc_id, a1.n_tokens, a1.n_distinct,
+        |    round(1.0 - n_distinct::DOUBLE / n_tokens, 6) AS dup_frac,
+        |    tp.top_tok,
+        |    round(top_cnt::DOUBLE / n_tokens, 6) AS top_tok_frac,
+        |    coalesce(round(top_bg::DOUBLE / n_bg, 6), 0.0) AS top_bigram_frac
+        |  FROM a1 JOIN tp ON a1.doc_id = tp.doc_id AND tp.rn = 1
+        |  LEFT JOIN a2 ON a1.doc_id = a2.doc_id)
+        |SELECT doc_id, n_tokens, n_distinct, dup_frac, top_tok,
+        |  top_tok_frac, top_bigram_frac,
+        |  (dup_frac <= 0.55 AND top_tok_frac <= 0.10
+        |    AND top_bigram_frac <= 0.08) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "p6_mixture_sample" ->
+      s"""WITH w(lang, wt) AS (VALUES ('en', 4), ('de', 3), ('fr', 2), ('es', 1)),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |j AS (SELECT c.lang, n, wt FROM c JOIN w USING (lang)),
+        |s AS (SELECT min(n * 1000000 // wt) AS sc FROM j),
+        |t AS (SELECT lang, (wt * sc) // n AS thresh FROM j, s)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t USING (lang)
+        |WHERE ${dkHash("text", "23")} % 1000000 < thresh
+        |ORDER BY doc_id""".stripMargin,
 
     "s3_quantized_topk" ->
       """WITH s AS (
