@@ -264,6 +264,60 @@ object Dedup {
         col("n_hot").cast("double") / col("n_grams") <= maxHotFrac)
   }
 
+  /** Connected components over a near-duplicate pair list: each node's
+    * cluster id is the MINIMUM doc id reachable through pair edges —
+    * the step between pairwise near-dup detection and "keep one doc
+    * per duplicate cluster" (pairs alone over-delete: a~b, b~c must
+    * collapse to ONE canonical, not two independent drops).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes min(own label, neighbors' labels), a join + map-side
+    * combinable groupBy per round, converging in O(component
+    * diameter) rounds. Near-dup clusters are dense/star-like (tiny
+    * diameter), so rounds stay in low single digits; the
+    * alternating-star optimization (Kiveris et al.) drops in here if
+    * a corpus ever produces deep chains. Each round `localCheckpoint`s
+    * its labels — without truncation the logical plan doubles per
+    * round (labels feeds both the join and the union) and Catalyst
+    * chokes on the exponential tree long before the data does. On a
+    * real cluster use reliable `checkpoint` instead if executor loss
+    * mid-build must be survivable.
+    *
+    * `pairs` needs columns (id_a, id_b); output (id, label) covers
+    * every id that appears in some pair (singletons are their own
+    * canonical by definition and don't need rows). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true) // truncate lineage; O(1) plan depth
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .where(col("label") =!= col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash per document: bitwise majority over per-token
     * portable hashes (60 usable bits). Emits (id, simhash). */
   def simhash(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotProduct.dotF
+
+/** Product-quantization ANN (the IVF-PQ family's compression half):
+  * split the d-dim space into `m` subspaces of d/m dims, learn a
+  * k-codeword codebook per subspace (deterministic k-means-lite, L2
+  * assignment), and encode every corpus vector as `m` small codes — a
+  * 64-dim float32 vector (256 B) becomes 8 codes (8 B at k ≤ 256).
+  *
+  * Scale shape, mirroring [[Ivf]]:
+  * - codebooks are driver-held index METADATA (m·k·(d/m) = d·k floats
+  *   total — same size class as the IVF codebook);
+  * - training runs ONE shuffle per Lloyd round for ALL subspaces
+  *   (subvectors explode to (id, sub, subvec) rows; the centroid
+  *   recompute groupBy partial-aggregates to m·k·(d/m) rows map-side);
+  *   at 100 TB you train on a bounded sample — standard PQ practice —
+  *   and encoding still scans the full corpus exactly once;
+  * - encoding is a pure map-side projection (argmin over codebook
+  *   literals — no join, no shuffle);
+  * - search is Asymmetric Distance Computation: each query precomputes
+  *   its m×k lookup table of subquery·codeword dot products ONCE on
+  *   the broadcast query side, then a candidate's score is m O(1)
+  *   `element_at` picks — no per-(query,candidate) vector math at all,
+  *   and the scan reads 8-byte codes instead of 256-byte vectors.
+  *
+  * Determinism: seeds are the first k vectors by id, fixed-count Lloyd
+  * rounds, ties to the smallest code — reproducible across runs and
+  * partitionings (spec-pinned).
+  */
+object Pq {
+
+  /** `codebooks(j)` = codewords of subspace j as (code, subvec,
+    * ||subvec||²/2); `coded` = (id, codes array<int>). */
+  final case class Index(
+      codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]],
+      coded: DataFrame,
+      m: Int,
+      dsub: Int)
+
+  private def halfNormSq(v: Array[Float]): Double = {
+    var s = 0.0d; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    s / 2.0d
+  }
+
+  /** argmin_c ||v − c||² as the codegen-friendly
+    * argmax_c (v·c − ||c||²/2) over codeword literals; ties → smallest
+    * code (greatest over (score, −code) structs, as in Ivf). */
+  private def argminCode(subvec: Column,
+      codebook: Array[(Int, Array[Float], Double)]): Column = {
+    val cands = codebook.map { case (code, cv, hn2) =>
+      struct((dotF(subvec, typedlit(cv)) - lit(hn2)).as("score"),
+        lit(-code).as("ncode"))
+    }
+    if (cands.length == 1) lit(codebook.head._1)
+    else (-greatest(cands.toSeq: _*).getField("ncode")).cast("int")
+  }
+
+  private def subvec(vec: Column, j: Int, dsub: Int): Column =
+    slice(vec, j * dsub + 1, dsub)
+
+  /** One Lloyd round over ALL subspaces in a single shuffle:
+    * subvectors explode to (sub, subvec) rows, assignment is map-side
+    * per-sub argmin, the mean recompute partial-aggregates to
+    * m·k·dsub rows. Returns the refreshed driver codebooks. */
+  private def lloydRound(
+      vectors: DataFrame,
+      codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]],
+      m: Int, dsub: Int): IndexedSeq[Array[(Int, Array[Float], Double)]] = {
+    val subs = vectors.select(
+      posexplode(array((0 until m).map(j =>
+        subvec(col("vec"), j, dsub)): _*)).as(Seq("sub", "sv")))
+    val assigned = subs.withColumn("code",
+      // per-sub codebook dispatch: a when-chain over m literal argmins
+      (1 until m).foldLeft(
+        when(col("sub") === 0, argminCode(col("sv"), codebooks(0)))) {
+        (acc, j) => acc.when(col("sub") === j, argminCode(col("sv"), codebooks(j)))
+      })
+    val means = assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("mv"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mv")))),
+        s => s("mv").cast("float")).as("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    (0 until m).map { j =>
+      val fresh = means.filter(_._1 == j)
+        .map { case (_, code, cv) => (code, cv, halfNormSq(cv)) }
+      // codewords that captured no vectors keep their previous value
+      val freshCodes = fresh.map(_._1).toSet
+      (fresh ++ codebooks(j).filterNot(e => freshCodes.contains(e._1)))
+        .sortBy(_._1)
+    }
+  }
+
+  /** Build codebooks (k codewords per subspace, `iters` Lloyd rounds)
+    * and encode the corpus. `dim` must be divisible by `m`. */
+  def build(corpus: DataFrame, idCol: Column, vecCol: Column,
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2): Index = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val vectors = corpus.select(idCol.cast("long").as("id"), vecCol.as("vec"))
+    val seedRows = vectors.orderBy(col("id")).limit(k)
+      .select(col("vec")).collect().map(_.getSeq[Float](0).toArray)
+    var codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]] =
+      (0 until m).map { j =>
+        seedRows.zipWithIndex.map { case (v, i) =>
+          val sv = v.slice(j * dsub, (j + 1) * dsub)
+          (i, sv, halfNormSq(sv))
+        }
+      }
+    (0 until math.max(iters, 1)).foreach { _ =>
+      if (seedRows.nonEmpty)
+        codebooks = lloydRound(vectors, codebooks, m, dsub)
+    }
+    val coded = vectors.select(col("id"),
+      array((0 until m).map(j =>
+        argminCode(subvec(col("vec"), j, dsub), codebooks(j))): _*).as("codes"))
+    Index(codebooks, coded.cache(), m, dsub)
+  }
+
+  /** ADC top-k: approximate dot(q, v) ≈ Σⱼ LUTⱼ[codeⱼ(v)] where
+    * LUTⱼ[c] = qⱼ·codewordⱼ,c is computed once per query row before
+    * the broadcast join. queries: (qid, qvec); output
+    * (qid, vec_id, score, rank) — rank ties to the smaller id. */
+  def search(index: Index, queries: DataFrame, topK: Int,
+      roundDigits: Int = 5): DataFrame = {
+    if (index.codebooks.isEmpty || index.codebooks.head.isEmpty)
+      return queries.where(lit(false)).select(col("qid"),
+        col("qid").as("vec_id"), lit(0.0d).as("score"), lit(0L).as("rank"))
+    val m = index.m; val dsub = index.dsub
+    val luts = (0 until m).map { j =>
+      array(index.codebooks(j).map { case (_, cv, _) =>
+        dotF(subvec(col("qvec"), j, dsub), typedlit(cv))
+      }: _*).as(s"_lut$j")
+    }
+    val q = queries.select(col("qid") +: luts: _*)
+    val score = (0 until m).map(j =>
+      element_at(col(s"_lut$j"),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    index.coded.join(broadcast(q), col("qid") =!= col("id"))
+      .withColumn("score", round(score, roundDigits))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("id").as("vec_id"), col("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

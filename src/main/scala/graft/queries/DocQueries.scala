@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Ivf, Pack, Similarity}
+import graft.operators.{Dedup, Ivf, Pack, Pq, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -256,6 +256,63 @@ object DocQueries {
       Dedup.boilerplateReport(docs(s, dir), col("doc_id"), col("text"),
           n = 3, minDf = 5L, maxHotFrac = 0.1)
         .orderBy(col("doc_id"))),
+
+    // d7: near-dup CLUSTERS — connected components over the verified
+    // pair list (a~b, b~c collapse to one canonical, not two
+    // independent drops). Min-label propagation; oracle is a DuckDB
+    // recursive CTE over the identical pair list.
+    "d7_dedup_clusters" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text"),
+        n = 3).cache()
+      val pairs = Dedup.jaccardVerifyFromShingles(sh,
+        Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
+        threshold = 0.2)
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t9: self-trained unigram surprisal — the cheap "perplexity"
+    // quality signal: score docs by the mean -ln p(token) under the
+    // corpus's own unigram distribution. Two-pass model-then-score
+    // shape; per-token surprisal goes FIXED-POINT (floor·1e6) before
+    // any summation so doc scores are engine-exact integer sums, not
+    // order-dependent float accumulations. Skew-safe: per-doc token
+    // counts pre-aggregate before the frequency join (t4's rationale),
+    // so a Zipf-hot token joins once per containing doc, not once per
+    // occurrence.
+    "t9_unigram_surprisal" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val perDoc = tok.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      val totalN = freq.agg(sum(col("n_tok")).as("n_total"))
+      perDoc.join(freq, "tok").crossJoin(broadcast(totalN))
+        .select(col("doc_id"), col("cnt"),
+          (col("cnt") * floor(-log(col("n_tok").cast("double") /
+            col("n_total")) * 1000000.0d)).as("sv"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"), sum(col("sv")).as("_ssum"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("_ssum").cast("double") / 1000000.0d / col("n_tokens"), 6)
+            .as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // s4: product-quantization ANN (rows-only like s2: codeword means
+    // are FP-order dependent, so no SQL oracle; recall + determinism
+    // pinned in PqSpec). Corpus vectors compress 16× (256 B → 16
+    // codes); scoring is per-query LUT lookups, no vector math per
+    // candidate.
+    "s4_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val index = Pq.build(e, col("vec_id"), col("embedding"),
+        dim = 64, m = 16, k = 32, iters = 3)
+      Pq.search(index, q, topK = 5)
+    }),
 
     // p5: GPT-style sequence packing — concatenate docs in a
     // deterministic hash order, cut 512-token training sequences,
@@ -724,6 +781,73 @@ object DocQueries {
         |  round(n_hot::DOUBLE / n_grams, 6) AS hot_frac,
         |  (n_hot::DOUBLE / n_grams <= 0.1) AS keep
         |FROM per ORDER BY doc_id""".stripMargin,
+
+    "d7_dedup_clusters" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH RECURSIVE $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM co
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "t9_unigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.t AS tok
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |f AS (SELECT tok, count(*) AS n_tok FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM tok),
+        |s AS (
+        |  SELECT doc_id, cnt,
+        |    cnt * CAST(floor(-ln(n_tok::DOUBLE / n_total) * 1000000) AS BIGINT)
+        |      AS sv
+        |  FROM pd JOIN f USING (tok), n),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(sv) AS BIGINT) AS ssum
+        |  FROM s GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(ssum::DOUBLE / 1000000 / n_tokens, 6) AS mean_surprisal
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "p5_pack_sequences" ->
       s"""WITH d AS (

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive chains collapse to the min id") {
+    // a~b, b~c is ONE cluster even though (a,c) was never a pair
+    val l = labelsOf(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(l === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("deep path converges past one round") {
+    // path 10-9-...-1: min-label needs ~diameter rounds to reach 10
+    val l = labelsOf((1L until 10L).map(i => (i, i + 1)))
+    assert(l.size === 10)
+    assert(l.values.forall(_ === 1L))
+  }
+
+  test("label propagation is invariant under input partitioning") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L))
+    val a = labelsOf(pairs)
+    val b = Dedup.connectedComponents(
+      pairs.toDF("id_a", "id_b").repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}

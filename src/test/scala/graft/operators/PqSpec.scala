@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Product-quantization ANN: deterministic encoding, exactness when
+  * the codebook covers the corpus, and useful recall vs brute force. */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private lazy val queries = emb.where(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("build is deterministic and invariant under partitioning") {
+    val i1 = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
+      m = 16, k = 32, iters = 3)
+    val i2 = Pq.build(emb.repartition(7), col("vec_id"), col("embedding"),
+      dim = 64, m = 16, k = 32, iters = 3)
+    assert(i1.coded.count() === emb.count())
+    assert(i1.coded.exceptAll(i2.coded).count() === 0)
+    assert(i1.codebooks.length === 16)
+    i1.codebooks.foreach(cb => assert(cb.length === 32))
+  }
+
+  test("ADC is exact when every subvector is a codeword") {
+    // 8 vectors, k = 8 codewords per subspace seeded from ALL of them:
+    // each subvector quantizes to itself, so the ADC score equals the
+    // true dot product bit-for-bit (same left-to-right accumulation).
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 8 + d) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = Pq.build(vecs, col("vec_id"), col("embedding"),
+      dim = 8, m = 2, k = 8, iters = 1)
+    val adc = Pq.search(index, q, topK = 7, roundDigits = 5)
+    val exact = vecs.crossJoin(q).where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.dotFixed(col("qvec"), col("embedding"), 8), 5)
+          .as("score"))
+    val diff = adc.select("qid", "vec_id", "score")
+      .exceptAll(exact).count()
+    assert(diff === 0)
+  }
+
+  test("search recall against brute force is substantial") {
+    val index = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
+      m = 16, k = 32, iters = 3)
+    val pq = Pq.search(index, queries, topK = 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+    val hit = pq.select("qid", "vec_id")
+      .intersect(exact.select("qid", "vec_id")).count()
+    val total = exact.count()
+    assert(total === 50)
+    val recall = hit.toDouble / total
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+}
