@@ -286,7 +286,10 @@ object DocQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val perDoc = tok.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      // model from perDoc, not raw occurrences: the occurrence rows
+      // shuffle once (d6's two-exchange rationale) and the freq
+      // groupBy consumes perDoc's partitioning
+      val freq = perDoc.groupBy(col("tok")).agg(sum(col("cnt")).as("n_tok"))
       val totalN = freq.agg(sum(col("n_tok")).as("n_total"))
       perDoc.join(freq, "tok").crossJoin(broadcast(totalN))
         .select(col("doc_id"), col("cnt"),
@@ -310,7 +313,7 @@ object DocQueries {
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val index = Pq.build(e, col("vec_id"), col("embedding"),
-        dim = 64, m = 16, k = 32, iters = 3)
+        dim = 64, m = 16, k = 16, iters = 3)
       Pq.search(index, q, topK = 5)
     }),
 

@@ -18,13 +18,13 @@ class PqSpec extends SparkSpec {
 
   test("build is deterministic and invariant under partitioning") {
     val i1 = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
-      m = 16, k = 32, iters = 3)
+      m = 16, k = 16, iters = 3)
     val i2 = Pq.build(emb.repartition(7), col("vec_id"), col("embedding"),
-      dim = 64, m = 16, k = 32, iters = 3)
+      dim = 64, m = 16, k = 16, iters = 3)
     assert(i1.coded.count() === emb.count())
     assert(i1.coded.exceptAll(i2.coded).count() === 0)
     assert(i1.codebooks.length === 16)
-    i1.codebooks.foreach(cb => assert(cb.length === 32))
+    i1.codebooks.foreach(cb => assert(cb.length === 16))
   }
 
   test("ADC is exact when every subvector is a codeword") {
@@ -50,7 +50,7 @@ class PqSpec extends SparkSpec {
 
   test("search recall against brute force is substantial") {
     val index = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
-      m = 16, k = 32, iters = 3)
+      m = 16, k = 16, iters = 3)
     val pq = Pq.search(index, queries, topK = 5)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
     val hit = pq.select("qid", "vec_id")
@@ -58,6 +58,6 @@ class PqSpec extends SparkSpec {
     val total = exact.count()
     assert(total === 50)
     val recall = hit.toDouble / total
-    assert(recall >= 0.3, s"recall $recall too low")
+    assert(recall >= 0.4, s"recall $recall too low")
   }
 }
