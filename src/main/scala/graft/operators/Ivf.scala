@@ -121,33 +121,33 @@ object Ivf {
     Index(centroids, assign(vectors, codebook).cache(), codebook)
   }
 
-  /** Top-k search probing the `nProbe` nearest clusters per query.
-    * queries: (qid, qvec). Probe selection is a per-row sorted slice
-    * over codebook literals (no join, no window); only the final
-    * per-qid top-k is a window, which WindowGroupLimit prunes.
-    * Output matches [[Similarity.bruteForceTopK]]:
-    * (qid, vec_id, sim, rank). */
-  def search(index: Index, queries: DataFrame, topK: Int,
-      nProbe: Int = 2, roundDigits: Int = 5): DataFrame = {
-    if (index.codebook.isEmpty)
-      return queries.where(lit(false)).select(col("qid"),
-        col("qid").as("vec_id"), lit(0.0d).as("sim"), lit(0L).as("rank"))
+  /** (qid, qvec, cid) probe rows: each query paired with its `nProbe`
+    * nearest centroid ids — a per-row sorted slice over codebook
+    * literals (no join, no window). */
+  private def probeRows(queries: DataFrame,
+      codebook: Array[(Int, Array[Float], Double)], nProbe: Int): DataFrame = {
     // array_sort ascending over (-csim, cid) = csim desc, cid asc —
     // the same probe order as a csim-desc ranking. NaN csim (a
     // degenerate zero-norm centroid) maps to -∞ so it still sorts
     // FIRST, matching how assign()'s greatest() treats NaN as the
     // maximum — probe order and assignment stay consistent.
-    val ranked = array_sort(array(index.codebook.map { e =>
+    val ranked = array_sort(array(codebook.map { e =>
       val c = csimExpr(col("qvec"), col("_qn"), e)
       struct(when(isnan(c), lit(Double.NegativeInfinity)).otherwise(-c)
         .as("nsim"), lit(e._1).as("cid"))
     }.toSeq: _*))
-    val probes = queries
+    queries
       .withColumn("_qn", sqrt(dotF(col("qvec"), col("qvec"))))
       .select(col("qid"), col("qvec"),
         explode(slice(ranked, 1, nProbe)).as("probe"))
       .select(col("qid"), col("qvec"), col("probe.cid").as("cid"))
-    val cands = index.assigned.join(broadcast(probes), Seq("cid"))
+  }
+
+  /** Join probes against (id, vec, cid) rows and take the per-query
+    * top-k (WindowGroupLimit prunes the window). */
+  private def scoreProbed(assigned: DataFrame, probes: DataFrame,
+      topK: Int, roundDigits: Int): DataFrame = {
+    val cands = assigned.join(broadcast(probes), Seq("cid"))
       .where(col("qid") =!= col("id"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("id"))
@@ -157,5 +157,47 @@ object Ivf {
       .where(col("rank") <= topK)
       .select(col("qid"), col("id").as("vec_id"), col("sim"), col("rank"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  private def emptyResult(queries: DataFrame): DataFrame =
+    queries.where(lit(false)).select(col("qid"),
+      col("qid").as("vec_id"), lit(0.0d).as("sim"), lit(0L).as("rank"))
+
+  /** Top-k search probing the `nProbe` nearest clusters per query.
+    * queries: (qid, qvec). Output matches
+    * [[Similarity.bruteForceTopK]]: (qid, vec_id, sim, rank). */
+  def search(index: Index, queries: DataFrame, topK: Int,
+      nProbe: Int = 2, roundDigits: Int = 5): DataFrame = {
+    if (index.codebook.isEmpty) return emptyResult(queries)
+    scoreProbed(index.assigned,
+      probeRows(queries, index.codebook, nProbe), topK, roundDigits)
+  }
+
+  /** Write the assigned corpus PARTITIONED BY cluster id — the at-rest
+    * IVF layout: each cluster is its own partition directory, so a
+    * probe-filtered read physically prunes to nProbe/k of the files
+    * (the inverted-list property, realized as parquet partition
+    * pruning — no custom file format needed). */
+  def persist(index: Index, path: String): Unit =
+    index.assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Search a [[persist]]ed index. The distinct probed cluster ids
+    * (≤ k values — index metadata, same size class as the codebook)
+    * become a static `cid IN (...)` partition filter, so the scan
+    * reads ONLY the probed cluster directories; scoring then proceeds
+    * as in [[search]]. `IvfPersistSpec` pins both the pruned-scan
+    * plan shape and result parity with the in-memory search. */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, codebook: Array[(Int, Array[Float], Double)],
+      queries: DataFrame, topK: Int, nProbe: Int = 2,
+      roundDigits: Int = 5): DataFrame = {
+    if (codebook.isEmpty) return emptyResult(queries)
+    val probes = probeRows(queries, codebook, nProbe).cache()
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0))
+    val assigned = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids.map(Int.box): _*))
+      .select(col("id"), col("vec"), col("cid"))
+    scoreProbed(assigned, probes, topK, roundDigits)
   }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** At-rest IVF: cluster-partitioned persistence with probe-pruned
+  * reads — the scan must touch only the probed cluster directories. */
+class IvfPersistSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private lazy val queries = emb.where(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("persisted search returns exactly the in-memory results") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-persist")
+      .resolve("index").toString
+    Ivf.persist(index, dir)
+    val mem = Ivf.search(index, queries, topK = 5, nProbe = 3)
+    val disk = Ivf.searchPersisted(spark, dir, index.codebook,
+      queries, topK = 5, nProbe = 3)
+    assert(disk.collect().toSeq === mem.collect().toSeq)
+  }
+
+  test("probe filter prunes the partitioned scan to probed clusters") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-persist2")
+      .resolve("index").toString
+    Ivf.persist(index, dir)
+    // one query, nProbe=2: at most 2 of the 8 cluster directories scan
+    val q1 = queries.where(col("qid") === 0)
+    val disk = Ivf.searchPersisted(spark, dir, index.codebook,
+      q1, topK = 5, nProbe = 2)
+    val plan = disk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    // the static IN-list prunes the scan to at most the 2 probed cids
+    val inList = "PartitionFilters: \\[cid#\\d+ IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan)
+    assert(inList.exists(_.group(1).split(",").length <= 2),
+      s"partition filter not pruned to probes:\n$plan")
+  }
+}
