@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TextFunctions
+
+/** Streaming corpus ingest — the curation pipeline (p1's quality/lang
+  * gate, exact dedup, PII scrub) applied AT INGEST instead of as a
+  * batch pass: documents stream in, junk and duplicates never reach
+  * storage.
+  *
+  * Everything except the dedup is a stateless projection, so the batch
+  * operators from [[graft.functions.TextFunctions]] compose onto the
+  * stream unchanged (batch ≡ stream parity is spec-pinned). The dedup
+  * is `dropDuplicatesWithinWatermark` on the content hash: state is
+  * bounded by the watermark delay × arrival rate, not the stream's
+  * lifetime — on an unbounded feed that is the difference between a
+  * working pipeline and an OOM (`StreamDedup`'s rationale). Exact
+  * copies arriving farther apart than the delay fall through to the
+  * periodic batch dedup (d1/d7), the standard lambda split.
+  *
+  * Input schema: (doc_id, text, lang, ingest_ts).
+  */
+object DocStream {
+
+  /** The curation transform: quality ∧ language gate, PII scrub,
+    * exact dedup. Works on batch AND streaming frames (the parity
+    * spec runs both): streaming dedups within the watermark (first
+    * arrival wins), batch keeps the min-ingest-ts row per hash — the
+    * same winner when arrival order follows event time. */
+  def curate(docs: DataFrame, minQuality: Double = 0.3,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val wm = if (docs.isStreaming)
+      docs.withWatermark("ingest_ts", watermarkDelay) else docs
+    val gated = wm
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang_guess", TextFunctions.langGuess(col("text")))
+      .where(col("quality") >= minQuality &&
+        col("lang_guess") === col("lang"))
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("clean_text", TextFunctions.scrubPii(col("text")))
+      .select(col("doc_id"), col("ingest_ts"), col("lang"),
+        col("quality"), col("text_hash"), col("clean_text"))
+    if (docs.isStreaming)
+      StreamDedup.withinWatermark(gated, Seq("text_hash"))
+    else
+      graft.operators.Dedup.keepOnePerGroup(gated,
+        Seq(col("text_hash")), Seq(col("ingest_ts"), col("doc_id")))
+  }
+
+  /** Run the curation stream into day-partitioned parquet (retention
+    * by partition drop, as the position sink does). */
+  def start(docs: DataFrame, outDir: String, checkpoint: String,
+      minQuality: Double = 0.3): StreamingQuery =
+    curate(docs, minQuality)
+      .withColumn("ingest_date", to_date(col("ingest_ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ingest_date")
+      .outputMode("append")
+      .start()
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming corpus curation: junk and duplicates never reach the
+  * sink, PII is scrubbed at ingest, and the stream output matches the
+  * batch operators applied to the same rows. */
+class DocStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val good =
+    "the quick brown fox jumps over the lazy dog and runs far into " +
+      "the quiet green hills of the old countryside before the sun is " +
+      "down and the long warm evening settles in over the wide river " +
+      "valley with a slow golden light on the water"
+
+  test("curation stream gates, scrubs and dedups at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "lang", "ingest_ts")
+    val outDir = Files.createTempDirectory("doc-stream").toString
+    val ckpt = Files.createTempDirectory("doc-stream-ckpt").toString
+    val q = DocStream.start(docs, outDir, ckpt)
+
+    val rows = Seq(
+      (1L, good, "en", ts("2024-03-01 10:00:00")),
+      (2L, "x", "en", ts("2024-03-01 10:00:01")), // low quality
+      (3L, good + " mail me a.b@c.org today ok", "en",
+        ts("2024-03-01 10:00:02")), // pii, scrubbed not dropped
+      (4L, good, "de", ts("2024-03-01 10:00:03")), // lang mismatch
+      (5L, good, "en", ts("2024-03-01 10:00:04"))) // exact dup of 1
+    in.addData(rows)
+    q.processAllAvailable()
+    in.addData(rows) // full re-delivery inside the watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 2) // doc 1 (dup 5 dropped) + doc 3
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    val clean3 = out.where(col("doc_id") === 3)
+      .select("clean_text").as[String].head()
+    assert(clean3.contains("<EMAIL>") && !clean3.contains("a.b@c.org"))
+    // day partition exists (retention = partition drop)
+    assert(new java.io.File(s"$outDir/ingest_date=2024-03-01").isDirectory)
+  }
+
+  test("stream output equals the batch operators on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, good, "en", ts("2024-03-01 10:00:00")),
+      (2L, "x!", "en", ts("2024-03-01 10:00:01")),
+      (3L, good + " extra tail words here", "en", ts("2024-03-01 10:00:02")),
+      (4L, good, "en", ts("2024-03-01 10:00:03")))
+    val batch = DocStream.curate(
+      rows.toDF("doc_id", "text", "lang", "ingest_ts"))
+      .orderBy("doc_id").collect().toSeq
+
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val ckpt = Files.createTempDirectory("doc-parity-ckpt").toString
+    val q = DocStream.curate(in.toDF().toDF("doc_id", "text", "lang", "ingest_ts"))
+      .writeStream.format("memory").queryName("doc_parity")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    in.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("doc_parity").orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+  }
+}
