@@ -303,6 +303,46 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p7: n-gram-level eval contamination (the GPT-3/Llama
+    // decontamination method): for each test-split doc, the fraction
+    // of its distinct 5-grams that appear anywhere in the train
+    // split. p4 catches exact copies; this catches PARTIAL leakage
+    // (near-dups, quoted spans). Same by-construction corpus as p4
+    // (id-split over a union with re-idified copies) so the report is
+    // non-vacuous: exact copies score 1.0, near-dup spans fractional.
+    // Scale shape: grams dedup per (doc, split) before any join, the
+    // train side collapses to a distinct hash set, and the probe is a
+    // hash join on 60-bit longs — no text ships past the explode.
+    "p7_ngram_overlap" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = d0.unionByName(
+        d0.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val bucket = graft.functions.PortableHash
+        .phash(col("doc_id").cast("string"), 7) % 100
+      val withSplit = d.select(col("doc_id"), col("text"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      val grams = withSplit
+        .select(col("doc_id"), col("split"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("split"),
+          explode(Dedup.shingles(col("toks"), 5)).as("g"))
+        .select(col("doc_id"), col("split"),
+          graft.functions.PortableHash.phash(col("g"), 0).as("h"))
+        .distinct()
+      val trainGrams = grams.where(col("split") === "train")
+        .select(col("h")).distinct().withColumn("_hit", lit(1L))
+      grams.where(col("split") === "test")
+        .join(trainGrams, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .withColumn("overlap_frac",
+          round(col("n_hit").cast("double") / col("n_grams"), 6))
+        .withColumn("contaminated", col("overlap_frac") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // s4: product-quantization ANN (rows-only like s2: codeword means
     // are FP-order dependent, so no SQL oracle; recall + determinism
     // pinned in PqSpec). Corpus vectors compress 16× (256 B → 16
@@ -851,6 +891,36 @@ object DocQueries {
         |SELECT doc_id, n_tokens,
         |  round(ssum::DOUBLE / 1000000 / n_tokens, 6) AS mean_surprisal
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "p7_ngram_overlap" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 80 THEN 'train'
+        |         WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM corpus),
+        |toks AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM sp),
+        |g AS (
+        |  SELECT DISTINCT doc_id, split,
+        |    ${dkHash("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]", "0")} AS h
+        |  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+        |te AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hit
+        |  FROM g LEFT JOIN tr USING (h)
+        |  WHERE split = 'test' GROUP BY 1)
+        |SELECT doc_id, n_grams, n_hit,
+        |  round(n_hit::DOUBLE / n_grams, 6) AS overlap_frac,
+        |  (round(n_hit::DOUBLE / n_grams, 6) >= 0.5) AS contaminated
+        |FROM te ORDER BY doc_id""".stripMargin,
 
     "p5_pack_sequences" ->
       s"""WITH d AS (
