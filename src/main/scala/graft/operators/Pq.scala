@@ -64,25 +64,37 @@ object Pq {
   private def subvec(vec: Column, j: Int, dsub: Int): Column =
     slice(vec, j * dsub + 1, dsub)
 
-  /** One Lloyd round over ALL subspaces in a single shuffle:
-    * subvectors explode to (sub, subvec) rows, assignment is map-side
-    * per-sub argmin, the mean recompute partial-aggregates to
-    * m·k·dsub rows. Returns the refreshed driver codebooks. */
+  /** One Lloyd round over ALL subspaces in a single shuffle. The
+    * training plan is deliberately GENERIC — the codebook enters as a
+    * broadcast-joined DataFrame, not as expression literals — so the
+    * generated code is identical across rounds and compiles ONCE
+    * (literal argmin chains would recompile per round: new literals →
+    * new source → a fresh multi-second Janino pass each iteration,
+    * which dominated the build at small scale). Literal codegen is
+    * reserved for the one-time [[build]] encode and [[search]] LUTs,
+    * where the per-row win is paid back over the full corpus scan. */
   private def lloydRound(
       vectors: DataFrame,
       codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]],
       m: Int, dsub: Int): IndexedSeq[Array[(Int, Array[Float], Double)]] = {
-    val subs = vectors.select(
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cbDf = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, cv, hn2) => (j, code, cv, hn2) }
+    }.toDF("sub", "code", "cv", "hn2")
+    val subs = vectors.select(col("id"),
       posexplode(array((0 until m).map(j =>
         subvec(col("vec"), j, dsub)): _*)).as(Seq("sub", "sv")))
-    val assigned = subs.withColumn("code",
-      // per-sub codebook dispatch: a when-chain over m literal argmins
-      (1 until m).foldLeft(
-        when(col("sub") === 0, argminCode(col("sv"), codebooks(0)))) {
-        (acc, j) => acc.when(col("sub") === j, argminCode(col("sv"), codebooks(j)))
-      })
+    // argmax (sv·cv − ‖cv‖²/2) per (id, sub) = min(struct(−score,
+    // code)): ties to the smallest code, same rule as argminCode.
+    val assigned = subs.join(broadcast(cbDf), Seq("sub"))
+      .withColumn("nscore", -(dotF(col("sv"), col("cv")) - col("hn2")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("nscore"), col("code"))).as("best"),
+        first(col("sv")).as("sv")) // sv is constant within the group
     val means = assigned
-      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .select(col("sub"), col("best.code").as("code"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("code"), col("pos"))
       .agg(avg(col("x").cast("double")).as("mv"))
       .groupBy(col("sub"), col("code"))
@@ -102,13 +114,25 @@ object Pq {
   }
 
   /** Build codebooks (k codewords per subspace, `iters` Lloyd rounds)
-    * and encode the corpus. `dim` must be divisible by `m`. */
+    * and encode the corpus. `dim` must be divisible by `m`.
+    * Training runs over at most `trainSampleCap` vectors (a
+    * deterministic id-stride sample) — standard PQ practice: codebook
+    * quality saturates at a bounded sample while encoding still scans
+    * the full corpus exactly once, so build cost at 100 TB is one
+    * full-scan encode plus a constant-size training job. */
   def build(corpus: DataFrame, idCol: Column, vecCol: Column,
-      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2): Index = {
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2,
+      trainSampleCap: Int = 4096): Index = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
     val vectors = corpus.select(idCol.cast("long").as("id"), vecCol.as("vec"))
-    val seedRows = vectors.orderBy(col("id")).limit(k)
+    val n = vectors.count()
+    val training =
+      if (n <= trainSampleCap) vectors
+      else vectors.where(
+        pmod(col("id"), lit(((n + trainSampleCap - 1) / trainSampleCap)
+          .max(1L))) === 0)
+    val seedRows = training.orderBy(col("id")).limit(k)
       .select(col("vec")).collect().map(_.getSeq[Float](0).toArray)
     var codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]] =
       (0 until m).map { j =>
@@ -119,7 +143,7 @@ object Pq {
       }
     (0 until math.max(iters, 1)).foreach { _ =>
       if (seedRows.nonEmpty)
-        codebooks = lloydRound(vectors, codebooks, m, dsub)
+        codebooks = lloydRound(training, codebooks, m, dsub)
     }
     val coded = vectors.select(col("id"),
       array((0 until m).map(j =>
