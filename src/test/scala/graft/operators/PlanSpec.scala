@@ -71,6 +71,25 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("sequence packing joins its bucket offsets by broadcast") {
+    // the distributed prefix sum: per-bucket running sums join the
+    // metadata-sized bucket-base table via broadcast — a sort-merge
+    // join here would mean the offsets table got mis-sized
+    val p = plan("p5_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"SMJ in packReport:\n$p")
+  }
+
+  test("mixture sampling broadcasts the per-language thresholds") {
+    val p = plan("p6_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("PQ search prunes its top-k window") {
+    assert(plan("s4_pq_topk").contains("WindowGroupLimit"))
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
