@@ -343,6 +343,55 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p8: the full pretraining-data pipeline as ONE oracle-checked
+    // query — RefinedWeb-shaped: Gopher hard filters ∧ repetition
+    // filters → exact-dup canonicals → drop LSH-verified near-dup
+    // losers → mixture resample to 4:3:2:1 language weights (computed
+    // over the SURVIVORS, as a real run would) → pack the kept docs
+    // into 512-token training sequences. Every stage is an
+    // individually oracle-proven operator (t6, t8, d1, d2+d3v, p6,
+    // p5); this pins their COMPOSITION, including the stage order
+    // dependencies (mixture thresholds depend on filter+dedup
+    // output, packing offsets depend on the mixture's keep set).
+    "p8_pretrain_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gopherKeep = TextFunctions.gopherReport(d, col("doc_id"), col("text"))
+        .where(col("keep")).select(col("doc_id"))
+      val repKeep = TextFunctions.repetitionReport(d, col("doc_id"), col("text"))
+        .where(col("keep")).select(col("doc_id"))
+      val canon = Dedup.exactDuplicates(d, col("doc_id"), col("text"))
+        .select(col("canonical_id").as("doc_id"))
+      val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3).cache()
+      val nearLosers = Dedup.jaccardVerifyFromShingles(sh,
+          Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
+          threshold = 0.2)
+        .select(col("id_b").as("doc_id")).distinct()
+      val survivors = d
+        .join(gopherKeep, Seq("doc_id"), "left_semi")
+        .join(repKeep, Seq("doc_id"), "left_semi")
+        .join(canon, Seq("doc_id"), "left_semi")
+        .join(nearLosers, Seq("doc_id"), "left_anti")
+      import s.implicits._
+      val w = Seq(("en", 4L), ("de", 3L), ("fr", 2L), ("es", 1L))
+        .toDF("lang", "wt")
+      val counts = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .join(broadcast(w), Seq("lang"))
+      val scale = counts.agg(min(expr("n * 1000000 div wt")).as("sc"))
+      val thresh = counts.crossJoin(broadcast(scale))
+        .select(col("lang"), expr("wt * sc div n").as("thresh"))
+      val mixed = survivors.join(broadcast(thresh), Seq("lang"))
+        .where(pmod(graft.functions.PortableHash.phash(col("text"), 23),
+          lit(1000000L)) < col("thresh"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      Pack.packReport(mixed, col("doc_id"),
+          size(split(col("text"), " ")), budget = 512L)
+        .withColumnRenamed("id", "doc_id")
+        .join(mixed.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("offset"), col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    }),
+
     // s4: product-quantization ANN (rows-only like s2: codeword means
     // are FP-order dependent, so no SQL oracle; recall + determinism
     // pinned in PqSpec). Corpus vectors compress 16× (256 B → 16
@@ -891,6 +940,103 @@ object DocQueries {
         |SELECT doc_id, n_tokens,
         |  round(ssum::DOUBLE / 1000000 / n_tokens, 6) AS mean_surprisal
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "p8_pretrain_pipeline" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT DISTINCT id_b AS doc_id
+        |  FROM co
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |gf AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS nw,
+        |    (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+        |      / len(string_split(text, ' ')) AS awl,
+        |    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+        |      / length(text) AS sym,
+        |    len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the','a','an','of','and','or','to','in','is','on','for','with'], tk)))
+        |      AS nstop
+        |  FROM documents),
+        |gk AS (
+        |  SELECT doc_id FROM gf
+        |  WHERE nw BETWEEN 3 AND 256 AND awl >= 2.0 AND awl <= 12.0
+        |    AND sym <= 0.2 AND nstop >= 1),
+        |tt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |rtok AS (SELECT doc_id, u.t AS tok FROM tt, UNNEST(tk) AS u(t)),
+        |rpt AS (SELECT doc_id, tok, count(*) AS cnt FROM rtok GROUP BY 1, 2),
+        |ra1 AS (SELECT doc_id, sum(cnt) AS n, count(*) AS nd, max(cnt) AS tc
+        |  FROM rpt GROUP BY 1),
+        |rbg AS (
+        |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+        |  FROM tt, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+        |rpb AS (SELECT doc_id, b, count(*) AS cnt FROM rbg GROUP BY 1, 2),
+        |ra2 AS (SELECT doc_id, sum(cnt) AS nb, max(cnt) AS tb FROM rpb GROUP BY 1),
+        |rk AS (
+        |  SELECT ra1.doc_id FROM ra1 LEFT JOIN ra2 ON ra1.doc_id = ra2.doc_id
+        |  WHERE round(1.0 - nd::DOUBLE / n, 6) <= 0.55
+        |    AND round(tc::DOUBLE / n, 6) <= 0.10
+        |    AND coalesce(round(tb::DOUBLE / nb, 6), 0.0) <= 0.08),
+        |surv AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  JOIN gk USING (doc_id) JOIN rk USING (doc_id)
+        |  WHERE d.doc_id IN (SELECT doc_id FROM canon)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM near)),
+        |w(lang, wt) AS (VALUES ('en', 4), ('de', 3), ('fr', 2), ('es', 1)),
+        |cnts AS (SELECT lang, count(*) AS n FROM surv GROUP BY 1),
+        |jj AS (SELECT cnts.lang, n, wt FROM cnts JOIN w USING (lang)),
+        |scl AS (SELECT min(n * 1000000 // wt) AS sc FROM jj),
+        |th AS (SELECT lang, (wt * sc) // n AS thresh FROM jj, scl),
+        |mixed AS (
+        |  SELECT surv.doc_id, surv.lang, surv.text
+        |  FROM surv JOIN th USING (lang)
+        |  WHERE ${dkHash("text", "23")} % 1000000 < thresh),
+        |pk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ${dkHash("CAST(doc_id AS VARCHAR)", "13")} AS k
+        |  FROM mixed),
+        |pb2 AS (SELECT doc_id, lang, n_tokens, k, k % 8 AS bk FROM pk),
+        |pc AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY bk, k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+        |  FROM pb2)
+        |SELECT doc_id, lang, n_tokens, "offset",
+        |  CAST("offset" // 512 AS BIGINT) AS seq_first,
+        |  CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+        |FROM pc ORDER BY doc_id""".stripMargin
+    },
 
     "p7_ngram_overlap" ->
       s"""WITH corpus AS (
