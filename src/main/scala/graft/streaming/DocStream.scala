@@ -50,6 +50,22 @@ object DocStream {
         Seq(col("text_hash")), Seq(col("ingest_ts"), col("doc_id")))
   }
 
+  /** [[curate]] plus dedup against the EXISTING corpus: a
+    * stream-static left-anti join on the content hash drops documents
+    * whose exact text is already stored — within-stream copies are
+    * handled by the watermark dedup, historical copies by this join.
+    * `knownHashes` is a static (text_hash) frame (e.g. a projection
+    * of the curated corpus; at 100 TB a bucketed table on text_hash,
+    * re-snapshotted between runs — the standard incremental-ingest
+    * split: the static side refreshes per batch job, not per
+    * micro-batch). */
+  def curateIncremental(docs: DataFrame, knownHashes: DataFrame,
+      minQuality: Double = 0.3,
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    curate(docs, minQuality, watermarkDelay)
+      .join(knownHashes.select(col("text_hash")), Seq("text_hash"),
+        "left_anti")
+
   /** Run the curation stream into day-partitioned parquet (retention
     * by partition drop, as the position sink does). */
   def start(docs: DataFrame, outDir: String, checkpoint: String,

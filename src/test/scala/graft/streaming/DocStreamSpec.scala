@@ -54,6 +54,28 @@ class DocStreamSpec extends SparkSpec {
     assert(new java.io.File(s"$outDir/ingest_date=2024-03-01").isDirectory)
   }
 
+  test("incremental curation drops docs already in the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val known = Seq(good).toDF("text")
+      .select(md5(col("text")).as("text_hash"))
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val ckpt = Files.createTempDirectory("doc-incr-ckpt").toString
+    val q = DocStream.curateIncremental(
+      in.toDF().toDF("doc_id", "text", "lang", "ingest_ts"), known)
+      .writeStream.format("memory").queryName("doc_incr")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    in.addData(Seq(
+      (1L, good, "en", ts("2024-03-01 10:00:00")), // already ingested
+      (2L, good + " with a fresh new tail of words", "en",
+        ts("2024-03-01 10:00:01")))) // genuinely new
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("doc_incr").select("doc_id").as[Long].collect()
+    assert(out.toSeq === Seq(2L))
+  }
+
   test("stream output equals the batch operators on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
