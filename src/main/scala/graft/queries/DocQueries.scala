@@ -366,11 +366,18 @@ object DocQueries {
           Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
           threshold = 0.2)
         .select(col("id_b").as("doc_id")).distinct()
+      // cache the stage boundaries: survivors feed the mixture counts
+      // AND the keep scan, mixed feeds both packReport windows and the
+      // final lang join — uncached, the whole filter+dedup subtree
+      // (LSH verify included) re-executes per consumer. At 100 TB the
+      // equivalent is materializing each stage to parquet between
+      // jobs, which a real pipeline does anyway.
       val survivors = d
         .join(gopherKeep, Seq("doc_id"), "left_semi")
         .join(repKeep, Seq("doc_id"), "left_semi")
         .join(canon, Seq("doc_id"), "left_semi")
         .join(nearLosers, Seq("doc_id"), "left_anti")
+        .cache()
       import s.implicits._
       val w = Seq(("en", 4L), ("de", 3L), ("fr", 2L), ("es", 1L))
         .toDF("lang", "wt")
@@ -383,6 +390,7 @@ object DocQueries {
         .where(pmod(graft.functions.PortableHash.phash(col("text"), 23),
           lit(1000000L)) < col("thresh"))
         .select(col("doc_id"), col("lang"), col("text"))
+        .cache()
       Pack.packReport(mixed, col("doc_id"),
           size(split(col("text"), " ")), budget = 512L)
         .withColumnRenamed("id", "doc_id")
