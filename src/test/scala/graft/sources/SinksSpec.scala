@@ -81,6 +81,32 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("content-hash-bucketed corpus dedups with no exchange") {
+    // d1-at-rest: a corpus bucketed by text_hash pre-shuffles the
+    // exact-dedup key, so the canonical-id aggregation (and the
+    // incremental-ingest anti join on the same key) runs with zero
+    // exchanges — at 100 TB that is the dedup shuffle, gone.
+    val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"))
+      .toDF("doc_id", "text")
+      .withColumn("text_hash", md5(col("text")))
+    Sinks.writeBucketed(docs, "b_docs", Seq("text_hash"), buckets = 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val agg = spark.table("b_docs").groupBy("text_hash")
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      val rows = agg.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(rows === Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+    }
+  }
+
   test("compact rewrites a fragmented sink into right-sized files") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val df = spark.range(100).toDF("id")
