@@ -264,6 +264,43 @@ object Dedup {
         col("n_hot").cast("double") / col("n_grams") <= maxHotFrac)
   }
 
+  /** SimHash near-duplicate pairs with an EXACT recall guarantee:
+    * split the `bits`-bit fingerprint into `bands` chunks and bucket-
+    * join on (band, chunk) — by pigeonhole, two fingerprints within
+    * `maxHamming ≤ bands − 1` bits MUST agree on at least one whole
+    * chunk, so banding finds every qualifying pair (recall 1.0, not
+    * probabilistic like MinHash banding); candidates then verify with
+    * a codegen'd `bit_count(a ^ b)`. The scale shape matches d2: one
+    * explode, one bucket groupBy-join, verification on 64-bit longs —
+    * fingerprints, never text, in the shuffle. */
+  def simhashNearDupPairs(
+      sims: DataFrame,
+      maxHamming: Int = 1,
+      bands: Int = 4,
+      bits: Int = 60): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"recall guarantee needs maxHamming ($maxHamming) <= bands-1 (${bands - 1})")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val banded = sims
+      .select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk",
+        expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over a near-duplicate pair list: each node's
     * cluster id is the MINIMUM doc id reachable through pair edges —
     * the step between pairwise near-dup detection and "keep one doc

@@ -257,6 +257,16 @@ object DocQueries {
           n = 3, minDf = 5L, maxHotFrac = 0.1)
         .orderBy(col("doc_id"))),
 
+    // d4v: SimHash near-dup pairs via banding — pigeonhole gives
+    // recall 1.0 for hamming ≤ bands−1 (unlike MinHash banding, the
+    // guarantee is exact); verification is one codegen'd
+    // bit_count(xor) on 64-bit fingerprints.
+    "d4v_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+          Dedup.simhash(docs(s, dir), col("doc_id"), col("text")),
+          maxHamming = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // d7: near-dup CLUSTERS — connected components over the verified
     // pair list (a~b, b~c collapse to one canonical, not two
     // independent drops). Min-label propagation; oracle is a DuckDB
@@ -881,6 +891,34 @@ object DocQueries {
         |  round(n_hot::DOUBLE / n_grams, 6) AS hot_frac,
         |  (n_hot::DOUBLE / n_grams <= 0.1) AS keep
         |FROM per ORDER BY doc_id""".stripMargin,
+
+    "d4v_simhash_neardup" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, u.t AS tok
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |h AS (SELECT doc_id, ${dkHash("tok", "0")} AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.i AS bit,
+        |    CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END AS w
+        |  FROM h, UNNEST(range(0, 60)) AS r(i)),
+        |agg AS (SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY 1, 2),
+        |sh2 AS (
+        |  SELECT doc_id AS id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+        |      AS simhash
+        |  FROM agg GROUP BY 1),
+        |banded AS (
+        |  SELECT id, simhash, b.i AS band,
+        |    (simhash >> (b.i * 15)) & 32767 AS chunk
+        |  FROM sh2, UNNEST(range(0, 4)) AS b(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d7_dedup_clusters" -> {
       val coeffRows = (0 until 16).map { k =>

@@ -40,6 +40,30 @@ class PipelinePropertySpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("simhash banding finds EVERY pair within the hamming bound") {
+    // pigeonhole: hamming <= bands-1 implies one whole chunk agrees,
+    // so banding must equal the brute-force pair scan exactly
+    val base = (1 to 40).map(_ => rnd.nextLong() & ((1L << 60) - 1))
+    val sims = base.zipWithIndex.flatMap { case (s, i) =>
+      // each base fingerprint plus perturbations at hamming 1..4
+      Seq((i * 10L, s)) ++ (1 to 3).map { d =>
+        val flipped = (0 until d).foldLeft(s)((acc, j) =>
+          acc ^ (1L << ((i * 7 + j * 13) % 60)))
+        (i * 10L + d, flipped)
+      }
+    }.toDF("id", "simhash")
+    val got = Dedup.simhashNearDupPairs(sims, maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = sims.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got === expect)
+    assert(expect.nonEmpty)
+  }
+
   test("connectedComponents matches local union-find on random graphs") {
     // sparse random graph over 120 nodes: many small components, some
     // chains, some isolated-by-absence nodes
