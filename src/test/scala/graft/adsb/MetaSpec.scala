@@ -92,6 +92,25 @@ class MetaSpec extends SparkSpec {
     assert(frames.count() === 18)
   }
 
+  test("metadata-only queries prune the blob from the parquet scan") {
+    import graft.operators.Multimodal
+    val bin = Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir())
+    val dir = java.nio.file.Files.createTempDirectory("mm-prune").toString
+    Multimodal.withFakeMetadata(bin, col("silhouette"))
+      .write.mode("overwrite").parquet(dir)
+    // a census over metadata must not read the binary column: at
+    // 100 TB the blobs ARE the table, and reading them for a count
+    // by media_type turns a metadata query into a full-corpus scan
+    val census = spark.read.parquet(dir)
+      .groupBy("media_type").count()
+    val scan = census.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: ([^\\n]*)".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("media_type"), scan)
+    assert(!readSchema.contains("silhouette"), readSchema)
+    assert(census.count() > 0)
+  }
+
   test("batched decode: schema contract, determinism, batch-size invariance") {
     import graft.operators.Multimodal
     val bin = Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir())
