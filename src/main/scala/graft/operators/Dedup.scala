@@ -271,31 +271,37 @@ object Dedup {
     * chunk, so banding finds every qualifying pair (recall 1.0, not
     * probabilistic like MinHash banding); candidates then verify with
     * a codegen'd `bit_count(a ^ b)`. The scale shape matches d2: one
-    * explode, one bucket groupBy-join, verification on 64-bit longs —
-    * fingerprints, never text, in the shuffle. */
+    * explode, pairs via per-bucket grouping in a single pipeline (a
+    * self-join would recompute the fingerprint plan per side), and
+    * `maxBucketSize` bounds the quadratic blowup of a degenerate
+    * chunk (e.g. the all-zeros fingerprint of near-empty docs) — the
+    * same mega-bucket rationale as
+    * [[minhashCandidatesFromShingles]]. Fingerprints, never text, in
+    * the shuffle. */
   def simhashNearDupPairs(
       sims: DataFrame,
       maxHamming: Int = 1,
       bands: Int = 4,
-      bits: Int = 60): DataFrame = {
+      bits: Int = 60,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= bands - 1,
       s"recall guarantee needs maxHamming ($maxHamming) <= bands-1 (${bands - 1})")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val banded = sims
+    sims
       .select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk",
         expr(s"shiftright(simhash, band * $bandBits) & $mask"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
+      .groupBy(col("band"), col("chunk"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
-    cand
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
