@@ -75,6 +75,34 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally ext.conf.unset(WidthKey)
   }
 
+  test("TIMESTAMP_NTZ interval joins rewrite and stay exact") {
+    // Spark 4 has no direct Cast(NTZ -> BIGINT); the rule must route
+    // through TimestampType or the rewritten plan fails to resolve.
+    import org.apache.spark.sql.functions._
+    def ntzViews(s: SparkSession): Unit = {
+      val (p, i) = fixtures(s)
+      p.withColumn("t", timestamp_seconds(col("t")).cast("timestamp_ntz"))
+        .createOrReplaceTempView("npts")
+      i.withColumn("lo", timestamp_seconds(col("lo")).cast("timestamp_ntz"))
+        .withColumn("hi", timestamp_seconds(col("hi")).cast("timestamp_ntz"))
+        .createOrReplaceTempView("nivs")
+    }
+    val sqlText =
+      "SELECT pid, iid FROM npts JOIN nivs ON npts.t >= nivs.lo AND npts.t <= nivs.hi"
+    ntzViews(SparkSpec.session)
+    val baseline = SparkSpec.session.sql(sqlText)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    ext.conf.set(WidthKey, "50")
+    try {
+      ntzViews(ext)
+      val df = ext.sql(sqlText)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case g: Generate => g }.nonEmpty)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === baseline)
+    } finally ext.conf.unset(WidthKey)
+  }
+
   test("rule leaves equi-joins and conf-off sessions untouched") {
     // conf off → no Generate
     val (p, i) = fixtures(ext)
