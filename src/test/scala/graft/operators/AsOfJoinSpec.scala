@@ -41,6 +41,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3).getDouble(1) === 55.0)  // equal timestamp matches
   }
 
+  test("NULL right times never match (nulls-first sort must not leak)") {
+    // a NULL quote time sorts before everything in the union's
+    // ascending order — without the explicit filter its payload would
+    // attach as a bogus "preceding" match for quotes-less trades
+    val trades = Seq((1L, "A", ts("2024-01-01 10:00:05")))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", null.asInstanceOf[Timestamp], 666.0),
+      ("A", ts("2024-01-01 10:00:30"), 999.0) // after the trade
+    ).toDF("sym", "qt", "px")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "sym", "t", "qt",
+        payload = Seq("px"))
+      .select(col("asof.px")).collect()
+    assert(out.length === 1 && out(0).isNullAt(0))
+  }
+
   test("asOf plans one shuffle, not an inequality cross product") {
     val l = Seq((1L, "A", ts("2024-01-01 10:00:05"))).toDF("id", "k", "t")
     val r = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "qt", "v")
