@@ -355,13 +355,16 @@ object DocQueries {
 
     // p8: the full pretraining-data pipeline as ONE oracle-checked
     // query — RefinedWeb-shaped: Gopher hard filters ∧ repetition
-    // filters → exact-dup canonicals → drop LSH-verified near-dup
-    // losers → mixture resample to 4:3:2:1 language weights (computed
-    // over the SURVIVORS, as a real run would) → pack the kept docs
-    // into 512-token training sequences. Every stage is an
-    // individually oracle-proven operator (t6, t8, d1, d2+d3v, p6,
-    // p5); this pins their COMPOSITION, including the stage order
-    // dependencies (mixture thresholds depend on filter+dedup
+    // filters → exact-dup canonicals → near-dup CLUSTER canonicals
+    // (d7 components over the verified pairs: keep each cluster's
+    // min id — pairwise loser-dropping would keep both ends of a
+    // transitive chain like 1~3, 2~3; p1 documents that simpler
+    // policy) → mixture resample to 4:3:2:1 language weights
+    // (computed over the SURVIVORS, as a real run would) → pack the
+    // kept docs into 512-token training sequences. Every stage is an
+    // individually oracle-proven operator (t6, t8, d1, d2+d3v+d7,
+    // p6, p5); this pins their COMPOSITION, including the stage
+    // order dependencies (mixture thresholds depend on filter+dedup
     // output, packing offsets depend on the mixture's keep set).
     "p8_pretrain_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -372,10 +375,13 @@ object DocQueries {
       val canon = Dedup.exactDuplicates(d, col("doc_id"), col("text"))
         .select(col("canonical_id").as("doc_id"))
       val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3).cache()
-      val nearLosers = Dedup.jaccardVerifyFromShingles(sh,
+      val pairs = Dedup.jaccardVerifyFromShingles(sh,
           Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
           threshold = 0.2)
-        .select(col("id_b").as("doc_id")).distinct()
+      val nearLosers = Dedup
+        .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .where(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
       // cache the stage boundaries: survivors feed the mixture counts
       // AND the keep scan, mixed feeds both packReport windows and the
       // final lang join — uncached, the whole filter+dedup subtree
@@ -992,7 +998,7 @@ object DocQueries {
         val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
         s"($k, $a, $b)"
       }.mkString(", ")
-      s"""WITH $shingleCte,
+      s"""WITH RECURSIVE $shingleCte,
         |mh AS (
         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
         |sig AS (
@@ -1016,12 +1022,24 @@ object DocQueries {
         |  JOIN shd a ON c.id_a = a.doc_id
         |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
         |  GROUP BY 1, 2),
-        |near AS (
-        |  SELECT DISTINCT id_b AS doc_id
+        |pairsv AS (
+        |  SELECT id_a, id_b
         |  FROM co
         |  JOIN sizes sa ON id_a = sa.doc_id
         |  JOIN sizes sb ON id_b = sb.doc_id
         |  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairsv
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairsv),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |near AS (
+        |  SELECT id AS doc_id FROM (
+        |    SELECT id, min(r) AS m FROM reach GROUP BY 1)
+        |  WHERE id <> m),
         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |gf AS (
         |  SELECT doc_id,

@@ -25,6 +25,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(l.values.forall(_ === 1L))
   }
 
+  test("cluster canonicals drop transitive near-dups pairwise losers keep") {
+    // chain 1~3, 2~3: docs 1 and 2 are near-dups only transitively.
+    // Dropping pair losers (id_b) keeps BOTH 1 and 2; cluster
+    // canonicals (p8's policy) keep only the component min.
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val losers = Dedup.connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select("id").as[Long].collect().toSet
+    assert(losers === Set(2L, 3L))
+  }
+
   test("label propagation is invariant under input partitioning") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (20L, 21L))
