@@ -145,9 +145,15 @@ object Pq {
       if (seedRows.nonEmpty)
         codebooks = lloydRound(training, codebooks, m, dsub)
     }
-    val coded = vectors.select(col("id"),
-      array((0 until m).map(j =>
-        argminCode(subvec(col("vec"), j, dsub), codebooks(j))): _*).as("codes"))
+    // empty corpus ⇒ empty codebooks; argminCode over zero codewords
+    // is unplannable, so short-circuit to an empty (id, codes) frame
+    val coded =
+      if (seedRows.isEmpty)
+        vectors.where(lit(false))
+          .select(col("id"), array().cast("array<int>").as("codes"))
+      else vectors.select(col("id"),
+        array((0 until m).map(j =>
+          argminCode(subvec(col("vec"), j, dsub), codebooks(j))): _*).as("codes"))
     Index(codebooks, coded.cache(), m, dsub)
   }
 

@@ -48,6 +48,15 @@ class PqSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("empty corpus builds an empty index and searches to no rows") {
+    val none = emb.where(col("vec_id") < 0)
+    val index = Pq.build(none, col("vec_id"), col("embedding"), dim = 64)
+    assert(index.coded.count() === 0)
+    val q = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(Pq.search(index, q, topK = 5).count() === 0)
+  }
+
   test("search recall against brute force is substantial") {
     val index = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
       m = 16, k = 16, iters = 3)
