@@ -441,6 +441,22 @@ object DocQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // p5b: the packing manifest a trainer consumes — one row per
+    // 512-token training sequence with its document membership
+    // (straddling docs appear in every sequence they touch). Derived
+    // entirely from p5's report by exploding each doc's sequence
+    // span; the groupBy is map-side combinable on seq_id.
+    "p5b_pack_manifest" -> ((s, dir) =>
+      Pack.packReport(docs(s, dir), col("doc_id"),
+          size(split(col("text"), " ")), budget = 512L)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("seq_id"))),
+
     // t7: PII scrub report over a corpus with deterministically
     // injected emails/IPs (the driver corpus has none — same
     // by-construction pattern as p4; a 0-hit green proves nothing).
@@ -1150,6 +1166,30 @@ object DocQueries {
         |  CAST(("offset" + n_tokens - 1) // 512 - "offset" // 512 + 1
         |    AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "p5b_pack_manifest" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ${dkHash("CAST(doc_id AS VARCHAR)", "13")} AS k
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens, k, k % 8 AS bk FROM d),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY bk, k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+        |  FROM b),
+        |spans AS (
+        |  SELECT doc_id,
+        |    CAST("offset" // 512 AS BIGINT) AS sf,
+        |    CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS sl
+        |  FROM c),
+        |member AS (
+        |  SELECT doc_id, CAST(u.s AS BIGINT) AS seq_id
+        |  FROM spans, UNNEST(generate_series(sf, sl)) AS u(s))
+        |SELECT seq_id, count(*) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM member GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     "t7_pii_scrub" ->
       """WITH d AS (
