@@ -328,7 +328,11 @@ object Dedup {
     *
     * `pairs` needs columns (id_a, id_b); output (id, label) covers
     * every id that appears in some pair (singletons are their own
-    * canonical by definition and don't need rows). */
+    * canonical by definition and don't need rows). `maxIters` is a
+    * safety valve, not a tuning knob: a graph whose diameter exceeds
+    * it returns with some labels still non-minimal — raise it (or
+    * switch to alternating-star) if `changed` is ever nonzero at the
+    * cap. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("long").as("src"),

@@ -282,6 +282,34 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d8: quality-aware canonical selection — within each near-dup
+    // cluster (d7 components) keep the HIGHEST-quality copy, not the
+    // smallest id: what a curation run actually wants when mirrors
+    // differ in cleanliness. Ties break to the smaller id. One
+    // doc-partitioned window over the (tiny) clustered subset.
+    "d8_cluster_canonicals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3).cache()
+      val pairs = Dedup.jaccardVerifyFromShingles(sh,
+        Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
+        threshold = 0.2)
+      val clusters = Dedup
+        .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val scored = clusters.join(
+        d.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+        Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .select(col("cluster_id"), col("doc_id"), col("quality"),
+          (col("rn") === 1).as("canonical"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+
     // t9: self-trained unigram surprisal — the cheap "perplexity"
     // quality signal: score docs by the mean -ln p(token) under the
     // corpus's own unigram distribution. Two-pass model-then-score
@@ -987,6 +1015,60 @@ object DocQueries {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "d8_cluster_canonicals" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH RECURSIVE $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2),
+        |pairsv AS (
+        |  SELECT id_a, id_b
+        |  FROM co
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairsv
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairsv),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, $dkQuality AS quality FROM documents),
+        |ranked AS (
+        |  SELECT cl.cluster_id, cl.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY q.quality DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN q USING (doc_id))
+        |SELECT cluster_id, doc_id, quality, (rn = 1) AS canonical
+        |FROM ranked ORDER BY cluster_id, doc_id""".stripMargin
     },
 
     "t9_unigram_surprisal" ->
