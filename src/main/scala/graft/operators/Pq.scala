@@ -157,6 +157,33 @@ object Pq {
     Index(codebooks, coded.cache(), m, dsub)
   }
 
+  /** Two-stage retrieval — the standard production ANN shape: ADC
+    * over compressed codes selects `candK` candidates per query (fast,
+    * approximate, reads 16-byte codes), then ONLY those candidates
+    * re-score with the exact float cosine and the final top-k comes
+    * from the re-rank. Recall is bounded by whether the true
+    * neighbors make the candidate pool (candK/topK is the quality
+    * knob); the exact stage touches candK·|queries| vectors, not the
+    * corpus. Output matches [[Similarity.bruteForceTopK]]. */
+  def searchRerank(index: Index, corpus: DataFrame, queries: DataFrame,
+      topK: Int, candK: Int = 50, roundDigits: Int = 5): DataFrame = {
+    import graft.operators.Similarity.{cosineWithNorms, norm}
+    val cands = search(index, queries, candK)
+      .select(col("qid"), col("vec_id"))
+    val c = corpus.withColumn("vnorm", norm(col("embedding")))
+      .join(cands, Seq("vec_id"))
+    val q = queries.withColumn("qnorm", norm(col("qvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), Seq("qid"))
+      .withColumn("sim", round(cosineWithNorms(col("qvec"), col("embedding"),
+        col("qnorm"), col("vnorm")), roundDigits))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** ADC top-k: approximate dot(q, v) ≈ Σⱼ LUTⱼ[codeⱼ(v)] where
     * LUTⱼ[c] = qⱼ·codewordⱼ,c is computed once per query row before
     * the broadcast join. queries: (qid, qvec); output

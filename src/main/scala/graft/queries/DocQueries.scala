@@ -458,6 +458,18 @@ object DocQueries {
       Pq.search(index, q, topK = 5)
     }),
 
+    // s5: two-stage retrieval — PQ codes select 50 candidates, exact
+    // float cosine re-ranks to the final top-5 (rows-only like
+    // s2/s4; recall-vs-single-stage pinned in PqSpec).
+    "s5_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val index = Pq.build(e, col("vec_id"), col("embedding"),
+        dim = 64, m = 16, k = 16, iters = 3)
+      Pq.searchRerank(index, e, q, topK = 5, candK = 50)
+    }),
+
     // p5: GPT-style sequence packing — concatenate docs in a
     // deterministic hash order, cut 512-token training sequences,
     // report each doc's offset and sequence span. The global prefix

@@ -57,6 +57,20 @@ class PqSpec extends SparkSpec {
     assert(Pq.search(index, q, topK = 5).count() === 0)
   }
 
+  test("exact re-rank of PQ candidates beats single-stage PQ recall") {
+    val index = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
+      m = 16, k = 16, iters = 3)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("qid", "vec_id").cache()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("qid", "vec_id").intersect(exact).count() / 50.0
+    val single = recall(Pq.search(index, queries, topK = 5))
+    val reranked = recall(Pq.searchRerank(index, emb, queries,
+      topK = 5, candK = 50))
+    assert(reranked > single, s"rerank $reranked <= single $single")
+    assert(reranked >= 0.7, s"rerank recall $reranked too low")
+  }
+
   test("search recall against brute force is substantial") {
     val index = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
       m = 16, k = 16, iters = 3)
