@@ -161,6 +161,23 @@ object TpchQueries {
         .orderBy(col("region"), col("nation"))
     }),
 
+    // qg: CUBE — all four grouping combinations in one Expand pass
+    // (qh covers the ROLLUP hierarchy; CUBE adds the cross
+    // subtotals). Revenue in integer cents so subtotal sums are
+    // order-independent and engine-exact.
+    "qg_cube_orders" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .cube(col("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(
+          coalesce(col("o_year").cast("string"), lit("ALL")).as("o_year"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total_cents"))
+        .orderBy(col("o_year"), col("priority"))
+    }),
+
     // Set operations beyond UNION: INTERSECT / EXCEPT (distinct
     // semantics) over customer key sets from two order years.
     "qi_setops" -> ((s, dir) => {
@@ -232,6 +249,17 @@ object TpchQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+
+    "qg_cube_orders" ->
+      """SELECT
+        |  coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+        |ORDER BY o_year, priority""".stripMargin,
 
     "qi_setops" ->
       """WITH c96 AS (
