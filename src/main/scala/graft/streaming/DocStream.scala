@@ -67,10 +67,15 @@ object DocStream {
         "left_anti")
 
   /** Run the curation stream into day-partitioned parquet (retention
-    * by partition drop, as the position sink does). */
+    * by partition drop, as the position sink does). `backfill = true`
+    * runs with `Trigger.AvailableNow`: process everything already in
+    * the source in rate-limited micro-batches, then terminate — the
+    * catch-up mode after downtime or for an initial corpus load, with
+    * the same checkpoint (and so exactly-once hand-off back to the
+    * continuous trigger). */
   def start(docs: DataFrame, outDir: String, checkpoint: String,
-      minQuality: Double = 0.3): StreamingQuery =
-    curate(docs, minQuality)
+      minQuality: Double = 0.3, backfill: Boolean = false): StreamingQuery = {
+    val w = curate(docs, minQuality)
       .withColumn("ingest_date", to_date(col("ingest_ts")))
       .writeStream
       .format("parquet")
@@ -78,5 +83,8 @@ object DocStream {
       .option("checkpointLocation", checkpoint)
       .partitionBy("ingest_date")
       .outputMode("append")
-      .start()
+    (if (backfill)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
 }

@@ -54,6 +54,25 @@ class DocStreamSpec extends SparkSpec {
     assert(new java.io.File(s"$outDir/ingest_date=2024-03-01").isDirectory)
   }
 
+  test("backfill trigger drains a parquet drop-dir and terminates") {
+    val srcDir = Files.createTempDirectory("doc-backfill-src").toString
+    Seq(
+      (1L, good, "en", ts("2024-03-02 09:00:00")),
+      (2L, "junk", "en", ts("2024-03-02 09:00:01")))
+      .toDF("doc_id", "text", "lang", "ingest_ts")
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, ingest_ts TIMESTAMP")
+      .parquet(srcDir)
+    val outDir = Files.createTempDirectory("doc-backfill-out").toString
+    val ckpt = Files.createTempDirectory("doc-backfill-ckpt").toString
+    val q = DocStream.start(stream, outDir, ckpt, backfill = true)
+    // AvailableNow terminates on its own once the source drains
+    assert(q.awaitTermination(60000), "backfill did not terminate")
+    val out = spark.read.parquet(outDir)
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("incremental curation drops docs already in the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val known = Seq(good).toDF("text")
