@@ -57,6 +57,21 @@ class PqSpec extends SparkSpec {
     assert(Pq.search(index, q, topK = 5).count() === 0)
   }
 
+  test("bounded training sample still yields a deterministic, usable index") {
+    // cap below the corpus size forces the id-stride sampling path
+    val i1 = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
+      m = 16, k = 16, iters = 3, trainSampleCap = 100)
+    val i2 = Pq.build(emb.repartition(5), col("vec_id"), col("embedding"),
+      dim = 64, m = 16, k = 16, iters = 3, trainSampleCap = 100)
+    assert(i1.coded.count() === emb.count()) // full corpus still encoded
+    assert(i1.coded.exceptAll(i2.coded).count() === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("qid", "vec_id")
+    val hit = Pq.searchRerank(i1, emb, queries, topK = 5, candK = 50)
+      .select("qid", "vec_id").intersect(exact).count()
+    assert(hit / 50.0 >= 0.5, s"sampled-train rerank recall ${hit / 50.0}")
+  }
+
   test("exact re-rank of PQ candidates beats single-stage PQ recall") {
     val index = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
       m = 16, k = 16, iters = 3)
