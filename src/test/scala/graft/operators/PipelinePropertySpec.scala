@@ -64,6 +64,18 @@ class PipelinePropertySpec extends SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("simhash mega-buckets drop under the cap, small buckets survive") {
+    val sims = Seq(
+      (1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L), // 4-way identical: capped
+      (10L, 99L), (11L, 99L))                 // pair: survives
+      .toDF("id", "simhash")
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 3,
+        bands = 4, maxBucketSize = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L)))
+  }
+
   test("connectedComponents matches local union-find on random graphs") {
     // sparse random graph over 120 nodes: many small components, some
     // chains, some isolated-by-absence nodes
