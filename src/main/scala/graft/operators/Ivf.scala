@@ -192,7 +192,10 @@ object Ivf {
       queries: DataFrame, topK: Int, nProbe: Int = 2,
       roundDigits: Int = 5): DataFrame = {
     if (codebook.isEmpty) return emptyResult(queries)
-    val probes = probeRows(queries, codebook, nProbe).cache()
+    // probeRows is a cheap projection over the (small) query side —
+    // recomputing it for the cid collect beats leaking a cache entry
+    // per search call (nothing here ever unpersists)
+    val probes = probeRows(queries, codebook, nProbe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0))
     val assigned = spark.read.parquet(path)

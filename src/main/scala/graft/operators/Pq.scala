@@ -92,11 +92,15 @@ object Pq {
       .groupBy(col("id"), col("sub"))
       .agg(min(struct(col("nscore"), col("code"))).as("best"),
         first(col("sv")).as("sv")) // sv is constant within the group
+    // decimal accumulation: float means via avg(double) are FP-order
+    // dependent (repartitioning could flip a near-tie assignment);
+    // decimal sums are exact, so the codebook is identical under any
+    // partitioning — which is what the determinism claim requires
     val means = assigned
       .select(col("sub"), col("best.code").as("code"),
         posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("code"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("mv"))
+      .agg(avg(col("x").cast("decimal(27,12)")).as("mv"))
       .groupBy(col("sub"), col("code"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mv")))),
@@ -127,13 +131,22 @@ object Pq {
     val dsub = dim / m
     val vectors = corpus.select(idCol.cast("long").as("id"), vecCol.as("vec"))
     val n = vectors.count()
-    val training =
+    // hash-stride, not id-stride: id % stride == 0 silently yields an
+    // EMPTY sample when ids are sparse (all-odd ids, snowflake ids);
+    // hashing spreads any id distribution uniformly. Deterministic
+    // (xxhash64 is seed-fixed), and a degenerate empty sample still
+    // falls back to the full corpus.
+    val stride = ((n + trainSampleCap - 1) / trainSampleCap).max(1L)
+    var training =
       if (n <= trainSampleCap) vectors
-      else vectors.where(
-        pmod(col("id"), lit(((n + trainSampleCap - 1) / trainSampleCap)
-          .max(1L))) === 0)
-    val seedRows = training.orderBy(col("id")).limit(k)
+      else vectors.where(pmod(xxhash64(col("id")), lit(stride)) === 0)
+    var seedRows = training.orderBy(col("id")).limit(k)
       .select(col("vec")).collect().map(_.getSeq[Float](0).toArray)
+    if (seedRows.isEmpty && n > 0) {
+      training = vectors
+      seedRows = training.orderBy(col("id")).limit(k)
+        .select(col("vec")).collect().map(_.getSeq[Float](0).toArray)
+    }
     var codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]] =
       (0 until m).map { j =>
         seedRows.zipWithIndex.map { case (v, i) =>

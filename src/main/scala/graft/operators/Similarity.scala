@@ -88,7 +88,11 @@ object Similarity {
     * reproducible by any engine, unlike a float sum. */
   def quantize(v: Column, scales: Column): Column =
     zip_with(v, scales,
-      (x, s) => floor(x.cast("double") / s * lit(127.0d)).cast("long"))
+      // an all-zero dimension has scale 0: quantize it to 0 instead of
+      // floor(NaN), which engines disagree on (Spark yields 0, DuckDB
+      // errors on the BIGINT cast)
+      (x, s) => when(s === 0.0d, lit(0L))
+        .otherwise(floor(x.cast("double") / s * lit(127.0d)).cast("long")))
 
   /** Top-k by INTEGER dot product over int8-quantized vectors — the
     * memory-bandwidth-bound scale path for brute-force search: 4×

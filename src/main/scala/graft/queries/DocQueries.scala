@@ -196,18 +196,20 @@ object DocQueries {
     // p4: train/eval contamination report — test-split docs whose
     // exact content also appears in the train split. The corpus is the
     // documents table unioned with a re-idified copy of every 5th doc
-    // (modeling scraped mirror content — the same text under two ids),
-    // split by the NAIVE id-hash (splitting by doc_id leaks copies
-    // across splits, which is the failure mode this report detects:
-    // ~17 leaked rows at sf0.01). p2's content-hash split makes this
-    // report empty by construction, which is exactly why p2 is the
-    // default. The near-dup variant is the same shape over d2/d3v
-    // candidates.
+    // (modeling scraped mirror content — the same text under two ids;
+    // mirror ids offset by max(doc_id)+1 so they can NEVER collide
+    // with genuine ids at any corpus size), split by the NAIVE
+    // id-hash (splitting by doc_id leaks copies across splits, which
+    // is the failure mode this report detects). p2's content-hash
+    // split makes this report empty by construction, which is exactly
+    // why p2 is the default. The near-dup variant is the same shape
+    // over d2/d3v candidates.
     "p4_contamination" -> ((s, dir) => {
       val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
       val d = d0.unionByName(
-        d0.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
       val bucket = graft.functions.PortableHash
         .phash(col("doc_id").cast("string"), 7) % 100
       val withSplit = d.select(col("doc_id"), md5(col("text")).as("h"),
@@ -353,9 +355,10 @@ object DocQueries {
     // hash join on 60-bit longs — no text ships past the explode.
     "p7_ngram_overlap" -> ((s, dir) => {
       val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
       val d = d0.unionByName(
-        d0.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
       val bucket = graft.functions.PortableHash
         .phash(col("doc_id").cast("string"), 7) % 100
       val withSplit = d.select(col("doc_id"), col("text"),
@@ -854,7 +857,8 @@ object DocQueries {
       s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    text FROM documents
         |  WHERE doc_id % 5 = 0),
         |sp AS (
         |  SELECT doc_id, md5(text) AS text_hash,
@@ -1216,7 +1220,8 @@ object DocQueries {
       s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    text FROM documents
         |  WHERE doc_id % 5 = 0),
         |sp AS (
         |  SELECT doc_id, text,
@@ -1362,7 +1367,8 @@ object DocQueries {
         |sc AS (SELECT list(mx ORDER BY dim) AS scales FROM s),
         |quant AS (
         |  SELECT vec_id, list_transform(generate_series(1, 64),
-        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) / sc.scales[i] * 127) AS BIGINT)) AS qv
+        |    i -> CASE WHEN sc.scales[i] = 0 THEN 0
+        |      ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / sc.scales[i] * 127) AS BIGINT) END) AS qv
         |  FROM embeddings, sc),
         |q AS (SELECT vec_id AS qid, qv AS qq FROM quant WHERE vec_id < 10),
         |dots AS (

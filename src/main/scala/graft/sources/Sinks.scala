@@ -134,6 +134,23 @@ object Sinks {
     df.write.mode(mode).jdbc(url, table, props)
   }
 
+  /** Purge one micro-batch's rows before re-inserting them — the
+    * delete-before-insert half of idempotent `foreachBatch` JDBC
+    * writes (at-least-once epochs replay; keyed on `batch_id` the
+    * replay converges to exactly-once). A missing table is fine: the
+    * first epoch runs before the sink auto-creates it. */
+  def deleteBatch(url: String, table: String, user: String,
+      password: String, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table WHERE batch_id = $batchId")
+      finally st.close()
+    } catch {
+      case _: java.sql.SQLException => () // table not created yet
+    } finally conn.close()
+  }
+
   /** S9: `d1090_copy_flight` analog — copy one flight session and its
     * child rows from one store to another, remapping the session key.
     * The reference does four INSERT…SELECTs in a CTE

@@ -129,7 +129,14 @@ object AdsbStream {
     * own rows, stamped with the micro-batch id, so the commit cadence
     * is auditable from the store itself: one distinct `batch_id` per
     * trigger that had data. Tables: `flights_live`, `positions_live`,
-    * `events_live` (landing ∪ takeoff, tagged by `kind`). */
+    * `events_live` (landing ∪ takeoff, tagged by `kind`).
+    *
+    * Idempotent under replay: `foreachBatch` is at-least-once (a crash
+    * between the JDBC commit and the checkpoint commit re-runs the
+    * epoch), so each table is first purged of the incoming `batch_id`
+    * — the standard delete-before-insert keyed on the epoch. A retry
+    * then converges to exactly-once instead of duplicating the
+    * batch. */
   def startJdbc(lines: DataFrame, url: String, user: String,
       password: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
@@ -153,6 +160,8 @@ object AdsbStream {
               col("kind") === "landing" || col("kind") === "takeoff")
             .select(col("kind"), col("hexident"), col("session_start"),
               col("time"), col("runway"), col("batch_id"))
+          Seq("flights_live", "positions_live", "events_live").foreach(t =>
+            graft.sources.Sinks.deleteBatch(url, t, user, password, batchId))
           graft.sources.Sinks.writeJdbc(flights, url, "flights_live",
             user, password)
           graft.sources.Sinks.writeJdbc(positions, url, "positions_live",

@@ -334,14 +334,14 @@ class OperatorSpec extends SparkSpec {
     assert(n > 0) // leakage found
     // every reported doc is genuinely in 'test' with a train twin —
     // over the SAME augmented corpus p4 builds (documents ∪ re-idified
-    // every-5th copy at doc_id+100000, modeling mirrored content)
+    // every-5th copy offset past max(doc_id), modeling mirrors)
     val bucket = graft.functions.PortableHash
       .phash(col("doc_id").cast("string"), 7) % 100
     val base = rows.toDF("doc_id", "text", "lang")
       .select(col("doc_id"), col("text"))
     val corpus = base.unionByName(
       base.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 401).as("doc_id"), col("text")))
     val withSplit = corpus
       .select(col("doc_id"), col("text"),
         when(bucket < 80, "train").when(bucket < 90, "val")
