@@ -134,6 +134,63 @@ object EventQueries {
           1800L, col("event_id"))
         .orderBy(col("key"), col("session_seq"))),
 
+    // qj: weekly retention cohorts — the warehouse staple: users
+    // bucket into the week they first appeared, and each later active
+    // week counts them at its offset. Both groupBys are map-side
+    // combinable; the per-user first-seen table joins back on
+    // user_id (shuffle join at scale — cohorts are not broadcastable).
+    "qj_retention_cohorts" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = e
+        .select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+        .distinct()
+      active.join(firstSeen, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          expr("datediff(activity_week, cohort_week) div 7").as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
+    // qk: in-session conversion funnel (view → click → purchase,
+    // strictly ordered WITHIN the 30-min session): stage timestamps
+    // resolve in three conditional-min passes — each stage's min ts
+    // must be at or after the previous stage's — then sessions roll
+    // up per start date. Same session definition as q13.
+    "qk_session_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = ev(s, dir)
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(wOrd))
+        .withColumn("session_seq",
+          sum(when(col("_gap").isNull || col("_gap") > 1800000000L, 1)
+            .otherwise(0)).over(wOrd).cast("long"))
+        .select(col("user_id"), col("session_seq"), col("ts"),
+          col("event_type"))
+      val keys = Seq("user_id", "session_seq")
+      val starts = sess.groupBy(keys.head, keys.tail: _*)
+        .agg(min(col("ts")).as("s_ts"))
+      val v = sess.where(col("event_type") === "view")
+        .groupBy(keys.head, keys.tail: _*).agg(min(col("ts")).as("v_ts"))
+      val c = sess.join(v, keys)
+        .where(col("event_type") === "click" && col("ts") >= col("v_ts"))
+        .groupBy(keys.head, keys.tail: _*).agg(min(col("ts")).as("c_ts"))
+      val p = sess.join(c, keys)
+        .where(col("event_type") === "purchase" && col("ts") >= col("c_ts"))
+        .groupBy(keys.head, keys.tail: _*).agg(min(col("ts")).as("p_ts"))
+      starts
+        .join(v, keys, "left").join(c, keys, "left").join(p, keys, "left")
+        .groupBy(date_format(col("s_ts"), "yyyy-MM-dd").as("session_date"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(col("v_ts")).as("n_view"),
+          count(col("c_ts")).as("n_click_after_view"),
+          count(col("p_ts")).as("n_purchase_funnel"))
+        .orderBy(col("session_date"))
+    }),
+
     // T5/T6: flag-flip transition detection with debounce (the
     // "suppressed bounce resets the clock" semantics).
     "q14_transitions" -> ((s, dir) =>
@@ -373,6 +430,57 @@ object EventQueries {
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |  ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "qj_retention_cohorts" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        |  FROM events)
+        |SELECT fs.cohort_week,
+        |  CAST(datediff('day', fs.cohort_week, act.activity_week) // 7
+        |    AS BIGINT) AS weeks_since,
+        |  count(*) AS n_users
+        |FROM act JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "qk_session_funnel" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM g),
+        |starts AS (
+        |  SELECT user_id, session_seq, min(ts) AS s_ts
+        |  FROM sess GROUP BY 1, 2),
+        |v AS (
+        |  SELECT user_id, session_seq, min(ts) AS v_ts
+        |  FROM sess WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT sess.user_id, sess.session_seq, min(sess.ts) AS c_ts
+        |  FROM sess JOIN v USING (user_id, session_seq)
+        |  WHERE event_type = 'click' AND sess.ts >= v.v_ts GROUP BY 1, 2),
+        |p AS (
+        |  SELECT sess.user_id, sess.session_seq, min(sess.ts) AS p_ts
+        |  FROM sess JOIN c USING (user_id, session_seq)
+        |  WHERE event_type = 'purchase' AND sess.ts >= c.c_ts GROUP BY 1, 2)
+        |SELECT strftime(s_ts, '%Y-%m-%d') AS session_date,
+        |  count(*) AS n_sessions,
+        |  count(v_ts) AS n_view,
+        |  count(c_ts) AS n_click_after_view,
+        |  count(p_ts) AS n_purchase_funnel
+        |FROM starts
+        |LEFT JOIN v USING (user_id, session_seq)
+        |LEFT JOIN c USING (user_id, session_seq)
+        |LEFT JOIN p USING (user_id, session_seq)
+        |GROUP BY 1 ORDER BY session_date""".stripMargin,
 
     "q13_sessionize" ->
       """WITH g AS (
