@@ -341,8 +341,14 @@ object Dedup {
         col("id_a").cast("long").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with min(self, neighbors) — the state identity labels reach
+    // after one full propagation round, for the cost of one groupBy
+    // (no join): star-shaped clusters, the common dedup case, then
+    // converge in a single confirming round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("_mn")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
