@@ -141,13 +141,24 @@ object Sinks {
     * first epoch runs before the sink auto-creates it. */
   def deleteBatch(url: String, table: String, user: String,
       password: String, batchId: Long): Unit = {
+    // identifier quoting must match how Spark's writer CREATEs: the
+    // table name passes through VERBATIM (the engine case-folds it),
+    // but column names are dialect-quoted, i.e. case-sensitive — so
+    // quote the column, not the table
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
     val conn = java.sql.DriverManager.getConnection(url, user, password)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(s"DELETE FROM $table WHERE batch_id = $batchId")
+      try st.executeUpdate(
+        s"DELETE FROM $table " +
+          s"WHERE ${dialect.quoteIdentifier("batch_id")} = $batchId")
       finally st.close()
     } catch {
-      case _: java.sql.SQLException => () // table not created yet
+      // undefined table/column (SQLState class 42): first epoch runs
+      // before the sink auto-creates the table. Anything else is a
+      // real failure and must abort the epoch, not get swallowed.
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("42")) => ()
     } finally conn.close()
   }
 

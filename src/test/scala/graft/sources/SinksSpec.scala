@@ -144,6 +144,23 @@ class SinksSpec extends SparkSpec {
     assert(rows.count(_.getString(0) == "ABC123") === 2)
   }
 
+  test("deleteBatch makes a replayed epoch idempotent") {
+    // foreachBatch is at-least-once: delete-before-insert keyed on
+    // batch_id must converge a replay to one copy, not two
+    val db = Files.createTempDirectory("graft-derby-idem").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val batch = Seq(("ABC123", 7L)).toDF("hexident", "batch_id")
+    def writeEpoch(): Unit = {
+      Sinks.deleteBatch(url, "flights_live", "app", "app", 7L)
+      Sinks.writeJdbc(batch, url, "flights_live", "app", "app")
+    }
+    writeEpoch() // first attempt (deleteBatch on a missing table: no-op)
+    writeEpoch() // crash-replay of the same epoch
+    val back = spark.read.jdbc(url, "flights_live",
+      new java.util.Properties())
+    assert(back.count() === 1)
+  }
+
   test("copySession clones one session with a remapped key (S9)") {
     implicit val s = spark
     val from = Files.createTempDirectory("graft-from").toString
