@@ -119,8 +119,10 @@ object Pq {
 
   /** Build codebooks (k codewords per subspace, `iters` Lloyd rounds)
     * and encode the corpus. `dim` must be divisible by `m`.
-    * Training runs over at most `trainSampleCap` vectors (a
-    * deterministic id-stride sample) — standard PQ practice: codebook
+    * Training runs over ~`trainSampleCap` vectors in expectation (a
+    * deterministic hash-stride sample — binomial, not an exact cap,
+    * so size seedRows headroom accordingly) — standard PQ practice:
+    * codebook
     * quality saturates at a bounded sample while encoding still scans
     * the full corpus exactly once, so build cost at 100 TB is one
     * full-scan encode plus a constant-size training job. */

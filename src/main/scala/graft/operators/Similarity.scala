@@ -63,7 +63,7 @@ object Similarity {
       round(cosineWithNorms(col("qvec"), col("embedding"),
         col("qnorm"), col("vnorm")), roundDigits).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
   }
@@ -352,7 +352,7 @@ object Similarity {
       round(cosineWithNorms(col("qvec"), col("embedding"),
         col("qnorm"), col("vnorm")), roundDigits).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
   }

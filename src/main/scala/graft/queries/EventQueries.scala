@@ -150,6 +150,10 @@ object EventQueries {
         .groupBy(col("cohort_week"),
           expr("datediff(activity_week, cohort_week) div 7").as("weeks_since"))
         .agg(count(lit(1)).as("n_users"))
+        // ntz like every other timestamp output (parquet TIMESTAMP is
+        // UTC-adjusted; the oracle's week starts are naive)
+        .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+          col("weeks_since"), col("n_users"))
         .orderBy(col("cohort_week"), col("weeks_since"))
     }),
 
@@ -159,15 +163,10 @@ object EventQueries {
     // must be at or after the previous stage's — then sessions roll
     // up per start date. Same session definition as q13.
     "qk_session_funnel" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wOrd = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val sess = ev(s, dir)
-        .withColumn("_us", unix_micros(col("ts")))
-        .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(wOrd))
-        .withColumn("session_seq",
-          sum(when(col("_gap").isNull || col("_gap") > 1800000000L, 1)
-            .otherwise(0)).over(wOrd).cast("long"))
+      // one session definition in the library: q13's helper, not a
+      // second hand-rolled copy that could drift on the gap boundary
+      val sess = Sessionize.withSessionId(ev(s, dir), col("user_id"),
+          col("ts"), 1800L, col("event_id"))
         .select(col("user_id"), col("session_seq"), col("ts"),
           col("event_type"))
       val keys = Seq("user_id", "session_seq")

@@ -154,11 +154,14 @@ object Sinks {
           s"WHERE ${dialect.quoteIdentifier("batch_id")} = $batchId")
       finally st.close()
     } catch {
-      // undefined table/column (SQLState class 42): first epoch runs
-      // before the sink auto-creates the table. Anything else is a
-      // real failure and must abort the epoch, not get swallowed.
+      // ONLY undefined table/column (first epoch runs before the sink
+      // auto-creates the table): Derby 42X05/42X04, Postgres
+      // 42P01/42703, MySQL/SQLServer 42S02. A privilege or syntax
+      // error is a real failure and must abort the epoch - swallowing
+      // it would silently reintroduce the duplicate-on-replay bug.
       case e: java.sql.SQLException
-          if Option(e.getSQLState).exists(_.startsWith("42")) => ()
+          if Option(e.getSQLState).exists(
+            Set("42X05", "42X04", "42P01", "42703", "42S02")) => ()
     } finally conn.close()
   }
 

@@ -58,7 +58,7 @@ class PqSpec extends SparkSpec {
   }
 
   test("bounded training sample still yields a deterministic, usable index") {
-    // cap below the corpus size forces the id-stride sampling path
+    // cap below the corpus size forces the hash-stride sampling path
     val i1 = Pq.build(emb, col("vec_id"), col("embedding"), dim = 64,
       m = 16, k = 16, iters = 3, trainSampleCap = 100)
     val i2 = Pq.build(emb.repartition(5), col("vec_id"), col("embedding"),
