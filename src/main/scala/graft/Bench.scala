@@ -27,6 +27,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      finally spark.catalog.clearCache()
     }
 
     // min of two runs per query: the host shows multi-minute stall
@@ -44,6 +45,7 @@ object Bench {
           .filter(c => c >= ' ' && c <= '~' && c != '"' && c != '\\')
           .take(160))
       }
+      finally spark.catalog.clearCache() // per-query caches don't leak
     }
     // d3 is, by declaration, the quadratic ground-truth verifier
     // (see Dedup.jaccardPairs): it exists to validate the LSH path
@@ -52,23 +54,42 @@ object Bench {
     // (LSH candidates + exact verify) instead; Verify still
     // oracle-checks d3 itself.
     val results = (SparkEntry.queries - "d3_ngram_jaccard").map {
-      case (name, fn) =>
-        name -> ((once(fn), once(fn)) match {
-          case (Right(a), Right(b)) => Right(math.min(a, b))
-          case (Left(e), _) => Left(e)
-          case (_, Left(e)) => Left(e)
-        })
+      case (name, fn) => name -> (once(fn), once(fn))
+    }
+    def minOf(p: (Either[String, Double], Either[String, Double]))
+        : Either[String, Double] = p match {
+      case (Right(a), Right(b)) => Right(math.min(a, b))
+      case (Left(e), _) => Left(e)
+      case (_, Left(e)) => Left(e)
     }
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
-      case (k, Left(_)) => s"\"" + k + "\":-1.0"
+      case (k, p) => minOf(p) match {
+        case Right(v) => s"\"" + k + "\":" + v
+        case Left(_) => s"\"" + k + "\":-1.0"
+      }
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, Left(e)) =>
-      s"\"" + k + "\":\"" + e + "\"" }
+    // the artifact self-identifies hypervisor steal: both raw runs per
+    // query, plus a flagged list where the two disagree by >3x with
+    // the slow one above 0.5 s (tiny queries flap on scheduler noise,
+    // not steal) — a reader doesn't need a clean re-run to spot a
+    // contaminated entry.
+    val runsJson = results.map { case (k, (a, b)) =>
+      def r(e: Either[String, Double]) = e.fold(_ => "-1.0", _.toString)
+      s"\"" + k + "\":[" + r(a) + "," + r(b) + "]"
+    }.mkString("{", ",", "}")
+    val steal = results.collect {
+      case (k, (Right(a), Right(b)))
+          if math.max(a, b) > 0.5 &&
+            math.max(a, b) / math.max(math.min(a, b), 1e-9) > 3.0 =>
+        "\"" + k + "\""
+    }
+    val stealJson = steal.mkString(""","steal":[""", ",", "]")
+    val errors = results.collect { case (k, p) if minOf(p).isLeft =>
+      s"\"" + k + "\":\"" + minOf(p).left.getOrElse("") + "\"" }
     val errJson =
       if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
-    val total = results.values.collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val total = results.values.map(minOf).collect { case Right(v) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$stealJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,9 +113,12 @@ object TextFunctions {
 
   /** ASCII-conservative PII patterns — the subset of regex syntax that
     * Java regex and RE2-family engines interpret identically, so the
-    * match counts and the redacted text oracle-check bit-for-bit. */
-  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val Ipv4Pattern: String = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    * match counts and the redacted text oracle-check bit-for-bit.
+    * `(?i)` (identical in Java regex and RE2) keeps mixed-case
+    * addresses like John.Doe@Example.COM from slipping through the
+    * scrub — under-redaction, not just a count error. */
+  val EmailPattern: String = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern: String = "(?i)\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 
   def emailCount(c: Column): Column =
     size(regexp_extract_all(c, lit(EmailPattern), lit(0))).cast("long")

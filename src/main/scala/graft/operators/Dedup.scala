@@ -239,8 +239,10 @@ object Dedup {
     * groupBy over the FIRST's output — the df join back to per-doc
     * rows reuses the gram hash partitioning from that groupBy, so the
     * whole report is two exchanges and never ships raw text twice.
-    * Join keys are the gram strings for oracle portability; at 100 TB
-    * pre-hash them to 60-bit longs as [[jaccardPairs]] does. */
+    * Grams are pre-hashed to portable 60-bit longs BEFORE the first
+    * exchange (as [[jaccardPairs]] does): only 8-byte keys shuffle,
+    * never n-gram text, and the oracle stays bit-exact because it
+    * groups by the same md5-derived hash. */
   def boilerplateReport(
       docs: DataFrame,
       idCol: Column,
@@ -249,11 +251,11 @@ object Dedup {
       minDf: Long = 10L,
       maxHotFrac: Double = 0.3): DataFrame = {
     val perDocGram = shingleRows(docs, idCol, textCol, n)
-      .groupBy(col("id"), col("sh"))
+      .groupBy(col("id"), phash(col("sh"), 0).as("gh"))
       .agg(count(lit(1)).as("occ"))
-    val gramDf = perDocGram.groupBy(col("sh"))
+    val gramDf = perDocGram.groupBy(col("gh"))
       .agg(count(lit(1)).as("df"))
-    perDocGram.join(gramDf, "sh")
+    perDocGram.join(gramDf, "gh")
       .groupBy(col("id").as("doc_id"))
       .agg(
         sum(col("occ")).as("n_grams"),
@@ -330,9 +332,10 @@ object Dedup {
     * every id that appears in some pair (singletons are their own
     * canonical by definition and don't need rows). `maxIters` is a
     * safety valve, not a tuning knob: a graph whose diameter exceeds
-    * it returns with some labels still non-minimal — raise it (or
-    * switch to alternating-star) if `changed` is ever nonzero at the
-    * cap. */
+    * it THROWS rather than returning silently-non-minimal labels
+    * (which would make downstream cluster canonicals wrong with no
+    * signal) — raise it, or switch to alternating-star, if a corpus
+    * ever produces chains that deep. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("long").as("src"),
@@ -368,6 +371,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIters; raise it or use an alternating-star variant")
     labels
   }
 

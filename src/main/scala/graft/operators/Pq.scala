@@ -95,7 +95,12 @@ object Pq {
     // decimal accumulation: float means via avg(double) are FP-order
     // dependent (repartitioning could flip a near-tie assignment);
     // decimal sums are exact, so the codebook is identical under any
-    // partitioning — which is what the determinism claim requires
+    // partitioning — which is what the determinism claim requires.
+    // decimal(27,12) holds 15 integer digits: avg() returns NULL on
+    // overflow, so components must be < ~1e15 in magnitude (any real
+    // embedding is unit-scale). The null check below turns a silent
+    // NULL codeword — which would NPE later in getSeq — into a
+    // diagnosable error at the round that produced it.
     val means = assigned
       .select(col("sub"), col("best.code").as("code"),
         posexplode(col("sv")).as(Seq("pos", "x")))
@@ -106,7 +111,15 @@ object Pq {
         array_sort(collect_list(struct(col("pos"), col("mv")))),
         s => s("mv").cast("float")).as("cv"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .map { r =>
+        val raw = r.getSeq[Any](2)
+        if (raw == null || raw.exists(_ == null))
+          throw new IllegalStateException(
+            s"PQ Lloyd round produced a null codeword mean in subspace " +
+              s"${r.getInt(0)} code ${r.getInt(1)} — vector components " +
+              "exceed the decimal(27,12) range (|x| >= 1e15)?")
+        (r.getInt(0), r.getInt(1), raw.map(_.asInstanceOf[Float]).toArray)
+      }
     (0 until m).map { j =>
       val fresh = means.filter(_._1 == j)
         .map { case (_, code, cv) => (code, cv, halfNormSq(cv)) }
@@ -179,13 +192,19 @@ object Pq {
     * from the re-rank. Recall is bounded by whether the true
     * neighbors make the candidate pool (candK/topK is the quality
     * knob); the exact stage touches candK·|queries| vectors, not the
-    * corpus. Output matches [[Similarity.bruteForceTopK]]. */
+    * corpus. Output matches [[Similarity.bruteForceTopK]].
+    * `idCol`/`vecCol` name the corpus columns, matching [[build]]'s
+    * API (the id must be castable to long, as in build). */
   def searchRerank(index: Index, corpus: DataFrame, queries: DataFrame,
-      topK: Int, candK: Int = 50, roundDigits: Int = 5): DataFrame = {
+      topK: Int, candK: Int = 50, roundDigits: Int = 5,
+      idCol: Column = col("vec_id"),
+      vecCol: Column = col("embedding")): DataFrame = {
     import graft.operators.Similarity.{cosineWithNorms, norm}
     val cands = search(index, queries, candK)
       .select(col("qid"), col("vec_id"))
-    val c = corpus.withColumn("vnorm", norm(col("embedding")))
+    val c = corpus
+      .select(idCol.cast("long").as("vec_id"), vecCol.as("embedding"))
+      .withColumn("vnorm", norm(col("embedding")))
       .join(cands, Seq("vec_id"))
     val q = queries.withColumn("qnorm", norm(col("qvec")))
     val w = Window.partitionBy(col("qid"))

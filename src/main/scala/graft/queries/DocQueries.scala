@@ -503,12 +503,15 @@ object DocQueries {
     // t7: PII scrub report over a corpus with deterministically
     // injected emails/IPs (the driver corpus has none — same
     // by-construction pattern as p4; a 0-hit green proves nothing).
+    // The injected address is MIXED-CASE on purpose: it pins the
+    // (?i) in EmailPattern — a case-sensitive scrub would leave it
+    // in the text and flip n_emails/clean_hash/pii_free.
     "t7_pii_scrub" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 7 === 0,
-            concat(lit(" contact user"), col("doc_id").cast("string"),
-              lit("@example.com"))).otherwise(lit("")),
+            concat(lit(" contact User"), col("doc_id").cast("string"),
+              lit("@Example.COM"))).otherwise(lit("")),
           when(col("doc_id") % 11 === 0,
             concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
               lit(".0.1"))).otherwise(lit(""))).as("text"))
@@ -940,19 +943,19 @@ object DocQueries {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "d6_boilerplate" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
-        |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |  SELECT doc_id, ${dkHash("array_to_string(toks[i:i+2], ' ')", "0")} AS gh
         |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
         |  WHERE len(toks) >= 3),
-        |pdg AS (SELECT doc_id, sh, count(*) AS occ FROM g GROUP BY 1, 2),
-        |gdf AS (SELECT sh, count(*) AS df FROM pdg GROUP BY 1),
+        |pdg AS (SELECT doc_id, gh, count(*) AS occ FROM g GROUP BY 1, 2),
+        |gdf AS (SELECT gh, count(*) AS df FROM pdg GROUP BY 1),
         |per AS (
         |  SELECT doc_id,
         |    CAST(sum(occ) AS BIGINT) AS n_grams,
         |    CAST(sum(CASE WHEN df >= 5 THEN occ ELSE 0 END) AS BIGINT) AS n_hot
-        |  FROM pdg JOIN gdf USING (sh) GROUP BY 1)
+        |  FROM pdg JOIN gdf USING (gh) GROUP BY 1)
         |SELECT doc_id, n_grams, n_hot,
         |  round(n_hot::DOUBLE / n_grams, 6) AS hot_frac,
         |  (n_hot::DOUBLE / n_grams <= 0.1) AS keep
@@ -1294,7 +1297,7 @@ object DocQueries {
       """WITH d AS (
         |  SELECT doc_id, text ||
         |    CASE WHEN doc_id % 7 = 0
-        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      THEN ' contact User' || CAST(doc_id AS VARCHAR) || '@Example.COM'
         |      ELSE '' END ||
         |    CASE WHEN doc_id % 11 = 0
         |      THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
@@ -1303,12 +1306,12 @@ object DocQueries {
         |r AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
         |    CAST(len(regexp_extract_all(text,
-        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |      '(?i)\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
         |    md5(regexp_replace(regexp_replace(text,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS clean_hash
+        |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '(?i)\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS clean_hash
         |  FROM d)
         |SELECT doc_id, n_emails, n_ips, clean_hash,
         |  (n_emails = 0 AND n_ips = 0) AS pii_free

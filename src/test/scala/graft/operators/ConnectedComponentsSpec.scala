@@ -36,6 +36,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(losers === Set(2L, 3L))
   }
 
+  test("exceeding maxIters throws instead of returning non-minimal labels") {
+    // path 8-7-...-1 has diameter 7; one round cannot finish it, and a
+    // silent return would hand non-minimal cluster labels to d7/d8/p8
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("label propagation is invariant under input partitioning") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (20L, 21L))

@@ -49,7 +49,8 @@ class PackSpec extends SparkSpec {
     val d = Seq(
       (1L, "write to alice.b@mail.example.org or ping 192.168.0.1 now"),
       (2L, "no pii here at all"),
-      (3L, "two mails a@b.co c.d@e.io one ip 10.0.0.255"))
+      (3L, "two mails a@b.co c.d@e.io one ip 10.0.0.255"),
+      (4L, "reach John.Doe@Example.COM via 172.16.0.1 ok"))
       .toDF("doc_id", "text")
     val r = d.select(col("doc_id"),
       TextFunctions.emailCount(col("text")).as("ne"),
@@ -62,6 +63,9 @@ class PackSpec extends SparkSpec {
     assert(r(1).getString(3) === "no pii here at all")
     assert(r(2).getLong(1) === 2 && r(2).getLong(2) === 1)
     assert(r(2).getString(3) === "two mails <EMAIL> <EMAIL> one ip <IP>")
+    // mixed case must still match — the (?i) under-redaction fix
+    assert(r(3).getLong(1) === 1 && r(3).getLong(2) === 1)
+    assert(r(3).getString(3) === "reach <EMAIL> via <IP> ok")
   }
 
   test("repetition report flags degenerate docs, keeps varied ones") {

@@ -48,6 +48,22 @@ class PqSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("vector magnitudes beyond the decimal mean range fail loudly") {
+    // decimal(27,12) holds 15 integer digits; 2e15-scale components
+    // must error at build (ANSI: Spark overflow; non-ANSI: the null-
+    // codeword guard) — never silently yield null codewords.
+    val vecs = (0 until 4).map { i =>
+      (i.toLong, Array.fill(8)(2.0e15f * (i + 1)))
+    }.toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pq.build(vecs, col("vec_id"), col("embedding"),
+        dim = 8, m = 2, k = 2, iters = 1)
+    }
+    assert(e.isInstanceOf[org.apache.spark.SparkException] ||
+      e.isInstanceOf[ArithmeticException] ||
+      e.isInstanceOf[IllegalStateException], s"unexpected: $e")
+  }
+
   test("empty corpus builds an empty index and searches to no rows") {
     val none = emb.where(col("vec_id") < 0)
     val index = Pq.build(none, col("vec_id"), col("embedding"), dim = 64)
