@@ -79,12 +79,17 @@ object Ivf {
       .select(col("id"), col("vec"), col("cid"))
 
   /** Mean vector per cluster via posexplode — no vector UDAF needed.
-    * Partial aggregation reduces to k·dim rows before the shuffle. */
+    * Partial aggregation reduces to k·dim rows before the shuffle.
+    * Decimal accumulation (as in [[Pq]]'s Lloyd): float means via
+    * avg(double) are FP-order dependent, so the codebook would differ
+    * under repartitioning; decimal sums are exact. decimal(27,12)
+    * holds 15 integer digits — embedding components must stay below
+    * ~1e15 (the guard in [[collectCodebook]] fails loudly otherwise). */
   private def recompute(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
-      .agg(avg(col("x").cast("double")).as("m"))
+      .agg(avg(col("x").cast("decimal(27,12)")).as("m"))
       .groupBy("cid")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -93,26 +98,52 @@ object Ivf {
   private def collectCodebook(centroids: DataFrame): Array[(Int, Array[Float], Double)] =
     centroids.select(col("cid"), col("cvec")).collect()
       .map { r =>
-        val v = r.getSeq[Float](1).toArray
+        val raw = r.getSeq[Any](1)
+        if (raw == null || raw.exists(_ == null))
+          throw new IllegalStateException(
+            s"IVF Lloyd round produced a null centroid mean for cid " +
+              s"${r.getInt(0)} — vector components exceed the " +
+              "decimal(27,12) range (|x| >= 1e15)?")
+        val v = raw.map(_.asInstanceOf[Float]).toArray
         (r.getInt(0), v, vnorm(v))
       }
       .sortBy(_._1)
 
   /** Build the index: seed = first k vectors by id (TakeOrdered — no
-    * global window), `iters` fixed Lloyd rounds. */
+    * global window), `iters` fixed Lloyd rounds.
+    *
+    * Training is bounded: Lloyd runs over a deterministic hash-stride
+    * sample of ~`trainSampleCap` vectors (the same sampling as
+    * [[Pq.build]] — quantizer quality saturates at a bounded sample),
+    * then ONE full-corpus assign produces the inverted lists. Build
+    * cost at 100 TB is a constant-size training job plus a single
+    * map-side assign scan — no full-corpus scan inside the loop. */
   def build(corpus: DataFrame, idCol: Column, vecCol: Column,
-      k: Int, iters: Int = 2): Index = {
+      k: Int, iters: Int = 2, trainSampleCap: Int = 4096): Index = {
     val vectors = corpus.select(idCol.as("id"), vecCol.as("vec"))
-    var codebook = vectors.orderBy(col("id")).limit(k)
+    val n = vectors.count()
+    // hash-stride, not id-stride (see Pq.build): spreads any id
+    // distribution; an empty degenerate sample falls back to the
+    // full corpus
+    val stride = ((n + trainSampleCap - 1) / trainSampleCap).max(1L)
+    var training =
+      if (n <= trainSampleCap) vectors
+      else vectors.where(pmod(xxhash64(col("id")), lit(stride)) === 0)
+    var seeds = training.orderBy(col("id")).limit(k)
       .select(col("vec")).collect()
-      .zipWithIndex
+    if (seeds.isEmpty && n > 0) {
+      training = vectors
+      seeds = training.orderBy(col("id")).limit(k)
+        .select(col("vec")).collect()
+    }
+    var codebook = seeds.zipWithIndex
       .map { case (r, i) =>
         val v = r.getSeq[Float](0).toArray
         (i + 1, v, vnorm(v))
       }
     (0 until math.max(iters, 1)).foreach { _ =>
       if (codebook.nonEmpty)
-        codebook = collectCodebook(recompute(assign(vectors, codebook)))
+        codebook = collectCodebook(recompute(assign(training, codebook)))
     }
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -124,7 +155,7 @@ object Ivf {
   /** (qid, qvec, cid) probe rows: each query paired with its `nProbe`
     * nearest centroid ids — a per-row sorted slice over codebook
     * literals (no join, no window). */
-  private def probeRows(queries: DataFrame,
+  private[operators] def probeRows(queries: DataFrame,
       codebook: Array[(Int, Array[Float], Double)], nProbe: Int): DataFrame = {
     // array_sort ascending over (-csim, cid) = csim desc, cid asc —
     // the same probe order as a csim-desc ranking. NaN csim (a

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed production ANN shape — [[Ivf]]'s coarse
+  * pruning over [[Pq]]'s compressed scoring. The corpus is assigned
+  * to a coarse cluster AND PQ-encoded in ONE full scan; codes live
+  * partitioned by cluster id; a query probes its `nProbe` nearest
+  * clusters and runs Asymmetric Distance Computation over ONLY those
+  * clusters' codes.
+  *
+  * This closes the scale gap each half has alone: standalone [[Pq]]
+  * ADC is a full coded-corpus scan per query batch (compression
+  * without pruning), standalone [[Ivf]] reads full float vectors in
+  * the probed clusters (pruning without compression). Composed, a
+  * query touches `nProbe/kCoarse` of the corpus at ~16× fewer bytes
+  * — at 100 TB that's the difference between scanning terabytes and
+  * scanning a few gigabytes per query batch.
+  *
+  * Codes quantize the RAW vectors, not the per-cluster residuals
+  * (FAISS's `by_residual=false` flavor): scores stay bit-comparable
+  * with [[Pq.search]] (spec-pinned — probing every cluster reproduces
+  * it exactly), and the encode needs no per-row centroid lookup in
+  * the hot path. Residual encoding is the next refinement if recall
+  * at fixed m/k ever needs it; the two-stage exact re-rank
+  * ([[searchRerank]]) already recovers it cheaper here.
+  *
+  * All index metadata (coarse centroids + m sub-codebooks, both
+  * k ≪ corpus) is driver-held, as in the component operators;
+  * determinism is inherited from them (seeded from first-k ids,
+  * fixed-count Lloyd on a deterministic hash-stride sample, decimal
+  * means — partition-invariant end to end).
+  */
+object IvfPq {
+
+  /** `coarse` is the coarse quantizer (cid, centroid, norm);
+    * `codebooks(j)` the residual-free PQ codewords of subspace j;
+    * `coded` = (id, cid, codes) — the inverted lists, cached. */
+  final case class Index(
+      coarse: Array[(Int, Array[Float], Double)],
+      codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]],
+      coded: DataFrame,
+      m: Int,
+      dsub: Int)
+
+  /** Build coarse quantizer + PQ codebooks, then assign AND encode the
+    * full corpus in a single map-side projection over [[Ivf.build]]'s
+    * cached assignment (which itself is one scan). Both trainings run
+    * on bounded deterministic samples — no full-corpus scan in either
+    * Lloyd loop. */
+  def build(corpus: DataFrame, idCol: Column, vecCol: Column,
+      dim: Int, kCoarse: Int = 16, m: Int = 8, k: Int = 16,
+      iters: Int = 2, trainSampleCap: Int = 4096): Index = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val ivf = Ivf.build(corpus, idCol, vecCol, kCoarse, iters, trainSampleCap)
+    val vectors = corpus.select(idCol.cast("long").as("id"), vecCol.as("vec"))
+    val codebooks = Pq.trainCodebooks(vectors, dim, m, k, iters, trainSampleCap)
+    val coded =
+      if (codebooks.head.isEmpty)
+        ivf.assigned.where(lit(false)).select(col("id"), col("cid"),
+          array().cast("array<int>").as("codes"))
+      else ivf.assigned.select(col("id"), col("cid"),
+        Pq.encodeExpr(col("vec"), codebooks, dsub))
+    Index(ivf.codebook, codebooks, coded.cache(), m, dsub)
+  }
+
+  private def emptyResult(queries: DataFrame): DataFrame =
+    queries.where(lit(false)).select(col("qid"),
+      col("qid").as("vec_id"), lit(0.0d).as("score"), lit(0L).as("rank"))
+
+  /** ADC over probed clusters only: probes carry their per-query LUTs
+    * (computed once on the tiny broadcast side), the `cid` equi-join
+    * is the pruning — a coded row only ever meets the queries probing
+    * its cluster — and scoring is m `element_at` picks per candidate.
+    * Output (qid, vec_id, score, rank), ranks tie to the smaller id,
+    * exactly as [[Pq.search]]. */
+  private def scoreProbedAdc(
+      coded: DataFrame,
+      probes: DataFrame,
+      codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]],
+      m: Int, dsub: Int, topK: Int, roundDigits: Int): DataFrame = {
+    val q = probes.select(
+      col("qid") +: col("cid") +: Pq.lutCols(col("qvec"), codebooks, dsub): _*)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    coded.join(broadcast(q), Seq("cid"))
+      .where(col("qid") =!= col("id"))
+      .withColumn("score", round(Pq.adcScore(m), roundDigits))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("id").as("vec_id"), col("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Pruned ADC top-k: probe `nProbe` clusters, score only their
+    * codes. queries: (qid, qvec). */
+  def search(index: Index, queries: DataFrame, topK: Int,
+      nProbe: Int = 2, roundDigits: Int = 5): DataFrame = {
+    if (index.coarse.isEmpty || index.codebooks.head.isEmpty)
+      return emptyResult(queries)
+    scoreProbedAdc(index.coded,
+      Ivf.probeRows(queries, index.coarse, nProbe),
+      index.codebooks, index.m, index.dsub, topK, roundDigits)
+  }
+
+  /** Two-stage IVF-PQ retrieval: pruned ADC selects `candK`
+    * candidates, exact float cosine re-ranks to the final top-k —
+    * the full production shape (prune → compress → re-rank). The
+    * exact stage touches candK·|queries| vectors. Output matches
+    * [[Similarity.bruteForceTopK]]. */
+  def searchRerank(index: Index, corpus: DataFrame, queries: DataFrame,
+      topK: Int, candK: Int = 50, nProbe: Int = 4, roundDigits: Int = 5,
+      idCol: Column = col("vec_id"),
+      vecCol: Column = col("embedding")): DataFrame =
+    Similarity.rerankExact(search(index, queries, candK, nProbe),
+      corpus, queries, topK, roundDigits, idCol, vecCol)
+
+  /** Write the coded corpus PARTITIONED BY cluster id — the at-rest
+    * IVF-PQ layout: each cluster's CODES (8–16 bytes each, not float
+    * vectors) are their own partition directory, so a probe-filtered
+    * read prunes to nProbe/kCoarse of an already-16×-compressed
+    * table. The quantizers (coarse centroids + codebooks) are index
+    * metadata the caller persists alongside, as with [[Ivf.persist]]. */
+  def persist(index: Index, path: String): Unit =
+    index.coded.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Search a [[persist]]ed index: the distinct probed cluster ids
+    * become a static `cid IN (...)` partition filter — the scan reads
+    * ONLY the probed cluster directories (spec-pinned plan shape) —
+    * then ADC proceeds as in [[search]]. Only `index`'s driver-side
+    * quantizer metadata is used; its in-memory `coded` frame is not
+    * touched. */
+  def searchPersisted(spark: SparkSession, path: String, index: Index,
+      queries: DataFrame, topK: Int, nProbe: Int = 2,
+      roundDigits: Int = 5): DataFrame = {
+    if (index.coarse.isEmpty || index.codebooks.head.isEmpty)
+      return emptyResult(queries)
+    val probes = Ivf.probeRows(queries, index.coarse, nProbe)
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0))
+    val coded = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids.map(Int.box): _*))
+      .select(col("id"), col("cid"), col("codes"))
+    scoreProbedAdc(coded, probes, index.codebooks,
+      index.m, index.dsub, topK, roundDigits)
+  }
+}

@@ -51,7 +51,7 @@ object Pq {
   /** argmin_c ||v − c||² as the codegen-friendly
     * argmax_c (v·c − ||c||²/2) over codeword literals; ties → smallest
     * code (greatest over (score, −code) structs, as in Ivf). */
-  private def argminCode(subvec: Column,
+  private[operators] def argminCode(subvec: Column,
       codebook: Array[(Int, Array[Float], Double)]): Column = {
     val cands = codebook.map { case (code, cv, hn2) =>
       struct((dotF(subvec, typedlit(cv)) - lit(hn2)).as("score"),
@@ -61,7 +61,7 @@ object Pq {
     else (-greatest(cands.toSeq: _*).getField("ncode")).cast("int")
   }
 
-  private def subvec(vec: Column, j: Int, dsub: Int): Column =
+  private[operators] def subvec(vec: Column, j: Int, dsub: Int): Column =
     slice(vec, j * dsub + 1, dsub)
 
   /** One Lloyd round over ALL subspaces in a single shuffle. The
@@ -142,9 +142,38 @@ object Pq {
   def build(corpus: DataFrame, idCol: Column, vecCol: Column,
       dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2,
       trainSampleCap: Int = 4096): Index = {
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
     val vectors = corpus.select(idCol.cast("long").as("id"), vecCol.as("vec"))
+    val codebooks =
+      trainCodebooks(vectors, dim, m, k, iters, trainSampleCap)
+    // empty corpus ⇒ empty codebooks; argminCode over zero codewords
+    // is unplannable, so short-circuit to an empty (id, codes) frame
+    val coded =
+      if (codebooks.head.isEmpty)
+        vectors.where(lit(false))
+          .select(col("id"), array().cast("array<int>").as("codes"))
+      else vectors.select(col("id"), encodeExpr(col("vec"), codebooks, dsub))
+    Index(codebooks, coded.cache(), m, dsub)
+  }
+
+  /** The m-codes array expression for one vector — a pure map-side
+    * projection over codeword literals (shared with [[IvfPq]], whose
+    * encode pass adds the coarse cluster id in the same scan). */
+  private[operators] def encodeExpr(vec: Column,
+      codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]],
+      dsub: Int): Column =
+    array(codebooks.indices.map(j =>
+      argminCode(subvec(vec, j, dsub), codebooks(j))): _*).as("codes")
+
+  /** Train the per-subspace codebooks only (no encode) — the shared
+    * training half of [[build]], reused by [[IvfPq.build]]. `vectors`
+    * must be (id, vec). Returns m codebooks; all m are EMPTY when the
+    * corpus is empty. */
+  private[operators] def trainCodebooks(vectors: DataFrame, dim: Int,
+      m: Int, k: Int, iters: Int,
+      trainSampleCap: Int): IndexedSeq[Array[(Int, Array[Float], Double)]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
     val n = vectors.count()
     // hash-stride, not id-stride: id % stride == 0 silently yields an
     // EMPTY sample when ids are sparse (all-odd ids, snowflake ids);
@@ -173,16 +202,7 @@ object Pq {
       if (seedRows.nonEmpty)
         codebooks = lloydRound(training, codebooks, m, dsub)
     }
-    // empty corpus ⇒ empty codebooks; argminCode over zero codewords
-    // is unplannable, so short-circuit to an empty (id, codes) frame
-    val coded =
-      if (seedRows.isEmpty)
-        vectors.where(lit(false))
-          .select(col("id"), array().cast("array<int>").as("codes"))
-      else vectors.select(col("id"),
-        array((0 until m).map(j =>
-          argminCode(subvec(col("vec"), j, dsub), codebooks(j))): _*).as("codes"))
-    Index(codebooks, coded.cache(), m, dsub)
+    codebooks
   }
 
   /** Two-stage retrieval — the standard production ANN shape: ADC
@@ -198,25 +218,9 @@ object Pq {
   def searchRerank(index: Index, corpus: DataFrame, queries: DataFrame,
       topK: Int, candK: Int = 50, roundDigits: Int = 5,
       idCol: Column = col("vec_id"),
-      vecCol: Column = col("embedding")): DataFrame = {
-    import graft.operators.Similarity.{cosineWithNorms, norm}
-    val cands = search(index, queries, candK)
-      .select(col("qid"), col("vec_id"))
-    val c = corpus
-      .select(idCol.cast("long").as("vec_id"), vecCol.as("embedding"))
-      .withColumn("vnorm", norm(col("embedding")))
-      .join(cands, Seq("vec_id"))
-    val q = queries.withColumn("qnorm", norm(col("qvec")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    c.join(broadcast(q), Seq("qid"))
-      .withColumn("sim", round(cosineWithNorms(col("qvec"), col("embedding"),
-        col("qnorm"), col("vnorm")), roundDigits))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
-      .orderBy(col("qid"), col("rank"))
-  }
+      vecCol: Column = col("embedding")): DataFrame =
+    Similarity.rerankExact(search(index, queries, candK),
+      corpus, queries, topK, roundDigits, idCol, vecCol)
 
   /** ADC top-k: approximate dot(q, v) ≈ Σⱼ LUTⱼ[codeⱼ(v)] where
     * LUTⱼ[c] = qⱼ·codewordⱼ,c is computed once per query row before
@@ -227,23 +231,34 @@ object Pq {
     if (index.codebooks.isEmpty || index.codebooks.head.isEmpty)
       return queries.where(lit(false)).select(col("qid"),
         col("qid").as("vec_id"), lit(0.0d).as("score"), lit(0L).as("rank"))
-    val m = index.m; val dsub = index.dsub
-    val luts = (0 until m).map { j =>
-      array(index.codebooks(j).map { case (_, cv, _) =>
-        dotF(subvec(col("qvec"), j, dsub), typedlit(cv))
-      }: _*).as(s"_lut$j")
-    }
-    val q = queries.select(col("qid") +: luts: _*)
-    val score = (0 until m).map(j =>
-      element_at(col(s"_lut$j"),
-        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val m = index.m
+    val q = queries.select(
+      col("qid") +: lutCols(col("qvec"), index.codebooks, index.dsub): _*)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id"))
     index.coded.join(broadcast(q), col("qid") =!= col("id"))
-      .withColumn("score", round(score, roundDigits))
+      .withColumn("score", round(adcScore(m), roundDigits))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
       .select(col("qid"), col("id").as("vec_id"), col("score"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Per-query LUT columns `_lut0.._lut{m-1}`: LUTⱼ[c] = qⱼ·codewordⱼ,c
+    * — computed once per (broadcast) query row. Shared with [[IvfPq]]. */
+  private[operators] def lutCols(qvec: Column,
+      codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]],
+      dsub: Int): Seq[Column] =
+    codebooks.indices.map { j =>
+      array(codebooks(j).map { case (_, cv, _) =>
+        dotF(subvec(qvec, j, dsub), typedlit(cv))
+      }: _*).as(s"_lut$j")
+    }
+
+  /** ADC score over the `_lut*` columns and a candidate's `codes`:
+    * m O(1) `element_at` picks, no per-pair vector math. */
+  private[operators] def adcScore(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(col(s"_lut$j"),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
 }

@@ -124,6 +124,36 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Exact-cosine re-rank of an ANN candidate list — the second stage
+    * of every two-stage retrieval here ([[Pq.searchRerank]],
+    * [[IvfPq.searchRerank]]): join the (qid, vec_id) candidates back
+    * to their float vectors, score with the exact cosine, keep the
+    * per-query top-k. Touches candK·|queries| vectors only; output
+    * matches [[bruteForceTopK]]. */
+  private[operators] def rerankExact(
+      cands: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      topK: Int,
+      roundDigits: Int,
+      idCol: Column,
+      vecCol: Column): DataFrame = {
+    val c = corpus
+      .select(idCol.cast("long").as("vec_id"), vecCol.as("embedding"))
+      .withColumn("vnorm", norm(col("embedding")))
+      .join(cands.select(col("qid"), col("vec_id")), Seq("vec_id"))
+    val q = queries.withColumn("qnorm", norm(col("qvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), Seq("qid"))
+      .withColumn("sim", round(cosineWithNorms(col("qvec"), col("embedding"),
+        col("qnorm"), col("vnorm")), roundDigits))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private def normOf(v: Array[Float]): Double = {
     var s = 0.0d; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Ivf, Pack, Pq, Similarity}
+import graft.operators.{Dedup, Ivf, IvfPq, Pack, Pq, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -82,14 +82,45 @@ object DocQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // IVF ANN scale path (rows-only: centroid means are FP-order
-    // dependent; exactness is pinned by IvfSpec against brute force).
+    // IVF ANN scale path (rows-only: quantizer quality — hence the
+    // result set — depends on Lloyd details; exactness/determinism
+    // pinned by IvfSpec against brute force).
     "s2_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val index = Ivf.build(e, col("vec_id"), col("embedding"), k = 16)
       Ivf.search(index, q, topK = 5, nProbe = 4)
+    }),
+
+    // s2p: the SAME search against the at-rest index — Ivf.persist
+    // writes the corpus partitioned by cluster id, searchPersisted
+    // prunes the scan to the probed cluster directories via a static
+    // `cid IN` partition filter (plan shape pinned in IvfPersistSpec,
+    // result parity with s2 pinned there too — and visible here as an
+    // identical row count).
+    "s2p_ivf_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val index = Ivf.build(e, col("vec_id"), col("embedding"), k = 16)
+      val path = java.nio.file.Files.createTempDirectory("ivf-gate")
+        .resolve("index").toString
+      Ivf.persist(index, path)
+      Ivf.searchPersisted(s, path, index.codebook, q, topK = 5, nProbe = 4)
+    }),
+
+    // s6: IVF×PQ composed — coarse pruning over compressed codes plus
+    // exact re-rank, the production ANN shape (rows-only like s2/s4;
+    // IvfPqSpec pins PQ-parity when unpruned, recall, and the
+    // persisted pruned-scan plan).
+    "s6_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val index = IvfPq.build(e, col("vec_id"), col("embedding"),
+        dim = 64, kCoarse = 16, m = 16, k = 16, iters = 3)
+      IvfPq.searchRerank(index, e, q, topK = 5, candK = 50, nProbe = 4)
     }),
 
     // p1: the end-to-end corpus-curation pipeline — what a training-

@@ -24,6 +24,24 @@ class IvfSpec extends SparkSpec {
     assert(i1.centroids.count() === 8)
   }
 
+  test("bounded training sample yields a partition-invariant, usable index") {
+    // cap below the corpus size forces the hash-stride sampling path;
+    // decimal centroid means make the codebook (hence every cid)
+    // identical under any input partitioning
+    val i1 = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8,
+      trainSampleCap = 100)
+    val i2 = Ivf.build(emb.repartition(5), col("vec_id"), col("embedding"),
+      k = 8, trainSampleCap = 100)
+    assert(i1.assigned.count() === emb.count()) // full corpus still assigned
+    assert(i1.assigned.select("id", "cid")
+      .exceptAll(i2.assigned.select("id", "cid")).count() === 0)
+    val ivf = Ivf.search(i1, queries, topK = 10, nProbe = 3)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 10)
+    val hit = ivf.select("qid", "vec_id")
+      .intersect(exact.select("qid", "vec_id")).count()
+    assert(hit / 100.0 >= 0.3, s"sampled-train recall ${hit / 100.0}")
+  }
+
   test("search recall against brute force is substantial") {
     val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
     val ivf = Ivf.search(index, queries, topK = 10, nProbe = 3)
