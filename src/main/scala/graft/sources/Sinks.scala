@@ -80,6 +80,49 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Recover a partition directory from a [[compact]] interrupted at
+    * ANY point of the swap protocol — run before reopening the sink.
+    * Case analysis over the protocol's states (each transition is a
+    * single metadata op, so exactly one case holds):
+    *  - live present: it is authoritative — a leftover `__compacting`
+    *    is an incomplete (or never-swapped) rewrite and a leftover
+    *    `__precompact` a completed swap's backup; both are disposable;
+    *  - live missing, `__compacting` present: the crash hit between
+    *    the two renames — the rewrite is COMPLETE (it is only ever
+    *    renamed after its write finishes), promote it;
+    *  - live missing, only `__precompact`: rename the original back
+    *    (defensive; unreachable if staging survives rename 1).
+    * Idempotent. Returns the action taken, for ops logs and the spec. */
+  def recoverCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val base = path.stripSuffix("/")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(base)
+    val staged = new org.apache.hadoop.fs.Path(base + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(base + "__precompact")
+    if (fs.exists(live)) {
+      val leftovers = fs.exists(staged) || fs.exists(old)
+      fs.delete(staged, true)
+      fs.delete(old, true)
+      if (leftovers) "dropped_leftovers" else "clean"
+    } else if (fs.exists(staged)) {
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(
+          s"recoverCompact: cannot promote $staged to $live")
+      fs.delete(old, true)
+      "promoted_staged"
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(
+          s"recoverCompact: cannot restore $old to $live")
+      "restored_precompact"
+    } else
+      throw new java.io.IOException(
+        s"recoverCompact: nothing to recover at $base")
+  }
+
   /** GiST-index analog for the positions table: cluster on the Z-order
     * curve so each parquet file covers a tight lon/lat box and bbox
     * queries prune on file min/max statistics

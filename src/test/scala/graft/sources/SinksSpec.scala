@@ -122,6 +122,47 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(dir + "__compacting").exists())
   }
 
+  test("recoverCompact restores data from every documented crash state") {
+    import java.nio.file.Paths
+    def sumAt(dir: String): Long = spark.read.parquet(dir)
+      .agg(sum(col("id"))).collect()(0).getLong(0)
+
+    // crash BETWEEN the two renames: live is gone, the complete
+    // rewrite sits in __compacting, the original in __precompact —
+    // the instant compact()'s scaladoc documents as recoverable
+    val dir1 = Files.createTempDirectory("graft-rec1").toString + "/part"
+    spark.range(100).toDF("id").write.parquet(dir1)
+    spark.read.parquet(dir1).repartition(2).write
+      .parquet(dir1 + "__compacting") // the finished rewrite, staged
+    java.nio.file.Files.move(Paths.get(dir1), Paths.get(dir1 + "__precompact"))
+    assert(!new java.io.File(dir1).exists()) // reader would see nothing
+    assert(Sinks.recoverCompact(spark, dir1) === "promoted_staged")
+    assert(sumAt(dir1) === 4950L)
+    assert(!new java.io.File(dir1 + "__compacting").exists())
+    assert(!new java.io.File(dir1 + "__precompact").exists())
+
+    // crash DURING the staging write: live intact, staging partial —
+    // recovery must keep live and drop the junk
+    val dir2 = Files.createTempDirectory("graft-rec2").toString + "/part"
+    spark.range(50).toDF("id").write.parquet(dir2)
+    new java.io.File(dir2 + "__compacting").mkdirs()
+    java.nio.file.Files.writeString(
+      Paths.get(dir2 + "__compacting", "partial.parquet"), "torn write")
+    assert(Sinks.recoverCompact(spark, dir2) === "dropped_leftovers")
+    assert(sumAt(dir2) === 1225L)
+    assert(!new java.io.File(dir2 + "__compacting").exists())
+
+    // crash AFTER the swap, before the backup delete: live is the new
+    // data, __precompact the stale original — drop the backup
+    spark.read.parquet(dir2).write.parquet(dir2 + "__precompact")
+    assert(Sinks.recoverCompact(spark, dir2) === "dropped_leftovers")
+    assert(!new java.io.File(dir2 + "__precompact").exists())
+
+    // recovery is idempotent
+    assert(Sinks.recoverCompact(spark, dir2) === "clean")
+    assert(sumAt(dir2) === 1225L)
+  }
+
   test("writeJdbc round-trips through a real JDBC database (S6)") {
     // Embedded Derby (bundled with Spark) stands in for the
     // reference's Postgres: same Spark JDBC write path, real SQL DB.
