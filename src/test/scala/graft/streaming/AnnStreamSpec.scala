@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Ivf, IvfPq}
+
+/** Streaming ANN serving: per-micro-batch pruned search over a
+  * persisted index, batch ≡ stream parity, idempotent epoch replay. */
+class AnnStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def queryRows(ids: Long*): Seq[(Long, Array[Float])] =
+    emb.where(col("vec_id").isin(ids.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+
+  test("streamed IVF-PQ results equal the batch search, batch by batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = IvfPq.build(emb, col("vec_id"), col("embedding"),
+      dim = 64, kCoarse = 8, m = 16, k = 16, iters = 3)
+    val idxDir = Files.createTempDirectory("ann-idx").resolve("i").toString
+    IvfPq.persist(index, idxDir)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val outDir = Files.createTempDirectory("ann-out").toString
+    val ckpt = Files.createTempDirectory("ann-ckpt").toString
+    val q = AnnStream.startIvfPq(
+      in.toDF().toDF("qid", "qvec"), idxDir, index, outDir, ckpt,
+      topK = 5, nProbe = 3)
+    in.addData(queryRows(0L, 1L, 2L))
+    q.processAllAvailable()
+    in.addData(queryRows(3L, 4L))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank").collect().toSeq
+    val batch = IvfPq.searchPersisted(spark, idxDir, index,
+        queryRows(0L, 1L, 2L, 3L, 4L).toDF("qid", "qvec"),
+        topK = 5, nProbe = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(streamed === batch)
+    // one partition directory per epoch — the idempotent-replay unit
+    assert(new java.io.File(outDir).listFiles()
+      .count(_.getName.startsWith("batch_id=")) === 2)
+  }
+
+  test("a replayed epoch overwrites its directory instead of duplicating") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val idxDir = Files.createTempDirectory("ann-idx2").resolve("i").toString
+    Ivf.persist(index, idxDir)
+    val outDir = Files.createTempDirectory("ann-out2").toString
+    val search = (batch: org.apache.spark.sql.DataFrame) =>
+      Ivf.searchPersisted(spark, idxDir, index.codebook, batch,
+        topK = 5, nProbe = 3)
+    val batchDf = queryRows(0L, 1L).toDF("qid", "qvec")
+    // simulate the foreachBatch body running twice for the same epoch
+    search(batchDf).write.mode("overwrite").parquet(s"$outDir/batch_id=7")
+    search(batchDf).write.mode("overwrite").parquet(s"$outDir/batch_id=7")
+    assert(spark.read.parquet(outDir).count() === 10) // 2 qids x top-5
+  }
+
+  test("backfill trigger drains queued queries and terminates") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val idxDir = Files.createTempDirectory("ann-idx3").resolve("i").toString
+    Ivf.persist(index, idxDir)
+    val srcDir = Files.createTempDirectory("ann-src").toString
+    queryRows(0L, 1L, 2L).toDF("qid", "qvec")
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("qid LONG, qvec ARRAY<FLOAT>").parquet(srcDir)
+    val outDir = Files.createTempDirectory("ann-out3").toString
+    val ckpt = Files.createTempDirectory("ann-ckpt3").toString
+    val q = AnnStream.start(stream, outDir, ckpt, backfill = true) { b =>
+      Ivf.searchPersisted(spark, idxDir, index.codebook, b,
+        topK = 5, nProbe = 3)
+    }
+    assert(q.awaitTermination(60000), "backfill did not terminate")
+    assert(spark.read.parquet(outDir).count() === 15) // 3 qids x top-5
+  }
+}
