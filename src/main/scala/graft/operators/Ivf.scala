@@ -40,7 +40,7 @@ object Ivf {
     dotF(vec, cvec) /
       (sqrt(dotF(vec, vec)) * sqrt(dotF(cvec, cvec)))
 
-  private def vnorm(v: Array[Float]): Double = {
+  private[operators] def vnorm(v: Array[Float]): Double = {
     var s = 0.0d; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
     math.sqrt(s)
@@ -204,13 +204,39 @@ object Ivf {
       probeRows(queries, index.codebook, nProbe), topK, roundDigits)
   }
 
+  /** Sidecar directory holding the quantizer codebook next to the
+    * data (the `__compacting`-style suffix convention): the persisted
+    * index is SELF-CONTAINED — a fresh session needs only the path. */
+  private[operators] def quantizerPath(path: String): String =
+    path.stripSuffix("/") + "__quantizer"
+
   /** Write the assigned corpus PARTITIONED BY cluster id — the at-rest
     * IVF layout: each cluster is its own partition directory, so a
     * probe-filtered read physically prunes to nProbe/k of the files
     * (the inverted-list property, realized as parquet partition
-    * pruning — no custom file format needed). */
-  def persist(index: Index, path: String): Unit =
+    * pruning — no custom file format needed). The centroid codebook
+    * (k rows — index metadata) lands in a `__quantizer` sidecar, so
+    * [[searchAt]] can serve the index with no driver-held handle. */
+  def persist(index: Index, path: String): Unit = {
     index.assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    index.centroids.write.mode("overwrite")
+      .parquet(quantizerPath(path))
+  }
+
+  /** Rebuild the driver-side codebook from a [[persist]]ed index's
+    * quantizer sidecar (norms recomputed — they are derived data). */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Float], Double)] =
+    collectCodebook(spark.read.parquet(quantizerPath(path)))
+
+  /** [[searchPersisted]] with the codebook loaded from the sidecar —
+    * the fresh-session entry point: everything needed to serve the
+    * index comes from `path`. */
+  def searchAt(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, topK: Int, nProbe: Int = 2,
+      roundDigits: Int = 5): DataFrame =
+    searchPersisted(spark, path, loadCodebook(spark, path),
+      queries, topK, nProbe, roundDigits)
 
   /** Search a [[persist]]ed index. The distinct probed cluster ids
     * (≤ k values — index metadata, same size class as the codebook)

@@ -122,10 +122,60 @@ object IvfPq {
     * IVF-PQ layout: each cluster's CODES (8–16 bytes each, not float
     * vectors) are their own partition directory, so a probe-filtered
     * read prunes to nProbe/kCoarse of an already-16×-compressed
-    * table. The quantizers (coarse centroids + codebooks) are index
-    * metadata the caller persists alongside, as with [[Ivf.persist]]. */
-  def persist(index: Index, path: String): Unit =
+    * table. The quantizers (coarse centroids + the m sub-codebooks —
+    * index metadata, d·(kCoarse+k) floats total) land in a
+    * `__quantizer` sidecar, so the persisted index is self-contained:
+    * [[loadIndex]]/[[searchAt]] serve it in a fresh session with no
+    * driver-held handle. */
+  def persist(index: Index, path: String): Unit = {
     index.coded.write.mode("overwrite").partitionBy("cid").parquet(path)
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    val rows =
+      index.coarse.toSeq.map { case (cid, v, _) =>
+        ("coarse", cid, 0, v.toSeq)
+      } ++
+        index.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+          cb.map { case (code, cv, _) => ("pq", j, code, cv.toSeq) }
+        }
+    rows.toDF("kind", "a", "b", "vec")
+      .coalesce(1) // metadata-sized: one small file
+      .write.mode("overwrite").parquet(Ivf.quantizerPath(path))
+  }
+
+  /** Rebuild a full [[Index]] from a [[persist]]ed path: quantizers
+    * from the sidecar (norms/half-norms recomputed — derived data),
+    * `coded` read straight from the partitioned parquet (uncached; a
+    * [[search]] over it gets dynamic partition pruning from the cid
+    * join, [[searchPersisted]]'s static `cid IN` filter is stronger). */
+  def loadIndex(spark: SparkSession, path: String): Index = {
+    val rows = spark.read.parquet(Ivf.quantizerPath(path))
+      .select(col("kind"), col("a"), col("b"), col("vec")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Float](3).toArray))
+    val coarse = rows.filter(_._1 == "coarse")
+      .map { case (_, cid, _, v) => (cid, v, Ivf.vnorm(v)) }
+      .sortBy(_._1)
+    val pq = rows.filter(_._1 == "pq")
+    require(pq.nonEmpty, s"no PQ codebooks in ${Ivf.quantizerPath(path)}")
+    val m = pq.map(_._2).max + 1
+    val codebooks = (0 until m).map { j =>
+      pq.filter(_._2 == j)
+        .map { case (_, _, code, cv) => (code, cv, Pq.halfNormSq(cv)) }
+        .sortBy(_._1)
+    }
+    val dsub = codebooks.head.head._2.length
+    val coded = spark.read.parquet(path)
+      .select(col("id"), col("cid"), col("codes"))
+    Index(coarse, codebooks, coded, m, dsub)
+  }
+
+  /** [[searchPersisted]] with the quantizers loaded from the sidecar —
+    * the fresh-session entry point, as [[Ivf.searchAt]]. */
+  def searchAt(spark: SparkSession, path: String, queries: DataFrame,
+      topK: Int, nProbe: Int = 2, roundDigits: Int = 5): DataFrame =
+    searchPersisted(spark, path, loadIndex(spark, path),
+      queries, topK, nProbe, roundDigits)
 
   /** Search a [[persist]]ed index: the distinct probed cluster ids
     * become a static `cid IN (...)` partition filter — the scan reads

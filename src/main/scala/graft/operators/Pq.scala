@@ -42,7 +42,7 @@ object Pq {
       m: Int,
       dsub: Int)
 
-  private def halfNormSq(v: Array[Float]): Double = {
+  private[operators] def halfNormSq(v: Array[Float]): Double = {
     var s = 0.0d; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
     s / 2.0d

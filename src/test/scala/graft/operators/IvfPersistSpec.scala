@@ -25,6 +25,18 @@ class IvfPersistSpec extends SparkSpec {
     assert(disk.collect().toSeq === mem.collect().toSeq)
   }
 
+  test("searchAt serves the index from the path alone (sidecar codebook)") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-persist3")
+      .resolve("index").toString
+    Ivf.persist(index, dir)
+    // no driver-held handle: codebook comes back from the sidecar,
+    // norms recomputed — results must match the in-memory search
+    val mem = Ivf.search(index, queries, topK = 5, nProbe = 3)
+    val at = Ivf.searchAt(spark, dir, queries, topK = 5, nProbe = 3)
+    assert(at.collect().toSeq === mem.collect().toSeq)
+  }
+
   test("probe filter prunes the partitioned scan to probed clusters") {
     val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf-persist2")

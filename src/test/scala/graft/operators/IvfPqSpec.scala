@@ -54,6 +54,18 @@ class IvfPqSpec extends SparkSpec {
     assert(disk.collect().toSeq === mem.collect().toSeq)
   }
 
+  test("searchAt serves the index from the path alone (sidecar quantizers)") {
+    val index = buildIndex()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-persist3")
+      .resolve("index").toString
+    IvfPq.persist(index, dir)
+    val loaded = IvfPq.loadIndex(spark, dir)
+    assert(loaded.m === index.m && loaded.dsub === index.dsub)
+    val mem = IvfPq.search(index, queries, topK = 5, nProbe = 3)
+    val at = IvfPq.searchAt(spark, dir, queries, topK = 5, nProbe = 3)
+    assert(at.collect().toSeq === mem.collect().toSeq)
+  }
+
   test("probe filter prunes the partitioned code scan to probed clusters") {
     val index = buildIndex()
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-persist2")
