@@ -123,6 +123,18 @@ object DocQueries {
       IvfPq.searchRerank(index, e, q, topK = 5, candK = 50, nProbe = 4)
     }),
 
+    // s7: SemDeDup — semantic near-duplicate pruning via k-means
+    // clusters + within-cluster cosine domination (rows-only: the
+    // kept set depends on the quantizer; the keep-rule properties —
+    // kept independence, dropped-has-earlier-neighbor, determinism —
+    // are pinned in SemDedupSpec). tau matches d5's 0.3: the driver's
+    // random embeddings have no 0.9-cosine pairs, and an all-kept
+    // report would prove nothing.
+    "s7_semdedup" -> ((s, dir) =>
+      graft.operators.SemDedup.report(emb(s, dir), col("vec_id"),
+          col("embedding"), kClusters = 16, tau = 0.3)
+        .orderBy(col("vec_id"))),
+
     // p1: the end-to-end corpus-curation pipeline — what a training-
     // data run actually executes: quality gate ∧ language match, keep
     // only exact-dup canonicals (min doc_id per content hash), then
@@ -252,6 +264,64 @@ object DocQueries {
         .join(trainHashes, Seq("h"), "left_semi")
         .select(col("doc_id"), col("h").as("text_hash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // p4b: the SAME contamination report through the 100 TB shape — a
+    // driver-held Bloom sketch of the train-hash set prefilters the
+    // test-split scan BEFORE the exact semi-join confirm. No false
+    // negatives (bloom guarantee), false positives removed by the
+    // confirm, so the output — and the oracle — is bit-identical to
+    // p4. At scale the semi-join's shuffle sees only candidate rows
+    // instead of the full test split; this is Spark's own
+    // InjectRuntimeFilter shape made explicit and deterministic
+    // (equality with p4 also spec-pinned in BloomSpec).
+    "p4b_contamination_bloom" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
+      val d = d0.unionByName(
+        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
+      val bucket = graft.functions.PortableHash
+        .phash(col("doc_id").cast("string"), 7) % 100
+      val withSplit = d.select(col("doc_id"), md5(col("text")).as("h"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      // cached: the sketch aggregation materializes it, the semi-join
+      // confirm reuses it (the harness clears the cache per query)
+      val trainHashes = withSplit.where(col("split") === "train")
+        .select(col("h")).distinct().cache()
+      // sized for the sf0.1 train-hash set (~50k keys): 128 KiB of
+      // bits → fpp ~2e-4, and the plan literal stays small. At real
+      // scale, size numBits to the key-set estimate — the confirm
+      // join keeps the output exact regardless.
+      val bf = graft.functions.Bloom.sketch(trainHashes, col("h"),
+        expectedItems = 1L << 17, numBits = 1L << 20)
+      withSplit.where(col("split") === "test")
+        .where(graft.functions.Bloom.mightContain(bf, col("h")))
+        .join(trainHashes, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("h").as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // p9: per-source document cap (the RefinedWeb/CCNet "domain cap"
+    // curation rule — no single source may dominate the corpus): keep
+    // the `cap` highest-quality documents per source, quality ties
+    // broken by doc_id. The rank<=cap filter over the window triggers
+    // Spark's WindowGroupLimit: each map task keeps only its local
+    // top-cap rows per source BEFORE the exchange (plan shape pinned
+    // in PlanSpec), so at 100 TB a mega-domain ships ~cap rows per
+    // task, not its whole partition, and skew never materializes.
+    "p9_source_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 15)
+        .select(col("source"), col("doc_id"), col("quality"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("source"), col("rn"))
     }),
 
     // t5: per-language corpus statistics — doc counts, exact vocabulary
@@ -626,6 +696,28 @@ object DocQueries {
       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i))""".stripMargin
 
+  // Shared by p4 and p4b: the bloom variant is output-identical by
+  // construction, and sharing the string makes that contract explicit.
+  private val p4OracleSql =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+      |    text FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |sp AS (
+      |  SELECT doc_id, md5(text) AS text_hash,
+      |    CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 80 THEN 'train'
+      |         WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM corpus)
+      |SELECT t.doc_id, t.text_hash
+      |FROM sp t
+      |WHERE t.split = 'test' AND EXISTS (
+      |  SELECT 1 FROM sp tr
+      |  WHERE tr.split = 'train' AND tr.text_hash = t.text_hash)
+      |ORDER BY t.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
@@ -887,25 +979,23 @@ object DocQueries {
         |SELECT lang, doc_id, rn FROM ranked
         |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
 
-    "p4_contamination" ->
-      s"""WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
-        |    text FROM documents
-        |  WHERE doc_id % 5 = 0),
-        |sp AS (
-        |  SELECT doc_id, md5(text) AS text_hash,
-        |    CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 80 THEN 'train'
-        |         WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 90 THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM corpus)
-        |SELECT t.doc_id, t.text_hash
-        |FROM sp t
-        |WHERE t.split = 'test' AND EXISTS (
-        |  SELECT 1 FROM sp tr
-        |  WHERE tr.split = 'train' AND tr.text_hash = t.text_hash)
-        |ORDER BY t.doc_id""".stripMargin,
+    "p4_contamination" -> p4OracleSql,
+
+    // p4b computes the SAME report (bloom prefilter + exact confirm ≡
+    // exact semi-join — no false negatives, FPs confirmed away), so it
+    // shares p4's oracle verbatim.
+    "p4b_contamination_bloom" -> p4OracleSql,
+
+    "p9_source_cap" ->
+      s"""WITH q AS (
+        |  SELECT source, doc_id, $dkQuality AS quality FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id, quality,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rn
+        |  FROM q)
+        |SELECT source, doc_id, quality, rn FROM ranked
+        |WHERE rn <= 15 ORDER BY source, rn""".stripMargin,
 
     "p2_split_assign" ->
       s"""SELECT doc_id,

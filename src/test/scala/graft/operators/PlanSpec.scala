@@ -90,6 +90,21 @@ class PlanSpec extends SparkSpec {
     assert(plan("s4_pq_topk").contains("WindowGroupLimit"))
   }
 
+  test("p9 source cap prunes map-side via WindowGroupLimit") {
+    // rank<=cap over the per-source window must push a partial top-k
+    // below the exchange: a mega-source then ships ~cap rows per map
+    // task instead of its whole partition.
+    val p = plan("p9_source_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("p4b bloom prefilter sits in the scan stage, before the join") {
+    val p = plan("p4b_contamination_bloom")
+    assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    spark.catalog.clearCache() // p4b caches its train-hash set
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
