@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotProduct.dotF
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+  * deduplication by clustering embeddings with k-means, then dropping
+  * every document whose cosine similarity to an EARLIER document in
+  * the same cluster meets the threshold. "Earlier" is the document id
+  * order — the parallel variant the released SemDeDup implementation
+  * uses (each point compares against all cluster peers of lower
+  * index), which needs no sequential greedy pass: a point is dropped
+  * iff ANY lower-id τ-neighbor exists, kept otherwise. Two kept
+  * points in one cluster are therefore never τ-similar (the earlier
+  * would have dominated the later), i.e. the kept set is an
+  * independent set under within-cluster τ-similarity.
+  *
+  * Scale shape: the coarse quantizer trains on [[Ivf.build]]'s
+  * bounded hash-stride sample (constant-size job), one map-side scan
+  * assigns every vector, and the dense cosine kernel runs only WITHIN
+  * clusters — one shuffle keyed by cluster id, each task a
+  * |cluster|² codegen'd dot-product block. SemDeDup's own premise is
+  * k ∝ corpus size so clusters stay bounded; for a degenerate
+  * mega-cluster the [[Similarity.embeddingNearDupPairs]] triangle
+  * blocking is the drop-in within-cluster kernel. Norms are computed
+  * once per row BEFORE the self-join, not once per pair.
+  */
+object SemDedup {
+
+  /** Per-document report: (vec_id, cid, kept). Deterministic — the
+    * quantizer is [[Ivf.build]]'s (seeded from first-k ids, fixed
+    * Lloyd rounds, decimal means), and the keep rule is pure id
+    * arithmetic. */
+  def report(corpus: DataFrame, idCol: Column, vecCol: Column,
+      kClusters: Int = 16, tau: Double = 0.7,
+      iters: Int = 2, trainSampleCap: Int = 4096): DataFrame = {
+    val ivf = Ivf.build(corpus, idCol.cast("long"), vecCol,
+      kClusters, iters, trainSampleCap)
+    val rows = ivf.assigned
+      .withColumn("nv", sqrt(dotF(col("vec"), col("vec"))))
+    val left = rows.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("va"), col("nv").as("na"))
+    val right = rows.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nv").as("nb"))
+    val dominated = left.join(right, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .where(dotF(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(col("cid"), col("id_b").as("id"))
+      .distinct()
+      .withColumn("dom", lit(true))
+    rows.select(col("id"), col("cid"))
+      .join(dominated, Seq("cid", "id"), "left")
+      .select(col("id").as("vec_id"), col("cid"),
+        col("dom").isNull.as("kept"))
+  }
+}

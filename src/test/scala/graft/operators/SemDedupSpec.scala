@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins SemDeDup's keep rule independently of the quantizer: the
+  * kept set is an independent set under within-cluster τ-similarity,
+  * every dropped doc has an earlier τ-neighbor in its cluster, the
+  * report is deterministic, and an unreachable threshold keeps
+  * everything. The verification kernel recomputes cosines with
+  * `aggregate(zip_with(...))` — an implementation-independent path,
+  * not the operator's own `dot_product_f`. */
+class SemDedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private val tau = 0.3
+
+  private def report() =
+    SemDedup.report(emb, col("vec_id"), col("embedding"),
+      kClusters = 16, tau = tau)
+
+  test("report covers every vector exactly once and drops some") {
+    val r = report().cache()
+    val n = emb.count()
+    assert(r.count() === n)
+    assert(r.select(col("vec_id")).distinct().count() === n)
+    val dropped = r.where(!col("kept")).count()
+    assert(dropped > 0L, "tau=0.3 must actually drop on the driver data")
+    assert(dropped < n)
+    spark.catalog.clearCache()
+  }
+
+  test("kept set is independent; dropped docs have an earlier neighbor") {
+    val r = report()
+    val withVec = r.join(
+      emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("kept"),
+        col("embedding").as("v"))
+      .cache()
+    val pairs = withVec.alias("a")
+      .join(withVec.alias("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.kept").as("kept_a"), col("b.kept").as("kept_b"),
+        (expr("aggregate(zip_with(a.v, b.v, (p, q) -> " +
+          "cast(p as double) * q), 0.0d, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(zip_with(a.v, a.v, (p, q) -> " +
+            "cast(p as double) * q), 0.0d, (acc, x) -> acc + x)")) *
+           sqrt(expr("aggregate(zip_with(b.v, b.v, (p, q) -> " +
+             "cast(p as double) * q), 0.0d, (acc, x) -> acc + x)"))))
+          .as("cos"))
+      .cache()
+    // independence: no kept-kept pair at or above tau
+    assert(pairs.where(col("kept_a") && col("kept_b") &&
+      col("cos") >= tau).count() === 0L)
+    // soundness: every dropped doc has SOME earlier τ-neighbor
+    val droppedIds = withVec.where(!col("kept"))
+      .select(col("vec_id").as("id_b"))
+    val withNeighbor = pairs.where(col("cos") >= tau)
+      .select(col("id_b")).distinct()
+    assert(droppedIds.join(withNeighbor, Seq("id_b"), "left_anti")
+      .count() === 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("deterministic across runs") {
+    val a = report().collect().toSeq.sortBy(_.getLong(0))
+    val b = report().collect().toSeq.sortBy(_.getLong(0))
+    assert(a === b)
+    spark.catalog.clearCache()
+  }
+
+  test("unreachable threshold keeps everything") {
+    val r = SemDedup.report(emb, col("vec_id"), col("embedding"),
+      kClusters = 8, tau = 1.5)
+    assert(r.where(!col("kept")).count() === 0L)
+    spark.catalog.clearCache()
+  }
+}
