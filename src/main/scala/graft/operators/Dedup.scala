@@ -142,6 +142,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: c(A→B) = |sh(A)∩sh(B)| /
+    * |sh(A)|. Symmetric Jaccard structurally misses the
+    * quote-inclusion dup (a short doc fully embedded in a long one
+    * has jaccard ≈ |A|/|B| → 0 as B grows, but c(A→B) = 1); a
+    * curation run needs both reports. One row per co-occurring pair
+    * (id_a < id_b) with the intersection size and BOTH directions'
+    * containment, kept when either direction meets `threshold`.
+    *
+    * Scale shape: same shared-gram join as [[jaccardPairs]] — cost is
+    * Σ_g df(g)², not all-pairs — with the standard stop-gram cap as
+    * the explicit knob: grams appearing in more than `maxGramDf` docs
+    * (boilerplate, by [[boilerplateReport]]'s own definition) are
+    * excluded from intersection counting BEFORE the self-join, which
+    * bounds the per-gram fan-out; denominators keep the TRUE distinct
+    * gram counts, so capped containment only ever under-reports —
+    * a pair can be missed, never invented. The cap is part of the
+    * operator's definition (the oracle reproduces it exactly). */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      threshold: Double,
+      maxGramDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), phash(col("sh"), 0).as("h"))
+      .distinct()
+      .cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val joinable =
+      if (maxGramDf == Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy("h").agg(count(lit(1)).as("_df"))
+          .where(col("_df") <= maxGramDf).select(col("h")), Seq("h"))
+    val co = joinable.as("a").join(joinable.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    co.join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(
+        col("id_a"), col("id_b"), col("common"),
+        (col("common").cast("double") / col("sa.n_sh")).as("c_a"),
+        (col("common").cast("double") / col("sb.n_sh")).as("c_b"))
+      .where(col("c_a") >= threshold || col("c_b") >= threshold)
+  }
+
   /** Columnar MinHash min-table: one row per id with the `numHashes`
     * per-seed minima as columns `mh0..mh{k-1}`.
     *

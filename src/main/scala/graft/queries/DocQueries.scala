@@ -51,6 +51,32 @@ object DocQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // d9: asymmetric containment pairs — the quote-inclusion dup
+    // report Jaccard structurally misses (short doc embedded in a
+    // long one has jaccard ≈ |A|/|B| < any useful threshold, but
+    // containment 1.0). The natural corpus only has symmetric mirror
+    // dups, so — t7/p4 convention — the query unions in truncated
+    // copies of every 10th doc (first ⌈tokens/8⌉, min 3, tokens; ids
+    // offset past max so they never collide): pairs d3's jaccard 0.2
+    // gate would MISS are present by construction. Stop-gram cap 50
+    // bounds the per-gram join fan-out.
+    "d9_containment" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
+      val trunc = d0.where(col("doc_id") % 10 === 0)
+        .crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("_mx")).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            greatest(lit(3),
+              expr("size(split(text, ' ')) div 8").cast("int"))), " ")
+            .as("text"))
+      Dedup.containmentPairs(d0.unionByName(trunc), col("doc_id"),
+          col("text"), n = 3, threshold = 0.4, maxGramDf = 50L)
+        .withColumn("c_a", round(col("c_a"), 6))
+        .withColumn("c_b", round(col("c_b"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // 60-bit SimHash fingerprints.
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
@@ -761,6 +787,39 @@ object DocQueries {
         |JOIN sizes sa ON id_a = sa.doc_id
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d9_containment" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(3, len(string_split(text, ' ')) // 8)), ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sh2 AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
+        |flt AS (
+        |  SELECT sh2.doc_id, sh2.h FROM sh2
+        |  JOIN (SELECT h FROM sh2 GROUP BY h
+        |        HAVING count(*) <= 50) cold USING (h)),
+        |co AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM flt a JOIN flt b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common,
+        |  round(common::DOUBLE / sa.n_sh, 6) AS c_a,
+        |  round(common::DOUBLE / sb.n_sh, 6) AS c_b
+        |FROM co
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE common::DOUBLE / sa.n_sh >= 0.4
+        |   OR common::DOUBLE / sb.n_sh >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d3v_jaccard_verify" -> {
