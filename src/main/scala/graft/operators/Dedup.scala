@@ -245,23 +245,30 @@ object Dedup {
     * first, then canonical-only input here) should collapse before
     * LSH runs. Default keeps everything (bit-compatible with the
     * oracle). */
-  def minhashCandidatesFromShingles(
-      shingles: DataFrame,
-      numHashes: Int,
-      bands: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+  /** (id, band, bucket) banded-LSH rows off the columnar min-table.
+    * Bucket = portable hash of the band's comma-joined minima (seed
+    * order) — banding is a projection, not a shuffle. Shared by the
+    * in-memory candidate pipeline and [[NearDupIndex]]'s at-rest
+    * bucket table (the SAME bucket values on both sides is what makes
+    * an incremental batch joinable against a persisted index). */
+  def bandedBuckets(shingles: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rows = numHashes / bands
-    // Bucket = portable hash of the band's comma-joined minima (seed
-    // order), computed straight off the columnar min-table — banding is
-    // a projection, not a shuffle: the whole candidate plan is two
-    // exchanges (groupBy id, groupBy band+bucket).
     val bandBuckets = array((0 until bands).map { b =>
       phash(concat_ws(",",
         (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*),
         -1)
     }: _*)
-    val banded = minhashMinColumns(shingles, numHashes)
+    minhashMinColumns(shingles, numHashes)
       .select(col("id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
+  }
+
+  def minhashCandidatesFromShingles(
+      shingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded = bandedBuckets(shingles, numHashes, bands)
     // Pairs via per-bucket grouping — a single pipeline; the self-join
     // alternative recomputes the whole signature plan for each side.
     banded

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash.phash
+
+/** At-rest MinHash/LSH near-dup index for INCREMENTAL curation: index
+  * the corpus once, then match each new ingest batch against it
+  * without re-shingling or re-signing the corpus — the d3v pipeline
+  * split across time. This is the shape a 100 TB rolling corpus
+  * needs: the per-batch cost is proportional to the BATCH (its
+  * shingles, its signatures, its bucket collisions), never to the
+  * corpus.
+  *
+  * Layout (all parquet, self-contained under `path`):
+  *  - `buckets/`  (band, bucket, id)  — banded-LSH table, partitioned
+  *    by `band`: a batch's collision join reads band-by-band.
+  *  - `shingles/` (pb, id, h) — distinct 60-bit gram hashes,
+  *    partitioned by `pb` = id-hash mod [[ShingleParts]]: the exact
+  *    verify joins on (pb, id), so dynamic partition pruning reads
+  *    only directories holding candidate corpus docs — a small batch
+  *    touches a handful of the [[ShingleParts]] directories, not the
+  *    corpus-wide table (the [[Ivf.persist]] pruned-read pattern).
+  *  - `sizes/`    (id, n_sh) — per-doc distinct gram counts, so the
+  *    verify's Jaccard denominator needs no corpus-wide re-count.
+  *
+  * Contract: corpus ids and new-batch ids are disjoint (callers
+  * re-idify, as the gate queries do for injected corpora). Bucket
+  * values are [[Dedup.bandedBuckets]]'s portable hashes — identical
+  * on the index side and the batch side by construction.
+  */
+object NearDupIndex {
+
+  val ShingleParts = 64
+
+  private def pb(idCol: Column): Column =
+    pmod(xxhash64(idCol), lit(ShingleParts))
+
+  /** Build and write the index for `docs`. One shingle scan feeds the
+    * signature/bucket pipeline, the shingle-hash table and the size
+    * table. */
+  def persist(docs: DataFrame, idCol: Column, textCol: Column,
+      n: Int, numHashes: Int, bands: Int, path: String): Unit = {
+    val sh = Dedup.shingleRows(docs, idCol, textCol, n).cache()
+    try {
+      // repartition by the partition column before each partitionBy
+      // write: otherwise every task writes a sliver into every
+      // directory (tasks × dirs tiny files — measured 2× slower end
+      // to end at sf0.1 and a metadata bomb at scale). One file per
+      // directory here; at 100 TB add maxRecordsPerFile to split fat
+      // partitions while keeping the per-directory locality.
+      Dedup.bandedBuckets(sh, numHashes, bands)
+        .repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$path/buckets")
+      val hashed = sh.select(col("id"), phash(col("sh"), 0).as("h"))
+        .distinct()
+        .cache()
+      hashed.withColumn("pb", pb(col("id")))
+        .repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(s"$path/shingles")
+      hashed.groupBy("id").agg(count(lit(1)).as("n_sh"))
+        .write.mode("overwrite").parquet(s"$path/sizes")
+      hashed.unpersist(blocking = false)
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Match a new batch against a persisted index: banded bucket
+    * collisions (batch × corpus) propose, exact n-gram Jaccard
+    * verifies. Returns (new_id, corpus_id, jaccard ≥ threshold).
+    * `maxBucketSize` drops mega-buckets on the INDEX side (the d2v
+    * cap — a bucket holding half the corpus is a degenerate gram
+    * cluster, not a dup candidate list). */
+  def matchNew(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: Column, textCol: Column, n: Int, numHashes: Int,
+      bands: Int, threshold: Double,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val newSh = Dedup.shingleRows(newDocs, idCol, textCol, n).cache()
+    val newBanded = Dedup.bandedBuckets(newSh, numHashes, bands)
+      .withColumnRenamed("id", "new_id")
+    val idxBuckets = spark.read.parquet(s"$path/buckets")
+      .withColumnRenamed("id", "corpus_id")
+    // cap the index side per (band, bucket) BEFORE the collision join
+    val capped = idxBuckets
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("corpus_id")).as("ids"))
+      .where(size(col("ids")) <= maxBucketSize)
+      .select(col("band"), col("bucket"),
+        explode(col("ids")).as("corpus_id"))
+    val candidates = newBanded.join(capped, Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+      .withColumn("pb", pb(col("corpus_id")))
+    val newHashed = newSh.select(col("id").as("new_id"),
+      phash(col("sh"), 0).as("h")).distinct().cache()
+    val newSizes = newHashed.groupBy("new_id")
+      .agg(count(lit(1)).as("n_new"))
+    val idxSh = spark.read.parquet(s"$path/shingles")
+    val idxSizes = spark.read.parquet(s"$path/sizes")
+      .select(col("id").as("corpus_id"), col("n_sh").as("n_corpus"))
+    // the (pb, corpus_id) join keys let dynamic partition pruning
+    // restrict the shingle read to candidate docs' directories
+    val probe = candidates.join(newHashed, Seq("new_id"))
+      .select(col("new_id"), col("corpus_id"), col("pb"), col("h"))
+    val common = probe
+      .join(idxSh.select(col("pb").as("_ipb"), col("id").as("_cid"),
+          col("h").as("_ih")),
+        col("_ipb") === col("pb") && col("_cid") === col("corpus_id") &&
+          col("_ih") === col("h"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(newSizes, Seq("new_id"))
+      .join(idxSizes, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (col("common").cast("double") /
+          (col("n_new") + col("n_corpus") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

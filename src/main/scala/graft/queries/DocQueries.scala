@@ -77,6 +77,27 @@ object DocQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // d10: incremental near-dup via the at-rest LSH index — index the
+    // even-id half of the corpus, then match the odd-id half against
+    // it as a "new ingest batch": per-batch cost scales with the
+    // batch, never the corpus. Bucket collisions and the exact
+    // verify are fully deterministic, so even this at-rest pipeline
+    // has a bit-exact DuckDB oracle (the d3v oracle restricted to
+    // cross-side pairs).
+    "d10_index_match" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("neardup-gate")
+        .resolve("idx").toString
+      graft.operators.NearDupIndex.persist(d.where(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 4,
+        path = path)
+      graft.operators.NearDupIndex.matchNew(s, path,
+          d.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+          n = 3, numHashes = 16, bands = 4, threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // 60-bit SimHash fingerprints.
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
@@ -858,6 +879,45 @@ object DocQueries {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "d10_index_match" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bands c JOIN bands n
+        |    ON c.b = n.b AND c.bucket = n.bucket
+        |  WHERE c.doc_id % 2 = 0 AND n.doc_id % 2 = 1),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.new_id, c.corpus_id, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd x ON c.new_id = x.doc_id
+        |  JOIN shd y ON c.corpus_id = y.doc_id AND x.h = y.h
+        |  GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |  round(common::DOUBLE / (sn.n_sh + sc.n_sh - common), 6) AS jaccard
+        |FROM co
+        |JOIN sizes sn ON new_id = sn.doc_id
+        |JOIN sizes sc ON corpus_id = sc.doc_id
+        |WHERE common::DOUBLE / (sn.n_sh + sc.n_sh - common) >= 0.2
+        |ORDER BY new_id, corpus_id""".stripMargin
     },
 
     "d4_simhash" ->
