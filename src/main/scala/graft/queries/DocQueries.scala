@@ -371,6 +371,21 @@ object DocQueries {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // p10: curriculum ordering — exact global quality rank and the
+    // rank-derived training shard, WITHOUT the single-task
+    // `row_number() OVER (ORDER BY ...)` window (quantile-bucketed
+    // rank + metadata-sized prefix offsets; ranks are exact for any
+    // bucket boundaries, so the oracle is the plain global window).
+    "p10_curriculum" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.operators.Rank.globalRowNumber(scored, col("quality"),
+          col("doc_id"), nBuckets = 32, descending = true)
+        .withColumn("shard", pmod(col("rank") - 1, lit(8L)))
+        .select(col("doc_id"), col("quality"), col("rank"), col("shard"))
+        .orderBy(col("rank"))
+    }),
+
     // t5: per-language corpus statistics — doc counts, exact vocabulary
     // size, mean document length. The distinct-vocabulary count dedups
     // (lang, tok) per document BEFORE the global distinct (two-stage
@@ -1104,6 +1119,16 @@ object DocQueries {
     // exact semi-join — no false negatives, FPs confirmed away), so it
     // shares p4's oracle verbatim.
     "p4b_contamination_bloom" -> p4OracleSql,
+
+    "p10_curriculum" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, $dkQuality AS quality FROM documents)
+        |SELECT doc_id, quality,
+        |  CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  CAST((row_number() OVER (ORDER BY quality DESC, doc_id) - 1) % 8
+        |    AS BIGINT) AS shard
+        |FROM q ORDER BY rank""".stripMargin,
 
     "p9_source_cap" ->
       s"""WITH q AS (

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins Rank.globalRowNumber: exact parity with the naive global
+  * window, invariance under repartitioning and bucket count, and the
+  * plan property that motivates it — the big-side row_number windows
+  * are partitioned by bucket, never a whole-table SinglePartition
+  * sort. */
+class RankSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def scored = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("n_chars").cast("double").as("v"))
+
+  private def naive = scored.withColumn("rank",
+    row_number().over(Window.orderBy(col("v").desc, col("doc_id")))
+      .cast("long"))
+
+  private def collectRanks(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("matches the naive global window exactly") {
+    val got = Rank.globalRowNumber(scored, col("v"), col("doc_id"),
+      nBuckets = 16, descending = true)
+    assert(collectRanks(got) === collectRanks(naive))
+  }
+
+  test("invariant under repartitioning and bucket count") {
+    val base = collectRanks(Rank.globalRowNumber(scored, col("v"),
+      col("doc_id"), nBuckets = 16, descending = true))
+    val rep = collectRanks(Rank.globalRowNumber(scored.repartition(7),
+      col("v"), col("doc_id"), nBuckets = 16, descending = true))
+    val other = collectRanks(Rank.globalRowNumber(scored, col("v"),
+      col("doc_id"), nBuckets = 5, descending = true))
+    assert(rep === base)
+    assert(other === base)
+  }
+
+  test("ascending order and single bucket degenerate correctly") {
+    val asc = Rank.globalRowNumber(scored, col("v"), col("doc_id"),
+      nBuckets = 1)
+    val expected = scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("v"), col("doc_id")))
+        .cast("long"))
+    assert(collectRanks(asc) === collectRanks(expected))
+  }
+
+  test("the corpus-wide window is bucket-partitioned, not global") {
+    val plan = Rank.globalRowNumber(scored, col("v"), col("doc_id"),
+      nBuckets = 16, descending = true)
+      .queryExecution.executedPlan.toString
+    // the row_number over data rows must carry the bucket partition
+    assert(plan.contains("windowspecdefinition(_bucket"), plan)
+  }
+}
