@@ -68,7 +68,7 @@ object Ivf {
   /** Assign each (id, vec) row to its max-cosine centroid — a single
     * narrow projection, no shuffle. Empty codebook (empty corpus) ⇒
     * empty assignment, same schema. */
-  private def assign(vectors: DataFrame,
+  private[operators] def assign(vectors: DataFrame,
       codebook: Array[(Int, Array[Float], Double)]): DataFrame =
     if (codebook.isEmpty)
       vectors.where(lit(false)).withColumn("cid", lit(0))
@@ -221,6 +221,26 @@ object Ivf {
     index.assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
     index.centroids.write.mode("overwrite")
       .parquet(quantizerPath(path))
+  }
+
+  /** Append a new vector batch to a [[persist]]ed index WITHOUT
+    * retraining: the batch is assigned with the EXISTING quantizer
+    * (one map-side scan over the batch) and its rows land as new
+    * files inside the existing cluster directories — FAISS `add`
+    * semantics for the parquet layout. Per-batch cost scales with the
+    * batch, never the indexed corpus (the [[NearDupIndex]] property,
+    * here for ANN). Contract: batch ids are disjoint from indexed
+    * ids, and the caller provides exactly-once batch semantics
+    * (wrap epochs as `AnnStream` does for idempotent replay).
+    * Appended vectors are quantized by the ORIGINAL codebook;
+    * rebuild when the embedding distribution drifts. */
+  def appendPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVectors: DataFrame, idCol: Column,
+      vecCol: Column): Unit = {
+    val codebook = loadCodebook(spark, path)
+    require(codebook.nonEmpty, s"no quantizer at ${quantizerPath(path)}")
+    assign(newVectors.select(idCol.as("id"), vecCol.as("vec")), codebook)
+      .write.mode("append").partitionBy("cid").parquet(path)
   }
 
   /** Rebuild the driver-side codebook from a [[persist]]ed index's

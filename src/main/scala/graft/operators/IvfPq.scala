@@ -170,6 +170,24 @@ object IvfPq {
     Index(coarse, codebooks, coded, m, dsub)
   }
 
+  /** Append a new vector batch to a [[persist]]ed index WITHOUT
+    * retraining (FAISS `add`): one map-side scan assigns the batch
+    * with the existing coarse quantizer AND PQ-encodes it with the
+    * existing codebooks; rows append as new files inside the existing
+    * cluster directories. Same contract as [[Ivf.appendPersisted]]:
+    * disjoint ids, caller-provided exactly-once batching, rebuild on
+    * distribution drift. */
+  def appendPersisted(spark: SparkSession, path: String,
+      newVectors: DataFrame, idCol: Column, vecCol: Column): Unit = {
+    val index = loadIndex(spark, path)
+    val vectors = newVectors.select(idCol.cast("long").as("id"),
+      vecCol.as("vec"))
+    Ivf.assign(vectors, index.coarse)
+      .select(col("id"), col("cid"),
+        Pq.encodeExpr(col("vec"), index.codebooks, index.dsub))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** [[searchPersisted]] with the quantizers loaded from the sidecar —
     * the fresh-session entry point, as [[Ivf.searchAt]]. */
   def searchAt(spark: SparkSession, path: String, queries: DataFrame,

@@ -161,6 +161,26 @@ object DocQueries {
     // exact re-rank, the production ANN shape (rows-only like s2/s4;
     // IvfPqSpec pins PQ-parity when unpruned, recall, and the
     // persisted pruned-scan plan).
+    // s2a: the incremental-index lifecycle in one query — persist an
+    // IVF index over half the corpus, APPEND the other half with the
+    // existing quantizer (no retrain, batch-proportional cost), then
+    // search the union from the path alone. Rows-only (quantizer-
+    // dependent result set); union coverage, probe-all exactness and
+    // old-files-untouched are pinned in IndexAppendSpec.
+    "s2a_ivf_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val index = Ivf.build(e.where(col("vec_id") % 2 === 0),
+        col("vec_id"), col("embedding"), k = 16)
+      val path = java.nio.file.Files.createTempDirectory("ivf-append-gate")
+        .resolve("index").toString
+      Ivf.persist(index, path)
+      Ivf.appendPersisted(s, path, e.where(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"))
+      Ivf.searchAt(s, path, q, topK = 5, nProbe = 4)
+    }),
+
     "s6_ivfpq_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 10)
