@@ -66,6 +66,55 @@ object DocStream {
       .join(knownHashes.select(col("text_hash")), Seq("text_hash"),
         "left_anti")
 
+  /** [[curateIncremental]] extended to NEAR-duplicates: each
+    * micro-batch runs the batch curation, drops exact known hashes,
+    * then matches the remainder against an at-rest
+    * [[graft.operators.NearDupIndex]] and drops every doc with a
+    * verified Jaccard match — streaming ingest that rejects fuzzy
+    * mirrors of the stored corpus, not just byte-identical copies.
+    *
+    * Runs inside `foreachBatch` (the AnnStream/T10 pattern): the LSH
+    * match needs per-batch bucket groupBys and a DPP-pruned corpus
+    * join, not expressible as an incremental streaming plan — and
+    * per-batch cost stays batch-proportional by the index's own
+    * contract. Matching shingles the post-scrub `clean_text` (what
+    * would be stored). Each epoch OVERWRITEs `outDir/batch_id=N`
+    * (day-partitioned inside), so replays are idempotent — the
+    * AnnStream epoch protocol. Same-batch near-dup PAIRS (neither doc
+    * in the corpus yet) pass through; they resolve at the next index
+    * refresh, the standard lambda split for fuzzy dedup.
+    */
+  def startIncrementalNearDup(docs: DataFrame, knownHashes: DataFrame,
+      indexPath: String, outDir: String, checkpoint: String,
+      minQuality: Double = 0.3, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.2,
+      backfill: Boolean = false): StreamingQuery = {
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = curate(batch, minQuality)
+          .join(knownHashes.select(col("text_hash")), Seq("text_hash"),
+            "left_anti")
+          .cache()
+        val losers = graft.operators.NearDupIndex.matchNew(
+            batch.sparkSession, indexPath, cur, col("doc_id"),
+            col("clean_text"), n, numHashes, bands, threshold)
+          .select(col("new_id").as("doc_id")).distinct()
+        cur.join(losers, Seq("doc_id"), "left_anti")
+          .withColumn("ingest_date", to_date(col("ingest_ts")))
+          .write.mode("overwrite").partitionBy("ingest_date")
+          .parquet(s"$outDir/batch_id=$batchId")
+        // matchNew caches the batch's shingle frames; drop ALL epoch
+        // caches here so a long-running ingest stream's storage stays
+        // bounded to one epoch (an ingest job owns its session)
+        batch.sparkSession.catalog.clearCache()
+        ()
+      }
+    (if (backfill)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
+
   /** Run the curation stream into day-partitioned parquet (retention
     * by partition drop, as the position sink does). `backfill = true`
     * runs with `Trigger.AvailableNow`: process everything already in

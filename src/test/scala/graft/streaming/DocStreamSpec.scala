@@ -73,6 +73,50 @@ class DocStreamSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("near-dup incremental stream rejects fuzzy mirrors of the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: one stored doc; index it
+    val corpus = Seq((100L, good)).toDF("doc_id", "text")
+    val idxPath = Files.createTempDirectory("ndi-stream")
+      .resolve("idx").toString
+    graft.operators.NearDupIndex.persist(corpus, col("doc_id"),
+      col("text"), n = 3, numHashes = 16, bands = 4, path = idxPath)
+    val known = corpus.select(md5(col("text")).as("text_hash"))
+
+    // a fuzzy mirror: same text with the tail reworded — high 3-gram
+    // jaccard to the stored doc, but a different content hash
+    val mirror = good.split(" ").dropRight(3).mkString(" ") +
+      " bright cold morning"
+    val fresh =
+      "a completely different and rather long note about seven small " +
+        "ships that sail the northern sea at dawn and come back to the " +
+        "harbor with a hold full of silver fish and the crew singing " +
+        "songs about the wind and the waves and the long road home"
+
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "lang", "ingest_ts")
+    val outDir = Files.createTempDirectory("ndi-stream-out").toString
+    val ckpt = Files.createTempDirectory("ndi-stream-ckpt").toString
+    val q = DocStream.startIncrementalNearDup(docs, known, idxPath,
+      outDir, ckpt)
+    in.addData(Seq(
+      (1L, good, "en", ts("2024-03-03 10:00:00")), // exact known copy
+      (2L, mirror, "en", ts("2024-03-03 10:00:01")), // near-dup → drop
+      (3L, fresh, "en", ts("2024-03-03 10:00:02")), // genuinely new
+      (4L, "x", "en", ts("2024-03-03 10:00:03")))) // junk
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(3L))
+    // sanity: the mirror really was a verified near-dup, not a gate drop
+    val m = graft.operators.NearDupIndex.matchNew(spark, idxPath,
+      Seq((2L, mirror)).toDF("doc_id", "text"), col("doc_id"),
+      col("text"), n = 3, numHashes = 16, bands = 4, threshold = 0.2)
+    assert(m.count() === 1L)
+    spark.catalog.clearCache()
+  }
+
   test("incremental curation drops docs already in the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val known = Seq(good).toDF("text")
