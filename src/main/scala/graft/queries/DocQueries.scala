@@ -426,6 +426,20 @@ object DocQueries {
       stats.join(vocab, Seq("lang")).orderBy(col("lang"))
     }),
 
+    // t10: corpus heavy hitters — the exact top-20 tokens by total
+    // occurrences (boilerplate/stop-token audit). Plans a parallel
+    // TakeOrderedAndProject over a map-side-combinable token count —
+    // no global sort. The Count-Min-Sketch drop-in (estimate within
+    // eps·N of these exact counts, never below) is pinned in
+    // OperatorSpec, completing the sketch family: HLL (t5),
+    // Bloom (p4b), CMS (here).
+    "t10_heavy_hitters" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)),
+
     // t6: Gopher-style hard-filter report — the rule-by-rule audit a
     // curation run reads before committing to thresholds.
     "t6_gopher_filter" -> ((s, dir) =>
@@ -1167,6 +1181,11 @@ object DocQueries {
         |       WHEN ${dkHash("text", "7")} % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_heavy_hitters" ->
+      """SELECT u.t AS tok, count(*) AS n
+        |FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "t5_vocab_stats" ->
       """WITH tok AS (

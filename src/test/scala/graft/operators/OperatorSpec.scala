@@ -372,4 +372,27 @@ class OperatorSpec extends SparkSpec {
         s"lang=${r.getString(0)} exact=$e approx=$a")
     }
   }
+
+  test("Count-Min-Sketch heavy-hitter counts bound the exact counts") {
+    // t10's exact token counts are the oracle; the streaming/merge-
+    // friendly drop-in is a CMS (one pass, mergeable partials, fixed
+    // memory). CMS never under-counts and over-counts by < eps·N with
+    // the configured confidence — pin both sides of that bound so the
+    // swap stays safe.
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tok = d.select(explode(split(col("text"), " ")).as("tok"))
+    val total = tok.count()
+    val eps = 0.005
+    val cms = tok.stat.countMinSketch(col("tok"), eps = eps,
+      confidence = 0.99, seed = 42)
+    val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20).collect()
+    exact.foreach { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(t)
+      assert(est >= n, s"CMS under-counted $t: $est < $n")
+      assert(est <= n + (eps * total).toLong + 1,
+        s"CMS over-counted $t beyond eps*N: $est vs $n (N=$total)")
+    }
+  }
 }

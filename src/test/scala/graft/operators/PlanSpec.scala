@@ -90,6 +90,10 @@ class PlanSpec extends SparkSpec {
     assert(plan("s4_pq_topk").contains("WindowGroupLimit"))
   }
 
+  test("t10 heavy hitters plans a parallel top-k, not a global sort") {
+    assert(plan("t10_heavy_hitters").contains("TakeOrderedAndProject"))
+  }
+
   test("p9 source cap prunes map-side via WindowGroupLimit") {
     // rank<=cap over the per-source window must push a partial top-k
     // below the exchange: a mega-source then ships ~cap rows per map
