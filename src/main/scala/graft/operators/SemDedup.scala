@@ -32,17 +32,30 @@ object SemDedup {
   /** Per-document report: (vec_id, cid, kept). Deterministic — the
     * quantizer is [[Ivf.build]]'s (seeded from first-k ids, fixed
     * Lloyd rounds, decimal means), and the keep rule is pure id
-    * arithmetic. */
+    * arithmetic.
+    *
+    * `maxClusterSize` is the d4v mega-bucket guard: a degenerate
+    * quantizer (or pathological data) collapsing most vectors into
+    * one cluster would make the within-cluster kernel quadratic in
+    * the corpus; clusters larger than the cap are excluded from
+    * PAIRING — all their members stay kept (under-dedup, never
+    * over), and the report still covers every vector. */
   def report(corpus: DataFrame, idCol: Column, vecCol: Column,
       kClusters: Int = 16, tau: Double = 0.7,
-      iters: Int = 2, trainSampleCap: Int = 4096): DataFrame = {
+      iters: Int = 2, trainSampleCap: Int = 4096,
+      maxClusterSize: Long = 1L << 20): DataFrame = {
     val ivf = Ivf.build(corpus, idCol.cast("long"), vecCol,
       kClusters, iters, trainSampleCap)
     val rows = ivf.assigned
       .withColumn("nv", sqrt(dotF(col("vec"), col("vec"))))
-    val left = rows.select(col("cid"), col("id").as("id_a"),
+    val small = rows.groupBy(col("cid"))
+      .agg(count(lit(1)).as("_sz"))
+      .where(col("_sz") <= maxClusterSize)
+      .select(col("cid"))
+    val pairable = rows.join(small, Seq("cid"))
+    val left = pairable.select(col("cid"), col("id").as("id_a"),
       col("vec").as("va"), col("nv").as("na"))
-    val right = rows.select(col("cid"), col("id").as("id_b"),
+    val right = pairable.select(col("cid"), col("id").as("id_b"),
       col("vec").as("vb"), col("nv").as("nb"))
     val dominated = left.join(right, Seq("cid"))
       .where(col("id_a") < col("id_b"))

@@ -315,16 +315,7 @@ object DocQueries {
     // why p2 is the default. The near-dup variant is the same shape
     // over d2/d3v candidates.
     "p4_contamination" -> ((s, dir) => {
-      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
-      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
-      val d = d0.unionByName(
-        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
-          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
-      val bucket = graft.functions.PortableHash
-        .phash(col("doc_id").cast("string"), 7) % 100
-      val withSplit = d.select(col("doc_id"), md5(col("text")).as("h"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
+      val withSplit = contaminationSplit(s, dir)
       val trainHashes = withSplit.where(col("split") === "train")
         .select(col("h")).distinct()
       withSplit.where(col("split") === "test")
@@ -343,16 +334,7 @@ object DocQueries {
     // InjectRuntimeFilter shape made explicit and deterministic
     // (equality with p4 also spec-pinned in BloomSpec).
     "p4b_contamination_bloom" -> ((s, dir) => {
-      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
-      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
-      val d = d0.unionByName(
-        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
-          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
-      val bucket = graft.functions.PortableHash
-        .phash(col("doc_id").cast("string"), 7) % 100
-      val withSplit = d.select(col("doc_id"), md5(col("text")).as("h"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
+      val withSplit = contaminationSplit(s, dir)
       // cached: the sketch aggregation materializes it, the semi-join
       // confirm reuses it (the harness clears the cache per query)
       val trainHashes = withSplit.where(col("split") === "train")
@@ -791,6 +773,24 @@ object DocQueries {
       |sh AS (
       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i))""".stripMargin
+
+  // The p4/p4b corpus: documents plus a re-idified mirror of every
+  // 5th doc (ids offset past max so they never collide), split by the
+  // NAIVE id hash — the cross-split leak these reports detect.
+  // Shared so the exact and bloom-prefiltered variants can never
+  // drift apart on the input they analyze.
+  private def contaminationSplit(s: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+    val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
+    val d = d0.unionByName(
+      d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
+    val bucket = graft.functions.PortableHash
+      .phash(col("doc_id").cast("string"), 7) % 100
+    d.select(col("doc_id"), md5(col("text")).as("h"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
 
   // Shared by p4 and p4b: the bloom variant is output-identical by
   // construction, and sharing the string makes that contract explicit.

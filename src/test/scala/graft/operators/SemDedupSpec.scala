@@ -79,4 +79,14 @@ class SemDedupSpec extends SparkSpec {
     assert(r.where(!col("kept")).count() === 0L)
     spark.catalog.clearCache()
   }
+
+  test("mega-cluster cap excludes oversized clusters from pairing") {
+    // cap of 1 makes EVERY cluster oversized: nothing may be paired,
+    // the report still covers the corpus, everything stays kept
+    val r = SemDedup.report(emb, col("vec_id"), col("embedding"),
+      kClusters = 8, tau = 0.0, maxClusterSize = 1L)
+    assert(r.count() === emb.count())
+    assert(r.where(!col("kept")).count() === 0L)
+    spark.catalog.clearCache()
+  }
 }
