@@ -235,16 +235,6 @@ object Dedup {
     minhashCandidatesFromShingles(shingleRows(docs, idCol, textCol, n),
       numHashes, bands)
 
-  /** [[minhashCandidates]] over a prebuilt (id, sh) shingle table.
-    *
-    * `maxBucketSize` bounds the per-bucket pair blowup at scale: a
-    * bucket of k colliding docs emits k·(k−1)/2 candidates, and a
-    * mega-bucket (thousands of near-identical boilerplate docs) turns
-    * quadratic. Buckets above the cap are dropped — their members are
-    * near-identical by construction, which exact dedup ([[exactDuplicates]]
-    * first, then canonical-only input here) should collapse before
-    * LSH runs. Default keeps everything (bit-compatible with the
-    * oracle). */
   /** (id, band, bucket) banded-LSH rows off the columnar min-table.
     * Bucket = portable hash of the band's comma-joined minima (seed
     * order) — banding is a projection, not a shuffle. Shared by the
@@ -263,6 +253,16 @@ object Dedup {
       .select(col("id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
   }
 
+  /** [[minhashCandidates]] over a prebuilt (id, sh) shingle table.
+    *
+    * `maxBucketSize` bounds the per-bucket pair blowup at scale: a
+    * bucket of k colliding docs emits k·(k−1)/2 candidates, and a
+    * mega-bucket (thousands of near-identical boilerplate docs) turns
+    * quadratic. Buckets above the cap are dropped — their members are
+    * near-identical by construction, which exact dedup ([[exactDuplicates]]
+    * first, then canonical-only input here) should collapse before
+    * LSH runs. Default keeps everything (bit-compatible with the
+    * oracle). */
   def minhashCandidatesFromShingles(
       shingles: DataFrame,
       numHashes: Int,

@@ -180,8 +180,11 @@ object IvfPq {
   def appendPersisted(spark: SparkSession, path: String,
       newVectors: DataFrame, idCol: Column, vecCol: Column): Unit = {
     val index = loadIndex(spark, path)
-    val vectors = newVectors.select(idCol.cast("long").as("id"),
-      vecCol.as("vec"))
+    // NO id cast (matching Ivf.appendPersisted and build's coded
+    // projection): the caller's id type flows through, so appended
+    // files carry the SAME parquet id type as the persisted ones —
+    // a cast here would mix INT32/INT64 columns in one table
+    val vectors = newVectors.select(idCol.as("id"), vecCol.as("vec"))
     Ivf.assign(vectors, index.coarse)
       .select(col("id"), col("cid"),
         Pq.encodeExpr(col("vec"), index.codebooks, index.dsub))

@@ -77,23 +77,31 @@ object NearDupIndex {
       idCol: Column, textCol: Column, n: Int, numHashes: Int,
       bands: Int, threshold: Double,
       maxBucketSize: Int = 10000): DataFrame = {
-    val newSh = Dedup.shingleRows(newDocs, idCol, textCol, n).cache()
+    // No caching here: the shingle/signature frames recompute off the
+    // (small) batch rather than leaking an unreleasable cache entry
+    // per call — Ivf.searchPersisted's convention; long-running
+    // callers (DocStream) stay leak-free without session-wide
+    // cache eviction.
+    val newSh = Dedup.shingleRows(newDocs, idCol, textCol, n)
     val newBanded = Dedup.bandedBuckets(newSh, numHashes, bands)
       .withColumnRenamed("id", "new_id")
     val idxBuckets = spark.read.parquet(s"$path/buckets")
       .withColumnRenamed("id", "corpus_id")
     // cap the index side per (band, bucket) BEFORE the collision join
-    val capped = idxBuckets
+    // — via a COUNT + semi-join, never materializing a bucket's id
+    // list: the degenerate mega-bucket this guards against would
+    // otherwise blow up a collect_list buffer before being dropped
+    val underCap = idxBuckets
       .groupBy("band", "bucket")
-      .agg(collect_list(col("corpus_id")).as("ids"))
-      .where(size(col("ids")) <= maxBucketSize)
-      .select(col("band"), col("bucket"),
-        explode(col("ids")).as("corpus_id"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val capped = idxBuckets.join(underCap, Seq("band", "bucket"))
     val candidates = newBanded.join(capped, Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id")).distinct()
       .withColumn("pb", pb(col("corpus_id")))
     val newHashed = newSh.select(col("id").as("new_id"),
-      phash(col("sh"), 0).as("h")).distinct().cache()
+      phash(col("sh"), 0).as("h")).distinct()
     val newSizes = newHashed.groupBy("new_id")
       .agg(count(lit(1)).as("n_new"))
     val idxSh = spark.read.parquet(s"$path/shingles")

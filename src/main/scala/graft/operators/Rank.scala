@@ -29,12 +29,19 @@ object Rank {
 
   /** Append `rank` (1-based, long): position in the total order
     * (`orderCol` asc or desc, ties by `tieCol` asc — `tieCol` must be
-    * unique). */
+    * unique; `orderCol` must be numeric, non-null, non-NaN).
+    *
+    * The double `_ord` is used ONLY for bucket placement (negated
+    * AFTER the cast — negating an integral column first would wrap on
+    * Long.MinValue); the within-bucket window orders by the ORIGINAL
+    * column, so keys that collapse to one double (longs above 2^53)
+    * still rank in their exact order — the cast's monotonicity
+    * guarantees bucket placement stays order-consistent either way. */
   def globalRowNumber(df: DataFrame, orderCol: Column, tieCol: Column,
       nBuckets: Int = 32, descending: Boolean = false): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val ord = (if (descending) -orderCol else orderCol).cast("double")
-    val keyed = df.withColumn("_ord", ord)
+    val ordD = orderCol.cast("double")
+    val keyed = df.withColumn("_ord", if (descending) -ordD else ordD)
     // bounded driver metadata (≤ nBuckets-1 doubles), like the
     // IVF/PQ codebooks; boundaries are allowed to be approximate
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
@@ -49,7 +56,7 @@ object Rank {
         .reduce(_ + _)
     val bucketed = keyed.withColumn("_bucket", bucket)
     val wIn = Window.partitionBy(col("_bucket"))
-      .orderBy(col("_ord"), tieCol)
+      .orderBy(if (descending) orderCol.desc else orderCol.asc, tieCol)
     val counts = bucketed.groupBy(col("_bucket"))
       .agg(count(lit(1)).as("_n"))
     // ≤ nBuckets rows — the one unpartitioned window, metadata-sized

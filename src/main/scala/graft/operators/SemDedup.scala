@@ -59,6 +59,11 @@ object SemDedup {
       col("vec").as("vb"), col("nv").as("nb"))
     val dominated = left.join(right, Seq("cid"))
       .where(col("id_a") < col("id_b"))
+      // zero-norm guard: 0/0 = NaN, and Spark orders NaN ABOVE every
+      // value, so `NaN >= tau` would mark every pair touching a
+      // zero vector (empty/padded doc) as dominated — a zero vector
+      // is similar to nothing, never a duplicate
+      .where(col("na") > 0 && col("nb") > 0)
       .where(dotF(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
       .select(col("cid"), col("id_b").as("id"))
       .distinct()

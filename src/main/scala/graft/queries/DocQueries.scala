@@ -91,9 +91,13 @@ object DocQueries {
       graft.operators.NearDupIndex.persist(d.where(col("doc_id") % 2 === 0),
         col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 4,
         path = path)
+      // uncapped: the oracle models no bucket cap, and a silent cap
+      // kick-in at a larger sf would diverge the gate (d9 bakes its
+      // cap INTO the oracle; here the cap is a production knob only)
       graft.operators.NearDupIndex.matchNew(s, path,
           d.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
-          n = 3, numHashes = 16, bands = 4, threshold = 0.2)
+          n = 3, numHashes = 16, bands = 4, threshold = 0.2,
+          maxBucketSize = Int.MaxValue)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("new_id"), col("corpus_id"))
     }),

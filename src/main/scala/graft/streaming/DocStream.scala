@@ -92,9 +92,9 @@ object DocStream {
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cur = curate(batch, minQuality)
-          .join(knownHashes.select(col("text_hash")), Seq("text_hash"),
-            "left_anti")
+        // the batch frame is non-streaming, so the incremental
+        // curation is the SAME code path as the batch operator
+        val cur = curateIncremental(batch, knownHashes, minQuality)
           .cache()
         val losers = graft.operators.NearDupIndex.matchNew(
             batch.sparkSession, indexPath, cur, col("doc_id"),
@@ -104,10 +104,9 @@ object DocStream {
           .withColumn("ingest_date", to_date(col("ingest_ts")))
           .write.mode("overwrite").partitionBy("ingest_date")
           .parquet(s"$outDir/batch_id=$batchId")
-        // matchNew caches the batch's shingle frames; drop ALL epoch
-        // caches here so a long-running ingest stream's storage stays
-        // bounded to one epoch (an ingest job owns its session)
-        batch.sparkSession.catalog.clearCache()
+        // the one cache is ours; matchNew holds none (its frames
+        // recompute off the batch) — epoch state stays bounded
+        cur.unpersist(blocking = false)
         ()
       }
     (if (backfill)

@@ -50,6 +50,27 @@ class RankSpec extends SparkSpec {
     assert(collectRanks(asc) === collectRanks(expected))
   }
 
+  test("long extremes rank exactly: no negation overflow, no double collapse") {
+    import spark.implicits._
+    // Long.MinValue would wrap under negate-before-cast; 2^53 and
+    // 2^53+1 collapse to one double — bucket placement may merge
+    // them, but the within-bucket order on the ORIGINAL column must
+    // keep their exact relative rank
+    val big = 1L << 53
+    val vals = Seq(Long.MinValue, -5L, 0L, big, big + 1, Long.MaxValue)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Rank.globalRowNumber(df, col("v"), col("id"),
+      nBuckets = 3, descending = true)
+      .select(col("id"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = vals.zipWithIndex
+      .sortBy { case (v, i) => (-BigInt(v), i) }
+      .zipWithIndex.map { case ((_, id), r) => id.toLong -> (r + 1L) }
+      .toMap
+    assert(got === want)
+  }
+
   test("the corpus-wide window is bucket-partitioned, not global") {
     val plan = Rank.globalRowNumber(scored, col("v"), col("doc_id"),
       nBuckets = 16, descending = true)

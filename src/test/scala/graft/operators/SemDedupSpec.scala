@@ -80,6 +80,23 @@ class SemDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("zero-norm vectors never dominate (0/0 = NaN guard)") {
+    import spark.implicits._
+    // orthogonal unit vectors + a zero vector with the LOWEST id in
+    // one cluster: no real pair reaches tau, and NaN >= tau must not
+    // fake domination — everything stays kept
+    def unit(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    val rows = Seq(
+      (0L, Array.fill(64)(0.0f)),
+      (1L, unit(0)), (2L, unit(1)), (3L, unit(2)), (4L, unit(3)))
+    val df = rows.toDF("vec_id", "embedding")
+    val r = SemDedup.report(df, col("vec_id"), col("embedding"),
+      kClusters = 1, tau = 0.9)
+    assert(r.count() === 5)
+    assert(r.where(!col("kept")).count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("mega-cluster cap excludes oversized clusters from pairing") {
     // cap of 1 makes EVERY cluster oversized: nothing may be paired,
     // the report still covers the corpus, everything stays kept
