@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   * quality and hand out rank-derived shards (`p10_curriculum`).
   * Degenerate key distributions (one value dominating) collapse to
   * few buckets — use a finer-grained order key if that matters.
+  * Boundary estimation is one `approxQuantile` summary pass over the
+  * order column; at extreme scale compute it from a fixed-fraction
+  * sample instead — the output is boundary-independent, so any
+  * boundary source is safe.
   */
 object Rank {
 

@@ -54,6 +54,38 @@ class AnnStreamSpec extends SparkSpec {
       .count(_.getName.startsWith("batch_id=")) === 2)
   }
 
+  test("the served index grows mid-stream: appended vectors are visible") {
+    implicit val sqlCtx = spark.sqlContext
+    // index only the even half; serve; append the odd half BETWEEN
+    // epochs — searchPersisted re-resolves the parquet files per
+    // micro-batch, so the grown index serves without a restart
+    val index = Ivf.build(emb.where(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), k = 8)
+    val idxDir = Files.createTempDirectory("ann-grow").resolve("i").toString
+    Ivf.persist(index, idxDir)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val outDir = Files.createTempDirectory("ann-grow-out").toString
+    val ckpt = Files.createTempDirectory("ann-grow-ckpt").toString
+    // probe everything so the only variable is index CONTENT
+    val q = AnnStream.startIvf(in.toDF().toDF("qid", "qvec"), idxDir,
+      index.codebook, outDir, ckpt, topK = 200, nProbe = 8)
+    in.addData(queryRows(0L))
+    q.processAllAvailable()
+    Ivf.appendPersisted(spark, idxDir, emb.where(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    in.addData(queryRows(2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(outDir)
+    val odd0 = out.where(col("qid") === 0L && col("vec_id") % 2 === 1)
+    val odd2 = out.where(col("qid") === 2L && col("vec_id") % 2 === 1)
+    assert(odd0.count() === 0L, "epoch 1 must see only the even half")
+    assert(odd2.count() > 0L, "epoch 2 must see appended odd vectors")
+    spark.catalog.clearCache()
+  }
+
   test("a replayed epoch overwrites its directory instead of duplicating") {
     val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
     val idxDir = Files.createTempDirectory("ann-idx2").resolve("i").toString
