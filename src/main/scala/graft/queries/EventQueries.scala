@@ -195,6 +195,55 @@ object EventQueries {
         .orderBy(col("session_date"))
     }),
 
+    // qm: per-user FEATURE SNAPSHOT at a cutoff — the feature-store
+    // "materialize a training table" op: lifetime + trailing-7d
+    // activity counts, fixed-point purchase value, last-seen. One
+    // map-side-combinable groupBy over a time-sliced scan; no joins,
+    // no windows — the cheapest shape there is at 100 TB.
+    "qm_user_features" -> ((s, dir) => {
+      val cutoff = lit("2024-01-31 00:00:00").cast("timestamp")
+      val day7 = lit("2024-01-24 00:00:00").cast("timestamp")
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      ev(s, dir).where(col("ts") < cutoff)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          count(when(col("ts") >= day7, 1)).as("n_events_7d"),
+          count(when(col("event_type") === "purchase" && col("ts") >= day7,
+            1)).as("n_purchases_7d"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+            .as("purchase_cents"),
+          max(col("ts")).cast("timestamp_ntz").as("last_seen"))
+        .orderBy(col("user_id"))
+    }),
+
+    // qn: POINT-IN-TIME-CORRECT per-label features — for every
+    // purchase, the user's prior-behavior features strictly BEFORE
+    // that purchase (ROWS ... 1 PRECEDING): the leakage-safe feature
+    // join, computed as one cumulative window pass per user instead
+    // of a per-label as-of self-join. User-partitioned window —
+    // the q13 scale class, no global ordering anywhere.
+    "qn_pit_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      ev(s, dir)
+        .withColumn("n_prior", count(lit(1)).over(w))
+        .withColumn("n_prior_views",
+          count(when(col("event_type") === "view", 1)).over(w))
+        .withColumn("prior_purchase_cents",
+          coalesce(sum(when(col("event_type") === "purchase", cents))
+            .over(w), lit(0L)))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("time"), col("n_prior"),
+          col("n_prior_views"), col("prior_purchase_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // T5/T6: flag-flip transition detection with debounce (the
     // "suppressed bounce resets the clock" semantics).
     "q14_transitions" -> ((s, dir) =>
@@ -348,6 +397,40 @@ object EventQueries {
         |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
         |GROUP BY 1 ORDER BY datetime""".stripMargin,
+
+    "qm_user_features" ->
+      """SELECT user_id,
+        |  count(*) AS n_events,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  count(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 END)
+        |    AS n_events_7d,
+        |  count(CASE WHEN event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 END)
+        |    AS n_purchases_7d,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS purchase_cents,
+        |  max(ts) AS last_seen
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "qn_pit_features" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    count(*) OVER w AS n_prior,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w
+        |      AS n_prior_views,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) OVER w, 0)
+        |      AS BIGINT) AS prior_purchase_cents
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts AS time, n_prior, n_prior_views,
+        |  prior_purchase_cents
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "q4_day_slice" ->
       """SELECT event_id, ts AS time, user_id, event_type, value
