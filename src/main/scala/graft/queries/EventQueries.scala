@@ -244,6 +244,29 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // qo: LABEL generation — for each view, whether the same user
+    // purchased within the following hour, plus the latency. The
+    // forward-looking counterpart of qn (features look strictly back,
+    // labels strictly forward — together they make a leakage-safe
+    // training set): a per-user numeric RANGE window over epoch
+    // micros, strictly-after frame (1 FOLLOWING), conditional min.
+    // One pass per user; no self-join, no global ordering.
+    "qo_conversion_labels" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(1L, 3600L * 1000000L)
+      ev(s, dir)
+        .withColumn("tsu", unix_micros(col("ts")))
+        .withColumn("npu",
+          min(when(col("event_type") === "purchase", col("tsu"))).over(w))
+        .where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("time"),
+          col("npu").isNotNull.as("converted_1h"),
+          coalesce(col("npu") - col("tsu"), lit(-1L)).as("latency_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // T5/T6: flag-flip transition detection with debounce (the
     // "suppressed bounce resets the clock" semantics).
     "q14_transitions" -> ((s, dir) =>
@@ -430,6 +453,22 @@ object EventQueries {
         |SELECT event_id, user_id, ts AS time, n_prior, n_prior_views,
         |  prior_purchase_cents
         |FROM f WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "qo_conversion_labels" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS tsu
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, ts, event_type, tsu,
+        |    min(CASE WHEN event_type = 'purchase' THEN tsu END) OVER
+        |      (PARTITION BY user_id ORDER BY tsu
+        |       RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING) AS npu
+        |  FROM e)
+        |SELECT event_id, user_id, ts AS time,
+        |  npu IS NOT NULL AS converted_1h,
+        |  CAST(coalesce(npu - tsu, -1) AS BIGINT) AS latency_us
+        |FROM l WHERE event_type = 'view'
         |ORDER BY event_id""".stripMargin,
 
     "q4_day_slice" ->
