@@ -392,6 +392,27 @@ object DocQueries {
         .orderBy(col("rank"))
     }),
 
+    // p11: quality-weighted importance sampling — keep each doc with
+    // probability equal to its quality score, decided by a
+    // deterministic content-hash draw (the CCNet/RefinedWeb
+    // "soft quality filter": low-quality docs survive at reduced
+    // rate instead of a hard cutoff, preserving distribution tails).
+    // RNG-free → reproducible shards and a bit-exact oracle; pure
+    // per-row projection at scale.
+    "p11_importance_sample" -> ((s, dir) => {
+      // explicit floor(+0.5): Spark's double→long cast truncates,
+      // DuckDB's rounds — the repo's fixed-point cents convention
+      val q6 = floor(TextFunctions.qualityScore(col("text")) * 1000000L
+        + 0.5).cast("long")
+      val draw = pmod(graft.functions.PortableHash.phash(col("text"), 31),
+        lit(1000000L))
+      docs(s, dir)
+        .withColumn("q6", q6).withColumn("draw", draw)
+        .where(col("draw") < col("q6"))
+        .select(col("doc_id"), col("q6"), col("draw"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t5: per-language corpus statistics — doc counts, exact vocabulary
     // size, mean document length. The distinct-vocabulary count dedups
     // (lang, tok) per document BEFORE the global distinct (two-stage
@@ -1157,6 +1178,15 @@ object DocQueries {
     // exact semi-join — no false negatives, FPs confirmed away), so it
     // shares p4's oracle verbatim.
     "p4b_contamination_bloom" -> p4OracleSql,
+
+    "p11_importance_sample" ->
+      s"""WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(floor($dkQuality * 1000000 + 0.5) AS BIGINT) AS q6,
+        |    ${dkHash("text", "31")} % 1000000 AS draw
+        |  FROM documents)
+        |SELECT doc_id, q6, draw FROM q
+        |WHERE draw < q6 ORDER BY doc_id""".stripMargin,
 
     "p10_curriculum" ->
       s"""WITH q AS (

@@ -267,6 +267,26 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // qp: TEMPORAL train/test split with an embargo gap — the
+    // leakage-safe split for time-ordered training data (p2's
+    // content-hash split is the right tool for documents; for event
+    // streams the split must be by TIME, and the embargo window
+    // between train and test absorbs qn/qo's backward/forward
+    // feature+label horizons so no example's features or labels
+    // straddle the cut). Pure per-row projection; the two cutoffs
+    // partition-prune when the sink is date-partitioned.
+    "qp_temporal_split" -> ((s, dir) => {
+      val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+      val t2 = lit("2024-01-22 00:00:00").cast("timestamp")
+      ev(s, dir)
+        .select(col("event_id"),
+          col("ts").cast("timestamp_ntz").as("time"),
+          when(col("ts") < t1, "train")
+            .when(col("ts") < t2, "embargo")
+            .otherwise("test").as("split"))
+        .orderBy(col("event_id"))
+    }),
+
     // T5/T6: flag-flip transition detection with debounce (the
     // "suppressed bounce resets the clock" semantics).
     "q14_transitions" -> ((s, dir) =>
@@ -470,6 +490,13 @@ object EventQueries {
         |  CAST(coalesce(npu - tsu, -1) AS BIGINT) AS latency_us
         |FROM l WHERE event_type = 'view'
         |ORDER BY event_id""".stripMargin,
+
+    "qp_temporal_split" ->
+      """SELECT event_id, ts AS time,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |       WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
+        |       ELSE 'test' END AS split
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q4_day_slice" ->
       """SELECT event_id, ts AS time, user_id, event_type, value
