@@ -109,6 +109,17 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // p4b caches its train-hash set
   }
 
+  test("feature/label windows are user-partitioned, never global") {
+    // qn's backward and qo's forward windows must carry the user
+    // partition — an unpartitioned variant would funnel the whole
+    // event table through one task
+    Seq("qn_pit_features", "qo_conversion_labels").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$n has a single-partition exchange:\n$p")
+    }
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
