@@ -19,13 +19,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * in double, ascending index — the exact semantics the DuckDB oracle
   * reproduces with `list_sum(list_transform(...))`.
   *
-  * NULL iff either side is NULL; mismatched lengths use the common
-  * prefix (callers validate dimensions upstream).
+  * NULL iff either side is NULL OR either array contains a NULL
+  * element in the common prefix (matching the oracle's
+  * `list_sum(list_transform(...))` NULL propagation — silently
+  * reading a null slot as 0.0 would produce finite wrong scores);
+  * mismatched lengths use the common prefix (callers validate
+  * dimensions upstream).
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null ELEMENTS also null the result, regardless of child nullability
+  override def nullable: Boolean = true
 
   // Element accessor picked from the CHILD's array element type:
   // ArrayData.getFloat on a double array reinterprets bits and
@@ -58,6 +65,7 @@ case class DotProductF(left: Expression, right: Expression)
     var acc = 0.0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       acc += xi * yi
@@ -77,9 +85,15 @@ case class DotProductF(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |    break;
+         |  }
          |  $acc += ${get(a, isDouble(left))} * ${get(b, isDouble(right))};
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

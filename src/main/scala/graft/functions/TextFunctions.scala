@@ -88,8 +88,11 @@ object TextFunctions {
         col("keep"))
 
   /** n-gram-heuristic language guess: scores per-language marker-word
-    * hit counts and picks the argmax (ties → 'und'). Cheap and
-    * deterministic; a real model would be a broadcast lookup table. */
+    * hit counts and picks the argmax (positive-score ties break to the
+    * lexicographically greatest language code — `greatest` over
+    * (score, lang) structs; only an all-zero score yields 'und').
+    * Cheap and deterministic; a real model would be a broadcast
+    * lookup table. The t2 oracle implements this exact tie rule. */
   def langGuess(c: Column): Column = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "to", "is"),

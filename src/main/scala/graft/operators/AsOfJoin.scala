@@ -29,7 +29,11 @@ object AsOfJoin {
     * `right[rightTime] <= left[leftTime]`. `payload` names the
     * right-side columns to carry; they arrive in a struct column
     * `asofCol`, NULL when no right row precedes (left-join
-    * semantics). */
+    * semantics). The payload struct doubles as the deterministic
+    * tie-break among duplicate (key, time) right rows, so every
+    * payload column must be ORDERABLE (no map columns — Spark
+    * rejects the window's ORDER BY at analysis time; wrap a map as
+    * sorted entries or exclude it from the payload). */
   def asOf(
       left: DataFrame,
       right: DataFrame,

@@ -243,6 +243,11 @@ object Dedup {
     * an incremental batch joinable against a persisted index). */
   def bandedBuckets(shingles: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
+    // silent non-divisibility would drop trailing hash functions (a
+    // different s-curve than requested); bands > numHashes would make
+    // every bucket the constant phash("") — an all-pairs blowup
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val bandBuckets = array((0 until bands).map { b =>
       phash(concat_ws(",",

@@ -64,7 +64,15 @@ object IvfPq {
           array().cast("array<int>").as("codes"))
       else ivf.assigned.select(col("id"), col("cid"),
         Pq.encodeExpr(col("vec"), codebooks, dsub))
-    Index(ivf.codebook, codebooks, coded.cache(), m, dsub)
+    val cached = coded.cache()
+    // materialize the codes, then drop the full float-vector
+    // assignment cache Ivf.build left behind: IvfPq only ever needs
+    // `coded`, and the assignment entry (id + full vectors) would
+    // otherwise stay pinned for the session with no handle to
+    // release it
+    cached.count()
+    ivf.assigned.unpersist(blocking = false)
+    Index(ivf.codebook, codebooks, cached, m, dsub)
   }
 
   private def emptyResult(queries: DataFrame): DataFrame =

@@ -102,8 +102,12 @@ object Multimodal {
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // one "model invocation" per batch in a real decoder
-          batch.iterator.map { case (k, b) => (k, decoder(b, dim)) }
+          // one "model invocation" per batch in a real decoder;
+          // a NULL blob (failed media fetch) yields a NULL embedding
+          // instead of an NPE that kills the whole decode stage
+          batch.iterator.map { case (k, b) =>
+            (k, if (b == null) null else decoder(b, dim))
+          }
         }
       }
       .toDF("key", "embedding")

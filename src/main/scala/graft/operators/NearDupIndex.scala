@@ -57,13 +57,14 @@ object NearDupIndex {
       val hashed = sh.select(col("id"), phash(col("sh"), 0).as("h"))
         .distinct()
         .cache()
-      hashed.withColumn("pb", pb(col("id")))
-        .repartition(col("pb"))
-        .write.mode("overwrite").partitionBy("pb")
-        .parquet(s"$path/shingles")
-      hashed.groupBy("id").agg(count(lit(1)).as("n_sh"))
-        .write.mode("overwrite").parquet(s"$path/sizes")
-      hashed.unpersist(blocking = false)
+      try {
+        hashed.withColumn("pb", pb(col("id")))
+          .repartition(col("pb"))
+          .write.mode("overwrite").partitionBy("pb")
+          .parquet(s"$path/shingles")
+        hashed.groupBy("id").agg(count(lit(1)).as("n_sh"))
+          .write.mode("overwrite").parquet(s"$path/sizes")
+      } finally hashed.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
 

@@ -55,8 +55,13 @@ object Pack {
     cum.join(broadcast(bases), Seq("_bucket"))
       .withColumn("offset", col("_base") + col("_cum") - col("n_tokens"))
       .withColumn("seq_first", expr(s"offset div ${budget}L"))
+      // zero-token docs occupy NO sequence: pinned explicitly because
+      // Spark's `div` truncates toward zero while the oracle's `//`
+      // floors — at offset 0 the two would otherwise disagree on
+      // (offset + n_tokens - 1) div budget for the degenerate row
       .withColumn("seq_last",
-        expr(s"(offset + n_tokens - 1) div ${budget}L"))
+        when(col("n_tokens") === 0L, col("seq_first") - 1)
+          .otherwise(expr(s"(offset + n_tokens - 1) div ${budget}L")))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
       .select(col("id"), col("n_tokens"), col("offset"),
         col("seq_first"), col("seq_last"), col("n_seqs"))

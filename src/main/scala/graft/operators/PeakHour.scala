@@ -31,6 +31,11 @@ object PeakHour {
       timeCol: Column,
       tz: String = "Europe/Paris",
       windowSec: Long = 3600L): DataFrame = {
+    // the borrow replication reaches exactly ONE day back; a window
+    // wider than a day would silently undercount early-day frames
+    require(windowSec > 0 && windowSec <= 86400L,
+      s"windowSec $windowSec out of (0, 86400] — multi-day windows " +
+        "need multi-day borrow replication")
 
     val windowMicros = windowSec * 1000000L
 

@@ -34,6 +34,10 @@ object SemDedup {
     * Lloyd rounds, decimal means), and the keep rule is pure id
     * arithmetic.
     *
+    * Holds the corpus assignment in the Spark cache (three consumers:
+    * both self-join sides and the output spine); callers clear the
+    * cache after materializing, the harness convention.
+    *
     * `maxClusterSize` is the d4v mega-bucket guard: a degenerate
     * quantizer (or pathological data) collapsing most vectors into
     * one cluster would make the within-cluster kernel quadratic in

@@ -102,6 +102,9 @@ object SkewJoin {
       .groupBy(col("k"), col("__salt"))
       .agg(collect_set(col("v")).as("vs"))
       .groupBy(col("k"))
-      .agg(array_sort(array_distinct(flatten(collect_list(col("vs")))))
-        .as("values"))
+      // no array_distinct needed: equal (key, value) pairs always hash
+      // to the SAME salt bucket, where collect_set already dedups —
+      // cross-bucket duplicates are impossible by construction, and a
+      // distinct pass over a hot key's merged array is O(n²) dead work
+      .agg(array_sort(flatten(collect_list(col("vs")))).as("values"))
 }

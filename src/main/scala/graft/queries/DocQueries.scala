@@ -696,6 +696,9 @@ object DocQueries {
     "p5b_pack_manifest" -> ((s, dir) =>
       Pack.packReport(docs(s, dir), col("doc_id"),
           size(split(col("text"), " ")), budget = 512L)
+        // zero-token docs have seq_last < seq_first (no sequences);
+        // sequence() would DESCEND for them, inventing membership
+        .where(col("seq_last") >= col("seq_first"))
         .select(col("id").as("doc_id"), col("n_tokens"),
           explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
         .groupBy(col("seq_id"))

@@ -22,6 +22,23 @@ class PackSpec extends SparkSpec {
     assert(r.last.getLong(2) + r.last.getLong(1) === total)
   }
 
+  test("zero-token docs occupy no sequence, regardless of offset") {
+    // Spark `div` truncates toward zero, so the degenerate doc at
+    // offset 0 used to claim sequence 0 while later ones did not
+    val docs = Seq((1L, 0), (2L, 5), (3L, 0), (4L, 7), (5L, 0))
+      .toDF("id", "n")
+    val r = Pack.packReport(docs, col("id"), col("n"), budget = 4L)
+      .collect()
+    r.filter(_.getLong(1) === 0L).foreach { row =>
+      assert(row.getLong(5) === 0L,
+        s"zero-token doc ${row.getLong(0)} reports n_seqs ${row.getLong(5)}")
+      assert(row.getLong(4) === row.getLong(3) - 1) // seq_last < seq_first
+    }
+    r.filter(_.getLong(1) > 0L).foreach { row =>
+      assert(row.getLong(5) >= 1L)
+    }
+  }
+
   test("packReport sequence spans honor the token budget") {
     val docs = (1L to 20L).map(i => (i, 300)).toDF("id", "n")
     val r = Pack.packReport(docs, col("id"), col("n"), budget = 512L)
