@@ -125,9 +125,14 @@ object FlightStateMachine {
         Some(altM), og, None)
 
       // update_onground (models.py:218-228): only position appends flip.
+      // A message CARRYING NO onground info (og = None) is a no-op,
+      // not a flip: `!v.contains(prev)` would treat None as a state
+      // change, reset the debounce clock and emit a phantom event.
+      // Unreachable via Sbs.parse (asBool never yields NULL) but this
+      // is the shared public transition for any message source.
       (st.onground, og) match {
         case (None, v) => st.onground = v
-        case (Some(prev), v) if !v.contains(prev) =>
+        case (Some(prev), v) if v.exists(_ != prev) =>
           st.onground = v
           val kind = if (prev) "takeoff" else "landing"
           // debounce (models.py:256-270): every candidate resets clock
@@ -161,6 +166,16 @@ object FlightStateMachine {
       below: Int,
       above: Int): State = {
     var s = st
+    // P4 at the transition: the reference's parser drops out-of-band
+    // altitude messages BEFORE the flights manager sees them, so an
+    // out-of-band MSG3 must neither append a position nor refresh
+    // last_seen on an OPEN session (previously the band only gated
+    // admission). MSG1/MSG2 carry no altitude and pass, as in the
+    // reference.
+    if (m.transmission_type == 3 &&
+        !m.altitude.exists(a => a < below && a > above)) {
+      return s
+    }
     if (s != null &&
         micros(m.gen_date_time) - s.lastSeenUs > MaxAgeSec * 1000000L) {
       outs += flightRow(s)

@@ -49,10 +49,17 @@ object Geometry {
     inside
   }
 
-  /** `same_heading` with inclusive ±tol (`airports.py:51-67`). */
+  /** `same_heading` with inclusive ±tol (`airports.py:51-67`), on the
+    * CIRCLE: direction 10 vs heading 355 is 15° apart, not 345 — a
+    * plain abs difference would silently unattribute (and drop)
+    * events on runways whose ±tol band straddles north. Latent for
+    * the shipped NTE runways (30/210) but load-bearing for any
+    * runway numbered near 36/00. */
   def sameHeading(direction: Double, heading: Double,
-      tol: Double = DirectionTolDeg): Boolean =
-    (direction - heading).abs <= tol
+      tol: Double = DirectionTolDeg): Boolean = {
+    val d = ((direction - heading) % 360.0).abs
+    math.min(d, 360.0 - d) <= tol
+  }
 }
 
 /** Runway / airport models + the NTE (LFRS) seed instances.

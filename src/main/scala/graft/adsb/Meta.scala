@@ -21,29 +21,43 @@ import org.apache.spark.sql.functions._
 object Meta {
 
   /** Bundled resource → temp file path (metadata ships with the jar). */
-  def resourcePath(name: String): String = {
-    val in = getClass.getResourceAsStream(s"/meta/$name")
-    require(in != null, s"missing resource $name")
-    val tmp = java.nio.file.Files.createTempFile("graft-meta-",
-      name.replace('/', '_'))
-    java.nio.file.Files.copy(in, tmp,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    tmp.toString
-  }
+  // one extraction per resource per JVM: the default-argument sites
+  // (loadAirlines/loadCountries inside query closures) re-evaluate on
+  // EVERY call — uncached, each bench iteration would copy two more
+  // never-deleted temp files
+  private val extracted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def resourcePath(name: String): String =
+    extracted.computeIfAbsent(name, { n =>
+      val in = getClass.getResourceAsStream(s"/meta/$n")
+      require(in != null, s"missing resource $n")
+      val tmp = java.nio.file.Files.createTempFile("graft-meta-",
+        n.replace('/', '_'))
+      java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    })
 
   private val bundledSilhouettes =
     Seq("A1.bmp", "A10.bmp", "A109.bmp", "A119.bmp", "A122.bmp", "A124.bmp")
 
   /** Extract the bundled sample silhouettes to a temp dir (for S5). */
-  def silhouettesDir(): String = {
+  // same once-per-JVM rationale as resourcePath
+  private lazy val extractedSilhouettes: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-sil")
     bundledSilhouettes.foreach { n =>
       val in = getClass.getResourceAsStream(s"/meta/silhouettes/$n")
       require(in != null, s"missing $n")
       java.nio.file.Files.copy(in, dir.resolve(n))
+      dir.resolve(n).toFile.deleteOnExit()
     }
+    dir.toFile.deleteOnExit()
     dir.toString
   }
+
+  def silhouettesDir(): String = extractedSilhouettes
 
   /** openflights airlines: join key `icao` = first 3 chars of a flight
     * callsign (`create_graphql_functions.sql:53`). */

@@ -82,6 +82,11 @@ object Sbs {
       .where(size(split(col("value"), ",", -1)) === 22 &&
         col("value").rlike(MessageRegex))
       .withColumn("m", f)
+      // P1/P2 analog for the timestamp: a line whose date/time fields
+      // match the regex but parse to no valid timestamp (2-digit
+      // millis, an invalid calendar date) is DROPPED, not admitted
+      // with a NULL gen_date_time that would NPE the state machine.
+      .where(ts(col("m.gen_date"), col("m.gen_time")).isNotNull)
       .select(
         col("seq"),
         expr("try_cast(m.transmission_type as int)").as("transmission_type"),

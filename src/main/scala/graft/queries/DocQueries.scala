@@ -19,6 +19,37 @@ object DocQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** The canonical near-dup pipeline (d2 LSH candidates → d3v exact
+    * verify, one cached shingle scan feeding both stages) — the
+    * single source for every query composing it (d3v, p1, d7, d8,
+    * p8), so n/bands/threshold can never drift between a proven
+    * stage and the composites built on it. */
+  private def verifiedPairs(d: DataFrame): DataFrame = {
+    val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3)
+      .cache()
+    Dedup.jaccardVerifyFromShingles(sh,
+      Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
+      threshold = 0.2)
+  }
+
+  /** p6's 4:3:2:1 language-mixture resampling (pure integer
+    * thresholds, content-hash draws), shared verbatim with p8's
+    * mixture stage — the composite must use the SAME arithmetic as
+    * the individually-proven p6. Returns the kept rows of `d`. */
+  private def mixtureSample(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Seq(("en", 4L), ("de", 3L), ("fr", 2L), ("es", 1L))
+      .toDF("lang", "wt")
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .join(broadcast(w), Seq("lang"))
+    val scale = counts.agg(min(expr("n * 1000000 div wt")).as("sc"))
+    val thresh = counts.crossJoin(broadcast(scale))
+      .select(col("lang"), expr("wt * sc div n").as("thresh"))
+    d.join(broadcast(thresh), Seq("lang"))
+      .where(pmod(graft.functions.PortableHash.phash(col("text"), 23),
+        lit(1000000L)) < col("thresh"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact content dedup via hash-groupBy.
     "d1_exact_dedup" -> ((s, dir) =>
@@ -41,15 +72,10 @@ object DocQueries {
     // The production near-dup pipeline: LSH candidates verified by
     // exact Jaccard — linear-ish, unlike the quadratic d3 ground
     // truth. One cached shingle scan feeds both stages.
-    "d3v_jaccard_verify" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text"),
-        n = 3).cache()
-      Dedup.jaccardVerifyFromShingles(sh,
-          Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
-          threshold = 0.2)
+    "d3v_jaccard_verify" -> ((s, dir) =>
+      verifiedPairs(docs(s, dir))
         .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+        .orderBy(col("id_a"), col("id_b"))),
 
     // d9: asymmetric containment pairs — the quote-inclusion dup
     // report Jaccard structurally misses (short doc embedded in a
@@ -221,10 +247,7 @@ object DocQueries {
         col("lang_guess") === col("lang"))
       val canon = Dedup.exactDuplicates(d, col("doc_id"), col("text"))
         .select(col("canonical_id").as("doc_id"))
-      val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3).cache()
-      val nearLosers = Dedup.jaccardVerifyFromShingles(sh,
-          Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
-          threshold = 0.2)
+      val nearLosers = verifiedPairs(d)
         .select(col("id_b").as("doc_id")).distinct()
       base
         .join(canon, Seq("doc_id"), "left_semi")
@@ -478,11 +501,7 @@ object DocQueries {
     // independent drops). Min-label propagation; oracle is a DuckDB
     // recursive CTE over the identical pair list.
     "d7_dedup_clusters" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text"),
-        n = 3).cache()
-      val pairs = Dedup.jaccardVerifyFromShingles(sh,
-        Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
-        threshold = 0.2)
+      val pairs = verifiedPairs(docs(s, dir))
       Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
@@ -496,10 +515,7 @@ object DocQueries {
     "d8_cluster_canonicals" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
-      val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3).cache()
-      val pairs = Dedup.jaccardVerifyFromShingles(sh,
-        Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
-        threshold = 0.2)
+      val pairs = verifiedPairs(d)
       val clusters = Dedup
         .connectedComponents(pairs.select(col("id_a"), col("id_b")))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -609,10 +625,7 @@ object DocQueries {
         .where(col("keep")).select(col("doc_id"))
       val canon = Dedup.exactDuplicates(d, col("doc_id"), col("text"))
         .select(col("canonical_id").as("doc_id"))
-      val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3).cache()
-      val pairs = Dedup.jaccardVerifyFromShingles(sh,
-          Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
-          threshold = 0.2)
+      val pairs = verifiedPairs(d)
       val nearLosers = Dedup
         .connectedComponents(pairs.select(col("id_a"), col("id_b")))
         .where(col("id") =!= col("label"))
@@ -629,17 +642,7 @@ object DocQueries {
         .join(canon, Seq("doc_id"), "left_semi")
         .join(nearLosers, Seq("doc_id"), "left_anti")
         .cache()
-      import s.implicits._
-      val w = Seq(("en", 4L), ("de", 3L), ("fr", 2L), ("es", 1L))
-        .toDF("lang", "wt")
-      val counts = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-        .join(broadcast(w), Seq("lang"))
-      val scale = counts.agg(min(expr("n * 1000000 div wt")).as("sc"))
-      val thresh = counts.crossJoin(broadcast(scale))
-        .select(col("lang"), expr("wt * sc div n").as("thresh"))
-      val mixed = survivors.join(broadcast(thresh), Seq("lang"))
-        .where(pmod(graft.functions.PortableHash.phash(col("text"), 23),
-          lit(1000000L)) < col("thresh"))
+      val mixed = mixtureSample(s, survivors)
         .select(col("doc_id"), col("lang"), col("text"))
         .cache()
       Pack.packReport(mixed, col("doc_id"),
@@ -745,22 +748,10 @@ object DocQueries {
     // is bit-exact on any engine; langs outside the target mixture
     // (zh here) drop via the inner weight join. All stats stay
     // distributed: counts groupBy → 4-row broadcast, no collect.
-    "p6_mixture_sample" -> ((s, dir) => {
-      import s.implicits._
-      val d = docs(s, dir)
-      val w = Seq(("en", 4L), ("de", 3L), ("fr", 2L), ("es", 1L))
-        .toDF("lang", "wt")
-      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-        .join(broadcast(w), Seq("lang"))
-      val scale = counts.agg(min(expr("n * 1000000 div wt")).as("sc"))
-      val thresh = counts.crossJoin(broadcast(scale))
-        .select(col("lang"), expr("wt * sc div n").as("thresh"))
-      d.join(broadcast(thresh), Seq("lang"))
-        .where(pmod(graft.functions.PortableHash.phash(col("text"), 23),
-          lit(1000000L)) < col("thresh"))
+    "p6_mixture_sample" -> ((s, dir) =>
+      mixtureSample(s, docs(s, dir))
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // s3: int8-quantized brute-force top-k — integer dot products are
     // exact on every engine, so unlike s1/s2 the SCORES themselves

@@ -216,11 +216,10 @@ object TpchQueries {
     // accumulation order differs, integer sums never do.
     "qe_running_total" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
-        * 100 + 0.5).cast("long")
       val daily = li
         .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
-        .agg(sum(cents).as("revenue_cents"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
       val w = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.withColumn("cum_cents", sum(col("revenue_cents")).over(w))

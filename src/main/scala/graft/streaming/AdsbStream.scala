@@ -42,8 +42,13 @@ object AdsbStream {
       st match {
         case Some(s) =>
           state.update(s)
-          state.setTimeoutTimestamp(
-            s.lastSeenUs / 1000 + FlightStateMachine.MaxAgeSec * 1000)
+          // never at/behind the current watermark: a re-delivered old
+          // capture tail (group event time ≫ MaxAgeSec behind the
+          // watermark) would otherwise make setTimeoutTimestamp throw
+          // and crash-loop the query through every restart
+          state.setTimeoutTimestamp(math.max(
+            s.lastSeenUs / 1000 + FlightStateMachine.MaxAgeSec * 1000,
+            state.getCurrentWatermarkMs() + 1))
         case None => if (state.exists) state.remove()
       }
     }
@@ -101,21 +106,34 @@ object AdsbStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Out], _: Long) =>
+      .foreachBatch { (batch: Dataset[Out], batchId: Long) =>
         val b = batch.cache()
         try {
-          val df = b.toDF()
-          df.where(col("kind") === "flight")
-            .write.mode("append").parquet(s"$outDir/flights")
+          // IDEMPOTENT epoch protocol: every table is partitioned by
+          // batch_id and each epoch dynamically OVERWRITES only its
+          // own partition — a crash-replayed epoch (foreachBatch is
+          // at-least-once) rewrites the same deterministic rows
+          // instead of appending duplicates. The parquet analog of
+          // startJdbc's delete-then-insert; without it, supervise()'s
+          // restarts would be exactly what duplicates the tables.
+          val df = b.toDF().withColumn("batch_id", lit(batchId))
+          def w(d: org.apache.spark.sql.DataFrame, parts: Seq[String],
+              path: String): Unit =
+            d.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(parts: _*).parquet(path)
+          w(df.where(col("kind") === "flight"), Seq("batch_id"),
+            s"$outDir/flights")
           val pos = df.where(col("kind") === "position")
-          pos.write.mode("append").parquet(s"$outDir/positions")
-          pos.withColumn("day", to_date(col("time")))
-            .write.mode("append").partitionBy("day")
-            .parquet(s"$outDir/positions_live")
-          df.where(col("kind") === "landing")
-            .write.mode("append").parquet(s"$outDir/landings")
-          df.where(col("kind") === "takeoff")
-            .write.mode("append").parquet(s"$outDir/takeoffs")
+          w(pos, Seq("batch_id"), s"$outDir/positions")
+          // day stays the FIRST partition level: retention
+          // (prunePositionsLive) drops day directories wholesale
+          w(pos.withColumn("day", to_date(col("time"))),
+            Seq("day", "batch_id"), s"$outDir/positions_live")
+          w(df.where(col("kind") === "landing"), Seq("batch_id"),
+            s"$outDir/landings")
+          w(df.where(col("kind") === "takeoff"), Seq("batch_id"),
+            s"$outDir/takeoffs")
         } finally b.unpersist()
         ()
       }

@@ -32,6 +32,12 @@ class AdsbStreamSpec extends SparkSpec {
     val pos = spark.read.parquet(s"$outDir/positions")
     assert(pos.count() ===
       batch.toDF().where("kind = 'position'").count())
+    // epoch-idempotent layout: every table is batch_id-partitioned so
+    // a replayed epoch OVERWRITES its own partition (at-least-once
+    // foreachBatch can never duplicate rows)
+    assert(pos.columns.contains("batch_id"))
+    assert(new java.io.File(s"$outDir/positions").listFiles()
+      .exists(_.getName.startsWith("batch_id=")))
     // S7 dual sink: the live copy holds the same rows, day-partitioned
     val live = spark.read.parquet(s"$outDir/positions_live")
     assert(live.count() === pos.count())
