@@ -24,9 +24,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // full-plan materialization: toRdd executes the physical plan
+    // as-is — count() would wrap it in an Aggregate whose column
+    // pruning deletes the output projections (GeoJSON assembly,
+    // final sorts) from the measured work, so regressions there
+    // would never show in the bench artifact
+    def runFully(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    val benched = SparkEntry.queries - "d3_ngram_jaccard"
+    benched.foreach { case (_, fn) =>
+      try runFully(fn(spark, warmDir)) catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
     }
 
@@ -38,7 +47,8 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try { runFully(fn(spark, sfDir))
+        Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         Left((e.getClass.getSimpleName + ": " +
           Option(e.getMessage).getOrElse(""))
@@ -60,7 +70,7 @@ object Bench {
     // every prior round's numbers were taken under. Clearing per pair
     // keeps peak storage bounded to one query's caches (the leak the
     // round-4 review flagged) without changing what's measured.
-    val results = (SparkEntry.queries - "d3_ngram_jaccard").map {
+    val results = benched.map {
       case (name, fn) =>
         val pair = (once(fn), once(fn))
         spark.catalog.clearCache()

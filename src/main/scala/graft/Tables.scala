@@ -36,12 +36,18 @@ object Tables {
   def eventsRanged(spark: SparkSession, dir: String,
       loUtc: String, hiUtc: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val lo = java.sql.Timestamp.valueOf(loUtc)
-    val hi = java.sql.Timestamp.valueOf(hiUtc)
-    def us(t: java.sql.Timestamp) =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    // parse as UTC EXPLICITLY: Timestamp.valueOf/getTime resolve in
+    // the JVM default timezone, which would silently shift the
+    // pushdown range (and drop rows at the day edges) on any
+    // non-UTC host even though the session timezone is pinned
+    def us(s: String): Long =
+      java.time.LocalDateTime
+        .parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli * 1000L
     load(spark, dir, "events")
-      .where(col("ts_ns") >= us(lo) * 1000 && col("ts_ns") < us(hi) * 1000)
+      .where(col("ts_ns") >= us(loUtc) * 1000 &&
+        col("ts_ns") < us(hiUtc) * 1000)
   }
 
   /** Register every table as a temp view so the same queries run via

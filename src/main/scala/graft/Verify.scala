@@ -26,6 +26,12 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
+        // coalesce(1) on purpose, NOT repartition(1): the driver's
+        // compare is row-order-sensitive (each query ends in the same
+        // ORDER BY as its oracle), and coalesce preserves the sorted
+        // partition order into the single file while repartition's
+        // round-robin shuffle would scramble it. The single-task tail
+        // is acceptable at the sf0.01 gate scale.
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(

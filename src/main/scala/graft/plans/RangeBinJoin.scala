@@ -44,7 +44,11 @@ case class RangeBinJoin(session: SparkSession)
   private case class Bound(point: Expression, bound: Expression, lower: Boolean)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthKey, "0").toLong
+    // a typo'd value ("60s", "") must disable the rewrite, not throw
+    // NumberFormatException from the optimizer on EVERY query in the
+    // session (this rule runs on every plan)
+    val width = scala.util.Try(
+      conf.getConfString(WidthKey, "0").toLong).getOrElse(0L)
     if (width <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>

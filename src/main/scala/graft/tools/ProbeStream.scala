@@ -7,6 +7,8 @@ object ProbeStream {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val in = Files.createTempDirectory("adsb-in").toString
@@ -14,7 +16,9 @@ object ProbeStream {
     val ckpt = Files.createTempDirectory("adsb-ckpt").toString
     // drop the capture into the watched dir, then start the query
     val src = getClass.getResourceAsStream("/adsb/adsb_message_stream.txt")
-    Files.copy(src, java.nio.file.Paths.get(in, "capture.txt"))
+    require(src != null, "missing resource /adsb/adsb_message_stream.txt")
+    try Files.copy(src, java.nio.file.Paths.get(in, "capture.txt"))
+    finally src.close()
     val q = AdsbStream.start(AdsbStream.fileLines(spark, in), outDir, ckpt)
     q.processAllAvailable()
     q.stop()

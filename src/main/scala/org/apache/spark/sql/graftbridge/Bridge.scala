@@ -19,5 +19,12 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name,
-        exprs => builder(exprs(0), exprs(1)), "scala_udf")
+        exprs => {
+          // explicit arity check: exprs(0)/exprs(1) would silently
+          // IGNORE extra arguments (wrong results, no warning) and
+          // throw a bare IndexOutOfBounds on too few
+          require(exprs.length == 2,
+            s"$name takes exactly 2 arguments, got ${exprs.length}")
+          builder(exprs(0), exprs(1))
+        }, "scala_udf")
 }
