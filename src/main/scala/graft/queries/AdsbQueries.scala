@@ -141,6 +141,27 @@ object AdsbQueries {
           array_join(transform(col("embedding"),
             e => format_string("%.6f", e)), ",").as("embedding"))
         .orderBy(col("model"))
+    }),
+
+    // mm2: the full multimodal retrieval composition — media blobs →
+    // batched per-partition decode (the mapInPandas-analog with a
+    // deterministic stub decoder) → embedding column → cosine top-k
+    // among the media themselves. This is the pipeline shape a real
+    // image-dedup / visual-search run has; only the decoder body is
+    // stubbed (no media libs in the sandbox), every Spark stage —
+    // batch boundaries, schema contract, null-blob tolerance, the
+    // similarity join — is real. Rows-only (stub-derived scores).
+    "mm2_media_similarity" -> ((s, _) => {
+      val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
+      val emb = Multimodal.decodeEmbedBatched(bin, col("model"),
+          col("silhouette"), dim = 8, batchSize = 4)
+        .select(col("key"),
+          col("embedding").cast("array<float>").as("embedding"))
+      val q = emb.select(col("key").as("qid"),
+        col("embedding").as("qvec"))
+      graft.operators.Similarity.bruteForceTopK(
+          q, emb.withColumnRenamed("key", "vec_id"), k = 3)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
