@@ -166,16 +166,12 @@ object FlightStateMachine {
       below: Int,
       above: Int): State = {
     var s = st
-    // P4 at the transition: the reference's parser drops out-of-band
-    // altitude messages BEFORE the flights manager sees them, so an
-    // out-of-band MSG3 must neither append a position nor refresh
-    // last_seen on an OPEN session (previously the band only gated
-    // admission). MSG1/MSG2 carry no altitude and pass, as in the
-    // reference.
-    if (m.transmission_type == 3 &&
-        !m.altitude.exists(a => a < below && a > above)) {
-      return s
-    }
+    // P4 gates ADMISSION ONLY (`flights.py:85-92` CASE B): for a known
+    // hexident (CASE A), the reference's manager calls update() for ANY
+    // message — last_seen refreshes and MSG3 positions append with no
+    // band check (`models.py:179-181,194-205`); nothing filters between
+    // parser and manager (`adsb_logger.py:52-55`). An out-of-band MSG3
+    // must therefore keep an OPEN session alive, not expire-split it.
     if (s != null &&
         micros(m.gen_date_time) - s.lastSeenUs > MaxAgeSec * 1000000L) {
       outs += flightRow(s)

@@ -129,6 +129,17 @@ class FlightStateMachineSpec extends AnyFunSuite {
     assert(r.find(_.kind == "flight").get.callsign.isEmpty)
   }
 
+  test("out-of-band MSG3 on an OPEN session refreshes last_seen (CASE A)") {
+    // flights.py:85-92: the altitude band gates only ADMISSION; for a
+    // known hexident update() runs for ANY message, so a null-altitude
+    // MSG3 keeps the session alive (models.py:179-181) even though it
+    // appends no position. Without the refresh the t=400 message would
+    // land 400 s after last_seen and spuriously split the flight.
+    val r = run(msg(2, 0), msg(3, 200, alt = None), msg(2, 400))
+    assert(r.count(_.kind == "flight") === 1)
+    assert(r.find(_.kind == "flight").get.last_seen.contains(at(400)))
+  }
+
   test("last_seen updates from any message type (6/7 included)") {
     val r = run(msg(2, 0), msg(6, 50), msg(7, 99))
     assert(r.find(_.kind == "flight").get.last_seen.contains(at(99)))
