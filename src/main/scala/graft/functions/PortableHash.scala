@@ -28,6 +28,12 @@ object PortableHash {
   /** Lowercase hex MD5 fingerprint of a string column. */
   def fingerprint(c: Column): Column = md5(c)
 
+  /** 60-bit non-negative hash of an already-concatenated string —
+    * surrogate-id derivation that a DuckDB oracle reproduces as
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
+  def phashStr(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** 32-bit base hash (leading 8 hex digits of MD5) — the "hash once,
     * derive k functions" base for MinHash. */
   def phash32(c: Column): Column =

@@ -6,12 +6,24 @@ import org.apache.spark.sql.functions._
 import graft.adsb.{AdsbPipeline, Meta, Sbs}
 import graft.adsb.FlightStateMachine.Out
 import org.apache.spark.sql.Dataset
+import graft.functions.PortableHash
 import graft.operators.{Histogram, Multimodal}
 
 /** The ADS-B domain pipeline replayed over the reference's own 2,069
-  * message capture (bundled fixture). These are rows-only checks for
-  * the driver (no SQL oracle can express the stateful pipeline); exact
-  * semantics are pinned by the ScalaTest suite instead.
+  * message capture (bundled fixture).
+  *
+  * Oracle strategy (round-6): the stateful sessionizer stays pinned by
+  * ScalaTest, but everything relational around it IS oracle-checked.
+  * [[writeOracleBase]] dumps the sessionizer output (and the raw
+  * fixture lines + metadata dims) as parquet under the Verify out dir,
+  * and [[oracles]] carries DuckDB SQL over those dumps (`__BASE__` is
+  * substituted with the absolute dump dir by Verify):
+  *  - `adsb_parse` is INDEPENDENTLY re-parsed in DuckDB from the raw
+  *    lines (string_split + the same anchored regex + try_casts);
+  *  - census/histogram/details/paths re-derive their aggregation and
+  *    join logic in SQL from the dumped base rows.
+  * Surrogate ids are md5-derived ([[PortableHash.phashStr]]) so the
+  * oracle recomputes them bit-for-bit.
   */
 object AdsbQueries {
 
@@ -39,25 +51,35 @@ object AdsbQueries {
     goldenMemo.computeIfAbsent(s,
       _ => AdsbPipeline.replayFixture(s, "adsb_golden_landings.txt").cache())
 
+  /** Instant → wall-clock cast for driver-facing outputs: the DuckDB
+    * oracle reads the parquet dumps as naive timestamps, and the
+    * session runs in UTC, so the cast is the identity on wall time. */
+  private def ntz(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adsb_parse" -> ((s, _) =>
-      Sbs.parse(Sbs.fixtureLines(s, "adsb_message_stream.txt"))
+      ntz(Sbs.parse(Sbs.fixtureLines(s, "adsb_message_stream.txt")),
+        "gen_date_time", "log_date_time")
         .orderBy(col("seq"))),
 
     "adsb_flights" -> ((s, _) =>
-      AdsbPipeline.flights(out(s))
+      ntz(AdsbPipeline.flights(out(s)),
+        "session_start", "first_seen", "last_seen")
         .orderBy(col("hexident"), col("session_start"))),
 
     "adsb_positions" -> ((s, _) =>
-      AdsbPipeline.positions(out(s))
-        .orderBy(col("hexident"), col("time"))),
+      ntz(AdsbPipeline.positions(out(s)), "session_start", "time")
+        .orderBy(col("hexident"), col("time"), col("session_start"),
+          col("lon"), col("lat"))),
 
     "adsb_events" -> ((s, _) =>
-      AdsbPipeline.events(out(s)).orderBy(col("time"))),
+      ntz(AdsbPipeline.events(out(s)), "session_start", "time")
+        .orderBy(col("time"), col("hexident"), col("kind"))),
 
     "adsb_events_golden" -> ((s, _) =>
-      AdsbPipeline.events(goldenOut(s))
-        .orderBy(col("time"), col("hexident"))),
+      ntz(AdsbPipeline.events(goldenOut(s)), "session_start", "time")
+        .orderBy(col("time"), col("hexident"), col("kind"))),
 
     "adsb_event_details_golden" -> ((s, _) =>
       eventDetails(goldenOut(s), Meta.loadAirlines(s), Meta.loadCountries(s))),
@@ -70,6 +92,18 @@ object AdsbQueries {
     // extension covers (create_public_schema.sql:189).
     "adsb_landings_histogram" -> ((s, _) => {
       val landings = AdsbPipeline.events(out(s))
+        .where(col("kind") === "landing")
+      Histogram.eventsHistogram(landings, col("time"),
+        unix_micros(col("time").cast("timestamp")),
+        "2019-10-20 00:00:00", "2019-10-20 00:00:00", "hour",
+        Some("Europe/Paris"))
+    }),
+
+    // The golden replay exercises the same histogram with NON-empty
+    // bins (the reference capture has zero landings, so the main-
+    // fixture histogram checks only spine + gap fill).
+    "adsb_landings_histogram_golden" -> ((s, _) => {
+      val landings = AdsbPipeline.events(goldenOut(s))
         .where(col("kind") === "landing")
       Histogram.eventsHistogram(landings, col("time"),
         unix_micros(col("time").cast("timestamp")),
@@ -92,7 +126,10 @@ object AdsbQueries {
       val flights = AdsbPipeline.flights(out(s))
       val airlines = Meta.loadAirlines(s)
       val countries = Meta.loadCountries(s)
-      flights
+      // openflights has duplicate icao keys (35 of them), so the join
+      // can fan out: the dim columns join the sort key to keep the
+      // row order total for the order-sensitive driver compare.
+      ntz(flights
         .join(broadcast(airlines),
           substring(flights("callsign"), 1, 3) === airlines("icao"), "left")
         .join(broadcast(countries),
@@ -101,18 +138,25 @@ object AdsbQueries {
           flights("callsign"),
           airlines("name").as("airline"), airlines("country"),
           countries("code").as("country_code"),
-          flights("first_seen"), flights("last_seen"))
-        .orderBy(flights("hexident"), flights("session_start"))
+          flights("first_seen"), flights("last_seen")),
+        "session_start", "first_seen", "last_seen")
+        .orderBy(col("hexident"), col("session_start"),
+          col("airline").asc_nulls_first, col("country_code").asc_nulls_first)
     }),
 
     // Q8 on the domain's own data: the reference's flight_path(id) —
     // ST_MakeLine(ST_Force2D(coordinates) ORDER BY time) per flight
     // session (create_public_schema.sql:207-218), emitted as GeoJSON.
+    // Key = hexident/epoch-micros and tiebreak = (lon, lat) struct:
+    // both totally ordered identically by Spark and the SQL oracle
+    // (a timestamp-cast-to-string key would diverge on fraction
+    // formatting; a stringified-double tiebreak on float rendering).
     "adsb_flight_paths" -> ((s, _) =>
       graft.operators.Paths.pathGeoJson(
         AdsbPipeline.positions(out(s)),
-        concat_ws("/", col("hexident"), col("session_start")),
-        col("time"), concat_ws(",", col("lon"), col("lat")),
+        concat_ws("/", col("hexident"),
+          unix_micros(col("session_start").cast("timestamp"))),
+        col("time"), struct(col("lon"), col("lat")),
         col("lon"), col("lat"), precision = 6)
         .orderBy(col("key"))),
 
@@ -165,7 +209,177 @@ object AdsbQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** Dump the oracle base tables (raw fixture lines, sessionizer
+    * output for both fixtures, metadata dims) as parquet under `dir`.
+    * Called by Verify before the query loop; the oracle SQL below
+    * reads these via `read_parquet` after `__BASE__` substitution.
+    * Timestamps are dumped as wall-clock (ntz) so DuckDB reads them
+    * as naive TIMESTAMP — the same convention the queries emit. */
+  def writeOracleBase(spark: SparkSession, dir: String): Unit = {
+    def w(df: DataFrame, n: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$n")
+    val outCols = Seq("session_start", "time", "first_seen", "last_seen")
+    w(Sbs.fixtureLines(spark, "adsb_message_stream.txt"), "adsb_raw")
+    w(ntz(out(spark).toDF, outCols: _*), "adsb_out")
+    w(ntz(goldenOut(spark).toDF, outCols: _*), "adsb_out_golden")
+    w(Meta.loadAirlines(spark).select(col("icao"), col("name"),
+      col("country")), "airlines")
+    w(Meta.loadCountries(spark).select(col("name"), col("code")),
+      "countries")
+  }
+
+  private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
+
+  /** DuckDB re-parse of the raw SBS lines: the same 22-field length
+    * check, anchored regex, timestamp formats and cast rules as
+    * `Sbs.parse`, but implemented independently with string_split —
+    * a genuine second implementation of P1/P2/P3. */
+  private val parsedCte: String =
+    s"""r AS (SELECT seq, value, string_split(value, ',') AS f
+       |     FROM ${tbl("adsb_raw")}),
+       |mm AS (
+       |  SELECT * FROM r
+       |  WHERE len(f) = 22 AND regexp_matches(value,
+       |    '^MSG,(\\d),(\\d+),(\\d+),([0-9A-F]+),(\\d+),([0-9/]+,[0-9:\\.]+),([0-9/]+,[0-9:\\.]+),([\\w\\s]*),([\\d\\-]*),(\\d*),([\\d\\-]*),([\\d\\-\\.]*),([\\d\\-\\.]*),([\\d\\-]*),(\\d*),([\\d\\-]*),([\\d\\-]*),([\\d\\-]*),([\\d\\-]*)$$')
+       |    AND coalesce(
+       |      try_strptime(f[7] || ' ' || f[8], '%Y/%m/%d %H:%M:%S.%g'),
+       |      try_strptime(f[7] || ' ' || f[8], '%Y/%m/%d %H:%M:%S'))
+       |      IS NOT NULL),
+       |parsed AS (
+       |  SELECT seq,
+       |    TRY_CAST(f[2] AS INTEGER) AS transmission_type,
+       |    TRY_CAST(f[3] AS INTEGER) AS "session",
+       |    TRY_CAST(f[4] AS INTEGER) AS aircraft,
+       |    f[5] AS hexident,
+       |    TRY_CAST(f[6] AS INTEGER) AS flight,
+       |    coalesce(
+       |      try_strptime(f[7] || ' ' || f[8], '%Y/%m/%d %H:%M:%S.%g'),
+       |      try_strptime(f[7] || ' ' || f[8], '%Y/%m/%d %H:%M:%S'))
+       |      AS gen_date_time,
+       |    coalesce(
+       |      try_strptime(f[9] || ' ' || f[10], '%Y/%m/%d %H:%M:%S.%g'),
+       |      try_strptime(f[9] || ' ' || f[10], '%Y/%m/%d %H:%M:%S'))
+       |      AS log_date_time,
+       |    NULLIF(TRIM(f[11]), '') AS callsign,
+       |    TRY_CAST(f[12] AS INTEGER) AS altitude,
+       |    TRY_CAST(f[13] AS INTEGER) AS speed,
+       |    TRY_CAST(f[14] AS INTEGER) AS track,
+       |    TRY_CAST(f[15] AS DOUBLE) AS latitude,
+       |    TRY_CAST(f[16] AS DOUBLE) AS longitude,
+       |    TRY_CAST(f[17] AS INTEGER) AS verticalrate,
+       |    TRY_CAST(f[18] AS INTEGER) AS squawk,
+       |    f[19] = '-1' AS alert,
+       |    f[20] = '-1' AS emergency,
+       |    f[21] = '-1' AS spi,
+       |    f[22] = '-1' AS onground
+       |  FROM mm)""".stripMargin
+
+  /** Portable 60-bit surrogate id — the SQL twin of
+    * [[PortableHash.phashStr]]. */
+  private def sqlId(parts: String*): String =
+    s"('0x' || substr(md5(${parts.mkString(" || '#' || ")}), 1, 15))::BIGINT"
+
+  private def histogramSql(outTbl: String): String =
+    s"""WITH spine AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '2019-10-20 00:00:00',
+       |    TIMESTAMP '2019-10-20 23:00:00', INTERVAL 1 HOUR)) AS ldt),
+       |agg AS (
+       |  SELECT date_trunc('hour',
+       |           timezone('Europe/Paris', timezone('UTC', time))) AS bin_time,
+       |         count(*) AS events,
+       |         string_agg(CAST(epoch_us(time) AS VARCHAR), ','
+       |           ORDER BY epoch_us(time)) AS ids
+       |  FROM ${tbl(outTbl)} WHERE kind = 'landing'
+       |    AND date_trunc('hour', timezone('Europe/Paris', timezone('UTC', time)))
+       |      BETWEEN TIMESTAMP '2019-10-20 00:00:00'
+       |      AND TIMESTAMP '2019-10-20 23:00:00'
+       |  GROUP BY 1)
+       |SELECT timezone('UTC', timezone('Europe/Paris', s.ldt)) AS datetime,
+       |       a.events AS events, a.ids AS ids
+       |FROM spine s LEFT JOIN agg a ON s.ldt = a.bin_time
+       |ORDER BY datetime""".stripMargin
+
+  private def eventDetailsSql(outTbl: String): String =
+    s"""WITH f AS (
+       |  SELECT hexident, session_start, first_seen, last_seen, callsign,
+       |    ${sqlId("hexident", "CAST(epoch_us(session_start) AS VARCHAR)")}
+       |      AS flight_id
+       |  FROM ${tbl(outTbl)} WHERE kind = 'flight'),
+       |e AS (
+       |  SELECT hexident, session_start, time, kind, runway,
+       |    ${sqlId("hexident", "CAST(epoch_us(session_start) AS VARCHAR)",
+                    "CAST(epoch_us(time) AS VARCHAR)", "kind")} AS id
+       |  FROM ${tbl(outTbl)} WHERE kind IN ('landing', 'takeoff'))
+       |SELECT e.id, f.flight_id, f.callsign, a.name AS airline,
+       |  a.country AS country, c.code AS country_code,
+       |  f.first_seen, f.last_seen, e.time, e.runway
+       |FROM e JOIN f ON e.hexident = f.hexident
+       |  AND e.session_start = f.session_start
+       |LEFT JOIN ${tbl("airlines")} a ON substring(f.callsign, 1, 3) = a.icao
+       |LEFT JOIN ${tbl("countries")} c ON a.country = c.name
+       |ORDER BY e.time, e.id, airline NULLS FIRST,
+       |  country_code NULLS FIRST""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "adsb_parse" ->
+      s"WITH $parsedCte SELECT * FROM parsed ORDER BY seq",
+
+    "adsb_type_census" ->
+      s"""WITH $parsedCte
+         |SELECT hexident,
+         |${(1 to 8).map(t =>
+            s"""  NULLIF(count(*) FILTER (WHERE transmission_type = $t), 0) AS "$t"""")
+            .mkString(",\n")}
+         |FROM parsed GROUP BY hexident ORDER BY hexident""".stripMargin,
+
+    "adsb_flights" ->
+      s"""SELECT hexident, session_start, first_seen, last_seen, callsign,
+         |  n_positions, 'unknown' AS intention
+         |FROM ${tbl("adsb_out")} WHERE kind = 'flight'
+         |ORDER BY hexident, session_start""".stripMargin,
+
+    "adsb_positions" ->
+      s"""SELECT hexident, session_start, time, lon, lat, alt_m, onground,
+         |  CAST(NULL AS INTEGER) AS verticalrate,
+         |  CAST(NULL AS INTEGER) AS track
+         |FROM ${tbl("adsb_out")} WHERE kind = 'position'
+         |ORDER BY hexident, time, session_start, lon, lat""".stripMargin,
+
+    "adsb_events" ->
+      s"""SELECT kind, hexident, session_start, time, runway
+         |FROM ${tbl("adsb_out")} WHERE kind IN ('landing', 'takeoff')
+         |ORDER BY time, hexident, kind""".stripMargin,
+
+    "adsb_events_golden" ->
+      s"""SELECT kind, hexident, session_start, time, runway
+         |FROM ${tbl("adsb_out_golden")} WHERE kind IN ('landing', 'takeoff')
+         |ORDER BY time, hexident, kind""".stripMargin,
+
+    "adsb_landings_histogram" -> histogramSql("adsb_out"),
+    "adsb_landings_histogram_golden" -> histogramSql("adsb_out_golden"),
+
+    "adsb_flight_details" ->
+      s"""SELECT f.hexident, f.session_start, f.callsign, a.name AS airline,
+         |  a.country AS country, c.code AS country_code,
+         |  f.first_seen, f.last_seen
+         |FROM (SELECT * FROM ${tbl("adsb_out")} WHERE kind = 'flight') f
+         |LEFT JOIN ${tbl("airlines")} a ON substring(f.callsign, 1, 3) = a.icao
+         |LEFT JOIN ${tbl("countries")} c ON a.country = c.name
+         |ORDER BY f.hexident, f.session_start, airline NULLS FIRST,
+         |  country_code NULLS FIRST""".stripMargin,
+
+    "adsb_flight_paths" ->
+      s"""SELECT hexident || '/' || CAST(epoch_us(session_start) AS VARCHAR)
+         |    AS key,
+         |  '{"type":"LineString","coordinates":[' ||
+         |  string_agg(printf('[%.6f,%.6f]', lon, lat), ','
+         |    ORDER BY time, lon, lat) || ']}' AS path
+         |FROM ${tbl("adsb_out")} WHERE kind = 'position'
+         |GROUP BY hexident, session_start ORDER BY key""".stripMargin,
+
+    "adsb_event_details" -> eventDetailsSql("adsb_out"),
+    "adsb_event_details_golden" -> eventDetailsSql("adsb_out_golden")
+  )
 
   /** The reference's `event` composite type
     * (`create_graphql_functions.sql:3-15`): landing/takeoff events
@@ -176,23 +390,27 @@ object AdsbQueries {
     *
     * The reference's serial ids are surrogate join keys, not
     * semantics (SURVEY §1.3) — here they are derived DETERMINISTICALLY
-    * from the natural keys (`xxhash64` of (hexident, session_start)
-    * for flights, plus (time, kind) for events): no global
-    * no-partition window assigning row_numbers, so the id assignment
-    * is embarrassingly parallel at any scale. The only total order is
-    * the final presentation sort by event time. */
+    * from the natural keys (a portable md5-derived 60-bit hash of
+    * (hexident, session_start) for flights, plus (time, kind) for
+    * events — [[PortableHash.phashStr]], so the DuckDB oracle
+    * recomputes the ids): no global no-partition window assigning
+    * row_numbers, so the id assignment is embarrassingly parallel at
+    * any scale. The only total order is the final presentation sort by
+    * event time. */
   def eventDetails(out: Dataset[Out], airlines: DataFrame,
       countries: DataFrame): DataFrame = {
     // events and flights share the `out` lineage — alias both sides so
     // Spark's ambiguous-self-join detection sees qualified columns.
     val flights = AdsbPipeline.flights(out)
-      .withColumn("flight_id",
-        xxhash64(col("hexident"), col("session_start"))).as("f")
+      .withColumn("flight_id", PortableHash.phashStr(concat_ws("#",
+        col("hexident"),
+        unix_micros(col("session_start").cast("timestamp"))))).as("f")
     val events = AdsbPipeline.events(out)
-      .withColumn("id",
-        xxhash64(col("hexident"), col("session_start"), col("time"),
-          col("kind"))).as("e")
-    events
+      .withColumn("id", PortableHash.phashStr(concat_ws("#",
+        col("hexident"),
+        unix_micros(col("session_start").cast("timestamp")),
+        unix_micros(col("time").cast("timestamp")), col("kind")))).as("e")
+    ntz(events
       .join(flights, col("e.hexident") === col("f.hexident") &&
         col("e.session_start") === col("f.session_start"))
       .join(broadcast(airlines.as("a")),
@@ -203,7 +421,9 @@ object AdsbQueries {
         col("a.name").as("airline"), col("a.country"),
         col("c.code").as("country_code"),
         col("f.first_seen"), col("f.last_seen"),
-        col("e.time"), col("e.runway"))
-      .orderBy(col("time"), col("id"))
+        col("e.time"), col("e.runway")),
+      "first_seen", "last_seen", "time")
+      .orderBy(col("time"), col("id"),
+        col("airline").asc_nulls_first, col("country_code").asc_nulls_first)
   }
 }

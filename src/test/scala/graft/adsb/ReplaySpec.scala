@@ -134,22 +134,26 @@ class ReplaySpec extends SparkSpec {
     assert(d.length === 1)
     val r = d.head
     // ids are deterministic natural-key hashes (join keys, not
-    // semantics): pin them against an independent computation
-    val expected = spark.range(1)
-      .select(
-        xxhash64(lit("ABC123"), lit(at(0))).as("fid"),
-        xxhash64(lit("ABC123"), lit(at(0)), lit(at(20)), lit("landing"))
-          .as("id"))
-      .collect().head
-    assert(r.getLong(0) === expected.getLong(1)) // id
-    assert(r.getLong(1) === expected.getLong(0)) // flight_id
+    // semantics), md5-derived so the DuckDB oracle reproduces them:
+    // pin them against an independent pure-JVM computation
+    def phash(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val us0 = FlightStateMachine.micros(at(0))
+    val us20 = FlightStateMachine.micros(at(20))
+    assert(r.getLong(0) === phash(s"ABC123#$us0#$us20#landing")) // id
+    assert(r.getLong(1) === phash(s"ABC123#$us0"))       // flight_id
     assert(r.getString(2) === "AFR1234")         // callsign
     assert(r.getString(3) === "Air France")      // airline
     assert(r.getString(4) === "France")          // country
     assert(r.getString(5) === "FR")              // country_code
-    assert(r.getTimestamp(6) === at(0))          // first_seen
-    assert(r.getTimestamp(7) === at(20))         // last_seen
-    assert(r.getTimestamp(8) === at(20))         // time
+    // timestamps are emitted as wall-clock (ntz); session tz is UTC
+    def ldt(t: java.sql.Timestamp) =
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+    assert(r.getAs[java.time.LocalDateTime](6) === ldt(at(0)))  // first_seen
+    assert(r.getAs[java.time.LocalDateTime](7) === ldt(at(20))) // last_seen
+    assert(r.getAs[java.time.LocalDateTime](8) === ldt(at(20))) // time
     assert(r.getString(9) === "21")              // runway
   }
 
