@@ -63,48 +63,59 @@ object Bench {
     // (LSH candidates + exact verify) instead; Verify still
     // oracle-checks d3 itself.
     //
-    // The cache clears AFTER each query's pair, not between the two
-    // runs: run 2 may legitimately reuse run 1's cached stage
+    // The cache clears AFTER each query's samples, not between runs:
+    // a later run may legitimately reuse an earlier run's cached stage
     // boundaries (Spark's cache lookup is by canonicalized plan), which
     // is the steady-state a resident pipeline sees — and the regime
-    // every prior round's numbers were taken under. Clearing per pair
+    // every prior round's numbers were taken under. Clearing per query
     // keeps peak storage bounded to one query's caches (the leak the
     // round-4 review flagged) without changing what's measured.
-    val results = benched.map {
-      case (name, fn) =>
-        val pair = (once(fn), once(fn))
-        spark.catalog.clearCache()
-        name -> pair
+    //
+    // Steal adjudication (round-5 verdict ask #8): a pair whose two
+    // runs disagree by >3x (slow one above 0.5 s — tiny queries flap
+    // on scheduler noise, not steal) gets ONE extra sample. The flag
+    // then requires the spread to REPRODUCE — the two fastest samples
+    // still >3x apart — so a single one-off stall (or a run-2 cache
+    // reuse making run 1 look slow) self-cleans out of the artifact
+    // instead of flagging a pair whose min is untouched.
+    def spread(a: Double, b: Double): Boolean =
+      math.max(a, b) > 0.5 &&
+        math.max(a, b) / math.max(math.min(a, b), 1e-9) > 3.0
+    val results = benched.map { case (name, fn) =>
+      val a = once(fn)
+      val b = once(fn)
+      val needThird = (a, b) match {
+        case (Right(x), Right(y)) => spread(x, y)
+        case _ => false
+      }
+      val samples = if (needThird) List(a, b, once(fn)) else List(a, b)
+      spark.catalog.clearCache()
+      name -> samples
     }
-    def minOf(p: (Either[String, Double], Either[String, Double]))
-        : Either[String, Double] = p match {
-      case (Right(a), Right(b)) => Right(math.min(a, b))
-      case (Left(e), _) => Left(e)
-      case (_, Left(e)) => Left(e)
-    }
+    def minOf(ss: List[Either[String, Double]]): Either[String, Double] =
+      ss.collectFirst { case Left(e) => e } match {
+        case Some(e) => Left(e)
+        case None => Right(ss.collect { case Right(v) => v }.min)
+      }
     val qs = results.map {
-      case (k, p) => minOf(p) match {
+      case (k, ss) => minOf(ss) match {
         case Right(v) => s"\"" + k + "\":" + v
         case Left(_) => s"\"" + k + "\":-1.0"
       }
     }.mkString("{", ",", "}")
-    // the artifact self-identifies hypervisor steal: both raw runs per
-    // query, plus a flagged list where the two disagree by >3x with
-    // the slow one above 0.5 s (tiny queries flap on scheduler noise,
-    // not steal) — a reader doesn't need a clean re-run to spot a
-    // contaminated entry. The flag marks SPREAD, not proof of steal:
-    // a query whose second run legitimately reuses a cached stage
-    // boundary (e.g. qk) can land here too — the raw pair
-    // disambiguates (cache reuse reproduces; steal doesn't).
-    val runsJson = results.map { case (k, (a, b)) =>
-      def r(e: Either[String, Double]) = e.fold(_ => "-1.0", _.toString)
-      s"\"" + k + "\":[" + r(a) + "," + r(b) + "]"
+    // the artifact self-identifies steal: every raw sample per query
+    // (2, or 3 when the first pair spread), plus the reproduced-spread
+    // flag list — a reader doesn't need a clean re-run to spot a
+    // contaminated entry.
+    val runsJson = results.map { case (k, ss) =>
+      s"\"" + k + "\":" +
+        ss.map(_.fold(_ => "-1.0", _.toString)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val steal = results.collect {
-      case (k, (Right(a), Right(b)))
-          if math.max(a, b) > 0.5 &&
-            math.max(a, b) / math.max(math.min(a, b), 1e-9) > 3.0 =>
-        "\"" + k + "\""
+      case (k, ss) if ss.forall(_.isRight) && {
+        val v = ss.collect { case Right(x) => x }.sorted
+        spread(v(0), v(1))
+      } => "\"" + k + "\""
     }
     val stealJson = steal.mkString(""","steal":[""", ",", "]")
     val errors = results.collect { case (k, p) if minOf(p).isLeft =>

@@ -22,10 +22,13 @@ import graft.functions.DotProduct.dotF
   * assigns every vector, and the dense cosine kernel runs only WITHIN
   * clusters — one shuffle keyed by cluster id, each task a
   * |cluster|² codegen'd dot-product block. SemDeDup's own premise is
-  * k ∝ corpus size so clusters stay bounded; for a degenerate
-  * mega-cluster the [[Similarity.embeddingNearDupPairs]] triangle
-  * blocking is the drop-in within-cluster kernel. Norms are computed
-  * once per row BEFORE the self-join, not once per pair.
+  * k ∝ corpus size so clusters stay bounded; a degenerate
+  * mega-cluster (above `maxClusterSize`) is routed through the
+  * [[Similarity.embeddingNearDupPairsByKey]] triangle-blocked kernel
+  * instead — per-task memory stays 2·|cluster|/nBlocks vectors, so
+  * semantic dedup still happens exactly where the quadratic
+  * self-join would have blown up. Norms are computed once per row
+  * BEFORE the self-join, not once per pair.
   */
 object SemDedup {
 
@@ -38,30 +41,34 @@ object SemDedup {
     * both self-join sides and the output spine); callers clear the
     * cache after materializing, the harness convention.
     *
-    * `maxClusterSize` is the d4v mega-bucket guard: a degenerate
-    * quantizer (or pathological data) collapsing most vectors into
-    * one cluster would make the within-cluster kernel quadratic in
-    * the corpus; clusters larger than the cap are excluded from
-    * PAIRING — all their members stay kept (under-dedup, never
-    * over), and the report still covers every vector. */
+    * `maxClusterSize` is the d4v mega-bucket guard with a working
+    * fallback (round-5 verdict ask #3): a degenerate quantizer (or
+    * pathological data) collapsing most vectors into one cluster
+    * would make the flat self-join kernel quadratic in the corpus, so
+    * clusters above the cap run the triangle-blocked dense kernel
+    * ([[Similarity.embeddingNearDupPairsByKey]]; `megaBlocks` is the
+    * per-cluster block knob — grow it ∝ √|cluster| to hold task
+    * memory constant) instead of being silently skipped. The fallback
+    * rounds cosines at 9 decimals before the τ cut (the kernel's
+    * reproducible-cut convention) where the self-join compares raw
+    * doubles — a divergence window of 5e-10 around τ. */
   def report(corpus: DataFrame, idCol: Column, vecCol: Column,
       kClusters: Int = 16, tau: Double = 0.7,
       iters: Int = 2, trainSampleCap: Int = 4096,
-      maxClusterSize: Long = 1L << 20): DataFrame = {
+      maxClusterSize: Long = 1L << 20, megaBlocks: Int = 16): DataFrame = {
     val ivf = Ivf.build(corpus, idCol.cast("long"), vecCol,
       kClusters, iters, trainSampleCap)
     val rows = ivf.assigned
       .withColumn("nv", sqrt(dotF(col("vec"), col("vec"))))
-    val small = rows.groupBy(col("cid"))
+    val sizes = rows.groupBy(col("cid"))
       .agg(count(lit(1)).as("_sz"))
-      .where(col("_sz") <= maxClusterSize)
-      .select(col("cid"))
+    val small = sizes.where(col("_sz") <= maxClusterSize).select(col("cid"))
     val pairable = rows.join(small, Seq("cid"))
     val left = pairable.select(col("cid"), col("id").as("id_a"),
       col("vec").as("va"), col("nv").as("na"))
     val right = pairable.select(col("cid"), col("id").as("id_b"),
       col("vec").as("vb"), col("nv").as("nb"))
-    val dominated = left.join(right, Seq("cid"))
+    val smallDominated = left.join(right, Seq("cid"))
       .where(col("id_a") < col("id_b"))
       // zero-norm guard: 0/0 = NaN, and Spark orders NaN ABOVE every
       // value, so `NaN >= tau` would mark every pair touching a
@@ -70,6 +77,16 @@ object SemDedup {
       .where(col("na") > 0 && col("nb") > 0)
       .where(dotF(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
       .select(col("cid"), col("id_b").as("id"))
+    // Mega-cluster fallback: the triangle-blocked kernel within each
+    // oversized cluster (its pair kernel NaN-skips zero norms — the
+    // same guard as above). id_b of any (a < b, sim ≥ τ) pair is
+    // dominated, exactly the rule the self-join applies.
+    val big = sizes.where(col("_sz") > maxClusterSize).select(col("cid"))
+    val megaDominated = Similarity.embeddingNearDupPairsByKey(
+        rows.join(big, Seq("cid")), col("cid"), col("id"), col("vec"),
+        tau, roundDigits = 9, nBlocks = megaBlocks)
+      .select(col("key").cast("int").as("cid"), col("id_b").as("id"))
+    val dominated = smallDominated.unionByName(megaDominated)
       .distinct()
       .withColumn("dom", lit(true))
     rows.select(col("id"), col("cid"))

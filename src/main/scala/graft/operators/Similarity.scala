@@ -256,28 +256,51 @@ object Similarity {
       vecCol: Column,
       threshold: Double,
       roundDigits: Int = 5,
+      nBlocks: Int = 8): DataFrame =
+    embeddingNearDupPairsByKey(corpus, lit(0L), idCol, vecCol,
+      threshold, roundDigits, nBlocks)
+      .select(col("id_a"), col("id_b"), col("sim"))
+
+  /** [[embeddingNearDupPairs]] restricted to pairs WITHIN each group
+    * of `keyCol`: each (key, block-pair) is one dense task, so one job
+    * covers every group without ever comparing across groups. This is
+    * [[SemDedup]]'s mega-cluster fallback kernel (key = cluster id);
+    * with a constant key it IS the whole-corpus operator above. Returns
+    * (key, id_a, id_b, sim). */
+  def embeddingNearDupPairsByKey(
+      corpus: DataFrame,
+      keyCol: Column,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double,
+      roundDigits: Int = 5,
       nBlocks: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nB = nBlocks
-    val vecs = corpus.select(idCol.cast("long").as("id"), vecCol.as("vec"))
-      .as[(Long, Array[Float])]
+    val vecs = corpus.select(keyCol.cast("long").as("key"),
+      idCol.cast("long").as("id"), vecCol.as("vec"))
+      .as[(Long, Long, Array[Float])]
     // Replicate each vector to every block pair containing its block.
-    val replicated = vecs.flatMap { case (id, v) =>
+    val replicated = vecs.flatMap { case (key, id, v) =>
       val b = ((id % nB) + nB).toInt % nB
       val pids = (b until nB).map(j => b * nB + j) ++
         (0 until b).map(i => i * nB + b)
-      pids.map(pid => (pid, id, v))
+      pids.map(pid => (key, pid, id, v))
     }
-    replicated.groupByKey(_._1).flatMapGroups { (pid, it) =>
-      val i = pid / nB; val j = pid % nB
-      val rows = it.map { case (_, id, v) => (id, v, normOf(v)) }.toArray
-      if (i == j) pairsWithin(rows, threshold, roundDigits)
-      else pairsAcross(
-        rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == i },
-        rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == j },
-        threshold, roundDigits)
-    }.toDF("id_a", "id_b", "sim")
+    replicated.groupByKey(r => (r._1, r._2)).flatMapGroups {
+      (kp: (Long, Int), it: Iterator[(Long, Int, Long, Array[Float])]) =>
+        val (key, pid) = kp
+        val i = pid / nB; val j = pid % nB
+        val rows = it.map { case (_, _, id, v) => (id, v, normOf(v)) }.toArray
+        val ps =
+          if (i == j) pairsWithin(rows, threshold, roundDigits)
+          else pairsAcross(
+            rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == i },
+            rows.filter { case (id, _, _) => ((id % nB) + nB) % nB == j },
+            threshold, roundDigits)
+        ps.map { case (a, b, s) => (key, a, b, s) }
+    }.toDF("key", "id_a", "id_b", "sim")
   }
 
   /** Approximate near-dup pairs — the 100 TB pre-filter path: bucket
