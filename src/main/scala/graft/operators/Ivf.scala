@@ -233,7 +233,11 @@ object Ivf {
     * ids, and the caller provides exactly-once batch semantics
     * (wrap epochs as `AnnStream` does for idempotent replay).
     * Appended vectors are quantized by the ORIGINAL codebook;
-    * rebuild when the embedding distribution drifts. */
+    * rebuild when the embedding distribution drifts. Each batch adds
+    * one file per touched cluster directory — run
+    * [[IndexMaintenance.compactPersisted]] periodically to collapse
+    * the growth (and [[IndexMaintenance.deletePersisted]] for the
+    * remove-ids half of the lifecycle). */
   def appendPersisted(spark: org.apache.spark.sql.SparkSession,
       path: String, newVectors: DataFrame, idCol: Column,
       vecCol: Column): Unit = {
@@ -275,9 +279,12 @@ object Ivf {
     val probes = probeRows(queries, codebook, nProbe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0))
-    val assigned = spark.read.parquet(path)
-      .where(col("cid").isin(probedCids.map(Int.box): _*))
-      .select(col("id"), col("vec"), col("cid"))
+    // tombstone-aware: ids deleted via IndexMaintenance.deletePersisted
+    // never return (anti-join on the sidecar; a no-op when none exist)
+    val assigned = IndexMaintenance.filterTombstones(spark, path,
+      spark.read.parquet(path)
+        .where(col("cid").isin(probedCids.map(Int.box): _*))
+        .select(col("id"), col("vec"), col("cid")))
     scoreProbed(assigned, probes, topK, roundDigits)
   }
 }

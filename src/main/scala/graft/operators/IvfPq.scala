@@ -173,8 +173,12 @@ object IvfPq {
         .sortBy(_._1)
     }
     val dsub = codebooks.head.head._2.length
-    val coded = spark.read.parquet(path)
-      .select(col("id"), col("cid"), col("codes"))
+    // tombstone-aware: a loaded index's coded frame already excludes
+    // ids deleted via IndexMaintenance.deletePersisted, so the
+    // in-memory ADC path over it cannot resurrect them
+    val coded = IndexMaintenance.filterTombstones(spark, path,
+      spark.read.parquet(path)
+        .select(col("id"), col("cid"), col("codes")))
     Index(coarse, codebooks, coded, m, dsub)
   }
 
@@ -184,7 +188,9 @@ object IvfPq {
     * existing codebooks; rows append as new files inside the existing
     * cluster directories. Same contract as [[Ivf.appendPersisted]]:
     * disjoint ids, caller-provided exactly-once batching, rebuild on
-    * distribution drift. */
+    * distribution drift, periodic
+    * [[IndexMaintenance.compactPersisted]] to collapse per-batch file
+    * growth. */
   def appendPersisted(spark: SparkSession, path: String,
       newVectors: DataFrame, idCol: Column, vecCol: Column): Unit = {
     val index = loadIndex(spark, path)
@@ -220,9 +226,12 @@ object IvfPq {
     val probes = Ivf.probeRows(queries, index.coarse, nProbe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0))
-    val coded = spark.read.parquet(path)
-      .where(col("cid").isin(probedCids.map(Int.box): _*))
-      .select(col("id"), col("cid"), col("codes"))
+    // tombstone-aware, as Ivf.searchPersisted — this also covers the
+    // AnnStream serving tier, which searches through here per batch
+    val coded = IndexMaintenance.filterTombstones(spark, path,
+      spark.read.parquet(path)
+        .where(col("cid").isin(probedCids.map(Int.box): _*))
+        .select(col("id"), col("cid"), col("codes")))
     scoreProbedAdc(coded, probes, index.codebooks,
       index.m, index.dsub, topK, roundDigits)
   }

@@ -60,8 +60,13 @@ object Sinks {
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      rowsPerFile: Long): Unit = {
-    val df = spark.read.parquet(path)
+      rowsPerFile: Long,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    // `transform` rewrites the directory's contents during compaction
+    // (e.g. graft.operators.IndexMaintenance purging tombstoned ids);
+    // an all-rows-dropped result still writes one empty schema-bearing
+    // file, so the directory never disappears from partition discovery
+    val df = transform(spark.read.parquet(path))
     val n = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
     val tmp = path.stripSuffix("/") + "__compacting"
     df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp)
