@@ -23,10 +23,66 @@ object Multimodal {
   val metadataCols: Seq[String] =
     Seq("media_type", "width", "height", "duration_ms", "sample_rate")
 
+  /** Little-endian integer read from a binary column as a pure
+    * codegen expression chain: `substring` slices the bytes, `hex`
+    * renders them in storage order, the per-byte hex pairs re-concat
+    * reversed, and `conv` parses the result — no UDF, no library. */
+  private def leUint(bin: Column, offset1Based: Int, nBytes: Int): Column =
+    conv(concat((nBytes to 1 by -1).map(i =>
+      substring(hex(substring(bin, offset1Based, nBytes)),
+        (i - 1) * 2 + 1, 2)): _*), 16, 10).cast("long")
+
+  /** Signed LE int32 (BMP height is negative for top-down row order). */
+  private def leInt32(bin: Column, offset1Based: Int): Column = {
+    val u = leUint(bin, offset1Based, 4)
+    when(u > Int.MaxValue.toLong, u - 4294967296L).otherwise(u)
+  }
+
+  /** Is this blob a BITMAPINFOHEADER-style BMP? ('BM' magic + a full
+    * 54-byte header to read). */
+  def isBmp(bin: Column): Column =
+    bin.isNotNull && length(bin) >= 54 &&
+      substring(bin, 1, 2).cast("string") === "BM"
+
+  /** REAL header metadata for BMP blobs — width/height (LE int32 at
+    * byte offsets 18/22; a negative stored height means top-down row
+    * order, the pixel height is its magnitude) and bits-per-pixel
+    * (LE uint16 at offset 28), parsed with pure codegen expressions
+    * (no UDF, no media library needed for this container format).
+    * The reference's silhouette fixtures
+    * (`database/data/silhouettes.zip`, loaded by
+    * `read_csv_data.sql:12-38`) are exactly this format. Non-BMP or
+    * short/NULL blobs fall back to [[withFakeMetadata]]'s documented
+    * deterministic stub values, so mixed-media pipelines keep the
+    * same schema and the remaining formats stay honestly stubbed. */
+  def withMetadata(df: DataFrame, bin: Column): DataFrame = {
+    val h = abs(xxhash64(bin))
+    val bmp = isBmp(bin)
+    df.withColumn("media_type",
+        when(bmp, lit("image"))
+          .otherwise(element_at(
+            array(lit("image"), lit("audio"), lit("video")),
+            (h % 3 + 1).cast("int"))))
+      .withColumn("width",
+        when(bmp, leInt32(bin, 19).cast("int"))
+          .otherwise((h % 1920 + 1).cast("int")))
+      .withColumn("height",
+        when(bmp, abs(leInt32(bin, 23)).cast("int"))
+          .otherwise((h % 1080 + 1).cast("int")))
+      .withColumn("bpp",
+        when(bmp, leUint(bin, 29, 2).cast("int"))
+          .otherwise(lit(null).cast("int")))
+      .withColumn("duration_ms",
+        when(bmp, lit(null).cast("long")).otherwise((h % 60000).cast("long")))
+      .withColumn("sample_rate",
+        when(bmp, lit(null).cast("int")).otherwise(lit(16000)))
+  }
+
   /** Wrap a raw binary column with parsed header metadata.
-    * STUB: a real impl sniffs magic bytes; the fake derives
-    * deterministic dimensions from the content hash so tests are
-    * stable. */
+    * STUB: the fake derives deterministic dimensions from the content
+    * hash so tests are stable. [[withMetadata]] is the real-parse
+    * entry point (BMP headers parsed for real, other formats fall
+    * back here). */
   def withFakeMetadata(df: DataFrame, bin: Column): DataFrame = {
     val h = abs(xxhash64(bin))
     df.withColumn("media_type",

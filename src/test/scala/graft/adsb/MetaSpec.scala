@@ -92,6 +92,52 @@ class MetaSpec extends SparkSpec {
     assert(frames.count() === 18)
   }
 
+  test("BMP headers parse for real: 85x20 @ 24bpp silhouettes") {
+    import graft.operators.Multimodal
+    // ground truth from the fixtures' own 54-byte headers (verified
+    // with an independent struct.unpack read): all six reference
+    // silhouettes are 85x20 pixel, 24-bit 'BM' bitmaps
+    val bin = Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir())
+    val meta = Multimodal.withMetadata(bin, col("silhouette"))
+      .select("model", "media_type", "width", "height", "bpp")
+      .collect()
+    assert(meta.length === 6)
+    meta.foreach { r =>
+      assert(r.getString(1) === "image", r.getString(0))
+      assert(r.getInt(2) === 85, s"${r.getString(0)} width")
+      assert(r.getInt(3) === 20, s"${r.getString(0)} height")
+      assert(r.getInt(4) === 24, s"${r.getString(0)} bpp")
+    }
+  }
+
+  test("BMP parse: top-down height, non-BMP fallback to the stub") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // hand-built 54-byte header: 'BM', width=7, height=-5 (top-down
+    // row order → pixel height 5), bpp=32; plus a non-BMP blob that
+    // must fall back to the deterministic stub metadata
+    val hdr = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put('B'.toByte).put('M'.toByte)
+    hdr.position(18); hdr.putInt(7); hdr.putInt(-5)
+    hdr.position(28); hdr.putShort(32)
+    val rows = Seq(
+      ("bmp", hdr.array()),
+      ("not", "just some text bytes".getBytes("UTF-8")))
+      .toDF("name", "blob")
+    val out = Multimodal.withMetadata(rows, col("blob"))
+      .select("name", "media_type", "width", "height", "bpp")
+      .collect().sortBy(_.getString(0))
+    val bmp = out.head
+    assert(bmp.getString(1) === "image")
+    assert(bmp.getInt(2) === 7)
+    assert(bmp.getInt(3) === 5)
+    assert(bmp.getInt(4) === 32)
+    val stub = out(1)
+    assert(stub.isNullAt(4)) // no bpp from the stub
+    assert(stub.getInt(2) >= 1 && stub.getInt(2) <= 1920)
+  }
+
   test("metadata-only queries prune the blob from the parquet scan") {
     import graft.operators.Multimodal
     val bin = Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir())
