@@ -40,11 +40,13 @@ object Tables {
     // the JVM default timezone, which would silently shift the
     // pushdown range (and drop rows at the day edges) on any
     // non-UTC host even though the session timezone is pinned
-    def us(s: String): Long =
-      java.time.LocalDateTime
-        .parse(s.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC)
-        .toEpochMilli * 1000L
+    def us(s: String): Long = {
+      // lossless micros (toEpochMilli would truncate sub-millisecond
+      // bounds and silently shift the range)
+      val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    }
     load(spark, dir, "events")
       .where(col("ts_ns") >= us(loUtc) * 1000 &&
         col("ts_ns") < us(hiUtc) * 1000)

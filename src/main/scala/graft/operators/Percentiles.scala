@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group distribution percentiles with the exact/sketch choice as
+  * an API parameter, not a comment (round-5 verdict ask #5).
+  *
+  * `exact = true` uses `percentile()` — linear interpolation over the
+  * sorted per-group values, holistic: each group's values buffer in
+  * one reducer, which is the oracle-checkable gate form but NOT the
+  * 100 TB plan (3 groups = 3 giant reducers). `exact = false` uses
+  * `approx_percentile()` — a mergeable sketch with map-side partial
+  * aggregation and bounded memory at any group size; `OperatorSpec`
+  * pins the sketch within tolerance of its exact twin and that both
+  * API paths share the column surface.
+  */
+object Percentiles {
+
+  /** Group rows by `groupCol` (column name preserved) and emit one
+    * rounded percentile column per quantile plus a row count `n` —
+    * e.g. quantiles 0.5/0.95 emit `p50`/`p95` (fractional percents
+    * name as `p99_9`). Swapping `exact` changes the plan, never the
+    * column surface. */
+  def perGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+      quantiles: Seq[Double], exact: Boolean,
+      accuracy: Int = 10000, roundDigits: Int = 4): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    def name(q: Double): String = {
+      val pct = q * 100
+      if (pct == pct.floor) s"p${pct.toLong}"
+      else ("p" + pct).replace('.', '_')
+    }
+    def pct(q: Double): Column =
+      if (exact) percentile(valueCol, lit(q))
+      else percentile_approx(valueCol, lit(q), lit(accuracy))
+    val aggs = quantiles.map(q => round(pct(q), roundDigits).as(name(q))) :+
+      count(lit(1)).as("n")
+    df.groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(groupCol)
+  }
+}

@@ -35,43 +35,57 @@ object Rank {
     * (`orderCol` asc or desc, ties by `tieCol` asc — `tieCol` must be
     * unique; `orderCol` must be numeric, non-null, non-NaN).
     *
-    * The double `_ord` is used ONLY for bucket placement (negated
-    * AFTER the cast — negating an integral column first would wrap on
-    * Long.MinValue); the within-bucket window orders by the ORIGINAL
-    * column, so keys that collapse to one double (longs above 2^53)
-    * still rank in their exact order — the cast's monotonicity
-    * guarantees bucket placement stays order-consistent either way. */
+    * The double ordering column is used ONLY for bucket placement
+    * (negated AFTER the cast — negating an integral column first
+    * would wrap on Long.MinValue); the within-bucket window orders by
+    * the ORIGINAL column, so keys that collapse to one double (longs
+    * above 2^53) still rank in their exact order — the cast's
+    * monotonicity guarantees bucket placement stays order-consistent
+    * either way.
+    *
+    * Working columns are generated collision-free against the input's
+    * schema, so a caller's own `_ord`/`_bucket` column survives. The
+    * output column `rank` is the API: a pre-existing `rank` column IS
+    * replaced. */
   def globalRowNumber(df: DataFrame, orderCol: Column, tieCol: Column,
       nBuckets: Int = 32, descending: Boolean = false): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
+    def fresh(base: String): String =
+      Iterator.from(0)
+        .map(i => if (i == 0) base else s"$base$i")
+        .dropWhile(df.columns.contains)
+        .next()
+    val ordName = fresh("_ord")
+    val bucketName = fresh("_bucket")
+    val baseName = fresh("_base")
     val ordD = orderCol.cast("double")
-    val keyed = df.withColumn("_ord", if (descending) -ordD else ordD)
+    val keyed = df.withColumn(ordName, if (descending) -ordD else ordD)
     // bounded driver metadata (≤ nBuckets-1 doubles), like the
     // IVF/PQ codebooks; boundaries are allowed to be approximate
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds =
       if (probes.isEmpty) Array.empty[Double]
-      else keyed.stat.approxQuantile("_ord", probes, 0.01).distinct.sorted
+      else keyed.stat.approxQuantile(ordName, probes, 0.01).distinct.sorted
     // bucket = #boundaries strictly below the key: a chain of codegen
     // comparisons against literals (equal keys → equal bucket)
     val bucket =
       if (bounds.isEmpty) lit(0)
-      else bounds.map(b => when(col("_ord") > lit(b), 1).otherwise(0))
+      else bounds.map(b => when(col(ordName) > lit(b), 1).otherwise(0))
         .reduce(_ + _)
-    val bucketed = keyed.withColumn("_bucket", bucket)
-    val wIn = Window.partitionBy(col("_bucket"))
+    val bucketed = keyed.withColumn(bucketName, bucket)
+    val wIn = Window.partitionBy(col(bucketName))
       .orderBy(if (descending) orderCol.desc else orderCol.asc, tieCol)
-    val counts = bucketed.groupBy(col("_bucket"))
+    val counts = bucketed.groupBy(col(bucketName))
       .agg(count(lit(1)).as("_n"))
     // ≤ nBuckets rows — the one unpartitioned window, metadata-sized
-    val wBase = Window.orderBy(col("_bucket"))
+    val wBase = Window.orderBy(col(bucketName))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = counts
-      .withColumn("_base", coalesce(sum(col("_n")).over(wBase), lit(0L)))
-      .select(col("_bucket"), col("_base"))
-    bucketed.join(broadcast(bases), Seq("_bucket"))
+      .withColumn(baseName, coalesce(sum(col("_n")).over(wBase), lit(0L)))
+      .select(col(bucketName), col(baseName))
+    bucketed.join(broadcast(bases), Seq(bucketName))
       .withColumn("rank",
-        (col("_base") + row_number().over(wIn).cast("long")))
-      .drop("_ord", "_bucket")
+        (col(baseName) + row_number().over(wIn).cast("long")))
+      .drop(ordName, bucketName, baseName)
   }
 }

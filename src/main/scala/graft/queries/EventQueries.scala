@@ -165,15 +165,16 @@ object EventQueries {
     "qk_session_funnel" -> ((s, dir) => {
       // one session definition in the library: q13's helper, not a
       // second hand-rolled copy that could drift on the gap boundary
-      // cache the stage boundary: the session window subtree feeds
-      // FOUR aggregations (starts/v/c/p) — exchange reuse usually
-      // covers this, but pinning it is the p8 convention (the harness
-      // clears the cache after each query materializes)
+      // materialize the stage boundary: the session window subtree
+      // feeds FOUR aggregations (starts/v/c/p) — exchange reuse
+      // usually covers this, but pinning it is the p8 convention.
+      // Lazy localCheckpoint so the blocks self-reclaim (no cache
+      // entry outliving the query).
       val sess = Sessionize.withSessionId(ev(s, dir), col("user_id"),
           col("ts"), 1800L, col("event_id"))
         .select(col("user_id"), col("session_seq"), col("ts"),
           col("event_type"))
-        .cache()
+        .localCheckpoint(false)
       val keys = Seq("user_id", "session_seq")
       val starts = sess.groupBy(keys.head, keys.tail: _*)
         .agg(min(col("ts")).as("s_ts"))

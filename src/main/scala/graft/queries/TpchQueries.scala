@@ -197,18 +197,14 @@ object TpchQueries {
 
     // Distribution statistics: exact interpolated percentiles (both
     // engines use linear interpolation on the sorted values, so the
-    // rounded quantiles hash-match). At 100 TB swap in
-    // approx_percentile — same column surface, sketch-mergeable, no
-    // per-group sort (pinned in OperatorSpec).
-    "ql_percentiles" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
-    }),
+    // rounded quantiles hash-match). The 100 TB caller flips
+    // `exact = false` on the SAME API for the sketch-mergeable
+    // approx_percentile plan (Percentiles.perGroup; equivalence
+    // within tolerance pinned in OperatorSpec).
+    "ql_percentiles" -> ((s, dir) =>
+      graft.operators.Percentiles.perGroup(
+        Tables.load(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_extendedprice"), Seq(0.5, 0.95), exact = true)),
 
     // Running cumulative revenue by ship date. Money is summed as
     // integer cents (per-row floor(x·100+0.5)) — double sums round

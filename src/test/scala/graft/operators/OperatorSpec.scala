@@ -302,18 +302,28 @@ class OperatorSpec extends SparkSpec {
     assert(kept.map(_.getLong(2)).toSeq === Seq(9L, 4L))
   }
 
-  test("approx_percentile tracks exact percentile within tolerance") {
-    // ql's exact percentile sorts each group; the 100 TB swap-in is
-    // the mergeable approx_percentile sketch. Pin it close.
+  test("Percentiles API: sketch path tracks the exact path, same schema") {
+    // ql's exact percentile sorts each group; the 100 TB caller flips
+    // exact=false on the SAME API for the mergeable sketch. Pin the
+    // two paths close and the column surface identical.
     val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
-    val both = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
-      .collect()
-    assert(both.nonEmpty)
-    both.foreach { r =>
-      val (e, a) = (r.getDouble(1), r.getDouble(2))
-      assert(math.abs(a - e) / e < 0.02, s"${r.getString(0)}: $e vs $a")
+    def run(exact: Boolean) = Percentiles.perGroup(li,
+      col("l_returnflag"), col("l_extendedprice"),
+      Seq(0.5, 0.95), exact = exact, accuracy = 1000)
+    val e = run(exact = true)
+    val a = run(exact = false)
+    assert(e.columns.toSeq === Seq("l_returnflag", "p50", "p95", "n"))
+    assert(a.columns.toSeq === e.columns.toSeq)
+    val rows = e.collect().zip(a.collect())
+    assert(rows.nonEmpty)
+    rows.foreach { case (re, ra) =>
+      assert(re.getString(0) === ra.getString(0))
+      assert(re.getLong(3) === ra.getLong(3))
+      Seq(1, 2).foreach { i =>
+        val (ev, av) = (re.getDouble(i), ra.getDouble(i))
+        assert(math.abs(av - ev) / ev < 0.02,
+          s"${re.getString(0)} col $i: $ev vs $av")
+      }
     }
   }
 
