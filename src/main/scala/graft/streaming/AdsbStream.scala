@@ -26,6 +26,22 @@ object AdsbStream {
 
   val WatermarkDelay = "10 seconds"
 
+  /** Switch this session's streaming state store to RocksDB (round-5
+    * verdict ask #7). The default provider holds every live key's
+    * session state on the executor HEAP — fine for one receiver's
+    * ~thousands of aircraft, an OOM risk at 100 TB key cardinality
+    * (a global multi-receiver feed); RocksDB keeps state on local
+    * disk with bounded memory and changelog-checkpoints to the
+    * streaming checkpoint. Conf-gated rather than hardwired: the
+    * provider is read when a query STARTS, so call this before
+    * `start`/`startJdbc`/`sessionize(...).writeStream.start()`;
+    * existing checkpoints written by the heap provider are not
+    * migrated (start a fresh checkpoint when switching). */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+
   private def updateGroup(
       hexident: String,
       msgs: Iterator[AdsbMsg],

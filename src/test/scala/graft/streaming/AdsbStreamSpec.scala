@@ -184,4 +184,58 @@ class AdsbStreamSpec extends SparkSpec {
     val bFl = key(batch.toDF().where("kind = 'flight'"))
     assert(sFl.exceptAll(bFl).count() === 0)
   }
+
+  test("sessionizer state survives on the RocksDB state store") {
+    // the conf-gated 100 TB state backend: the same batch ≡ stream
+    // replay, with the sessionizer's keyed state in RocksDB instead
+    // of the executor heap
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    AdsbStream.useRocksDbStateStore(spark)
+    try {
+      val msgs = Sbs.messages(
+        Sbs.fixtureLines(spark, "adsb_message_stream.txt"))
+        .collect().sortBy(_.seq)
+      val stream = MemoryStream[graft.adsb.AdsbMsg]
+      val ckpt = Files.createTempDirectory("graft-ckpt-rocks").toString
+      val q = AdsbStream.sessionize(stream.toDS()).writeStream
+        .format("memory").queryName("adsb_rocks_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      msgs.grouped(700).foreach(b => stream.addData(b.toSeq))
+      q.processAllAvailable()
+      q.stop()
+      // the provider actually engaged: RocksDB checkpoints zip
+      // snapshots + SST files under state/, where the default heap
+      // provider writes .delta/.snapshot files
+      def rocksArtifacts(f: java.io.File): Boolean =
+        Option(f.listFiles()).exists(_.exists(c =>
+          (c.isFile && (c.getName.endsWith(".zip") ||
+            c.getName == "SSTs")) ||
+            c.getName == "SSTs" || (c.isDirectory && rocksArtifacts(c))))
+      val stateDir = new java.io.File(ckpt, "state")
+      assert(rocksArtifacts(stateDir),
+        "no RocksDB zip/SST artifacts under the checkpoint state dir " +
+          "— provider not engaged")
+      val streamed = spark.table("adsb_rocks_out")
+      val batch = AdsbPipeline.replayFixture(spark, "adsb_message_stream.txt")
+      def key(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+        "kind", "hexident", "cast(session_start as string)",
+        "cast(time as string)", "lon", "lat", "alt_m", "runway")
+      val sPos = key(streamed.where("kind != 'flight'").toDF())
+      val bPos = key(batch.toDF().where("kind != 'flight'"))
+      assert(sPos.exceptAll(bPos).count() === 0)
+      assert(bPos.exceptAll(sPos).count() === 0)
+      val sFl = key(streamed.where("kind = 'flight'").toDF())
+      val bFl = key(batch.toDF().where("kind = 'flight'"))
+      assert(sFl.exceptAll(bFl).count() === 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
