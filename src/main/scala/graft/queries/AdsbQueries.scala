@@ -171,17 +171,19 @@ object AdsbQueries {
     "meta_runways_geojson" -> ((s, _) => Meta.runwaysGeoJson(s)),
     "meta_range_rings_geojson" -> ((s, _) => Meta.rangeRingsGeoJson(s)),
 
-    // S5 + multimodal: silhouette BMP blobs → typed metadata +
-    // stubbed feature vector (plumbing real, decode deterministic).
-    // The embedding is emitted as a fixed-precision comma-joined string:
-    // the driver's rows-only check sorts result columns with pandas,
-    // which cannot hash array cells (observed TypeError in round 1).
+    // S5 + multimodal: silhouette BMP blobs → typed metadata (REAL
+    // header parse — width/height/bpp from the BMP header via pure
+    // codegen expressions; only the pixel-level decode stays stubbed)
+    // + stubbed feature vector. The embedding is emitted as a
+    // fixed-precision comma-joined string: the driver's rows-only
+    // check sorts result columns with pandas, which cannot hash array
+    // cells (observed TypeError in round 1).
     "mm_media_features" -> ((s, _) => {
       val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
-      Multimodal.withFakeMetadata(bin, col("silhouette"))
+      Multimodal.withMetadata(bin, col("silhouette"))
         .withColumn("embedding", Multimodal.fakeEmbedding(col("silhouette")))
         .select(col("model"), col("length"), col("media_type"),
-          col("width"), col("height"),
+          col("width"), col("height"), col("bpp"),
           array_join(transform(col("embedding"),
             e => format_string("%.6f", e)), ",").as("embedding"))
         .orderBy(col("model"))
