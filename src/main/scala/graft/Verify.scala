@@ -26,8 +26,10 @@ object Verify {
     // stays pinned by ScalaTest (VERDICT r5 ask #1).
     val oracleBase =
       Paths.get(outDir).toAbsolutePath.toString + "/_oracle_base"
-    try queries.AdsbQueries.writeOracleBase(spark, oracleBase)
-    catch { case e: Throwable =>
+    try {
+      queries.AdsbQueries.writeOracleBase(spark, oracleBase)
+      queries.DocQueries.writeOracleBase(spark, oracleBase, sfDir)
+    } catch { case e: Throwable =>
       System.err.println(s"[verify] oracle base dump failed: ${e.getMessage}")
     }
     // Optional extra args: run only these query names (iteration aid;

@@ -174,6 +174,14 @@ object Ivf {
       .select(col("qid"), col("qvec"), col("probe.cid").as("cid"))
   }
 
+  /** Public probe view for a codebook: (qid, qvec, cid) — one row per
+    * (query, probed cluster). Used by Verify's oracle-base dump so
+    * the DuckDB oracle can recompute the pruned search from the same
+    * probe set the query used. */
+  def probes(codebook: Array[(Int, Array[Float], Double)],
+      queries: DataFrame, nProbe: Int): DataFrame =
+    probeRows(queries, codebook, nProbe)
+
   /** Join probes against (id, vec, cid) rows and take the per-query
     * top-k (WindowGroupLimit prunes the window). */
   private def scoreProbed(assigned: DataFrame, probes: DataFrame,

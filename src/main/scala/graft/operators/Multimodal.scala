@@ -95,12 +95,19 @@ object Multimodal {
   }
 
   /** Feature extraction: binary → fixed-size float vector.
-    * STUB: deterministic pseudo-features from chunk hashes (a real
+    * STUB: deterministic pseudo-features from content hashes (a real
     * impl runs a model over decoded frames — same signature). Pure
-    * column expressions, stays in codegen, no driver involvement. */
+    * column expressions, stays in codegen, no driver involvement.
+    * Hashing is the engine-portable md5 derivation
+    * ([[graft.functions.PortableHash]] convention, over the blob's
+    * hex rendering) so the mm gate query has a bit-exact DuckDB
+    * oracle: `('0x'||substr(md5(hex(blob)||'#'||i),1,15))::BIGINT`. */
   def fakeEmbedding(bin: Column, dim: Int = 8): Column =
     array((0 until dim).map { i =>
-      (pmod(xxhash64(bin, lit(i)), lit(1000000)).cast("double") / 1e6)
+      (pmod(
+        conv(substring(md5(concat(hex(bin), lit("#"), lit(i.toString))),
+          1, 15), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / 1e6)
     }: _*)
 
   /** "Resize": emits the transformed blob + new dims. STUB keeps the
@@ -124,18 +131,26 @@ object Multimodal {
   def repartitionForDecode(df: DataFrame, parallelism: Int): DataFrame =
     df.repartition(parallelism)
 
-  /** STUB decoder: deterministic FNV-1a pseudo-features per dimension.
-    * A real decoder (JNI codec / ONNX session) has this signature. */
-  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] =
+  /** STUB decoder: deterministic, ENGINE-PORTABLE pseudo-features —
+    * dimension i is the md5-derived 60-bit hash of (hex(bytes), i)
+    * scaled to [0,1) (the [[graft.functions.PortableHash]]
+    * convention, computed JVM-side because a real decoder is an
+    * arbitrary JVM function), so even the full decode→embed→search
+    * composition (mm2) has a bit-exact DuckDB oracle:
+    * `('0x'||substr(md5(hex(blob)||'#'||i),1,15))::BIGINT % 1000000`.
+    * The double-divide-then-float rounding matches DuckDB's
+    * `CAST(x/1000000.0 AS REAL)`. A real decoder (JNI codec / ONNX
+    * session) has this signature. */
+  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val hx = bytes.map("%02X".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
-      var h = 2166136261L + i.toLong * 1099511628211L
-      var j = 0
-      while (j < bytes.length) {
-        h = (h ^ (bytes(j) & 0xffL)) * 1099511628211L
-        j += 1
-      }
-      (h & 0xfffff).toFloat / 0xfffff.toFloat
+      val h = java.lang.Long.parseLong(
+        md.digest((hx + "#" + i).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      ((h % 1000000L).toDouble / 1e6).toFloat
     }
+  }
 
   /** Batched per-partition decode → embedding — the Scala analog of
     * `mapInPandas`: the partition's rows stream through in

@@ -166,10 +166,16 @@ object AdsbQueries {
       eventDetails(out(s), Meta.loadAirlines(s), Meta.loadCountries(s))),
 
     // Q14: GeoJSON metadata views over the seed airport/runway geometry
-    // and the WKB-seeded range rings.
-    "meta_airports_geojson" -> ((s, _) => Meta.airportsGeoJson(s)),
-    "meta_runways_geojson" -> ((s, _) => Meta.runwaysGeoJson(s)),
-    "meta_range_rings_geojson" -> ((s, _) => Meta.rangeRingsGeoJson(s)),
+    // and the WKB-seeded range rings. Oracle-checked since round 6:
+    // the seed tables dump as parquet and the oracle SQL recomputes
+    // the GeoJSON emission (6-decimal printf, ring closing, PostGIS
+    // option bits) in DuckDB — the WKB parse stays spec-pinned.
+    "meta_airports_geojson" -> ((s, _) =>
+      Meta.airportsGeoJson(s).orderBy(col("icao"))),
+    "meta_runways_geojson" -> ((s, _) =>
+      Meta.runwaysGeoJson(s).orderBy(col("airport"), col("name"))),
+    "meta_range_rings_geojson" -> ((s, _) =>
+      Meta.rangeRingsGeoJson(s).orderBy(col("id"))),
 
     // S5 + multimodal: silhouette BMP blobs → typed metadata (REAL
     // header parse — width/height/bpp from the BMP header via pure
@@ -228,7 +234,17 @@ object AdsbQueries {
       col("country")), "airlines")
     w(Meta.loadCountries(spark).select(col("name"), col("code")),
       "countries")
+    w(Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir()),
+      "mm_blobs")
+    w(Meta.airportsTable(spark), "meta_airports")
+    w(Meta.runwaysTable(spark), "meta_runways")
+    w(Meta.rangeRingsTable(spark), "meta_range_rings")
   }
+
+  /** `[x,y]` pair list SQL over an array<struct<x,y>> lambda var. */
+  private def sqlRing(pts: String): String =
+    s"""'[' || array_to_string(list_transform($pts,
+       | p -> printf('[%.6f,%.6f]', p.x, p.y)), ',') || ']'""".stripMargin
 
   private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
 
@@ -380,7 +396,107 @@ object AdsbQueries {
          |GROUP BY hexident, session_start ORDER BY key""".stripMargin,
 
     "adsb_event_details" -> eventDetailsSql("adsb_out"),
-    "adsb_event_details_golden" -> eventDetailsSql("adsb_out_golden")
+    "adsb_event_details_golden" -> eventDetailsSql("adsb_out_golden"),
+
+    // GeoJSON emission recomputed in SQL from the dumped seed tables:
+    // Point/Polygon with ring closing (airports/runways) and the
+    // MultiLineString with PostGIS option bit 2 (short CRS member).
+    "meta_airports_geojson" ->
+      s"""WITH c AS (
+         |  SELECT icao, iata, lon, lat,
+         |    CASE WHEN bbox[1] = bbox[len(bbox)] THEN bbox
+         |         ELSE list_append(bbox, bbox[1]) END AS ring
+         |  FROM ${tbl("meta_airports")})
+         |SELECT icao, iata,
+         |  printf('{"type":"Point","coordinates":[%.6f,%.6f]}', lon, lat)
+         |    AS location,
+         |  '{"type":"Polygon","coordinates":[' || ${sqlRing("ring")} ||
+         |    ']}' AS boundary
+         |FROM c ORDER BY icao""".stripMargin,
+
+    "meta_runways_geojson" ->
+      s"""WITH c AS (
+         |  SELECT airport, name, direction, ref_lon, ref_lat,
+         |    CASE WHEN bbox[1] = bbox[len(bbox)] THEN bbox
+         |         ELSE list_append(bbox, bbox[1]) END AS ring
+         |  FROM ${tbl("meta_runways")})
+         |SELECT airport, name, direction,
+         |  printf('{"type":"Point","coordinates":[%.6f,%.6f]}',
+         |    ref_lon, ref_lat) AS location,
+         |  '{"type":"Polygon","coordinates":[' || ${sqlRing("ring")} ||
+         |    ']}' AS boundary
+         |FROM c ORDER BY airport, name""".stripMargin,
+
+    "meta_range_rings_geojson" ->
+      s"""SELECT id, radius, icao,
+         |  '{"type":"MultiLineString","crs":{"type":"name","properties":{"name":"EPSG:4326"}},"coordinates":['
+         |  || array_to_string(list_transform(geom, ls ->
+         |       ${sqlRing("ls")}), ',')
+         |  || ']}' AS geom
+         |FROM ${tbl("meta_range_rings")} ORDER BY id""".stripMargin,
+
+    // The multimodal metadata query, fully recomputed in SQL from the
+    // dumped blobs: BMP header fields via the same little-endian
+    // hex-pair trick the Spark expressions use, the stub embedding
+    // via the portable md5 hash. (All six fixtures are 'BM' bitmaps,
+    // which the magic predicate asserts rather than assumes.)
+    "mm_media_features" ->
+      s"""WITH b AS (SELECT model, length, hex(silhouette) AS hx
+         |  FROM ${tbl("mm_blobs")}),
+         |bmp AS (SELECT * FROM b WHERE substr(hx, 1, 4) = '424D'),
+         |meta AS (
+         |  SELECT model, length, 'image' AS media_type,
+         |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+         |           || substr(hx, 39, 2) || substr(hx, 37, 2)
+         |     )::INTEGER AS width,
+         |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+         |           || substr(hx, 47, 2) || substr(hx, 45, 2)
+         |     )::INTEGER AS height,
+         |    ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2)
+         |     )::INTEGER AS bpp,
+         |    array_to_string(list_transform(range(0, 8), i ->
+         |      printf('%.6f',
+         |        (('0x' || substr(md5(hx || '#' || CAST(i AS VARCHAR)),
+         |          1, 15))::BIGINT % 1000000) / 1000000.0)), ',')
+         |      AS embedding
+         |  FROM bmp)
+         |SELECT model, length, media_type, width, height, bpp, embedding
+         |FROM meta ORDER BY model""".stripMargin,
+
+    // The FULL multimodal retrieval composition, recomputed in SQL:
+    // the portable stub decode (md5 over the blob hex, per dimension,
+    // double-divide-then-REAL — bit-matching the JVM stub), then the
+    // 8-dim cosine top-3 among the media themselves (s1 arithmetic,
+    // string keys).
+    "mm2_media_similarity" ->
+      s"""WITH b AS (SELECT model, hex(silhouette) AS hx
+         |  FROM ${tbl("mm_blobs")}),
+         |e AS (SELECT model AS key,
+         |  list_transform(range(0, 8), i ->
+         |    CAST((('0x' || substr(md5(hx || '#' || CAST(i AS VARCHAR)),
+         |      1, 15))::BIGINT % 1000000) / 1000000.0 AS REAL)) AS emb
+         |  FROM b),
+         |pairs AS (
+         |  SELECT q.key AS qid, c.key AS vec_id, q.emb AS qe, c.emb AS ve
+         |  FROM e q, e c WHERE q.key <> c.key),
+         |comp AS (
+         |  SELECT qid, vec_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+         |  FROM pairs),
+         |sims AS (SELECT qid, vec_id,
+         |  round(dot / (sqrt(nq) * sqrt(nv)), 5) AS sim FROM comp),
+         |ranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |      AS rank
+         |  FROM sims)
+         |SELECT qid, vec_id, sim, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   )
 
   /** The reference's `event` composite type

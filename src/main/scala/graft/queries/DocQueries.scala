@@ -214,12 +214,7 @@ object DocQueries {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val path = persistedIndex(s, s"s2p|$dir") { p =>
-        val index = Ivf.build(e, col("vec_id"), col("embedding"), k = 16)
-        Ivf.persist(index, p)
-        index.assigned.unpersist(blocking = false)
-      }
-      Ivf.searchAt(s, path, q, topK = 5, nProbe = 4)
+      Ivf.searchAt(s, mainIndexPath(s, dir), q, topK = 5, nProbe = 4)
     }),
 
     // s6: IVF×PQ composed — coarse pruning over compressed codes plus
@@ -236,15 +231,7 @@ object DocQueries {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val path = persistedIndex(s, s"s2a|$dir") { p =>
-        val index = Ivf.build(e.where(col("vec_id") % 2 === 0),
-          col("vec_id"), col("embedding"), k = 16)
-        Ivf.persist(index, p)
-        index.assigned.unpersist(blocking = false)
-        Ivf.appendPersisted(s, p, e.where(col("vec_id") % 2 === 1),
-          col("vec_id"), col("embedding"))
-      }
-      Ivf.searchAt(s, path, q, topK = 5, nProbe = 4)
+      Ivf.searchAt(s, appendIndexPath(s, dir), q, topK = 5, nProbe = 4)
     }),
 
     "s6_ivfpq_topk" -> ((s, dir) => {
@@ -255,13 +242,7 @@ object DocQueries {
       // pruned ADC + exact re-rank — the deployment serving shape
       // (quantizers deterministic, so results equal the in-memory
       // build's, as IvfPqSpec pins)
-      val path = persistedIndex(s, s"s6|$dir") { p =>
-        val index = IvfPq.build(e, col("vec_id"), col("embedding"),
-          dim = 64, kCoarse = 16, m = 16, k = 16, iters = 3)
-        IvfPq.persist(index, p)
-        index.coded.unpersist(blocking = false)
-      }
-      IvfPq.searchRerank(IvfPq.loadIndex(s, path), e, q,
+      IvfPq.searchRerank(IvfPq.loadIndex(s, ivfPqIndexPath(s, dir)), e, q,
         topK = 5, candK = 50, nProbe = 4)
     }),
 
@@ -859,6 +840,157 @@ object DocQueries {
         .otherwise("test").as("split"))
   }
 
+  /** Dump the ANN oracle base (round-6): the IVF assignments + probe
+    * sets of the two persisted gate indexes, written as parquet under
+    * Verify's out dir. The oracle SQL below recomputes the pruned
+    * cosine top-k (s2/s2p/s2a) and the SemDeDup domination rule (s7)
+    * over these dumps in DuckDB — the quantizer training stays
+    * spec-pinned (deterministic, IvfSpec/SemDedupSpec), the scoring /
+    * ranking / keep-rule layer becomes hash-checked, the same split
+    * the ADS-B oracles use. Reuses the memoized index paths, so the
+    * dump IS the index the queries serve from. */
+  def writeOracleBase(spark: SparkSession, dir: String,
+      sfDir: String): Unit = {
+    def w(df: DataFrame, n: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$n")
+    val e = emb(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val main = mainIndexPath(spark, sfDir)
+    w(spark.read.parquet(main).select(col("id"), col("vec"), col("cid")),
+      "ivf_main")
+    w(Ivf.probes(Ivf.loadCodebook(spark, main), q, 4), "ivf_main_probes")
+    val app = appendIndexPath(spark, sfDir)
+    w(spark.read.parquet(app).select(col("id"), col("vec"), col("cid")),
+      "ivf_append")
+    w(Ivf.probes(Ivf.loadCodebook(spark, app), q, 4), "ivf_append_probes")
+    // s4/s5: PQ codebooks + coded corpus. The queries rebuild the
+    // same deterministic index in memory (PqSpec pins determinism);
+    // dumping a fresh build here is therefore the same index.
+    val pq = Pq.build(e, col("vec_id"), col("embedding"),
+      dim = 64, m = 16, k = 16, iters = 3)
+    w(pq.coded, "pq_codes")
+    w(codebooksDf(spark, pq.codebooks), "pq_codebooks")
+    pq.coded.unpersist(blocking = false)
+    // s6: coded clusters, probe set and PQ codebooks of the memoized
+    // persisted IVF-PQ index — the exact files the query serves from.
+    val s6 = ivfPqIndexPath(spark, sfDir)
+    val idx = IvfPq.loadIndex(spark, s6)
+    w(spark.read.parquet(s6).select(col("id"), col("cid"), col("codes")),
+      "ivfpq_codes")
+    w(Ivf.probes(idx.coarse, q, 4), "ivfpq_probes")
+    w(codebooksDf(spark, idx.codebooks), "ivfpq_codebooks")
+  }
+
+  private def codebooksDf(spark: SparkSession,
+      codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]]): DataFrame = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, cv, _) => (j, code, cv) }
+    }.toDF("sub", "code", "cv")
+  }
+
+  /** The memoized full-corpus IVF index (s2p's; s2 rebuilds the same
+    * deterministic index in memory, s7 the same quantizer). */
+  private def mainIndexPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"s2p|$dir") { p =>
+      val index = Ivf.build(emb(s, dir), col("vec_id"), col("embedding"),
+        k = 16)
+      Ivf.persist(index, p)
+      index.assigned.unpersist(blocking = false)
+    }
+
+  /** The memoized persisted IVF-PQ index (s6's). */
+  private def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"s6|$dir") { p =>
+      val index = IvfPq.build(emb(s, dir), col("vec_id"), col("embedding"),
+        dim = 64, kCoarse = 16, m = 16, k = 16, iters = 3)
+      IvfPq.persist(index, p)
+      index.coded.unpersist(blocking = false)
+    }
+
+  /** The memoized half-built-half-appended index (s2a's lifecycle). */
+  private def appendIndexPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"s2a|$dir") { p =>
+      val e = emb(s, dir)
+      val index = Ivf.build(e.where(col("vec_id") % 2 === 0),
+        col("vec_id"), col("embedding"), k = 16)
+      Ivf.persist(index, p)
+      index.assigned.unpersist(blocking = false)
+      Ivf.appendPersisted(s, p, e.where(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"))
+    }
+
+  private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
+
+  /** Pruned IVF cosine top-5 recomputed in SQL from an assignment +
+    * probe dump — the s1 oracle's arithmetic restricted to the probe
+    * join (ascending-index accumulation matches the codegen'd dot). */
+  private def ivfTopkSql(assigned: String, probes: String): String =
+    s"""WITH a AS (SELECT id, vec, cid FROM ${tbl(assigned)}),
+       |p AS (SELECT qid, qvec, cid FROM ${tbl(probes)}),
+       |pairs AS (
+       |  SELECT p.qid, a.id AS vec_id, p.qvec AS qe, a.vec AS ve
+       |  FROM a JOIN p USING (cid) WHERE a.id <> p.qid),
+       |comp AS (
+       |  SELECT qid, vec_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+       |  FROM pairs),
+       |sims AS (SELECT qid, vec_id,
+       |  round(dot / (sqrt(nq) * sqrt(nv)), 5) AS sim FROM comp),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+       |      AS rank
+       |  FROM sims)
+       |SELECT qid, vec_id, sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** ADC score fragment: Σⱼ qⱼ·codewordⱼ,codes[j] with the SAME
+    * ascending j then ascending i accumulation as `Pq.adcScore` over
+    * `Pq.lutCols` (m=16 subspaces, dsub=4, k=16 codes; `cvs` is the
+    * flat (sub, code)-ordered codeword list, codes are 0-based). */
+  private def adcExpr(qe: String, codes: String, cvs: String): String =
+    s"""list_sum(list_transform(range(0, 16), j ->
+       |      list_sum(list_transform(range(1, 5), i ->
+       |        CAST($qe[j*4 + i] AS DOUBLE) *
+       |        CAST($cvs[j*16 + $codes[j+1] + 1][i] AS DOUBLE)))))""".stripMargin
+
+  /** Exact-cosine re-rank suffix over a `cand (qid, vec_id)` CTE —
+    * `Similarity.rerankExact` in SQL (s1's arithmetic, top-`topK`). */
+  private def rerankSql(topK: Int): String =
+    s"""rr AS (
+       |  SELECT cd.qid, cd.vec_id, q.qe, e.embedding AS ve
+       |  FROM cand cd JOIN qq q USING (qid)
+       |  JOIN embeddings e ON e.vec_id = cd.vec_id),
+       |comp AS (
+       |  SELECT qid, vec_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+       |  FROM rr),
+       |sims AS (SELECT qid, vec_id,
+       |  round(dot / (sqrt(nq) * sqrt(nv)), 5) AS sim FROM comp),
+       |rranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+       |      AS rank
+       |  FROM sims)
+       |SELECT qid, vec_id, sim, rank FROM rranked
+       |WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
+
+  private val qqCte: String =
+    "qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
+      "WHERE vec_id < 10)"
+
   // Shared by p4 and p4b: the bloom variant is output-identical by
   // construction, and sharing the string makes that contract explicit.
   private val p4OracleSql =
@@ -882,6 +1014,91 @@ object DocQueries {
       |ORDER BY t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Pruned IVF search over the dumped assignment + probes: the
+    // scoring, pruning-by-probe and top-k layers are recomputed in
+    // SQL; the Lloyd training behind the dump stays spec-pinned.
+    "s2_ivf_topk" -> ivfTopkSql("ivf_main", "ivf_main_probes"),
+    "s2p_ivf_persisted" -> ivfTopkSql("ivf_main", "ivf_main_probes"),
+    "s2a_ivf_append" -> ivfTopkSql("ivf_append", "ivf_append_probes"),
+
+    // ADC recomputed in SQL from the dumped codes + codebooks: s4 is
+    // the full-corpus LUT-sum top-5, s5 adds the exact-cosine re-rank
+    // over ADC's top-50, s6 restricts ADC to the probed clusters of
+    // the persisted IVF-PQ index then re-ranks. Codebook training
+    // stays spec-pinned (PqSpec/IvfPqSpec determinism).
+    "s4_pq_topk" ->
+      s"""WITH $qqCte,
+         |cbl AS (SELECT list(cv ORDER BY sub, code) AS cvs
+         |  FROM ${tbl("pq_codebooks")}),
+         |scored AS (
+         |  SELECT q.qid, c.id AS vec_id,
+         |    round(${adcExpr("q.qe", "c.codes", "l.cvs")}, 5) AS score
+         |  FROM ${tbl("pq_codes")} c, qq q, cbl l
+         |  WHERE c.id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+         |      AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, score, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "s5_pq_rerank" ->
+      s"""WITH $qqCte,
+         |cbl AS (SELECT list(cv ORDER BY sub, code) AS cvs
+         |  FROM ${tbl("pq_codebooks")}),
+         |scored AS (
+         |  SELECT q.qid, c.id AS vec_id,
+         |    round(${adcExpr("q.qe", "c.codes", "l.cvs")}, 5) AS score
+         |  FROM ${tbl("pq_codes")} c, qq q, cbl l
+         |  WHERE c.id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+         |      AS rank
+         |  FROM scored),
+         |cand AS (SELECT qid, vec_id FROM ranked WHERE rank <= 50),
+         |${rerankSql(5)}""".stripMargin,
+
+    "s6_ivfpq_topk" ->
+      s"""WITH $qqCte,
+         |cbl AS (SELECT list(cv ORDER BY sub, code) AS cvs
+         |  FROM ${tbl("ivfpq_codebooks")}),
+         |scored AS (
+         |  SELECT pr.qid, c.id AS vec_id,
+         |    round(${adcExpr("q.qe", "c.codes", "l.cvs")}, 5) AS score
+         |  FROM ${tbl("ivfpq_codes")} c
+         |  JOIN ${tbl("ivfpq_probes")} pr ON c.cid = pr.cid
+         |  JOIN qq q ON q.qid = pr.qid, cbl l
+         |  WHERE c.id <> pr.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+         |      AS rank
+         |  FROM scored),
+         |cand AS (SELECT qid, vec_id FROM ranked WHERE rank <= 50),
+         |${rerankSql(5)}""".stripMargin,
+
+    // SemDeDup keep rule over the same dumped assignment: dominated =
+    // has ANY lower-id raw-cosine ≥ τ neighbor in its cluster (the
+    // zero-norm NaN guard becomes an explicit nv > 0 predicate).
+    "s7_semdedup" ->
+      s"""WITH a AS (SELECT id, vec, cid FROM ${tbl("ivf_main")}),
+         |n AS (SELECT id, cid, vec,
+         |  sqrt(list_sum(list_transform(range(1, 65),
+         |    i -> CAST(vec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE)))) AS nv
+         |  FROM a),
+         |dom AS (
+         |  SELECT DISTINCT b.id
+         |  FROM n a JOIN n b ON a.cid = b.cid AND a.id < b.id
+         |  WHERE a.nv > 0 AND b.nv > 0
+         |    AND (list_sum(list_transform(range(1, 65),
+         |      i -> CAST(a.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE)))
+         |      / (a.nv * b.nv)) >= 0.3)
+         |SELECT n.id AS vec_id, n.cid AS cid, (d.id IS NULL) AS kept
+         |FROM n LEFT JOIN dom d ON n.id = d.id
+         |ORDER BY vec_id""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_copies
