@@ -261,4 +261,47 @@ object Pq {
     (0 until m).map(j =>
       element_at(col(s"_lut$j"),
         element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+
+  /** Write the coded corpus + a `__quantizer` sidecar holding the m
+    * sub-codebooks — the at-rest PQ layout, completing the persist/
+    * load lifecycle symmetry with [[Ivf.persist]]/[[IvfPq.persist]]
+    * (plain PQ has no cluster pruning, so the codes are one flat
+    * table; pair with [[IndexMaintenance.deletePersisted]] for
+    * tombstone deletes). */
+  def persist(index: Index, path: String): Unit = {
+    index.coded.write.mode("overwrite").parquet(path)
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    index.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, cv, _) => (j, code, cv.toSeq) }
+    }.toDF("sub", "code", "cv")
+      .coalesce(1) // metadata-sized: one small file
+      .write.mode("overwrite").parquet(Ivf.quantizerPath(path))
+  }
+
+  /** Rebuild an [[Index]] from a [[persist]]ed path: codebooks from
+    * the sidecar (half-norms recomputed — derived data), `coded` read
+    * from parquet with tombstoned ids filtered out. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Index = {
+    val rows = spark.read.parquet(Ivf.quantizerPath(path))
+      .select(col("sub"), col("code"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, s"no PQ codebooks at ${Ivf.quantizerPath(path)}")
+    val m = rows.map(_._1).max + 1
+    val codebooks = (0 until m).map { j =>
+      rows.filter(_._1 == j)
+        .map { case (_, code, cv) => (code, cv, halfNormSq(cv)) }
+        .sortBy(_._1)
+    }
+    val coded = IndexMaintenance.filterTombstones(spark, path,
+      spark.read.parquet(path).select(col("id"), col("codes")))
+    Index(codebooks, coded, m, codebooks.head.head._2.length)
+  }
+
+  /** Serve a [[persist]]ed PQ index from the path alone. */
+  def searchAt(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, topK: Int, roundDigits: Int = 5): DataFrame =
+    search(loadIndex(spark, path), queries, topK, roundDigits)
 }

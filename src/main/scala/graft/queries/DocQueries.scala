@@ -692,9 +692,7 @@ object DocQueries {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val index = Pq.build(e, col("vec_id"), col("embedding"),
-        dim = 64, m = 16, k = 16, iters = 3)
-      Pq.search(index, q, topK = 5)
+      Pq.searchAt(s, pqIndexPath(s, dir), q, topK = 5)
     }),
 
     // s5: two-stage retrieval — PQ codes select 50 candidates, exact
@@ -704,9 +702,8 @@ object DocQueries {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val index = Pq.build(e, col("vec_id"), col("embedding"),
-        dim = 64, m = 16, k = 16, iters = 3)
-      Pq.searchRerank(index, e, q, topK = 5, candK = 50)
+      Pq.searchRerank(Pq.loadIndex(s, pqIndexPath(s, dir)), e, q,
+        topK = 5, candK = 50)
     }),
 
     // p5: GPT-style sequence packing — concatenate docs in a
@@ -864,14 +861,13 @@ object DocQueries {
     w(spark.read.parquet(app).select(col("id"), col("vec"), col("cid")),
       "ivf_append")
     w(Ivf.probes(Ivf.loadCodebook(spark, app), q, 4), "ivf_append_probes")
-    // s4/s5: PQ codebooks + coded corpus. The queries rebuild the
-    // same deterministic index in memory (PqSpec pins determinism);
-    // dumping a fresh build here is therefore the same index.
-    val pq = Pq.build(e, col("vec_id"), col("embedding"),
-      dim = 64, m = 16, k = 16, iters = 3)
-    w(pq.coded, "pq_codes")
-    w(codebooksDf(spark, pq.codebooks), "pq_codebooks")
-    pq.coded.unpersist(blocking = false)
+    // s4/s5: the memoized persisted PQ index — the exact files the
+    // queries serve from.
+    val pqp = pqIndexPath(spark, sfDir)
+    w(spark.read.parquet(pqp).select(col("id"), col("codes")),
+      "pq_codes")
+    w(codebooksDf(spark, Pq.loadIndex(spark, pqp).codebooks),
+      "pq_codebooks")
     // s6: coded clusters, probe set and PQ codebooks of the memoized
     // persisted IVF-PQ index — the exact files the query serves from.
     val s6 = ivfPqIndexPath(spark, sfDir)
@@ -898,6 +894,15 @@ object DocQueries {
         k = 16)
       Ivf.persist(index, p)
       index.assigned.unpersist(blocking = false)
+    }
+
+  /** The memoized persisted plain-PQ index (s4/s5's). */
+  private def pqIndexPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"s4|$dir") { p =>
+      val index = Pq.build(emb(s, dir), col("vec_id"), col("embedding"),
+        dim = 64, m = 16, k = 16, iters = 3)
+      Pq.persist(index, p)
+      index.coded.unpersist(blocking = false)
     }
 
   /** The memoized persisted IVF-PQ index (s6's). */

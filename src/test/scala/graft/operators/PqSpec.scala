@@ -114,4 +114,23 @@ class PqSpec extends SparkSpec {
     val recall = hit.toDouble / total
     assert(recall >= 0.4, s"recall $recall too low")
   }
+
+  test("persist/loadIndex round-trip: searchAt equals the in-memory search") {
+    val index = Pq.build(emb, col("vec_id"), col("embedding"),
+      dim = 64, m = 16, k = 16, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("pq-persist")
+      .resolve("index").toString
+    Pq.persist(index, dir)
+    val mem = Pq.search(index, queries, topK = 5).collect().toSeq
+    val at = Pq.searchAt(spark, dir, queries, topK = 5).collect().toSeq
+    assert(at === mem)
+    // tombstone deletes flow through the PQ path too
+    val victim = mem.head.getLong(1)
+    import spark.implicits._
+    graft.operators.IndexMaintenance.deletePersisted(spark, dir,
+      Seq(victim).toDF("id"))
+    val after = Pq.searchAt(spark, dir, queries, topK = 5)
+    assert(after.where(col("vec_id") === victim).count() === 0L)
+    index.coded.unpersist(blocking = false)
+  }
 }
