@@ -87,17 +87,21 @@ object IndexMaintenance {
   /** Compact every partition directory of a persisted index to
     * `ceil(rows/rowsPerFile)` right-sized files, physically purging
     * tombstoned ids during the rewrite, then clear the tombstone
-    * sidecar. Each directory uses [[Sinks.compact]]'s staged-rename
-    * swap, so a crash at any point loses nothing ([[recoverPersisted]]
-    * restores a consistent view); the sidecar clears only after ALL
-    * directories are rewritten. Returns the directories compacted. */
+    * sidecar. A FLAT layout (no `col=value` subdirectories — e.g.
+    * [[Pq.persist]]'s coded table) compacts the base directory itself
+    * with the same protocol. Each directory uses [[Sinks.compact]]'s
+    * staged-rename swap, so a crash at any point loses nothing
+    * ([[recoverPersisted]] restores a consistent view); the sidecar
+    * clears only after ALL directories are rewritten. Returns the
+    * directories compacted. */
   def compactPersisted(spark: SparkSession, path: String,
       rowsPerFile: Long): Seq[String] = {
     val base = path.stripSuffix("/")
     val fs = fsOf(spark, base)
     val tp = new Path(tombstonePath(base))
     val hasTombstones = fs.exists(tp)
-    val dirs = partitionDirs(fs, base).map(_.toString)
+    val parts = partitionDirs(fs, base).map(_.toString)
+    val dirs = if (parts.nonEmpty) parts else Seq(base)
     dirs.foreach { d =>
       Sinks.compact(spark, d, rowsPerFile,
         df => if (hasTombstones) filterTombstones(spark, base, df) else df)
@@ -114,13 +118,22 @@ object IndexMaintenance {
       path: String): Map[String, String] = {
     val base = path.stripSuffix("/")
     val fs = fsOf(spark, base)
+    // A flat-layout compact stages SIBLINGS of base (and a crash
+    // between its two renames leaves base itself missing) — recover
+    // the base as a whole before looking inside it.
+    val flatCrash = !fs.exists(new Path(base)) ||
+      fs.exists(new Path(base + "__compacting")) ||
+      fs.exists(new Path(base + "__precompact"))
+    val baseAction: Map[String, String] =
+      if (flatCrash) Map("." -> Sinks.recoverCompact(spark, base))
+      else Map.empty
     val children = fs.listStatus(new Path(base)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
     val stems = children.collect {
       case n if n.endsWith("__compacting") => n.stripSuffix("__compacting")
       case n if n.endsWith("__precompact") => n.stripSuffix("__precompact")
     }.distinct
-    stems.map { stem =>
+    baseAction ++ stems.map { stem =>
       stem -> Sinks.recoverCompact(spark, s"$base/$stem")
     }.toMap
   }

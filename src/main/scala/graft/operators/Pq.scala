@@ -304,4 +304,21 @@ object Pq {
   def searchAt(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, topK: Int, roundDigits: Int = 5): DataFrame =
     search(loadIndex(spark, path), queries, topK, roundDigits)
+
+  /** Append a new vector batch to a [[persist]]ed index WITHOUT
+    * retraining (FAISS `add`): one map-side scan encodes the batch
+    * with the existing codebooks and appends the codes as new files.
+    * Same contract as [[Ivf.appendPersisted]]/[[IvfPq.appendPersisted]]
+    * — disjoint ids, caller-provided exactly-once batching, rebuild on
+    * distribution drift, periodic [[IndexMaintenance.compactPersisted]]
+    * (flat layout) to collapse per-batch file growth. */
+  def appendPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVectors: DataFrame, idCol: Column,
+      vecCol: Column): Unit = {
+    val index = loadIndex(spark, path)
+    newVectors
+      .select(idCol.as("id"),
+        encodeExpr(vecCol, index.codebooks, index.dsub))
+      .write.mode("append").parquet(path)
+  }
 }

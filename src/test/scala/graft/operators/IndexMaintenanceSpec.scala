@@ -71,6 +71,40 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("flat PQ layout: append grows files, compact collapses them, " +
+      "results identical, tombstones purged") {
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val index = Pq.build(base, col("vec_id"), col("embedding"),
+      dim = 64, m = 16, k = 16, iters = 3)
+    val dir = tmp("pq-maint")
+    Pq.persist(index, dir)
+    index.coded.unpersist(blocking = false)
+    Seq(1, 3, 5).foreach { r =>
+      Pq.appendPersisted(spark, dir,
+        emb.where(col("vec_id") % 6 === r), col("vec_id"), col("embedding"))
+    }
+    assert(spark.read.parquet(dir).count() === emb.count(),
+      "appended batches should cover the full corpus")
+    val before = Pq.searchAt(spark, dir, queries, topK = 5).collect().toSeq
+    assert(dataFiles(dir).length > 3,
+      "append regime should have produced a multi-file flat table")
+    val victim = before.head.getLong(1)
+    IndexMaintenance.deletePersisted(spark, dir, Seq(victim).toDF("id"))
+    // logical view: tombstone filter takes effect before any rewrite
+    val logical = Pq.searchAt(spark, dir, queries, topK = 5).collect().toSeq
+    assert(!logical.exists(_.getLong(1) == victim))
+    val compacted = IndexMaintenance.compactPersisted(
+      spark, dir, rowsPerFile = 1000000L)
+    assert(compacted === Seq(dir), "flat layout compacts the base dir")
+    assert(dataFiles(dir).length === 1, "flat table not collapsed")
+    assert(!new java.io.File(
+      IndexMaintenance.tombstonePath(dir)).exists(),
+      "tombstone sidecar should clear after compaction")
+    // physical purge serves exactly what the logical filter served
+    val after = Pq.searchAt(spark, dir, queries, topK = 5).collect().toSeq
+    assert(after === logical)
+  }
+
   test("deleted ids never return: direct IVF search") {
     val (dir, codebook) = grownIvf()
     val hits = Ivf.searchPersisted(spark, dir, codebook,
@@ -181,5 +215,25 @@ class IndexMaintenanceSpec extends SparkSpec {
     val after = Ivf.searchPersisted(spark, dir, codebook,
       queries, topK = 5, nProbe = 3).collect().toSeq
     assert(after === expected)
+  }
+
+  test("recoverPersisted handles a flat-layout crash (base renamed away)") {
+    val index = Pq.build(emb, col("vec_id"), col("embedding"),
+      dim = 64, m = 16, k = 16, iters = 3)
+    val dir = tmp("pq-recover")
+    Pq.persist(index, dir)
+    index.coded.unpersist(blocking = false)
+    val expected = Pq.searchAt(spark, dir, queries, topK = 5)
+      .collect().toSeq
+    // crash between the flat compact's two renames: the base itself is
+    // gone and the completed rewrite sits in a SIBLING __compacting dir
+    val live = new java.io.File(dir)
+    val staged = new java.io.File(dir + "__compacting")
+    assert(live.renameTo(staged))
+    val actions = IndexMaintenance.recoverPersisted(spark, dir)
+    assert(actions(".") === "promoted_staged")
+    assert(live.exists() && !staged.exists())
+    assert(Pq.searchAt(spark, dir, queries, topK = 5)
+      .collect().toSeq === expected)
   }
 }
