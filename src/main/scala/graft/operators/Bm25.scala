@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BM25 lexical retrieval — the term-frequency half of a
+  * retrieval stack, complementing the embedding family
+  * ([[Similarity]], [[Ivf]], [[Pq]], [[IvfPq]]). Okapi BM25 with the
+  * Lucene idf variant: for query term t and document D,
+  *
+  * {{{
+  *   idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+  *   score(t, D) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  * }}}
+  *
+  * summed over the DISTINCT query terms (documented divergence from
+  * engines that weight repeated query terms; deterministic and the
+  * common default).
+  *
+  * Scale design (100 TB corpus):
+  *  - [[build]] is two map-side-combinable aggregations over the
+  *    exploded token stream (postings and document lengths) plus one
+  *    aggregation over postings for df/idf. Document length is
+  *    DENORMALIZED INTO the postings rows so serving never joins a
+  *    per-document table.
+  *  - corpus-global scalars (N, avgdl) ride a 1-row broadcast
+  *    cross-join — never a driver collect.
+  *  - [[search]] broadcast-joins the (small) query-term set against
+  *    postings, aggregates per (qid, doc_id) with map-side partial
+  *    combine, and takes top-k per query through the same
+  *    WindowGroupLimit rank shape the ANN family uses. One exchange
+  *    on (qid, doc_id), one on qid.
+  *  - scores round to `roundDigits` BEFORE ranking (ties broken by
+  *    doc_id), so results are reproducible across partitionings and
+  *    summation orders.
+  *
+  * Persist/load mirror the ANN sidecar convention: the postings table
+  * is the index, idf and the scalar stats live in a `__quantizer`
+  * sidecar, tombstone deletes via [[IndexMaintenance]] filter doc_ids
+  * on every read path. Unlike the vector indexes, APPEND must refresh
+  * global statistics (df, N, avgdl change with every batch), so
+  * [[appendPersisted]] rewrites the metadata sidecar from the grown
+  * postings — one aggregation scan, still no retraining equivalent.
+  *
+  * Reference scope: the reference engine has no lexical retrieval;
+  * this is part of the beyond-reference training-data layer (SURVEY
+  * §2.5) motivated by retrieval-based curation pipelines.
+  */
+object Bm25 {
+
+  /** `postings`: (term, doc_id, tf, dl); `idf`: (term, idf);
+    * `stats`: 1 row (n_docs, avgdl). */
+  final case class Index(
+      postings: DataFrame,
+      idf: DataFrame,
+      stats: DataFrame,
+      k1: Double,
+      b: Double)
+
+  /** Whitespace tokens with empties dropped — the t-family
+    * convention ([[TextFunctions.tokens]]). */
+  private def termsOf(textCol: Column): Column =
+    filter(TextFunctions.tokens(textCol), t => length(t) > 0)
+
+  /** Index `docs`. Zero-token documents are excluded from the corpus
+    * statistics (N, avgdl) as well as the postings — they can never
+    * match a term, and counting them only in [[build]] would make
+    * [[appendPersisted]]'s postings-derived stats refresh drift. */
+  def build(docs: DataFrame, idCol: Column, textCol: Column,
+      k1: Double = 1.2, b: Double = 0.75): Index = {
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(termsOf(textCol)).as("term"))
+    val docLens = docs.select(idCol.as("doc_id"),
+      size(termsOf(textCol)).cast("long").as("dl"))
+      .where(col("dl") > 0)
+    val postings = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .join(docLens, Seq("doc_id"))
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
+    val idf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // one posting row per (term, doc)
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    Index(postings, idf, stats, k1, b)
+  }
+
+  /** Top-k documents per query: (qid, doc_id, score, rank), ordered.
+    * `queries` must carry `qid` and `qtext`. */
+  def search(index: Index, queries: DataFrame, topK: Int,
+      roundDigits: Int = 5): DataFrame = {
+    val qterms = queries.select(col("qid"),
+      explode(termsOf(col("qtext"))).as("term")).distinct()
+    val contrib = broadcast(qterms)
+      .join(index.postings, Seq("term"))
+      .join(broadcast(index.idf), Seq("term"))
+      .crossJoin(broadcast(index.stats.select(col("avgdl"))))
+      .select(col("qid"), col("doc_id"),
+        (col("idf") * (col("tf") * (index.k1 + 1)) /
+          (col("tf") + lit(index.k1) *
+            (lit(1.0 - index.b) + lit(index.b) * col("dl") / col("avgdl"))))
+          .as("c"))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("c")), roundDigits).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank") <= topK)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Write the at-rest index: postings as the data table (identity
+    * column stored as `id` — the at-rest convention every persisted
+    * index shares, so [[IndexMaintenance]]'s tombstone filter and
+    * compaction purge apply unchanged), idf + stats in a metadata
+    * sidecar. */
+  def persist(index: Index, path: String): Unit = {
+    index.postings.withColumnRenamed("doc_id", "id")
+      .write.mode("overwrite").parquet(path)
+    metaOf(index, path)
+  }
+
+  private def metaOf(index: Index, path: String): Unit =
+    index.idf
+      .crossJoin(broadcast(index.stats))
+      .select(col("term"), col("idf"), col("n_docs"), col("avgdl"),
+        lit(index.k1).as("k1"), lit(index.b).as("b"))
+      .coalesce(1) // vocabulary-sized metadata: one small file
+      .write.mode("overwrite").parquet(Ivf.quantizerPath(path))
+
+  /** Rebuild an [[Index]] from a [[persist]]ed path, with tombstoned
+    * doc_ids filtered from the postings. */
+  def loadIndex(spark: SparkSession, path: String): Index = {
+    val meta = spark.read.parquet(Ivf.quantizerPath(path))
+    val kb = meta.select(col("k1"), col("b")).limit(1).collect()
+    require(kb.nonEmpty, s"no BM25 metadata at ${Ivf.quantizerPath(path)}")
+    val postings = IndexMaintenance.filterTombstones(spark, path,
+      spark.read.parquet(path))
+      .withColumnRenamed("id", "doc_id")
+    Index(postings,
+      meta.select(col("term"), col("idf")),
+      meta.select(col("n_docs"), col("avgdl")).limit(1),
+      kb.head.getDouble(0), kb.head.getDouble(1))
+  }
+
+  /** Serve a [[persist]]ed index from the path alone. */
+  def searchAt(spark: SparkSession, path: String, queries: DataFrame,
+      topK: Int, roundDigits: Int = 5): DataFrame =
+    search(loadIndex(spark, path), queries, topK, roundDigits)
+
+  /** Append a document batch to a [[persist]]ed index. Postings for
+    * the batch append as new files (cost ∝ batch); df/idf/N/avgdl are
+    * then REBUILT from the grown postings table (cost: one
+    * aggregation scan of the narrow postings columns — BM25's global
+    * statistics genuinely change with every batch, so there is no
+    * FAISS-`add`-style stats-free append). Tombstoned doc_ids are
+    * excluded from the refreshed statistics. Same contract as the
+    * ANN appends otherwise: disjoint ids, caller-provided
+    * exactly-once batching, periodic
+    * [[IndexMaintenance.compactPersisted]] (flat layout). */
+  def appendPersisted(spark: SparkSession, path: String,
+      docs: DataFrame, idCol: Column, textCol: Column): Unit = {
+    val old = loadIndex(spark, path)
+    val batch = build(docs, idCol, textCol, old.k1, old.b)
+    batch.postings.withColumnRenamed("doc_id", "id")
+      .write.mode("append").parquet(path)
+    val grown = loadIndex(spark, path) // re-read incl. the new files
+    val docLens = grown.postings
+      .select(col("doc_id"), col("dl")).distinct()
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
+    val idf = grown.postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    writeMetaReplace(spark, path,
+      Index(grown.postings, idf, stats, old.k1, old.b))
+  }
+
+  /** Swap the metadata sidecar via a staged write (the sidecar read
+    * path must never observe a half-written directory). */
+  private def writeMetaReplace(spark: SparkSession, path: String,
+      index: Index): Unit = {
+    val mp = Ivf.quantizerPath(path)
+    val staged = mp + "__staging"
+    index.idf
+      .crossJoin(broadcast(index.stats))
+      .select(col("term"), col("idf"), col("n_docs"), col("avgdl"),
+        lit(index.k1).as("k1"), lit(index.b).as("b"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(mp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(mp), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(mp)))
+      throw new java.io.IOException(s"cannot swap BM25 metadata at $mp")
+  }
+}

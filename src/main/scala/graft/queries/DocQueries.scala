@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Ivf, IvfPq, Pack, Pq, Similarity}
+import graft.operators.{Bm25, Dedup, Ivf, IvfPq, Pack, Pq, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -788,8 +788,60 @@ object DocQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.quantizedTopK(q, e,
         Similarity.maxAbsScales(e, col("embedding")), k = 5)
+    }),
+
+    // s8: BM25 lexical retrieval — the term-frequency half of the
+    // retrieval stack. Served from the memoized persisted index (the
+    // deployment steady state); the oracle recomputes the full
+    // postings/idf/score pipeline from the documents table in SQL.
+    "s8_bm25_topk" -> ((s, dir) =>
+      Bm25.searchAt(s, bm25IndexPath(s, dir), bm25Queries(s, dir),
+        topK = 5)),
+
+    // s9: hybrid retrieval — reciprocal-rank fusion (k=60) of the
+    // BM25 top-50 and the cosine top-50 over the SAME query ids
+    // (documents and embeddings are row-aligned). Each branch is an
+    // independently oracle-checked operator; the fusion is a
+    // full-outer join on rank positions, so scores are exact
+    // rationals and the hash check is tight.
+    "s9_hybrid_rrf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qv = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val lex = Bm25
+        .searchAt(s, bm25IndexPath(s, dir), bm25Queries(s, dir), topK = 50)
+        .select(col("qid"), col("doc_id"), col("rank").as("lrank"))
+      val sem = Similarity
+        .bruteForceTopK(qv, e, k = 50, excludeSelf = false)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rank").as("srank"))
+      lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("srank")), lit(0.0)),
+            8).as("rrf"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid"))
+            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= 5)
+        .orderBy(col("qid"), col("rank"))
     })
   )
+
+  /** s8/s9's query set: the leading 8 tokens of the first 5 docs. */
+  private def bm25Queries(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"))
+
+  /** The memoized persisted BM25 index (s8/s9's). */
+  private def bm25IndexPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"s8|$dir") { p =>
+      Bm25.persist(
+        Bm25.build(docs(s, dir), col("doc_id"), col("text")), p)
+    }
 
   // DuckDB-side portable hash of expression e with seed s:
   private def dkHash(e: String, s: String): String =
@@ -818,6 +870,42 @@ object DocQueries {
       |sh AS (
       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i))""".stripMargin
+
+  // Full BM25 recomputation (Okapi, Lucene idf, k1=1.2 b=0.75) ending
+  // in bm25_scored(qid, doc_id, score) — shared by s8 and s9 so the
+  // fused oracle can never drift from the standalone one. Query set:
+  // the leading 8 tokens of docs 0-4, distinct terms.
+  private val bm25Cte =
+    """bt AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE length(term) > 0),
+      |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bt GROUP BY 1),
+      |bpost AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM bt GROUP BY 1, 2),
+      |bstats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM bdl),
+      |bidf AS (
+      |  SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM (
+      |    SELECT term, count(*) AS df FROM bpost GROUP BY 1), bstats),
+      |bq AS (
+      |  SELECT DISTINCT doc_id AS qid, term FROM (
+      |    SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 8)) AS term
+      |    FROM documents WHERE doc_id < 5)
+      |  WHERE length(term) > 0),
+      |bcontrib AS (
+      |  SELECT bq.qid, p.doc_id,
+      |    i.idf * (p.tf * 2.2) /
+      |      (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS c
+      |  FROM bq
+      |  JOIN bpost p ON bq.term = p.term
+      |  JOIN bidf i ON bq.term = i.term
+      |  JOIN bdl d ON p.doc_id = d.doc_id, bstats s),
+      |bm25_scored AS (
+      |  SELECT qid, doc_id, round(sum(c), 5) AS score
+      |  FROM bcontrib GROUP BY 1, 2)""".stripMargin
 
   // The p4/p4b corpus: documents plus a re-idified mirror of every
   // 5th doc (ids offset past max so they never collide), split by the
@@ -1351,6 +1439,55 @@ object DocQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
         |  FROM sims)
         |SELECT qid, vec_id, sim, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "s8_bm25_topk" ->
+      s"""WITH $bm25Cte,
+        |ranked AS (
+        |  SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM bm25_scored)
+        |SELECT qid, doc_id, score, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "s9_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+        |lex AS (
+        |  SELECT qid, doc_id, rank AS lrank FROM (
+        |    SELECT qid, doc_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |    FROM bm25_scored)
+        |  WHERE rank <= 50),
+        |cq AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |comp AS (
+        |  SELECT cq.qid, e.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(cq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(cq.qe[i] AS DOUBLE) * CAST(cq.qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS nv
+        |  FROM embeddings e, cq),
+        |sem AS (
+        |  SELECT qid, vec_id AS doc_id, rank AS srank FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY round(dot / (sqrt(nq) * sqrt(nv)), 5) DESC, vec_id) AS rank
+        |    FROM comp)
+        |  WHERE rank <= 50),
+        |fused AS (
+        |  SELECT coalesce(l.qid, s.qid) AS qid,
+        |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / (60 + l.lrank), 0) +
+        |          coalesce(1.0 / (60 + s.srank), 0), 8) AS rrf
+        |  FROM lex l FULL JOIN sem s
+        |    ON l.qid = s.qid AND l.doc_id = s.doc_id),
+        |rranked AS (
+        |  SELECT qid, doc_id, rrf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT qid, doc_id, rrf, rank FROM rranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "t1_text_stats" ->
