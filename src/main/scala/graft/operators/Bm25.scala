@@ -33,6 +33,10 @@ import graft.functions.TextFunctions
   *    combine, and takes top-k per query through the same
   *    WindowGroupLimit rank shape the ANN family uses. One exchange
   *    on (qid, doc_id), one on qid.
+  *  - at rest, postings shard into [[Strides]] `stride=` partition
+  *    directories by term hash; [[searchAt]] turns the query terms'
+  *    strides into a static partition filter, so serving scans only
+  *    the shards that can contain a match (plan shape spec-pinned).
   *  - scores round to `roundDigits` BEFORE ranking (ties broken by
   *    doc_id), so results are reproducible across partitionings and
   *    summation orders.
@@ -65,6 +69,19 @@ object Bm25 {
   private def termsOf(textCol: Column): Column =
     filter(TextFunctions.tokens(textCol), t => length(t) > 0)
 
+  /** At-rest postings shard count: terms hash into this many
+    * `stride=` partition directories (the [[NearDupIndex]] layout),
+    * so serving reads only the strides the query terms land in. */
+  val Strides = 64
+
+  private def strideOf(term: Column): Column =
+    pmod(xxhash64(term), lit(Strides.toLong))
+
+  /** The distinct (qid, term) pairs of a query set. */
+  private def qtermsOf(queries: DataFrame): DataFrame =
+    queries.select(col("qid"),
+      explode(termsOf(col("qtext"))).as("term")).distinct()
+
   /** Index `docs`. Zero-token documents are excluded from the corpus
     * statistics (N, avgdl) as well as the postings — they can never
     * match a term, and counting them only in [[build]] would make
@@ -94,9 +111,11 @@ object Bm25 {
   /** Top-k documents per query: (qid, doc_id, score, rank), ordered.
     * `queries` must carry `qid` and `qtext`. */
   def search(index: Index, queries: DataFrame, topK: Int,
-      roundDigits: Int = 5): DataFrame = {
-    val qterms = queries.select(col("qid"),
-      explode(termsOf(col("qtext"))).as("term")).distinct()
+      roundDigits: Int = 5): DataFrame =
+    scoreRank(index, qtermsOf(queries), topK, roundDigits)
+
+  private def scoreRank(index: Index, qterms: DataFrame, topK: Int,
+      roundDigits: Int): DataFrame = {
     val contrib = broadcast(qterms)
       .join(index.postings, Seq("term"))
       .join(broadcast(index.idf), Seq("term"))
@@ -124,7 +143,11 @@ object Bm25 {
     * sidecar. */
   def persist(index: Index, path: String): Unit = {
     index.postings.withColumnRenamed("doc_id", "id")
-      .write.mode("overwrite").parquet(path)
+      .withColumn("stride", strideOf(col("term")))
+      // co-locate each stride before partitionBy: one file per stride
+      // per batch, not one per task per stride
+      .repartition(col("stride"))
+      .write.mode("overwrite").partitionBy("stride").parquet(path)
     metaOf(index, path)
   }
 
@@ -144,6 +167,7 @@ object Bm25 {
     require(kb.nonEmpty, s"no BM25 metadata at ${Ivf.quantizerPath(path)}")
     val postings = IndexMaintenance.filterTombstones(spark, path,
       spark.read.parquet(path))
+      .drop("stride")
       .withColumnRenamed("id", "doc_id")
     Index(postings,
       meta.select(col("term"), col("idf")),
@@ -151,10 +175,26 @@ object Bm25 {
       kb.head.getDouble(0), kb.head.getDouble(1))
   }
 
-  /** Serve a [[persist]]ed index from the path alone. */
+  /** Serve a [[persist]]ed index from the path alone, reading ONLY
+    * the stride directories the query terms hash into: the distinct
+    * query-term strides (≤ [[Strides]] values — bounded index
+    * metadata) become a static partition filter, so the scan skips
+    * every shard no query term lands in. The [[IvfPq.searchPersisted]]
+    * pattern applied to lexical retrieval. */
   def searchAt(spark: SparkSession, path: String, queries: DataFrame,
-      topK: Int, roundDigits: Int = 5): DataFrame =
-    search(loadIndex(spark, path), queries, topK, roundDigits)
+      topK: Int, roundDigits: Int = 5): DataFrame = {
+    val index = loadIndex(spark, path)
+    val qterms = qtermsOf(queries)
+    val strides = qterms
+      .select(strideOf(col("term")).as("s")).distinct()
+      .collect().map(_.getLong(0))
+    val pruned = IndexMaintenance.filterTombstones(spark, path,
+        spark.read.parquet(path)
+          .where(col("stride").isInCollection(strides.toSeq)))
+      .drop("stride")
+      .withColumnRenamed("id", "doc_id")
+    scoreRank(index.copy(postings = pruned), qterms, topK, roundDigits)
+  }
 
   /** Append a document batch to a [[persist]]ed index. Postings for
     * the batch append as new files (cost ∝ batch); df/idf/N/avgdl are
@@ -171,7 +211,9 @@ object Bm25 {
     val old = loadIndex(spark, path)
     val batch = build(docs, idCol, textCol, old.k1, old.b)
     batch.postings.withColumnRenamed("doc_id", "id")
-      .write.mode("append").parquet(path)
+      .withColumn("stride", strideOf(col("term")))
+      .repartition(col("stride"))
+      .write.mode("append").partitionBy("stride").parquet(path)
     val grown = loadIndex(spark, path) // re-read incl. the new files
     val docLens = grown.postings
       .select(col("doc_id"), col("dl")).distinct()

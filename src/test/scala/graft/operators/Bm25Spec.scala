@@ -91,6 +91,23 @@ class Bm25Spec extends SparkSpec {
     assert(meta.select(col("n_docs")).head().getLong(0) === docs.count())
   }
 
+  test("searchAt scans only the strides the query terms hash into " +
+      "(static partition filter, plan-pinned)") {
+    val dir = Files.createTempDirectory("bm25-prune").resolve("index").toString
+    Bm25.persist(Bm25.build(docs, col("doc_id"), col("text")), dir)
+    val plan = Bm25.searchAt(spark, dir, queriesFrom(docs, 5), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    // small sets render as IN (...), larger ones as INSET v, v, ...
+    val inList = "stride#\\d+ (?:IN \\(([^)]*)\\)|INSET ([^\\]]*))".r
+    val hits = inList.findFirstMatchIn(plan)
+    assert(hits.nonEmpty, s"no static stride IN-list:\n$plan")
+    val n = Option(hits.get.group(1)).getOrElse(hits.get.group(2))
+      .split(",").length
+    assert(n < Bm25.Strides,
+      s"expected a pruned stride set, got all $n of ${Bm25.Strides}")
+  }
+
   test("tombstoned doc_ids never return; compaction purges them") {
     val dir = Files.createTempDirectory("bm25-del").resolve("index").toString
     Bm25.persist(Bm25.build(docs, col("doc_id"), col("text")), dir)
