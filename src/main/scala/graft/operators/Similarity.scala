@@ -47,17 +47,25 @@ object Similarity {
     * so the corpus scan is a single pass with no shuffle until the
     * per-qid top-k window (which WindowGroupLimit prunes).
     * Similarity is rounded to `roundDigits` to make cross-engine
-    * ordering deterministic. */
+    * ordering deterministic.
+    *
+    * `pairFilter` restricts which (query, corpus) pairs are eligible —
+    * e.g. hard-negative mining keeps only pairs whose metadata
+    * differs (`q.source =!= c.source`). It is evaluated inside the
+    * broadcast join, so ineligible pairs never reach the similarity
+    * math or the window. */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       roundDigits: Int = 5,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      pairFilter: Column = lit(true)): DataFrame = {
     val q = queries.withColumn("qnorm", norm(col("qvec")))
     val c = corpus.withColumn("vnorm", norm(col("embedding")))
     val joined = c.join(broadcast(q),
-      if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+      (if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+        && pairFilter)
     val sims = joined.select(
       col("qid"), col("vec_id"),
       round(cosineWithNorms(col("qvec"), col("embedding"),

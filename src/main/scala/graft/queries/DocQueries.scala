@@ -790,6 +790,22 @@ object DocQueries {
         Similarity.maxAbsScales(e, col("embedding")), k = 5)
     }),
 
+    // p12: hard-negative mining for contrastive training — for each
+    // query doc, the most cosine-similar corpus members from a
+    // DIFFERENT source (same-source pairs are trivial positives).
+    // The source restriction rides INSIDE the broadcast join, so
+    // ineligible pairs never reach the similarity math.
+    "p12_hard_negatives" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val e = emb(s, dir)
+        .join(src, col("vec_id") === col("doc_id")).drop("doc_id")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("source").as("qsource"))
+      Similarity.bruteForceTopK(q, e, k = 5,
+        pairFilter = col("qsource") =!= col("source"))
+    }),
+
     // s8: BM25 lexical retrieval — the term-frequency half of the
     // retrieval stack. Served from the memoized persisted index (the
     // deployment steady state); the oracle recomputes the full
@@ -1424,6 +1440,33 @@ object DocQueries {
         |pairs AS (
         |  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ve
         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |comp AS (
+        |  SELECT qid, vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+        |  FROM pairs),
+        |sims AS (SELECT qid, vec_id, round(dot / (sqrt(nq) * sqrt(nv)), 5) AS sim FROM comp),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM sims)
+        |SELECT qid, vec_id, sim, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "p12_hard_negatives" ->
+      """WITH src AS (SELECT doc_id, source FROM documents),
+        |q AS (
+        |  SELECT e.vec_id AS qid, e.embedding AS qe, s.source AS qsource
+        |  FROM embeddings e JOIN src s ON e.vec_id = s.doc_id
+        |  WHERE e.vec_id < 5),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ve
+        |  FROM embeddings e JOIN src s ON e.vec_id = s.doc_id, q
+        |  WHERE e.vec_id <> q.qid AND s.source <> q.qsource),
         |comp AS (
         |  SELECT qid, vec_id,
         |    list_sum(list_transform(range(1, 65),
