@@ -167,7 +167,7 @@ object Bm25 {
     require(kb.nonEmpty, s"no BM25 metadata at ${Ivf.quantizerPath(path)}")
     val postings = IndexMaintenance.filterTombstones(spark, path,
       spark.read.parquet(path))
-      .drop("stride")
+      .drop("stride", "epoch") // epoch: the LexStream ingest layout
       .withColumnRenamed("id", "doc_id")
     Index(postings,
       meta.select(col("term"), col("idf")),
@@ -191,7 +191,7 @@ object Bm25 {
     val pruned = IndexMaintenance.filterTombstones(spark, path,
         spark.read.parquet(path)
           .where(col("stride").isInCollection(strides.toSeq)))
-      .drop("stride")
+      .drop("stride", "epoch")
       .withColumnRenamed("id", "doc_id")
     scoreRank(index.copy(postings = pruned), qterms, topK, roundDigits)
   }
@@ -205,7 +205,11 @@ object Bm25 {
     * excluded from the refreshed statistics. Same contract as the
     * ANN appends otherwise: disjoint ids, caller-provided
     * exactly-once batching, periodic
-    * [[IndexMaintenance.compactPersisted]] (flat layout). */
+    * [[IndexMaintenance.compactPersisted]] (flat layout). Batch-layout
+    * (`stride=` at the top level) indexes only — an epoch-layout index
+    * built by the LexStream ingest grows through its own epoch
+    * directories (mixing the two depths in one tree would break
+    * partition discovery). */
   def appendPersisted(spark: SparkSession, path: String,
       docs: DataFrame, idCol: Column, textCol: Column): Unit = {
     val old = loadIndex(spark, path)
@@ -214,21 +218,48 @@ object Bm25 {
       .withColumn("stride", strideOf(col("term")))
       .repartition(col("stride"))
       .write.mode("append").partitionBy("stride").parquet(path)
-    val grown = loadIndex(spark, path) // re-read incl. the new files
-    val docLens = grown.postings
-      .select(col("doc_id"), col("dl")).distinct()
+    refreshMeta(spark, path, old.k1, old.b)
+  }
+
+  /** Rebuild the idf/stats sidecar from the at-rest postings
+    * (tombstone-filtered) — the shared refresh step of
+    * [[appendPersisted]] and the LexStream per-epoch ingest. Safe to
+    * call before any sidecar exists (the first streamed epoch). */
+  private[graft] def refreshMeta(spark: SparkSession, path: String,
+      k1: Double, b: Double): Unit = {
+    val postings = IndexMaintenance.filterTombstones(spark, path,
+        spark.read.parquet(path))
+      .drop("stride", "epoch")
+      .withColumnRenamed("id", "doc_id")
+    val docLens = postings.select(col("doc_id"), col("dl")).distinct()
     val stats = docLens.agg(
       count(lit(1)).as("n_docs"),
       coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
-    val idf = grown.postings.groupBy(col("term"))
+    val idf = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats.select(col("n_docs"))))
       .select(col("term"),
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))).as("idf"))
-    writeMetaReplace(spark, path,
-      Index(grown.postings, idf, stats, old.k1, old.b))
+    writeMetaReplace(spark, path, Index(postings, idf, stats, k1, b))
   }
+
+  /** One micro-batch of the LexStream ingest: the batch's postings
+    * OVERWRITE `path/epoch=N` (stride-sharded inside — partition
+    * discovery exposes both levels, and [[searchAt]]'s stride pruning
+    * applies per epoch), so a replayed epoch rewrites its own
+    * directory instead of double-counting term frequencies — the
+    * AnnStream epoch protocol applied to index INGEST. The caller is
+    * responsible for the [[refreshMeta]] that follows. */
+  private[graft] def writeEpoch(spark: SparkSession, path: String,
+      docs: DataFrame, idCol: Column, textCol: Column, epoch: Long,
+      k1: Double, b: Double): Unit =
+    build(docs, idCol, textCol, k1, b).postings
+      .withColumnRenamed("doc_id", "id")
+      .withColumn("stride", strideOf(col("term")))
+      .repartition(col("stride"))
+      .write.mode("overwrite").partitionBy("stride")
+      .parquet(s"${path.stripSuffix("/")}/epoch=$epoch")
 
   /** Swap the metadata sidecar via a staged write (the sidecar read
     * path must never observe a half-written directory). */
