@@ -590,6 +590,40 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t11: self-trained add-one-smoothed bigram LM surprisal — the
+    // CCNet-style "perplexity against an LM" quality score, one model
+    // class up from t9's unigram. Same scale shape: per-doc bigram
+    // counts shuffle once and feed BOTH the model aggregation and the
+    // scoring join (no raw-occurrence re-shuffle); vocab size rides a
+    // 1-row broadcast; surprisal goes fixed-point (floor(-ln p·1e6))
+    // before the integer sum so doc scores are engine-exact.
+    "t11_bigram_surprisal" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("t"))
+      val bg = t.where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val pd = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      val m12 = pd.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("n12"))
+      val m1 = m12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      val voc = t.select(explode(col("t")).as("tok")).distinct()
+        .agg(count(lit(1)).as("v"))
+      pd.join(m12, Seq("w1", "w2")).join(m1, Seq("w1"))
+        .crossJoin(broadcast(voc))
+        .select(col("doc_id"), col("cnt"),
+          (col("cnt") * floor(-log((col("n12") + lit(1)).cast("double") /
+            (col("n1") + col("v"))) * 1000000.0d)).as("sv"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"), sum(col("sv")).as("_s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("_s").cast("double") / 1000000.0d / col("n_bigrams"), 6)
+            .as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // p7: n-gram-level eval contamination (the GPT-3/Llama
     // decontamination method): for each test-split doc, the fraction
     // of its distinct 5-grams that appear anywhere in the train
@@ -1890,6 +1924,35 @@ object DocQueries {
         |  FROM s GROUP BY 1)
         |SELECT doc_id, n_tokens,
         |  round(ssum::DOUBLE / 1000000 / n_tokens, 6) AS mean_surprisal
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "t11_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |pd AS (
+        |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY 1, 2, 3),
+        |m12 AS (SELECT w1, w2, sum(cnt) AS n12 FROM pd GROUP BY 1, 2),
+        |m1 AS (SELECT w1, sum(n12) AS n1 FROM m12 GROUP BY 1),
+        |voc AS (
+        |  SELECT count(DISTINCT u.tok) AS v
+        |  FROM toks, UNNEST(t) AS u(tok)),
+        |s AS (
+        |  SELECT pd.doc_id, pd.cnt,
+        |    pd.cnt * CAST(floor(-ln((m12.n12 + 1)::DOUBLE / (m1.n1 + voc.v))
+        |      * 1000000) AS BIGINT) AS sv
+        |  FROM pd
+        |  JOIN m12 ON pd.w1 = m12.w1 AND pd.w2 = m12.w2
+        |  JOIN m1 ON pd.w1 = m1.w1, voc),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(sv) AS BIGINT) AS ssum
+        |  FROM s GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round(ssum::DOUBLE / 1000000 / n_bigrams, 6) AS mean_surprisal
         |FROM a ORDER BY doc_id""".stripMargin,
 
     "p8_pretrain_pipeline" -> {
