@@ -590,6 +590,57 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d11: exact-substring duplication report (the Lee et al. 2022
+    // "Deduplicating Training Data" shape, hash-approximated): every
+    // 20-token window rolls to an md5 hash; a window whose hash
+    // occurs at ≥2 (doc, start) sites anywhere in the corpus is a
+    // duplicated span, and each doc reports its duplicated-window
+    // count and token coverage. Corpus is by-construction
+    // contaminated (re-idified copies of every 5th doc, the p4/p7
+    // pattern) so copies score coverage 1.0 and organic docs ~0.
+    // Scale shape: only (doc_id, start, hash) rows past the window
+    // expression — the text itself never shuffles; the duplicate set
+    // is one map-side-combinable groupBy on the 16-byte hash; the
+    // coverage explode is bounded by dup-window count × w, not corpus
+    // size.
+    "d11_substring_dedup" -> ((s, dir) => {
+      val w = 20
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
+      val d = d0.unionByName(
+        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
+      val t = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= w)
+      val wins = t.select(col("doc_id"), size(col("t")).as("n_tokens"),
+          posexplode(transform(
+            sequence(lit(1), size(col("t")) - (w - 1)),
+            i => md5(array_join(slice(col("t"), i, lit(w)), " ")))))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pos") + 1).as("start"), col("col").as("h"))
+      val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select(col("h"))
+      val dup = wins.join(dupH, Seq("h"))
+      val cover = dup
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (w - 1))).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("p")).as("dup_tokens"))
+      val dupCnt = dup.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_windows"))
+      t.select(col("doc_id"), size(col("t")).as("n_tokens"),
+          (size(col("t")) - (w - 1)).cast("long").as("n_windows"))
+        .join(dupCnt, Seq("doc_id"), "left")
+        .join(cover, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t11: self-trained add-one-smoothed bigram LM surprisal — the
     // CCNet-style "perplexity against an LM" quality score, one model
     // class up from t9's unigram. Same scale shape: per-doc bigram
@@ -1925,6 +1976,39 @@ object DocQueries {
         |SELECT doc_id, n_tokens,
         |  round(ssum::DOUBLE / 1000000 / n_tokens, 6) AS mean_surprisal
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "d11_substring_dedup" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + mx.m, text FROM documents, mx WHERE doc_id % 5 = 0),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM base
+        |  WHERE len(string_split(text, ' ')) >= 20),
+        |wins AS (
+        |  SELECT doc_id, i AS start,
+        |    md5(array_to_string(t[i:i+19], ' ')) AS h
+        |  FROM toks, UNNEST(range(1, len(t) - 18)) AS u(i)),
+        |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+        |dup AS (SELECT w.doc_id, w.start FROM wins w JOIN duph USING (h)),
+        |cover AS (
+        |  SELECT doc_id, CAST(count(DISTINCT u.p) AS BIGINT) AS dup_tokens
+        |  FROM dup, UNNEST(range(start, start + 20)) AS u(p)
+        |  GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+        |  FROM dup GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - 19 AS BIGINT) AS n_windows,
+        |  coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(v.dup_tokens, 0) AS dup_tokens,
+        |  round(coalesce(v.dup_tokens, 0)::DOUBLE / len(t.t), 6) AS dup_frac
+        |FROM toks t
+        |LEFT JOIN cnt c ON t.doc_id = c.doc_id
+        |LEFT JOIN cover v ON t.doc_id = v.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "t11_bigram_surprisal" ->
       """WITH toks AS (
