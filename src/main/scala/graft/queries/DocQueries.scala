@@ -590,6 +590,52 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p13: DSIR importance weights (Xie et al. 2023) — score every
+    // doc by how target-like its hashed-unigram distribution is:
+    // per-bucket add-one log-ratios ln(p_target/p_raw) over 4096
+    // portable-hash buckets, doc weight = fixed-point integer sum of
+    // its buckets' ratios, and the top fifth by exact global rank is
+    // `selected` — data selection for a target domain without a
+    // trained classifier. Scale shape: one shuffle to per-doc bucket
+    // counts which feed BOTH distributions and the scoring join; the
+    // 4096-row ratio table and the corpus totals broadcast; the rank
+    // is p10's distributed exact rank, no single-task window.
+    "p13_dsir_weights" -> ((s, dir) => {
+      val bN = 4096
+      val tok = docs(s, dir).select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("source"),
+          (graft.functions.PortableHash.phash(col("tok"), 13) % bN).as("b"))
+      val pd = tok.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val rawB = pd.groupBy(col("b")).agg(sum(col("cnt")).as("rc"))
+      val tgtB = pd.where(col("source").isin("src0", "src1"))
+        .groupBy(col("b")).agg(sum(col("cnt")).as("tc"))
+      val totals = rawB.agg(sum(col("rc")).as("nr"))
+        .crossJoin(tgtB.agg(sum(col("tc")).as("nt")))
+      val lr = rawB.join(tgtB, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"), floor(log(
+          ((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("nt") + bN)) /
+          ((col("rc") + 1).cast("double") / (col("nr") + bN)))
+          * 1000000.0d).as("lr"))
+      val perDoc = pd.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("lr")).as("_w"))
+      val nd = perDoc.agg(count(lit(1)).as("nd"))
+      graft.operators.Rank
+        .globalRowNumber(perDoc, col("_w"), col("doc_id"), descending = true)
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("_w").cast("double") / 1000000.0d / col("n_tokens"), 6)
+            .as("mean_log_ratio"),
+          col("rank"),
+          (col("rank") <= floor(col("nd") / 5)).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // d11: exact-substring duplication report (the Lee et al. 2022
     // "Deduplicating Training Data" shape, hash-approximated): every
     // 20-token window rolls to an md5 hash; a window whose hash
@@ -1976,6 +2022,40 @@ object DocQueries {
         |SELECT doc_id, n_tokens,
         |  round(ssum::DOUBLE / 1000000 / n_tokens, 6) AS mean_surprisal
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "p13_dsir_weights" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, source,
+        |    ${dkHash("u.t", "'13'")} % 4096 AS b
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |pd AS (
+        |  SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2, 3),
+        |rawb AS (SELECT b, sum(cnt) AS rc FROM pd GROUP BY 1),
+        |tgtb AS (
+        |  SELECT b, sum(cnt) AS tc FROM pd
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT sum(rc) FROM rawb) AS nr,
+        |         (SELECT sum(tc) FROM tgtb) AS nt),
+        |lr AS (
+        |  SELECT rawb.b, CAST(floor(ln(
+        |      ((coalesce(tc, 0) + 1)::DOUBLE / (nt + 4096)) /
+        |      ((rc + 1)::DOUBLE / (nr + 4096))) * 1000000) AS BIGINT) AS lr
+        |  FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b, tot),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cnt * lr) AS BIGINT) AS w
+        |  FROM pd JOIN lr ON pd.b = lr.b GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM perdoc),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, w,
+        |    row_number() OVER (ORDER BY w DESC, doc_id) AS rank
+        |  FROM perdoc)
+        |SELECT doc_id, n_tokens,
+        |  round(w::DOUBLE / 1000000 / n_tokens, 6) AS mean_log_ratio,
+        |  rank, rank <= nd.nd // 5 AS selected
+        |FROM ranked, nd ORDER BY doc_id""".stripMargin,
 
     "d11_substring_dedup" ->
       """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
