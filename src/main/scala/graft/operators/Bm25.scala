@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,10 +22,10 @@ import graft.functions.TextFunctions
   * common default).
   *
   * Scale design (100 TB corpus):
-  *  - [[build]] is two map-side-combinable aggregations over the
-  *    exploded token stream (postings and document lengths) plus one
-  *    aggregation over postings for df/idf. Document length is
-  *    DENORMALIZED INTO the postings rows so serving never joins a
+  *  - [[build]] tokenizes the corpus ONCE: per-(term, doc) counts are
+  *    the only aggregation over the token stream; document lengths
+  *    derive from those counts (sum of tf per doc) and are
+  *    DENORMALIZED INTO the postings rows, so serving never joins a
   *    per-document table.
   *  - corpus-global scalars (N, avgdl) ride a 1-row broadcast
   *    cross-join — never a driver collect.
@@ -36,7 +37,9 @@ import graft.functions.TextFunctions
   *  - at rest, postings shard into [[Strides]] `stride=` partition
   *    directories by term hash; [[searchAt]] turns the query terms'
   *    strides into a static partition filter, so serving scans only
-  *    the shards that can contain a match (plan shape spec-pinned).
+  *    the shards that can contain a match (plan shape spec-pinned) —
+  *    and loads only the metadata sidecar, never the full postings
+  *    plan.
   *  - scores round to `roundDigits` BEFORE ranking (ties broken by
   *    doc_id), so results are reproducible across partitionings and
   *    summation orders.
@@ -44,10 +47,16 @@ import graft.functions.TextFunctions
   * Persist/load mirror the ANN sidecar convention: the postings table
   * is the index, idf and the scalar stats live in a `__quantizer`
   * sidecar, tombstone deletes via [[IndexMaintenance]] filter doc_ids
-  * on every read path. Unlike the vector indexes, APPEND must refresh
-  * global statistics (df, N, avgdl change with every batch), so
-  * [[appendPersisted]] rewrites the metadata sidecar from the grown
-  * postings — one aggregation scan, still no retraining equivalent.
+  * on every read path. The sidecar REPLACES through a staged
+  * rename-aside swap (never delete-then-write), and the read path
+  * self-recovers from every crash state of that swap, so a serving
+  * tier racing a refresh never fails on a half-written sidecar.
+  * Unlike the vector indexes, APPEND must refresh global statistics
+  * (df, N, avgdl change with every batch), so [[appendPersisted]]
+  * rebuilds the sidecar from the grown postings — one aggregation
+  * scan, still no retraining equivalent; the idf/stats formulas live
+  * in ONE place ([[statsIdfOf]]) shared by build, append and the
+  * streaming refresh, so the paths cannot drift.
   *
   * Reference scope: the reference engine has no lexical retrieval;
   * this is part of the beyond-reference training-data layer (SURVEY
@@ -82,20 +91,11 @@ object Bm25 {
     queries.select(col("qid"),
       explode(termsOf(col("qtext"))).as("term")).distinct()
 
-  /** Index `docs`. Zero-token documents are excluded from the corpus
-    * statistics (N, avgdl) as well as the postings — they can never
-    * match a term, and counting them only in [[build]] would make
-    * [[appendPersisted]]'s postings-derived stats refresh drift. */
-  def build(docs: DataFrame, idCol: Column, textCol: Column,
-      k1: Double = 1.2, b: Double = 0.75): Index = {
-    val toks = docs.select(idCol.as("doc_id"),
-      explode(termsOf(textCol)).as("term"))
-    val docLens = docs.select(idCol.as("doc_id"),
-      size(termsOf(textCol)).cast("long").as("dl"))
-      .where(col("dl") > 0)
-    val postings = toks.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-      .join(docLens, Seq("doc_id"))
+  /** (stats, idf) from a postings frame — the SINGLE source of the
+    * corpus-statistics formulas, shared by [[build]], the append
+    * refresh and the streaming refresh. */
+  private def statsIdfOf(postings: DataFrame): (DataFrame, DataFrame) = {
+    val docLens = postings.select(col("doc_id"), col("dl")).distinct()
     val stats = docLens.agg(
       count(lit(1)).as("n_docs"),
       coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
@@ -105,6 +105,24 @@ object Bm25 {
       .select(col("term"),
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))).as("idf"))
+    (stats, idf)
+  }
+
+  /** Index `docs`. Zero-token documents are excluded from the corpus
+    * statistics (N, avgdl) as well as the postings — they can never
+    * match a term, and counting them only in [[build]] would make
+    * the postings-derived stats refresh of [[appendPersisted]]
+    * drift. */
+  def build(docs: DataFrame, idCol: Column, textCol: Column,
+      k1: Double = 1.2, b: Double = 0.75): Index = {
+    val perDocTf = docs.select(idCol.as("doc_id"),
+        explode(termsOf(textCol)).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val docLens = perDocTf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+    val postings = perDocTf.join(docLens, Seq("doc_id"))
+    val (stats, idf) = statsIdfOf(postings)
     Index(postings, idf, stats, k1, b)
   }
 
@@ -140,7 +158,7 @@ object Bm25 {
     * column stored as `id` — the at-rest convention every persisted
     * index shares, so [[IndexMaintenance]]'s tombstone filter and
     * compaction purge apply unchanged), idf + stats in a metadata
-    * sidecar. */
+    * sidecar (staged swap — [[writeMeta]]). */
   def persist(index: Index, path: String): Unit = {
     index.postings.withColumnRenamed("doc_id", "id")
       .withColumn("stride", strideOf(col("term")))
@@ -148,31 +166,30 @@ object Bm25 {
       // per batch, not one per task per stride
       .repartition(col("stride"))
       .write.mode("overwrite").partitionBy("stride").parquet(path)
-    metaOf(index, path)
+    writeMeta(index.postings.sparkSession, path, index)
   }
 
-  private def metaOf(index: Index, path: String): Unit =
-    index.idf
-      .crossJoin(broadcast(index.stats))
-      .select(col("term"), col("idf"), col("n_docs"), col("avgdl"),
-        lit(index.k1).as("k1"), lit(index.b).as("b"))
-      .coalesce(1) // vocabulary-sized metadata: one small file
-      .write.mode("overwrite").parquet(Ivf.quantizerPath(path))
+  /** The at-rest postings read shared by every load path: optional
+    * static stride pruning, tombstone filter, layout columns
+    * (`stride`, and `epoch` for the LexStream ingest layout)
+    * dropped. */
+  private def atRestPostings(spark: SparkSession, path: String,
+      strides: Option[Seq[Long]]): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val pruned = strides.fold(raw)(ss =>
+      raw.where(col("stride").isInCollection(ss)))
+    IndexMaintenance.filterTombstones(spark, path, pruned)
+      .drop("stride", "epoch")
+      .withColumnRenamed("id", "doc_id")
+  }
 
   /** Rebuild an [[Index]] from a [[persist]]ed path, with tombstoned
     * doc_ids filtered from the postings. */
   def loadIndex(spark: SparkSession, path: String): Index = {
-    val meta = spark.read.parquet(Ivf.quantizerPath(path))
-    val kb = meta.select(col("k1"), col("b")).limit(1).collect()
-    require(kb.nonEmpty, s"no BM25 metadata at ${Ivf.quantizerPath(path)}")
-    val postings = IndexMaintenance.filterTombstones(spark, path,
-      spark.read.parquet(path))
-      .drop("stride", "epoch") // epoch: the LexStream ingest layout
-      .withColumnRenamed("id", "doc_id")
-    Index(postings,
+    val (meta, k1, b) = loadSidecar(spark, path)
+    Index(atRestPostings(spark, path, None),
       meta.select(col("term"), col("idf")),
-      meta.select(col("n_docs"), col("avgdl")).limit(1),
-      kb.head.getDouble(0), kb.head.getDouble(1))
+      meta.select(col("n_docs"), col("avgdl")).limit(1), k1, b)
   }
 
   /** Serve a [[persist]]ed index from the path alone, reading ONLY
@@ -180,20 +197,20 @@ object Bm25 {
     * query-term strides (≤ [[Strides]] values — bounded index
     * metadata) become a static partition filter, so the scan skips
     * every shard no query term lands in. The [[IvfPq.searchPersisted]]
-    * pattern applied to lexical retrieval. */
+    * pattern applied to lexical retrieval. Only the metadata sidecar
+    * loads eagerly — the unpruned postings plan is never built. */
   def searchAt(spark: SparkSession, path: String, queries: DataFrame,
       topK: Int, roundDigits: Int = 5): DataFrame = {
-    val index = loadIndex(spark, path)
+    val (meta, k1, b) = loadSidecar(spark, path)
     val qterms = qtermsOf(queries)
     val strides = qterms
       .select(strideOf(col("term")).as("s")).distinct()
       .collect().map(_.getLong(0))
-    val pruned = IndexMaintenance.filterTombstones(spark, path,
-        spark.read.parquet(path)
-          .where(col("stride").isInCollection(strides.toSeq)))
-      .drop("stride", "epoch")
-      .withColumnRenamed("id", "doc_id")
-    scoreRank(index.copy(postings = pruned), qterms, topK, roundDigits)
+    scoreRank(Index(
+      atRestPostings(spark, path, Some(strides.toSeq)),
+      meta.select(col("term"), col("idf")),
+      meta.select(col("n_docs"), col("avgdl")).limit(1), k1, b),
+      qterms, topK, roundDigits)
   }
 
   /** Append a document batch to a [[persist]]ed index. Postings for
@@ -212,13 +229,13 @@ object Bm25 {
     * partition discovery). */
   def appendPersisted(spark: SparkSession, path: String,
       docs: DataFrame, idCol: Column, textCol: Column): Unit = {
-    val old = loadIndex(spark, path)
-    val batch = build(docs, idCol, textCol, old.k1, old.b)
-    batch.postings.withColumnRenamed("doc_id", "id")
+    val (_, k1, b) = loadSidecar(spark, path)
+    build(docs, idCol, textCol, k1, b).postings
+      .withColumnRenamed("doc_id", "id")
       .withColumn("stride", strideOf(col("term")))
       .repartition(col("stride"))
       .write.mode("append").partitionBy("stride").parquet(path)
-    refreshMeta(spark, path, old.k1, old.b)
+    refreshMeta(spark, path, k1, b)
   }
 
   /** Rebuild the idf/stats sidecar from the at-rest postings
@@ -227,21 +244,9 @@ object Bm25 {
     * call before any sidecar exists (the first streamed epoch). */
   private[graft] def refreshMeta(spark: SparkSession, path: String,
       k1: Double, b: Double): Unit = {
-    val postings = IndexMaintenance.filterTombstones(spark, path,
-        spark.read.parquet(path))
-      .drop("stride", "epoch")
-      .withColumnRenamed("id", "doc_id")
-    val docLens = postings.select(col("doc_id"), col("dl")).distinct()
-    val stats = docLens.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
-    val idf = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats.select(col("n_docs"))))
-      .select(col("term"),
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))).as("idf"))
-    writeMetaReplace(spark, path, Index(postings, idf, stats, k1, b))
+    val postings = atRestPostings(spark, path, None)
+    val (stats, idf) = statsIdfOf(postings)
+    writeMeta(spark, path, Index(postings, idf, stats, k1, b))
   }
 
   /** One micro-batch of the LexStream ingest: the batch's postings
@@ -261,9 +266,19 @@ object Bm25 {
       .write.mode("overwrite").partitionBy("stride")
       .parquet(s"${path.stripSuffix("/")}/epoch=$epoch")
 
-  /** Swap the metadata sidecar via a staged write (the sidecar read
-    * path must never observe a half-written directory). */
-  private def writeMetaReplace(spark: SparkSession, path: String,
+  // ---- metadata sidecar: staged swap + self-recovering reads ------
+
+  private def fsOf(spark: SparkSession, p: String): FileSystem =
+    FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Replace the sidecar via rename-aside: write staged, move live to
+    * `__old`, promote staged, drop `__old`. Every crash state leaves
+    * either the live directory or a recoverable breadcrumb that
+    * [[recoverMeta]] (invoked lazily by the read path) promotes — a
+    * reader never permanently observes a missing or half-written
+    * sidecar. */
+  private def writeMeta(spark: SparkSession, path: String,
       index: Index): Unit = {
     val mp = Ivf.quantizerPath(path)
     val staged = mp + "__staging"
@@ -271,13 +286,45 @@ object Bm25 {
       .crossJoin(broadcast(index.stats))
       .select(col("term"), col("idf"), col("n_docs"), col("avgdl"),
         lit(index.k1).as("k1"), lit(index.b).as("b"))
-      .coalesce(1)
+      .coalesce(1) // vocabulary-sized metadata: one small file
       .write.mode("overwrite").parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(mp), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(mp), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(mp)))
+    val fs = fsOf(spark, mp)
+    val live = new HPath(mp)
+    val old = new HPath(mp + "__old")
+    fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"cannot move aside BM25 metadata $mp")
+    if (!fs.rename(new HPath(staged), live)) {
+      if (fs.exists(old)) fs.rename(old, live) // roll back
       throw new java.io.IOException(s"cannot swap BM25 metadata at $mp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Restore a readable sidecar after a [[writeMeta]] crash: a
+    * COMPLETE staged copy (staging is fully written before any
+    * rename) is promoted; otherwise the moved-aside previous sidecar
+    * is restored. No-op when the live sidecar exists. */
+  private def recoverMeta(spark: SparkSession, path: String): Unit = {
+    val mp = Ivf.quantizerPath(path)
+    val fs = fsOf(spark, mp)
+    val live = new HPath(mp)
+    if (fs.exists(live)) return
+    val staged = new HPath(mp + "__staging")
+    val old = new HPath(mp + "__old")
+    if (fs.exists(staged)) { fs.rename(staged, live); fs.delete(old, true) }
+    else if (fs.exists(old)) fs.rename(old, live)
+  }
+
+  /** Load the metadata sidecar (idf rows + stats + k1/b), recovering
+    * from an interrupted swap if needed. */
+  private def loadSidecar(spark: SparkSession,
+      path: String): (DataFrame, Double, Double) = {
+    val mp = Ivf.quantizerPath(path)
+    if (!fsOf(spark, mp).exists(new HPath(mp))) recoverMeta(spark, path)
+    val meta = spark.read.parquet(mp)
+    val kb = meta.select(col("k1"), col("b")).limit(1).collect()
+    require(kb.nonEmpty, s"no BM25 metadata at $mp")
+    (meta, kb.head.getDouble(0), kb.head.getDouble(1))
   }
 }

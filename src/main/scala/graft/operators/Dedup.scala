@@ -77,7 +77,13 @@ object Dedup {
     // array_distinct); lazily localCheckpointed so the self-join
     // doesn't recompute the whole shingle+md5 pipeline per side AND
     // the materialized blocks reclaim via the ContextCleaner once the
-    // query's references drop — a long-running service composing
+    // query's references drop. Accepted tradeoff vs cache(): the
+    // blocks are non-replicated and lineage is truncated, so losing
+    // an executor MID-QUERY fails that query (cache() would
+    // recompute) — these frames live within a single query execution,
+    // and self-reclaim is what keeps a service's storage bounded; a
+    // deployment that prefers loss-tolerance over that swaps in
+    // cache() + explicit unpersist — a long-running service composing
     // these never accumulates unreachable cache-catalog entries
     // (round-5 verdict ask #6; `.cache()` pins until clearCache).
     val sh = shingleRows(docs, idCol, textCol, n)

@@ -87,21 +87,31 @@ object IndexMaintenance {
   /** Compact every partition directory of a persisted index to
     * `ceil(rows/rowsPerFile)` right-sized files, physically purging
     * tombstoned ids during the rewrite, then clear the tombstone
-    * sidecar. A FLAT layout (no `col=value` subdirectories — e.g.
-    * [[Pq.persist]]'s coded table) compacts the base directory itself
-    * with the same protocol. Each directory uses [[Sinks.compact]]'s
-    * staged-rename swap, so a crash at any point loses nothing
-    * ([[recoverPersisted]] restores a consistent view); the sidecar
-    * clears only after ALL directories are rewritten. Returns the
-    * directories compacted. */
+    * sidecar. Layouts:
+    *  - partitioned (`cid=` / `stride=` at the first level): each
+    *    partition directory compacts individually;
+    *  - NESTED (LexStream's `epoch=N/stride=M` tree): compaction
+    *    descends to the LEAF partition directories, so the rewrite
+    *    never flattens an inner partition column into a data column
+    *    (which would leave leaf files at conflicting depths and break
+    *    partition discovery for the whole index);
+    *  - FLAT (no `col=value` subdirectories — e.g. [[Pq.persist]]'s
+    *    coded table): the base directory itself compacts.
+    * Each directory uses [[Sinks.compact]]'s staged-rename swap, so a
+    * crash at any point loses nothing ([[recoverPersisted]] restores
+    * a consistent view); the sidecar clears only after ALL
+    * directories are rewritten. Returns the directories compacted. */
   def compactPersisted(spark: SparkSession, path: String,
       rowsPerFile: Long): Seq[String] = {
     val base = path.stripSuffix("/")
     val fs = fsOf(spark, base)
     val tp = new Path(tombstonePath(base))
     val hasTombstones = fs.exists(tp)
-    val parts = partitionDirs(fs, base).map(_.toString)
-    val dirs = if (parts.nonEmpty) parts else Seq(base)
+    def leaves(dir: String): Seq[String] = {
+      val parts = partitionDirs(fs, dir).map(_.toString)
+      if (parts.isEmpty) Seq(dir) else parts.flatMap(leaves)
+    }
+    val dirs = leaves(base)
     dirs.foreach { d =>
       Sinks.compact(spark, d, rowsPerFile,
         df => if (hasTombstones) filterTombstones(spark, base, df) else df)
@@ -127,14 +137,22 @@ object IndexMaintenance {
     val baseAction: Map[String, String] =
       if (flatCrash) Map("." -> Sinks.recoverCompact(spark, base))
       else Map.empty
-    val children = fs.listStatus(new Path(base)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-    val stems = children.collect {
-      case n if n.endsWith("__compacting") => n.stripSuffix("__compacting")
-      case n if n.endsWith("__precompact") => n.stripSuffix("__precompact")
-    }.distinct
-    baseAction ++ stems.map { stem =>
-      stem -> Sinks.recoverCompact(spark, s"$base/$stem")
+    // walk the whole partition tree (nested epoch=/stride= layouts
+    // crash at leaf level) for swap leftovers
+    def stems(dir: String): Seq[(String, String)] = {
+      val children = fs.listStatus(new Path(dir)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+      val here = children.collect {
+        case n if n.endsWith("__compacting") => n.stripSuffix("__compacting")
+        case n if n.endsWith("__precompact") => n.stripSuffix("__precompact")
+      }.distinct.map(stem => (s"$dir/$stem", s"$dir/$stem"))
+      here ++ children
+        .filter(n => n.contains("=") && !n.endsWith("__compacting") &&
+          !n.endsWith("__precompact") && !n.startsWith("_"))
+        .flatMap(n => stems(s"$dir/$n"))
+    }
+    baseAction ++ stems(base).map { case (key, p) =>
+      key.stripPrefix(base + "/") -> Sinks.recoverCompact(spark, p)
     }.toMap
   }
 }

@@ -27,9 +27,12 @@ object Percentiles {
       accuracy: Int = 10000, roundDigits: Int = 4): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
     def name(q: Double): String = {
-      val pct = q * 100
-      if (pct == pct.floor) s"p${pct.toLong}"
-      else ("p" + pct).replace('.', '_')
+      // decimal, not double, arithmetic: 0.29 * 100 is
+      // 28.999999999999996 in IEEE doubles — that must not leak into
+      // a column name
+      val pct = (BigDecimal(q.toString) * 100).underlying.stripTrailingZeros
+      if (pct.scale <= 0) s"p${pct.toBigInteger}"
+      else ("p" + pct.toPlainString).replace('.', '_')
     }
     def pct(q: Double): Column =
       if (exact) percentile(valueCol, lit(q))

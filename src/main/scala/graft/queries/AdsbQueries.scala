@@ -443,15 +443,21 @@ object AdsbQueries {
     "mm_media_features" ->
       s"""WITH b AS (SELECT model, length, hex(silhouette) AS hx
          |  FROM ${tbl("mm_blobs")}),
-         |bmp AS (SELECT * FROM b WHERE substr(hx, 1, 4) = '424D'),
-         |meta AS (
-         |  SELECT model, length, 'image' AS media_type,
+         |bmp AS (
+         |  SELECT b.*,
          |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
          |           || substr(hx, 39, 2) || substr(hx, 37, 2)
-         |     )::INTEGER AS width,
+         |     )::BIGINT AS w0,
          |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
          |           || substr(hx, 47, 2) || substr(hx, 45, 2)
-         |     )::INTEGER AS height,
+         |     )::BIGINT AS h0
+         |  FROM b WHERE substr(hx, 1, 4) = '424D'),
+         |meta AS (
+         |  SELECT model, length, 'image' AS media_type,
+         |    (CASE WHEN w0 >= 2147483648 THEN w0 - 4294967296 ELSE w0 END)
+         |      ::INTEGER AS width,
+         |    abs(CASE WHEN h0 >= 2147483648 THEN h0 - 4294967296 ELSE h0 END)
+         |      ::INTEGER AS height,
          |    ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2)
          |     )::INTEGER AS bpp,
          |    array_to_string(list_transform(range(0, 8), i ->

@@ -28,7 +28,11 @@ import graft.operators.Bm25
   * the term: amortize it with `refreshEvery` (sidecar refreshes on
   * every K-th epoch and at every replay of one), trading bounded idf
   * staleness for K× less refresh work — Lucene's deferred global
-  * stats, made explicit.
+  * stats, made explicit. With `refreshEvery > 1` the staleness is
+  * bounded only while the stream RUNS: a stream that stops (an
+  * AvailableNow backfill, a planned shutdown) may end on unrefreshed
+  * trailing epochs — run [[finalizeIngest]] after `q.stop()` /
+  * `awaitTermination` to fold them in.
   *
   * Serving ([[startSearch]]): [[Bm25.searchAt]] per query micro-batch
   * — stride-pruned scan, epoch directories are just another partition
@@ -65,6 +69,13 @@ object LexStream {
     if (epoch % refreshEvery == 0)
       Bm25.refreshMeta(spark, indexPath, k1, b)
   }
+
+  /** Fold any unrefreshed trailing epochs into the sidecar — call
+    * after a `refreshEvery > 1` ingest stream stops. Idempotent (the
+    * refresh recomputes from the full postings tree). */
+  def finalizeIngest(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, k1: Double = 1.2, b: Double = 0.75): Unit =
+    Bm25.refreshMeta(spark, indexPath, k1, b)
 
   /** Serve a persisted BM25 index (batch OR epoch layout) per query
     * micro-batch of `queries` ((qid, qtext) rows). */
