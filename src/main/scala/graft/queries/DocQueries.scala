@@ -721,6 +721,27 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p14: overlapping token-window chunking ([[Chunk.tokenWindows]]
+    // — the RAG / sequence-prep primitive). W=32 / stride=24 sized to
+    // the 10-99-token synthetic docs; the operator guarantees full
+    // token coverage with no fully-redundant trailing chunk, and
+    // ships md5 fingerprints + offsets, never chunk text. Scale
+    // shape: one generator per doc, no join, no shuffle past the
+    // scan.
+    "p14_chunk_windows" -> ((s, dir) => {
+      graft.operators.Chunk.tokenWindows(docs(s, dir),
+          col("doc_id"), col("text"), w = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // t12: BPE merge-pair statistics ([[Bpe.mergePairs]] — tokenizer
+    // training's corpus-scale step). Scale shape: occurrences
+    // collapse to the distinct-word vocabulary BEFORE pairs explode,
+    // so a Zipf-hot word contributes its pairs once under an integer
+    // weight; deterministic top-64 (ties on pair asc).
+    "t12_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.mergePairs(docs(s, dir), col("text"), topK = 64)),
+
     // p7: n-gram-level eval contamination (the GPT-3/Llama
     // decontamination method): for each test-split doc, the fraction
     // of its distinct 5-grams that appear anywhere in the train
@@ -2118,6 +2139,40 @@ object DocQueries {
         |SELECT doc_id, n_bigrams,
         |  round(ssum::DOUBLE / 1000000 / n_bigrams, 6) AS mean_surprisal
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "p14_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    ((greatest(1, len(t) - 8) - 1) // 24) + 1 AS nc
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, t, n, nc, u.k AS chunk_id, 1 + 24 * u.k AS st
+        |  FROM b, UNNEST(range(0, nc)) AS u(k))
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(nc AS BIGINT) AS n_chunks,
+        |  CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(st AS BIGINT) AS tok_start,
+        |  CAST(least(32, n - st + 1) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(t[st:st+31], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t12_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT u.word FROM (
+        |    SELECT string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(word)
+        |  WHERE len(u.word) >= 2),
+        |wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+        |p AS (
+        |  SELECT word, freq, word[i:i+1] AS pair
+        |  FROM wc, UNNEST(range(1, len(word))) AS u(i))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 64""".stripMargin,
 
     "p8_pretrain_pipeline" -> {
       val coeffRows = (0 until 16).map { k =>
