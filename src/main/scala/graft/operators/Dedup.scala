@@ -450,6 +450,36 @@ object Dedup {
 
   /** 64-bit SimHash per document: bitwise majority over per-token
     * portable hashes (60 usable bits). Emits (id, simhash). */
+  /** Blocked edit-distance matching — the entity-resolution kernel:
+    * candidate pairs share an exact blocking key (a cheap, high-recall
+    * surrogate like a title prefix or a phonetic code chosen by the
+    * caller), and only in-block pairs pay the O(len²) levenshtein
+    * verify. Emits `(id_a, id_b, dist)` with `id_a < id_b` and
+    * `dist <= maxDist`; levenshtein's DP is pure integer arithmetic,
+    * so results are engine-exact.
+    *
+    * Scale shape: the block join is an equi-join on the key (one
+    * shuffle, never all-pairs); a hot key (an empty or boilerplate
+    * title) would make its block quadratic, so blocks above
+    * `maxBlock` rows are dropped wholesale BEFORE pairing — the d2 /
+    * d4v mega-bucket rule: bounded work, may under-report, never
+    * over-reports. */
+  def blockedEditPairs(docs: DataFrame, idCol: Column, valCol: Column,
+      blockCol: Column, maxDist: Int, maxBlock: Long): DataFrame = {
+    val t = docs.select(idCol.as("id"), valCol.as("v"),
+      blockCol.as("blk"))
+    val small = t.groupBy(col("blk")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxBlock).select(col("blk"))
+    val b = t.join(small, Seq("blk"))
+    val a = b.select(col("blk"), col("id").as("id_a"), col("v").as("va"))
+    b.select(col("blk"), col("id").as("id_b"), col("v").as("vb"))
+      .join(a, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("va"), col("vb")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   def simhash(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val tok = docs.select(
       idCol.as("id"),

@@ -417,4 +417,57 @@ object Similarity {
       .where(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): for every
+    * `left` vector, its best `right` match scored by the RATIO margin
+    * — cosine divided by the mean of the k-NN average cosines in BOTH
+    * directions — which cancels the hubness that makes raw cosine
+    * thresholds unusable across corpora. Emits one row per left
+    * vector: `(qid, vec_id, sim, margin, accepted)` with
+    * `accepted = margin >= threshold`.
+    *
+    * Determinism across engines: cosines go fixed-point
+    * (`floor(cos·1e6)` — left-to-right [[graft.functions.DotProduct]]
+    * order matches the oracle's `list_sum`) BEFORE the top-k windows,
+    * so the directional sums are exact integer sums and the margin is
+    * one double division of identical integers. Rows whose
+    * denominator is ≤ 0 (pathological all-negative neighborhoods)
+    * are dropped rather than emitting engine-dependent ±Inf.
+    *
+    * Scale shape: the pair generation here is the brute-force kernel
+    * (`left` broadcast — the query side is small by construction);
+    * at corpus scale the SAME margin arithmetic consumes any
+    * candidate generator ([[lshTopK]], [[Ivf.search]]) since it only
+    * needs each pair's fixed-point cosine and the per-side top-k
+    * sums. Both windows partition on ONE key each and
+    * WindowGroupLimit prunes them. */
+  def bitextMarginPairs(left: DataFrame, right: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val q = left.withColumn("qnorm", norm(col("qvec")))
+    val c = right.withColumn("vnorm", norm(col("embedding")))
+    val sims = c.join(broadcast(q), lit(true))
+      .select(col("qid"), col("vec_id"),
+        floor(cosineWithNorms(col("qvec"), col("embedding"),
+          col("qnorm"), col("vnorm")) * 1000000.0d).cast("long").as("s6"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("s6").desc, col("vec_id"))
+    val wb = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s6").desc, col("qid"))
+    val ranked = sims
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    val fwd = ranked.where(col("rf") <= k)
+      .groupBy(col("qid")).agg(sum(col("s6")).as("sf"))
+    val bwd = ranked.where(col("rb") <= k)
+      .groupBy(col("vec_id")).agg(sum(col("s6")).as("sb"))
+    ranked.where(col("rf") === 1)
+      .join(fwd, "qid").join(bwd, "vec_id")
+      .where(col("sf") + col("sb") > 0)
+      .select(col("qid"), col("vec_id"),
+        round(col("s6") / 1000000.0d, 6).as("sim"),
+        round((col("s6") * (2L * k)).cast("double") /
+          (col("sf") + col("sb")), 6).as("margin"))
+      .withColumn("accepted", col("margin") >= threshold)
+  }
 }

@@ -742,6 +742,49 @@ object DocQueries {
     "t12_bpe_merges" -> ((s, dir) =>
       graft.operators.Bpe.mergePairs(docs(s, dir), col("text"), topK = 64)),
 
+    // p15: margin-based bitext mining (Artetxe & Schwenk 2019) over
+    // the en→de language split ([[Similarity.bitextMarginPairs]]).
+    // Ratio margin = cos / mean(k-NN avg cos both directions), k=4;
+    // fixed-point cosines make the directional sums engine-exact.
+    // Scale shape: brute-force kernel here (query side broadcast);
+    // the margin arithmetic consumes any ANN candidate generator.
+    "p15_bitext_margin" -> ((s, dir) => {
+      val lang = docs(s, dir).select(col("doc_id"), col("lang"))
+      val e = emb(s, dir)
+        .join(lang, col("vec_id") === col("doc_id")).drop("doc_id")
+      Similarity.bitextMarginPairs(
+          e.where(col("lang") === "en")
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.where(col("lang") === "de")
+            .select(col("vec_id"), col("embedding")),
+          k = 4, threshold = 1.05)
+        .orderBy(col("qid"))
+    }),
+
+    // d12: blocked edit-distance fuzzy matching
+    // ([[Dedup.blockedEditPairs]] — the entity-resolution kernel).
+    // Corpus is by-construction contaminated (every 10th doc
+    // re-idified with title token 5 replaced, the p4/d11 injection
+    // pattern) so mutated copies land in the same first-3-token block
+    // at levenshtein ≈ 6 while the 64-word vocab contributes organic
+    // exact-title collisions at 0. Scale shape: equi-join on the
+    // block key, levenshtein only inside ≤maxBlock blocks.
+    "d12_fuzzy_pairs" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("t"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
+      val orig = d0.select(col("doc_id"),
+        array_join(slice(col("t"), 1, 8), " ").as("title"))
+      val mut = d0.where(col("doc_id") % 10 === 0).crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("_mx")).as("doc_id"),
+          array_join(concat(slice(col("t"), 1, 4), array(lit("MUTANT")),
+            slice(col("t"), 6, 3)), " ").as("title"))
+      Dedup.blockedEditPairs(orig.unionByName(mut),
+          col("doc_id"), col("title"),
+          array_join(slice(split(col("title"), " "), 1, 3), " "),
+          maxDist = 10, maxBlock = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // p7: n-gram-level eval contamination (the GPT-3/Llama
     // decontamination method): for each test-split doc, the fraction
     // of its distinct 5-grams that appear anywhere in the train
@@ -2173,6 +2216,61 @@ object DocQueries {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n,
         |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 64""".stripMargin,
+
+    "p15_bitext_margin" ->
+      """WITH l AS (SELECT doc_id, lang FROM documents),
+        |e AS (SELECT em.vec_id, em.embedding, l.lang
+        |      FROM embeddings em JOIN l ON em.vec_id = l.doc_id),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE lang = 'en'),
+        |c AS (SELECT vec_id, embedding AS ve FROM e WHERE lang = 'de'),
+        |comp AS (
+        |  SELECT q.qid, c.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+        |  FROM q, c),
+        |sims AS (
+        |  SELECT qid, vec_id,
+        |    CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 1000000) AS BIGINT) AS s6
+        |  FROM comp),
+        |rk AS (
+        |  SELECT qid, vec_id, s6,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, vec_id) AS rf,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s6 DESC, qid) AS rb
+        |  FROM sims),
+        |fa AS (SELECT qid, sum(s6) AS sf FROM rk WHERE rf <= 4 GROUP BY 1),
+        |ba AS (SELECT vec_id, sum(s6) AS sb FROM rk WHERE rb <= 4 GROUP BY 1)
+        |SELECT r.qid, r.vec_id,
+        |  round(r.s6 / 1000000.0, 6) AS sim,
+        |  round((r.s6 * 8)::DOUBLE / (f.sf + b.sb), 6) AS margin,
+        |  round((r.s6 * 8)::DOUBLE / (f.sf + b.sb), 6) >= 1.05 AS accepted
+        |FROM rk r JOIN fa f ON r.qid = f.qid JOIN ba b ON r.vec_id = b.vec_id
+        |WHERE r.rf = 1 AND f.sf + b.sb > 0
+        |ORDER BY r.qid""".stripMargin,
+
+    "d12_fuzzy_pairs" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, array_to_string(t[1:8], ' ') AS title FROM t0
+        |  UNION ALL
+        |  SELECT doc_id + mx.m,
+        |    array_to_string(t[1:4] || ['MUTANT'] || t[6:8], ' ')
+        |  FROM t0, mx WHERE doc_id % 10 = 0),
+        |tb AS (
+        |  SELECT doc_id, title,
+        |    array_to_string(string_split(title, ' ')[1:3], ' ') AS blk
+        |  FROM base),
+        |ok AS (SELECT blk FROM tb GROUP BY blk HAVING count(*) <= 100),
+        |f AS (SELECT tb.* FROM tb JOIN ok USING (blk))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "p8_pretrain_pipeline" -> {
       val coeffRows = (0 until 16).map { k =>
