@@ -23,6 +23,17 @@ object Bench {
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence the ~278 "No Partition Defined for Window operation"
+    // warnings: every global window in the repo is provably bounded
+    // (Rank's distributed-rank merge, Pack's bucket bases,
+    // TpchQueries' single-row totals — all metadata-sized inputs by
+    // construction), and in round 5/6 the warning volume pushed the
+    // final JSON line past the driver's captured log tail, leaving
+    // "parsed": null artifacts. Scoped to the window package, not
+    // a global level change.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     // full-plan materialization: toRdd executes the physical plan
     // as-is — count() would wrap it in an Aggregate whose column
@@ -33,7 +44,11 @@ object Bench {
       df.queryExecution.toRdd.count()
 
     val warmDir = "/root/testdata/sf0.001"
-    val benched = SparkEntry.queries - "d3_ngram_jaccard"
+    // optional args: bench only these query names (iteration aid; the
+    // driver passes none and benches the full headline set)
+    val only = args.toSet
+    val benched = (SparkEntry.queries - "d3_ngram_jaccard")
+      .filter { case (name, _) => only.isEmpty || only(name) }
     benched.foreach { case (_, fn) =>
       try runFully(fn(spark, warmDir)) catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
@@ -123,7 +138,17 @@ object Bench {
     val errJson =
       if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
     val total = results.values.map(minOf).collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$stealJson$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$stealJson$errJson,"sf":"$sfDir"}"""
+    // the artifact must survive log-tail truncation (BENCH_r05/r06 both
+    // came back "parsed": null): persist the line as a file in cwd
+    // BEFORE printing it
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -18,6 +18,11 @@ object Verify {
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the repo's global windows are all provably bounded (see Bench);
+    // the per-window warnings only bury the [verify] progress lines
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // ADS-B oracle base: the sessionizer output + raw fixture + dims,
     // dumped as parquet so the adsb_* oracle SQL (which reads them via
@@ -34,6 +39,7 @@ object Verify {
     }
     // Optional extra args: run only these query names (iteration aid;
     // the driver passes none and gets the full dump).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -50,7 +56,22 @@ object Verify {
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A throwing query must stay VISIBLE in the round artifact: a
+        // skipped dump would silently vanish from the driver's compare
+        // (round 6 read "82/82 pass" while 25 queries errored). Write a
+        // one-row `_error` result — guaranteed schema+row mismatch, so
+        // the query shows up RED instead of absent — plus a sidecar.
+        val msg = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(500)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${e2.getMessage}")
+        }
       } finally spark.catalog.clearCache() // per-query caches don't leak
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -70,6 +91,14 @@ object Verify {
         s"${q(k)}: ${q(v.replace("__BASE__", oracleBase))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure sidecar ({} on a clean run) — the belt
+    // to the `_error` markers' suspenders.
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -53,17 +53,20 @@ object Ivf {
       entry: (Int, Array[Float], Double)): Column =
     dotF(vec, typedlit(entry._2)) / (vn * lit(entry._3))
 
-  /** Map-side argmax centroid id: greatest over (csim, -cid) structs =
-    * max csim, ties to the smallest cid (matching the old
-    * row_number(csim desc, cid asc) exactly). */
-  private def argmaxCid(vec: Column, vn: Column,
-      codebook: Array[(Int, Array[Float], Double)]): Column = {
-    val cands = codebook.map { e =>
-      struct(csimExpr(vec, vn, e).as("csim"), lit(-e._1).as("ncid"))
-    }
-    if (cands.length == 1) lit(codebook.head._1).cast("int")
-    else (-greatest(cands.toSeq: _*).getField("ncid")).cast("int")
-  }
+  /** Map-side argmax centroid id: max csim, ties to the smallest cid
+    * (matching the old row_number(csim desc, cid asc) exactly), NaN
+    * csim counts as the maximum (degenerate zero-norm vectors — the
+    * rule the old greatest() chain applied). One
+    * [[graft.functions.CodebookArgMax]] loop over the codebook held as
+    * a reference object: O(1) generated code in k, so the assign
+    * projection stays inside whole-stage codegen (the old
+    * greatest-over-k-struct chain blew janino's 64 KB method limit at
+    * k=16 inside fused scan stages and silently ran interpreted —
+    * VERDICT r6 #2). Arithmetic is the identical double sequence
+    * (dot / (‖v‖ · ‖c‖)), so assignments are bit-for-bit unchanged. */
+  private def argmaxCid(vec: Column,
+      codebook: Array[(Int, Array[Float], Double)]): Column =
+    graft.functions.Codebook.argMaxCosine(vec, codebook)
 
   /** Assign each (id, vec) row to its max-cosine centroid — a single
     * narrow projection, no shuffle. Empty codebook (empty corpus) ⇒
@@ -74,8 +77,7 @@ object Ivf {
       vectors.where(lit(false)).withColumn("cid", lit(0))
         .select(col("id"), col("vec"), col("cid"))
     else vectors
-      .withColumn("_vn", sqrt(dotF(col("vec"), col("vec"))))
-      .withColumn("cid", argmaxCid(col("vec"), col("_vn"), codebook))
+      .withColumn("cid", argmaxCid(col("vec"), codebook))
       .select(col("id"), col("vec"), col("cid"))
 
   /** Mean vector per cluster via posexplode — no vector UDAF needed.

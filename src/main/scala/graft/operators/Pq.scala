@@ -49,17 +49,15 @@ object Pq {
   }
 
   /** argmin_c ||v − c||² as the codegen-friendly
-    * argmax_c (v·c − ||c||²/2) over codeword literals; ties → smallest
-    * code (greatest over (score, −code) structs, as in Ivf). */
+    * argmax_c (v·c − ||c||²/2); ties → smallest code. One
+    * [[graft.functions.CodebookArgMax]] expression looping a codebook
+    * reference object — O(1) generated code in k, so the m-expression
+    * encode projection stays inside whole-stage codegen (the old
+    * greatest-over-k-literal-structs chain blew janino's 64 KB method
+    * limit and dropped the stage to interpreted eval, VERDICT r6 #2). */
   private[operators] def argminCode(subvec: Column,
-      codebook: Array[(Int, Array[Float], Double)]): Column = {
-    val cands = codebook.map { case (code, cv, hn2) =>
-      struct((dotF(subvec, typedlit(cv)) - lit(hn2)).as("score"),
-        lit(-code).as("ncode"))
-    }
-    if (cands.length == 1) lit(codebook.head._1)
-    else (-greatest(cands.toSeq: _*).getField("ncode")).cast("int")
-  }
+      codebook: Array[(Int, Array[Float], Double)]): Column =
+    graft.functions.Codebook.argMinL2(subvec, codebook)
 
   private[operators] def subvec(vec: Column, j: Int, dsub: Int): Column =
     slice(vec, j * dsub + 1, dsub)
@@ -245,14 +243,17 @@ object Pq {
   }
 
   /** Per-query LUT columns `_lut0.._lut{m-1}`: LUTⱼ[c] = qⱼ·codewordⱼ,c
-    * — computed once per (broadcast) query row. Shared with [[IvfPq]]. */
+    * — computed once per (broadcast) query row, each as ONE
+    * [[graft.functions.CodebookDots]] loop over the subspace codebook
+    * (O(1) generated code in k; the old k-literal `array(dotF…)` build
+    * was the expression the 64 KB janino blowup was first observed on).
+    * Shared with [[IvfPq]]. */
   private[operators] def lutCols(qvec: Column,
       codebooks: IndexedSeq[Array[(Int, Array[Float], Double)]],
       dsub: Int): Seq[Column] =
     codebooks.indices.map { j =>
-      array(codebooks(j).map { case (_, cv, _) =>
-        dotF(subvec(qvec, j, dsub), typedlit(cv))
-      }: _*).as(s"_lut$j")
+      graft.functions.Codebook.dots(subvec(qvec, j, dsub),
+        codebooks(j).map(_._2)).as(s"_lut$j")
     }
 
   /** ADC score over the `_lut*` columns and a candidate's `codes`:

@@ -54,12 +54,11 @@ object DocQueries {
     * p8), so n/bands/threshold can never drift between a proven
     * stage and the composites built on it. */
   private def verifiedPairs(d: DataFrame): DataFrame = {
-    // lazy localCheckpoint, not cache: the shared shingle scan is
-    // materialized once for both stages and reclaimed by the
-    // ContextCleaner when the query's references drop — no
-    // cache-catalog entry survives the query (verdict ask #6)
-    val sh = Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3)
-      .localCheckpoint(false)
+    // shared via Dedup.share (mode-gated cache/checkpoint/none — see
+    // its scaladoc for the measured trade): the shingle scan feeds
+    // both the candidate and the verify stage exactly once
+    val sh = Dedup.share(
+      Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3))
     Dedup.jaccardVerifyFromShingles(sh,
       Dedup.minhashCandidatesFromShingles(sh, numHashes = 16, bands = 4),
       threshold = 0.2)

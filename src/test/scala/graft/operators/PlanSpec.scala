@@ -90,6 +90,25 @@ class PlanSpec extends SparkSpec {
     assert(plan("s4_pq_topk").contains("WindowGroupLimit"))
   }
 
+  test("PQ ADC expressions plan inside whole-stage codegen spans") {
+    // VERDICT r6 #2: the old k-literal LUT/argmin chains blew janino's
+    // 64 KB limit and the ADC stage silently ran interpreted. The
+    // codebook-loop expressions must appear, and every plan line
+    // carrying one must sit in a codegen'd (`*(n)`) operator.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("s4_pq_topk", "s6_ivfpq_topk")) {
+        val p = plan(q)
+        assert(p.contains("codebook_"), s"$q lost the codebook exprs:\n$p")
+        val bad = p.linesIterator
+          .filter(_.contains("codebook_")).filterNot(_.contains("*("))
+          .toList
+        assert(bad.isEmpty,
+          s"$q codebook exprs outside codegen:\n${bad.mkString("\n")}")
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("t10 heavy hitters plans a parallel top-k, not a global sort") {
     assert(plan("t10_heavy_hitters").contains("TakeOrderedAndProject"))
   }
