@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Bm25, Dedup, Ivf, IvfPq, Pack, Pq, Similarity}
+import graft.operators.{Bm25, Dedup, Ivf, IvfPq, Mixture, Mmr, Pack, Pq, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -1037,6 +1037,71 @@ object DocQueries {
             .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
         .where(col("rank") <= 5)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // p16: temperature-T=2 language resampling (mT5 §3.1) — the
+    // mixture policy between p6's fixed integer ratios and natural
+    // frequency: expected kept share ∝ sqrt(p_lang), low-resource
+    // languages upweighted. sqrt and division are IEEE
+    // correctly-rounded (unlike pow, ~1 ulp), so the per-language
+    // floor(1e6·rate) thresholds — hence the hash-draw keep set — are
+    // bit-exact across engines; the operator special-cases T=2 onto
+    // sqrt for exactly this reason.
+    "p16_temperature_mix" -> ((s, dir) =>
+      Mixture.temperatureSample(docs(s, dir), col("lang"),
+          graft.functions.PortableHash.phash(col("text"), 31))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // p17: leakage-safe split assignment — d7's near-dup clusters
+    // pinned to ONE split by hashing the cluster ROOT (min-label),
+    // not the member doc: a train/test boundary can never cut through
+    // a duplicate cluster (the contamination p4 detects after the
+    // fact, prevented structurally here). Unclustered docs root at
+    // themselves; 80/10/10 over the portable root hash. Composes the
+    // proven d7 components + p2 split mechanics unchanged.
+    "p17_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+          verifiedPairs(d).select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+      val rootHash = graft.functions.PortableHash.phash(
+        col("group_id").cast("string"), 13)
+      d.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id"))
+        .withColumn("split",
+          when(rootHash % 100 < 80, "train")
+            .when(rootHash % 100 < 90, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // s10: MMR-diversified retrieval — greedy λ=0.5 maximal marginal
+    // relevance over the s1 cosine top-10, selecting 5: retrieved
+    // training-context batches stay diverse instead of collapsing
+    // onto near-dups (the retrieval-side complement of d5/s7). The
+    // oracle replays the greedy selection as a DuckDB recursive CTE
+    // over the identical rounded similarity tables — selection order,
+    // ties and marginal scores check bit-for-bit.
+    "s10_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = Similarity.bruteForceTopK(q, e, k = 10)
+        .select(col("qid"), col("vec_id"), col("sim"))
+      val cv = cands.select(col("qid"), col("vec_id"))
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .withColumn("_n", Similarity.norm(col("embedding")))
+      val ps = cv.as("a").join(cv.as("b"),
+          col("a.qid") === col("b.qid") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.qid").as("qid"), col("a.vec_id").as("id_a"),
+          col("b.vec_id").as("id_b"),
+          round(Similarity.cosineWithNorms(col("a.embedding"),
+            col("b.embedding"), col("a._n"), col("b._n")), 5).as("psim"))
+      Mmr.rerank(cands, ps, selectK = 5, lambda = 0.5)
     })
   )
 
@@ -2544,6 +2609,139 @@ object DocQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS rank
         |  FROM dots)
         |SELECT qid, vec_id, qdot, rank FROM ranked
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "p16_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |t AS (SELECT lang,
+        |  CAST(floor(1000000.0 * sqrt(CAST(nmin AS DOUBLE) / n)) AS BIGINT) AS thresh
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t USING (lang)
+        |WHERE ${dkHash("text", "31")} % 1000000 < thresh
+        |ORDER BY doc_id""".stripMargin,
+
+    "p17_leakage_safe_split" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      val rootHash =
+        dkHash("CAST(coalesce(cl.group_id, d.doc_id) AS VARCHAR)", "13")
+      s"""WITH RECURSIVE $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM co
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(cl.group_id, d.doc_id) AS group_id,
+        |  CASE WHEN $rootHash % 100 < 80 THEN 'train'
+        |       WHEN $rootHash % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN cl USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "s10_mmr_rerank" -> {
+      // the marginal score, recomputed per candidate row `v` against
+      // the selected list `r.sel` (λ=0.5; sims are the 5-digit-rounded
+      // tables, so the doubles are bit-identical to Spark's)
+      def mscore(v: String) =
+        s"(0.5 * $v.sim - 0.5 * list_max(list_transform(r.sel, " +
+          s"s -> $v.psl[list_position($v.idl, s)])))"
+      s"""WITH RECURSIVE q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |pairs0 AS (
+        |  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ve
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |comp AS (
+        |  SELECT qid, vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+        |  FROM pairs0),
+        |sims AS (SELECT qid, vec_id, round(dot / (sqrt(nq) * sqrt(nv)), 5) AS sim FROM comp),
+        |cand AS (
+        |  SELECT qid, vec_id, sim FROM (
+        |    SELECT qid, vec_id, sim,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |    FROM sims) WHERE rank <= 10),
+        |ce AS (
+        |  SELECT c.qid, c.vec_id, c.sim, e.embedding AS ve
+        |  FROM cand c JOIN embeddings e USING (vec_id)),
+        |pp AS (
+        |  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.ve[i] AS DOUBLE) * CAST(b.ve[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(a.ve[i] AS DOUBLE) * CAST(a.ve[i] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(b.ve[i] AS DOUBLE) * CAST(b.ve[i] AS DOUBLE)))))
+        |      , 5) AS ps
+        |  FROM ce a JOIN ce b ON a.qid = b.qid),
+        |ids AS (SELECT qid, list(vec_id ORDER BY vec_id) AS idl FROM cand GROUP BY qid),
+        |pm AS (SELECT qid, ia AS vec_id, list(ps ORDER BY ib) AS psl FROM pp GROUP BY qid, ia),
+        |cc AS (
+        |  SELECT c.qid, c.vec_id, c.sim, pm.psl, ids.idl
+        |  FROM cand c JOIN pm USING (qid, vec_id) JOIN ids USING (qid)),
+        |rec(qid, it, sel, pick, score) AS (
+        |  SELECT qid, 1, [vec_id], vec_id, sim FROM (
+        |    SELECT qid, vec_id, sim,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        |    FROM cand) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.qid, r.it + 1, list_append(r.sel, c.vec_id), c.vec_id,
+        |    ${mscore("c")}
+        |  FROM rec r JOIN cc c
+        |    ON c.qid = r.qid AND NOT list_contains(r.sel, c.vec_id)
+        |  WHERE r.it < 5 AND NOT EXISTS (
+        |    SELECT 1 FROM cc c2
+        |    WHERE c2.qid = r.qid AND NOT list_contains(r.sel, c2.vec_id)
+        |      AND (${mscore("c2")} > ${mscore("c")}
+        |        OR (${mscore("c2")} = ${mscore("c")}
+        |          AND c2.vec_id < c.vec_id))))
+        |SELECT qid, pick AS vec_id, CAST(it AS BIGINT) AS mmr_rank,
+        |  round(score, 6) AS mmr_score
+        |FROM rec ORDER BY qid, mmr_rank""".stripMargin
+    }
   )
 }
