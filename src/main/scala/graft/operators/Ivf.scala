@@ -46,13 +46,6 @@ object Ivf {
     math.sqrt(s)
   }
 
-  /** Per-row cosine of `vec` (with precomputed norm column `vn`)
-    * against one codebook centroid — a literal-array dot product that
-    * stays in whole-stage codegen. */
-  private def csimExpr(vec: Column, vn: Column,
-      entry: (Int, Array[Float], Double)): Column =
-    dotF(vec, typedlit(entry._2)) / (vn * lit(entry._3))
-
   /** Map-side argmax centroid id: max csim, ties to the smallest cid
     * (matching the old row_number(csim desc, cid asc) exactly), NaN
     * csim counts as the maximum (degenerate zero-norm vectors — the
@@ -155,20 +148,33 @@ object Ivf {
   }
 
   /** (qid, qvec, cid) probe rows: each query paired with its `nProbe`
-    * nearest centroid ids — a per-row sorted slice over codebook
-    * literals (no join, no window). */
+    * nearest centroid ids — a per-row sorted slice (no join, no
+    * window). The k query·centroid dots come from ONE
+    * [[graft.functions.CodebookDots]] loop (O(1) generated code in k —
+    * the literal-struct chain this replaces was the [[Pq]]/assign
+    * 64 KB janino risk on the query side, VERDICT r6 #2); the
+    * normalize/sort/slice over the resulting k-length array are
+    * higher-order functions, also O(1) in code size, and run on the
+    * (small) query side only. */
   private[operators] def probeRows(queries: DataFrame,
       codebook: Array[(Int, Array[Float], Double)], nProbe: Int): DataFrame = {
     // array_sort ascending over (-csim, cid) = csim desc, cid asc —
     // the same probe order as a csim-desc ranking. NaN csim (a
     // degenerate zero-norm centroid) maps to -∞ so it still sorts
-    // FIRST, matching how assign()'s greatest() treats NaN as the
-    // maximum — probe order and assignment stay consistent.
-    val ranked = array_sort(array(codebook.map { e =>
-      val c = csimExpr(col("qvec"), col("_qn"), e)
-      struct(when(isnan(c), lit(Double.NegativeInfinity)).otherwise(-c)
-        .as("nsim"), lit(e._1).as("cid"))
-    }.toSeq: _*))
+    // FIRST, matching how assign() treats NaN as the maximum — probe
+    // order and assignment stay consistent. csim arithmetic is the
+    // identical double sequence (dot / (_qn · ‖c‖)) as before.
+    val norms = typedlit(codebook.map(_._3).toSeq)
+    val cids = typedlit(codebook.map(_._1).toSeq)
+    val dots = graft.functions.Codebook.dots(col("qvec"),
+      codebook.map(_._2))
+    val ranked = array_sort(zip_with(
+      zip_with(dots, norms, (d, n) => {
+        val c = d / (col("_qn") * n)
+        when(isnan(c), lit(Double.NegativeInfinity)).otherwise(-c)
+      }),
+      cids,
+      (nsim, cid) => struct(nsim.as("nsim"), cid.as("cid"))))
     queries
       .withColumn("_qn", sqrt(dotF(col("qvec"), col("qvec"))))
       .select(col("qid"), col("qvec"),

@@ -114,4 +114,25 @@ class CodebookSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("k=256 IVF assign + probe compile under codegen (no 64KB fallback)") {
+    // same pin for the coarse-quantizer side: the assign argmax and
+    // the probeRows dots/sort query-side projection must stay O(1) in
+    // generated code at a 256-centroid codebook
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val corpus = vecs(400, 64)
+      val idx = graft.operators.Ivf.build(corpus, col("id"), col("vec"),
+        k = 256, iters = 1)
+      val queries = vecs(3, 64).select(col("id").as("qid"),
+        col("vec").as("qvec"))
+      val out = graft.operators.Ivf.search(idx, queries, topK = 5,
+        nProbe = 8)
+      assert(out.groupBy(col("qid")).count().count() === 3)
+      idx.assigned.unpersist(blocking = false)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.catalog.clearCache()
+    }
+  }
 }

