@@ -686,6 +686,51 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d13: the REMOVAL half of Lee et al. exact-substring dedup (d11
+    // is the report): every token covered by a duplicated 20-token
+    // window is stripped and the survivors rejoin — the aggressive
+    // remove-every-occurrence variant (keep-one-copy semantics live
+    // in d7/d8's cluster canonicals). Same contaminated corpus and
+    // dup-window derivation as d11, so the two queries adjudicate the
+    // same spans. Scale shape: the rewrite is MAP-SIDE — only the
+    // per-doc covered-position sets (bounded by dup-window count, not
+    // corpus size) aggregate and join back; the text itself never
+    // shuffles, and the index-aware filter HOF costs O(tokens·|cov|)
+    // per doc (bounded by doc length²; a token-explode anti-join is
+    // the constant-work-per-token alternative when docs are huge —
+    // it shuffles every token once).
+    "d13_substring_removal" -> ((s, dir) => {
+      val w = 20
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
+      val d = d0.unionByName(
+        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
+      val t = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val wins = t.where(size(col("t")) >= w)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), size(col("t")) - (w - 1)),
+            i => md5(array_join(slice(col("t"), i, lit(w)), " ")))))
+        .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+      val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select(col("h"))
+      val covA = wins.join(dupH, Seq("h"))
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (w - 1))).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("p"))).as("cov"))
+      t.join(covA, Seq("doc_id"), "left")
+        .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(col("t")) - size(col("cov"))).cast("long").as("n_kept"),
+          array_join(filter(col("t"),
+            (tok, i) => !array_contains(col("cov"), i + 1)), " ")
+            .as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t11: self-trained add-one-smoothed bigram LM surprisal — the
     // CCNet-style "perplexity against an LM" quality score, one model
     // class up from t9's unigram. Same scale shape: per-doc bigram
@@ -2216,6 +2261,33 @@ object DocQueries {
         |FROM toks t
         |LEFT JOIN cnt c ON t.doc_id = c.doc_id
         |LEFT JOIN cover v ON t.doc_id = v.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "d13_substring_removal" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + mx.m, text FROM documents, mx WHERE doc_id % 5 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+        |wins AS (
+        |  SELECT doc_id, i AS start,
+        |    md5(array_to_string(t[i:i+19], ' ')) AS h
+        |  FROM toks, UNNEST(range(1, len(t) - 18)) AS u(i)
+        |  WHERE len(t) >= 20),
+        |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+        |dup AS (SELECT w.doc_id, w.start FROM wins w JOIN duph USING (h)),
+        |cov AS (
+        |  SELECT doc_id, list_sort(list(DISTINCT u.p)) AS cov
+        |  FROM dup, UNNEST(range(start, start + 20)) AS u(p)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - coalesce(len(c.cov), 0) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(list_filter(t.t,
+        |    (x, i) -> NOT list_contains(coalesce(c.cov, []), i)), ' '), '')
+        |    AS clean_text
+        |FROM toks t LEFT JOIN cov c USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
     "t11_bigram_surprisal" ->
