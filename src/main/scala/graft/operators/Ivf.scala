@@ -239,6 +239,24 @@ object Ivf {
       .parquet(quantizerPath(path))
   }
 
+  /** [[persist]] with PAYLOAD columns co-located in the inverted
+    * lists: `payload` = (id, metadata...) joins the assignment by id
+    * once at write time, so each cluster directory carries its
+    * members' metadata alongside their vectors. This is what makes
+    * FILTERED ANN a scan-time operation ([[searchPersisted]]'s
+    * `corpusFilter`): the predicate evaluates inside the probed
+    * clusters' parquet scan — simple comparisons reach the reader as
+    * pushed filters for row-group pruning — instead of as a
+    * recall-losing post-filter over an unfiltered top-k, and without
+    * any corpus-wide metadata join at query time. */
+  def persistWithPayload(index: Index, payload: DataFrame,
+      path: String): Unit = {
+    index.assigned.join(payload, Seq("id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    index.centroids.write.mode("overwrite")
+      .parquet(quantizerPath(path))
+  }
+
   /** Append a new vector batch to a [[persist]]ed index WITHOUT
     * retraining: the batch is assigned with the EXISTING quantizer
     * (one map-side scan over the batch) and its rows land as new
@@ -274,20 +292,28 @@ object Ivf {
     * index comes from `path`. */
   def searchAt(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, topK: Int, nProbe: Int = 2,
-      roundDigits: Int = 5): DataFrame =
+      roundDigits: Int = 5, corpusFilter: Column = lit(true)): DataFrame =
     searchPersisted(spark, path, loadCodebook(spark, path),
-      queries, topK, nProbe, roundDigits)
+      queries, topK, nProbe, roundDigits, corpusFilter)
 
   /** Search a [[persist]]ed index. The distinct probed cluster ids
     * (≤ k values — index metadata, same size class as the codebook)
     * become a static `cid IN (...)` partition filter, so the scan
     * reads ONLY the probed cluster directories; scoring then proceeds
     * as in [[search]]. `IvfPersistSpec` pins both the pruned-scan
-    * plan shape and result parity with the in-memory search. */
+    * plan shape and result parity with the in-memory search.
+    *
+    * `corpusFilter` is the FILTERED-ANN predicate (over payload
+    * columns written by [[persistWithPayload]], or over `id`): it
+    * applies to the probed clusters' scan BEFORE scoring — ineligible
+    * vectors never reach the similarity math and the top-k is exact
+    * over the eligible subset (pre-filtering, not the recall-losing
+    * oversample-then-post-filter shape), and simple predicates push
+    * down to the parquet reader (spec-pinned). */
   def searchPersisted(spark: org.apache.spark.sql.SparkSession,
       path: String, codebook: Array[(Int, Array[Float], Double)],
       queries: DataFrame, topK: Int, nProbe: Int = 2,
-      roundDigits: Int = 5): DataFrame = {
+      roundDigits: Int = 5, corpusFilter: Column = lit(true)): DataFrame = {
     if (codebook.isEmpty) return emptyResult(queries)
     // probeRows is a cheap projection over the (small) query side —
     // recomputing it for the cid collect beats leaking a cache entry
@@ -300,6 +326,7 @@ object Ivf {
     val assigned = IndexMaintenance.filterTombstones(spark, path,
       spark.read.parquet(path)
         .where(col("cid").isin(probedCids.map(Int.box): _*))
+        .where(corpusFilter)
         .select(col("id"), col("vec"), col("cid")))
     scoreProbed(assigned, probes, topK, roundDigits)
   }

@@ -216,6 +216,22 @@ object DocQueries {
       Ivf.searchAt(s, mainIndexPath(s, dir), q, topK = 5, nProbe = 4)
     }),
 
+    // s11: FILTERED ANN — the metadata-predicate search a retrieval
+    // layer serves constantly ("nearest English docs", "same shard",
+    // "newer than"). The label payload rides IN the inverted lists
+    // (Ivf.persistWithPayload), so the predicate evaluates inside the
+    // probed clusters' parquet scan as a pushed filter — the top-k is
+    // exact over the eligible subset (pre-filtering), not the
+    // recall-losing oversample-then-post-filter shape, and there is
+    // no corpus-wide metadata join at query time.
+    "s11_filtered_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ivf.searchAt(s, filteredIndexPath(s, dir), q, topK = 5, nProbe = 4,
+        corpusFilter = col("label") < 3)
+    }),
+
     // s6: IVF×PQ composed — coarse pruning over compressed codes plus
     // exact re-rank, the production ANN shape (rows-only like s2/s4;
     // IvfPqSpec pins PQ-parity when unpruned, recall, and the
@@ -1269,6 +1285,13 @@ object DocQueries {
     w(spark.read.parquet(app).select(col("id"), col("vec"), col("cid")),
       "ivf_append")
     w(Ivf.probes(Ivf.loadCodebook(spark, app), q, 4), "ivf_append_probes")
+    // s11: the payload-carrying index — label rides in the dump so the
+    // oracle applies the same pre-filter the scan does.
+    val flt = filteredIndexPath(spark, sfDir)
+    w(spark.read.parquet(flt)
+      .select(col("id"), col("vec"), col("cid"), col("label")),
+      "ivf_filtered")
+    w(Ivf.probes(Ivf.loadCodebook(spark, flt), q, 4), "ivf_filtered_probes")
     // s4/s5: the memoized persisted PQ index — the exact files the
     // queries serve from.
     val pqp = pqIndexPath(spark, sfDir)
@@ -1322,6 +1345,18 @@ object DocQueries {
       index.coded.unpersist(blocking = false)
     }
 
+  /** The memoized payload-carrying IVF index (s11's filtered search):
+    * the same deterministic quantizer as s2p's, persisted with the
+    * `label` metadata column co-located in the inverted lists. */
+  private def filteredIndexPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"s11|$dir") { p =>
+      val e = emb(s, dir)
+      val index = Ivf.build(e, col("vec_id"), col("embedding"), k = 16)
+      Ivf.persistWithPayload(index,
+        e.select(col("vec_id").as("id"), col("label")), p)
+      index.assigned.unpersist(blocking = false)
+    }
+
   /** The memoized half-built-half-appended index (s2a's lifecycle). */
   private def appendIndexPath(s: SparkSession, dir: String): String =
     persistedIndex(s, s"s2a|$dir") { p =>
@@ -1339,12 +1374,13 @@ object DocQueries {
   /** Pruned IVF cosine top-5 recomputed in SQL from an assignment +
     * probe dump — the s1 oracle's arithmetic restricted to the probe
     * join (ascending-index accumulation matches the codegen'd dot). */
-  private def ivfTopkSql(assigned: String, probes: String): String =
-    s"""WITH a AS (SELECT id, vec, cid FROM ${tbl(assigned)}),
+  private def ivfTopkSql(assigned: String, probes: String,
+      extraCols: String = "", extraWhere: String = ""): String =
+    s"""WITH a AS (SELECT id, vec, cid$extraCols FROM ${tbl(assigned)}),
        |p AS (SELECT qid, qvec, cid FROM ${tbl(probes)}),
        |pairs AS (
        |  SELECT p.qid, a.id AS vec_id, p.qvec AS qe, a.vec AS ve
-       |  FROM a JOIN p USING (cid) WHERE a.id <> p.qid),
+       |  FROM a JOIN p USING (cid) WHERE a.id <> p.qid$extraWhere),
        |comp AS (
        |  SELECT qid, vec_id,
        |    list_sum(list_transform(range(1, 65),
@@ -1432,6 +1468,8 @@ object DocQueries {
     // SQL; the Lloyd training behind the dump stays spec-pinned.
     "s2_ivf_topk" -> ivfTopkSql("ivf_main", "ivf_main_probes"),
     "s2p_ivf_persisted" -> ivfTopkSql("ivf_main", "ivf_main_probes"),
+    "s11_filtered_ivf" -> ivfTopkSql("ivf_filtered", "ivf_filtered_probes",
+      ", label", " AND a.label < 3"),
     "s2a_ivf_append" -> ivfTopkSql("ivf_append", "ivf_append_probes"),
 
     // ADC recomputed in SQL from the dumped codes + codebooks: s4 is

@@ -37,6 +37,35 @@ class IvfPersistSpec extends SparkSpec {
     assert(at.collect().toSeq === mem.collect().toSeq)
   }
 
+  test("filtered search: predicate respected, pushed to the scan, payload inert") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-filtered")
+      .resolve("index").toString
+    Ivf.persistWithPayload(index,
+      emb.select(col("vec_id").as("id"), col("label")), dir)
+    val filtered = Ivf.searchAt(spark, dir, queries, topK = 5, nProbe = 3,
+      corpusFilter = col("label") < 3)
+    // 1. every hit satisfies the predicate (pre-filter, so no
+    //    ineligible vector can outrank an eligible one either)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val bad = filtered.join(labels, Seq("vec_id"))
+      .where(col("label") >= 3).count()
+    assert(bad === 0L)
+    assert(filtered.count() > 0L)
+    // 2. the predicate reaches the parquet reader as a pushed filter
+    val plan = Ivf.searchPersisted(spark, dir, index.codebook,
+      queries.where(col("qid") === 0), topK = 5, nProbe = 2,
+      corpusFilter = col("label") < 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,3)"),
+      s"label predicate not pushed:\n$plan")
+    // 3. the payload column is inert: an unfiltered search over the
+    //    payload-carrying index equals the plain persisted search
+    val unfiltered = Ivf.searchAt(spark, dir, queries, topK = 5, nProbe = 3)
+    val mem = Ivf.search(index, queries, topK = 5, nProbe = 3)
+    assert(unfiltered.collect().toSeq === mem.collect().toSeq)
+  }
+
   test("probe filter prunes the partitioned scan to probed clusters") {
     val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf-persist2")
