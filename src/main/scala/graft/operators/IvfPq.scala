@@ -135,8 +135,26 @@ object IvfPq {
     * `__quantizer` sidecar, so the persisted index is self-contained:
     * [[loadIndex]]/[[searchAt]] serve it in a fresh session with no
     * driver-held handle. */
+  /** [[persist]] with payload metadata co-located in the coded
+    * inverted lists — [[Ivf.persistWithPayload]] for the compressed
+    * path: `payload` = (id, metadata...) joins the codes by id once
+    * at write time, enabling [[searchPersisted]]'s `corpusFilter`
+    * pre-filter to evaluate inside the probed clusters' scan of the
+    * 8–16-byte code rows (filtered ANN over compressed storage — the
+    * predicate prunes BEFORE any ADC arithmetic). */
+  def persistWithPayload(index: Index, payload: DataFrame,
+      path: String): Unit = {
+    index.coded.join(payload, Seq("id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeQuantizers(index, path)
+  }
+
   def persist(index: Index, path: String): Unit = {
     index.coded.write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeQuantizers(index, path)
+  }
+
+  private def writeQuantizers(index: Index, path: String): Unit = {
     val spark = index.coded.sparkSession
     import spark.implicits._
     val rows =
@@ -208,9 +226,10 @@ object IvfPq {
   /** [[searchPersisted]] with the quantizers loaded from the sidecar —
     * the fresh-session entry point, as [[Ivf.searchAt]]. */
   def searchAt(spark: SparkSession, path: String, queries: DataFrame,
-      topK: Int, nProbe: Int = 2, roundDigits: Int = 5): DataFrame =
+      topK: Int, nProbe: Int = 2, roundDigits: Int = 5,
+      corpusFilter: Column = lit(true)): DataFrame =
     searchPersisted(spark, path, loadIndex(spark, path),
-      queries, topK, nProbe, roundDigits)
+      queries, topK, nProbe, roundDigits, corpusFilter)
 
   /** Search a [[persist]]ed index: the distinct probed cluster ids
     * become a static `cid IN (...)` partition filter — the scan reads
@@ -220,17 +239,22 @@ object IvfPq {
     * touched. */
   def searchPersisted(spark: SparkSession, path: String, index: Index,
       queries: DataFrame, topK: Int, nProbe: Int = 2,
-      roundDigits: Int = 5): DataFrame = {
+      roundDigits: Int = 5,
+      corpusFilter: Column = lit(true)): DataFrame = {
     if (index.coarse.isEmpty || index.codebooks.head.isEmpty)
       return emptyResult(queries)
     val probes = Ivf.probeRows(queries, index.coarse, nProbe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0))
     // tombstone-aware, as Ivf.searchPersisted — this also covers the
-    // AnnStream serving tier, which searches through here per batch
+    // AnnStream serving tier, which searches through here per batch.
+    // corpusFilter = the filtered-ANN pre-filter over payload columns
+    // written by persistWithPayload: evaluates in the pruned scan,
+    // BEFORE any ADC arithmetic (Ivf.searchPersisted's contract).
     val coded = IndexMaintenance.filterTombstones(spark, path,
       spark.read.parquet(path)
         .where(col("cid").isin(probedCids.map(Int.box): _*))
+        .where(corpusFilter)
         .select(col("id"), col("cid"), col("codes")))
     scoreProbedAdc(coded, probes, index.codebooks,
       index.m, index.dsub, topK, roundDigits)

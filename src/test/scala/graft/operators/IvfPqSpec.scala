@@ -89,4 +89,32 @@ class IvfPqSpec extends SparkSpec {
     assert(index.coded.count() === 0)
     assert(IvfPq.search(index, queries, topK = 5).count() === 0)
   }
+
+  test("filtered compressed search: predicate respected, pushed, payload inert") {
+    val index = IvfPq.build(emb, col("vec_id"), col("embedding"),
+      dim = 64, kCoarse = 8, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-filtered")
+      .resolve("index").toString
+    IvfPq.persistWithPayload(index,
+      emb.select(col("vec_id").as("id"), col("label")), dir)
+    val filtered = IvfPq.searchAt(spark, dir, queries, topK = 5,
+      nProbe = 4, corpusFilter = col("label") < 3)
+    val bad = filtered
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .where(col("label") >= 3).count()
+    assert(bad === 0L)
+    assert(filtered.count() > 0L)
+    val plan = IvfPq.searchAt(spark, dir,
+      queries.where(col("qid") === 0), topK = 5, nProbe = 2,
+      corpusFilter = col("label") < 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,3)"),
+      s"label predicate not pushed:\n$plan")
+    // payload inert: unfiltered search over the payload index equals
+    // the in-memory ADC search (quantizers deterministic)
+    val unfiltered = IvfPq.searchAt(spark, dir, queries, topK = 5, nProbe = 4)
+    val mem = IvfPq.search(index, queries, topK = 5, nProbe = 4)
+    assert(unfiltered.collect().toSeq === mem.collect().toSeq)
+    index.coded.unpersist(blocking = false)
+  }
 }
