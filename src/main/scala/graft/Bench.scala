@@ -142,11 +142,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$stealJson$errJson,"sf":"$sfDir"}"""
     // the artifact must survive log-tail truncation (BENCH_r05/r06 both
     // came back "parsed": null): persist the line as a file in cwd
-    // BEFORE printing it
+    // BEFORE printing it. Subset runs (query-name args) must NOT
+    // clobber the full-headline artifact — their partial totals would
+    // read as a headline number — so they write a sibling file.
+    val outFile = if (only.isEmpty) "bench.json" else "bench_partial.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $outFile write failed: ${e.getMessage}")
     }
     println(line)
     spark.stop()

@@ -82,6 +82,13 @@ case class CodebookArgMax(
     matrix.length == codes.length,
     s"codebook arity mismatch: ${matrix.length} codewords, " +
       s"${param.length} params, ${codes.length} codes")
+  // ties and NaN resolve to the FIRST index, so "smallest code wins"
+  // (the old order-independent greatest(score, -code) rule, and the
+  // oracle's row_number(score desc, code asc)) holds ONLY for a
+  // code-ascending codebook — an unsorted one would silently diverge
+  require(codes.length < 2 ||
+    codes.iterator.zip(codes.iterator.drop(1)).forall { case (a, b) => a < b },
+    "codebook must be sorted by code ascending (tie/NaN rule)")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "codebook_argmax"

@@ -52,7 +52,12 @@ object Dedup {
       sys.props.getOrElse("graft.share.mode", "cache")) match {
       case "checkpoint" => df.localCheckpoint(false)
       case "none" => df
-      case _ => df.persist()
+      case "cache" => df.persist()
+      // fail loudly: a typo'd mode silently falling back to cache
+      // would reintroduce exactly the cache-catalog accumulation the
+      // checkpoint mode exists to prevent in resident services
+      case other => throw new IllegalArgumentException(
+        s"unknown share mode '$other' (cache | checkpoint | none)")
     }
 
   /** maintenance.sql keep-one-per-group: keeps the first row of each

@@ -248,10 +248,25 @@ object Ivf {
     * clusters' parquet scan — simple comparisons reach the reader as
     * pushed filters for row-group pruning — instead of as a
     * recall-losing post-filter over an unfiltered top-k, and without
-    * any corpus-wide metadata join at query time. */
+    * any corpus-wide metadata join at query time.
+    *
+    * LEFT join: a vector with no payload row persists with NULL
+    * metadata — it stays reachable by unfiltered search (the
+    * [[persist]] invariant: every assigned vector is in the index)
+    * and is excluded by any `corpusFilter` predicate (NULL never
+    * satisfies a comparison), which is the right default for
+    * metadata that lags ingestion. An inner join here would silently
+    * drop such vectors from the index entirely.
+    *
+    * To grow a payload-carrying index use
+    * [[appendPersisted]]`(..., payload = Some(...))` — appending
+    * WITHOUT payload columns writes schema-mismatched files (filtered
+    * search would then see appended rows as NULL-metadata at best or
+    * fail analysis at worst, depending on which file the reader
+    * samples for schema). */
   def persistWithPayload(index: Index, payload: DataFrame,
       path: String): Unit = {
-    index.assigned.join(payload, Seq("id"))
+    index.assigned.join(payload, Seq("id"), "left")
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     index.centroids.write.mode("overwrite")
       .parquet(quantizerPath(path))
@@ -274,10 +289,14 @@ object Ivf {
     * remove-ids half of the lifecycle). */
   def appendPersisted(spark: org.apache.spark.sql.SparkSession,
       path: String, newVectors: DataFrame, idCol: Column,
-      vecCol: Column): Unit = {
+      vecCol: Column, payload: Option[DataFrame] = None): Unit = {
     val codebook = loadCodebook(spark, path)
     require(codebook.nonEmpty, s"no quantizer at ${quantizerPath(path)}")
-    assign(newVectors.select(idCol.as("id"), vecCol.as("vec")), codebook)
+    val assigned =
+      assign(newVectors.select(idCol.as("id"), vecCol.as("vec")), codebook)
+    // payload-carrying indexes (persistWithPayload) must append with
+    // the same payload schema — left join, same missing-row semantics
+    payload.fold(assigned)(p => assigned.join(p, Seq("id"), "left"))
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 

@@ -126,6 +126,25 @@ object IvfPq {
     Similarity.rerankExact(search(index, queries, candK, nProbe),
       corpus, queries, topK, roundDigits, idCol, vecCol)
 
+  /** [[persist]] with payload metadata co-located in the coded
+    * inverted lists — [[Ivf.persistWithPayload]] for the compressed
+    * path: `payload` = (id, metadata...) LEFT-joins the codes by id
+    * once at write time (missing payload ⇒ NULL metadata: the vector
+    * stays in the index, reachable unfiltered, excluded by any
+    * predicate — never silently dropped), enabling
+    * [[searchPersisted]]'s `corpusFilter` pre-filter to evaluate
+    * inside the probed clusters' scan of the 8–16-byte code rows
+    * (filtered ANN over compressed storage — the predicate prunes
+    * BEFORE any ADC arithmetic). Grow with
+    * [[appendPersisted]]`(..., payload = Some(...))` to keep the file
+    * schema uniform. */
+  def persistWithPayload(index: Index, payload: DataFrame,
+      path: String): Unit = {
+    index.coded.join(payload, Seq("id"), "left")
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeQuantizers(index, path)
+  }
+
   /** Write the coded corpus PARTITIONED BY cluster id — the at-rest
     * IVF-PQ layout: each cluster's CODES (8–16 bytes each, not float
     * vectors) are their own partition directory, so a probe-filtered
@@ -135,20 +154,6 @@ object IvfPq {
     * `__quantizer` sidecar, so the persisted index is self-contained:
     * [[loadIndex]]/[[searchAt]] serve it in a fresh session with no
     * driver-held handle. */
-  /** [[persist]] with payload metadata co-located in the coded
-    * inverted lists — [[Ivf.persistWithPayload]] for the compressed
-    * path: `payload` = (id, metadata...) joins the codes by id once
-    * at write time, enabling [[searchPersisted]]'s `corpusFilter`
-    * pre-filter to evaluate inside the probed clusters' scan of the
-    * 8–16-byte code rows (filtered ANN over compressed storage — the
-    * predicate prunes BEFORE any ADC arithmetic). */
-  def persistWithPayload(index: Index, payload: DataFrame,
-      path: String): Unit = {
-    index.coded.join(payload, Seq("id"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    writeQuantizers(index, path)
-  }
-
   def persist(index: Index, path: String): Unit = {
     index.coded.write.mode("overwrite").partitionBy("cid").parquet(path)
     writeQuantizers(index, path)
@@ -210,16 +215,20 @@ object IvfPq {
     * [[IndexMaintenance.compactPersisted]] to collapse per-batch file
     * growth. */
   def appendPersisted(spark: SparkSession, path: String,
-      newVectors: DataFrame, idCol: Column, vecCol: Column): Unit = {
+      newVectors: DataFrame, idCol: Column, vecCol: Column,
+      payload: Option[DataFrame] = None): Unit = {
     val index = loadIndex(spark, path)
     // NO id cast (matching Ivf.appendPersisted and build's coded
     // projection): the caller's id type flows through, so appended
     // files carry the SAME parquet id type as the persisted ones —
     // a cast here would mix INT32/INT64 columns in one table
     val vectors = newVectors.select(idCol.as("id"), vecCol.as("vec"))
-    Ivf.assign(vectors, index.coarse)
+    val coded = Ivf.assign(vectors, index.coarse)
       .select(col("id"), col("cid"),
         Pq.encodeExpr(col("vec"), index.codebooks, index.dsub))
+    // payload-carrying indexes (persistWithPayload) must append with
+    // the same payload schema — left join, same missing-row semantics
+    payload.fold(coded)(p => coded.join(p, Seq("id"), "left"))
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 

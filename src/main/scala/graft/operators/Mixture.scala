@@ -49,7 +49,11 @@ object Mixture {
     val thresh = counts.crossJoin(broadcast(nmin))
       .select(col("_grp"),
         floor(lit(scale.toDouble) * rate).cast("long").as("_thresh"))
-    docs.join(broadcast(thresh), groupCol === col("_grp"))
+    // null-safe join: groupBy above counts a NULL group like any
+    // other, so the join must match it too — with plain ===, NULL
+    // rows would inflate n_min (collapsing every group's rate) while
+    // themselves silently vanishing from the output
+    docs.join(broadcast(thresh), groupCol <=> col("_grp"))
       .where(pmod(hashCol, lit(scale)) < col("_thresh"))
       .drop("_grp", "_thresh")
   }

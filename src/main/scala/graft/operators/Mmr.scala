@@ -42,6 +42,8 @@ object Mmr {
     * yield as many ranks as they have. */
   def rerank(cands: DataFrame, pairSims: DataFrame, selectK: Int,
       lambda: Double = 0.5, roundDigits: Int = 6): DataFrame = {
+    require(selectK >= 1, s"selectK $selectK < 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0,1]")
     val c0 = cands.select(col("qid"), col("vec_id"), col("sim"))
       .localCheckpoint(true) // bounded: |queries|·topN rows
     val ps = pairSims

@@ -1,11 +1,20 @@
 package graft
 
-/** Fast schema-drift tripwire: every registered query must ANALYZE
-  * against the CURRENT on-disk testdata schema. Round 6 lost 25 gate
-  * queries to a driver-side regeneration that flipped `events.ts` from
+/** Schema-drift tripwire: every registered query must ANALYZE against
+  * the CURRENT on-disk testdata schema. Round 6 lost 25 gate queries
+  * to a driver-side regeneration that flipped `events.ts` from
   * TIMESTAMP(NANOS) to TIMESTAMP(MICROS) after the builder's last
-  * commit — an analysis pass over all queries catches that class of
-  * break locally in seconds, without executing anything.
+  * commit — this sweep catches that class of break locally before a
+  * round's gate does.
+  *
+  * Honesty note on "analysis": most queries only plan here, but the
+  * index-backed ones (s2p/s2a/s4-s6/s8/s11/d10) build-and-persist
+  * their memoized index at CONSTRUCTION time, and the iterative ones
+  * (p17/s10, via eager checkpoints; d7/d8's CC loop) execute their
+  * driver loops — so this spec runs at sf0.001 minutes-scale, not
+  * seconds, and a runtime failure inside those builders surfaces here
+  * as a query failure (still the right tripwire, just not pure
+  * analysis for them).
   *
   * (PlanSpec's cartesian sweep also plans every query, but this spec
   * names the broken query AND its error directly, and stays green/red
