@@ -49,24 +49,31 @@ object AnnStream {
     (if (backfill) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
-  /** Serve a persisted [[Ivf]] index (float vectors, pruned scan). */
+  /** Serve a persisted [[Ivf]] index (float vectors, pruned scan).
+    * `corpusFilter` makes the serving tier a FILTERED-ANN service:
+    * the predicate (over [[Ivf.persistWithPayload]] payload columns)
+    * pre-filters inside every micro-batch's pruned scan. */
   def startIvf(queries: DataFrame, indexPath: String,
       codebook: Array[(Int, Array[Float], Double)],
       outDir: String, checkpoint: String,
-      topK: Int = 5, nProbe: Int = 2): StreamingQuery =
+      topK: Int = 5, nProbe: Int = 2,
+      corpusFilter: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true)): StreamingQuery =
     start(queries, outDir, checkpoint) { batch =>
       Ivf.searchPersisted(batch.sparkSession, indexPath, codebook,
-        batch, topK, nProbe)
+        batch, topK, nProbe, corpusFilter = corpusFilter)
     }
 
   /** Serve a persisted [[IvfPq]] index (compressed codes + pruned
     * scan — the production serving shape). Only `index`'s driver-side
-    * quantizer metadata is used. */
+    * quantizer metadata is used. `corpusFilter` as in [[startIvf]]. */
   def startIvfPq(queries: DataFrame, indexPath: String,
       index: IvfPq.Index, outDir: String, checkpoint: String,
-      topK: Int = 5, nProbe: Int = 2): StreamingQuery =
+      topK: Int = 5, nProbe: Int = 2,
+      corpusFilter: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true)): StreamingQuery =
     start(queries, outDir, checkpoint) { batch =>
       IvfPq.searchPersisted(batch.sparkSession, indexPath, index,
-        batch, topK, nProbe)
+        batch, topK, nProbe, corpusFilter = corpusFilter)
     }
 }

@@ -86,6 +86,31 @@ class AnnStreamSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("filtered serving: the predicate holds in every streamed epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val idxDir = Files.createTempDirectory("ann-flt").resolve("i").toString
+    Ivf.persistWithPayload(index,
+      emb.select(col("vec_id").as("id"), col("label")), idxDir)
+    val in = MemoryStream[(Long, Array[Float])]
+    val outDir = Files.createTempDirectory("ann-flt-out").toString
+    val ckpt = Files.createTempDirectory("ann-flt-ckpt").toString
+    val q = AnnStream.startIvf(in.toDF().toDF("qid", "qvec"), idxDir,
+      index.codebook, outDir, ckpt, topK = 5, nProbe = 8,
+      corpusFilter = col("label") < 3)
+    in.addData(queryRows(0L, 1L))
+    q.processAllAvailable()
+    in.addData(queryRows(2L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() > 0L)
+    val bad = out.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .where(col("label") >= 3).count()
+    assert(bad === 0L, "streamed epoch served an ineligible vector")
+    index.assigned.unpersist(blocking = false)
+  }
+
   test("a replayed epoch overwrites its directory instead of duplicating") {
     val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
     val idxDir = Files.createTempDirectory("ann-idx2").resolve("i").toString
