@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   *
   * Media travel as opaque `binary` columns next to a typed metadata
   * struct; transforms are per-partition batch functions so a real
-  * decoder drops in without changing the plan shape. The decode step
-  * itself is STUBBED with a deterministic fake (no media libraries in
-  * this environment) — the Spark-side contract (schema, partitioning,
-  * batch shape, null handling) is real and tested.
+  * decoder drops in without changing the plan shape. For the
+  * UNCOMPRESSED container this sandbox has (24-bpp BMP) both the
+  * header parse ([[withMetadata]]) and pixel-level perceptual
+  * hashing ([[graft.functions.BmpAHash]] — real 8×8 average-hash
+  * over the pixel array, mm3) are REAL and library-free; codec-bound
+  * formats (JPEG/audio/video) keep a deterministic STUB decode (no
+  * media libraries in this environment) behind the same Spark-side
+  * contract (schema, partitioning, batch shape, null handling).
   *
   * Scale notes: blobs never enter a shuffle key; metadata-only plans
   * prune the binary column at the parquet scan (check ReadSchema), and

@@ -214,6 +214,39 @@ object AdsbQueries {
       graft.operators.Similarity.bruteForceTopK(
           q, emb.withColumnRenamed("key", "vec_id"), k = 3)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // mm3: REAL pixel-level image fingerprinting, zero libraries —
+    // perceptual average-hash over the 24-bpp BMP pixel arrays (8×8
+    // integer-grid sample, exact R+G+B grayscale, mean threshold,
+    // bits packed as two 32-bit halves per the d4 SimHash bit-
+    // arithmetic convention) plus each image's hamming-nearest
+    // neighbor. The hash is pure integer byte arithmetic end to end,
+    // so the oracle re-derives it from the same blobs with
+    // substr(hex(...)) byte reads — the one media pipeline stage that
+    // was still stubbed (pixel decode) is real for this container.
+    "mm3_image_ahash" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
+      val hashed = Multimodal.withMetadata(bin, col("silhouette"))
+        .where(Multimodal.isBmp(col("silhouette")))
+        .withColumn("ah", graft.functions.BmpAHash.aHash(col("silhouette")))
+        .where(col("ah").isNotNull)
+        .select(col("model"), col("width"), col("height"),
+          col("ah")(0).as("ahash_hi"), col("ah")(1).as("ahash_lo"))
+      val pairs = hashed.as("a").join(hashed.as("b"),
+          col("a.model") =!= col("b.model"))
+        .select(col("a.model").as("model"), col("b.model").as("other"),
+          (bit_count(col("a.ahash_hi").bitwiseXOR(col("b.ahash_hi"))) +
+            bit_count(col("a.ahash_lo").bitwiseXOR(col("b.ahash_lo"))))
+            .cast("long").as("hamming"))
+      val w = Window.partitionBy(col("model"))
+        .orderBy(col("hamming"), col("other"))
+      val nn = pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("model"), col("other").as("nn_model"),
+          col("hamming").as("nn_hamming"))
+      hashed.join(nn, Seq("model")).orderBy(col("model"))
     })
   )
 
@@ -502,7 +535,78 @@ object AdsbQueries {
          |      AS rank
          |  FROM sims)
          |SELECT qid, vec_id, sim, rank FROM ranked
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // The aHash re-derived byte-for-byte from the blob hex: LE header
+    // fields, integer grid mapping with BMP bottom-up row order (the
+    // CASE honors a negative top-down height), exact R+G+B grays,
+    // integer mean, bits packed into two 32-bit BIGINT halves (so
+    // 1::BIGINT << i never overflows), hamming NN over xor+bit_count.
+    "mm3_image_ahash" ->
+      s"""WITH b AS (SELECT model, hex(silhouette) AS hx
+         |  FROM ${tbl("mm_blobs")}),
+         |hdr AS (
+         |  SELECT model, hx,
+         |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+         |           || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT AS w0,
+         |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+         |           || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h0,
+         |    ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2))::BIGINT AS bpp,
+         |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
+         |           || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS off
+         |  FROM b WHERE substr(hx, 1, 4) = '424D' AND length(hx) >= 108),
+         |dims AS (
+         |  SELECT model, hx, off, bpp,
+         |    CASE WHEN w0 >= 2147483648 THEN w0 - 4294967296 ELSE w0 END AS w,
+         |    CASE WHEN h0 >= 2147483648 THEN h0 - 4294967296 ELSE h0 END AS hraw
+         |  FROM hdr),
+         |d2 AS (
+         |  SELECT model, hx, off, w, hraw, abs(hraw) AS h,
+         |    (w * 3 + 3) // 4 * 4 AS stride
+         |  FROM dims
+         |  WHERE bpp = 24 AND w > 0 AND hraw <> 0
+         |    AND off + abs(hraw) * ((w * 3 + 3) // 4 * 4) <= length(hx) // 2),
+         |px AS (
+         |  SELECT model, hx, u.i AS i,
+         |    (off + (CASE WHEN hraw < 0 THEN (u.i // 8) * h // 8
+         |                 ELSE h - 1 - ((u.i // 8) * h // 8) END) * stride
+         |         + ((u.i % 8) * w // 8) * 3) AS p
+         |  FROM d2, UNNEST(range(0, 64)) AS u(i)),
+         |g AS (
+         |  SELECT model, i,
+         |    ('0x' || substr(hx, CAST(p * 2 + 1 AS BIGINT), 2))::BIGINT +
+         |    ('0x' || substr(hx, CAST(p * 2 + 3 AS BIGINT), 2))::BIGINT +
+         |    ('0x' || substr(hx, CAST(p * 2 + 5 AS BIGINT), 2))::BIGINT AS gray
+         |  FROM px),
+         |m AS (SELECT model, CAST(sum(gray) // 64 AS BIGINT) AS mean
+         |  FROM g GROUP BY 1),
+         |bits AS (
+         |  SELECT g.model,
+         |    CAST(sum(CASE WHEN gray > mean AND i >= 32
+         |      THEN (1::BIGINT << CAST(i - 32 AS INTEGER)) ELSE 0 END)
+         |      AS BIGINT) AS ahash_hi,
+         |    CAST(sum(CASE WHEN gray > mean AND i < 32
+         |      THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
+         |      AS BIGINT) AS ahash_lo
+         |  FROM g JOIN m USING (model) GROUP BY 1),
+         |hh AS (
+         |  SELECT d2.model, CAST(d2.w AS INTEGER) AS width,
+         |    CAST(d2.h AS INTEGER) AS height, bits.ahash_hi, bits.ahash_lo
+         |  FROM d2 JOIN bits USING (model)),
+         |pr AS (
+         |  SELECT a.model, b.model AS other,
+         |    CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |         bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
+         |  FROM hh a JOIN hh b ON a.model <> b.model),
+         |nn AS (
+         |  SELECT model, other AS nn_model, hamming AS nn_hamming FROM (
+         |    SELECT model, other, hamming,
+         |      row_number() OVER (PARTITION BY model ORDER BY hamming, other)
+         |        AS rn
+         |    FROM pr) WHERE rn = 1)
+         |SELECT hh.model, width, height, ahash_hi, ahash_lo,
+         |  nn_model, nn_hamming
+         |FROM hh JOIN nn USING (model) ORDER BY model""".stripMargin
   )
 
   /** The reference's `event` composite type

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Pixel-level pins for the library-free BMP average-hash: synthetic
+  * bitmaps with KNOWN pixel content, both row orders, and the NULL
+  * contract for malformed blobs. */
+class BmpAHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal 24-bpp BMP: 54-byte header + bottom-up (or top-down when
+    * `height` < 0) rows, `pix(x, y)` giving (r, g, b) in IMAGE
+    * coordinates (y=0 is the top row). */
+  private def bmp(width: Int, height: Int,
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val h = math.abs(height)
+    val stride = (width * 3 + 3) / 4 * 4
+    val size = 54 + h * stride
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    b.putInt(0).putInt(h * stride).putInt(2835).putInt(2835)
+    b.putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      // physical row `row` holds image row (bottom-up flips)
+      val y = if (height < 0) row else h - 1 - row
+      for (x <- 0 until width) {
+        val (r, g, bl) = pix(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+      }
+      b.position(54 + (row + 1) * stride) // stride padding
+    }
+    b.array()
+  }
+
+  private def hash(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val r = Seq(Tuple1(bytes)).toDF("bin")
+      .select(BmpAHash.aHash(col("bin")).as("ah")).head()
+    if (r.isNullAt(0)) None
+    else { val s = r.getSeq[Long](0); Some((s(0), s(1))) }
+  }
+
+  test("uniform image hashes to all-zero bits (no gray exceeds the mean)") {
+    assert(hash(bmp(16, 16, (_, _) => (100, 100, 100))) === Some((0L, 0L)))
+  }
+
+  test("left-bright half-image sets exactly the left grid columns") {
+    val h = hash(bmp(16, 16,
+      (x, _) => if (x < 8) (255, 255, 255) else (0, 0, 0))).get
+    // grid cols 0-3 sample x in 0..7 (bright), cols 4-7 sample x >= 8:
+    // per row bits 0-3 set → nibble 0b00001111 repeated
+    val expected = java.lang.Long.parseLong("0f0f0f0f", 16)
+    assert(h === ((expected, expected)))
+  }
+
+  test("top-down (negative height) equals the bottom-up twin") {
+    def pix(x: Int, y: Int) =
+      if ((x + y) % 3 == 0) (200, 10, 30) else (5, 80, 160)
+    assert(hash(bmp(20, 12, pix)) === hash(bmp(20, -12, pix)))
+    // and an ASYMMETRIC image differs between orientations read
+    // naively — the sign handling is load-bearing, prove it: flipping
+    // the image vertically must flip which rows are bright
+    val topBright = hash(bmp(16, 16,
+      (_, y) => if (y < 8) (255, 255, 255) else (0, 0, 0))).get
+    val bottomBright = hash(bmp(16, 16,
+      (_, y) => if (y >= 8) (255, 255, 255) else (0, 0, 0))).get
+    assert(topBright !== bottomBright)
+    // top rows = bits 0..31 (i = r*8+c, r = grid row from the top)
+    assert(topBright === ((0L, 4294967295L)))
+    assert(bottomBright === ((4294967295L, 0L)))
+  }
+
+  test("malformed blobs are NULL, not garbage") {
+    val good = bmp(8, 8, (_, _) => (1, 2, 3))
+    assert(hash("not a bmp".getBytes) === None)       // no magic
+    assert(hash(good.take(40)) === None)              // short header
+    assert(hash(good.dropRight(4)) === None)          // truncated pixels
+    val bpp8 = good.clone(); bpp8(28) = 8             // unsupported depth
+    assert(hash(bpp8) === None)
+    assert(hash(good).isDefined)
+  }
+
+  test("interpreted eval matches codegen") {
+    val img = bmp(33, 7, (x, y) => ((x * 37) % 256, (y * 91) % 256, 17))
+    val df = Seq(Tuple1(img)).toDF("bin")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try df.select(BmpAHash.aHash(col("bin"))).head().getSeq[Long](0)
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    val gen = df.select(BmpAHash.aHash(col("bin"))).head().getSeq[Long](0)
+    assert(interp === gen)
+  }
+}
