@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Bm25, Dedup, Ivf, IvfPq, Mixture, Mmr, Pack, Pq, Similarity}
+import graft.operators.{Bm25, Dedup, Ivf, IvfPq, Mixture, Mmr, NaiveBayes, Pack, Pq, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -1163,7 +1163,24 @@ object DocQueries {
           round(Similarity.cosineWithNorms(col("a.embedding"),
             col("b.embedding"), col("a._n"), col("b._n")), 5).as("psim"))
       Mmr.rerank(cands, ps, selectK = 5, lambda = 0.5)
-    })
+    }),
+
+    // t13: in-engine trained Naive Bayes language-ID — the
+    // fastText-class "train a cheap model ON the corpus, score the
+    // corpus" loop with no ML runtime (training is counting, scoring
+    // is a join). Add-one smoothed multinomial over words, fixed-point
+    // log-likelihoods (the t9/t11 discipline) so every per-(doc,lang)
+    // posterior is an exact BIGINT sum — the full train+classify
+    // composition hash-checks against a from-scratch SQL re-training.
+    // Complements t2's heuristic marker-list lang-ID with a LEARNED
+    // classifier whose accuracy is itself a gate-visible output.
+    "t13_nb_langid" -> ((s, dir) =>
+      NaiveBayes.selfClassify(docs(s, dir), col("doc_id"), col("lang"),
+          col("text"))
+        .select(col("id").as("doc_id"), col("label").as("lang"),
+          col("pred_label").as("pred_lang"), col("correct"),
+          col("score_fp"))
+        .orderBy(col("doc_id")))
   )
 
   /** s8/s9's query set: the leading 8 tokens of the first 5 docs. */
@@ -2852,6 +2869,49 @@ object DocQueries {
         |SELECT qid, pick AS vec_id, CAST(it AS BIGINT) AS mmr_rank,
         |  round(score, 6) AS mmr_score
         |FROM rec ORDER BY qid, mmr_rank""".stripMargin
-    }
+    },
+
+    "t13_nb_langid" ->
+      """WITH base AS (SELECT doc_id AS id, lang AS label, text FROM documents),
+        |tok AS (
+        |  SELECT id, label, u.t AS tok
+        |  FROM base, UNNEST(string_split(text, ' ')) AS u(t)),
+        |pd AS (SELECT id, label, tok, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+        |ctk AS (SELECT label, tok, CAST(sum(cnt) AS BIGINT) AS ct
+        |  FROM pd GROUP BY 1, 2),
+        |ctt AS (SELECT label, CAST(sum(ct) AS BIGINT) AS tot FROM ctk GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT tok) AS v FROM ctk),
+        |pri AS (
+        |  SELECT label,
+        |    CAST(floor(ln(nd::DOUBLE / nd_total) * 1000000) AS BIGINT)
+        |      AS prior_fp
+        |  FROM (SELECT label, count(*) AS nd FROM base GROUP BY 1),
+        |    (SELECT count(*) AS nd_total FROM base)),
+        |ls AS (SELECT label, tot, v,
+        |  CAST(floor(ln(1.0 / (tot + v)) * 1000000) AS BIGINT) AS default_fp
+        |  FROM ctt, voc),
+        |sc AS (
+        |  SELECT p.id, l.label,
+        |    CAST(sum(p.cnt * coalesce(
+        |      CAST(floor(ln((c.ct + 1)::DOUBLE / (l.tot + l.v)) * 1000000)
+        |        AS BIGINT),
+        |      l.default_fp)) AS BIGINT) AS llsum
+        |  FROM (SELECT id, tok, cnt FROM pd) p
+        |  CROSS JOIN ls l
+        |  LEFT JOIN ctk c ON c.label = l.label AND c.tok = p.tok
+        |  GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT sc.id, sc.label, sc.llsum + pri.prior_fp AS score_fp
+        |  FROM sc JOIN pri USING (label)),
+        |pred AS (
+        |  SELECT id, label AS pred_lang, score_fp FROM (
+        |    SELECT id, label, score_fp,
+        |      row_number() OVER (PARTITION BY id ORDER BY score_fp DESC, label)
+        |        AS rn
+        |    FROM fin) WHERE rn = 1)
+        |SELECT b.id AS doc_id, b.label AS lang, p.pred_lang,
+        |  b.label = p.pred_lang AS correct, p.score_fp
+        |FROM base b JOIN pred p ON b.id = p.id
+        |ORDER BY doc_id""".stripMargin
   )
 }
