@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Bm25, Dedup, Ivf, IvfPq, Mixture, Mmr, NaiveBayes, Pack, Pq, Similarity}
+import graft.operators.{Bm25, Dedup, Drift, Ivf, IvfPq, Mixture, Mmr, NaiveBayes, Pack, Pq, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -1180,7 +1180,53 @@ object DocQueries {
         .select(col("id").as("doc_id"), col("label").as("lang"),
           col("pred_label").as("pred_lang"), col("correct"),
           col("score_fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // t14: corpus drift monitor ([[Drift.unigramKl]] — per-source KL
+    // divergence of the unigram distribution against the whole-corpus
+    // reference, the admit-or-investigate check for a new ingest
+    // slice). No smoothing needed by construction (corpus ⊇ slice);
+    // per-token terms go fixed-point before the BIGINT sum. Scale
+    // shape: one shuffle to (slice,tok) counts which feed BOTH the
+    // corpus re-aggregation and the scoring join; output cardinality
+    // is |slices|.
+    "t14_unigram_drift" -> ((s, dir) =>
+      Drift.unigramKl(docs(s, dir), col("source"), col("text"))
+        .select(col("slice").as("source"), col("n_tokens"), col("kl_nats"))
+        .orderBy(col("source"))),
+
+    // p18: dataset-card audit report — the per-source corpus summary
+    // a curation run publishes alongside the data (docs, tokens,
+    // chars, language spread, dominant language, exact-dup ratio).
+    // Scale shape: two map-side-combinable aggregations over one scan
+    // class (the per-source rollup and the per-(source,lang) census
+    // for the mode), joined at |sources| cardinality via broadcast;
+    // the dup ratio rides count(DISTINCT md5) inside the same rollup
+    // (Spark plans distinct-agg as an expand, still one pass).
+    "p18_dataset_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_uniq"))
+      val lc = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+      val top = lc.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      base.join(broadcast(top), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6)
+            .as("avg_doc_tokens"),
+          col("n_chars"), col("n_langs"), col("top_lang"),
+          round(lit(1.0d) - col("n_uniq").cast("double") / col("n_docs"), 6)
+            .as("exact_dup_ratio"))
+        .orderBy(col("source"))
+    })
   )
 
   /** s8/s9's query set: the leading 8 tokens of the first 5 docs. */
@@ -2912,6 +2958,52 @@ object DocQueries {
         |SELECT b.id AS doc_id, b.label AS lang, p.pred_lang,
         |  b.label = p.pred_lang AS correct, p.score_fp
         |FROM base b JOIN pred p ON b.id = p.id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "t14_unigram_drift" ->
+      """WITH tok AS (
+        |  SELECT slice, u.tok FROM (
+        |    SELECT source AS slice, string_split(text, ' ') AS t
+        |    FROM documents), UNNEST(t) AS u(tok)),
+        |st AS (
+        |  SELECT slice, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT slice, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM st GROUP BY 1),
+        |gtok AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS gcnt
+        |  FROM st GROUP BY 1),
+        |gtot AS (SELECT CAST(sum(tot) AS BIGINT) AS gtot FROM stot),
+        |terms AS (
+        |  SELECT st.slice, stot.tot,
+        |    st.cnt * CAST(floor(ln(
+        |      (st.cnt::DOUBLE * gtot.gtot::DOUBLE) /
+        |      (gtok.gcnt::DOUBLE * stot.tot::DOUBLE)) * 1000000) AS BIGINT)
+        |      AS term_fp
+        |  FROM st JOIN gtok USING (tok) JOIN stot USING (slice), gtot)
+        |SELECT slice AS source, tot AS n_tokens,
+        |  round(CAST(sum(term_fp) AS BIGINT)::DOUBLE / 1000000 / tot, 6)
+        |    AS kl_nats
+        |FROM terms GROUP BY 1, tot ORDER BY 1""".stripMargin,
+
+    "p18_dataset_card" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT md5(text)) AS n_uniq
+        |  FROM documents GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      row_number() OVER (PARTITION BY source ORDER BY c DESC, lang)
+        |        AS rn
+        |    FROM lc) WHERE rn = 1)
+        |SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |  round(n_tokens::DOUBLE / n_docs, 6) AS avg_doc_tokens,
+        |  n_chars, CAST(n_langs AS BIGINT) AS n_langs, top_lang,
+        |  round(1 - n_uniq::DOUBLE / n_docs, 6) AS exact_dup_ratio
+        |FROM b JOIN top USING (source) ORDER BY source""".stripMargin
   )
 }
