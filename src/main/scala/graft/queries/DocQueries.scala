@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Bm25, Dedup, Drift, Ivf, IvfPq, Mixture, Mmr, NaiveBayes, Pack, Pq, Similarity}
+import graft.operators.{Bm25, Bpe, Dedup, Drift, Ivf, IvfPq, Mixture, Mmr, NaiveBayes, Pack, Pq, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash), ANN similarity
@@ -1195,6 +1195,35 @@ object DocQueries {
         .select(col("slice").as("source"), col("n_tokens"), col("kl_nats"))
         .orderBy(col("source"))),
 
+    // t15: full BPE tokenizer train+encode ([[Bpe.train]] — t12 is
+    // the count step; this is the whole Sennrich-et-al loop run
+    // IN-ENGINE, then the corpus re-encoded under the learned
+    // subword vocabulary). Every count runs over the distinct-word
+    // segmentation (never raw occurrences), each argmax collects one
+    // row (bounded metadata), the merge application is a per-row
+    // array fold, and loop state localCheckpoints per round. The
+    // gate encodes via a word-level join against the trained vocab
+    // segmentation; the oracle INDEPENDENTLY replays the dumped
+    // merge table over the corpus vocabulary (recursive CTE, one
+    // fold per rank) — the training argmax itself is spec-pinned on
+    // a closed-form corpus (BpeSpec).
+    "t15_bpe_encode" -> ((s, dir) => {
+      val p = bpeModelPath(s, dir)
+      val vocab = s.read.parquet(s"$p/vocab")
+        .select(col("word"), size(col("toks")).as("ns"))
+      val pd = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      pd.join(vocab, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("ns")).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+            .as("tokens_per_word"))
+        .orderBy(col("doc_id"))
+    }),
+
     // p18: dataset-card audit report — the per-source corpus summary
     // a curation run publishes alongside the data (docs, tokens,
     // chars, language spread, dominant language, exact-dup ratio).
@@ -1370,6 +1399,11 @@ object DocQueries {
       "ivfpq_codes")
     w(Ivf.probes(idx.coarse, q, 4), "ivfpq_probes")
     w(codebooksDf(spark, idx.codebooks), "ivfpq_codebooks")
+    // t15: the trained merge table — the oracle replays it over the
+    // corpus vocabulary from scratch (recursive CTE), so only the
+    // merges are dumped, never the segmentation it is checking.
+    w(spark.read.parquet(s"${bpeModelPath(spark, sfDir)}/merges"),
+      "bpe_merges")
   }
 
   private def codebooksDf(spark: SparkSession,
@@ -1406,6 +1440,16 @@ object DocQueries {
         dim = 64, kCoarse = 16, m = 16, k = 16, iters = 3)
       IvfPq.persist(index, p)
       index.coded.unpersist(blocking = false)
+    }
+
+  /** The memoized trained BPE model (t15's): 30 merges trained on the
+    * corpus, persisted as merges + final vocab segmentation. */
+  private def bpeModelPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"t15|$dir") { p =>
+      val m = Bpe.train(docs(s, dir), col("text"), nMerges = 30)
+      m.merges.coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
+      m.vocab.coalesce(1).write.mode("overwrite").parquet(s"$p/vocab")
+      m.vocab.unpersist(blocking = false)
     }
 
   /** The memoized payload-carrying IVF index (s11's filtered search):
@@ -2984,6 +3028,47 @@ object DocQueries {
         |  round(CAST(sum(term_fp) AS BIGINT)::DOUBLE / 1000000 / tot, 6)
         |    AS kl_nats
         |FROM terms GROUP BY 1, tot ORDER BY 1""".stripMargin,
+
+    // The merge REPLAY is the oracle's own: a recursive CTE applies
+    // the dumped merge table rank by rank to the corpus vocabulary,
+    // each step a left-to-right non-overlapping fold (list_reduce
+    // over a space-joined encoding; "last token == a and next == b"
+    // collapses to ab). Only the learned merges come from the dump —
+    // the segmentation under test is recomputed from scratch.
+    "t15_bpe_encode" ->
+      s"""WITH RECURSIVE w AS (
+        |  SELECT DISTINCT u.word FROM (
+        |    SELECT string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(word)),
+        |mm AS (SELECT CAST(rank AS INTEGER) AS rank, a, b
+        |  FROM ${tbl("bpe_merges")}),
+        |mx AS (SELECT coalesce(max(rank), 0) AS mr FROM mm),
+        |rec AS (
+        |  SELECT word, array_to_string(string_split(word, ''), ' ') AS enc,
+        |    0 AS r
+        |  FROM w
+        |  UNION ALL
+        |  SELECT rec.word,
+        |    list_reduce(string_split(rec.enc, ' '),
+        |      (acc, x) -> CASE
+        |        WHEN x = mm.b AND regexp_extract(acc, '[^ ]*$$') = mm.a
+        |        THEN regexp_replace(acc, '[^ ]*$$', mm.a || mm.b)
+        |        ELSE acc || ' ' || x END) AS enc,
+        |    rec.r + 1 AS r
+        |  FROM rec JOIN mm ON mm.rank = rec.r + 1),
+        |seg AS (
+        |  SELECT word, len(string_split(enc, ' ')) AS ns
+        |  FROM rec, mx WHERE r = mx.mr),
+        |tokc AS (
+        |  SELECT doc_id, u.word, count(*) AS cnt FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(word)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |  CAST(sum(cnt * ns) AS BIGINT) AS n_bpe_tokens,
+        |  round(sum(cnt * ns)::DOUBLE / sum(cnt), 6) AS tokens_per_word
+        |FROM tokc JOIN seg USING (word)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p18_dataset_card" ->
       """WITH b AS (

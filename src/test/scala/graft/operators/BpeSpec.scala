@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Pins for the in-engine BPE trainer/encoder: the training argmax
+  * (count, then (a,b)-ascending tie-break), one-pass non-overlapping
+  * merge application, early stop, and encodeWords ≡ trained vocab on
+  * the training corpus. The gate oracle re-applies the dumped merges
+  * independently; these specs pin the TRAINING side in closed form. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def model(texts: String*) =
+    Bpe.train(texts.toDF("text"), col("text"), nMerges = 10)
+
+  private def mergeRows(m: Bpe.BpeModel): Seq[(Int, String, String, Long)] =
+    m.merges.orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  private def vocabMap(m: Bpe.BpeModel): Map[String, Seq[String]] =
+    m.vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+
+  test("merge order follows weighted pair counts; training stops dry") {
+    // (a,b) occurs 3×, (c,d) 2×; after both merges no pair repeats
+    val m = model("ab ab cd", "ab cd")
+    assert(mergeRows(m) === Seq((1, "a", "b", 3L), (2, "c", "d", 2L)))
+    assert(vocabMap(m) === Map("ab" -> Seq("ab"), "cd" -> Seq("cd")))
+  }
+
+  test("count ties break on (a,b) ascending") {
+    val m = model("ab cd", "ab cd")
+    assert(mergeRows(m).head === ((1, "a", "b", 2L)))
+  }
+
+  test("merged symbols pair up in later rounds (hierarchical merges)") {
+    // round 1: (a,b)→ab (n=6); round 2: (ab,ab)→abab (n=2, one per
+    // word — non-overlapping single pass inside 'ababab'... no:
+    // 'ababab' = [ab,ab,ab] pairs (ab,ab)×2 + 'abab' = [ab,ab] ×1 →
+    // weighted 2+1=3... both words count once (freq 1 each)
+    val m = model("ababab abab")
+    val rows = mergeRows(m)
+    assert(rows.head === ((1, "a", "b", 5L)))
+    assert(rows(1) === ((2, "ab", "ab", 3L)))
+    val v = vocabMap(m)
+    assert(v("ababab") === Seq("abab", "ab"))
+    assert(v("abab") === Seq("abab"))
+  }
+
+  test("repeated-symbol runs merge one-pass, non-overlapping") {
+    // 'aaa' twice, ONE round: (a,a) weighted 4 → [aa, a], never
+    // [aa, aa] (the second 'a a' shares its left symbol with the
+    // first merge — a single pass must skip it)
+    val m = Bpe.train(Seq("aaa aaa").toDF("text"), col("text"), nMerges = 1)
+    assert(mergeRows(m) === Seq((1, "a", "a", 4L)))
+    assert(vocabMap(m)("aaa") === Seq("aa", "a"))
+  }
+
+  test("encodeWords replays merges identically to the trained vocab") {
+    val m = model("ab ab cd abcd", "ab cd lone")
+    val merges = mergeRows(m).map { case (_, a, b, _) => (a, b) }
+    val enc = Bpe.encodeWords(m.vocab.select(col("word")), col("word"),
+        merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(enc === vocabMap(m))
+  }
+
+  test("encodeWords handles unseen words with the learned merges") {
+    val m = model("ab ab cd cd") // learns (a,b) then (c,d)
+    val merges = mergeRows(m).map { case (_, a, b, _) => (a, b) }
+    val enc = Bpe.encodeWords(Seq("abcdab", "x").toDF("w"), col("w"),
+        merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(enc === Map("abcdab" -> Seq("ab", "cd", "ab"), "x" -> Seq("x")))
+  }
+
+  test("training is invariant under input repartitioning") {
+    val d = Seq("ab ab cd abcd ef", "ab cd ef ef ab").toDF("text")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val m = Bpe.train(df, col("text"), nMerges = 4)
+      (mergeRows(m), vocabMap(m))
+    }
+    assert(run(d) === run(d.repartition(7)))
+  }
+}
