@@ -42,8 +42,12 @@ object Drift {
   def unigramKl(docs: DataFrame, sliceCol: Column, textCol: Column): DataFrame = {
     val tok = docs.select(sliceCol.as("slice"),
       explode(split(textCol, " ")).as("tok"))
-    val st = tok.groupBy(col("slice"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    // materialized once (Dedup.share, mode-gated): four consumers
+    // (scoring join, slice totals, corpus counts, corpus total) would
+    // otherwise each replay the scan + token explode + first shuffle —
+    // AQE's exchange reuse only catches the bit-identical subtrees
+    val st = Dedup.share(tok.groupBy(col("slice"), col("tok"))
+      .agg(count(lit(1)).as("cnt")))
     val sTot = st.groupBy(col("slice")).agg(sum(col("cnt")).as("tot"))
     val gTok = st.groupBy(col("tok")).agg(sum(col("cnt")).as("gcnt"))
     val gTot = sTot.agg(sum(col("tot")).as("gtot"))
