@@ -349,4 +349,38 @@ object Ivf {
         .select(col("id"), col("vec"), col("cid")))
     scoreProbed(assigned, probes, topK, roundDigits)
   }
+
+  /** Range (radius) search over a persisted index: EVERY eligible
+    * vector with cosine ≥ `minSim` in the probed clusters — the
+    * FAISS `range_search` analog (d5's threshold semantics as a
+    * serve-path API; top-k asks "the best few", radius asks "all
+    * within τ" — the dedup-against-index and recall-sweep question).
+    * Identical probed-cluster partition pruning, tombstone anti-join
+    * and pre-filter semantics as [[searchPersisted]], but NO per-query
+    * window: the cut is a plain filter fused into the scoring
+    * projection, so nothing ranks and the only shuffle is the
+    * presentation sort. Result size is data-dependent (bounded by the
+    * probed clusters' population). Output (qid, vec_id, sim). */
+  def searchRadiusAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, minSim: Double, nProbe: Int = 2,
+      roundDigits: Int = 5, corpusFilter: Column = lit(true)): DataFrame = {
+    val codebook = loadCodebook(spark, path)
+    if (codebook.isEmpty)
+      return emptyResult(queries).select(col("qid"), col("vec_id"),
+        col("sim"))
+    val probes = probeRows(queries, codebook, nProbe)
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0))
+    val assigned = IndexMaintenance.filterTombstones(spark, path,
+      spark.read.parquet(path)
+        .where(col("cid").isin(probedCids.map(Int.box): _*))
+        .where(corpusFilter)
+        .select(col("id"), col("vec"), col("cid")))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("qid") =!= col("id"))
+      .withColumn("sim", round(simTo(col("qvec"), col("vec")), roundDigits))
+      .where(col("sim") >= minSim)
+      .select(col("qid"), col("id").as("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
 }

@@ -216,6 +216,20 @@ object DocQueries {
       Ivf.searchAt(s, mainIndexPath(s, dir), q, topK = 5, nProbe = 4)
     }),
 
+    // s12: RADIUS search on the same persisted index ([[Ivf
+    // .searchRadiusAt]] — FAISS range_search: "everything within τ",
+    // the dedup-against-index / recall-sweep companion to s2p's
+    // top-k). Same probed-cluster partition pruning and tombstone
+    // semantics; no ranking window at all — the τ-cut fuses into the
+    // scoring projection as a plain filter.
+    "s12_radius_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ivf.searchRadiusAt(s, mainIndexPath(s, dir), q, minSim = 0.25,
+        nProbe = 4)
+    }),
+
     // s11: FILTERED ANN — the metadata-predicate search a retrieval
     // layer serves constantly ("nearest English docs", "same shard",
     // "newer than"). The label payload rides IN the inverted lists
@@ -1224,6 +1238,32 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p19: token-budget corpus assembly — the "give me exactly B
+    // tokens per domain, best first" cut a pretraining mix is
+    // actually built from (p9 caps DOCUMENT counts; budgets are
+    // TOKEN counts): rank each source's docs by quality, take the
+    // greedy prefix whose cumulative token count fits the budget.
+    // Scale shape: one shuffle partitions by source; the cumulative
+    // sum is a running-frame window inside each source partition.
+    // A mega-source skews its partition — the p5b remedy (per-chunk
+    // partial sums + broadcast prefix offsets) applies verbatim when
+    // a single domain outgrows an executor; at gate scale the plain
+    // window is the honest plan.
+    "p19_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 600L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= budget)
+        .orderBy(col("source"), col("cum_tokens"))
+    }),
+
     // p18: dataset-card audit report — the per-source corpus summary
     // a curation run publishes alongside the data (docs, tokens,
     // chars, language spread, dominant language, exact-dup ratio).
@@ -1575,6 +1615,28 @@ object DocQueries {
     // SQL; the Lloyd training behind the dump stays spec-pinned.
     "s2_ivf_topk" -> ivfTopkSql("ivf_main", "ivf_main_probes"),
     "s2p_ivf_persisted" -> ivfTopkSql("ivf_main", "ivf_main_probes"),
+
+    // s12: the top-k oracle's sims CTEs with the τ filter in place of
+    // the rank window — same dump, same 5-digit rounding discipline.
+    "s12_radius_search" ->
+      s"""WITH a AS (SELECT id, vec, cid FROM ${tbl("ivf_main")}),
+         |p AS (SELECT qid, qvec, cid FROM ${tbl("ivf_main_probes")}),
+         |pairs AS (
+         |  SELECT p.qid, a.id AS vec_id, p.qvec AS qe, a.vec AS ve
+         |  FROM a JOIN p USING (cid) WHERE a.id <> p.qid),
+         |comp AS (
+         |  SELECT qid, vec_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+         |  FROM pairs),
+         |sims AS (SELECT qid, vec_id,
+         |  round(dot / (sqrt(nq) * sqrt(nv)), 5) AS sim FROM comp)
+         |SELECT qid, vec_id, sim FROM sims WHERE sim >= 0.25
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin,
     "s11_filtered_ivf" -> ivfTopkSql("ivf_filtered", "ivf_filtered_probes",
       ", label", " AND a.label < 3"),
     "s2a_ivf_append" -> ivfTopkSql("ivf_append", "ivf_append_probes"),
@@ -3069,6 +3131,21 @@ object DocQueries {
         |  round(sum(cnt * ns)::DOUBLE / sum(cnt), 6) AS tokens_per_word
         |FROM tokc JOIN seg USING (word)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p19_token_budget" ->
+      s"""WITH q AS (
+        |  SELECT source, doc_id, $dkQuality AS quality,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, quality, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT source, doc_id, quality, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 600
+        |ORDER BY source, cum_tokens""".stripMargin,
 
     "p18_dataset_card" ->
       """WITH b AS (

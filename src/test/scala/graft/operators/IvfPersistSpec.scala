@@ -66,6 +66,33 @@ class IvfPersistSpec extends SparkSpec {
     assert(unfiltered.collect().toSeq === mem.collect().toSeq)
   }
 
+  test("radius search = unbounded top-k cut at tau; filters respected") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-radius")
+      .resolve("index").toString
+    Ivf.persistWithPayload(index,
+      emb.select(col("vec_id").as("id"), col("label")), dir)
+    val tau = 0.25d
+    val radius = Ivf.searchRadiusAt(spark, dir, queries, minSim = tau,
+      nProbe = 3)
+    // reference: the ranked search with topK = corpus size, cut at tau
+    val all = Ivf.searchAt(spark, dir, queries,
+        topK = emb.count().toInt, nProbe = 3)
+      .where(col("sim") >= tau)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+    assert(radius.collect().toSeq === all.collect().toSeq)
+    assert(radius.count() > 0L)
+    // corpusFilter pre-filters eligibility exactly as in top-k search
+    val filtered = Ivf.searchRadiusAt(spark, dir, queries, minSim = tau,
+      nProbe = 3, corpusFilter = col("label") < 3)
+    val bad = filtered.join(emb.select(col("vec_id"), col("label")),
+      Seq("vec_id")).where(col("label") >= 3).count()
+    assert(bad === 0L)
+    // no ranking window anywhere in the radius plan
+    assert(!radius.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("probe filter prunes the partitioned scan to probed clusters") {
     val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf-persist2")
