@@ -761,6 +761,63 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d14: PASSAGE-level exact dedup — d1's content-hash dedup at
+    // p14's chunk granularity: the repeated-boilerplate / shared-
+    // passage detector that document-level hashing structurally
+    // misses (two distinct docs quoting the same 32-token block).
+    // Same contaminated corpus as d11/d13 so duplicated passages
+    // exist by construction. Scale shape: the chunker is one
+    // generator per doc (md5 + offsets ship, never text), then ONE
+    // map-side-combinable groupBy on chunk_hash — the d1 plan over a
+    // w/stride-bounded row multiple of the corpus.
+    "d14_chunk_dedup" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
+      val d = d0.unionByName(
+        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
+      graft.operators.Chunk.tokenWindows(d, col("doc_id"), col("text"),
+          w = 32, stride = 24)
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("canonical_doc"),
+          min(col("tok_start")).as("min_tok_start"))
+        .where(col("n_copies") >= 2)
+        .orderBy(col("chunk_hash"))
+    }),
+
+    // t16: TF-IDF keyword extraction — per-doc top-5 terms by
+    // tf·idf, the tagging/routing primitive (t4 is the DF table;
+    // this closes the loop into ranked keywords). idf goes
+    // fixed-point (floor(1e6·ln(N/df))) so each term score is an
+    // exact BIGINT product and ranks are engine-exact. Scale shape:
+    // one shuffle to per-(doc,term) counts feeding BOTH the df
+    // re-aggregation and the scoring join (t4's rationale); N rides
+    // a 1-row broadcast; the per-doc top-5 prunes via
+    // WindowGroupLimit.
+    "t16_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pd = Dedup.share(docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+      val df_ = pd.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_fp").desc, col("term"))
+      pd.join(df_, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * floor(log(col("n_docs").cast("double") /
+            col("df")) * 1000000.0d).cast("long")).as("score_fp"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("score_fp"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // t11: self-trained add-one-smoothed bigram LM surprisal — the
     // CCNet-style "perplexity against an LM" quality score, one model
     // class up from t9's unigram. Same scale shape: per-doc bigram
@@ -3065,6 +3122,52 @@ object DocQueries {
         |  b.label = p.pred_lang AS correct, p.score_fp
         |FROM base b JOIN pred p ON b.id = p.id
         |ORDER BY doc_id""".stripMargin,
+
+    "d14_chunk_dedup" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + mx.m, text FROM documents, mx WHERE doc_id % 5 = 0),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM base),
+        |b AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    ((greatest(1, len(t) - 8) - 1) // 24) + 1 AS nc
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, 1 + 24 * u.k AS st,
+        |    md5(array_to_string(t[(1 + 24 * u.k):(1 + 24 * u.k) + 31], ' '))
+        |      AS chunk_hash
+        |  FROM b, UNNEST(range(0, nc)) AS u(k))
+        |SELECT chunk_hash, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS canonical_doc,
+        |  CAST(min(st) AS BIGINT) AS min_tok_start
+        |FROM c GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
+
+    "t16_tfidf_keywords" ->
+      """WITH pd AS (
+        |  SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(term)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT pd.doc_id, pd.term,
+        |    pd.tf * CAST(floor(ln(n.n_docs::DOUBLE / df.df) * 1000000)
+        |      AS BIGINT) AS score_fp
+        |  FROM pd JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, score_fp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_fp DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_fp
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "t14_unigram_drift" ->
       """WITH tok AS (
