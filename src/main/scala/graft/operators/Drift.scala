@@ -65,4 +65,43 @@ object Drift {
         round(col("_s").cast("double") / 1000000.0d / col("tot"), 6)
           .as("kl_nats"))
   }
+
+  /** KL(P_slice ‖ Q_reference) against an EXTERNAL reference
+    * distribution `reference` = (tok, ref_cnt) — the form a streaming
+    * monitor runs per ingest batch against the at-rest corpus
+    * profile ([[unigramKl]] is the in-corpus special case, where
+    * corpus ⊇ slice makes smoothing unnecessary). An external
+    * reference can MISS slice tokens, so Q is add-one smoothed over
+    * the UNION vocabulary: q = (ref_cnt+1)/(ref_tot+V). Same
+    * fixed-point discipline; V and ref_tot ride 1-row broadcasts;
+    * the reference joins on tok (never collected — it can be
+    * vocabulary-sized). */
+  def klAgainst(docs: DataFrame, sliceCol: Column, textCol: Column,
+      reference: DataFrame): DataFrame = {
+    val tok = docs.select(sliceCol.as("slice"),
+      explode(split(textCol, " ")).as("tok"))
+    val st = Dedup.share(tok.groupBy(col("slice"), col("tok"))
+      .agg(count(lit(1)).as("cnt")))
+    val sTot = st.groupBy(col("slice")).agg(sum(col("cnt")).as("tot"))
+    val ref = reference.select(col("tok"), col("ref_cnt"))
+    val refTot = ref.agg(sum(col("ref_cnt")).as("rtot"))
+    val vocab = st.select(col("tok")).unionByName(ref.select(col("tok")))
+      .distinct().agg(count(lit(1)).as("v"))
+    st.join(ref, Seq("tok"), "left")
+      .join(broadcast(sTot), Seq("slice"))
+      .crossJoin(broadcast(refTot))
+      .crossJoin(broadcast(vocab))
+      .select(col("slice"), col("tot"),
+        (col("cnt") * floor(log(
+          (col("cnt").cast("double") *
+            (col("rtot") + col("v")).cast("double")) /
+            ((coalesce(col("ref_cnt"), lit(0L)) + 1).cast("double") *
+              col("tot").cast("double"))) *
+          1000000.0d).cast("long")).as("term_fp"))
+      .groupBy(col("slice"), col("tot"))
+      .agg(sum(col("term_fp")).as("_s"))
+      .select(col("slice"), col("tot").as("n_tokens"),
+        round(col("_s").cast("double") / 1000000.0d / col("tot"), 6)
+          .as("kl_nats"))
+  }
 }

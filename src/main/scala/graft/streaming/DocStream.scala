@@ -114,6 +114,32 @@ object DocStream {
     else w).start()
   }
 
+  /** Ingest-time drift alarm: per micro-batch, the per-source KL
+    * divergence of the batch's unigram distribution against a STATIC
+    * reference profile (`reference` = (tok, ref_cnt), e.g. the
+    * at-rest corpus token counts — re-snapshotted between runs like
+    * `curateIncremental`'s hash set). Runs the BATCH operator
+    * [[graft.operators.Drift.klAgainst]] inside `foreachBatch`
+    * (batch ≡ stream by construction — the repo's foreachBatch
+    * convention), because windowed KL needs two aggregation levels
+    * (per-(window,tok) counts, then per-window totals) that a single
+    * incremental streaming plan cannot express. Each epoch OVERWRITEs
+    * `outDir/batch_id=N`, so replays are idempotent. Output rows:
+    * (slice, n_tokens, kl_nats) per batch — the admit-or-alarm signal
+    * BEFORE a batch joins the corpus. */
+  def startDriftMonitor(docs: DataFrame, reference: DataFrame,
+      outDir: String, checkpoint: String,
+      sliceCol: org.apache.spark.sql.Column = col("lang")): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Drift.klAgainst(batch, sliceCol, col("text"),
+            reference)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Run the curation stream into day-partitioned parquet (retention
     * by partition drop, as the position sink does). `backfill = true`
     * runs with `Trigger.AvailableNow`: process everything already in

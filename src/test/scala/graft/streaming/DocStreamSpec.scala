@@ -163,4 +163,37 @@ class DocStreamSpec extends SparkSpec {
     val streamed = spark.table("doc_parity").orderBy("doc_id").collect().toSeq
     assert(streamed === batch)
   }
+
+  test("drift monitor scores each batch against the static reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(("the", 50L), ("quick", 10L), ("fox", 10L))
+      .toDF("tok", "ref_cnt")
+    val rows = Seq(
+      (1L, "the quick fox", "en", ts("2024-03-01 10:00:00")),
+      (2L, "zzz yyy xxx", "de", ts("2024-03-01 10:00:01")))
+    // batch ground truth: the foreachBatch body IS the batch operator
+    val batchKl = graft.operators.Drift.klAgainst(
+        rows.toDF("doc_id", "text", "lang", "ingest_ts"),
+        col("lang"), col("text"), reference)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val outDir = Files.createTempDirectory("drift-out").toString
+    val ckpt = Files.createTempDirectory("drift-ckpt").toString
+    val q = DocStream.startDriftMonitor(
+      in.toDF().toDF("doc_id", "text", "lang", "ingest_ts"),
+      reference, outDir, ckpt)
+    in.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$outDir/batch_id=0")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed === batchKl)
+    // the in-reference slice tracks the reference; the disjoint
+    // slice diverges harder
+    val m = batchKl.map { case (s, _, k) => s -> k }.toMap
+    assert(m("de") > m("en"))
+  }
 }
