@@ -1236,6 +1236,26 @@ object DocQueries {
       Mmr.rerank(cands, ps, selectK = 5, lambda = 0.5)
     }),
 
+    // p20: in-engine trained logistic-regression probe over the
+    // embedding column ([[LinearProbe]] — t13's Naive Bayes in
+    // embedding space: domain/quality gating by linear probe, no ML
+    // runtime). Each GD step is ONE distributed aggregation with
+    // fixed-point gradient sums (partition-order-invariant training);
+    // scoring is a codegen'd dot against the literal learned weights
+    // — multiply/add only, so the oracle reproduces scores BIT-EXACT
+    // from the dumped weight vector (stronger than the ln parity
+    // floor: no transcendentals anywhere in the scored path).
+    "p20_linear_probe" -> ((s, dir) => {
+      val p = probeWeightsPath(s, dir)
+      val w = s.read.parquet(p).orderBy(col("i"))
+        .collect().map(_.getDouble(1))
+      graft.operators.LinearProbe.score(emb(s, dir), col("vec_id"),
+          col("embedding"), pmod(col("label"), lit(2)), w)
+        .select(col("id").as("vec_id"), col("target"), col("score_fp"),
+          col("pred"), col("correct"))
+        .orderBy(col("vec_id"))
+    }),
+
     // t13: in-engine trained Naive Bayes language-ID — the
     // fastText-class "train a cheap model ON the corpus, score the
     // corpus" loop with no ML runtime (training is counting, scoring
@@ -1501,6 +1521,10 @@ object DocQueries {
     // merges are dumped, never the segmentation it is checking.
     w(spark.read.parquet(s"${bpeModelPath(spark, sfDir)}/merges"),
       "bpe_merges")
+    // p20: the trained probe weights — the oracle re-scores every
+    // embedding from them (bit-exact: multiply/add only).
+    w(spark.read.parquet(probeWeightsPath(spark, sfDir)),
+      "probe_weights")
   }
 
   private def codebooksDf(spark: SparkSession,
@@ -1547,6 +1571,19 @@ object DocQueries {
       m.merges.coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
       m.vocab.coalesce(1).write.mode("overwrite").parquet(s"$p/vocab")
       m.vocab.unpersist(blocking = false)
+    }
+
+  /** The memoized trained logistic-regression probe (p20's): 15
+    * full-batch GD steps over the embeddings, target = label parity;
+    * persisted as 65 (i, w) rows (64 weights + bias). */
+  private def probeWeightsPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"p20|$dir") { p =>
+      import s.implicits._
+      val w = graft.operators.LinearProbe.train(emb(s, dir),
+        col("embedding"), pmod(col("label"), lit(2)),
+        dim = 64, iters = 15, step = 2.0)
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
+        .coalesce(1).write.mode("overwrite").parquet(p)
     }
 
   /** The memoized payload-carrying IVF index (s11's filtered search):
@@ -3079,6 +3116,22 @@ object DocQueries {
         |  round(score, 6) AS mmr_score
         |FROM rec ORDER BY qid, mmr_rank""".stripMargin
     },
+
+    "p20_linear_probe" ->
+      s"""WITH wl AS (
+        |  SELECT list(w ORDER BY i) AS wv
+        |  FROM ${tbl("probe_weights")} WHERE i < 64),
+        |wb AS (SELECT w AS b FROM ${tbl("probe_weights")} WHERE i = 64),
+        |sc AS (
+        |  SELECT vec_id, CAST(label % 2 AS BIGINT) AS target,
+        |    CAST(floor((list_sum(list_transform(range(1, 65),
+        |      j -> CAST(embedding[j] AS DOUBLE) * wv[j])) + b) * 1000000)
+        |      AS BIGINT) AS score_fp
+        |  FROM embeddings, wl, wb)
+        |SELECT vec_id, target, score_fp,
+        |  CAST(score_fp >= 0 AS BIGINT) AS pred,
+        |  CAST(score_fp >= 0 AS BIGINT) = target AS correct
+        |FROM sc ORDER BY vec_id""".stripMargin,
 
     "t13_nb_langid" ->
       """WITH base AS (SELECT doc_id AS id, lang AS label, text FROM documents),
