@@ -78,6 +78,58 @@ class BpeSpec extends SparkSpec {
     assert(enc === Map("abcdab" -> Seq("ab", "cd", "ab"), "x" -> Seq("x")))
   }
 
+  test("train matches a local reference BPE trainer on random corpora") {
+    val rnd = new scala.util.Random(4321)
+    // random corpus over a 3-letter alphabet: dense pair collisions
+    val texts = (1 to 40).map { _ =>
+      (1 to rnd.nextInt(6) + 1).map { _ =>
+        (1 to rnd.nextInt(6) + 1).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString
+      }.mkString(" ")
+    }
+
+    // local reference: textbook greedy trainer over the word-freq map
+    def applyLocal(toks: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    var seg: Map[List[String], Long] = texts.flatMap(_.split(" "))
+      .filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, g) => w.map(_.toString).toList -> g.size.toLong }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (expect.size < 12 && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, f) <- seg; i <- 0 until toks.length - 1)
+        counts((toks(i), toks(i + 1))) =
+          counts.getOrElse((toks(i), toks(i + 1)), 0L) + f
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((a, b), n) = eligible.minBy { case ((a, b), n) => (-n, a, b) }
+        expect += ((a, b, n))
+        seg = seg.groupMapReduce { case (toks, _) => applyLocal(toks, a, b) }(
+          _._2)(_ + _)
+      }
+    }
+
+    val m = Bpe.train(texts.toDF("text"), col("text"), nMerges = 12)
+    val got = m.merges.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expect.toSeq)
+    // and the final segmentation agrees word-for-word
+    val vGot = m.vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    val vExp = seg.map { case (toks, _) => toks.mkString -> toks }
+    assert(vGot === vExp)
+  }
+
   test("training is invariant under input repartitioning") {
     val d = Seq("ab ab cd abcd ef", "ab cd ef ef ab").toDF("text")
     def run(df: org.apache.spark.sql.DataFrame) = {

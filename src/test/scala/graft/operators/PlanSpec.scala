@@ -144,6 +144,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t16 keyword top-5 prunes map-side via WindowGroupLimit") {
+    val p = plan("t16_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"), p)
+    spark.catalog.clearCache() // t16 shares its (doc,term) counts
+  }
+
+  test("p19/p20 windows and scoring stay partitioned, never global") {
+    // p19's cumulative token sum rides the per-source partition;
+    // p20's scoring is a pure projection — neither may funnel the
+    // table through one task
+    Seq("p19_token_budget", "p20_linear_probe").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$n funnels through one task:\n$p")
+    }
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
