@@ -1043,6 +1043,29 @@ object DocQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // p21: tokenizer-aware sequence packing — p5's packer fed by
+    // t15's BPE token counts instead of whitespace counts: the
+    // actual "cut 512-TOKENIZER-token training sequences" prep step
+    // (whitespace counts under-budget a subword tokenizer by the
+    // tokens-per-word ratio). Pure composition of the two proven
+    // stages: the word-join count from t15 flows into packReport's
+    // distributed prefix sum; the oracle replays BOTH — merges from
+    // the dump, then the same bucketed two-pass cumsum.
+    "p21_bpe_pack" -> ((s, dir) => {
+      val p = bpeModelPath(s, dir)
+      val vocab = s.read.parquet(s"$p/vocab")
+        .select(col("word"), size(col("toks")).as("ns"))
+      val counts = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+        .join(vocab, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * col("ns")).as("n_bpe"))
+      Pack.packReport(counts, col("doc_id"), col("n_bpe"), budget = 512L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // p5b: the packing manifest a trainer consumes — one row per
     // 512-token training sequence with its document membership
     // (straddling docs appear in every sequence they touch). Derived
@@ -2855,6 +2878,52 @@ object DocQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    ${dkHash("CAST(doc_id AS VARCHAR)", "13")} AS k
         |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens, k, k % 8 AS bk FROM d),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY bk, k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+        |  FROM b)
+        |SELECT doc_id, n_tokens, "offset",
+        |  CAST("offset" // 512 AS BIGINT) AS seq_first,
+        |  CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
+        |  CAST(("offset" + n_tokens - 1) // 512 - "offset" // 512 + 1
+        |    AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "p21_bpe_pack" ->
+      s"""WITH RECURSIVE w AS (
+        |  SELECT DISTINCT u.word FROM (
+        |    SELECT string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(word)),
+        |mm AS (SELECT CAST(rank AS INTEGER) AS rank, a, b
+        |  FROM ${tbl("bpe_merges")}),
+        |mx AS (SELECT coalesce(max(rank), 0) AS mr FROM mm),
+        |rec AS (
+        |  SELECT word, array_to_string(string_split(word, ''), ' ') AS enc,
+        |    0 AS r
+        |  FROM w
+        |  UNION ALL
+        |  SELECT rec.word,
+        |    list_reduce(string_split(rec.enc, ' '),
+        |      (acc, x) -> CASE
+        |        WHEN x = mm.b AND regexp_extract(acc, '[^ ]*$$') = mm.a
+        |        THEN regexp_replace(acc, '[^ ]*$$', mm.a || mm.b)
+        |        ELSE acc || ' ' || x END) AS enc,
+        |    rec.r + 1 AS r
+        |  FROM rec JOIN mm ON mm.rank = rec.r + 1),
+        |seg AS (
+        |  SELECT word, len(string_split(enc, ' ')) AS ns
+        |  FROM rec, mx WHERE r = mx.mr),
+        |tokc AS (
+        |  SELECT doc_id, u.word, count(*) AS cnt FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(word)
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, CAST(sum(cnt * ns) AS BIGINT) AS n_tokens,
+        |    ${dkHash("CAST(doc_id AS VARCHAR)", "13")} AS k
+        |  FROM tokc JOIN seg USING (word) GROUP BY doc_id),
         |b AS (SELECT doc_id, n_tokens, k, k % 8 AS bk FROM d),
         |c AS (
         |  SELECT doc_id, n_tokens,
