@@ -98,8 +98,12 @@ object Bpe {
     * agrees with `model.vocab` exactly (spec-pinned). */
   def encodeWords(words: DataFrame, wordCol: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val init = transform(sequence(lit(1), length(col("word"))),
-      i => col("word").substr(i, lit(1)))
+    // guard the empty word: sequence(1, 0) DESCENDS (the p5b hazard)
+    // and would invent two phantom '' tokens
+    val init = when(length(col("word")) === 0,
+      array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
     val enc = merges.foldLeft(init) {
       case (c, (a, b)) => applyMerge(c, a, b) }
     words.select(wordCol.as("word")).select(col("word"), enc.as("toks"))

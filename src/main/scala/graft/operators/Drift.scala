@@ -35,19 +35,29 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** The shared prologue of both KL forms: per-(slice, tok) counts,
+    * one shuffle. NOT materialized here — [[unigramKl]]/[[klAgainst]]
+    * wrap it in `Dedup.share` (harness clears the cache per query),
+    * while the streaming monitor persists it with an explicit
+    * per-batch unpersist (a resident service must not grow the cache
+    * catalog — `DocStream.startDriftMonitor`). */
+  private[graft] def sliceCounts(docs: DataFrame, sliceCol: Column,
+      textCol: Column): DataFrame =
+    docs.select(sliceCol.as("slice"),
+        explode(split(textCol, " ")).as("tok"))
+      .groupBy(col("slice"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** One row per slice: (slice, n_tokens, kl_nats) where kl_nats is
     * the fixed-point KL sum divided back into nats, rounded to 6
     * places. Slices with a distribution identical to the corpus score
     * ~0; higher = more divergent. */
   def unigramKl(docs: DataFrame, sliceCol: Column, textCol: Column): DataFrame = {
-    val tok = docs.select(sliceCol.as("slice"),
-      explode(split(textCol, " ")).as("tok"))
     // materialized once (Dedup.share, mode-gated): four consumers
     // (scoring join, slice totals, corpus counts, corpus total) would
     // otherwise each replay the scan + token explode + first shuffle —
     // AQE's exchange reuse only catches the bit-identical subtrees
-    val st = Dedup.share(tok.groupBy(col("slice"), col("tok"))
-      .agg(count(lit(1)).as("cnt")))
+    val st = Dedup.share(sliceCounts(docs, sliceCol, textCol))
     val sTot = st.groupBy(col("slice")).agg(sum(col("cnt")).as("tot"))
     val gTok = st.groupBy(col("tok")).agg(sum(col("cnt")).as("gcnt"))
     val gTot = sTot.agg(sum(col("tot")).as("gtot"))
@@ -77,11 +87,15 @@ object Drift {
     * the reference joins on tok (never collected — it can be
     * vocabulary-sized). */
   def klAgainst(docs: DataFrame, sliceCol: Column, textCol: Column,
-      reference: DataFrame): DataFrame = {
-    val tok = docs.select(sliceCol.as("slice"),
-      explode(split(textCol, " ")).as("tok"))
-    val st = Dedup.share(tok.groupBy(col("slice"), col("tok"))
-      .agg(count(lit(1)).as("cnt")))
+      reference: DataFrame): DataFrame =
+    klAgainstCounts(Dedup.share(sliceCounts(docs, sliceCol, textCol)),
+      reference)
+
+  /** [[klAgainst]] over PRE-MATERIALIZED (slice, tok, cnt) counts —
+    * the caller owns the materialization lifecycle (the streaming
+    * monitor persists per batch and unpersists after the epoch
+    * write; batch callers should prefer [[klAgainst]]). */
+  def klAgainstCounts(st: DataFrame, reference: DataFrame): DataFrame = {
     val sTot = st.groupBy(col("slice")).agg(sum(col("cnt")).as("tot"))
     val ref = reference.select(col("tok"), col("ref_cnt"))
     val refTot = ref.agg(sum(col("ref_cnt")).as("rtot"))

@@ -329,24 +329,38 @@ object Ivf {
     * over the eligible subset (pre-filtering, not the recall-losing
     * oversample-then-post-filter shape), and simple predicates push
     * down to the parquet reader (spec-pinned). */
-  def searchPersisted(spark: org.apache.spark.sql.SparkSession,
+  /** The shared serve-path prologue of every persisted search
+    * (top-k AND radius — one definition so their eligibility
+    * semantics can never diverge): probe the codebook, collect the
+    * probed cluster ids into a static partition filter, apply the
+    * caller's pre-filter inside the pruned scan, and anti-join the
+    * tombstone sidecar. probeRows is a cheap projection over the
+    * (small) query side — recomputing it for the cid collect beats
+    * leaking a cache entry per search call (nothing here ever
+    * unpersists). Ids deleted via IndexMaintenance.deletePersisted
+    * never return (sidecar anti-join; a no-op when none exist). */
+  private def probedEligible(spark: org.apache.spark.sql.SparkSession,
       path: String, codebook: Array[(Int, Array[Float], Double)],
-      queries: DataFrame, topK: Int, nProbe: Int = 2,
-      roundDigits: Int = 5, corpusFilter: Column = lit(true)): DataFrame = {
-    if (codebook.isEmpty) return emptyResult(queries)
-    // probeRows is a cheap projection over the (small) query side —
-    // recomputing it for the cid collect beats leaking a cache entry
-    // per search call (nothing here ever unpersists)
+      queries: DataFrame, nProbe: Int,
+      corpusFilter: Column): (DataFrame, DataFrame) = {
     val probes = probeRows(queries, codebook, nProbe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0))
-    // tombstone-aware: ids deleted via IndexMaintenance.deletePersisted
-    // never return (anti-join on the sidecar; a no-op when none exist)
     val assigned = IndexMaintenance.filterTombstones(spark, path,
       spark.read.parquet(path)
         .where(col("cid").isin(probedCids.map(Int.box): _*))
         .where(corpusFilter)
         .select(col("id"), col("vec"), col("cid")))
+    (probes, assigned)
+  }
+
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, codebook: Array[(Int, Array[Float], Double)],
+      queries: DataFrame, topK: Int, nProbe: Int = 2,
+      roundDigits: Int = 5, corpusFilter: Column = lit(true)): DataFrame = {
+    if (codebook.isEmpty) return emptyResult(queries)
+    val (probes, assigned) = probedEligible(spark, path, codebook,
+      queries, nProbe, corpusFilter)
     scoreProbed(assigned, probes, topK, roundDigits)
   }
 
@@ -368,14 +382,8 @@ object Ivf {
     if (codebook.isEmpty)
       return emptyResult(queries).select(col("qid"), col("vec_id"),
         col("sim"))
-    val probes = probeRows(queries, codebook, nProbe)
-    val probedCids = probes.select(col("cid")).distinct()
-      .collect().map(_.getInt(0))
-    val assigned = IndexMaintenance.filterTombstones(spark, path,
-      spark.read.parquet(path)
-        .where(col("cid").isin(probedCids.map(Int.box): _*))
-        .where(corpusFilter)
-        .select(col("id"), col("vec"), col("cid")))
+    val (probes, assigned) = probedEligible(spark, path, codebook,
+      queries, nProbe, corpusFilter)
     assigned.join(broadcast(probes), Seq("cid"))
       .where(col("qid") =!= col("id"))
       .withColumn("sim", round(simTo(col("qvec"), col("vec")), roundDigits))

@@ -15,7 +15,10 @@ import graft.functions.DotProduct.dotF
   * scoring is a codegen'd dot product against a literal weight array.
   *
   * Arithmetic discipline: per-example gradient contributions go
-  * FIXED-POINT — `floor(1e6 · (σ(z)−y)·x_i)` — before the BIGINT sum,
+  * FIXED-POINT — `floor(1e6 · (y−σ(z))·x_i)`, the log-likelihood
+  * ASCENT direction exactly as summed (floor is not sign-symmetric,
+  * so the sign inside the floor is part of the contract) — before
+  * the BIGINT sum,
   * so every step's gradient is partition-order-invariant and training
   * is bit-reproducible run to run (the t9/t11/t13 convention applied
   * to SGD). Scoring emits `floor(1e6·z)` with z accumulated in
@@ -40,6 +43,7 @@ object LinearProbe {
     val base = vecs.select(vecCol.as("x"),
       targetCol.cast("double").as("y")).localCheckpoint()
     val n = base.count().toDouble
+    require(n > 0, "empty training input (0/0 would NaN every weight)")
     var w = Array.fill(dim + 1)(0.0d)
     for (_ <- 1 to iters) {
       val wl = typedlit(w.take(dim).toSeq)

@@ -1057,6 +1057,7 @@ object DocQueries {
         .select(col("word"), size(col("toks")).as("ns"))
       val counts = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) >= 1) // t15's empty-word contract
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
         .join(vocab, Seq("word"))
         .groupBy(col("doc_id"))
@@ -1325,8 +1326,13 @@ object DocQueries {
       val p = bpeModelPath(s, dir)
       val vocab = s.read.parquet(s"$p/vocab")
         .select(col("word"), size(col("toks")).as("ns"))
+      // empty words (doubled/leading/trailing spaces) are not words:
+      // excluded here AND in the oracle's tokc/w CTEs, and absent
+      // from the trained vocab (train's length >= 1 filter) — all
+      // three layers must agree or the word join silently drops rows
       val pd = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) >= 1)
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
       pd.join(vocab, Seq("word"))
         .groupBy(col("doc_id"))
@@ -1634,6 +1640,46 @@ object DocQueries {
     }
 
   private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
+
+  /** Shared t15/p21 oracle prefix (one definition so the two replays
+    * can never drift): re-apply the dumped merge table over the
+    * corpus vocabulary — a recursive CTE with one left-to-right
+    * non-overlapping `list_reduce` fold per rank ("last token == a
+    * and next == b" collapses to ab) — ending in `seg` (word →
+    * subword count) and `tokc` (per-(doc, word) counts). Empty words
+    * from repeated spaces are excluded in BOTH CTEs, matching the
+    * engine's length >= 1 filter and the trained vocab's. */
+  private def bpeReplaySql: String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT DISTINCT u.word FROM (
+       |    SELECT string_split(text, ' ') AS t FROM documents),
+       |    UNNEST(t) AS u(word)
+       |  WHERE length(u.word) > 0),
+       |mm AS (SELECT CAST(rank AS INTEGER) AS rank, a, b
+       |  FROM ${tbl("bpe_merges")}),
+       |mx AS (SELECT coalesce(max(rank), 0) AS mr FROM mm),
+       |rec AS (
+       |  SELECT word, array_to_string(string_split(word, ''), ' ') AS enc,
+       |    0 AS r
+       |  FROM w
+       |  UNION ALL
+       |  SELECT rec.word,
+       |    list_reduce(string_split(rec.enc, ' '),
+       |      (acc, x) -> CASE
+       |        WHEN x = mm.b AND regexp_extract(acc, '[^ ]*$$') = mm.a
+       |        THEN regexp_replace(acc, '[^ ]*$$', mm.a || mm.b)
+       |        ELSE acc || ' ' || x END) AS enc,
+       |    rec.r + 1 AS r
+       |  FROM rec JOIN mm ON mm.rank = rec.r + 1),
+       |seg AS (
+       |  SELECT word, len(string_split(enc, ' ')) AS ns
+       |  FROM rec, mx WHERE r = mx.mr),
+       |tokc AS (
+       |  SELECT doc_id, u.word, count(*) AS cnt FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |    UNNEST(t) AS u(word)
+       |  WHERE length(u.word) > 0
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** Pruned IVF cosine top-5 recomputed in SQL from an assignment +
     * probe dump — the s1 oracle's arithmetic restricted to the probe
@@ -2892,34 +2938,7 @@ object DocQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "p21_bpe_pack" ->
-      s"""WITH RECURSIVE w AS (
-        |  SELECT DISTINCT u.word FROM (
-        |    SELECT string_split(text, ' ') AS t FROM documents),
-        |    UNNEST(t) AS u(word)),
-        |mm AS (SELECT CAST(rank AS INTEGER) AS rank, a, b
-        |  FROM ${tbl("bpe_merges")}),
-        |mx AS (SELECT coalesce(max(rank), 0) AS mr FROM mm),
-        |rec AS (
-        |  SELECT word, array_to_string(string_split(word, ''), ' ') AS enc,
-        |    0 AS r
-        |  FROM w
-        |  UNION ALL
-        |  SELECT rec.word,
-        |    list_reduce(string_split(rec.enc, ' '),
-        |      (acc, x) -> CASE
-        |        WHEN x = mm.b AND regexp_extract(acc, '[^ ]*$$') = mm.a
-        |        THEN regexp_replace(acc, '[^ ]*$$', mm.a || mm.b)
-        |        ELSE acc || ' ' || x END) AS enc,
-        |    rec.r + 1 AS r
-        |  FROM rec JOIN mm ON mm.rank = rec.r + 1),
-        |seg AS (
-        |  SELECT word, len(string_split(enc, ' ')) AS ns
-        |  FROM rec, mx WHERE r = mx.mr),
-        |tokc AS (
-        |  SELECT doc_id, u.word, count(*) AS cnt FROM (
-        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |    UNNEST(t) AS u(word)
-        |  GROUP BY 1, 2),
+      s"""$bpeReplaySql,
         |d AS (
         |  SELECT doc_id, CAST(sum(cnt * ns) AS BIGINT) AS n_tokens,
         |    ${dkHash("CAST(doc_id AS VARCHAR)", "13")} AS k
@@ -3323,34 +3342,7 @@ object DocQueries {
     // collapses to ab). Only the learned merges come from the dump —
     // the segmentation under test is recomputed from scratch.
     "t15_bpe_encode" ->
-      s"""WITH RECURSIVE w AS (
-        |  SELECT DISTINCT u.word FROM (
-        |    SELECT string_split(text, ' ') AS t FROM documents),
-        |    UNNEST(t) AS u(word)),
-        |mm AS (SELECT CAST(rank AS INTEGER) AS rank, a, b
-        |  FROM ${tbl("bpe_merges")}),
-        |mx AS (SELECT coalesce(max(rank), 0) AS mr FROM mm),
-        |rec AS (
-        |  SELECT word, array_to_string(string_split(word, ''), ' ') AS enc,
-        |    0 AS r
-        |  FROM w
-        |  UNION ALL
-        |  SELECT rec.word,
-        |    list_reduce(string_split(rec.enc, ' '),
-        |      (acc, x) -> CASE
-        |        WHEN x = mm.b AND regexp_extract(acc, '[^ ]*$$') = mm.a
-        |        THEN regexp_replace(acc, '[^ ]*$$', mm.a || mm.b)
-        |        ELSE acc || ' ' || x END) AS enc,
-        |    rec.r + 1 AS r
-        |  FROM rec JOIN mm ON mm.rank = rec.r + 1),
-        |seg AS (
-        |  SELECT word, len(string_split(enc, ' ')) AS ns
-        |  FROM rec, mx WHERE r = mx.mr),
-        |tokc AS (
-        |  SELECT doc_id, u.word, count(*) AS cnt FROM (
-        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |    UNNEST(t) AS u(word)
-        |  GROUP BY 1, 2)
+      s"""$bpeReplaySql
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
         |  CAST(sum(cnt * ns) AS BIGINT) AS n_bpe_tokens,
         |  round(sum(cnt * ns)::DOUBLE / sum(cnt), 6) AS tokens_per_word

@@ -133,9 +133,16 @@ object DocStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Drift.klAgainst(batch, sliceCol, col("text"),
-            reference)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        // explicit persist + unpersist per epoch (NOT Dedup.share):
+        // a resident monitor must not grow the cache catalog by one
+        // entry per micro-batch — startIncrementalNearDup's
+        // "epoch state stays bounded" discipline
+        val counts = graft.operators.Drift
+          .sliceCounts(batch, sliceCol, col("text")).persist()
+        try
+          graft.operators.Drift.klAgainstCounts(counts, reference)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        finally counts.unpersist(blocking = false)
         ()
       }
       .start()
