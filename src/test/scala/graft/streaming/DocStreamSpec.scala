@@ -172,9 +172,12 @@ class DocStreamSpec extends SparkSpec {
       (1L, "the quick fox", "en", ts("2024-03-01 10:00:00")),
       (2L, "zzz yyy xxx", "de", ts("2024-03-01 10:00:01")))
     // batch ground truth: the foreachBatch body IS the batch operator
-    val batchKl = graft.operators.Drift.klAgainst(
-        rows.toDF("doc_id", "text", "lang", "ingest_ts"),
-        col("lang"), col("text"), reference)
+    // (unshared counts so THIS computation cannot pollute the cache
+    // catalog the assertion below inspects)
+    val batchKl = graft.operators.Drift.klAgainstCounts(
+        graft.operators.Drift.sliceCounts(
+          rows.toDF("doc_id", "text", "lang", "ingest_ts"),
+          col("lang"), col("text")), reference)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .toSet
 
@@ -195,5 +198,10 @@ class DocStreamSpec extends SparkSpec {
     // slice diverges harder
     val m = batchKl.map { case (s, _, k) => s -> k }.toMap
     assert(m("de") > m("en"))
+    // a RESIDENT monitor must leave the cache catalog empty after
+    // every epoch — one leaked entry per micro-batch is an OOM on an
+    // unbounded feed (the per-epoch unpersist discipline)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "drift monitor left entries in the cache catalog")
   }
 }
