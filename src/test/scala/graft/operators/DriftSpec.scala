@@ -65,6 +65,37 @@ class DriftSpec extends SparkSpec {
     assert(out("b") > out("a"))
   }
 
+  test("matches a local fixed-point KL reference on random corpora") {
+    val rnd = new scala.util.Random(7777)
+    val rows = (1 to 120).map { _ =>
+      val src = s"s${rnd.nextInt(5)}"
+      val text = (1 to rnd.nextInt(12) + 1)
+        .map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+      (src, text)
+    }
+    // local reference: the same fixed-point term sum, sequentially
+    val st = rows.flatMap { case (s, t) => t.split(" ").map((s, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sTot = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val gTok = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val gTot = sTot.values.sum
+    val expect = sTot.keys.map { s =>
+      val sum = st.collect { case ((`s`, tok), cnt) =>
+        cnt * math.floor(math.log(
+          (cnt.toDouble * gTot) / (gTok(tok).toDouble * sTot(s))) *
+          1e6).toLong
+      }.sum
+      val kl = BigDecimal(sum.toDouble / 1e6 / sTot(s))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s, sTot(s), kl)
+    }.toSet
+    val got = Drift.unigramKl(rows.toDF("src", "text"),
+        col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === expect)
+  }
+
   test("n_tokens counts every occurrence in the slice") {
     val d = Seq(("a", "x x y"), ("b", "z")).toDF("src", "text")
     val out = Drift.unigramKl(d, col("src"), col("text"))
