@@ -252,20 +252,62 @@ object IvfPq {
       corpusFilter: Column = lit(true)): DataFrame = {
     if (index.coarse.isEmpty || index.codebooks.head.isEmpty)
       return emptyResult(queries)
+    val (probes, coded) = probedCoded(spark, path, index, queries,
+      nProbe, corpusFilter)
+    scoreProbedAdc(coded, probes, index.codebooks,
+      index.m, index.dsub, topK, roundDigits)
+  }
+
+  /** The shared serve-path prologue (top-k AND radius — the
+    * Ivf.probedEligible convention on the compressed tier): probes +
+    * the probed clusters' code rows after partition pruning, the
+    * caller's pre-filter, and the tombstone anti-join. Tombstone-aware
+    * as Ivf.searchPersisted — this also covers the AnnStream serving
+    * tier, which searches through here per batch. corpusFilter = the
+    * filtered-ANN pre-filter over payload columns written by
+    * persistWithPayload: evaluates in the pruned scan, BEFORE any ADC
+    * arithmetic. */
+  private def probedCoded(spark: SparkSession, path: String,
+      index: Index, queries: DataFrame, nProbe: Int,
+      corpusFilter: Column): (DataFrame, DataFrame) = {
     val probes = Ivf.probeRows(queries, index.coarse, nProbe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0))
-    // tombstone-aware, as Ivf.searchPersisted — this also covers the
-    // AnnStream serving tier, which searches through here per batch.
-    // corpusFilter = the filtered-ANN pre-filter over payload columns
-    // written by persistWithPayload: evaluates in the pruned scan,
-    // BEFORE any ADC arithmetic (Ivf.searchPersisted's contract).
     val coded = IndexMaintenance.filterTombstones(spark, path,
       spark.read.parquet(path)
         .where(col("cid").isin(probedCids.map(Int.box): _*))
         .where(corpusFilter)
         .select(col("id"), col("cid"), col("codes")))
-    scoreProbedAdc(coded, probes, index.codebooks,
-      index.m, index.dsub, topK, roundDigits)
+    (probes, coded)
+  }
+
+  /** Radius search on the COMPRESSED tier: every eligible code with
+    * ADC score ≥ `minScore` in the probed clusters — [[Ivf
+    * .searchRadiusAt]]'s range_search over 8–16-byte codes instead of
+    * float vectors. The ADC score is the quantized inner-product
+    * ESTIMATE, so the τ-cut is approximate in exactly the way the
+    * FAISS IVFPQ range_search is: a coarse sweep whose survivors an
+    * exact re-rank confirms (compose with `Similarity.rerankExact` as
+    * [[searchRerank]] does). Same pruning / tombstone / pre-filter
+    * semantics as [[searchPersisted]]; no ranking window — the cut
+    * fuses into the ADC projection. Output (qid, vec_id, score). */
+  def searchRadiusAt(spark: SparkSession, path: String,
+      queries: DataFrame, minScore: Double, nProbe: Int = 2,
+      roundDigits: Int = 5, corpusFilter: Column = lit(true)): DataFrame = {
+    val index = loadIndex(spark, path)
+    if (index.coarse.isEmpty || index.codebooks.head.isEmpty)
+      return emptyResult(queries).select(col("qid"), col("vec_id"),
+        col("score"))
+    val (probes, coded) = probedCoded(spark, path, index, queries,
+      nProbe, corpusFilter)
+    val q = probes.select(
+      col("qid") +: col("cid") +:
+        Pq.lutCols(col("qvec"), index.codebooks, index.dsub): _*)
+    coded.join(broadcast(q), Seq("cid"))
+      .where(col("qid") =!= col("id"))
+      .withColumn("score", round(Pq.adcScore(index.m), roundDigits))
+      .where(col("score") >= minScore)
+      .select(col("qid"), col("id").as("vec_id"), col("score"))
+      .orderBy(col("qid"), col("score").desc, col("vec_id"))
   }
 }

@@ -1234,6 +1234,20 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // s13: radius search on the COMPRESSED tier ([[IvfPq
+    // .searchRadiusAt]] — s12's range_search over 8–16-byte codes:
+    // the τ-cut applies to the ADC inner-product estimate, the coarse
+    // sweep whose survivors an exact re-rank confirms). Same probed
+    // dump as s6; no ranking window — the cut fuses into the ADC
+    // projection.
+    "s13_radius_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IvfPq.searchRadiusAt(s, ivfPqIndexPath(s, dir), q,
+        minScore = 0.22, nProbe = 4)
+    }),
+
     // s10: MMR-diversified retrieval — greedy λ=0.5 maximal marginal
     // relevance over the s1 cosine top-10, selecting 5: retrieved
     // training-context batches stay diverse instead of collapsing
@@ -1861,6 +1875,22 @@ object DocQueries {
          |  FROM scored),
          |cand AS (SELECT qid, vec_id FROM ranked WHERE rank <= 50),
          |${rerankSql(5)}""".stripMargin,
+
+    // s13: s6's ADC scoring with the τ filter in place of the rank
+    // window + rerank — the raw compressed-tier radius primitive.
+    "s13_radius_adc" ->
+      s"""WITH $qqCte,
+         |cbl AS (SELECT list(cv ORDER BY sub, code) AS cvs
+         |  FROM ${tbl("ivfpq_codebooks")}),
+         |scored AS (
+         |  SELECT pr.qid, c.id AS vec_id,
+         |    round(${adcExpr("q.qe", "c.codes", "l.cvs")}, 5) AS score
+         |  FROM ${tbl("ivfpq_codes")} c
+         |  JOIN ${tbl("ivfpq_probes")} pr ON c.cid = pr.cid
+         |  JOIN qq q ON q.qid = pr.qid, cbl l
+         |  WHERE c.id <> pr.qid)
+         |SELECT qid, vec_id, score FROM scored WHERE score >= 0.22
+         |ORDER BY qid, score DESC, vec_id""".stripMargin,
 
     // SemDeDup keep rule over the same dumped assignment: dominated =
     // has ANY lower-id raw-cosine ≥ τ neighbor in its cluster (the

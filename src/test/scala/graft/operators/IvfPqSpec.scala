@@ -66,6 +66,24 @@ class IvfPqSpec extends SparkSpec {
     assert(at.collect().toSeq === mem.collect().toSeq)
   }
 
+  test("ADC radius = unbounded ADC top-k cut at tau; no ranking window") {
+    val index = buildIndex()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-radius")
+      .resolve("index").toString
+    IvfPq.persist(index, dir)
+    val tau = 0.2d
+    val radius = IvfPq.searchRadiusAt(spark, dir, queries,
+      minScore = tau, nProbe = 3)
+    val all = IvfPq.searchAt(spark, dir, queries,
+        topK = emb.count().toInt, nProbe = 3)
+      .where(col("score") >= tau)
+      .select(col("qid"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("score").desc, col("vec_id"))
+    assert(radius.collect().toSeq === all.collect().toSeq)
+    assert(radius.count() > 0L)
+    assert(!radius.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("probe filter prunes the partitioned code scan to probed clusters") {
     val index = buildIndex()
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-persist2")
