@@ -247,6 +247,49 @@ object AdsbQueries {
         .select(col("model"), col("other").as("nn_model"),
           col("hamming").as("nn_hamming"))
       hashed.join(nn, Seq("model")).orderBy(col("model"))
+    }),
+
+    // mm4: near-dup IMAGE detection at scale — d4's SimHash banding
+    // applied to mm3's perceptual hash: the 64-bit aHash splits into
+    // four 16-bit bands, images sharing any band bucket become
+    // candidates, and only candidates pay the hamming verify (never
+    // all-pairs — at corpus scale the band join IS the index). By
+    // pigeonhole, hamming ≤ 3 over 4 bands leaves at least one band
+    // identical, so recall at the τ=3 cut is EXACT. The fixture's
+    // distinct silhouettes sit ≥ 6 bits apart, so near-dup pairs are
+    // injected by construction (exact re-keyed copies — the d11
+    // convention; a 0-hit green proves nothing).
+    "mm4_image_neardup" -> ((s, _) => {
+      val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
+        .select(col("model"), col("silhouette"))
+      val all = bin.unionByName(bin.select(
+        concat(col("model"), lit("_copy")).as("model"), col("silhouette")))
+      val hashed = all.where(Multimodal.isBmp(col("silhouette")))
+        .withColumn("ah", graft.functions.BmpAHash.aHash(col("silhouette")))
+        .where(col("ah").isNotNull)
+        .select(col("model"), col("ah")(0).as("hi"), col("ah")(1).as("lo"))
+      val bands = hashed.select(col("model"), col("hi"), col("lo"),
+        posexplode(array(
+          col("lo").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("hi").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xFFFFL)))))
+        .select(col("model"), col("hi"), col("lo"),
+          col("pos").as("band"), col("col").as("bv"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.model") < col("b.model"))
+        .select(col("a.model").as("model"), col("b.model").as("other"),
+          col("a.hi").as("ahi"), col("a.lo").as("alo"),
+          col("b.hi").as("bhi"), col("b.lo").as("blo"))
+        .distinct()
+      cands
+        .select(col("model"), col("other"),
+          (bit_count(col("ahi").bitwiseXOR(col("bhi"))) +
+            bit_count(col("alo").bitwiseXOR(col("blo"))))
+            .cast("long").as("hamming"))
+        .where(col("hamming") <= 3)
+        .orderBy(col("model"), col("other"))
     })
   )
 
@@ -280,6 +323,69 @@ object AdsbQueries {
        | p -> printf('[%.6f,%.6f]', p.x, p.y)), ',') || ']'""".stripMargin
 
   private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
+
+  /** Shared mm3/mm4 oracle CTE chain (one definition so the two
+    * hash re-derivations can never drift): from `blobSql` (any
+    * SELECT producing (model, hx)) to `hh` = (model, width, height,
+    * ahash_hi, ahash_lo) — LE header fields, integer grid mapping
+    * honoring BMP bottom-up vs top-down row order, exact R+G+B
+    * grays, integer mean, bits packed into two 32-bit BIGINT halves
+    * (so `1::BIGINT << i` never overflows). Returned UNSTRIPPED (the
+    * `|` margins intact) for interpolation into a margin string whose
+    * own `.stripMargin` strips once — stripping here too would eat
+    * the leading `|` of the SQL `||` concatenations on continuation
+    * lines. Multi-line `blobSql` must come in pre-stripped (its lines
+    * start with SQL keywords, which stripMargin leaves alone). */
+  private def ahashCtes(blobSql: String): String =
+    s"""b AS ($blobSql),
+       |hdr AS (
+       |  SELECT model, hx,
+       |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+       |           || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT AS w0,
+       |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+       |           || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h0,
+       |    ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2))::BIGINT AS bpp,
+       |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
+       |           || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS off
+       |  FROM b WHERE substr(hx, 1, 4) = '424D' AND length(hx) >= 108),
+       |dims AS (
+       |  SELECT model, hx, off, bpp,
+       |    CASE WHEN w0 >= 2147483648 THEN w0 - 4294967296 ELSE w0 END AS w,
+       |    CASE WHEN h0 >= 2147483648 THEN h0 - 4294967296 ELSE h0 END AS hraw
+       |  FROM hdr),
+       |d2 AS (
+       |  SELECT model, hx, off, w, hraw, abs(hraw) AS h,
+       |    (w * 3 + 3) // 4 * 4 AS stride
+       |  FROM dims
+       |  WHERE bpp = 24 AND w > 0 AND hraw <> 0
+       |    AND off + abs(hraw) * ((w * 3 + 3) // 4 * 4) <= length(hx) // 2),
+       |px AS (
+       |  SELECT model, hx, u.i AS i,
+       |    (off + (CASE WHEN hraw < 0 THEN (u.i // 8) * h // 8
+       |                 ELSE h - 1 - ((u.i // 8) * h // 8) END) * stride
+       |         + ((u.i % 8) * w // 8) * 3) AS p
+       |  FROM d2, UNNEST(range(0, 64)) AS u(i)),
+       |g AS (
+       |  SELECT model, i,
+       |    ('0x' || substr(hx, CAST(p * 2 + 1 AS BIGINT), 2))::BIGINT +
+       |    ('0x' || substr(hx, CAST(p * 2 + 3 AS BIGINT), 2))::BIGINT +
+       |    ('0x' || substr(hx, CAST(p * 2 + 5 AS BIGINT), 2))::BIGINT AS gray
+       |  FROM px),
+       |m AS (SELECT model, CAST(sum(gray) // 64 AS BIGINT) AS mean
+       |  FROM g GROUP BY 1),
+       |bits AS (
+       |  SELECT g.model,
+       |    CAST(sum(CASE WHEN gray > mean AND i >= 32
+       |      THEN (1::BIGINT << CAST(i - 32 AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS ahash_hi,
+       |    CAST(sum(CASE WHEN gray > mean AND i < 32
+       |      THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS ahash_lo
+       |  FROM g JOIN m USING (model) GROUP BY 1),
+       |hh AS (
+       |  SELECT d2.model, CAST(d2.w AS INTEGER) AS width,
+       |    CAST(d2.h AS INTEGER) AS height, bits.ahash_hi, bits.ahash_lo
+       |  FROM d2 JOIN bits USING (model))"""
 
   /** DuckDB re-parse of the raw SBS lines: the same 22-field length
     * check, anchored regex, timestamp formats and cast rules as
@@ -543,56 +649,7 @@ object AdsbQueries {
     // integer mean, bits packed into two 32-bit BIGINT halves (so
     // 1::BIGINT << i never overflows), hamming NN over xor+bit_count.
     "mm3_image_ahash" ->
-      s"""WITH b AS (SELECT model, hex(silhouette) AS hx
-         |  FROM ${tbl("mm_blobs")}),
-         |hdr AS (
-         |  SELECT model, hx,
-         |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
-         |           || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT AS w0,
-         |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
-         |           || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h0,
-         |    ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2))::BIGINT AS bpp,
-         |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
-         |           || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS off
-         |  FROM b WHERE substr(hx, 1, 4) = '424D' AND length(hx) >= 108),
-         |dims AS (
-         |  SELECT model, hx, off, bpp,
-         |    CASE WHEN w0 >= 2147483648 THEN w0 - 4294967296 ELSE w0 END AS w,
-         |    CASE WHEN h0 >= 2147483648 THEN h0 - 4294967296 ELSE h0 END AS hraw
-         |  FROM hdr),
-         |d2 AS (
-         |  SELECT model, hx, off, w, hraw, abs(hraw) AS h,
-         |    (w * 3 + 3) // 4 * 4 AS stride
-         |  FROM dims
-         |  WHERE bpp = 24 AND w > 0 AND hraw <> 0
-         |    AND off + abs(hraw) * ((w * 3 + 3) // 4 * 4) <= length(hx) // 2),
-         |px AS (
-         |  SELECT model, hx, u.i AS i,
-         |    (off + (CASE WHEN hraw < 0 THEN (u.i // 8) * h // 8
-         |                 ELSE h - 1 - ((u.i // 8) * h // 8) END) * stride
-         |         + ((u.i % 8) * w // 8) * 3) AS p
-         |  FROM d2, UNNEST(range(0, 64)) AS u(i)),
-         |g AS (
-         |  SELECT model, i,
-         |    ('0x' || substr(hx, CAST(p * 2 + 1 AS BIGINT), 2))::BIGINT +
-         |    ('0x' || substr(hx, CAST(p * 2 + 3 AS BIGINT), 2))::BIGINT +
-         |    ('0x' || substr(hx, CAST(p * 2 + 5 AS BIGINT), 2))::BIGINT AS gray
-         |  FROM px),
-         |m AS (SELECT model, CAST(sum(gray) // 64 AS BIGINT) AS mean
-         |  FROM g GROUP BY 1),
-         |bits AS (
-         |  SELECT g.model,
-         |    CAST(sum(CASE WHEN gray > mean AND i >= 32
-         |      THEN (1::BIGINT << CAST(i - 32 AS INTEGER)) ELSE 0 END)
-         |      AS BIGINT) AS ahash_hi,
-         |    CAST(sum(CASE WHEN gray > mean AND i < 32
-         |      THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)
-         |      AS BIGINT) AS ahash_lo
-         |  FROM g JOIN m USING (model) GROUP BY 1),
-         |hh AS (
-         |  SELECT d2.model, CAST(d2.w AS INTEGER) AS width,
-         |    CAST(d2.h AS INTEGER) AS height, bits.ahash_hi, bits.ahash_lo
-         |  FROM d2 JOIN bits USING (model)),
+      s"""WITH ${ahashCtes(s"SELECT model, hex(silhouette) AS hx FROM ${tbl("mm_blobs")}")},
          |pr AS (
          |  SELECT a.model, b.model AS other,
          |    CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
@@ -606,7 +663,34 @@ object AdsbQueries {
          |    FROM pr) WHERE rn = 1)
          |SELECT hh.model, width, height, ahash_hi, ahash_lo,
          |  nn_model, nn_hamming
-         |FROM hh JOIN nn USING (model) ORDER BY model""".stripMargin
+         |FROM hh JOIN nn USING (model) ORDER BY model""".stripMargin,
+
+    // mm4: the same hash chain over the copy-injected blob set, then
+    // 16-bit banding, band-bucket candidate join, hamming verify.
+    "mm4_image_neardup" ->
+      s"""WITH ${ahashCtes(
+             s"""SELECT model, hex(silhouette) AS hx FROM ${tbl("mm_blobs")}
+                |  UNION ALL
+                |  SELECT model || '_copy', hex(silhouette) FROM ${tbl("mm_blobs")}"""
+               .stripMargin)},
+         |bands AS (
+         |  SELECT model, ahash_hi AS hi, ahash_lo AS lo, u.band,
+         |    CASE u.band
+         |      WHEN 0 THEN ahash_lo & 65535
+         |      WHEN 1 THEN (ahash_lo >> 16) & 65535
+         |      WHEN 2 THEN ahash_hi & 65535
+         |      ELSE (ahash_hi >> 16) & 65535 END AS bv
+         |  FROM hh, UNNEST(range(0, 4)) AS u(band)),
+         |cands AS (
+         |  SELECT DISTINCT a.model, b.model AS other,
+         |    a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.model < b.model)
+         |SELECT model, other,
+         |  CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+         |    AS BIGINT) AS hamming
+         |FROM cands WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3
+         |ORDER BY model, other""".stripMargin
   )
 
   /** The reference's `event` composite type
