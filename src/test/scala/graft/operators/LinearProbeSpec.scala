@@ -35,6 +35,32 @@ class LinearProbeSpec extends SparkSpec {
     assert(run(toy) === run(toy.repartition(5)))
   }
 
+  test("train matches a sequential fixed-point GD reference exactly") {
+    val rnd = new scala.util.Random(2468)
+    val data = (1L to 60L).map { i =>
+      val x = Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i, x, if (x(0) + 0.3 * x(2) > 0) 1 else 0)
+    }
+    // local reference: identical fixed-point gradient accumulation,
+    // identical update arithmetic, sequential
+    var w = Array.fill(5)(0.0d)
+    val n = data.size.toDouble
+    for (_ <- 1 to 9) {
+      val g = Array.fill(5)(0L)
+      for ((_, x, y) <- data) {
+        val z = (0 until 4).map(j => x(j) * w(j)).sum + w(4)
+        val d = y - 1.0 / (1.0 + math.exp(-z))
+        for (j <- 0 until 4)
+          g(j) += math.floor(d * x(j) * 1e6).toLong
+        g(4) += math.floor(d * 1e6).toLong
+      }
+      w = w.indices.map(j => w(j) + 0.5 * g(j) / 1e6 / n).toArray
+    }
+    val got = LinearProbe.train(data.toDF("id", "x", "y"),
+      col("x"), col("y"), dim = 4, iters = 9, step = 0.5)
+    assert(got.toSeq === w.toSeq)
+  }
+
   test("score_fp sign IS the prediction; bias row is used") {
     // all-negative weights + large positive bias: prediction flips to
     // 1 everywhere only because the bias term is applied
