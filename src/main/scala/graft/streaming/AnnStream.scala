@@ -76,4 +76,20 @@ object AnnStream {
       IvfPq.searchPersisted(batch.sparkSession, indexPath, index,
         batch, topK, nProbe, corpusFilter = corpusFilter)
     }
+
+  /** Serve RADIUS queries against a persisted [[Ivf]] index — s12's
+    * range_search as a service: each micro-batch returns every
+    * eligible vector with cosine ≥ `minSim` in its probed clusters
+    * (the streaming dedup-against-index shape: "is anything in the
+    * corpus within τ of this new vector?"). Same epoch-overwrite
+    * idempotence; `corpusFilter` as in [[startIvf]]. */
+  def startIvfRadius(queries: DataFrame, indexPath: String,
+      outDir: String, checkpoint: String,
+      minSim: Double, nProbe: Int = 2,
+      corpusFilter: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true)): StreamingQuery =
+    start(queries, outDir, checkpoint) { batch =>
+      Ivf.searchRadiusAt(batch.sparkSession, indexPath,
+        batch, minSim, nProbe, corpusFilter = corpusFilter)
+    }
 }

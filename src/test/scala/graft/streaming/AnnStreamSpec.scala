@@ -111,6 +111,33 @@ class AnnStreamSpec extends SparkSpec {
     index.assigned.unpersist(blocking = false)
   }
 
+  test("streamed radius results equal the batch range search") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val idxDir = Files.createTempDirectory("ann-ridx").resolve("i").toString
+    Ivf.persist(index, idxDir)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val outDir = Files.createTempDirectory("ann-rout").toString
+    val ckpt = Files.createTempDirectory("ann-rckpt").toString
+    val q = AnnStream.startIvfRadius(
+      in.toDF().toDF("qid", "qvec"), idxDir, outDir, ckpt,
+      minSim = 0.25, nProbe = 3)
+    in.addData(queryRows(0L, 1L, 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("qid", "vec_id", "sim")
+      .orderBy("qid", "vec_id").collect().toSeq
+    val batch = Ivf.searchRadiusAt(spark, idxDir,
+        queryRows(0L, 1L, 2L).toDF("qid", "qvec"),
+        minSim = 0.25, nProbe = 3)
+      .orderBy("qid", "vec_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("a replayed epoch overwrites its directory instead of duplicating") {
     val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
     val idxDir = Files.createTempDirectory("ann-idx2").resolve("i").toString
