@@ -1384,6 +1384,45 @@ object DocQueries {
         .orderBy(col("source"), col("cum_tokens"))
     }),
 
+    // t17: vocabulary-growth curve (the Heaps-law corpus-health
+    // readout: does vocabulary keep growing with new docs, or has
+    // the crawl gone stale/duplicative?). All-integer derivation —
+    // each token's FIRST-occurrence doc (one map-side-combinable
+    // min), docs and first-occurrences bucketed into id-range
+    // deciles, cumulative sums over the 10-row decile spine (a
+    // bounded global window, the Rank.scala class) — so the oracle
+    // is exact with no parity floor. Scale shape: one shuffle to
+    // per-token minima; everything after is ≤ 10 rows.
+    "t17_vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val mx = d.agg((max(col("doc_id")) + 1).as("_mx"))
+      val docDec = d.crossJoin(broadcast(mx))
+        .select((expr("(doc_id * 10) div _mx") + 1).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("docs_new"))
+      val vocDec = d
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) >= 1)
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .select((expr("(first_doc * 10) div _mx") + 1).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("vocab_new"))
+      val spine = s.range(1, 11).select(col("id").as("decile"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(docDec, Seq("decile"), "left")
+        .join(vocDec, Seq("decile"), "left")
+        .select(col("decile"),
+          coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+          coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+        .withColumn("docs_seen", sum(col("docs_new")).over(w))
+        .withColumn("vocab_size", sum(col("vocab_new")).over(w))
+        .select(col("decile"), col("docs_seen"), col("vocab_new"),
+          col("vocab_size"))
+        .orderBy(col("decile"))
+    }),
+
     // p18: dataset-card audit report — the per-source corpus summary
     // a curation run publishes alongside the data (docs, tokens,
     // chars, language spread, dominant language, exact-dup ratio).
@@ -3393,6 +3432,34 @@ object DocQueries {
         |SELECT source, doc_id, quality, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 600
         |ORDER BY source, cum_tokens""".stripMargin,
+
+    "t17_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |dd AS (
+        |  SELECT (doc_id * 10) // m + 1 AS decile, count(*) AS docs_new
+        |  FROM documents, mx GROUP BY 1),
+        |fo AS (
+        |  SELECT u.tok, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(tok)
+        |  WHERE length(u.tok) > 0
+        |  GROUP BY 1),
+        |vd AS (
+        |  SELECT (first_doc * 10) // m + 1 AS decile, count(*) AS vocab_new
+        |  FROM fo, mx GROUP BY 1),
+        |sp AS (SELECT u.d AS decile FROM UNNEST(range(1, 11)) AS u(d)),
+        |j AS (
+        |  SELECT sp.decile,
+        |    coalesce(dd.docs_new, 0) AS docs_new,
+        |    coalesce(vd.vocab_new, 0) AS vocab_new
+        |  FROM sp LEFT JOIN dd USING (decile) LEFT JOIN vd USING (decile))
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(sum(docs_new) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_seen,
+        |  CAST(vocab_new AS BIGINT) AS vocab_new,
+        |  CAST(sum(vocab_new) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        |FROM j ORDER BY decile""".stripMargin,
 
     "p18_dataset_card" ->
       """WITH b AS (
