@@ -364,6 +364,39 @@ object Ivf {
     scoreProbed(assigned, probes, topK, roundDigits)
   }
 
+  /** kNN JOIN: per-vector top-k over a persisted index when the QUERY
+    * side is itself corpus-sized — the new-crawl-vs-base-corpus
+    * dedup/mining campaign ("for every incoming vector, its k nearest
+    * stored neighbors"), where [[searchPersisted]]'s serving shape
+    * inverts: probe rows are a pure projection on the big query side
+    * (no collect — a corpus-wide query set probes essentially every
+    * cluster, so the static cid partition filter buys nothing), the
+    * cid match becomes a plain SHUFFLE equi-join (never a broadcast of
+    * a corpus-sized probe table), and AQE's skew-join splits hot
+    * clusters. Still tombstone-aware and pre-filterable. The join
+    * fan-out is Σ_probed-cluster |A∩cluster| per query — nProbe/k of
+    * an all-pairs cross, which is the entire point. */
+  def knnJoinAt(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, topK: Int, nProbe: Int = 2,
+      roundDigits: Int = 5, corpusFilter: Column = lit(true)): DataFrame = {
+    val codebook = loadCodebook(spark, path)
+    if (codebook.isEmpty) return emptyResult(queries)
+    val probes = probeRows(queries, codebook, nProbe)
+    val assigned = IndexMaintenance.filterTombstones(spark, path,
+      spark.read.parquet(path)
+        .where(corpusFilter)
+        .select(col("id"), col("vec"), col("cid")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    assigned.join(probes, Seq("cid"))
+      .where(col("qid") =!= col("id"))
+      .withColumn("sim", round(simTo(col("qvec"), col("vec")), roundDigits))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("id").as("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Range (radius) search over a persisted index: EVERY eligible
     * vector with cosine ≥ `minSim` in the probed clusters — the
     * FAISS `range_search` analog (d5's threshold semantics as a

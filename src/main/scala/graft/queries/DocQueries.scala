@@ -1234,6 +1234,18 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // s14: kNN JOIN — the query side is the WHOLE embeddings table
+    // ([[Ivf.knnJoinAt]]: "for every vector, its 3 nearest stored
+    // neighbors" — the new-crawl-vs-base-corpus campaign). The serve
+    // shape inverts: probe rows project on the big side, the cid
+    // match is a plain shuffle equi-join (never a broadcast of a
+    // corpus-sized probe table), AQE de-skews hot clusters.
+    "s14_knn_join" -> ((s, dir) => {
+      val q = emb(s, dir)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ivf.knnJoinAt(s, mainIndexPath(s, dir), q, topK = 3, nProbe = 2)
+    }),
+
     // s13: radius search on the COMPRESSED tier ([[IvfPq
     // .searchRadiusAt]] — s12's range_search over 8–16-byte codes:
     // the τ-cut applies to the ADC inner-product estimate, the coarse
@@ -1572,6 +1584,12 @@ object DocQueries {
     w(spark.read.parquet(main).select(col("id"), col("vec"), col("cid")),
       "ivf_main")
     w(Ivf.probes(Ivf.loadCodebook(spark, main), q, 4), "ivf_main_probes")
+    // s14: the corpus-wide probe set (every vector, nProbe=2) — the
+    // kNN-join oracle recomputes the pruned search from the same
+    // probes the shuffle join used.
+    w(Ivf.probes(Ivf.loadCodebook(spark, main),
+      e.select(col("vec_id").as("qid"), col("embedding").as("qvec")), 2),
+      "ivf_knn_probes")
     val app = appendIndexPath(spark, sfDir)
     w(spark.read.parquet(app).select(col("id"), col("vec"), col("cid")),
       "ivf_append")
@@ -1738,7 +1756,8 @@ object DocQueries {
     * probe dump — the s1 oracle's arithmetic restricted to the probe
     * join (ascending-index accumulation matches the codegen'd dot). */
   private def ivfTopkSql(assigned: String, probes: String,
-      extraCols: String = "", extraWhere: String = ""): String =
+      extraCols: String = "", extraWhere: String = "",
+      topK: Int = 5): String =
     s"""WITH a AS (SELECT id, vec, cid$extraCols FROM ${tbl(assigned)}),
        |p AS (SELECT qid, qvec, cid FROM ${tbl(probes)}),
        |pairs AS (
@@ -1761,7 +1780,7 @@ object DocQueries {
        |      AS rank
        |  FROM sims)
        |SELECT qid, vec_id, sim, rank FROM ranked
-       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
 
   /** ADC score fragment: Σⱼ qⱼ·codewordⱼ,codes[j] with the SAME
     * ascending j then ascending i accumulation as `Pq.adcScore` over
@@ -1831,6 +1850,10 @@ object DocQueries {
     // SQL; the Lloyd training behind the dump stays spec-pinned.
     "s2_ivf_topk" -> ivfTopkSql("ivf_main", "ivf_main_probes"),
     "s2p_ivf_persisted" -> ivfTopkSql("ivf_main", "ivf_main_probes"),
+
+    // s14: the same pruned-search recomputation as s2p, over the
+    // dumped corpus-wide probe set and k=3.
+    "s14_knn_join" -> ivfTopkSql("ivf_main", "ivf_knn_probes", topK = 3),
 
     // s12: the top-k oracle's sims CTEs with the τ filter in place of
     // the rank window — same dump, same 5-digit rounding discipline.

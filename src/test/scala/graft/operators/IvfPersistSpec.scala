@@ -93,6 +93,21 @@ class IvfPersistSpec extends SparkSpec {
     assert(!radius.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("kNN join equals the broadcast-probes serve on the same queries") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-knn")
+      .resolve("index").toString
+    Ivf.persist(index, dir)
+    // query side = the WHOLE corpus: the shuffle-join plan must
+    // return exactly what the serving path returns per query
+    val allQ = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+    val joined = Ivf.knnJoinAt(spark, dir, allQ, topK = 3, nProbe = 2)
+    val served = Ivf.searchAt(spark, dir, allQ, topK = 3, nProbe = 2)
+    assert(joined.collect().toSeq === served.collect().toSeq)
+    assert(joined.count() > 0L)
+  }
+
   test("probe filter prunes the partitioned scan to probed clusters") {
     val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf-persist2")
