@@ -818,6 +818,56 @@ object DocQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // p22: span-level cross-split DECONTAMINATION — the directional
+    // report an eval-protection pass publishes: for every TEST doc,
+    // how many of its tokens sit inside a 20-token window that also
+    // appears in ANY train doc (p4 flags whole-doc hash leaks, p7
+    // n-gram-sample overlap; this is the Lee-et-al span machinery of
+    // d11 aimed across the split boundary — partial quotes and
+    // templated fragments that doc-level hashing misses). Same
+    // contaminated corpus + split hash as p4, so leaks exist by
+    // construction. Scale shape: only (split, start, 16-B hash) rows
+    // shuffle, never text; the train-side DISTINCT hash set joins the
+    // test side on the hash — at 100 TB that is the d11 plan with a
+    // split filter on each side.
+    "p22_span_decontamination" -> ((s, dir) => {
+      val w = 20
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = d0.agg((max(col("doc_id")) + 1).as("_mx"))
+      val d = d0.unionByName(
+        d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
+      val bucket = graft.functions.PortableHash
+        .phash(col("doc_id").cast("string"), 7) % 100
+      val t = d.withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("split"), split(col("text"), " ").as("t"))
+      val wins = t.where(size(col("t")) >= w)
+        .select(col("doc_id"), col("split"),
+          posexplode(transform(
+            sequence(lit(1), size(col("t")) - (w - 1)),
+            i => md5(array_join(slice(col("t"), i, lit(w)), " ")))))
+        .select(col("doc_id"), col("split"),
+          (col("pos") + 1).as("start"), col("col").as("h"))
+      val trainH = wins.where(col("split") === "train")
+        .select(col("h")).distinct()
+      val cov = wins.where(col("split") === "test")
+        .join(trainH, Seq("h"))
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (w - 1))).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("p")).as("leaked"))
+      t.where(col("split") === "test")
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("leaked"), lit(0L)).as("leaked_tokens"),
+          round(coalesce(col("leaked"), lit(0L)).cast("double") /
+            col("n_tokens"), 6).as("leak_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t11: self-trained add-one-smoothed bigram LM surprisal — the
     // CCNet-style "perplexity against an LM" quality score, one model
     // class up from t9's unigram. Same scale shape: per-doc bigram
@@ -3401,6 +3451,39 @@ object DocQueries {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_fp
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "p22_span_decontamination" ->
+      s"""WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + mx.m, text FROM documents, mx WHERE doc_id % 5 = 0),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 80
+        |      THEN 'train'
+        |      WHEN ${dkHash("CAST(doc_id AS VARCHAR)", "7")} % 100 < 90
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM base),
+        |toks AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM sp),
+        |wtoks AS (SELECT doc_id, split, t FROM toks WHERE len(t) >= 20),
+        |wins AS (
+        |  SELECT doc_id, split, i AS start,
+        |    md5(array_to_string(t[i:i+19], ' ')) AS h
+        |  FROM wtoks, UNNEST(range(1, len(t) - 18)) AS u(i)),
+        |trainh AS (SELECT DISTINCT h FROM wins WHERE split = 'train'),
+        |cov AS (
+        |  SELECT w.doc_id, count(DISTINCT u.p) AS leaked
+        |  FROM wins w JOIN trainh USING (h),
+        |    UNNEST(range(w.start, w.start + 20)) AS u(p)
+        |  WHERE w.split = 'test' GROUP BY 1),
+        |td AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+        |  FROM toks WHERE split = 'test')
+        |SELECT td.doc_id, n_tokens,
+        |  CAST(coalesce(cov.leaked, 0) AS BIGINT) AS leaked_tokens,
+        |  round(coalesce(cov.leaked, 0)::DOUBLE / n_tokens, 6) AS leak_frac
+        |FROM td LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "t14_unigram_drift" ->
       """WITH tok AS (
