@@ -1516,6 +1516,113 @@ object DocQueries {
           round(lit(1.0d) - col("n_uniq").cast("double") / col("n_docs"), 6)
             .as("exact_dup_ratio"))
         .orderBy(col("source"))
+    }),
+
+    // t18: PMI collocations — pointwise mutual information over
+    // adjacent word bigrams (Church & Hanks 1990), the standard
+    // phrase-mining readout: pmi = ln(p(w1,w2)/(p(w1)·p(w2))),
+    // fixed-point (floor·1e6, the t9/t11/p13 ln discipline) so both
+    // engines rank identically. Scale shape: bigrams come from ONE
+    // posexplode of the token array (no self-join on position), pair
+    // counts pre-aggregate map-side before the two unigram joins
+    // (both shuffle equi-joins on a token key — vocab-sized sides,
+    // never forced broadcast), corpus totals ride a 1-row broadcast,
+    // and the min-support cut (n_pair ≥ 5) shrinks the pair table
+    // BEFORE any join. Top-32 is a TakeOrdered, not a global window.
+    "t18_pmi_collocations" -> ((s, dir) => {
+      val d = docs(s, dir).select(split(col("text"), " ").as("t"))
+      val tot = d.agg(sum(size(col("t"))).as("n_uni"),
+        sum(size(col("t")) - 1).as("n_big"))
+      val uni = d.select(explode(col("t")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      val bc = d
+        .select(posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+        .select(col("w1"), try_element_at(col("t"), col("i") + 2).as("w2"))
+        .where(col("w2").isNotNull)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+        .where(col("n_pair") >= 5)
+      bc.join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        // multiplication stays left-assoc double on BOTH engines so
+        // the ln argument is bit-identical cross-engine
+        .select(col("w1"), col("w2"), col("n_pair"),
+          floor(log(col("n_pair").cast("double") * col("n_uni") * col("n_uni") /
+            (col("n_big").cast("double") * col("cu1") * col("cu2"))) * 1000000.0d)
+            .as("pmi_fx"))
+        .orderBy(col("pmi_fx").desc, col("w1"), col("w2"))
+        .limit(32)
+    }),
+
+    // t19: Zipf rank–frequency fit — least-squares slope of
+    // ln(freq) on ln(rank) over the top-1000 tokens plus r², the
+    // corpus-health twin of t17's Heaps curve (natural corpora fit
+    // slope ≈ −1; synthetic/templated corpora flatten). All five
+    // regression sums run in EXACT integer arithmetic over the
+    // fixed-point logs (decimal(38,0) here ≡ HUGEINT in the oracle —
+    // the products reach ~1e20, past BIGINT), and only the final
+    // slope/r² divisions drop to double, so cross-engine parity holds
+    // to the shared ln floor. Scale shape: one token-frequency
+    // aggregation, the top-1000 cut via Rank.globalRowNumber (t10's
+    // distributed exact rank — no single-task window), then a 1-row
+    // aggregate.
+    "t19_zipf_slope" -> ((s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val top = graft.operators.Rank
+        .globalRowNumber(freq, col("freq"), col("tok"), descending = true)
+        .where(col("rank") <= 1000)
+      val pts = top.select(
+        floor(log(col("rank").cast("double")) * 1000000.0d)
+          .cast("decimal(38,0)").as("x"),
+        floor(log(col("freq").cast("double")) * 1000000.0d)
+          .cast("decimal(38,0)").as("y"))
+      val a = pts.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      a.select(
+        col("n").cast("long").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r2"))
+    }),
+
+    // s15: ANN recall@k evaluation — the index-quality readout every
+    // production retrieval deployment publishes: per query, how many
+    // of the EXACT cosine top-5 (s1's brute-force kernel) the served
+    // IVF index (s2p's persisted path, nProbe=4) actually returned.
+    // Composition of two independently-proven kernels; the oracle
+    // recomputes both sides (full brute force from `embeddings`, IVF
+    // from the dumped assignment) and joins them the same way. Scale
+    // shape: recall evaluation runs over a SAMPLED probe set by
+    // construction (here vec_id < 10) — the exact side is only ever
+    // brute-forced for the sample, never the corpus, so the eval cost
+    // is |sample|·|corpus| ADC-free dot products regardless of index
+    // size; the hit-join is |sample|·k rows.
+    "s15_recall_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("qid"), col("vec_id"))
+      val approx = Ivf.searchAt(s, mainIndexPath(s, dir), q,
+          topK = 5, nProbe = 4)
+        .select(col("qid"), col("vec_id"), lit(1L).as("_hit"))
+      exact.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("_hit")).as("n_hit"))
+        .select(col("qid"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 5).as("recall"))
+        .orderBy(col("qid"))
     })
   )
 
@@ -3586,6 +3693,108 @@ object DocQueries {
         |  round(n_tokens::DOUBLE / n_docs, 6) AS avg_doc_tokens,
         |  n_chars, CAST(n_langs AS BIGINT) AS n_langs, top_lang,
         |  round(1 - n_uniq::DOUBLE / n_docs, 6) AS exact_dup_ratio
-        |FROM b JOIN top USING (source) ORDER BY source""".stripMargin
+        |FROM b JOIN top USING (source) ORDER BY source""".stripMargin,
+
+    "t18_pmi_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tot AS (
+        |  SELECT CAST(sum(len(t)) AS BIGINT) AS n_uni,
+        |    CAST(sum(len(t) - 1) AS BIGINT) AS n_big FROM d),
+        |u AS (
+        |  SELECT w.tok, CAST(count(*) AS BIGINT) AS cu
+        |  FROM d, UNNEST(t) AS w(tok) GROUP BY 1),
+        |b AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM d, UNNEST(range(1, len(t))) AS r(i)),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+        |p AS (
+        |  SELECT w1, w2, n_pair,
+        |    CAST(floor(ln(
+        |      CAST(n_pair AS DOUBLE) * n_uni * n_uni /
+        |        (CAST(n_big AS DOUBLE) * u1.cu * u2.cu)) * 1000000) AS BIGINT)
+        |      AS pmi_fx
+        |  FROM bc JOIN u u1 ON bc.w1 = u1.tok
+        |    JOIN u u2 ON bc.w2 = u2.tok, tot)
+        |SELECT w1, w2, n_pair, pmi_fx FROM p
+        |ORDER BY pmi_fx DESC, w1, w2 LIMIT 32""".stripMargin,
+
+    "t19_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT w.tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS w(tok)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT freq, rk FROM (
+        |    SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rk
+        |    FROM f) WHERE rk <= 1000),
+        |p AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+        |  FROM r),
+        |a AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy
+        |  FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |    AS r2
+        |FROM a""".stripMargin,
+
+    "s15_recall_eval" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 10),
+        |epairs AS (
+        |  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ve
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |ecomp AS (
+        |  SELECT qid, vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+        |  FROM epairs),
+        |eranked AS (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(dot / (sqrt(nq) * sqrt(nv)), 5) DESC, vec_id) AS rk
+        |  FROM ecomp),
+        |ex AS (SELECT qid, vec_id FROM eranked WHERE rk <= 5),
+        |a AS (SELECT id, vec, cid FROM ${tbl("ivf_main")}),
+        |pr AS (SELECT qid, qvec, cid FROM ${tbl("ivf_main_probes")}),
+        |ipairs AS (
+        |  SELECT pr.qid, a.id AS vec_id, pr.qvec AS qe, a.vec AS ve
+        |  FROM a JOIN pr USING (cid) WHERE a.id <> pr.qid),
+        |icomp AS (
+        |  SELECT qid, vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+        |  FROM ipairs),
+        |iranked AS (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(dot / (sqrt(nq) * sqrt(nv)), 5) DESC, vec_id) AS rk
+        |  FROM icomp),
+        |iv AS (SELECT qid, vec_id FROM iranked WHERE rk <= 5)
+        |SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(iv.vec_id) AS BIGINT) AS n_hit,
+        |  round(CAST(count(iv.vec_id) AS DOUBLE) / count(*), 5) AS recall
+        |FROM ex LEFT JOIN iv
+        |  ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+        |GROUP BY 1 ORDER BY ex.qid""".stripMargin
   )
 }

@@ -288,6 +288,31 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // qq: distribution-outlier detection — per event_type, flag
+    // values more than 2 population standard deviations from the
+    // type mean (the "drop corrupt datapoints" gate every training-
+    // data ingest runs). ENTIRELY in integer arithmetic: over cents
+    // c with per-type n, S=Σc, Q=Σc², z² > 4 ⇔ (n·c − S)² >
+    // 4·(n·Q − S²) — no sqrt, no float mean, so the boundary can
+    // never flip cross-engine. Interior products reach ~1e20 at
+    // sf0.1 (and ~1e33 at petabyte row counts — still inside 38
+    // digits), hence decimal(38,0) here ≡ HUGEINT in the oracle.
+    // Scale shape: one map-side-combinable stats pass, the |types|-row
+    // stats table broadcasts back, second pass filters — no window,
+    // no self-join.
+    "qq_value_anomaly" -> ((s, dir) => {
+      import graft.operators.Anomaly
+      val e = ev(s, dir).select(col("event_type"), col("value"))
+      val stats = Anomaly.referenceStats(e, col("event_type"), col("value"))
+      Anomaly.flag(e, stats)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("is_anomaly"), 1)).as("n_anomalies"),
+          coalesce(sum(when(col("is_anomaly"), Anomaly.cents(col("value")))),
+            lit(0L)).as("anomaly_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // T5/T6: flag-flip transition detection with debounce (the
     // "suppressed bounce resets the clock" semantics).
     "q14_transitions" -> ((s, dir) =>
@@ -498,6 +523,26 @@ object EventQueries {
         |       WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
         |       ELSE 'test' END AS split
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "qq_value_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS s_sum,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q_sum
+        |  FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT c.event_type, c.c, st.n * c.c - st.s_sum AS dev,
+        |    st.n, st.q_sum, st.s_sum
+        |  FROM c JOIN st USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(CASE WHEN dev*dev > 4*(n*q_sum - s_sum*s_sum)
+        |    THEN 1 END) AS BIGINT) AS n_anomalies,
+        |  CAST(coalesce(sum(CASE WHEN dev*dev > 4*(n*q_sum - s_sum*s_sum)
+        |    THEN c END), 0) AS BIGINT) AS anomaly_cents
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q4_day_slice" ->
       """SELECT event_id, ts AS time, user_id, event_type, value

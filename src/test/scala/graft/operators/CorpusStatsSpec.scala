@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the round-7 corpus-statistics additions on hand-built inputs
+  * with known closed-form answers: t18 PMI collocations, t19 Zipf
+  * slope, qq integer-exact outlier detection, s15 recall@k.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(texts: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en") }
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t18: a pair that always co-occurs tops the PMI ranking") {
+    // "alpha beta" always adjacent (40 occurrences); the filler words
+    // pair up near-independently, so PMI(alpha,beta)=ln(N_big/n_pair
+    // -ish) dominates every filler pair.
+    val fill = (0 until 8).map(i => s"w$i")
+    val texts = (0 until 40).map { d =>
+      val pad = (0 until 12).map(j => fill((d * 7 + j * 3) % 8))
+      (pad.take(6) ++ Seq("alpha", "beta") ++ pad.drop(6)).mkString(" ")
+    }
+    val out = graft.SparkEntry.queries("t18_pmi_collocations")(
+      spark, docsDir(texts)).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("w1") == "alpha" &&
+      top.getAs[String]("w2") == "beta",
+      s"expected (alpha,beta) on top, got $top")
+    assert(top.getAs[Long]("n_pair") == 40L)
+    assert(top.getAs[Long]("pmi_fx") > 0L)
+    // min-support: no reported pair below 5 occurrences
+    assert(out.forall(_.getAs[Long]("n_pair") >= 5L))
+  }
+
+  test("t19: an exact power-law corpus fits slope ~ -1 with high r2") {
+    // token r appears floor(2000/r) times, r = 1..40 → ln f = ln 2000
+    // − ln r up to floor discretization; slope must sit near −1 and
+    // the fit must be near-perfect.
+    val words = (1 to 40).flatMap { r =>
+      Seq.fill(2000 / r)(f"tok$r%02d")
+    }
+    // spread over docs so tokenization, not layout, is what's tested
+    val texts = words.grouped(97).map(_.mkString(" ")).toSeq
+    val row = graft.SparkEntry.queries("t19_zipf_slope")(
+      spark, docsDir(texts)).collect().head
+    assert(row.getAs[Long]("n_ranks") == 40L)
+    val slope = row.getAs[Double]("slope")
+    val r2 = row.getAs[Double]("r2")
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope")
+    assert(r2 > 0.999, s"r2 $r2")
+  }
+
+  test("qq: flags the constructed outlier, never the 2-sigma boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qq").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // type a: 100 points at 10.00 + one at 1000.00 → only the spike
+    //   is past 2σ of the population;
+    // type b: constant series → σ=0, dev=0, strict > keeps it clean;
+    // type c: {0,0,0,0,5} → the 5 sits EXACTLY at z=2 (dev²=400 =
+    //   4·(nQ−S²)) and the strict inequality must NOT flag it.
+    val rows =
+      (1 to 100).map(i => (i.toLong, t0, 1L, "a", 10.0, "")) ++
+        Seq((101L, t0, 1L, "a", 1000.0, "")) ++
+        (1 to 20).map(i => (200L + i, t0, 1L, "b", 7.5, "")) ++
+        Seq((301L, t0, 1L, "c", 0.0, ""), (302L, t0, 1L, "c", 0.0, ""),
+          (303L, t0, 1L, "c", 0.0, ""), (304L, t0, 1L, "c", 0.0, ""),
+          (305L, t0, 1L, "c", 5.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("qq_value_anomaly")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_anomalies"),
+          r.getAs[Long]("anomaly_cents")))).toMap
+    assert(out("a") == ((101L, 1L, 100000L)), s"a: ${out("a")}")
+    assert(out("b") == ((20L, 0L, 0L)), s"b: ${out("b")}")
+    assert(out("c") == ((5L, 0L, 0L)), s"c: ${out("c")}")
+  }
+
+  test("s15: recall is a valid fraction per probe and 1.0 when probing all") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("s15_recall_eval")(spark, dir)
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0L && hit <= 5L)
+      assert(math.abs(r.getAs[Double]("recall") - hit / 5.0) < 1e-9)
+    }
+    // probe-ALL IVF search is exhaustive → recall exactly 1 for every
+    // query (the eval harness itself is what's being pinned here)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = Ivf.build(e, col("vec_id"), col("embedding"), k = 4)
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+      .select(col("qid"), col("vec_id"))
+    val all = Ivf.search(index, q, topK = 5, nProbe = 4)
+      .select(col("qid"), col("vec_id"))
+    assert(exact.except(all).isEmpty,
+      "probe-all IVF must reproduce the exact top-k")
+  }
+}
