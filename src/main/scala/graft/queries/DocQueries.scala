@@ -1623,6 +1623,40 @@ object DocQueries {
         .select(col("qid"), col("n_exact"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_exact"), 5).as("recall"))
         .orderBy(col("qid"))
+    }),
+
+    // t20: token burstiness — the Fisher dispersion (variance-to-mean
+    // ratio) of each token's per-document count, over tokens in ≥10
+    // docs: VMR ≈ 1 is Poisson scatter (function words), VMR ≫ 1 is
+    // topical clumping (content words), and a corpus whose whole
+    // vocabulary sits at VMR ≈ 1 is template noise (the t17/t19
+    // corpus-health family). Zeros are counted: over all D docs,
+    // VMR = (D·Σc² − (Σc)²)/(D·Σc) — numerator and denominator stay
+    // EXACT integers (decimal(38,0) ≡ HUGEINT; Σc² reaches ~1e18 at
+    // petabyte scale) and only the final division drops to double, so
+    // there is no ln in this one at all — parity is exact, not
+    // ulp-bounded. Scale shape: one (doc,tok) pre-aggregation (t9's
+    // two-exchange rationale), one per-token rollup, D rides a 1-row
+    // broadcast; top-64 is a TakeOrdered.
+    "t20_burstiness" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nd = d.agg(count(lit(1)).cast("decimal(38,0)").as("n_docs"))
+      val pd = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val per = pd.groupBy(col("tok")).agg(
+          count(lit(1)).as("df"),
+          sum(col("c")).as("tf"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("q"))
+        .where(col("df") >= 10)
+      per.crossJoin(broadcast(nd))
+        .select(col("tok"), col("df"), col("tf"),
+          round((col("n_docs") * col("q") -
+              col("tf").cast("decimal(38,0)") * col("tf")).cast("double") /
+            (col("n_docs") * col("tf").cast("decimal(38,0)")).cast("double"),
+            6).as("burstiness"))
+        .orderBy(col("burstiness").desc, col("tok"))
+        .limit(64)
     })
   )
 
@@ -3795,6 +3829,23 @@ object DocQueries {
         |  round(CAST(count(iv.vec_id) AS DOUBLE) / count(*), 5) AS recall
         |FROM ex LEFT JOIN iv
         |  ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
-        |GROUP BY 1 ORDER BY ex.qid""".stripMargin
+        |GROUP BY 1 ORDER BY ex.qid""".stripMargin,
+
+    "t20_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs FROM documents),
+        |pd AS (
+        |  SELECT doc_id, w.tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS w(tok)
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS tf,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+        |  FROM pd GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT tok, df, tf,
+        |  round(CAST(n_docs * q - CAST(tf AS HUGEINT) * tf AS DOUBLE) /
+        |    CAST(n_docs * tf AS DOUBLE), 6) AS burstiness
+        |FROM per, nd ORDER BY burstiness DESC, tok LIMIT 64""".stripMargin
   )
 }

@@ -313,6 +313,36 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // qr: rolling engagement — per activity day, DAU, trailing-7-day
+    // WAU and the DAU/WAU stickiness ratio. Computed WITHOUT a
+    // count-distinct-over-window (not incrementally mergeable): the
+    // deduped (user, day) activity table — already orders of
+    // magnitude smaller than events — fans each active day out to the
+    // ≤7 window days it contributes to, and a plain distinct count
+    // per window day finishes it. Scale shape: one dedup shuffle, a
+    // bounded ×7 generator, one count-distinct aggregation keyed by
+    // day; no global window, no self-join. Days with zero activity
+    // have no DAU row and are omitted (spine-join gap-fill is Q1's
+    // job; engagement dashboards key on active days).
+    "qr_active_users" -> ((s, dir) => {
+      val ud = ev(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        // day emits as midnight TIMESTAMP_NTZ: pandas renders an
+        // arrow date32 and a DuckDB DATE differently, so both engines
+        // agree on the timestamp form instead
+        .select(col("day").cast("timestamp_ntz").as("day"), col("dau"),
+          col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // T5/T6: flag-flip transition detection with debounce (the
     // "suppressed bounce resets the clock" semantics).
     "q14_transitions" -> ((s, dir) =>
@@ -543,6 +573,22 @@ object EventQueries {
         |  CAST(coalesce(sum(CASE WHEN dev*dev > 4*(n*q_sum - s_sum*s_sum)
         |    THEN c END), 0) AS BIGINT) AS anomaly_cents
         |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "qr_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |ex AS (
+        |  SELECT day + CAST(u.i AS INTEGER) AS day, user_id
+        |  FROM ud, UNNEST(range(0, 7)) AS u(i)),
+        |wau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM ex GROUP BY 1)
+        |SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
 
     "q4_day_slice" ->
       """SELECT event_id, ts AS time, user_id, event_type, value

@@ -86,6 +86,58 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("c") == ((5L, 0L, 0L)), s"c: ${out("c")}")
   }
 
+  test("t20: clumped tokens out-rank evenly spread ones, Poisson sits near 1") {
+    // 'burst' clumps: 20 copies in each of docs 0–2 plus one copy in
+    // docs 3–12 (df = 13 ≥ the df≥10 floor); 'flat' puts exactly 2 in
+    // every doc (VMR = (D·Σc²−tf²)/(D·tf) = (30·120−3600)/(30·60) = 0
+    // — constant-per-doc is SUB-Poisson).
+    val texts = (0 until 30).map { d =>
+      val burst =
+        if (d < 3) Seq.fill(20)("burst")
+        else if (d < 13) Seq("burst")
+        else Seq.empty
+      (Seq.fill(2)("flat") ++ burst ++ Seq.fill(5)("pad")).mkString(" ")
+    }
+    val out = graft.SparkEntry.queries("t20_burstiness")(
+      spark, docsDir(texts)).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("tf"),
+          r.getAs[Double]("burstiness")))).toMap
+    assert(out("burst")._1 == 13L && out("burst")._2 == 70L)
+    assert(out("flat") == ((30L, 60L, 0.0)))
+    // exact closed form: D=30, q=3·400+10=1210, tf=70 →
+    // (30·1210 − 4900)/(30·70) = 31400/2100 ≈ 14.952381
+    assert(math.abs(out("burst")._3 - 14.952381) < 1e-6)
+    // pad is 5-per-doc everywhere — constant too, so also VMR 0
+    assert(out("pad") == ((30L, 150L, 0.0)))
+  }
+
+  test("qr: trailing-7-day WAU counts each user once across the window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qr").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 active on d1 and d3 (two visits on d3 — dedup to one),
+    // u2 active on d1 only, u3 appears on d9 (outside d1's window,
+    // inside d3's +6 reach? d3+6 = d9 → yes for day d9's own window)
+    val rows = Seq(
+      (1L, ts("2024-02-01 10:00:00"), 1L, "view", 1.0, ""),
+      (2L, ts("2024-02-01 11:00:00"), 2L, "view", 1.0, ""),
+      (3L, ts("2024-02-03 09:00:00"), 1L, "view", 1.0, ""),
+      (4L, ts("2024-02-03 21:00:00"), 1L, "click", 1.0, ""),
+      (5L, ts("2024-02-09 08:00:00"), 3L, "view", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("qr_active_users")(spark, dir)
+      .collect().map(r => r.getAs[java.time.LocalDateTime]("day")
+        .toLocalDate.toString ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau")))).toMap
+    // active days only: 02-01, 02-03, 02-09
+    assert(out.keySet === Set("2024-02-01", "2024-02-03", "2024-02-09"))
+    assert(out("2024-02-01") == ((2L, 2L))) // u1,u2 that day and window
+    assert(out("2024-02-03") == ((1L, 2L))) // u1 active; window holds u1,u2
+    // 02-09 window = [02-03, 02-09]: u1 (02-03) + u3 (02-09), u2 aged out
+    assert(out("2024-02-09") == ((1L, 2L)))
+  }
+
   test("s15: recall is a valid fraction per probe and 1.0 when probing all") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("s15_recall_eval")(spark, dir)
