@@ -178,8 +178,9 @@ object Ivf {
     queries
       .withColumn("_qn", sqrt(dotF(col("qvec"), col("qvec"))))
       .select(col("qid"), col("qvec"),
-        explode(slice(ranked, 1, nProbe)).as("probe"))
-      .select(col("qid"), col("qvec"), col("probe.cid").as("cid"))
+        posexplode(slice(ranked, 1, nProbe)).as(Seq("_p", "probe")))
+      .select(col("qid"), col("qvec"), col("probe.cid").as("cid"),
+        (col("_p") + 1).cast("long").as("probe_rank"))
   }
 
   /** Public probe view for a codebook: (qid, qvec, cid) — one row per
@@ -189,6 +190,16 @@ object Ivf {
   def probes(codebook: Array[(Int, Array[Float], Double)],
       queries: DataFrame, nProbe: Int): DataFrame =
     probeRows(queries, codebook, nProbe)
+      .select(col("qid"), col("qvec"), col("cid"))
+
+  /** [[probes]] with the probe ORDER kept: (qid, qvec, probe_rank,
+    * cid), probe_rank 1 = nearest centroid. A rank-≤-n filter over
+    * this table reproduces `probes(_, _, n)` for every n ≤ nProbe —
+    * one dump serves a whole nProbe sweep (s16's recall curve). */
+  def probesRanked(codebook: Array[(Int, Array[Float], Double)],
+      queries: DataFrame, nProbe: Int): DataFrame =
+    probeRows(queries, codebook, nProbe)
+      .select(col("qid"), col("qvec"), col("probe_rank"), col("cid"))
 
   /** Join probes against (id, vec, cid) rows and take the per-query
     * top-k (WindowGroupLimit prunes the window). */

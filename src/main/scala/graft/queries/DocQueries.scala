@@ -1657,6 +1657,41 @@ object DocQueries {
             6).as("burstiness"))
         .orderBy(col("burstiness").desc, col("tok"))
         .limit(64)
+    }),
+
+    // s16: the nProbe→recall TUNING CURVE — s15 swept across probe
+    // budgets {1,2,4,16}: micro-averaged recall@5 of the persisted
+    // IVF index vs the exact top-5, per budget. nProbe=16 probes all
+    // k=16 clusters, so the curve provably ends at recall 1.0 (spec-
+    // pinned along with monotonicity) — this is the query an operator
+    // runs to CHOOSE nProbe for a latency target. Scale shape: the
+    // exact side is brute-forced once over the probe SAMPLE; each
+    // budget's search is the s2p partition-pruned serve path; the
+    // recall join ships |sample|·k id pairs per budget.
+    "s16_nprobe_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("qid"), col("vec_id"))
+      val main = mainIndexPath(s, dir)
+      val served = Seq(1, 2, 4, 16).map { np =>
+        Ivf.searchAt(s, main, q, topK = 5, nProbe = np)
+          .select(lit(np.toLong).as("n_probe"), col("qid"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val hits = exact.join(served, Seq("qid", "vec_id"))
+        .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hit"))
+      val tot = exact.agg(count(lit(1)).as("_nex"),
+        countDistinct(col("qid")).as("_nq"))
+      val spine = s.range(1, 17)
+        .where(col("id").isin(1L, 2L, 4L, 16L)).select(col("id").as("n_probe"))
+      spine.join(hits, Seq("n_probe"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("n_probe"), col("_nq").as("n_queries"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("_nex"),
+            5).as("mean_recall"))
+        .orderBy(col("n_probe"))
     })
   )
 
@@ -1775,6 +1810,11 @@ object DocQueries {
     w(spark.read.parquet(main).select(col("id"), col("vec"), col("cid")),
       "ivf_main")
     w(Ivf.probes(Ivf.loadCodebook(spark, main), q, 4), "ivf_main_probes")
+    // s16: the FULL probe order (all 16 clusters) — a probe_rank ≤ n
+    // filter over this one dump reproduces the probe set of every
+    // nProbe ≤ 16, so the oracle can replay the whole recall curve.
+    w(Ivf.probesRanked(Ivf.loadCodebook(spark, main), q, 16),
+      "ivf_main_probes_ranked")
     // s14: the corpus-wide probe set (every vector, nProbe=2) — the
     // kNN-join oracle recomputes the pruned search from the same
     // probes the shuffle join used.
@@ -3846,6 +3886,69 @@ object DocQueries {
         |SELECT tok, df, tf,
         |  round(CAST(n_docs * q - CAST(tf AS HUGEINT) * tf AS DOUBLE) /
         |    CAST(n_docs * tf AS DOUBLE), 6) AS burstiness
-        |FROM per, nd ORDER BY burstiness DESC, tok LIMIT 64""".stripMargin
+        |FROM per, nd ORDER BY burstiness DESC, tok LIMIT 64""".stripMargin,
+
+    "s16_nprobe_curve" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 10),
+        |epairs AS (
+        |  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ve
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |ecomp AS (
+        |  SELECT qid, vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+        |  FROM epairs),
+        |eranked AS (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(dot / (sqrt(nq) * sqrt(nv)), 5) DESC, vec_id) AS rk
+        |  FROM ecomp),
+        |ex AS (SELECT qid, vec_id FROM eranked WHERE rk <= 5),
+        |np AS (SELECT CAST(u.n AS BIGINT) AS n_probe
+        |       FROM UNNEST([1, 2, 4, 16]) AS u(n)),
+        |a AS (SELECT id, vec, cid FROM ${tbl("ivf_main")}),
+        |pr AS (SELECT qid, qvec, probe_rank, cid
+        |       FROM ${tbl("ivf_main_probes_ranked")}),
+        |prn AS (
+        |  SELECT np.n_probe, pr.qid, pr.qvec, pr.cid
+        |  FROM pr, np WHERE pr.probe_rank <= np.n_probe),
+        |ipairs AS (
+        |  SELECT prn.n_probe, prn.qid, a.id AS vec_id, prn.qvec AS qe,
+        |    a.vec AS ve
+        |  FROM a JOIN prn USING (cid) WHERE a.id <> prn.qid),
+        |icomp AS (
+        |  SELECT n_probe, qid, vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS nv
+        |  FROM ipairs),
+        |iranked AS (
+        |  SELECT n_probe, qid, vec_id,
+        |    row_number() OVER (PARTITION BY n_probe, qid
+        |      ORDER BY round(dot / (sqrt(nq) * sqrt(nv)), 5) DESC, vec_id)
+        |      AS rk
+        |  FROM icomp),
+        |iv AS (SELECT n_probe, qid, vec_id FROM iranked WHERE rk <= 5),
+        |hits AS (
+        |  SELECT iv.n_probe, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM ex JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nex,
+        |    CAST(count(DISTINCT qid) AS BIGINT) AS nq FROM ex)
+        |SELECT np.n_probe, tot.nq AS n_queries,
+        |  coalesce(hits.n_hit, 0) AS n_hit,
+        |  round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / tot.nex, 5)
+        |    AS mean_recall
+        |FROM np LEFT JOIN hits USING (n_probe), tot
+        |ORDER BY np.n_probe""".stripMargin
   )
 }

@@ -138,6 +138,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("2024-02-09") == ((1L, 2L)))
   }
 
+  test("s16: recall curve is monotone in nProbe and exhaustive at k") {
+    val out = graft.SparkEntry.queries("s16_nprobe_curve")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getAs[Long]("n_probe")).toSeq == Seq(1L, 2L, 4L, 16L))
+    val recalls = out.map(_.getAs[Double]("mean_recall")).toSeq
+    assert(recalls == recalls.sorted, s"not monotone: $recalls")
+    // nProbe = k = 16 probes every cluster — exhaustive, recall 1.0
+    assert(recalls.last == 1.0)
+    assert(out.forall(_.getAs[Long]("n_queries") == 10L))
+  }
+
   test("s15: recall is a valid fraction per probe and 1.0 when probing all") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("s15_recall_eval")(spark, dir)
