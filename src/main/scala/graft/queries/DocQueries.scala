@@ -1692,6 +1692,45 @@ object DocQueries {
           round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("_nex"),
             5).as("mean_recall"))
         .orderBy(col("n_probe"))
+    }),
+
+    // p23: dataset SNAPSHOT DIFF — the versioning readout published
+    // between two corpus releases: per change class
+    // (added/removed/changed/unchanged), document count and net token
+    // delta. Snapshot B derives deterministically from the corpus
+    // (p4's augmented-corpus convention): every 7th doc deleted,
+    // every surviving 5th edited (one marker token appended), every
+    // 11th re-crawled past max(doc_id). Scale shape: ONE full-outer
+    // sort-merge join on doc_id — the comparison ships (id, 16-byte
+    // md5, token count), never text; with both releases bucketed on
+    // doc_id (Sinks.writeBucketed) the diff plans with ZERO
+    // exchanges.
+    "p23_snapshot_diff" -> ((s, dir) => {
+      val a = docs(s, dir).select(col("doc_id"), col("text"))
+      val mx = a.agg((max(col("doc_id")) + 1).as("_mx"))
+      val b = a.where(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(a.where(col("doc_id") % 11 === 0)
+          .crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
+      val fa = a.select(col("doc_id"), md5(col("text")).as("ha"),
+        size(split(col("text"), " ")).as("ta"))
+      val fb = b.select(col("doc_id"), md5(col("text")).as("hb"),
+        size(split(col("text"), " ")).as("tb"))
+      fa.join(fb, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("ta"), lit(0)).as("ta"),
+          coalesce(col("tb"), lit(0)).as("tb"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tb") - col("ta")).as("token_delta"))
+        .orderBy(col("status"))
     })
   )
 
@@ -3949,6 +3988,31 @@ object DocQueries {
         |  round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / tot.nex, 5)
         |    AS mean_recall
         |FROM np LEFT JOIN hits USING (n_probe), tot
-        |ORDER BY np.n_probe""".stripMargin
+        |ORDER BY np.n_probe""".stripMargin,
+
+    "p23_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |mx AS (SELECT max(doc_id) + 1 AS m FROM a),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM a WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + m AS doc_id, text FROM a, mx
+        |  WHERE doc_id % 11 = 0),
+        |fa AS (SELECT doc_id, md5(text) AS ha,
+        |  len(string_split(text, ' ')) AS ta FROM a),
+        |fb AS (SELECT doc_id, md5(text) AS hb,
+        |  len(string_split(text, ' ')) AS tb FROM b),
+        |j AS (
+        |  SELECT CASE WHEN ha IS NULL THEN 'added'
+        |    WHEN hb IS NULL THEN 'removed'
+        |    WHEN ha <> hb THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |    coalesce(ta, 0) AS ta, coalesce(tb, 0) AS tb
+        |  FROM fa FULL OUTER JOIN fb USING (doc_id))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tb - ta) AS BIGINT) AS token_delta
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin
   )
 }

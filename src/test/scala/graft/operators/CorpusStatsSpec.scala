@@ -138,6 +138,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("2024-02-09") == ((1L, 2L)))
   }
 
+  test("p23: snapshot diff classifies by content hash with exact token deltas") {
+    // 12 docs of 3 tokens each, ids 0..11. The derived snapshot:
+    // removed = ids ≡ 3 (mod 7) → {3, 10};
+    // changed = surviving ids ≡ 0 (mod 5) → {0, 5} (+1 token each);
+    // added   = ids ≡ 0 (mod 11) re-crawled past max+1=12 → {12, 23}
+    //           with their ORIGINAL 3-token texts;
+    // unchanged = the remaining 8.
+    val texts = (0 until 12).map(i => s"w$i w$i w$i")
+    val out = graft.SparkEntry.queries("p23_snapshot_diff")(
+      spark, docsDir(texts)).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("token_delta")))).toMap
+    assert(out("removed") == ((2L, -6L)))
+    assert(out("changed") == ((2L, 2L)))
+    assert(out("added") == ((2L, 6L)))
+    assert(out("unchanged") == ((8L, 0L)))
+  }
+
   test("s16: recall curve is monotone in nProbe and exhaustive at k") {
     val out = graft.SparkEntry.queries("s16_nprobe_curve")(
       spark, "/root/testdata/sf0.001").collect()
