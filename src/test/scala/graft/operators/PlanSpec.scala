@@ -161,6 +161,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("qq anomaly joins its stats by broadcast with no window anywhere") {
+    val p = plan("qq_value_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Window ["))
+  }
+
+  test("t18/t20 corpus-stat top-k are parallel TakeOrdered, not global sorts") {
+    assert(plan("t18_pmi_collocations").contains("TakeOrderedAndProject"))
+    assert(plan("t20_burstiness").contains("TakeOrderedAndProject"))
+  }
+
+  test("qr engagement plans with aggregations only, no window") {
+    val p = plan("qr_active_users")
+    assert(!p.contains("Window ["), s"window in:\n$p")
+  }
+
+  test("p23 snapshot diff is one full-outer join on the id, no cartesian") {
+    val p = plan("p23_snapshot_diff")
+    assert(p.contains("FullOuter"), s"full outer missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
