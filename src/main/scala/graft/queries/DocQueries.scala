@@ -1731,6 +1731,65 @@ object DocQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("tb") - col("ta")).as("token_delta"))
         .orderBy(col("status"))
+    }),
+
+    // d15: MinHash ESTIMATOR-QUALITY profile — s15's eval idea aimed
+    // at the dedup stack: for every d2 LSH candidate pair, the
+    // 16-hash signature agreement (est = matches/16) against the
+    // exact shingle Jaccard, aggregated per exact-Jaccard decile:
+    // (bucket, n_pairs, mean_est, mean_abs_err). This is the query
+    // that justifies numHashes/bands before a petabyte dedup run.
+    // Everything pre-division is INTEGER: per-pair error goes
+    // fixed-point via |est16·∪ − 16·∩|·1e6 div (16·∪) — integer
+    // division, so the per-pair terms and their sums are
+    // engine-exact; only the two final means divide in double. Scale
+    // shape: one shared shingle scan feeds signatures, candidates
+    // AND the exact-intersection join (the d3v convention — cost
+    // Σ per-bucket pairs, never n²); 8-byte hashes shuffle, never
+    // text.
+    "d15_minhash_error" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val sh = Dedup.share(Dedup.shingleRows(
+        docs(s, dir), col("doc_id"), col("text"), n = 3))
+      val cands = Dedup.minhashCandidatesFromShingles(sh,
+        numHashes = 16, bands = 4)
+      val sig = Dedup.minhashMinColumns(sh, 16)
+      val sigA = sig.select(col("id").as("id_a") +:
+        (0 until 16).map(k => col(s"mh$k").as(s"a$k")): _*)
+      val sigB = sig.select(col("id").as("id_b") +:
+        (0 until 16).map(k => col(s"mh$k").as(s"b$k")): _*)
+      val est = cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (0 until 16).map(k =>
+            when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+            .reduce(_ + _).as("est16"))
+      val shd = sh.select(col("id"), phash(col("sh"), 0).as("h")).distinct()
+      val sizes = shd.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val co = cands
+        .join(shd.as("ca"), col("id_a") === col("ca.id"))
+        .join(shd.as("cb"),
+          col("id_b") === col("cb.id") && col("ca.h") === col("cb.h"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      est.join(co, Seq("id_a", "id_b"), "left")
+        .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")),
+          Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")),
+          Seq("id_b"))
+        .select(col("est16"), coalesce(col("inter"), lit(0L)).as("inter"),
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("un"))
+        .select(expr("(10 * inter) div un").as("j_bucket"), col("est16"),
+          expr("abs(est16 * un - 16 * inter) * 1000000 div (16 * un)")
+            .as("err_fx"))
+        .groupBy(col("j_bucket"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("est16")).as("_se"),
+          sum(col("err_fx")).as("_sf"))
+        .select(col("j_bucket"), col("n_pairs"),
+          round(col("_se").cast("double") / (col("n_pairs") * 16), 6)
+            .as("mean_est"),
+          round(col("_sf").cast("double") / col("n_pairs") / 1000000.0d, 6)
+            .as("mean_abs_err"))
+        .orderBy(col("j_bucket"))
     })
   )
 
@@ -4013,6 +4072,59 @@ object DocQueries {
         |  FROM fa FULL OUTER JOIN fb USING (doc_id))
         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tb - ta) AS BIGINT) AS token_delta
-        |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "d15_minhash_error" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |sh2 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mh
+        |  FROM sh2, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS BIGINT) AS est16
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sa.i = sb.i
+        |  GROUP BY 1, 2),
+        |shd AS (SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM shd a JOIN shd b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT e.est16, coalesce(co.inter, 0) AS inter,
+        |    sa.n_sh + sb.n_sh - coalesce(co.inter, 0) AS un
+        |  FROM est e
+        |  LEFT JOIN co ON e.id_a = co.id_a AND e.id_b = co.id_b
+        |  JOIN sizes sa ON e.id_a = sa.doc_id
+        |  JOIN sizes sb ON e.id_b = sb.doc_id),
+        |m AS (
+        |  SELECT (10 * inter) // un AS j_bucket, est16,
+        |    abs(est16 * un - 16 * inter) * 1000000 // (16 * un) AS err_fx
+        |  FROM pairs)
+        |SELECT CAST(j_bucket AS BIGINT) AS j_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(est16) AS DOUBLE) / (count(*) * 16), 6) AS mean_est,
+        |  round(CAST(sum(err_fx) AS DOUBLE) / count(*) / 1000000, 6)
+        |    AS mean_abs_err
+        |FROM m GROUP BY 1 ORDER BY j_bucket""".stripMargin
+    }
   )
 }

@@ -138,6 +138,39 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("2024-02-09") == ((1L, 2L)))
   }
 
+  test("d15: exact dups profile error-free; near-dups stay inside the 16-hash band") {
+    // 20 base docs of 30 distinct tokens each; a near-dup copy with 3
+    // tokens swapped (shingle jaccard ≈ 0.66–0.8 → reliable LSH
+    // candidates at 4×4 banding) and 3 EXACT copies. Exact copies
+    // have identical signatures: their bucket-10 row must report
+    // mean_est exactly 1 and error exactly 0.
+    val base = (0 until 20).map { d =>
+      (0 until 30).map(j => s"tok${d}_$j").mkString(" ")
+    }
+    val nearDups = base.map { t =>
+      val toks = t.split(" "); toks(5) = "x"; toks(15) = "y"; toks(25) = "z"
+      toks.mkString(" ")
+    }
+    val exactDups = base.take(3)
+    val out = graft.SparkEntry.queries("d15_minhash_error")(
+      spark, docsDir(base ++ nearDups ++ exactDups)).collect()
+    assert(out.nonEmpty)
+    val byBucket = out.map(r => r.getAs[Long]("j_bucket") ->
+      ((r.getAs[Long]("n_pairs"), r.getAs[Double]("mean_est"),
+        r.getAs[Double]("mean_abs_err")))).toMap
+    assert(byBucket.contains(10L))
+    assert(byBucket(10L)._1 == 3L)
+    assert(byBucket(10L)._2 == 1.0 && byBucket(10L)._3 == 0.0)
+    // every estimate is a valid fraction; 16-hash MinHash keeps the
+    // mean absolute error well inside one standard deviation (~0.125)
+    out.foreach { r =>
+      val est = r.getAs[Double]("mean_est")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Double]("mean_abs_err") <= 0.15,
+        s"error too large in bucket ${r.getAs[Long]("j_bucket")}: $r")
+    }
+  }
+
   test("p23: snapshot diff classifies by content hash with exact token deltas") {
     // 12 docs of 3 tokens each, ids 0..11. The derived snapshot:
     // removed = ids ≡ 3 (mod 7) → {3, 10};
