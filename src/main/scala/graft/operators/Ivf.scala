@@ -375,6 +375,43 @@ object Ivf {
     scoreProbed(assigned, probes, topK, roundDigits)
   }
 
+  /** One-PASS nProbe sweep over a persisted index: the top-k of
+    * [[searchAt]] for EVERY budget in `budgets`, tagged `n_probe` —
+    * row-identical to running each budget separately (spec-pinned),
+    * but each (query, candidate) cosine is computed ONCE against the
+    * max-budget probe set; the per-budget result is just a
+    * probe_rank ≤ budget filter and re-rank, because a smaller
+    * budget's candidate set is a prefix of a larger one's in probe
+    * order. Cost: one pruned scan + one scoring join, then a
+    * |budgets|-way explode of already-scored 24-byte rows — vs
+    * Σ(budget) cluster scans for the loop of individual searches.
+    * Tombstones and probe order behave exactly as [[searchAt]]. */
+  def searchSweepAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, topK: Int, budgets: Seq[Int],
+      roundDigits: Int = 5): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    val codebook = loadCodebook(spark, path)
+    if (codebook.isEmpty)
+      return emptyResult(queries).withColumn("n_probe", lit(0L))
+        .select(col("n_probe"), col("qid"), col("vec_id"), col("sim"),
+          col("rank"))
+    val (probes, assigned) = probedEligible(spark, path, codebook,
+      queries, budgets.max, lit(true))
+    val w = Window.partitionBy(col("n_probe"), col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("qid") =!= col("id"))
+      .withColumn("sim", round(simTo(col("qvec"), col("vec")), roundDigits))
+      .select(col("qid"), col("id"), col("sim"), col("probe_rank"),
+        explode(typedlit(budgets.map(_.toLong).sorted)).as("n_probe"))
+      .where(col("probe_rank") <= col("n_probe"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("n_probe"), col("qid"), col("id").as("vec_id"),
+        col("sim"), col("rank"))
+      .orderBy(col("n_probe"), col("qid"), col("rank"))
+  }
+
   /** kNN JOIN: per-vector top-k over a persisted index when the QUERY
     * side is itself corpus-sized — the new-crawl-vs-base-corpus
     * dedup/mining campaign ("for every incoming vector, its k nearest

@@ -1665,20 +1665,20 @@ object DocQueries {
     // k=16 clusters, so the curve provably ends at recall 1.0 (spec-
     // pinned along with monotonicity) — this is the query an operator
     // runs to CHOOSE nProbe for a latency target. Scale shape: the
-    // exact side is brute-forced once over the probe SAMPLE; each
-    // budget's search is the s2p partition-pruned serve path; the
-    // recall join ships |sample|·k id pairs per budget.
+    // exact side is brute-forced once over the probe SAMPLE; the
+    // budgets share ONE scoring pass ([[Ivf.searchSweepAt]] — every
+    // (query, candidate) cosine computed once against the max-budget
+    // probe set, smaller budgets are a probe_rank filter + re-rank);
+    // the recall join ships |sample|·k id pairs per budget.
     "s16_nprobe_curve" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val exact = Similarity.bruteForceTopK(q, e, k = 5)
         .select(col("qid"), col("vec_id"))
-      val main = mainIndexPath(s, dir)
-      val served = Seq(1, 2, 4, 16).map { np =>
-        Ivf.searchAt(s, main, q, topK = 5, nProbe = np)
-          .select(lit(np.toLong).as("n_probe"), col("qid"), col("vec_id"))
-      }.reduce(_ unionByName _)
+      val served = Ivf.searchSweepAt(s, mainIndexPath(s, dir), q,
+          topK = 5, budgets = Seq(1, 2, 4, 16))
+        .select(col("n_probe"), col("qid"), col("vec_id"))
       val hits = exact.join(served, Seq("qid", "vec_id"))
         .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hit"))
       val tot = exact.agg(count(lit(1)).as("_nex"),

@@ -189,6 +189,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("unchanged") == ((8L, 0L)))
   }
 
+  test("s16: one-pass sweep is row-identical to per-budget searches") {
+    // the sweep's claim is exact equivalence, not approximation:
+    // every budget's slice must equal the corresponding searchAt
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val idx = java.nio.file.Files.createTempDirectory("s16-parity").toString
+    val built = Ivf.build(e, col("vec_id"), col("embedding"), k = 8)
+    Ivf.persist(built, idx)
+    built.assigned.unpersist(blocking = false)
+    val sweep = Ivf.searchSweepAt(spark, idx, q, topK = 3,
+      budgets = Seq(1, 3, 8))
+    Seq(1, 3, 8).foreach { np =>
+      val solo = Ivf.searchAt(spark, idx, q, topK = 3, nProbe = np)
+      val slice = sweep.where(col("n_probe") === np.toLong)
+        .drop("n_probe")
+      assert(slice.except(solo).isEmpty && solo.except(slice).isEmpty,
+        s"sweep slice nProbe=$np diverges from searchAt")
+    }
+  }
+
   test("s16: recall curve is monotone in nProbe and exhaustive at k") {
     val out = graft.SparkEntry.queries("s16_nprobe_curve")(
       spark, "/root/testdata/sf0.001").collect()
