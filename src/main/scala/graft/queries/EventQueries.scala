@@ -343,6 +343,30 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // qs: inter-event GAP percentiles — per event_type, the p50/p95
+    // of the seconds since the same user's previous event (the gap
+    // attributed to the later event): the latency-distribution
+    // readout behind session-timeout and staleness tuning. Gaps come
+    // from ONE user-partitioned lag window (the q13 scale class — no
+    // self-join, no global ordering); the percentile is the ql
+    // operator (exact interpolated here; the 100 TB caller flips
+    // `exact = false` on the same API for the sketch-mergeable plan).
+    // Gap arithmetic stays in integer micros until a single shared
+    // double division, so both engines interpolate identical values.
+    "qs_event_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val g = ev(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("prev_us").isNotNull)
+        .select(col("event_type"),
+          ((unix_micros(col("ts")) - col("prev_us")) / 1000000.0d)
+            .as("gap_s"))
+      graft.operators.Percentiles.perGroup(g, col("event_type"),
+        col("gap_s"), Seq(0.5, 0.95), exact = true)
+    }),
+
     // T5/T6: flag-flip transition detection with debounce (the
     // "suppressed bounce resets the clock" semantics).
     "q14_transitions" -> ((s, dir) =>
@@ -589,6 +613,20 @@ object EventQueries {
         |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day
         |ORDER BY dau.day""".stripMargin,
+
+    "qs_event_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0
+        |      AS gap_s
+        |  FROM events),
+        |f AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type,
+        |  round(quantile_cont(gap_s, 0.5), 4) AS p50,
+        |  round(quantile_cont(gap_s, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q4_day_slice" ->
       """SELECT event_id, ts AS time, user_id, event_type, value

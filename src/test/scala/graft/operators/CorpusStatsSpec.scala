@@ -189,6 +189,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("unchanged") == ((8L, 0L)))
   }
 
+  test("qs: gap percentiles interpolate the hand-computed distribution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qs").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 gaps: 10 s, 10 s, 20 s; user 2 gap: 5 s → sorted
+    // [5, 10, 10, 20]: p50 = 10, p95 = 10 + 0.85·10 = 18.5, n = 4
+    val rows = Seq(
+      (1L, ts("2024-02-01 10:00:00"), 1L, "a", 1.0, ""),
+      (2L, ts("2024-02-01 10:00:10"), 1L, "a", 1.0, ""),
+      (3L, ts("2024-02-01 10:00:20"), 1L, "a", 1.0, ""),
+      (4L, ts("2024-02-01 10:00:40"), 1L, "a", 1.0, ""),
+      (5L, ts("2024-02-01 11:00:00"), 2L, "a", 1.0, ""),
+      (6L, ts("2024-02-01 11:00:05"), 2L, "a", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("qs_event_gaps")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") == "a")
+    assert(r.getAs[Double]("p50") == 10.0)
+    assert(r.getAs[Double]("p95") == 18.5)
+    assert(r.getAs[Long]("n") == 4L)
+  }
+
   test("s16: one-pass sweep is row-identical to per-budget searches") {
     // the sweep's claim is exact equivalence, not approximation:
     // every budget's slice must equal the corresponding searchAt
