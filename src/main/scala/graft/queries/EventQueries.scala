@@ -343,6 +343,30 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // qt: recency-DECAYED engagement features — per user at the qm
+    // cutoff, event count plus half-life-weighted activity scores
+    // (7-day half-life: an event 7 days before the cutoff counts
+    // 0.5, 14 days 0.25 — the standard recency weighting a ranking
+    // feature store serves instead of raw counts). Each event's
+    // weight goes fixed-point (floor(0.5^(Δ/7d)·1e6), the ln/pow
+    // discipline: per-row doubles are engine-identical, sums are
+    // integer and order-free). Scale shape: qm's exact class — one
+    // map-side-combinable groupBy over a time-sliced scan, no joins,
+    // no windows.
+    "qt_decay_features" -> ((s, dir) => {
+      val cutoff = lit("2024-01-31 00:00:00").cast("timestamp")
+      val w = floor(pow(lit(0.5d),
+        (unix_micros(cutoff) - unix_micros(col("ts"))) /
+          lit(604800000000.0d)) * 1000000.0d).cast("long")
+      ev(s, dir).where(col("ts") < cutoff)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(w).as("decay_fx"),
+          coalesce(sum(when(col("event_type") === "purchase", w)), lit(0L))
+            .as("purchase_decay_fx"))
+        .orderBy(col("user_id"))
+    }),
+
     // qs: inter-event GAP percentiles — per event_type, the p50/p95
     // of the seconds since the same user's previous event (the gap
     // attributed to the later event): the latency-distribution
@@ -613,6 +637,19 @@ object EventQueries {
         |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day
         |ORDER BY dau.day""".stripMargin,
+
+    "qt_decay_features" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(pow(0.5,
+        |      (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts)) /
+        |        604800000000.0) * 1000000) AS BIGINT) AS w
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-31 00:00:00')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(w) AS BIGINT) AS decay_fx,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN w END),
+        |    0) AS BIGINT) AS purchase_decay_fx
+        |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "qs_event_gaps" ->
       """WITH g AS (

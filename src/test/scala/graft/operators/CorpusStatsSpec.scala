@@ -189,6 +189,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("unchanged") == ((8L, 0L)))
   }
 
+  test("qt: decay weights halve every 7 days and exclude post-cutoff rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // cutoff 2024-01-31 00:00:00: events exactly 7 and 14 days prior
+    // weigh 500000 and 250000 fixed-point; a post-cutoff event is out
+    val rows = Seq(
+      (1L, ts("2024-01-24 00:00:00"), 1L, "view", 1.0, ""),
+      (2L, ts("2024-01-17 00:00:00"), 1L, "purchase", 1.0, ""),
+      (3L, ts("2024-02-01 00:00:00"), 1L, "view", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.SparkEntry.queries("qt_decay_features")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_events") == 2L)
+    assert(r.getAs[Long]("decay_fx") == 750000L)
+    assert(r.getAs[Long]("purchase_decay_fx") == 250000L)
+  }
+
   test("qs: gap percentiles interpolate the hand-computed distribution") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qs").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
