@@ -1733,6 +1733,31 @@ object DocQueries {
         .orderBy(col("status"))
     }),
 
+    // t22: quality-score CALIBRATION — does t1's quality score
+    // actually separate the corpus? Docs bucket by score decile;
+    // each bucket reports size, mean token length and the exact-dup
+    // rate (1 − distinct-hash share): a score that tracks nothing
+    // (flat mean_tokens, flat dup_rate across buckets) is a useless
+    // filter knob, and this is the query that shows it BEFORE p1/p11
+    // gate a petabyte run on that score. One map-side-combinable
+    // aggregation (the distinct-agg plans as an expand, still one
+    // pass); ≤10 output rows.
+    "t22_quality_calibration" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        least(floor(TextFunctions.qualityScore(col("text")) * 10), lit(9.0))
+          .cast("long").as("q_bucket"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("nt"),
+        md5(col("text")).as("h"))
+      d.groupBy(col("q_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("nt")).cast("double") / count(lit(1)), 6)
+            .as("mean_tokens"),
+          round(lit(1.0d) -
+            countDistinct(col("h")).cast("double") / count(lit(1)), 6)
+            .as("dup_rate"))
+        .orderBy(col("q_bucket"))
+    }),
+
     // d15: MinHash ESTIMATOR-QUALITY profile — s15's eval idea aimed
     // at the dedup stack: for every d2 LSH candidate pair, the
     // 16-hash signature agreement (est = matches/16) against the
@@ -4073,6 +4098,18 @@ object DocQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tb - ta) AS BIGINT) AS token_delta
         |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "t22_quality_calibration" ->
+      s"""WITH q AS (
+        |  SELECT least(floor($dkQuality * 10), 9)::BIGINT AS q_bucket,
+        |    len(string_split(text, ' '))::BIGINT AS nt,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT q_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS mean_tokens,
+        |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+        |    AS dup_rate
+        |FROM q GROUP BY 1 ORDER BY q_bucket""".stripMargin,
 
     "d15_minhash_error" -> {
       val coeffRows = (0 until 16).map { k =>

@@ -189,6 +189,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("unchanged") == ((8L, 0L)))
   }
 
+  test("t22: calibration separates dup-ridden high-quality from clean junk") {
+    // 5 identical copies of a long stopword-rich text land in ONE
+    // high bucket with dup_rate 4/5; 20 distinct one-word docs land
+    // in bucket 0 with dup_rate 0
+    val good = ("the quick brown fox jumps over the lazy dog and " * 12).trim
+    val texts = Seq.fill(5)(good) ++ (0 until 20).map(i => s"junk$i")
+    val out = graft.SparkEntry.queries("t22_quality_calibration")(
+      spark, docsDir(texts)).collect()
+      .map(r => r.getAs[Long]("q_bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("dup_rate")))).toMap
+    assert(out(0L) == ((20L, 0.0)))
+    val Seq(goodBucket) = out.keySet.filter(_ > 0L).toSeq
+    assert(out(goodBucket) == ((5L, 0.8)))
+  }
+
   test("qt: decay weights halve every 7 days and exclude post-cutoff rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qt").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
