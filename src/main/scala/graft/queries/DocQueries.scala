@@ -1758,6 +1758,27 @@ object DocQueries {
         .orderBy(col("q_bucket"))
     }),
 
+    // t23: language-ID CONFUSION MATRIX — t2's marker-based guesser
+    // evaluated against the declared `lang` label: per (declared,
+    // guessed) cell, count and row share. The third member of the
+    // operator-eval family (s15/s16 for the ANN index, d15 for the
+    // MinHash estimator, this for the classifier): a curation run
+    // routes docs by t2's guess, and this is the query that says how
+    // often that routing is wrong, per language. Two map-side
+    // aggregations over one scan class; the |langs|-row totals
+    // broadcast; ≤ |langs|·(|langs|+1) output rows.
+    "t23_langid_confusion" -> ((s, dir) => {
+      val g = docs(s, dir).select(col("lang"),
+        TextFunctions.langGuess(col("text")).as("guess"))
+      val cell = g.groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+      val tot = g.groupBy(col("lang")).agg(count(lit(1)).as("_t"))
+      cell.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("guess"), col("n"),
+          round(col("n").cast("double") / col("_t"), 6).as("share"))
+        .orderBy(col("lang"), col("guess"))
+    }),
+
     // d15: MinHash ESTIMATOR-QUALITY profile — s15's eval idea aimed
     // at the dedup stack: for every d2 LSH candidate pair, the
     // 16-hash signature agreement (est = matches/16) against the
@@ -4098,6 +4119,29 @@ object DocQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tb - ta) AS BIGINT) AS token_delta
         |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "t23_langid_confusion" ->
+      s"""WITH sc AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, m.l AS cand,
+        |    len(list_filter(t, tk -> list_contains(m.w, tk))) AS score
+        |  FROM sc, (VALUES
+        |    $dkLangMarkers) AS m(l, w)),
+        |best AS (
+        |  SELECT doc_id, lang, cand, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+        |  FROM scores),
+        |g AS (
+        |  SELECT lang, CASE WHEN score > 0 THEN cand ELSE 'und' END AS guess
+        |  FROM best WHERE rn = 1),
+        |cell AS (
+        |  SELECT lang, guess, CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS t FROM g GROUP BY 1)
+        |SELECT cell.lang, guess, n, round(CAST(n AS DOUBLE) / t, 6) AS share
+        |FROM cell JOIN tot ON cell.lang = tot.lang
+        |ORDER BY cell.lang, guess""".stripMargin,
 
     "t22_quality_calibration" ->
       s"""WITH q AS (

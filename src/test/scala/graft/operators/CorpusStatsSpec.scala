@@ -189,6 +189,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("unchanged") == ((8L, 0L)))
   }
 
+  test("t23: confusion matrix nails marker-pure corpora and shares sum to 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-t23").toString
+    // 10 marker-pure English, 10 marker-pure German, 5 markerless
+    // docs declared 'fr' (guess must be 'und')
+    val rows =
+      (0 until 10).map(i => (i.toLong, "the and of to is word" + i, "en")) ++
+        (0 until 10).map(i => (10L + i, "der und die das ist wort" + i, "de")) ++
+        (0 until 5).map(i => (20L + i, s"zzz qqq xxx$i", "fr"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t23_langid_confusion")(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("guess")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share")))).toMap
+    assert(out(("en", "en")) == ((10L, 1.0)))
+    assert(out(("de", "de")) == ((10L, 1.0)))
+    assert(out(("fr", "und")) == ((5L, 1.0)))
+    assert(out.size == 3)
+  }
+
   test("t22: calibration separates dup-ridden high-quality from clean junk") {
     // 5 identical copies of a long stopword-rich text land in ONE
     // high bucket with dup_rate 4/5; 20 distinct one-word docs land
