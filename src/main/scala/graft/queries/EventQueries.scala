@@ -157,6 +157,38 @@ object EventQueries {
         .orderBy(col("cohort_week"), col("weeks_since"))
     }),
 
+    // qu: cohort REVENUE LTV — qj's weekly signup cohorts carried to
+    // money: per (cohort_week, weeks_since), purchase revenue and the
+    // cohort's cumulative (lifetime-to-date) revenue, in integer
+    // cents end to end (the qe convention: floor(+0.5) per row, sums
+    // never touch doubles). Scale shape: first-seen per user is a
+    // map-side-combinable min; the purchase join ships (user, week,
+    // cents); the cumulative window partitions by cohort_week over
+    // ≤ |weeks| rows — metadata-sized, never a global window.
+    "qu_cohort_ltv" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val rev = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"),
+          cents.as("c"))
+        .join(firstSeen, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          expr("datediff(w, cohort_week) div 7").as("weeks_since"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("c")).as("revenue_cents"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_week")).orderBy(col("weeks_since"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      rev
+        .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(win))
+        .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+          col("weeks_since"), col("n_purchases"), col("revenue_cents"),
+          col("cum_revenue_cents"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
     // qk: in-session conversion funnel (view → click → purchase,
     // strictly ordered WITHIN the 30-min session): stage timestamps
     // resolve in three conditional-min passes — each stage's min ts
@@ -764,6 +796,26 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM act JOIN fs USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "qu_cohort_ltv" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |rev AS (
+        |  SELECT fs.cohort_week,
+        |    CAST(datediff('day', fs.cohort_week, date_trunc('week', e.ts)) // 7
+        |      AS BIGINT) AS weeks_since,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM events e JOIN fs USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, weeks_since, n_purchases, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY weeks_since ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_revenue_cents
+        |FROM rev ORDER BY cohort_week, weeks_since""".stripMargin,
 
     "qk_session_funnel" ->
       """WITH g AS (

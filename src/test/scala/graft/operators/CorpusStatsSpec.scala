@@ -189,6 +189,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("unchanged") == ((8L, 0L)))
   }
 
+  test("qu: cohort LTV accumulates integer cents per signup week") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qu").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. User 1 signs up week 0, buys 1000.00
+    // in week 0 and 500.005 (rounds to 50001) in week 2; user 2
+    // signs up week 1, buys 200.00 that week.
+    val rows = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "signup", 0.0, ""),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "purchase", 1000.0, ""),
+      (3L, ts("2024-01-16 10:00:00"), 1L, "purchase", 500.005, ""),
+      (4L, ts("2024-01-08 09:00:00"), 2L, "signup", 0.0, ""),
+      (5L, ts("2024-01-09 10:00:00"), 2L, "purchase", 200.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("qu_cohort_ltv")(spark, dir)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("cohort_week")
+        .toLocalDate.toString, r.getAs[Long]("weeks_since")) ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Long]("cum_revenue_cents")))).toMap
+    assert(out(("2024-01-01", 0L)) == ((1L, 100000L, 100000L)))
+    assert(out(("2024-01-01", 2L)) == ((1L, 50001L, 150001L)))
+    assert(out(("2024-01-08", 0L)) == ((1L, 20000L, 20000L)))
+    assert(out.size == 3)
+  }
+
   test("t23: confusion matrix nails marker-pure corpora and shares sum to 1") {
     val dir = java.nio.file.Files.createTempDirectory("graft-t23").toString
     // 10 marker-pure English, 10 marker-pure German, 5 markerless
