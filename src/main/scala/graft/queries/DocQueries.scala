@@ -1758,6 +1758,36 @@ object DocQueries {
         .orderBy(col("q_bucket"))
     }),
 
+    // d16: dedup THRESHOLD sweep — s16's tuning-curve idea for the
+    // Jaccard knob: per candidate threshold 0.2..0.9 (×10 as
+    // integers), how many verified pairs survive and how many
+    // distinct docs they touch — the "what would this threshold
+    // delete" readout an operator reads before committing a corpus
+    // pass. Built on the SAME LSH-verified kernel as d3v/p1/d7 (one
+    // shared shingle scan; the sweep floor is the verify threshold
+    // 0.2, so every swept cut is a filter over already-verified
+    // pairs — an 8-way explode of 24-byte pair rows, no rescan).
+    "d16_threshold_sweep" -> ((s, dir) => {
+      val pairs = verifiedPairs(docs(s, dir))
+      val e = pairs.select(col("id_a"), col("id_b"), col("jaccard"),
+          explode(typedlit((2 to 9).map(_.toLong))).as("threshold_x10"))
+        .where(col("jaccard") >=
+          col("threshold_x10").cast("double") / 10.0d)
+      val np = e.groupBy(col("threshold_x10"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = e.select(col("threshold_x10"),
+          explode(array(col("id_a"), col("id_b"))).as("d"))
+        .groupBy(col("threshold_x10"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      s.range(2, 10).select(col("id").as("threshold_x10"))
+        .join(np, Seq("threshold_x10"), "left")
+        .join(nd, Seq("threshold_x10"), "left")
+        .select(col("threshold_x10"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("threshold_x10"))
+    }),
+
     // t23: language-ID CONFUSION MATRIX — t2's marker-based guesser
     // evaluated against the declared `lang` label: per (declared,
     // guessed) cell, count and row share. The third member of the
@@ -4119,6 +4149,62 @@ object DocQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tb - ta) AS BIGINT) AS token_delta
         |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "d16_threshold_sweep" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    common::DOUBLE / (sa.n_sh + sb.n_sh - common) AS jac
+        |  FROM co
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+        |th AS (SELECT CAST(u.t AS BIGINT) AS threshold_x10
+        |       FROM UNNEST(range(2, 10)) AS u(t)),
+        |e AS (
+        |  SELECT th.threshold_x10, id_a, id_b FROM j, th
+        |  WHERE jac >= th.threshold_x10 / 10.0),
+        |np AS (
+        |  SELECT threshold_x10, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM e GROUP BY 1),
+        |nd AS (
+        |  SELECT threshold_x10, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        |  FROM (SELECT threshold_x10, unnest([id_a, id_b]) AS d FROM e)
+        |  GROUP BY 1)
+        |SELECT th.threshold_x10,
+        |  coalesce(np.n_pairs, 0) AS n_pairs,
+        |  coalesce(nd.n_docs, 0) AS n_docs
+        |FROM th LEFT JOIN np USING (threshold_x10)
+        |LEFT JOIN nd USING (threshold_x10)
+        |ORDER BY th.threshold_x10""".stripMargin
+    },
 
     "t23_langid_confusion" ->
       s"""WITH sc AS (

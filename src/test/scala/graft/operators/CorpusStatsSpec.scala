@@ -189,6 +189,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("unchanged") == ((8L, 0L)))
   }
 
+  test("d16: threshold sweep is monotone non-increasing with a real knee") {
+    // two bands with exactly computable jaccards: 4 extra copies of
+    // doc 0 (j = 1.0 → C(5,2) = 10 pairs) and a 1-token-changed twin
+    // of docs 1–6 (25 shared of 31 shingles → j ≈ 0.806: inside the
+    // 0.8 cut, outside 0.9)
+    val base = (0 until 10).map { d =>
+      (0 until 30).map(j => s"w${d}_$j").mkString(" ")
+    }
+    val copies = Seq.fill(4)(base(0))
+    val near = (1 to 6).map { d =>
+      val toks = base(d).split(" "); toks(10) = "x"; toks.mkString(" ")
+    }
+    val out = graft.SparkEntry.queries("d16_threshold_sweep")(
+      spark, docsDir(base ++ copies ++ near)).collect()
+      .map(r => r.getAs[Long]("threshold_x10") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs")))).toMap
+    assert(out.keySet == (2L to 9L).toSet)
+    val counts = (2L to 9L).map(out(_)._1)
+    assert(counts == counts.sortBy(-_), s"not non-increasing: $counts")
+    // loose cuts keep both bands; LSH candidate recall at j ≈ 0.81
+    // is < 1 by design (1−(1−j⁴)⁴ ≈ 0.89 per pair), so the near band
+    // may miss a pair — but the curve must still show the knee, and
+    // identical docs (identical signatures) can never be missed:
+    // the 0.9 cut is exactly the 5-copy clique
+    assert(out(8L)._1 >= 14L && out(8L)._1 <= 16L, s"at 0.8: ${out(8L)}")
+    assert(out(8L)._1 > out(9L)._1)
+    assert(out(9L) == ((10L, 5L)), s"at 0.9: ${out(9L)}")
+  }
+
   test("qu: cohort LTV accumulates integer cents per signup week") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qu").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
