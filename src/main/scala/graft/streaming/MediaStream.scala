@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Multimodal
+
+/** Streaming multimodal ingest: the batch media gates applied at the
+  * stream, before blobs reach the corpus store — the mm-family twin
+  * of `DocStream.start` / `EventStream.startQuarantine`.
+  */
+object MediaStream {
+
+  /** Gate + dedup + day-partitioned sink for a stream of
+    * (media_id, content binary, ingest_ts) rows.
+    *
+    * Gates (all metadata-level, evaluated by codegen expressions —
+    * no decode): NULL/short blobs (< 54 bytes can't even hold a BMP
+    * header), oversize blobs (> `maxBytes` — the classic crawler
+    * poison input), and BMPs whose REAL parsed header reports a
+    * degenerate dimension ([[Multimodal.withMetadata]]; non-BMP
+    * containers keep the documented deterministic stub metadata and
+    * pass the dimension gate by construction).
+    *
+    * Dedup: `dropDuplicatesWithinWatermark` on the content md5 —
+    * re-crawls and socket re-deliveries collapse to one stored copy
+    * while state stays bounded by the watermark (the StreamDedup
+    * convention). This is the one stage that shuffles blobs (the
+    * surviving row must land where its key decides); everything
+    * before it is a pure projection, so the shuffle carries only
+    * already-gated rows.
+    */
+  def start(media: DataFrame, outDir: String, checkpoint: String,
+      maxBytes: Int = 10 << 20,
+      watermark: String = "10 minutes"): StreamingQuery =
+    Multimodal.withMetadata(media, col("content"))
+      .where(col("content").isNotNull &&
+        length(col("content")) >= 54 &&
+        length(col("content")) <= maxBytes &&
+        col("width") > 0 && col("height") > 0)
+      .withColumn("content_md5", md5(col("content")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+      .withColumn("ingest_date", to_date(col("ingest_ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ingest_date")
+      .outputMode("append")
+      .start()
+}

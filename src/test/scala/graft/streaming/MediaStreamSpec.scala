@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming media ingest: corrupt/oversized blobs are gated on
+  * metadata alone, re-crawled content collapses to one stored copy,
+  * and real BMP headers survive with their true dimensions. */
+class MediaStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Minimal 24-bpp BMP (the BmpAHashSpec builder, header-only needs). */
+  private def bmp(width: Int, height: Int): Array[Byte] = {
+    val stride = (width * 3 + 3) / 4 * 4
+    val size = 54 + height * stride
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    b.putInt(0).putInt(height * stride).putInt(2835).putInt(2835)
+    b.putInt(0).putInt(0)
+    b.array()
+  }
+
+  test("gate drops corrupt/oversized, dedup collapses re-crawls, BMP dims real") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = bmp(8, 8)
+    val zeroDim = bmp(8, 8).clone()
+    // zero out the width field (LE int32 at offset 18): a BMP whose
+    // REAL header parse reports width 0 must be gated
+    (18 until 22).foreach(i => zeroDim(i) = 0)
+    val tiny = Array[Byte](1, 2, 3)
+    val oversize = Array.fill[Byte](2048)(7)
+    val audio = Array.tabulate[Byte](200)(i => (i * 37 % 251).toByte)
+
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val media = in.toDF().toDF("media_id", "content", "ingest_ts")
+    val outDir = Files.createTempDirectory("media-ingest").toString
+    val ckpt = Files.createTempDirectory("media-ingest-ckpt").toString
+    val q = MediaStream.start(media, outDir, ckpt, maxBytes = 1024)
+
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    in.addData(Seq(
+      (1L, good, t0),
+      (2L, good.clone(), t0), // re-crawl of the same bytes
+      (3L, zeroDim, t0),
+      (4L, tiny, t0),
+      (5L, oversize, t0),
+      (6L, audio, t0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(outDir)
+    val kept = out.select("media_id").as[Long].collect().toSet
+    // exactly one of {1,2} (content-dedup), plus the non-BMP blob
+    assert(kept.intersect(Set(1L, 2L)).size == 1, s"kept $kept")
+    assert(kept.contains(6L) && !kept.contains(3L) &&
+      !kept.contains(4L) && !kept.contains(5L), s"kept $kept")
+    val bmpRow = out.where(col("media_id").isin(1L, 2L))
+      .select("media_type", "width", "height", "bpp").head()
+    assert(bmpRow.getString(0) == "image")
+    assert(bmpRow.getInt(1) == 8 && bmpRow.getInt(2) == 8)
+    assert(bmpRow.getInt(3) == 24)
+  }
+}
