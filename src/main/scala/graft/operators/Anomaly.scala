@@ -27,9 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Largest |value| (dollars) the fixed-point convention represents
+    * EXACTLY: cents = value·100 must stay below 2^53 (double mantissa)
+    * or the floor itself is lossy, long before the long cast saturates
+    * at ~9.2e16 dollars. Rows beyond this bound are un-representable
+    * in the gate's arithmetic, so [[flag]] quarantines them outright
+    * (fail closed) rather than scoring saturated cents. */
+  val MaxAbsValue: Double = 9e13
+
   /** value → fixed-point cents, the repo's money convention
     * (floor(+0.5): Spark's double→long cast truncates where DuckDB's
-    * rounds, so round explicitly before the cast). */
+    * rounds, so round explicitly before the cast). Exact only for
+    * |value| ≤ [[MaxAbsValue]]; beyond it Spark's non-ANSI cast
+    * saturates silently where DuckDB's errors — callers on untrusted
+    * data must bound-check first, as [[flag]] does. */
   def cents(valueCol: Column): Column =
     floor(valueCol * 100 + 0.5).cast("long")
 
@@ -52,13 +63,37 @@ object Anomaly {
   }
 
   /** Row-level flagging against (possibly static/historic) stats:
-    * appends `is_anomaly`. Groups absent from `stats` are ADMITTED
-    * (flag false) — a quarantine gate must not reject rows it has no
-    * evidence against; re-snapshot the stats to pick new groups up. */
-  def flag(df: DataFrame, stats: DataFrame): DataFrame =
-    df.join(broadcast(stats), Seq("event_type"), "left")
+    * appends `is_anomaly`. Same (type, value) surface as
+    * [[referenceStats]] — `typeName` is the df column the stats key
+    * joins on (stats' own key column is always `event_type` and is
+    * renamed to match), so the pair cannot be used asymmetrically.
+    *
+    * Decision ladder, fail-closed on arithmetic edges:
+    *  - |value| > [[MaxAbsValue]] → ANOMALOUS. The cents cast would
+    *    silently saturate (and its square can blow decimal(38,0));
+    *    a poison magnitude is exactly what the gate exists to stop.
+    *  - group absent from stats → ADMITTED. A quarantine gate must
+    *    not reject rows it has no evidence against; re-snapshot the
+    *    stats to pick new groups up.
+    *  - z² predicate NULL with stats present (decimal(38,0) overflow
+    *    of an interior product under non-ANSI arithmetic) →
+    *    ANOMALOUS. Overflow means the value sits far outside the
+    *    group's representable envelope; admitting it would let the
+    *    MOST extreme rows through.
+    */
+  def flag(df: DataFrame, stats: DataFrame,
+      typeName: String = "event_type",
+      valueCol: Column = col("value")): DataFrame =
+    df.join(broadcast(stats.withColumnRenamed("event_type", typeName)),
+        Seq(typeName), "left")
       .withColumn("is_anomaly",
-        coalesce(outlier(cents(col("value")), col("n"), col("s_sum"),
-          col("q_sum")), lit(false)))
+        // NULL value: admitted — matches the SQL-oracle CASE WHEN
+        // semantics; screening NULLs is upstream schema validation's
+        // job, not the magnitude gate's.
+        when(valueCol.isNull, lit(false))
+          .when(abs(valueCol) > MaxAbsValue, lit(true))
+          .when(col("n").isNull, lit(false))
+          .otherwise(coalesce(outlier(cents(valueCol), col("n"),
+            col("s_sum"), col("q_sum")), lit(true))))
       .drop("n", "s_sum", "q_sum")
 }

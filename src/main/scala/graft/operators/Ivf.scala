@@ -390,6 +390,14 @@ object Ivf {
       path: String, queries: DataFrame, topK: Int, budgets: Seq[Int],
       roundDigits: Int = 5): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")
+    // duplicate budgets would emit duplicated rows for that n_probe
+    // (breaking the row-identical-to-searchAt contract) and a
+    // non-positive budget silently yields an empty slice — reject
+    // both rather than degrade.
+    require(budgets.distinct.size == budgets.size,
+      s"budgets must be distinct: $budgets")
+    require(budgets.forall(_ > 0),
+      s"budgets must be positive: $budgets")
     val codebook = loadCodebook(spark, path)
     if (codebook.isEmpty)
       return emptyResult(queries).withColumn("n_probe", lit(0L))

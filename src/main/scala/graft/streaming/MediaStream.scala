@@ -23,10 +23,15 @@ object MediaStream {
     * containers keep the documented deterministic stub metadata and
     * pass the dimension gate by construction).
     *
-    * Dedup: `dropDuplicatesWithinWatermark` on the content md5 —
-    * re-crawls and socket re-deliveries collapse to one stored copy
-    * while state stays bounded by the watermark (the StreamDedup
-    * convention). This is the one stage that shuffles blobs (the
+    * Dedup: `dropDuplicatesWithinWatermark` on the content sha2-256
+    * (not md5: collisions there are practically constructible, so a
+    * poisoned crawl could ship a colliding blob that shadows a
+    * distinct legitimate one inside the watermark — silent loss at
+    * ingest; sha2-256 keeps the same bounded-state shape with a
+    * collision-resistant key) — re-crawls and socket re-deliveries
+    * collapse to one stored copy while state stays bounded by the
+    * watermark (the StreamDedup convention). This is the one stage
+    * that shuffles blobs (the
     * surviving row must land where its key decides); everything
     * before it is a pure projection, so the shuffle carries only
     * already-gated rows.
@@ -39,9 +44,9 @@ object MediaStream {
         length(col("content")) >= 54 &&
         length(col("content")) <= maxBytes &&
         col("width") > 0 && col("height") > 0)
-      .withColumn("content_md5", md5(col("content")))
+      .withColumn("content_sha256", sha2(col("content"), 256))
       .withWatermark("ingest_ts", watermark)
-      .dropDuplicatesWithinWatermark("content_md5")
+      .dropDuplicatesWithinWatermark("content_sha256")
       .withColumn("ingest_date", to_date(col("ingest_ts")))
       .writeStream
       .format("parquet")

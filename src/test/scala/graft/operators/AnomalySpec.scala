@@ -75,4 +75,47 @@ class AnomalySpec extends SparkSpec {
     assert(flagsOf(1) === flagsOf(7))
     assert(flagsOf(7) === flagsOf(32))
   }
+
+  test("fail-closed ladder: poison magnitude, unknown group, NULL value") {
+    val ref = Seq(("a", 10.0), ("a", 10.5), ("a", 9.5), ("a", 10.2))
+      .toDF("event_type", "value")
+    val stats = Anomaly.referenceStats(ref, col("event_type"),
+      col("value"))
+    val probe = Seq(
+      ("a", Some(1.0e15)),   // beyond MaxAbsValue: cents would saturate
+      ("a", Some(-1.0e15)),  // negative poison, same gate
+      ("zz", Some(10.0)),    // group absent from stats: admitted
+      ("zz", Some(1.0e15)),  // poison beats unknown-group admission
+      ("a", None),           // NULL value: admitted (oracle CASE WHEN)
+      ("a", Some(10.1)))     // ordinary in-band row: admitted
+      .toDF("event_type", "value")
+    val got = Anomaly.flag(probe, stats)
+      .select(col("event_type"), col("value"), col("is_anomaly"))
+      .as[(String, Option[Double], Boolean)].collect().toSet
+    assert(got === Set(
+      ("a", Some(1.0e15), true), ("a", Some(-1.0e15), true),
+      ("zz", Some(10.0), false), ("zz", Some(1.0e15), true),
+      ("a", None, false), ("a", Some(10.1), false)))
+  }
+
+  test("flag honors custom type/value column names symmetrically") {
+    val df = rows.zipWithIndex
+      .map { case ((g, v), i) => (g, i.toLong, v) }
+      .toDF("kind", "idx", "amount")
+    val stats = Anomaly.referenceStats(df, col("kind"), col("amount"))
+    val got = Anomaly.flag(df, stats, typeName = "kind",
+        valueCol = col("amount"))
+      .where(col("is_anomaly")).select(col("idx")).as[Long]
+      .collect().toSet
+    // stats' key column is always emitted as event_type, whatever the
+    // input column was called — the canonical run renames df to match
+    val canonical = Anomaly.flag(
+        df.withColumnRenamed("kind", "event_type")
+          .withColumnRenamed("amount", "value"),
+        stats)
+      .where(col("is_anomaly")).select(col("idx")).as[Long]
+      .collect().toSet
+    assert(got === canonical)
+    assert(got.nonEmpty)
+  }
 }
