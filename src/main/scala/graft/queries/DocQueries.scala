@@ -631,14 +631,28 @@ object DocQueries {
     // is p10's distributed exact rank, no single-task window.
     "p13_dsir_weights" -> ((s, dir) => {
       val bN = 4096
-      val tok = docs(s, dir).select(col("doc_id"), col("source"),
+      // target membership folds to a boolean BEFORE the bucket-count
+      // shuffle: source is functionally dependent on doc_id, so
+      // keying the groupBy on (doc_id, b) alone (with max(tgt)
+      // recovering membership) ships narrower shuffle rows than a
+      // (doc_id, source, b) key — the same counts, minus a string
+      // per row at 100 TB.
+      val tok = docs(s, dir).select(col("doc_id"),
+          col("source").isin("src0", "src1").as("tgt"),
           explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("tgt"),
           (graft.functions.PortableHash.phash(col("tok"), 13) % bN).as("b"))
-      val pd = tok.groupBy(col("doc_id"), col("source"), col("b"))
-        .agg(count(lit(1)).as("cnt"))
+      // pd feeds THREE branches (rawB, tgtB, the scoring join) and
+      // AQE's runtime exchange reuse only dedupes part of them —
+      // unshared, the tokenize+explode executes per branch. share()
+      // materializes the per-doc bucket counts once (rows bounded by
+      // n_docs × min(tokens/doc, 4096), far smaller than the token
+      // stream).
+      val pd = graft.operators.Dedup.share(
+        tok.groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("cnt"), max(col("tgt")).as("tgt")))
       val rawB = pd.groupBy(col("b")).agg(sum(col("cnt")).as("rc"))
-      val tgtB = pd.where(col("source").isin("src0", "src1"))
+      val tgtB = pd.where(col("tgt"))
         .groupBy(col("b")).agg(sum(col("cnt")).as("tc"))
       val totals = rawB.agg(sum(col("rc")).as("nr"))
         .crossJoin(tgtB.agg(sum(col("tc")).as("nt")))
@@ -649,10 +663,13 @@ object DocQueries {
             (col("nt") + bN)) /
           ((col("rc") + 1).cast("double") / (col("nr") + bN)))
           * 1000000.0d).as("lr"))
-      val perDoc = pd.join(broadcast(lr), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_tokens"),
-          sum(col("cnt") * col("lr")).as("_w"))
+      // perDoc is consumed by the rank's two passes plus the nd
+      // count — share it too (n_docs rows, tiny)
+      val perDoc = graft.operators.Dedup.share(
+        pd.join(broadcast(lr), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            sum(col("cnt") * col("lr")).as("_w")))
       val nd = perDoc.agg(count(lit(1)).as("nd"))
       graft.operators.Rank
         .globalRowNumber(perDoc, col("_w"), col("doc_id"), descending = true)
