@@ -47,8 +47,17 @@ object Histogram {
     * id list (`array_agg(flight_id)` analog made deterministic).
     * Parity note: like the reference's `array_agg`, per-bin `ids`
     * state is unbounded in the bin's event count — at 100 TB callers
-    * that don't need the id list should aggregate counts only, or
-    * bound it with `slice(sort_array(...), 1, k)`.
+    * that don't need the full id list should set `maxIdsPerBin`,
+    * which caps the emitted list to the k smallest ids per bin.
+    *
+    * Scan pruning is the CALLER's job: the range filter here sits on
+    * the derived (truncated, possibly tz-shifted) bin time, which can
+    * never reach the parquet scan — it exists for exactness, not
+    * pruning. Pass a pre-ranged frame (`Tables.eventsRanged` with the
+    * UTC superset of the bin range — tz callers widen ±1 day exactly
+    * as q5 does) so row-group skipping happens below this operator;
+    * the composition stays correct because the agg-side predicate
+    * re-applies the exact bound.
     *
     * When `tz` is set, bins are computed on local wall-clock time and
     * labelled by the local bin start expressed back in UTC — the double
@@ -67,7 +76,8 @@ object Histogram {
       end: String,
       bin: String,
       tz: Option[String] = None,
-      endExtensionHours: Int = 23): DataFrame = {
+      endExtensionHours: Int = 23,
+      maxIdsPerBin: Option[Int] = None): DataFrame = {
 
     def toLocal(c: Column): Column =
       tz.fold(c)(z => from_utc_timestamp(c, z))
@@ -86,7 +96,10 @@ object Histogram {
       .groupBy(col("bin_time"))
       .agg(
         count(col("id")).as("events"),
-        array_join(sort_array(collect_list(col("id"))), ",").as("ids"))
+        array_join(
+          maxIdsPerBin.fold(sort_array(collect_list(col("id"))))(k =>
+            slice(sort_array(collect_list(col("id"))), 1, k)),
+          ",").as("ids"))
 
     spine
       .join(broadcast(agg), spine("datetime") === agg("bin_time"), "left_outer")

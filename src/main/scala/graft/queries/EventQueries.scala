@@ -21,14 +21,27 @@ object EventQueries {
     Tables.load(s, dir, "events")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Q1: gap-filled hourly histogram over the whole month.
+    // Q1: gap-filled hourly histogram over the whole month. The scan
+    // is pre-ranged to the spine's UTC span (incl. the +23h spine
+    // extension) so row-group pruning happens below the histogram —
+    // its own range predicate sits on the derived bin time and is
+    // exactness-only (Histogram scaladoc).
     "q1_events_histogram" -> ((s, dir) =>
-      Histogram.eventsHistogram(ev(s, dir), col("ts"), col("event_id"),
+      Histogram.eventsHistogram(
+        Tables.eventsRanged(s, dir, "2024-01-01 00:00:00",
+          "2024-02-01 00:00:00"),
+        col("ts"), col("event_id"),
         "2024-01-01 00:00:00", "2024-01-31 00:00:00", "hour")),
 
-    // Q2: gap-filled daily histogram binned in Europe/Paris local time.
+    // Q2: gap-filled daily histogram binned in Europe/Paris local
+    // time. Pushdown range = the local bin span widened ±1 day (a
+    // correct UTC superset for any tz, the q5 convention); the exact
+    // local predicate stays inside the histogram.
     "q2_histogram_tz" -> ((s, dir) =>
-      Histogram.eventsHistogram(ev(s, dir), col("ts"), col("event_id"),
+      Histogram.eventsHistogram(
+        Tables.eventsRanged(s, dir, "2023-12-31 00:00:00",
+          "2024-02-01 00:00:00"),
+        col("ts"), col("event_id"),
         "2024-01-01 00:00:00", "2024-01-30 00:00:00", "day",
         Some("Europe/Paris"))),
 

@@ -42,6 +42,22 @@ class OperatorSpec extends SparkSpec {
     assert(h(23).getLong(1) === 1) // 23:00 bin exists and counts
   }
 
+  test("histogram maxIdsPerBin caps ids to the k smallest, counts intact") {
+    val ev = Seq(
+      (5L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 00:20:00")),
+      (3L, ts("2024-01-01 00:40:00")),
+      (2L, ts("2024-01-01 01:05:00")))
+      .toDF("event_id", "ts")
+    val h = Histogram.eventsHistogram(ev, col("ts"), col("event_id"),
+      "2024-01-01 00:00:00", "2024-01-01 01:00:00", "hour",
+      endExtensionHours = 0, maxIdsPerBin = Some(2)).collect()
+    assert(h.length === 2)
+    assert(h(0).getLong(1) === 3)          // events counts ALL rows
+    assert(h(0).getString(2) === "1,3")    // ids capped to 2 smallest
+    assert(h(1).getLong(1) === 1 && h(1).getString(2) === "2")
+  }
+
   test("tz histogram bins on Paris wall-clock") {
     // 23:30 UTC on Jan 1 is 00:30 Paris on Jan 2.
     val ev = Seq((1L, ts("2024-01-01 23:30:00"))).toDF("event_id", "ts")

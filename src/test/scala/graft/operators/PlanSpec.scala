@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("histogram scans are pre-ranged: the UTC superset reaches the parquet source") {
+    // the histogram's own range predicate sits on the derived bin
+    // time (exactness-only, can't push) — the bindings compose with
+    // Tables.eventsRanged so the physical ts column carries a range
+    // to the scan (tz variant: ±1-day-widened superset, q5 style)
+    for (q <- Seq("q1_events_histogram", "q2_histogram_tz")) {
+      val p = plan(q)
+      assert(p.contains("GreaterThanOrEqual(ts,"), s"$q scan unpruned:\n$p")
+      assert(p.contains("LessThan(ts,"), s"$q scan unpruned:\n$p")
+    }
+  }
+
   test("enrichment joins broadcast the dimension side") {
     assert(plan("q11_expr_enrich").contains("BroadcastHashJoin"))
     assert(plan("qb_revenue_by_nation").contains("BroadcastHashJoin"))
