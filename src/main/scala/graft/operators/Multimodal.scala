@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   *
   * Media travel as opaque `binary` columns next to a typed metadata
   * struct; transforms are per-partition batch functions so a real
-  * decoder drops in without changing the plan shape. For the
-  * UNCOMPRESSED container this sandbox has (24-bpp BMP) both the
-  * header parse ([[withMetadata]]) and pixel-level perceptual
-  * hashing ([[graft.functions.BmpAHash]] — real 8×8 average-hash
-  * over the pixel array, mm3) are REAL and library-free; codec-bound
-  * formats (JPEG/audio/video) keep a deterministic STUB decode (no
-  * media libraries in this environment) behind the same Spark-side
-  * contract (schema, partitioning, batch shape, null handling).
+  * decoder drops in without changing the plan shape. Image decode is
+  * REAL for every container this JVM reads: 24-bpp BMP via pure
+  * codegen byte arithmetic ([[withMetadata]] header parse,
+  * [[graft.functions.BmpAHash]] pixel-level 8×8 average-hash — the
+  * oracle-checkable path), and PNG/JPEG/GIF via the JDK's own
+  * `javax.imageio` readers ([[graft.functions.ImageIo]] — header
+  * probe for metadata, full decode for the perceptual hash; no
+  * external media library). Formats beyond ImageIO's set
+  * (audio/video codecs) keep a deterministic STUB decode behind the
+  * same Spark-side contract (schema, partitioning, batch shape,
+  * null handling).
   *
   * Scale notes: blobs never enter a shuffle key; metadata-only plans
   * prune the binary column at the parquet scan (check ReadSchema), and
@@ -48,45 +51,66 @@ object Multimodal {
     bin.isNotNull && length(bin) >= 54 &&
       substring(bin, 1, 2).cast("string") === "BM"
 
-  /** REAL header metadata for BMP blobs — width/height (LE int32 at
-    * byte offsets 18/22; a negative stored height means top-down row
-    * order, the pixel height is its magnitude) and bits-per-pixel
-    * (LE uint16 at offset 28), parsed with pure codegen expressions
-    * (no UDF, no media library needed for this container format).
-    * The reference's silhouette fixtures
-    * (`database/data/silhouettes.zip`, loaded by
-    * `read_csv_data.sql:12-38`) are exactly this format. Non-BMP or
-    * short/NULL blobs fall back to [[withFakeMetadata]]'s documented
-    * deterministic stub values, so mixed-media pipelines keep the
-    * same schema and the remaining formats stay honestly stubbed. */
+  /** REAL header metadata for every container this JVM reads.
+    *
+    *  - BMP: width/height (LE int32 at byte offsets 18/22; a negative
+    *    stored height means top-down row order, the pixel height is
+    *    its magnitude) and bits-per-pixel (LE uint16 at offset 28),
+    *    parsed with pure codegen expressions — zero decode cost.
+    *    The reference's silhouette fixtures
+    *    (`database/data/silhouettes.zip`, loaded by
+    *    `read_csv_data.sql:12-38`) are exactly this format.
+    *  - PNG / JPEG / GIF (anything `javax.imageio` recognizes):
+    *    header-ONLY dimension probe via [[graft.functions.ImageIo]]
+    *    (java.desktop ships the readers — no external media library;
+    *    pixel data is never touched for metadata).
+    *  - Formats beyond ImageIO's set (audio/video containers): the
+    *    documented deterministic stub of [[withFakeMetadata]], so
+    *    mixed-media pipelines keep the same schema and the remaining
+    *    formats stay honestly stubbed.
+    *
+    * The probe is materialized into a helper column first so the
+    * per-row ImageIO call runs ONCE, not once per referencing output
+    * column; BMP rows short-circuit it entirely (NULL guard) and keep
+    * the pure-codegen path. */
   def withMetadata(df: DataFrame, bin: Column): DataFrame = {
     val h = abs(xxhash64(bin))
     val bmp = isBmp(bin)
-    df.withColumn("media_type",
-        when(bmp, lit("image"))
+    val probed = col("_img_dims")
+    val realImg = probed.isNotNull
+    df.withColumn("_img_dims",
+        when(bmp, lit(null).cast("array<int>"))
+          .otherwise(graft.functions.ImageIo.imageDims(bin)))
+      .withColumn("media_type",
+        when(bmp || realImg, lit("image"))
           .otherwise(element_at(
             array(lit("image"), lit("audio"), lit("video")),
             (h % 3 + 1).cast("int"))))
       .withColumn("width",
         when(bmp, leInt32(bin, 19).cast("int"))
+          .when(realImg, probed(0))
           .otherwise((h % 1920 + 1).cast("int")))
       .withColumn("height",
         when(bmp, abs(leInt32(bin, 23)).cast("int"))
+          .when(realImg, probed(1))
           .otherwise((h % 1080 + 1).cast("int")))
       .withColumn("bpp",
         when(bmp, leUint(bin, 29, 2).cast("int"))
           .otherwise(lit(null).cast("int")))
       .withColumn("duration_ms",
-        when(bmp, lit(null).cast("long")).otherwise((h % 60000).cast("long")))
+        when(bmp || realImg, lit(null).cast("long"))
+          .otherwise((h % 60000).cast("long")))
       .withColumn("sample_rate",
-        when(bmp, lit(null).cast("int")).otherwise(lit(16000)))
+        when(bmp || realImg, lit(null).cast("int"))
+          .otherwise(lit(16000)))
+      .drop("_img_dims")
   }
 
   /** Wrap a raw binary column with parsed header metadata.
     * STUB: the fake derives deterministic dimensions from the content
     * hash so tests are stable. [[withMetadata]] is the real-parse
-    * entry point (BMP headers parsed for real, other formats fall
-    * back here). */
+    * entry point (BMP + everything ImageIO reads parsed for real;
+    * only formats beyond ImageIO's set fall back here). */
   def withFakeMetadata(df: DataFrame, bin: Column): DataFrame = {
     val h = abs(xxhash64(bin))
     df.withColumn("media_type",
@@ -154,6 +178,34 @@ object Multimodal {
           .map("%02x".format(_)).mkString.take(15), 16)
       ((h % 1000000L).toDouble / 1e6).toFloat
     }
+  }
+
+  /** REAL image decoder with the [[decodeEmbedBatched]] signature:
+    * ImageIO-decoded pixels → L1-normalized `dim`-bin grayscale
+    * histogram over an 8×8 sample grid (a real, deterministic,
+    * decode-backed feature — production swaps in a model session with
+    * the same signature). Bytes no installed reader recognizes fall
+    * back to [[stubDecode]], so mixed media batches keep the schema
+    * contract; decode failures never throw ([[graft.functions.ImageIo]]
+    * NULL contract → stub fallback). */
+  def imageIoDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+      img.getWidth.toLong * img.getHeight > graft.functions.ImageIo.MaxPixels)
+      return stubDecode(bytes, dim)
+    val grid = 8
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < grid * grid) {
+      val rgb = img.getRGB((i % grid) * img.getWidth / grid,
+        (i / grid) * img.getHeight / grid)
+      val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      counts(gray * dim / 766) += 1
+      i += 1
+    }
+    counts.map(c => c.toFloat / (grid * grid))
   }
 
   /** Batched per-partition decode → embedding — the Scala analog of

@@ -15,13 +15,15 @@ object MediaStream {
   /** Gate + dedup + day-partitioned sink for a stream of
     * (media_id, content binary, ingest_ts) rows.
     *
-    * Gates (all metadata-level, evaluated by codegen expressions —
-    * no decode): NULL/short blobs (< 54 bytes can't even hold a BMP
+    * Gates (all metadata-level — headers parsed, pixel data never
+    * decoded): NULL/short blobs (< 54 bytes can't even hold a BMP
     * header), oversize blobs (> `maxBytes` — the classic crawler
-    * poison input), and BMPs whose REAL parsed header reports a
-    * degenerate dimension ([[Multimodal.withMetadata]]; non-BMP
-    * containers keep the documented deterministic stub metadata and
-    * pass the dimension gate by construction).
+    * poison input), and images whose REAL parsed header reports a
+    * degenerate dimension — BMP via pure codegen byte reads, PNG/
+    * JPEG/GIF via the JDK ImageIO header probe
+    * ([[Multimodal.withMetadata]]); only formats beyond ImageIO's
+    * set keep the documented deterministic stub metadata and pass
+    * the dimension gate by construction.
     *
     * Dedup: `dropDuplicatesWithinWatermark` on the content sha2-256
     * (not md5: collisions there are practically constructible, so a

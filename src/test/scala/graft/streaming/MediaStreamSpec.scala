@@ -38,6 +38,14 @@ class MediaStreamSpec extends SparkSpec {
     val tiny = Array[Byte](1, 2, 3)
     val oversize = Array.fill[Byte](2048)(7)
     val audio = Array.tabulate[Byte](200)(i => (i * 37 % 251).toByte)
+    // a REAL PNG: the gate must pass it with ImageIO-probed dims
+    val png = {
+      val img = new java.awt.image.BufferedImage(5, 4,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
 
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val media = in.toDF().toDF("media_id", "content", "ingest_ts")
@@ -52,7 +60,8 @@ class MediaStreamSpec extends SparkSpec {
       (3L, zeroDim, t0),
       (4L, tiny, t0),
       (5L, oversize, t0),
-      (6L, audio, t0)))
+      (6L, audio, t0),
+      (7L, png, t0)))
     q.processAllAvailable()
     q.stop()
 
@@ -67,5 +76,11 @@ class MediaStreamSpec extends SparkSpec {
     assert(bmpRow.getString(0) == "image")
     assert(bmpRow.getInt(1) == 8 && bmpRow.getInt(2) == 8)
     assert(bmpRow.getInt(3) == 24)
+    // the PNG survived the gate with REAL ImageIO-probed dimensions
+    assert(kept.contains(7L), s"kept $kept")
+    val pngRow = out.where(col("media_id") === 7L)
+      .select("media_type", "width", "height").head()
+    assert(pngRow.getString(0) == "image")
+    assert(pngRow.getInt(1) == 5 && pngRow.getInt(2) == 4)
   }
 }
