@@ -1759,6 +1759,10 @@ object DocQueries {
     // gate a petabyte run on that score. One map-side-combinable
     // aggregation (the distinct-agg plans as an expand, still one
     // pass); ≤10 output rows.
+    // NOTE: there is deliberately no t21 — the numbering skips from
+    // t20 to t22 (a round-7 labeling slip, kept as-is because the
+    // names are the driver's correctness-artifact keys and renaming
+    // would orphan the recorded history; nothing is missing).
     "t22_quality_calibration" -> ((s, dir) => {
       val d = docs(s, dir).select(
         least(floor(TextFunctions.qualityScore(col("text")) * 10), lit(9.0))
