@@ -166,7 +166,12 @@ object Bench {
     // the complete per-query/runs/steal detail. Printed LAST, after
     // spark.stop(), behind a sentinel, so no shutdown logging can
     // push it out of the tail window.
-    val budgetBytes = 1800
+    // 2000-char tail window minus: sbt's "[info] " line prefixes, the
+    // sentinel line, the trailing "[success] Total time ..." sbt
+    // epilogue (~70 B), the fixed JSON fields (~150 B), and slack —
+    // measured: an 1800 budget produced a 1935-char line that could
+    // still lose its head under the epilogue, hence 1450
+    val budgetBytes = 1450
     val byCost = results.toSeq.map { case (k, ss) =>
       k -> minOf(ss).fold(_ => -1.0, identity)
     }.sortBy { case (_, v) => -v }
