@@ -44,11 +44,17 @@ object NaiveBayes {
       textCol.as("text"))
     val tok = base.select(col("id"), col("label"),
       explode(split(col("text"), " ")).as("tok"))
-    val perDoc = tok.groupBy(col("id"), col("label"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    // perDoc feeds the class-count aggregation AND the scoring join;
+    // classTok feeds totals, vocab AND the scoring join — share()
+    // both so the tokenize+count pipeline runs once, not per branch
+    // (AQE exchange reuse does not cover these shapes; the p13/d11
+    // lesson)
+    val perDoc = Dedup.share(
+      tok.groupBy(col("id"), col("label"), col("tok"))
+        .agg(count(lit(1)).as("cnt")))
     // class-conditional counts from perDoc, not raw occurrences
-    val classTok = perDoc.groupBy(col("label"), col("tok"))
-      .agg(sum(col("cnt")).as("ct"))
+    val classTok = Dedup.share(perDoc.groupBy(col("label"), col("tok"))
+      .agg(sum(col("cnt")).as("ct")))
     val classTot = classTok.groupBy(col("label"))
       .agg(sum(col("ct")).as("tot"))
     val vocab = classTok.select(col("tok")).distinct()

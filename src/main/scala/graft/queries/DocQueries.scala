@@ -704,15 +704,21 @@ object DocQueries {
           .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
       val t = d.select(col("doc_id"), split(col("text"), " ").as("t"))
         .where(size(col("t")) >= w)
-      val wins = t.select(col("doc_id"), size(col("t")).as("n_tokens"),
+      // wins (the md5-per-window explode, the query's dominant cost)
+      // feeds BOTH the dup-hash aggregation and the dup join, and dup
+      // feeds BOTH coverage and counts — share() each so the window
+      // hashing runs once, not per consumer branch (the p13 lesson:
+      // AQE exchange reuse does not cover these shapes)
+      val wins = Dedup.share(
+        t.select(col("doc_id"), size(col("t")).as("n_tokens"),
           posexplode(transform(
             sequence(lit(1), size(col("t")) - (w - 1)),
             i => md5(array_join(slice(col("t"), i, lit(w)), " ")))))
         .select(col("doc_id"), col("n_tokens"),
-          (col("pos") + 1).as("start"), col("col").as("h"))
+          (col("pos") + 1).as("start"), col("col").as("h")))
       val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
         .where(col("n") >= 2).select(col("h"))
-      val dup = wins.join(dupH, Seq("h"))
+      val dup = Dedup.share(wins.join(dupH, Seq("h")))
       val cover = dup
         .select(col("doc_id"),
           explode(sequence(col("start"), col("start") + (w - 1))).as("p"))
@@ -754,12 +760,15 @@ object DocQueries {
         d0.where(col("doc_id") % 5 === 0).crossJoin(broadcast(mx))
           .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
       val t = d.select(col("doc_id"), split(col("text"), " ").as("t"))
-      val wins = t.where(size(col("t")) >= w)
+      // share the window-hash explode: it feeds the dup-hash agg AND
+      // the coverage join (the d11/p13 multi-consumer lesson)
+      val wins = Dedup.share(t.where(size(col("t")) >= w)
         .select(col("doc_id"),
           posexplode(transform(
             sequence(lit(1), size(col("t")) - (w - 1)),
             i => md5(array_join(slice(col("t"), i, lit(w)), " ")))))
-        .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+        .select(col("doc_id"), (col("pos") + 1).as("start"),
+          col("col").as("h")))
       val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
         .where(col("n") >= 2).select(col("h"))
       val covA = wins.join(dupH, Seq("h"))
@@ -860,13 +869,15 @@ object DocQueries {
           when(bucket < 80, "train").when(bucket < 90, "val")
             .otherwise("test"))
         .select(col("doc_id"), col("split"), split(col("text"), " ").as("t"))
-      val wins = t.where(size(col("t")) >= w)
+      // shared: the window-hash explode feeds the train-hash distinct
+      // AND the test-side coverage join (the d11/p13 lesson)
+      val wins = Dedup.share(t.where(size(col("t")) >= w)
         .select(col("doc_id"), col("split"),
           posexplode(transform(
             sequence(lit(1), size(col("t")) - (w - 1)),
             i => md5(array_join(slice(col("t"), i, lit(w)), " ")))))
         .select(col("doc_id"), col("split"),
-          (col("pos") + 1).as("start"), col("col").as("h"))
+          (col("pos") + 1).as("start"), col("col").as("h")))
       val trainH = wins.where(col("split") === "train")
         .select(col("h")).distinct()
       val cov = wins.where(col("split") === "test")
@@ -1004,13 +1015,15 @@ object DocQueries {
       val withSplit = d.select(col("doc_id"), col("text"),
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))
-      val grams = withSplit
+      // shared: the gram explode+distinct feeds the train-hash set
+      // AND the test scoring side (the d11/p13 lesson)
+      val grams = Dedup.share(withSplit
         .select(col("doc_id"), col("split"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("split"),
           explode(Dedup.shingles(col("toks"), 5)).as("g"))
         .select(col("doc_id"), col("split"),
           graft.functions.PortableHash.phash(col("g"), 0).as("h"))
-        .distinct()
+        .distinct())
       val trainGrams = grams.where(col("split") === "train")
         .select(col("h")).distinct().withColumn("_hit", lit(1L))
       grams.where(col("split") === "test")
