@@ -491,11 +491,15 @@ object Dedup {
     * over-reports. */
   def blockedEditPairs(docs: DataFrame, idCol: Column, valCol: Column,
       blockCol: Column, maxDist: Int, maxBlock: Long): DataFrame = {
-    val t = docs.select(idCol.as("id"), valCol.as("v"),
-      blockCol.as("blk"))
+    // share both the projected input (feeds the block-size agg AND
+    // the capped join) and the capped rows (feed BOTH self-join
+    // sides): without it the upstream subtree executes four times —
+    // the p13/d11 multi-consumer lesson
+    val t = share(docs.select(idCol.as("id"), valCol.as("v"),
+      blockCol.as("blk")))
     val small = t.groupBy(col("blk")).agg(count(lit(1)).as("_n"))
       .where(col("_n") <= maxBlock).select(col("blk"))
-    val b = t.join(small, Seq("blk"))
+    val b = share(t.join(small, Seq("blk")))
     val a = b.select(col("blk"), col("id").as("id_a"), col("v").as("va"))
     b.select(col("blk"), col("id").as("id_b"), col("v").as("vb"))
       .join(a, Seq("blk"))

@@ -604,7 +604,12 @@ object DocQueries {
         .agg(count(lit(1)).as("cnt"))
       // model from perDoc, not raw occurrences: the occurrence rows
       // shuffle once (d6's two-exchange rationale) and the freq
-      // groupBy consumes perDoc's partitioning
+      // groupBy consumes perDoc's partitioning. NOT share()d: the
+      // round-8 A/B (0.68 s unshared vs 0.81 s shared, sf0.1 solo)
+      // showed AQE's exchange reuse already covers this exact shape —
+      // both consumers sit directly on pd's exchange — so the cache
+      // materialization is pure overhead here, unlike the
+      // p13/d11-class shapes where a join intervenes.
       val freq = perDoc.groupBy(col("tok")).agg(sum(col("cnt")).as("n_tok"))
       val totalN = freq.agg(sum(col("n_tok")).as("n_total"))
       perDoc.join(freq, "tok").crossJoin(broadcast(totalN))
@@ -911,6 +916,9 @@ object DocQueries {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
         .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      // NOT share()d: round-8 A/B measured flat (1.33 s both ways at
+      // sf0.1 solo) — as in t9, the model aggregations consume pd's
+      // exchange directly and AQE reuses it
       val pd = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("cnt"))
       val m12 = pd.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("n12"))
@@ -1993,9 +2001,12 @@ object DocQueries {
         .select((col("doc_id") + col("_mx")).as("doc_id"), col("text")))
     val bucket = graft.functions.PortableHash
       .phash(col("doc_id").cast("string"), 7) % 100
-    d.select(col("doc_id"), md5(col("text")).as("h"),
+    // shared: every caller (p4, p4b) consumes this frame on BOTH its
+    // train and test sides, and the rows are narrow (id, hash, split
+    // — no text) — one corpus pass instead of one per consumer
+    Dedup.share(d.select(col("doc_id"), md5(col("text")).as("h"),
       when(bucket < 80, "train").when(bucket < 90, "val")
-        .otherwise("test").as("split"))
+        .otherwise("test").as("split")))
   }
 
   /** Dump the ANN oracle base (round-6): the IVF assignments + probe
