@@ -112,6 +112,26 @@ object ImageIo {
     Array(hi, lo)
   }
 
+  /** Decode any readable container and RE-ENCODE as PNG, or null on
+    * undecodable/oversized input. The byte stream is whatever the
+    * JDK's PNG writer emits (not canonical across JDKs) — callers
+    * must only depend on the DECODED PIXELS (e.g. [[aHash]] of the
+    * result), which are exact because PNG is lossless. This is the
+    * transcode step of a real media-normalization pipeline, and the
+    * engine-side half of the mm5 cross-format parity check. */
+  def toPng(b: Array[Byte]): Array[Byte] = {
+    val d = dims(b)
+    if (d == null || d(0) <= 0 || d(1) <= 0 ||
+      d(0).toLong * d(1) > MaxPixels) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val out = new java.io.ByteArrayOutputStream()
+    if (!ImageIO.write(img, "png", out)) return null
+    out.toByteArray
+  }
+
   /** Column API: header-probed [width, height] (array<int>) or NULL. */
   def imageDims(bin: Column): Column =
     Bridge.column(ImageDimsExpr(Bridge.expression(bin)))
@@ -119,6 +139,44 @@ object ImageIo {
   /** Column API: ImageIO-decoded [hi, lo] aHash halves or NULL. */
   def imageAHash(bin: Column): Column =
     Bridge.column(ImageIoAHashExpr(Bridge.expression(bin)))
+
+  /** Column API: losslessly transcode to PNG (binary) or NULL. */
+  def imageToPng(bin: Column): Column =
+    Bridge.column(ImageToPngExpr(Bridge.expression(bin)))
+}
+
+/** `image_to_png(binary)` → binary PNG | NULL. */
+case class ImageToPngExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_to_png"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"image_to_png needs binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ImageIo.toPng(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bin => {
+      val out = ctx.freshName("png")
+      s"""
+         |byte[] $out = graft.functions.ImageIo.toPng($bin);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageToPngExpr =
+    copy(child = newChild)
 }
 
 /** `image_dims(binary)` → array<int> [width, height] | NULL. */

@@ -259,6 +259,36 @@ object AdsbQueries {
     // distinct silhouettes sit ≥ 6 bits apart, so near-dup pairs are
     // injected by construction (exact re-keyed copies — the d11
     // convention; a 0-hit green proves nothing).
+    // mm5: CROSS-FORMAT hash parity — the round-8 ImageIO promotion
+    // made gate-visible. Each BMP silhouette is losslessly transcoded
+    // to PNG IN-ENGINE (`ImageIo.imageToPng`, the JDK's own codecs)
+    // and hashed through the ImageIO full-decode path
+    // (`ImageIo.imageAHash`), beside the byte-level BMP codegen
+    // kernel's hash. The DuckDB oracle re-derives the hash from the
+    // BMP BYTES alone and asserts both Spark columns equal it — so a
+    // single diverging pixel anywhere in the decode→re-encode→decode
+    // chain (or a sampling/threshold drift between the two kernels)
+    // turns the gate red. This is the normalize-then-fingerprint
+    // shape a mixed-container media pipeline runs at ingest: hash
+    // stability across transcodes is what makes the near-dup index
+    // (mm4) format-independent.
+    "mm5_crossformat_parity" -> ((s, _) => {
+      import graft.functions.{BmpAHash, ImageIo}
+      val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
+        .where(Multimodal.isBmp(col("silhouette")))
+      bin.select(col("model"),
+          BmpAHash.aHash(col("silhouette")).as("hb"),
+          ImageIo.imageAHash(ImageIo.imageToPng(col("silhouette")))
+            .as("hp"))
+        .where(col("hb").isNotNull && col("hp").isNotNull)
+        .select(col("model"),
+          col("hb")(0).as("bmp_hi"), col("hb")(1).as("bmp_lo"),
+          col("hp")(0).as("png_hi"), col("hp")(1).as("png_lo"),
+          (col("hb")(0) === col("hp")(0) &&
+            col("hb")(1) === col("hp")(1)).as("parity"))
+        .orderBy(col("model"))
+    }),
+
     "mm4_image_neardup" -> ((s, _) => {
       val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
         .select(col("model"), col("silhouette"))
@@ -664,6 +694,18 @@ object AdsbQueries {
          |SELECT hh.model, width, height, ahash_hi, ahash_lo,
          |  nn_model, nn_hamming
          |FROM hh JOIN nn USING (model) ORDER BY model""".stripMargin,
+
+    // mm5: the oracle re-derives the hash from the BMP bytes ONLY and
+    // pins BOTH engine columns (byte-kernel AND the PNG-transcode
+    // ImageIO path) to it — DuckDB cannot decode PNG, and doesn't
+    // need to: lossless transcode means the pixel-true hash is the
+    // BMP-derived one, so Spark's ImageIO value hash-checks against
+    // an independent engine.
+    "mm5_crossformat_parity" ->
+      s"""WITH ${ahashCtes(s"SELECT model, hex(silhouette) AS hx FROM ${tbl("mm_blobs")}")}
+         |SELECT model, ahash_hi AS bmp_hi, ahash_lo AS bmp_lo,
+         |  ahash_hi AS png_hi, ahash_lo AS png_lo, TRUE AS parity
+         |FROM hh ORDER BY model""".stripMargin,
 
     // mm4: the same hash chain over the copy-injected blob set, then
     // 16-bit banding, band-bucket candidate join, hamming verify.

@@ -107,6 +107,19 @@ class ImageIoSpec extends SparkSpec {
     assert(ImageIo.aHash(bytes, 8) != null)
   }
 
+  test("toPng transcode is pixel-lossless: hash invariant from any lossless source") {
+    val img = testImage()
+    val want = BmpAHash.compute(encode(img, "bmp"), 8).toSeq
+    for (fmt <- Seq("bmp", "png", "gif")) {
+      val png = ImageIo.toPng(encode(img, fmt))
+      assert(png != null, s"$fmt transcode failed")
+      assert(ImageIo.dims(png).toSeq === Seq(64, 48))
+      assert(ImageIo.aHash(png, 8).toSeq === want,
+        s"$fmt->png transcode changed the perceptual hash")
+    }
+    assert(ImageIo.toPng(Array.fill[Byte](100)(3)) == null) // junk: NULL
+  }
+
   test("imageIoDecode yields a real decode-backed histogram feature") {
     val img = testImage()
     val feats = Multimodal.imageIoDecode(encode(img, "png"), 8)
