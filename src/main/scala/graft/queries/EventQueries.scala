@@ -202,6 +202,22 @@ object EventQueries {
         .orderBy(col("cohort_week"), col("weeks_since"))
     }),
 
+    // qv: windowed funnel ([[Funnel.summary]] — the ClickHouse
+    // windowFunnel / Amplitude semantic): per-user greedy
+    // earliest-match of view → click → purchase with the 24 h
+    // conversion window anchored at the user's FIRST view, then the
+    // per-step cohort counts and conversion rates. Distinct from
+    // qk's funnel, which is bounded to a 30-min session; this one
+    // spans sessions and anchors the clock at entry — the
+    // campaign-conversion readout. Scale shape: no per-user sequence
+    // assembly (no collect_list/UDF) — one min-agg + user-key
+    // equi-join per step, all sharing the key; the summary is a
+    // ≤3-row aggregate.
+    "qv_window_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.summary(ev(s, dir), col("user_id"),
+        col("event_type"), col("ts"),
+        Seq("view", "click", "purchase"), "24 hours")),
+
     // qk: in-session conversion funnel (view → click → purchase,
     // strictly ordered WITHIN the 30-min session): stage timestamps
     // resolve in three conditional-min passes — each stage's min ts
@@ -809,6 +825,44 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM act JOIN fs USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    // qv: the oracle replays the greedy earliest-match chain as the
+    // same per-step conditional-min CTE ladder — step i+1's min ts
+    // strictly after step i's chosen ts and within the step-1 anchor
+    // window.
+    "qv_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (
+        |  SELECT u, min(ts) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.u, min(t1) AS t1, min(ts) AS t2
+        |  FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE et = 'click' AND ts > t1
+        |    AND ts <= t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.u, min(ts) AS t3
+        |  FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE et = 'purchase' AND ts > t2
+        |    AND ts <= t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |n AS (
+        |  SELECT (SELECT count(*) FROM s1) AS n1,
+        |         (SELECT count(*) FROM s2) AS n2,
+        |         (SELECT count(*) FROM s3) AS n3)
+        |SELECT step, event_type, n_users, conv_rate FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |    CAST(n1 AS BIGINT) AS n_users,
+        |    round(1.0, 6) AS conv_rate FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(n2 AS BIGINT),
+        |    round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        |    round(CAST(n3 AS DOUBLE) / n1, 6) FROM n)
+        |ORDER BY step""".stripMargin,
 
     "qu_cohort_ltv" ->
       """WITH fs AS (
