@@ -138,11 +138,15 @@ object Multimodal {
         lit(1000000L)).cast("double") / 1e6)
     }: _*)
 
-  /** "Resize": emits the transformed blob + new dims. STUB keeps the
-    * bytes, real impl re-encodes; the plan shape (project, no shuffle)
-    * is what matters. */
+  /** Resize: REAL for every container ImageIO reads — decode,
+    * bit-deterministic nearest-neighbor sample to (w, hgt), re-encode
+    * PNG ([[graft.functions.ImageIo.resize]]); bytes no reader
+    * recognizes pass through unchanged (the prior stub behavior, now
+    * the explicit non-image fallback so mixed-media frames keep the
+    * schema). Plan shape unchanged: a projection, no shuffle. */
   def resize(df: DataFrame, bin: Column, w: Int, hgt: Int): DataFrame =
-    df.withColumn("resized", bin)
+    df.withColumn("resized",
+        coalesce(graft.functions.ImageIo.imageResize(bin, w, hgt), bin))
       .withColumn("width", lit(w))
       .withColumn("height", lit(hgt))
 

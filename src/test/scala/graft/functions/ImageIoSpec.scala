@@ -120,6 +120,31 @@ class ImageIoSpec extends SparkSpec {
     assert(ImageIo.toPng(Array.fill[Byte](100)(3)) == null) // junk: NULL
   }
 
+  test("resize is real, deterministic nearest-neighbor, format-agnostic") {
+    val img = testImage() // 64×48, left black / right white
+    for (fmt <- Seq("bmp", "png", "jpg")) {
+      val r = ImageIo.resize(encode(img, fmt), 16, 12)
+      assert(r != null, s"$fmt resize failed")
+      assert(ImageIo.dims(r).toSeq === Seq(16, 12))
+      // nearest-neighbor preserves the hard split exactly for the
+      // lossless sources: left half black, right half white
+      if (fmt != "jpg") {
+        val decoded = ImageIO.read(new java.io.ByteArrayInputStream(r))
+        assert((decoded.getRGB(3, 6) & 0xffffff) === 0x000000)
+        assert((decoded.getRGB(12, 6) & 0xffffff) === 0xffffff)
+      }
+      // bit-deterministic: same input → same bytes
+      assert(r.toSeq === ImageIo.resize(encode(img, fmt), 16, 12).toSeq)
+    }
+    assert(ImageIo.resize(encode(img, "png"), 0, 12) == null)
+    // the operator keeps non-image bytes unchanged (schema contract)
+    val junk = Array.fill[Byte](80)(0x2a)
+    val out = Multimodal.resize(
+        Seq(Tuple1(junk)).toDF("blob"), col("blob"), 16, 12)
+      .select(col("resized")).as[Array[Byte]].head()
+    assert(out.toSeq === junk.toSeq)
+  }
+
   test("imageIoDecode yields a real decode-backed histogram feature") {
     val img = testImage()
     val feats = Multimodal.imageIoDecode(encode(img, "png"), 8)
