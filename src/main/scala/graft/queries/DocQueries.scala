@@ -1780,10 +1780,31 @@ object DocQueries {
     // gate a petabyte run on that score. One map-side-combinable
     // aggregation (the distinct-agg plans as an expand, still one
     // pass); ≤10 output rows.
-    // NOTE: there is deliberately no t21 — the numbering skips from
-    // t20 to t22 (a round-7 labeling slip, kept as-is because the
-    // names are the driver's correctness-artifact keys and renaming
-    // would orphan the recorded history; nothing is missing).
+    // t21: lexical diversity — per-doc type-token ratio and Guiraud's
+    // root TTR (types/√tokens, the length-corrected variant; √ is
+    // IEEE-correctly-rounded in BOTH engines, so unlike an ln-based
+    // index — Herdan's C — the score is bit-exact cross-engine, the
+    // t19/t20 fixed-point lesson applied by PICKING the right
+    // statistic). Low diversity flags boilerplate/keyword-stuffed
+    // docs that length or stopword gates miss; it complements t22's
+    // calibration as a per-doc quality feature. Scale shape: a PURE
+    // PROJECTION — types and tokens both come from one
+    // size(array_distinct(split)) expression chain, zero shuffles,
+    // zero joins; the whole corpus streams through codegen once.
+    // (Round 8: fills the formerly-vacant t21 slot in the text-ops
+    // numbering.)
+    "t21_lexical_diversity" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("n_types"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6)
+            .as("ttr"),
+          round(col("n_types").cast("double") /
+            sqrt(col("n_tokens").cast("double")), 6).as("root_ttr"))
+        .orderBy(col("doc_id"))),
+
     "t22_quality_calibration" -> ((s, dir) => {
       val d = docs(s, dir).select(
         least(floor(TextFunctions.qualityScore(col("text")) * 10), lit(9.0))
@@ -4273,6 +4294,18 @@ object DocQueries {
         |SELECT cell.lang, guess, n, round(CAST(n AS DOUBLE) / t, 6) AS share
         |FROM cell JOIN tot ON cell.lang = tot.lang
         |ORDER BY cell.lang, guess""".stripMargin,
+
+    "t21_lexical_diversity" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |    AS n_types,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS ttr,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / sqrt(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
+        |    AS root_ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t22_quality_calibration" ->
       s"""WITH q AS (
