@@ -202,6 +202,36 @@ object EventQueries {
         .orderBy(col("cohort_week"), col("weeks_since"))
     }),
 
+    // qw: the weekly retention triangle — THE product-analytics
+    // table: cohort = first-seen week (qu's convention), cell
+    // (cohort, k) = distinct users of that cohort active in ANY way
+    // k weeks later, as count + fraction of the cohort. Completes
+    // the engagement suite: qr is calendar-aligned DAU/WAU, qu is
+    // cohort revenue, this is cohort SURVIVAL. Scale shape: the
+    // (user, week) distinct is one map-side-combinable pass; cohorts
+    // broadcast back (|weeks| rows); per-cell rows are unique after
+    // the distinct so the cell count is a plain count, no
+    // count-distinct shuffle.
+    "qw_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val sizes = firstSeen.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val act = e.select(col("user_id"),
+          date_trunc("week", col("ts")).as("w")).distinct()
+      act.join(firstSeen, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          expr("datediff(w, cohort_week) div 7").as("weeks_since"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+          col("weeks_since"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
     // qv: windowed funnel ([[Funnel.summary]] — the ClickHouse
     // windowFunnel / Amplitude semantic): per-user greedy
     // earliest-match of view → click → purchase with the 24 h
@@ -825,6 +855,28 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM act JOIN fs USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "qw_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |sz AS (
+        |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        |  FROM fs GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |  FROM events),
+        |cell AS (
+        |  SELECT fs.cohort_week,
+        |    CAST(datediff('day', fs.cohort_week, act.w) // 7 AS BIGINT)
+        |      AS weeks_since,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM act JOIN fs USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, weeks_since, n_active, n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+        |FROM cell JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     // qv: the oracle replays the greedy earliest-match chain as the
     // same per-step conditional-min CTE ladder — step i+1's min ts
