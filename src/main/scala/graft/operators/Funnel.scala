@@ -38,10 +38,18 @@ object Funnel {
       s"steps must be distinct: $steps")
     val e = events.select(userCol.as("user"), typeCol.as("et"),
       tsCol.cast("timestamp").as("ts"))
-    val s1 = e.where(col("et") === steps.head)
+    // Each fold round references the previous frame TWICE (the step
+    // join and the stall-preserving left join), so an unshared fold
+    // nests the upstream plan 2^k times — the scan-budget spec
+    // caught exactly this (14 events scans for 3 steps). share()
+    // bounds it: per-round frames are one NARROW row per step-1 user
+    // (user, t1, t_prev, depth), and the step-event scans stay
+    // per-step filtered parquet reads (the et = step predicate
+    // pushes down, so each pass reads only its step's rows).
+    val s1 = Dedup.share(e.where(col("et") === steps.head)
       .groupBy(col("user")).agg(min(col("ts")).as("t1"))
       .select(col("user"), col("t1"), col("t1").as("t_prev"),
-        lit(1L).as("depth"))
+        lit(1L).as("depth")))
     steps.tail.zipWithIndex.foldLeft(s1) { case (prev, (step, idx)) =>
       // ONLY users at exactly the required depth may attempt this
       // step — a user stalled earlier must not match a later step
@@ -55,11 +63,11 @@ object Funnel {
           col("ts") <= col("t1") + expr(s"interval $window"))
         .groupBy(col("user"))
         .agg(min(col("ts")).as("t_step"))
-      prev.join(nxt, Seq("user"), "left")
+      Dedup.share(prev.join(nxt, Seq("user"), "left")
         .select(col("user"), col("t1"),
           coalesce(col("t_step"), col("t_prev")).as("t_prev"),
           (col("depth") + when(col("t_step").isNotNull, 1L)
-            .otherwise(0L)).as("depth"))
+            .otherwise(0L)).as("depth")))
     }.select(col("user"), col("t1"), col("depth"))
   }
 

@@ -40,6 +40,52 @@ class AnalysisSmokeSpec extends SparkSpec {
       bad.mkString("\n"))
   }
 
+  test("scan budget: no query's plan reads one table more than 8 times") {
+    // The structural guard for the round-8 recompute class: a frame
+    // feeding multiple branches through a join re-executes its whole
+    // upstream per branch unless share()d (AQE exchange reuse does
+    // not cover the shape — ARCHITECTURE "share-vs-exchange-reuse").
+    // p13 planned 14 parquet scans before the fix; the post-campaign
+    // maximum is 8 (d12's synthetic union fixture). A query whose
+    // STATIC plan re-reads a table >8× has almost certainly lost a
+    // share() or grown a new multi-consumer branch — fix the plan or
+    // consciously raise the bound with a comment. Counted on the
+    // pre-AQE physical plan (AQE's runtime dedup is partial, which
+    // is the point); cached subtrees are excluded because
+    // InMemoryTableScan has no scan children in this walk.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = "/root/testdata/sf0.001"
+    def scans(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case f: FileSourceScanExec =>
+          Seq(f.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("?"))
+        case _ => Nil
+      }
+      val kids = p match {
+        // AQE's wrapper is a leaf — descend into the current plan
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans) ++ p.subqueries.flatMap(scans)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val perTable = scans(fn(spark, dir).queryExecution.executedPlan)
+            .groupBy(identity).view.mapValues(_.size)
+          perTable.collect {
+            case (t, n) if n > 8 => s"$name: $t scanned $n times"
+          }
+        } catch { case _: Throwable => Nil } // analysis spec covers errors
+        finally spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"scan-budget violations (see ARCHITECTURE share rule):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("oracleSql covers every query (and nothing else)") {
     // the driver's gate only checks queries that appear in BOTH maps;
     // a queries entry without oracle SQL silently downgrades to a
