@@ -44,6 +44,12 @@ import org.apache.spark.sql.types._
   */
 object ImageIo {
 
+  // Without this, every createImageInputStream/read spills the
+  // in-memory blob to a java.io.tmpdir cache FILE and deletes it —
+  // per row, per probe — pure temp-file I/O overhead on the
+  // metadata-gate hot path (review finding, round 8).
+  ImageIO.setUseCache(false)
+
   /** Full-decode allocation cap: refuse to decode pixel data for
     * images larger than this many pixels (header dims are still
     * reported — the caller's gate can reject on them). */
@@ -135,10 +141,15 @@ object ImageIo {
   /** REAL resize: decode, NEAREST-NEIGHBOR sample to (w, h), re-encode
     * as PNG. Nearest-neighbor (pixel (x, y) ← source (x·sw/w, y·sh/h),
     * the [[aHash]] grid-mapping convention) rather than an
-    * interpolating `Graphics2D` scale because it is bit-deterministic
-    * across JVMs/platforms — an engine primitive must not produce
-    * different corpora on different executor images. Null on
-    * undecodable/oversized input, and on non-positive targets. */
+    * interpolating `Graphics2D` scale because the SAMPLED PIXELS are
+    * bit-deterministic across JVMs/platforms — an engine primitive
+    * must not produce different corpora on different executor
+    * images. The PNG CONTAINER bytes around those pixels are
+    * whatever this JVM's encoder emits (the [[toPng]] caveat):
+    * downstream hashing/dedup of resized output must key on decoded
+    * pixels (e.g. [[aHash]]), not encoded bytes, to be
+    * fleet-portable. Null on undecodable/oversized input, and on
+    * non-positive targets. */
   def resize(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
     val d = dims(b)
@@ -154,8 +165,12 @@ object ImageIo {
     while (y < h) {
       var x = 0
       while (x < w) {
+        // Long index math: x·srcW can pass 2^31 for cap-passing
+        // degenerate-wide sources (e.g. 2^26×1), and an Int overflow
+        // here would throw AIOOBE — violating the NULL contract
         out.setRGB(x, y,
-          img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+          img.getRGB((x.toLong * img.getWidth / w).toInt,
+            (y.toLong * img.getHeight / h).toInt))
         x += 1
       }
       y += 1

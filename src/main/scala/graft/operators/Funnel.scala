@@ -89,11 +89,13 @@ object Funnel {
       .agg(coalesce(sum(col("n_at_depth")), lit(0L)).as("n_users"))
     val base = byStep.where(col("step") === 1)
       .select(col("n_users").as("n_base"))
+    // empty entry cohort → conv_rate NULL for every step (0/0 is
+    // undefined, not 0% or 100%) — matches the oracle's
+    // n / nullif(n_base, 0)
     byStep.crossJoin(broadcast(base))
       .select(col("step"), col("event_type"), col("n_users"),
-        round(when(col("n_base") > 0,
-          col("n_users").cast("double") / col("n_base"))
-          .otherwise(lit(0.0d)), 6).as("conv_rate"))
+        round(col("n_users").cast("double") /
+          when(col("n_base") > 0, col("n_base")), 6).as("conv_rate"))
       .orderBy(col("step"))
   }
 }

@@ -48,7 +48,9 @@ object Histogram {
     * Parity note: like the reference's `array_agg`, per-bin `ids`
     * state is unbounded in the bin's event count — at 100 TB callers
     * that don't need the full id list should set `maxIdsPerBin`,
-    * which caps the emitted list to the k smallest ids per bin.
+    * which bounds the per-bin AGGREGATION STATE (a windowed min-k
+    * prune before any list is built, not a post-hoc slice) as well
+    * as the emitted list, keeping the k smallest ids per bin.
     *
     * Scan pruning is the CALLER's job: the range filter here sits on
     * the derived (truncated, possibly tz-shifted) bin time, which can
@@ -85,7 +87,7 @@ object Histogram {
       tz.fold(c)(z => to_utc_timestamp(c, z))
 
     val spine = binSpine(events, start, end, bin, endExtensionHours)
-    val agg = events
+    val base = events
       .select(
         date_trunc(bin, toLocal(timeCol.cast("timestamp"))).as("bin_time"),
         idCol.as("id"))
@@ -93,13 +95,31 @@ object Histogram {
         date_trunc(bin, lit(start).cast("timestamp")),
         date_trunc(bin, lit(end).cast("timestamp") +
           expr(s"interval $endExtensionHours hours"))))
-      .groupBy(col("bin_time"))
-      .agg(
-        count(col("id")).as("events"),
-        array_join(
-          maxIdsPerBin.fold(sort_array(collect_list(col("id"))))(k =>
-            slice(sort_array(collect_list(col("id"))), 1, k)),
-          ",").as("ids"))
+    val agg = maxIdsPerBin match {
+      case None =>
+        base.groupBy(col("bin_time"))
+          .agg(count(col("id")).as("events"),
+            array_join(sort_array(collect_list(col("id"))), ",").as("ids"))
+      case Some(k) =>
+        // the cap must bound the AGGREGATION STATE, not just the
+        // emitted string — slice(sort_array(collect_list), 1, k)
+        // would still hold and shuffle every id per bin (review
+        // finding, round 8). A per-bin row_number keeps only the k
+        // smallest ids BEFORE any list is built (sort spill, bounded
+        // memory), and the count agg rides the window's bin
+        // partitioning — no extra exchange.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bin_time")).orderBy(col("id"))
+        val counts = base.groupBy(col("bin_time"))
+          .agg(count(col("id")).as("events"))
+        val topK = base
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") <= k)
+          .groupBy(col("bin_time"))
+          .agg(array_join(sort_array(collect_list(col("id"))), ",")
+            .as("ids"))
+        counts.join(topK, Seq("bin_time"))
+    }
 
     spine
       .join(broadcast(agg), spine("datetime") === agg("bin_time"), "left_outer")

@@ -193,11 +193,18 @@ object Multimodal {
     * contract; decode failures never throw ([[graft.functions.ImageIo]]
     * NULL contract → stub fallback). */
   def imageIoDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // header-probe BEFORE the full decode: a decompression-bomb check
+    // that runs after ImageIO.read has already allocated the raster
+    // guards nothing (review finding, round 8) — refuse on the
+    // claimed dims first, exactly as ImageIo.aHash/toPng/resize do
+    val d = graft.functions.ImageIo.dims(bytes)
+    if (d == null || d(0) <= 0 || d(1) <= 0 ||
+      d(0).toLong * d(1) > graft.functions.ImageIo.MaxPixels)
+      return stubDecode(bytes, dim)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
-      img.getWidth.toLong * img.getHeight > graft.functions.ImageIo.MaxPixels)
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
       return stubDecode(bytes, dim)
     val grid = 8
     val counts = new Array[Int](dim)

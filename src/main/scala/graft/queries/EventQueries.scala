@@ -907,13 +907,14 @@ object EventQueries {
         |SELECT step, event_type, n_users, conv_rate FROM (
         |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
         |    CAST(n1 AS BIGINT) AS n_users,
-        |    round(1.0, 6) AS conv_rate FROM n
+        |    round(CAST(n1 AS DOUBLE) / nullif(n1, 0), 6) AS conv_rate
+        |  FROM n
         |  UNION ALL
         |  SELECT 2, 'click', CAST(n2 AS BIGINT),
-        |    round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+        |    round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6) FROM n
         |  UNION ALL
         |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
-        |    round(CAST(n3 AS DOUBLE) / n1, 6) FROM n)
+        |    round(CAST(n3 AS DOUBLE) / nullif(n1, 0), 6) FROM n)
         |ORDER BY step""".stripMargin,
 
     "qu_cohort_ltv" ->

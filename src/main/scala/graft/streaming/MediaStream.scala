@@ -32,7 +32,13 @@ object MediaStream {
     * ingest; sha2-256 keeps the same bounded-state shape with a
     * collision-resistant key) — re-crawls and socket re-deliveries
     * collapse to one stored copy while state stays bounded by the
-    * watermark (the StreamDedup convention). This is the one stage
+    * watermark (the StreamDedup convention). UPGRADE NOTE: the
+    * round-8 md5→sha2-256 key swap changes the dedup operator's
+    * state schema — a deployment restarting over a pre-change
+    * checkpoint must start a FRESH checkpoint (and accepts that
+    * in-flight md5-keyed dedup state cannot carry across the
+    * upgrade), the same non-migration rule as
+    * `AdsbStream.useRocksDbStateStore`. This is the one stage
     * that shuffles blobs (the
     * surviving row must land where its key decides); everything
     * before it is a pure projection, so the shuffle carries only

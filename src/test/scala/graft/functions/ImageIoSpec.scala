@@ -97,14 +97,56 @@ class ImageIoSpec extends SparkSpec {
     assert(ImageIo.aHash(truncated, 8) == null)
   }
 
+  /** Hand-built PNG signature + IHDR claiming (w, h) — a few dozen
+    * bytes whatever the claimed size, so the refusal path is testable
+    * without allocating the bomb. CRC is real (the reader checks). */
+  private def pngHeaderClaiming(w: Int, h: Int): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    buf.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val chunk = ihdr.array()
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk)
+    val out = java.nio.ByteBuffer.allocate(4 + 17 + 4)
+    out.putInt(13).put(chunk).putInt(crc.getValue.toInt)
+    buf.write(out.array())
+    buf.toByteArray
+  }
+
   test("decompression-bomb guard: gigapixel claim refuses full decode") {
-    // a real 9000×9000 would pass; fake the claim via the cap instead
-    // of allocating one — MaxPixels is the documented refusal bound
+    // under the cap: decodes normally
     val big = new BufferedImage(3000, 3000, BufferedImage.TYPE_3BYTE_BGR)
     val bytes = encode(big, "png")
     assert(ImageIo.dims(bytes).toSeq === Seq(3000, 3000))
-    assert(3000L * 3000 <= ImageIo.MaxPixels) // under cap: decodes
+    assert(3000L * 3000 <= ImageIo.MaxPixels)
     assert(ImageIo.aHash(bytes, 8) != null)
+    // OVER the cap: a kilobyte-sized header claiming 50000×50000
+    // (2.5 gigapixels) — dims still probe, every full-decode path
+    // REFUSES with null / stub instead of allocating the raster
+    val bomb = pngHeaderClaiming(50000, 50000)
+    assert(ImageIo.dims(bomb).toSeq === Seq(50000, 50000))
+    assert(50000L * 50000 > ImageIo.MaxPixels)
+    assert(ImageIo.aHash(bomb, 8) == null)
+    assert(ImageIo.toPng(bomb) == null)
+    assert(ImageIo.resize(bomb, 8, 8) == null)
+    assert(Multimodal.imageIoDecode(bomb, 8).toSeq ===
+      Multimodal.stubDecode(bomb, 8).toSeq)
+  }
+
+  test("resize index math survives cap-passing degenerate-wide images") {
+    // 40000×1 passes MaxPixels; x·srcW in the sampling loop exceeds
+    // Int range for mid-size targets unless computed in Long
+    val wide = new BufferedImage(40000, 1, BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 40000 by 1000) wide.setRGB(x, 0, 0xffffff)
+    val bytes = encode(wide, "png")
+    val r = ImageIo.resize(bytes, 60000, 1) // 60000·40000 > 2^31
+    assert(r != null)
+    assert(ImageIo.dims(r).toSeq === Seq(60000, 1))
   }
 
   test("toPng transcode is pixel-lossless: hash invariant from any lossless source") {

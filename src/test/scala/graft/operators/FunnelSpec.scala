@@ -66,6 +66,15 @@ class FunnelSpec extends SparkSpec {
       (3L, "purchase", 2L, 0.333333)))  // A, C convert
   }
 
+  test("empty entry cohort: zero counts, NULL rates (0/0 is undefined)") {
+    val noViews = rows.where(col("event_type") =!= "view")
+    val got = Funnel.summary(noViews, col("user_id"), col("event_type"),
+        col("ts"), steps, "24 hours")
+      .select(col("step"), col("n_users"), col("conv_rate"))
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, 0L, None), (2L, 0L, None), (3L, 0L, None)))
+  }
+
   test("funnel depth is invariant to event arrival order and partitioning") {
     val shuffled = rows.orderBy(rand(7)).repartition(13)
     val a = Funnel.userDepth(rows, col("user_id"), col("event_type"),
