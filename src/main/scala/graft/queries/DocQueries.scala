@@ -1830,6 +1830,58 @@ object DocQueries {
     // shared shingle scan; the sweep floor is the verify threshold
     // 0.2, so every swept cut is a filter over already-verified
     // pairs — an 8-way explode of 24-byte pair rows, no rescan).
+    // d17: snapshot near-dup CLASSIFICATION — p23 diffs releases by
+    // exact content hash; this splits its 'changed' class by 3-gram
+    // Jaccard between the old and new text into 'edited' (small
+    // delta, j ≥ 0.3 — version bumps, typo fixes, appended footers)
+    // vs 'rewritten' (the doc was effectively replaced) — the
+    // release-hygiene readout that decides whether a changed doc
+    // keeps its dedup-cluster membership and split assignment (p17
+    // pins splits to cluster roots; a REWRITTEN doc needs re-rooting,
+    // an EDITED one does not). The v2 snapshot extends p23's
+    // construction with a rewrite class (word-order reversal — near-
+    // zero 3-gram overlap by construction) so both classes exist.
+    // Scale shape: the hash-diff prefilter bounds everything to the
+    // CHANGED set (never the corpus); grams hash to 64-bit longs
+    // before any join; both gram sides come off one shared changed
+    // frame (the round-8 share rule: joins intervene).
+    "d17_snapshot_neardup_diff" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val a = docs(s, dir).select(col("doc_id"), col("text"))
+      val b = a.where(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .when(col("doc_id") % 13 === 1,
+              concat_ws(" ", reverse(split(col("text"), " "))))
+            .otherwise(col("text")).as("text"))
+      val changed = Dedup.share(
+        a.select(col("doc_id"), col("text").as("ta"))
+          .join(b.select(col("doc_id"), col("text").as("tb")),
+            Seq("doc_id"))
+          .where(md5(col("ta")) =!= md5(col("tb"))))
+      def grams(t: org.apache.spark.sql.Column) =
+        Dedup.shingles(split(t, " "), 3)
+      val ga = Dedup.share(changed.select(col("doc_id"),
+        explode(grams(col("ta"))).as("g"))
+        .select(col("doc_id"), phash(col("g"), 0).as("h")).distinct())
+      val gb = Dedup.share(changed.select(col("doc_id"),
+        explode(grams(col("tb"))).as("g"))
+        .select(col("doc_id"), phash(col("g"), 0).as("h")).distinct())
+      val na = ga.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+      val nb = gb.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+      val inter = ga.join(gb, Seq("doc_id", "h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("common"))
+      val j = col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common"))
+      na.join(nb, Seq("doc_id"))
+        .join(inter, Seq("doc_id"), "left")
+        .withColumn("common", coalesce(col("common"), lit(0L)))
+        .select(col("doc_id"), col("n_a"), col("n_b"), col("common"),
+          round(j, 6).as("jaccard"),
+          when(j >= 0.3, "edited").otherwise("rewritten").as("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d16_threshold_sweep" -> ((s, dir) => {
       val pairs = verifiedPairs(docs(s, dir))
       val e = pairs.select(col("id_a"), col("id_b"), col("jaccard"),
@@ -4215,6 +4267,46 @@ object DocQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tb - ta) AS BIGINT) AS token_delta
         |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "d17_snapshot_neardup_diff" ->
+      s"""WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |         WHEN doc_id % 13 = 1 THEN
+        |           array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |         ELSE text END AS text
+        |  FROM a WHERE doc_id % 7 <> 3),
+        |ch AS (
+        |  SELECT a.doc_id, a.text AS ta, b.text AS tb
+        |  FROM a JOIN b USING (doc_id)
+        |  WHERE md5(a.text) <> md5(b.text)),
+        |tka AS (SELECT doc_id, string_split(ta, ' ') AS t FROM ch),
+        |tkb AS (SELECT doc_id, string_split(tb, ' ') AS t FROM ch),
+        |sha AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM tka, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |shb AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM tkb, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |ga AS (SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sha),
+        |gb AS (SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM shb),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM ga GROUP BY 1),
+        |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM gb GROUP BY 1),
+        |co AS (SELECT ga.doc_id, CAST(count(*) AS BIGINT) AS common
+        |  FROM ga JOIN gb ON ga.doc_id = gb.doc_id AND ga.h = gb.h
+        |  GROUP BY 1)
+        |SELECT na.doc_id, n_a, n_b,
+        |  CAST(coalesce(common, 0) AS BIGINT) AS common,
+        |  round(coalesce(common, 0)::DOUBLE /
+        |    (n_a + n_b - coalesce(common, 0)), 6) AS jaccard,
+        |  CASE WHEN coalesce(common, 0)::DOUBLE /
+        |      (n_a + n_b - coalesce(common, 0)) >= 0.3
+        |    THEN 'edited' ELSE 'rewritten' END AS status
+        |FROM na JOIN nb USING (doc_id) LEFT JOIN co USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d16_threshold_sweep" -> {
       val coeffRows = (0 until 16).map { k =>
