@@ -39,7 +39,14 @@ object DocStream {
       .withColumn("lang_guess", TextFunctions.langGuess(col("text")))
       .where(col("quality") >= minQuality &&
         col("lang_guess") === col("lang"))
-      .withColumn("text_hash", md5(col("text")))
+      // sha2-256, not md5: the MediaStream rationale (round-8
+      // advisory) — md5 collisions are practically constructible, so
+      // a poisoned crawl could ship a colliding doc that shadows a
+      // distinct legitimate one at the dedup. Callers supplying
+      // `knownHashes` to curateIncremental must hash the corpus with
+      // the same function (schema-change note: pre-round-8
+      // checkpoints/dedup state keyed on md5 need a fresh start).
+      .withColumn("text_hash", sha2(col("text"), 256))
       .withColumn("clean_text", TextFunctions.scrubPii(col("text")))
       .select(col("doc_id"), col("ingest_ts"), col("lang"),
         col("quality"), col("text_hash"), col("clean_text"))

@@ -81,7 +81,7 @@ class DocStreamSpec extends SparkSpec {
       .resolve("idx").toString
     graft.operators.NearDupIndex.persist(corpus, col("doc_id"),
       col("text"), n = 3, numHashes = 16, bands = 4, path = idxPath)
-    val known = corpus.select(md5(col("text")).as("text_hash"))
+    val known = corpus.select(sha2(col("text"), 256).as("text_hash"))
 
     // a fuzzy mirror: same text with the tail reworded — high 3-gram
     // jaccard to the stored doc, but a different content hash
@@ -120,7 +120,7 @@ class DocStreamSpec extends SparkSpec {
   test("incremental curation drops docs already in the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val known = Seq(good).toDF("text")
-      .select(md5(col("text")).as("text_hash"))
+      .select(sha2(col("text"), 256).as("text_hash"))
     val in = MemoryStream[(Long, String, String, Timestamp)]
     val ckpt = Files.createTempDirectory("doc-incr-ckpt").toString
     val q = DocStream.curateIncremental(
