@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** Per-user funnel depth: (user, t1, depth) — one row per user who
-    * completed step 1; `depth` ∈ [1, steps.length]. */
+  /** Per-user funnel depth: (user, t1, t_last, depth) — one row per
+    * user who completed step 1; `depth` ∈ [1, steps.length] and
+    * `t_last` is the timestamp of the DEEPEST step matched (= t1 at
+    * depth 1), so `t_last - t1` is the user's time-to-reach-depth —
+    * the latency the qx percentiles aggregate. */
   def userDepth(events: DataFrame, userCol: Column, typeCol: Column,
       tsCol: Column, steps: Seq[String], window: String): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
@@ -68,7 +71,8 @@ object Funnel {
           coalesce(col("t_step"), col("t_prev")).as("t_prev"),
           (col("depth") + when(col("t_step").isNotNull, 1L)
             .otherwise(0L)).as("depth")))
-    }.select(col("user"), col("t1"), col("depth"))
+    }.select(col("user"), col("t1"), col("t_prev").as("t_last"),
+      col("depth"))
   }
 
   /** Funnel summary: one row per step — (step, event_type, n_users,

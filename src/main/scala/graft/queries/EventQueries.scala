@@ -202,6 +202,29 @@ object EventQueries {
         .orderBy(col("cohort_week"), col("weeks_since"))
     }),
 
+    // qx: funnel time-to-convert — for users who complete qv's
+    // funnel, the distribution of (last-step ts − entry ts): median
+    // and p90 conversion latency plus the converted count. The
+    // latency is exact integer MICROSECONDS on both engines
+    // (unix_micros / epoch_us — a seconds-truncate-then-subtract
+    // would disagree with a boundary-crossing datediff on sub-second
+    // timestamps), fed to the ql exact-percentile kernel
+    // ([[graft.operators.Percentiles.perGroup]]; the 100× caller
+    // flips exact=false for the sketch-mergeable plan). Scale shape:
+    // qv's per-step min-agg chain (already share()-bounded) plus one
+    // |converted|-row percentile aggregation.
+    "qx_funnel_latency" -> ((s, dir) => {
+      val d = graft.operators.Funnel.userDepth(ev(s, dir),
+        col("user_id"), col("event_type"), col("ts"),
+        Seq("view", "click", "purchase"), "24 hours")
+      graft.operators.Percentiles.perGroup(
+        d.where(col("depth") === 3)
+          .select(lit("view>click>purchase").as("funnel"),
+            (unix_micros(col("t_last")) - unix_micros(col("t1")))
+              .as("latency_us")),
+        col("funnel"), col("latency_us"), Seq(0.5, 0.9), exact = true)
+    }),
+
     // qw: the weekly retention triangle — THE product-analytics
     // table: cohort = first-seen week (qu's convention), cell
     // (cohort, k) = distinct users of that cohort active in ANY way
@@ -855,6 +878,34 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM act JOIN fs USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    // qx: replays qv's conditional-min ladder, then quantile_cont
+    // over integer-microsecond latencies (the ql percentile parity).
+    "qx_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (
+        |  SELECT u, min(ts) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.u, min(t1) AS t1, min(ts) AS t2
+        |  FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE et = 'click' AND ts > t1
+        |    AND ts <= t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.u, min(t1) AS t1, min(ts) AS t3
+        |  FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE et = 'purchase' AND ts > t2
+        |    AND ts <= t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |conv AS (
+        |  SELECT u, epoch_us(t3) - epoch_us(t1) AS latency_us FROM s3)
+        |SELECT 'view>click>purchase' AS funnel,
+        |  round(quantile_cont(latency_us, 0.5), 4) AS p50,
+        |  round(quantile_cont(latency_us, 0.9), 4) AS p90,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM conv GROUP BY 1 ORDER BY funnel""".stripMargin,
 
     "qw_retention" ->
       """WITH fs AS (
