@@ -1771,6 +1771,59 @@ object DocQueries {
         .orderBy(col("status"))
     }),
 
+    // p24: fair-share token-budget allocation across sources by
+    // water-filling — the classic "give every source an equal share
+    // θ, capped at what it actually has" solve of
+    // Σ min(avail_s, θ) = B (here B = 60% of corpus tokens, so the
+    // cap binds). The equal-share counterpart to p16's temperature
+    // mix: temperature sampling reweights proportionally, water-
+    // filling EQUALIZES — small sources are taken whole, the
+    // remaining budget splits evenly over the big ones (the data-
+    // constrained recipe when upsampling caps are per-source). The
+    // closed form needs no iteration: sort sources by avail asc;
+    // source k is fully taken iff avail_k ≤ (B − cum_{<k})/(n−k+1)
+    // (monotone in k), and θ = (B − Σ taken)/(n − #taken). All
+    // inputs to the divisions are exact integers < 2^53, so the IEEE
+    // quotients — and thus every comparison — are identical across
+    // engines. Scale shape: per-source totals are one map-side-
+    // combinable agg; the solve runs on the |sources|-row aggregate
+    // (a single-partition window over metadata-sized input).
+    "p24_budget_waterfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySrc = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long"))
+          .as("avail_tokens"))
+      val tot = bySrc.agg(sum(col("avail_tokens")).as("t"),
+        count(lit(1)).as("n"))
+      val w = Window.orderBy(col("avail_tokens"), col("source"))
+      val ranked = bySrc.crossJoin(broadcast(tot))
+        .withColumn("budget", floor(col("t").cast("double") * 0.6d))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum_prev",
+          coalesce(sum(col("avail_tokens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("fair_k",
+          (col("budget") - col("cum_prev")).cast("double") /
+            (col("n") - col("rn") + 1))
+        .withColumn("taken", col("avail_tokens") <= col("fair_k"))
+      val level = ranked.agg(
+        sum(when(col("taken"), col("avail_tokens")).otherwise(lit(0L)))
+          .as("cum_taken"),
+        sum(when(col("taken"), 1L).otherwise(0L)).as("n_taken"))
+      ranked.crossJoin(broadcast(level))
+        .withColumn("theta",
+          (col("budget") - col("cum_taken")).cast("double") /
+            (col("n") - col("n_taken")))
+        .select(col("source"), col("avail_tokens"), col("taken"),
+          round(when(col("taken"), col("avail_tokens").cast("double"))
+            .otherwise(col("theta")), 6).as("alloc_tokens"),
+          round(when(col("taken"), lit(1.0d))
+            .otherwise(col("theta") / col("avail_tokens")), 6)
+            .as("take_frac"))
+        .orderBy(col("source"))
+    }),
+
     // t22: quality-score CALIBRATION — does t1's quality score
     // actually separate the corpus? Docs bucket by score decile;
     // each bucket reports size, mean token length and the exact-dup
@@ -1804,6 +1857,42 @@ object DocQueries {
           round(col("n_types").cast("double") /
             sqrt(col("n_tokens").cast("double")), 6).as("root_ttr"))
         .orderBy(col("doc_id"))),
+
+    // t24: per-doc n-gram novelty — the fraction of a document's
+    // DISTINCT 3-grams that occur in no other document (corpus
+    // df = 1). The memorization-risk / templatedness readout: a
+    // near-zero score means the doc is assembled from phrases the
+    // corpus repeats everywhere (boilerplate, spins), a high score
+    // means unique content worth keeping. Complements the d-series
+    // (which FINDS duplicate pairs) with a per-doc scalar that needs
+    // no pairing. Scale shape: grams ship as 60-bit portable hashes
+    // (never strings), (doc, gram) dedups in one shuffle, df is a
+    // map-side-combinable re-count, and the df table joins back by
+    // hash — nothing quadratic, same kernel family as t4/t16. The
+    // trailing left join keeps gram-less docs (< 3 tokens) in the
+    // output with novelty NULL.
+    "t24_ngram_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh2 = Dedup.share(
+        Dedup.shingleRows(d, col("doc_id"), col("text"), n = 3)
+          .select(col("id").as("doc_id"),
+            graft.functions.PortableHash.phash(col("sh"), 0).as("h"))
+          .distinct())
+      val dfc = sh2.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val per = sh2.join(dfc, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_novel"))
+      d.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
 
     "t22_quality_calibration" -> ((s, dir) => {
       val d = docs(s, dir).select(
@@ -4268,6 +4357,49 @@ object DocQueries {
         |  CAST(sum(tb - ta) AS BIGINT) AS token_delta
         |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
 
+    // p24: the same sorted-prefix closed form; every division's
+    // operands are exact integers so the IEEE quotients agree.
+    "p24_budget_waterfill" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(avail_tokens) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM src),
+        |rk AS (
+        |  SELECT source, avail_tokens, t, n,
+        |    CAST(floor(CAST(t AS DOUBLE) * 0.6) AS BIGINT) AS budget,
+        |    CAST(row_number() OVER (ORDER BY avail_tokens, source)
+        |      AS BIGINT) AS rn,
+        |    CAST(coalesce(sum(avail_tokens) OVER (
+        |      ORDER BY avail_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_prev
+        |  FROM src CROSS JOIN tot),
+        |tk AS (
+        |  SELECT *, avail_tokens <=
+        |    CAST(budget - cum_prev AS DOUBLE) / (n - rn + 1) AS taken
+        |  FROM rk),
+        |lvl AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN taken THEN avail_tokens ELSE 0 END)
+        |      AS BIGINT) AS cum_taken,
+        |    CAST(sum(CASE WHEN taken THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_taken
+        |  FROM tk)
+        |SELECT source, avail_tokens, taken,
+        |  round(CASE WHEN taken THEN CAST(avail_tokens AS DOUBLE)
+        |    ELSE CAST(budget - cum_taken AS DOUBLE) / (n - n_taken)
+        |    END, 6) AS alloc_tokens,
+        |  round(CASE WHEN taken THEN 1.0
+        |    ELSE (CAST(budget - cum_taken AS DOUBLE) / (n - n_taken))
+        |      / avail_tokens END, 6) AS take_frac
+        |FROM tk CROSS JOIN lvl
+        |ORDER BY source""".stripMargin,
+
     "d17_snapshot_neardup_diff" ->
       s"""WITH a AS (SELECT doc_id, text FROM documents),
         |b AS (
@@ -4398,6 +4530,26 @@ object DocQueries {
         |    / sqrt(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
         |    AS root_ttr
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t24: same distinct-(doc, gram-hash) → df → join-back chain over
+    // the shared shingle CTE; the 60-bit hash is the d3 convention so
+    // any collision merges identically on both engines.
+    "t24_ngram_novelty" ->
+      s"""WITH $shingleCte,
+        |sh2 AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |dfc AS (SELECT h, count(*) AS df FROM sh2 GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM sh2 JOIN dfc USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        |  round(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t22_quality_calibration" ->
       s"""WITH q AS (

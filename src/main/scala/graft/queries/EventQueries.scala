@@ -225,6 +225,79 @@ object EventQueries {
         col("funnel"), col("latency_us"), Seq(0.5, 0.9), exact = true)
     }),
 
+    // qy: first-order Markov transition matrix over the per-user
+    // event sequence — P(next = B | current = A) for every observed
+    // type pair, the navigation-flow readout (and the generative
+    // model behind next-event prediction baselines). Consecutive
+    // pairs come from ONE lead() window ordered (ts, event_id) — the
+    // event_id tiebreak makes equal-timestamp neighbors
+    // deterministic on both engines. Scale shape: one user-keyed
+    // shuffle for the window (co-partitioned storage makes it free),
+    // then the pair counts collapse map-side to a ≤|types|² matrix;
+    // row totals re-aggregate that matrix and broadcast back, so
+    // nothing bigger than the matrix moves after the window.
+    "qy_markov_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Dedup.share(ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur_type"))
+        .withColumn("next_type", lead(col("cur_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("cur_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_transitions")))
+      val totals = pairs.groupBy(col("cur_type"))
+        .agg(sum(col("n_transitions")).as("n_out"))
+      pairs.join(broadcast(totals), Seq("cur_type"))
+        .select(col("cur_type"), col("next_type"), col("n_transitions"),
+          col("n_out"),
+          round(col("n_transitions").cast("double") / col("n_out"), 6)
+            .as("p_next"))
+        .orderBy(col("cur_type"), col("next_type"))
+    }),
+
+    // qz: CUSUM changepoint detection on the per-type daily event
+    // rate — the page-style drift alarm: S_k = max(0, S_{k−1} +
+    // (x_k − μ − σ/2)), flag when S exceeds 4σ. The recursion is
+    // realized CLOSED-FORM as a prefix sum minus its running min
+    // (S_k = P_k − min(0, min_{j≤k} P_j)) — two windows, no fold, no
+    // driver loop. Exactness discipline: μ and σ derive from integer
+    // Σx / Σx² (σ² = (n·Σx² − (Σx)²)/n², never a float Σ(x−μ)²
+    // whose accumulation order differs per engine), then the whole
+    // CUSUM state goes fixed-point micro-units (d = x·1e6 − ⌊μ·1e6⌋
+    // − ⌊σ·1e6⌋ div 2) so the running sums are INTEGER and immune to
+    // per-engine float summation trees. Scale shape: daily counts
+    // are one map-side-combinable agg; stats broadcast back
+    // (|types| rows); the windows run per type over |days| rows.
+    "qz_cusum_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Dedup.share(ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events")))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_events")).as("sx"),
+          sum(col("n_events") * col("n_events")).as("sx2"))
+        .select(col("event_type"), col("nd"),
+          floor(col("sx").cast("double") / col("nd") * 1000000.0d)
+            .as("mu6"),
+          floor(sqrt((col("nd") * col("sx2") - col("sx") * col("sx"))
+              .cast("double") / (col("nd") * col("nd"))) * 1000000.0d)
+            .as("sig6"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("d6", col("n_events") * 1000000L - col("mu6") -
+          expr("sig6 div 2"))
+        .withColumn("p6", sum(col("d6")).over(w))
+        .withColumn("s6", col("p6") -
+          least(lit(0L), min(col("p6")).over(w)))
+        .select(col("event_type"), col("day").cast("timestamp_ntz").as("day"),
+          col("n_events"),
+          round(col("s6").cast("double") / 1000000.0d, 6).as("cusum"),
+          (col("s6") > lit(4L) * col("sig6")).as("flagged"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // qw: the weekly retention triangle — THE product-analytics
     // table: cohort = first-seen week (qu's convention), cell
     // (cohort, k) = distinct users of that cohort active in ANY way
@@ -906,6 +979,69 @@ object EventQueries {
         |  round(quantile_cont(latency_us, 0.9), 4) AS p90,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM conv GROUP BY 1 ORDER BY funnel""".stripMargin,
+
+    // qz: same integer-Σ stats, same fixed-point state; the window
+    // sums are integer so the closed-form replay cannot drift.
+    "qz_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(n_events) AS BIGINT) AS sx,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS sx2
+        |  FROM daily GROUP BY 1),
+        |st6 AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(sx AS DOUBLE) / nd * 1000000.0) AS BIGINT)
+        |      AS mu6,
+        |    CAST(floor(sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE)
+        |      / (nd * nd)) * 1000000.0) AS BIGINT) AS sig6
+        |  FROM st),
+        |pd AS (
+        |  SELECT daily.event_type, day, n_events,
+        |    n_events * 1000000 - mu6 - sig6 // 2 AS d6, sig6
+        |  FROM daily JOIN st6 USING (event_type)),
+        |ps AS (
+        |  SELECT event_type, day, n_events, sig6,
+        |    CAST(sum(d6) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p6
+        |  FROM pd),
+        |ss AS (
+        |  SELECT event_type, day, n_events, sig6,
+        |    p6 - least(0, CAST(min(p6) OVER (PARTITION BY event_type
+        |      ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT)) AS s6
+        |  FROM ps)
+        |SELECT event_type, day, n_events,
+        |  round(CAST(s6 AS DOUBLE) / 1000000.0, 6) AS cusum,
+        |  s6 > 4 * sig6 AS flagged
+        |FROM ss
+        |ORDER BY event_type, day""".stripMargin,
+
+    // qy: the oracle rebuilds the same lead() pairs with the same
+    // (ts, event_id) tiebreak; the row-total join is a plain CTE.
+    "qy_markov_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS cur_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur_type, next_type,
+        |    CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM nxt WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT cur_type, CAST(sum(n_transitions) AS BIGINT) AS n_out
+        |  FROM pairs GROUP BY 1)
+        |SELECT cur_type, next_type, n_transitions, n_out,
+        |  round(CAST(n_transitions AS DOUBLE) / n_out, 6) AS p_next
+        |FROM pairs JOIN tot USING (cur_type)
+        |ORDER BY cur_type, next_type""".stripMargin,
 
     "qw_retention" ->
       """WITH fs AS (
