@@ -1788,41 +1788,16 @@ object DocQueries {
     // engines. Scale shape: per-source totals are one map-side-
     // combinable agg; the solve runs on the |sources|-row aggregate
     // (a single-partition window over metadata-sized input).
-    "p24_budget_waterfill" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val bySrc = docs(s, dir)
-        .groupBy(col("source"))
-        .agg(sum(size(split(col("text"), " ")).cast("long"))
-          .as("avail_tokens"))
-      val tot = bySrc.agg(sum(col("avail_tokens")).as("t"),
-        count(lit(1)).as("n"))
-      val w = Window.orderBy(col("avail_tokens"), col("source"))
-      val ranked = bySrc.crossJoin(broadcast(tot))
-        .withColumn("budget", floor(col("t").cast("double") * 0.6d))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cum_prev",
-          coalesce(sum(col("avail_tokens"))
-            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("fair_k",
-          (col("budget") - col("cum_prev")).cast("double") /
-            (col("n") - col("rn") + 1))
-        .withColumn("taken", col("avail_tokens") <= col("fair_k"))
-      val level = ranked.agg(
-        sum(when(col("taken"), col("avail_tokens")).otherwise(lit(0L)))
-          .as("cum_taken"),
-        sum(when(col("taken"), 1L).otherwise(0L)).as("n_taken"))
-      ranked.crossJoin(broadcast(level))
-        .withColumn("theta",
-          (col("budget") - col("cum_taken")).cast("double") /
-            (col("n") - col("n_taken")))
-        .select(col("source"), col("avail_tokens"), col("taken"),
-          round(when(col("taken"), col("avail_tokens").cast("double"))
-            .otherwise(col("theta")), 6).as("alloc_tokens"),
-          round(when(col("taken"), lit(1.0d))
-            .otherwise(col("theta") / col("avail_tokens")), 6)
-            .as("take_frac"))
-        .orderBy(col("source"))
-    }),
+    "p24_budget_waterfill" -> ((s, dir) =>
+      graft.operators.WaterFill.allocate(
+          docs(s, dir).groupBy(col("source"))
+            .agg(sum(size(split(col("text"), " ")).cast("long"))
+              .as("avail_tokens")),
+          col("source"), col("avail_tokens"), budgetFrac = 0.6d)
+        .select(col("key").as("source"),
+          col("avail").as("avail_tokens"), col("taken"),
+          col("alloc_tokens"), col("take_frac"))
+        .orderBy(col("source"))),
 
     // t22: quality-score CALIBRATION — does t1's quality score
     // actually separate the corpus? Docs bucket by score decile;

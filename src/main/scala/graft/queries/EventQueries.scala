@@ -269,34 +269,17 @@ object EventQueries {
     // per-engine float summation trees. Scale shape: daily counts
     // are one map-side-combinable agg; stats broadcast back
     // (|types| rows); the windows run per type over |days| rows.
-    "qz_cusum_changepoint" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = Dedup.share(ev(s, dir)
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events")))
-      val stats = daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("nd"), sum(col("n_events")).as("sx"),
-          sum(col("n_events") * col("n_events")).as("sx2"))
-        .select(col("event_type"), col("nd"),
-          floor(col("sx").cast("double") / col("nd") * 1000000.0d)
-            .as("mu6"),
-          floor(sqrt((col("nd") * col("sx2") - col("sx") * col("sx"))
-              .cast("double") / (col("nd") * col("nd"))) * 1000000.0d)
-            .as("sig6"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.join(broadcast(stats), Seq("event_type"))
-        .withColumn("d6", col("n_events") * 1000000L - col("mu6") -
-          expr("sig6 div 2"))
-        .withColumn("p6", sum(col("d6")).over(w))
-        .withColumn("s6", col("p6") -
-          least(lit(0L), min(col("p6")).over(w)))
-        .select(col("event_type"), col("day").cast("timestamp_ntz").as("day"),
-          col("n_events"),
-          round(col("s6").cast("double") / 1000000.0d, 6).as("cusum"),
-          (col("s6") > lit(4L) * col("sig6")).as("flagged"))
-        .orderBy(col("event_type"), col("day"))
-    }),
+    "qz_cusum_changepoint" -> ((s, dir) =>
+      graft.operators.Cusum.detect(
+          ev(s, dir)
+            .groupBy(col("event_type"),
+              date_trunc("day", col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          col("event_type"), col("day"), col("n_events"))
+        .select(col("key").as("event_type"),
+          col("ord").cast("timestamp_ntz").as("day"),
+          col("x").as("n_events"), col("cusum"), col("flagged"))
+        .orderBy(col("event_type"), col("day"))),
 
     // qw: the weekly retention triangle — THE product-analytics
     // table: cohort = first-seen week (qu's convention), cell
