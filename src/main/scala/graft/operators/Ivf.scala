@@ -480,4 +480,80 @@ object Ivf {
       .select(col("qid"), col("id").as("vec_id"), col("sim"))
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
+
+  /** The quantizer sidecar as a DataFrame (cid, cvec) — for oracle
+    * dumps and drift analytics; [[loadCodebook]] is the driver-side
+    * collected form. */
+  def quantizerDf(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(quantizerPath(path)).select(col("cid"), col("cvec"))
+
+  /** Per-cluster centroid drift of a [[persist]]ed index — the
+    * REBUILD TRIGGER for the append lifecycle: [[appendPersisted]]
+    * quantizes new batches with the ORIGINAL codebook, so as the
+    * embedding distribution shifts, each cluster's true member mean
+    * walks away from its stored centroid and recall decays silently.
+    * This measures that walk: drift(c) = 1 − cos(Σ members, stored
+    * centroid) per cluster (the member SUM — cosine is scale-free, so
+    * no mean division), with `rebuild = drift > threshold`.
+    *
+    * Exactness discipline: member/centroid components go fixed-point
+    * (⌊x·1e7⌋ as long) so the per-(cluster, dim) sums are INTEGER —
+    * no float accumulation order — and the three cosine reductions
+    * (Σs·c, Σs², Σc²) run in decimal(38,0) (products reach ~1e21);
+    * only the final quotient drops to double, behind a round(…, 6).
+    *
+    * The trigger is RELATIVE — `rebuild = drift > medianMultiple ×
+    * median(drift)` — because absolute drift shrinks as clusters
+    * fill (at 10× the members the mean is 10× better estimated): a
+    * fixed cut that fires at one corpus size is silent at another,
+    * while "this cluster drifts ~1.25× worse than the typical one"
+    * is the size-free question a reindex scheduler actually asks.
+    * The median is the exact interpolated quantile over k values
+    * (index metadata — a 1-row broadcast).
+    *
+    * Scale shape: one map-side-combinable (cid, dim) aggregation over
+    * the index scan — k·dim rows after partial agg — joined to the
+    * k·dim exploded quantizer; everything after the first agg is
+    * index-metadata-sized. An empty cluster (centroid with no
+    * members) reports n_members = 0, drift NULL, rebuild false —
+    * never dropped (dropping it would hide exactly the cluster most
+    * in need of attention). Output: cid, n_members, drift, rebuild.
+    */
+  def centroidDrift(spark: org.apache.spark.sql.SparkSession,
+      path: String, medianMultiple: Double): DataFrame = {
+    val sums = spark.read.parquet(path)
+      .select(col("cid"), posexplode(col("vec")).as(Seq("j", "x")))
+      .groupBy(col("cid"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 10000000.0d).cast("long"))
+          .as("s"))
+    val ce = quantizerDf(spark, path)
+      .select(col("cid"), posexplode(col("cvec")).as(Seq("j", "c")))
+      .select(col("cid"), col("j"),
+        floor(col("c").cast("double") * 10000000.0d).cast("long").as("c6"))
+    val agg = sums.join(ce, Seq("cid", "j"))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n_members"),
+        sum((col("s").cast("decimal(38,0)") * col("c6"))).as("num"),
+        sum((col("s").cast("decimal(38,0)") * col("s"))).as("na"),
+        sum((col("c6").cast("decimal(38,0)") * col("c6"))).as("nb"))
+      // guard: a zero member-sum or zero centroid makes the norm
+      // product 0 and ANSI raises on double division by zero — an
+      // undefined angle reports as NULL drift, not an error
+      .withColumn("drift",
+        when(col("na") === 0 || col("nb") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0d) - col("num").cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double"))), 6)))
+    val med = agg.agg(expr("percentile(drift, 0.5)").as("med"))
+    quantizerDf(spark, path).select(col("cid"))
+      .join(agg, Seq("cid"), "left")
+      .crossJoin(broadcast(med))
+      .select(col("cid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("drift"),
+        coalesce(col("drift") > lit(medianMultiple) * col("med"), lit(false))
+          .as("rebuild"))
+  }
 }

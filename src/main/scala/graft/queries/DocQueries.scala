@@ -1732,6 +1732,23 @@ object DocQueries {
         .orderBy(col("n_probe"))
     }),
 
+    // s17: per-cluster centroid drift of the append-lifecycle index
+    // ([[Ivf.centroidDrift]] — the REBUILD TRIGGER): s2a's index was
+    // trained on the even half and grew by appending the odd half
+    // with the frozen quantizer, which is exactly the regime where
+    // member means walk away from stored centroids and recall decays
+    // silently. drift = 1 − cos(Σ members, centroid), all integer /
+    // decimal(38,0) arithmetic until the final rounded quotient; the
+    // trigger is RELATIVE (drift > 1.25 × the cluster-median drift —
+    // absolute drift shrinks as clusters fill, so a fixed cut is
+    // scale-dependent; "worse than typical" is not). Completes the
+    // index lifecycle: build → persist → append → compact →
+    // tombstone → THIS (when to retrain) → rebuild.
+    "s17_centroid_drift" -> ((s, dir) =>
+      graft.operators.Ivf.centroidDrift(s, appendIndexPath(s, dir),
+          medianMultiple = 1.25)
+        .orderBy(col("cid"))),
+
     // p23: dataset SNAPSHOT DIFF — the versioning readout published
     // between two corpus releases: per change class
     // (added/removed/changed/unchanged), document count and net token
@@ -2181,6 +2198,9 @@ object DocQueries {
     w(spark.read.parquet(app).select(col("id"), col("vec"), col("cid")),
       "ivf_append")
     w(Ivf.probes(Ivf.loadCodebook(spark, app), q, 4), "ivf_append_probes")
+    // s17: the append index's stored centroids — the drift oracle
+    // recomputes 1 − cos(Σ members, centroid) over dump + sidecar.
+    w(Ivf.quantizerDf(spark, app), "ivf_append_quantizer")
     // s11: the payload-carrying index — label rides in the dump so the
     // oracle applies the same pre-filter the scan does.
     val flt = filteredIndexPath(spark, sfDir)
@@ -4243,6 +4263,42 @@ object DocQueries {
         |  round(CAST(n_docs * q - CAST(tf AS HUGEINT) * tf AS DOUBLE) /
         |    CAST(n_docs * tf AS DOUBLE), 6) AS burstiness
         |FROM per, nd ORDER BY burstiness DESC, tok LIMIT 64""".stripMargin,
+
+    // s17: the oracle recomputes the fixed-point member sums and the
+    // decimal cosine from the index dump + quantizer sidecar dump;
+    // HUGEINT plays decimal(38,0).
+    "s17_centroid_drift" ->
+      s"""WITH m AS (
+        |  SELECT cid, vec FROM ${tbl("ivf_append")}),
+        |me AS (
+        |  SELECT cid, j, CAST(floor(vec[j] * 10000000.0) AS BIGINT) AS e
+        |  FROM m, UNNEST(range(1, len(vec) + 1)) AS u(j)),
+        |sums AS (
+        |  SELECT cid, j, count(*) AS n, CAST(sum(e) AS BIGINT) AS s
+        |  FROM me GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cid, cvec FROM ${tbl("ivf_append_quantizer")}),
+        |ce AS (
+        |  SELECT cid, j, CAST(floor(cvec[j] * 10000000.0) AS BIGINT) AS c6
+        |  FROM c, UNNEST(range(1, len(cvec) + 1)) AS u(j)),
+        |agg AS (
+        |  SELECT cid, CAST(max(n) AS BIGINT) AS n_members,
+        |    sum(CAST(s AS HUGEINT) * c6) AS num,
+        |    sum(CAST(s AS HUGEINT) * s) AS na,
+        |    sum(CAST(c6 AS HUGEINT) * c6) AS nb
+        |  FROM sums JOIN ce USING (cid, j) GROUP BY 1),
+        |d AS (
+        |  SELECT cid, n_members,
+        |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |      ELSE round(1.0 - CAST(num AS DOUBLE) /
+        |        (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+        |      END AS drift
+        |  FROM agg),
+        |med AS (SELECT quantile_cont(drift, 0.5) AS md FROM d)
+        |SELECT c.cid, CAST(coalesce(n_members, 0) AS BIGINT) AS n_members,
+        |  drift, coalesce(drift > 1.25 * md, false) AS rebuild
+        |FROM c LEFT JOIN d USING (cid) CROSS JOIN med
+        |ORDER BY c.cid""".stripMargin,
 
     "s16_nprobe_curve" ->
       s"""WITH q AS (

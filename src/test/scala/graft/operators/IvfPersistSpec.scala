@@ -125,4 +125,47 @@ class IvfPersistSpec extends SparkSpec {
     assert(inList.exists(_.group(1).split(",").length <= 2),
       s"partition filter not pruned to probes:\n$plan")
   }
+
+  test("centroidDrift singles out the cluster whose appends drifted") {
+    import spark.implicits._
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift")
+      .resolve("index").toString
+    Ivf.persist(index, dir)
+    // baseline: freshly built — member means ARE near the centroids,
+    // no cluster should be a >1.25×-median outlier by a wide margin
+    val base = Ivf.centroidDrift(spark, dir, medianMultiple = 1.25)
+    assert(base.count() === 4L)
+    // append a batch that lands in ONE cluster but is strongly
+    // shifted off its centroid: take that centroid's members,
+    // negate a few tail components (stays closest to the same
+    // centroid, but the mean walks)
+    val cb = Ivf.loadCodebook(spark, dir)
+    val target = cb.head._1
+    val members = spark.read.parquet(dir).where(col("cid") === target)
+      .select(col("id"), col("vec"))
+    val before = spark.read.parquet(dir).groupBy(col("cid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val shifted = members.select((col("id") + 1000000L).as("id"),
+      transform(col("vec"),
+        (x, i) => when(i >= 48, -x * 3.0f).otherwise(x)).as("vec"))
+    Ivf.appendPersisted(spark, dir, shifted, col("id"), col("vec"))
+    // the frozen quantizer re-assigns the shifted batch wherever the
+    // geometry says — the receiving cluster(s), NOT necessarily the
+    // donor, are the ones whose member mean walked
+    val receivers = spark.read.parquet(dir).groupBy(col("cid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .filter { case (cid, n) => n > before.getOrElse(cid, 0L) }
+      .map(_._1).toSet
+    assert(receivers.nonEmpty)
+    val drifted = Ivf.centroidDrift(spark, dir, medianMultiple = 1.25)
+      .collect().map(r => (r.getInt(0), r.getBoolean(3),
+        Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(0.0))).toSeq
+    val maxDrift = drifted.maxBy(_._3)
+    assert(receivers.contains(maxDrift._1),
+      s"max-drift cluster ${maxDrift._1} received no appends " +
+        s"(receivers $receivers): $drifted")
+    assert(maxDrift._2,
+      s"the worst-drifted (poisoned) cluster is unflagged: $drifted")
+  }
 }
