@@ -68,4 +68,72 @@ class EventStreamSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(after === Set(2L))
   }
+
+  test("rate monitor: cross-batch CUSUM matches the sequential fold, surge flags, silence counts") {
+    implicit val sqlCtx = spark.sqlContext
+    // profile: type a expects ~10 rows/batch (σ≈2), type b ~5 (σ≈1)
+    val ref = Seq(("a", 10000000L, 2000000L), ("b", 5000000L, 1000000L))
+      .toDF("event_type", "mu6", "sig6")
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val outDir = Files.createTempDirectory("evt-rate").toString
+    val ckpt = Files.createTempDirectory("evt-rate-ckpt").toString
+    val q = EventStream.startRateMonitor(events, ref, outDir, ckpt)
+
+    // epochs: two in-profile, then an a-surge; b goes SILENT in the
+    // surge epochs (the dead-partition case)
+    val perEpoch = Seq(
+      Seq.fill(10)("a") ++ Seq.fill(5)("b"),
+      Seq.fill(11)("a") ++ Seq.fill(4)("b"),
+      Seq.fill(30)("a"),
+      Seq.fill(32)("a"))
+    var id = 0L
+    for (batch <- perEpoch) {
+      in.addData(batch.map { t =>
+        id += 1; (id, ts("2024-03-01 10:00:00"), t, 1.0)
+      })
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // sequential reference: the same two-sided integer fold, in
+    // plain Longs
+    val mu = Map("a" -> 10000000L, "b" -> 5000000L)
+    val sig = Map("a" -> 2000000L, "b" -> 1000000L)
+    val expected = Seq("a", "b").flatMap { t =>
+      var s = 0L
+      var sl = 0L
+      perEpoch.zipWithIndex.map { case (b, i) =>
+        val n = b.count(_ == t).toLong
+        s = math.max(0L, s + (n * 1000000L - mu(t) - sig(t) / 2))
+        sl = math.max(0L, sl + (mu(t) - sig(t) / 2 - n * 1000000L))
+        def r6(v: Long) = BigDecimal(v.toDouble / 1000000.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        ((t, i.toLong),
+          (n, r6(s), s > 4 * sig(t), r6(sl), sl > 4 * sig(t)))
+      }
+    }.toMap
+
+    val alarms = (0 until perEpoch.size).flatMap { i =>
+      spark.read.parquet(s"$outDir/alarms/batch_id=$i")
+        .collect().map(r => ((r.getString(0), i.toLong),
+          (r.getLong(1), r.getDouble(2), r.getBoolean(3),
+            r.getDouble(4), r.getBoolean(5))))
+    }.toMap
+    assert(alarms.keySet === expected.keySet,
+      "every profiled type must report every epoch, silent ones included")
+    for ((k, v) <- expected)
+      assert(alarms(k) === v, s"epoch state at $k")
+
+    // the a-surge fires the HIGH side when it starts, not before;
+    // b's silence fires the LOW side (the dead-partition alarm)
+    val aFlags = (0 until perEpoch.size)
+      .map(i => alarms(("a", i.toLong))._3)
+    assert(aFlags === Seq(false, false, true, true), s"high path $aFlags")
+    val bLow = (0 until perEpoch.size)
+      .map(i => alarms(("b", i.toLong))._5)
+    assert(bLow === Seq(false, false, true, true), s"low path $bLow")
+    assert(!(0 until perEpoch.size).exists(i => alarms(("b", i.toLong))._3),
+      "b never surges")
+  }
 }
