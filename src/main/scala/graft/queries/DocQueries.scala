@@ -1850,6 +1850,51 @@ object DocQueries {
             sqrt(col("n_tokens").cast("double")), 6).as("root_ttr"))
         .orderBy(col("doc_id"))),
 
+    // t25: pairwise language affinity — for every language pair, the
+    // cosine between their unigram COUNT vectors and the Jaccard of
+    // their vocabularies: the distributional complement to t23's
+    // classifier confusion (t23 asks "does the model mix them up",
+    // this asks "how much do they actually share"), and the readout
+    // behind cross-lingual dedup/contamination expectations. By
+    // construction transcendental-free (unlike a KL form): the three
+    // reductions are integer Σ ca·cb, Σ ca², Σ cb² in decimal(38,0),
+    // so cross-engine exactness needs no fixed-point ln machinery.
+    // Scale shape: one shuffle to (lang, tok) counts (cardinality
+    // |langs|·|vocab|), a tok-keyed self-join bounded by the same,
+    // per-lang norms/vocab sizes ride a |langs|-row broadcast. At
+    // unbounded web vocabulary, swap tok for a hashed bucket (p13's
+    // technique) for fixed cardinality.
+    "t25_lang_affinity" -> ((s, dir) => {
+      val lc = Dedup.share(docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt")))
+      val norms = lc.groupBy(col("lang"))
+        .agg(sum((col("cnt").cast("decimal(38,0)") * col("cnt")))
+          .as("nsq"), count(lit(1)).as("vsz"))
+      val pairs = lc.select(col("lang").as("lang_a"), col("tok"),
+          col("cnt").as("ca"))
+        .join(lc.select(col("lang").as("lang_b"), col("tok"),
+          col("cnt").as("cb")), Seq("tok"))
+        .where(col("lang_a") < col("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("shared_toks"),
+          sum((col("ca").cast("decimal(38,0)") * col("cb"))).as("dot"))
+      pairs
+        .join(broadcast(norms.select(col("lang").as("lang_a"),
+          col("nsq").as("na"), col("vsz").as("va"))), Seq("lang_a"))
+        .join(broadcast(norms.select(col("lang").as("lang_b"),
+          col("nsq").as("nb"), col("vsz").as("vb"))), Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("shared_toks"),
+          round(col("shared_toks").cast("double") /
+            (col("va") + col("vb") - col("shared_toks")), 6)
+            .as("vocab_jaccard"),
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double"))), 6).as("cosine"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     // t24: per-doc n-gram novelty — the fraction of a document's
     // DISTINCT 3-grams that occur in no other document (corpus
     // df = 1). The memorization-risk / templatedness readout: a
@@ -4561,6 +4606,36 @@ object DocQueries {
         |    / sqrt(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
         |    AS root_ttr
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t25: the same counts → self-join → decimal reductions; HUGEINT
+    // plays decimal(38,0) and the only doubles are the final rounded
+    // quotients.
+    "t25_lang_affinity" ->
+      """WITH lc AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT lang, sum(CAST(cnt AS HUGEINT) * cnt) AS nsq,
+        |    CAST(count(*) AS BIGINT) AS vsz
+        |  FROM lc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    CAST(count(*) AS BIGINT) AS shared_toks,
+        |    sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS dot
+        |  FROM lc a JOIN lc b ON a.tok = b.tok AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, shared_toks,
+        |  round(CAST(shared_toks AS DOUBLE) /
+        |    (na.vsz + nb.vsz - shared_toks), 6) AS vocab_jaccard,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))),
+        |    6) AS cosine
+        |FROM pairs
+        |JOIN norms na ON lang_a = na.lang
+        |JOIN norms nb ON lang_b = nb.lang
+        |ORDER BY lang_a, lang_b""".stripMargin,
 
     // t24: same distinct-(doc, gram-hash) → df → join-back chain over
     // the shared shingle CTE; the 60-bit hash is the d3 convention so
