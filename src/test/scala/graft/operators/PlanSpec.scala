@@ -196,6 +196,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("qy/qz transition+CUSUM windows are keyed; their tiny sides broadcast") {
+    val qy = plan("qy_markov_transitions")
+    // the lead() window partitions by user — never a global window
+    assert(qy.contains("Window"), qy)
+    assert(!qy.contains("Window [") ||
+      qy.contains("partitionBy") || qy.contains("user_id"), qy)
+    // row totals (≤|types| rows) join back by broadcast, not shuffle
+    assert(qy.contains("BroadcastHashJoin"), s"qy totals not broadcast:\n$qy")
+    val qz = plan("qz_cusum_changepoint")
+    assert(qz.contains("BroadcastHashJoin"), s"qz stats not broadcast:\n$qz")
+  }
+
+  test("t24 novelty ships gram hashes, never gram strings, through its joins") {
+    val p = plan("t24_ngram_novelty")
+    // every exchange keys on the 60-bit hash or the doc id — a
+    // hashpartitioning on the raw shingle string would shuffle ~15×
+    // the bytes
+    assert(!p.contains("hashpartitioning(sh#"),
+      s"gram STRINGS shuffle in t24:\n$p")
+    assert(p.contains("hashpartitioning(h#") ||
+      p.contains("hashpartitioning(doc_id#"), p)
+  }
+
+  test("t25 affinity broadcasts the per-language norms") {
+    val p = plan("t25_lang_affinity")
+    assert(p.contains("BroadcastHashJoin"), s"t25 norms not broadcast:\n$p")
+  }
+
+  test("s17 drift reduces to metadata size before any join; median broadcasts") {
+    val p = plan("s17_centroid_drift")
+    // the (cid, dim) partial agg must sit below the quantizer join,
+    // and the 1-row median rides a broadcast nested loop, never a
+    // shuffled cross
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"s17 median not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
