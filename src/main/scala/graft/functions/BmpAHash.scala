@@ -123,4 +123,97 @@ object BmpAHash {
   /** Column API: [hi, lo] 32-bit halves of the 8×8 aHash. */
   def aHash(bin: Column): Column =
     Bridge.column(BmpAHashExpr(Bridge.expression(bin)))
+
+  /** Difference-hash kernel (dHash): sample an 8-row × 9-column
+    * integer grid, bit (r, c) = gray(r, c) > gray(r, c + 1) — the
+    * GRADIENT fingerprint. Same byte-exact arithmetic and NULL
+    * contract as [[compute]]; robust to the global brightness/
+    * contrast shifts that move aHash's mean threshold, which is why
+    * real pipelines carry both. Returns [hi, lo] or null. */
+  def computeDHash(b: Array[Byte]): Array[Long] = {
+    def u8(p: Long): Long = b(p.toInt) & 0xffL
+    def le32(p: Int): Long =
+      u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
+    def signed(v: Long): Long = if (v > Int.MaxValue) v - 4294967296L else v
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val w = signed(le32(18))
+    val hRaw = signed(le32(22))
+    val bpp = u8(28) | (u8(29) << 8)
+    val off = le32(10)
+    if (bpp != 24 || w <= 0 || hRaw == 0) return null
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val stride = (w * 3 + 3) / 4 * 4
+    if (off + h * stride > b.length) return null
+    val rows = 8
+    val cols = 9
+    val gray = new Array[Long](rows * cols)
+    var i = 0
+    while (i < rows * cols) {
+      val r = i / cols
+      val c = i % cols
+      val rImg = r * h / rows
+      val cImg = c * w / cols
+      val row = if (topDown) rImg else h - 1 - rImg
+      val p = off + row * stride + cImg * 3
+      gray(i) = u8(p) + u8(p + 1) + u8(p + 2)
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        if (gray(r * cols + c) > gray(r * cols + c + 1)) {
+          val bit = r * 8 + c
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    Array(hi, lo)
+  }
+
+  /** Column API: [hi, lo] 32-bit halves of the 8×9-grid dHash. */
+  def dHash(bin: Column): Column =
+    Bridge.column(BmpDHashExpr(Bridge.expression(bin)))
+}
+
+/** [[BmpAHash.computeDHash]] as a codegen expression — same
+  * one-call-into-the-kernel generated code as [[BmpAHashExpr]]. */
+case class BmpDHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_dhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bmp_dhash needs binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = BmpAHash.computeDHash(input.asInstanceOf[Array[Byte]])
+    if (out == null) null else new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bin => {
+      val out = ctx.freshName("dhash")
+      s"""
+         |long[] $out = graft.functions.BmpAHash.computeDHash($bin);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BmpDHashExpr =
+    copy(child = newChild)
 }

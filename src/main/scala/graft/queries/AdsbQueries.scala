@@ -289,6 +289,40 @@ object AdsbQueries {
         .orderBy(col("model"))
     }),
 
+    // mm6: perceptual difference-hash (dHash) — the GRADIENT
+    // fingerprint beside mm3's mean-threshold aHash: bit (r,c) =
+    // gray(r,c) > gray(r,c+1) over an 8×9 sample grid. The two
+    // hashes fail differently (aHash's global mean moves under
+    // brightness/contrast shifts; dHash's local comparisons don't),
+    // which is why production near-dup pipelines carry both and
+    // AND/OR their band candidates. Same byte-exact integer
+    // arithmetic, same codegen-kernel shape, same oracle style: the
+    // SQL re-derives every sampled byte with substr(hex(...)) reads
+    // and replays the adjacent-pixel comparisons via a self-join on
+    // the sample index.
+    "mm6_image_dhash" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
+      val hashed = bin.where(Multimodal.isBmp(col("silhouette")))
+        .withColumn("dh", graft.functions.BmpAHash.dHash(col("silhouette")))
+        .where(col("dh").isNotNull)
+        .select(col("model"),
+          col("dh")(0).as("dhash_hi"), col("dh")(1).as("dhash_lo"))
+      val pairs = hashed.as("a").join(hashed.as("b"),
+          col("a.model") =!= col("b.model"))
+        .select(col("a.model").as("model"), col("b.model").as("other"),
+          (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
+            bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
+            .cast("long").as("hamming"))
+      val w = Window.partitionBy(col("model"))
+        .orderBy(col("hamming"), col("other"))
+      val nn = pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("model"), col("other").as("nn_model"),
+          col("hamming").as("nn_hamming"))
+      hashed.join(nn, Seq("model")).orderBy(col("model"))
+    }),
+
     "mm4_image_neardup" -> ((s, _) => {
       val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
         .select(col("model"), col("silhouette"))
@@ -416,6 +450,62 @@ object AdsbQueries {
        |  SELECT d2.model, CAST(d2.w AS INTEGER) AS width,
        |    CAST(d2.h AS INTEGER) AS height, bits.ahash_hi, bits.ahash_lo
        |  FROM d2 JOIN bits USING (model))"""
+
+  /** The dHash analog of [[ahashCtes]]: same header parse, an 8-row ×
+    * 9-column sample grid, and the adjacent-pixel comparisons replayed
+    * via a self-join on the sample index. Ends in
+    * `hh(model, dhash_hi, dhash_lo)`. */
+  private def dhashCtes(blobSql: String): String =
+    s"""b AS ($blobSql),
+       |hdr AS (
+       |  SELECT model, hx,
+       |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+       |           || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT AS w0,
+       |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+       |           || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h0,
+       |    ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2))::BIGINT AS bpp,
+       |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
+       |           || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS off
+       |  FROM b WHERE substr(hx, 1, 4) = '424D' AND length(hx) >= 108),
+       |dims AS (
+       |  SELECT model, hx, off, bpp,
+       |    CASE WHEN w0 >= 2147483648 THEN w0 - 4294967296 ELSE w0 END AS w,
+       |    CASE WHEN h0 >= 2147483648 THEN h0 - 4294967296 ELSE h0 END AS hraw
+       |  FROM hdr),
+       |d2 AS (
+       |  SELECT model, hx, off, w, hraw, abs(hraw) AS h,
+       |    (w * 3 + 3) // 4 * 4 AS stride
+       |  FROM dims
+       |  WHERE bpp = 24 AND w > 0 AND hraw <> 0
+       |    AND off + abs(hraw) * ((w * 3 + 3) // 4 * 4) <= length(hx) // 2),
+       |px AS (
+       |  SELECT model, hx, u.i AS i,
+       |    (off + (CASE WHEN hraw < 0 THEN (u.i // 9) * h // 8
+       |                 ELSE h - 1 - ((u.i // 9) * h // 8) END) * stride
+       |         + ((u.i % 9) * w // 9) * 3) AS p
+       |  FROM d2, UNNEST(range(0, 72)) AS u(i)),
+       |g AS (
+       |  SELECT model, i,
+       |    ('0x' || substr(hx, CAST(p * 2 + 1 AS BIGINT), 2))::BIGINT +
+       |    ('0x' || substr(hx, CAST(p * 2 + 3 AS BIGINT), 2))::BIGINT +
+       |    ('0x' || substr(hx, CAST(p * 2 + 5 AS BIGINT), 2))::BIGINT AS gray
+       |  FROM px),
+       |bits AS (
+       |  SELECT a.model,
+       |    CAST(sum(CASE WHEN a.gray > n.gray
+       |      AND (a.i // 9) * 8 + (a.i % 9) >= 32
+       |      THEN (1::BIGINT <<
+       |        CAST((a.i // 9) * 8 + (a.i % 9) - 32 AS INTEGER))
+       |      ELSE 0 END) AS BIGINT) AS dhash_hi,
+       |    CAST(sum(CASE WHEN a.gray > n.gray
+       |      AND (a.i // 9) * 8 + (a.i % 9) < 32
+       |      THEN (1::BIGINT << CAST((a.i // 9) * 8 + (a.i % 9) AS INTEGER))
+       |      ELSE 0 END) AS BIGINT) AS dhash_lo
+       |  FROM g a JOIN g n ON a.model = n.model AND n.i = a.i + 1
+       |  WHERE a.i % 9 < 8
+       |  GROUP BY 1),
+       |hh AS (
+       |  SELECT model, dhash_hi, dhash_lo FROM bits)"""
 
   /** DuckDB re-parse of the raw SBS lines: the same 22-field length
     * check, anchored regex, timestamp formats and cast rules as
@@ -693,6 +783,22 @@ object AdsbQueries {
          |    FROM pr) WHERE rn = 1)
          |SELECT hh.model, width, height, ahash_hi, ahash_lo,
          |  nn_model, nn_hamming
+         |FROM hh JOIN nn USING (model) ORDER BY model""".stripMargin,
+
+    "mm6_image_dhash" ->
+      s"""WITH ${dhashCtes(s"SELECT model, hex(silhouette) AS hx FROM ${tbl("mm_blobs")}")},
+         |pr AS (
+         |  SELECT a.model, b.model AS other,
+         |    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+         |         bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+         |  FROM hh a JOIN hh b ON a.model <> b.model),
+         |nn AS (
+         |  SELECT model, other AS nn_model, hamming AS nn_hamming FROM (
+         |    SELECT model, other, hamming,
+         |      row_number() OVER (PARTITION BY model ORDER BY hamming, other)
+         |        AS rn
+         |    FROM pr) WHERE rn = 1)
+         |SELECT hh.model, dhash_hi, dhash_lo, nn_model, nn_hamming
          |FROM hh JOIN nn USING (model) ORDER BY model""".stripMargin,
 
     // mm5: the oracle re-derives the hash from the BMP bytes ONLY and

@@ -94,4 +94,40 @@ class BmpAHashSpec extends SparkSpec {
     val gen = df.select(BmpAHash.aHash(col("bin"))).head().getSeq[Long](0)
     assert(interp === gen)
   }
+
+  private def dhash(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val r = Seq(Tuple1(bytes)).toDF("bin")
+      .select(BmpAHash.dHash(col("bin")).as("dh")).head()
+    if (r.isNullAt(0)) None
+    else { val s = r.getSeq[Long](0); Some((s(0), s(1))) }
+  }
+
+  test("dHash reads gradients: ramps give all-zero / all-one, where aHash can't tell") {
+    // width 18 → sample columns x = 0,2,…,16: strictly monotone
+    val rising = bmp(18, 16, (x, _) => (x * 10, x * 10, x * 10))
+    val falling = bmp(18, 16,
+      (x, _) => (170 - x * 10, 170 - x * 10, 170 - x * 10))
+    // rising: gray(c) < gray(c+1) everywhere → no bits
+    assert(dhash(rising) === Some((0L, 0L)))
+    // falling: every adjacent comparison true → all 64 bits
+    assert(dhash(falling) === Some((4294967295L, 4294967295L)))
+    // aHash sees BOTH ramps as the same half-bright pattern class
+    // (mirror images of each other), dHash separates them maximally —
+    // the different-failure-modes claim, concretely
+    val (ar, af) = (hash(rising).get, hash(falling).get)
+    assert(java.lang.Long.bitCount(ar._1) + java.lang.Long.bitCount(ar._2)
+      === java.lang.Long.bitCount(af._1) + java.lang.Long.bitCount(af._2),
+      "aHash assigns both ramps the same bit mass")
+  }
+
+  test("dHash honors both row orders and the NULL contract") {
+    def pix(x: Int, y: Int) =
+      if ((x * 7 + y * 3) % 5 < 2) (220, 40, 10) else (15, 90, 140)
+    assert(dhash(bmp(27, 14, pix)) === dhash(bmp(27, -14, pix)))
+    assert(dhash(bmp(27, 14, pix)).isDefined)
+    val good = bmp(9, 8, (_, _) => (1, 2, 3))
+    assert(dhash("nope".getBytes) === None)
+    assert(dhash(good.dropRight(2)) === None)
+    assert(dhash(good).isDefined)
+  }
 }
