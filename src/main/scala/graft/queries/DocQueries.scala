@@ -568,6 +568,71 @@ object DocQueries {
     // smallest id: what a curation run actually wants when mirrors
     // differ in cleanliness. Ties break to the smaller id. One
     // doc-partitioned window over the (tiny) clustered subset.
+    // d18: per-doc CURATION LINEAGE — the audit trail that answers
+    // "why did doc X disappear?" across the dedup ladder in its
+    // production order: (1) exact duplicates drop to their min-id
+    // copy; (2) among exact survivors, near-dup cluster members drop
+    // to the cluster canonical (d8's quality-then-id rule); (3)
+    // canonicals and untouched docs keep, labeled apart. Every drop
+    // row names its peer (what it was deduped INTO) — the lineage a
+    // takedown/provenance request actually needs, where d1/d7/d8
+    // each answer only their own stage. Exact dups are injected by
+    // construction (re-keyed copies of every 10th doc — the d11
+    // convention; the organic corpus has none and a 0-row class
+    // proves nothing); near-dup pairs are the organic d3v ones,
+    // RESTRICTED to exact-survivors so the ladder composes rather
+    // than double-reports. Scale shape: stage 1 is one md5 groupBy;
+    // stage 2 reuses the shared shingle scan + banded candidates +
+    // CC on the verified pairs (the d7/d8 kernels); the final
+    // assembly is two id-keyed joins.
+    "d18_curation_lineage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = base.unionByName(
+        base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val ex = d.select(col("doc_id"), md5(col("text")).as("h"))
+      val withEx = Dedup.share(ex.join(
+        ex.groupBy(col("h")).agg(min(col("doc_id")).as("canon_ex")),
+        Seq("h")).select(col("doc_id"), col("canon_ex")))
+      val surv = withEx.where(col("doc_id") === col("canon_ex"))
+        .select(col("doc_id"))
+      val pairs = verifiedPairs(d)
+        .join(surv.select(col("doc_id").as("id_a")), Seq("id_a"),
+          "left_semi")
+        .join(surv.select(col("doc_id").as("id_b")), Seq("id_b"),
+          "left_semi")
+      val clusters = Dedup
+        .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val scored = clusters.join(
+        d.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("q").desc, col("doc_id"))
+      val ranked = Dedup.share(scored.withColumn("rn", row_number().over(w)))
+      val nd = ranked.join(
+        ranked.where(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("canon_nd")),
+        Seq("cluster_id"))
+      d.select(col("doc_id"))
+        .join(withEx, Seq("doc_id"))
+        .join(nd.select(col("doc_id"), col("cluster_id"), col("canon_nd")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("canon_ex"), "drop_exact")
+            .when(col("canon_nd").isNotNull &&
+              col("doc_id") =!= col("canon_nd"), "drop_neardup")
+            .when(col("canon_nd").isNotNull, "keep_canonical")
+            .otherwise("keep_unique").as("status"),
+          when(col("doc_id") =!= col("canon_ex"), col("canon_ex"))
+            .when(col("canon_nd").isNotNull &&
+              col("doc_id") =!= col("canon_nd"), col("canon_nd"))
+            .as("peer_id"),
+          col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d8_cluster_canonicals" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
@@ -3234,6 +3299,93 @@ object DocQueries {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // d18: the d8 chain over the copy-augmented corpus, with the
+    // exact-dup stage ahead of it and the near-dup stage restricted
+    // to exact survivors — the same ladder, replayed end to end.
+    "d18_curation_lineage" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |ex AS (SELECT doc_id, md5(text) AS h FROM corpus),
+        |exc AS (SELECT h, min(doc_id) AS canon_ex FROM ex GROUP BY 1),
+        |wex AS (SELECT doc_id, canon_ex FROM ex JOIN exc USING (h)),
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2),
+        |pairsv AS (
+        |  SELECT id_a, id_b
+        |  FROM co
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+        |pairss AS (
+        |  SELECT id_a, id_b FROM pairsv
+        |  WHERE id_a IN (SELECT doc_id FROM wex WHERE doc_id = canon_ex)
+        |    AND id_b IN (SELECT doc_id FROM wex WHERE doc_id = canon_ex)),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairss
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairss),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, $dkQuality AS quality FROM corpus),
+        |ranked AS (
+        |  SELECT cl.cluster_id, cl.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY q.quality DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN q USING (doc_id)),
+        |canon AS (SELECT cluster_id, doc_id AS canon_nd FROM ranked
+        |  WHERE rn = 1),
+        |nd AS (
+        |  SELECT ranked.doc_id, ranked.cluster_id, canon.canon_nd
+        |  FROM ranked JOIN canon USING (cluster_id))
+        |SELECT c.doc_id,
+        |  CASE WHEN c.doc_id <> wex.canon_ex THEN 'drop_exact'
+        |    WHEN nd.canon_nd IS NOT NULL AND c.doc_id <> nd.canon_nd
+        |      THEN 'drop_neardup'
+        |    WHEN nd.canon_nd IS NOT NULL THEN 'keep_canonical'
+        |    ELSE 'keep_unique' END AS status,
+        |  CASE WHEN c.doc_id <> wex.canon_ex THEN wex.canon_ex
+        |    WHEN nd.canon_nd IS NOT NULL AND c.doc_id <> nd.canon_nd
+        |      THEN nd.canon_nd END AS peer_id,
+        |  nd.cluster_id
+        |FROM corpus c JOIN wex USING (doc_id) LEFT JOIN nd USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin
     },
 
     "d8_cluster_canonicals" -> {
