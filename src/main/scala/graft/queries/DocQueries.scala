@@ -2172,6 +2172,114 @@ object DocQueries {
           round(col("_sf").cast("double") / col("n_pairs") / 1000000.0d, 6)
             .as("mean_abs_err"))
         .orderBy(col("j_bucket"))
+    }),
+
+    // sk1: count-min-sketch heavy hitters over the token stream — the
+    // bounded-memory frequency sketch (Cormode-Muthukrishnan): d=4
+    // hash rows × w=1024 buckets of counters, estimate(tok) = min
+    // over rows of its bucket counter (always ≥ the true count; the
+    // overestimate is what the `exact` column audits). This promotes
+    // the CMS that OperatorSpec pins as t10's drop-in to a first-
+    // class oracle-checked query — t10 is the exact top-20 twin this
+    // sketch approximates. Scale shape:
+    // the counter table is ≤ d·w = 4096 rows built by ONE map-side-
+    // combinable groupBy over (row, bucket) — at 100 TB it is the
+    // only state that exists if the exact column is dropped; the
+    // estimate pass joins distinct tokens against the BROADCAST
+    // counter table (a map-side lookup, no shuffle), and top-k is
+    // TakeOrdered. Hashes are portable (md5-derived) so DuckDB
+    // rebuilds the identical sketch bit-for-bit.
+    "sk1_cms_topk" -> ((s, dir) => {
+      import graft.functions.PortableHash.phashCol
+      val depth = 4; val width = 1024
+      val rows = array((0 until depth).map(lit): _*)
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val counters = toks
+        .select(explode(rows).as("r"), col("tok"))
+        .select(col("r"), (phashCol(col("tok"), col("r")) % width).as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val exactCnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      exactCnt
+        .select(col("tok"), col("exact"), explode(rows).as("r"))
+        .select(col("tok"), col("exact"), col("r"),
+          (phashCol(col("tok"), col("r")) % width).as("b"))
+        .join(broadcast(counters), Seq("r", "b"))
+        .groupBy(col("tok"), col("exact"))
+        .agg(min(col("c")).as("est"))
+        .select(col("tok"), col("est"), col("exact"))
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
+    }),
+
+    // t26: per-doc repetition profile — the Gopher-family (Rae et al.
+    // 2021) repetition quality signals, adapted token-level to this
+    // corpus (no line structure exists to measure duplicate-line
+    // fractions): modal 2-gram and 3-gram share of gram positions,
+    // and the fraction of 5-gram positions belonging to grams that
+    // repeat within the doc. All parts-per-million integer ratios of
+    // integer counts — hash-exact across engines, no floats until
+    // the final (deterministic, both-engines-IEEE) ppm division.
+    // Scale shape: three map-only gram scans (grams ship as 60-bit
+    // hashes, the t24 discipline), each collapsing map-side to
+    // per-doc counters keyed by doc_id — no joins until the tiny
+    // per-doc aggregate rows; docs shorter than n grams surface with
+    // NULL metrics via the left joins.
+    "t26_repetition_profile" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val d = docs(s, dir)
+      def gramCnt(n: Int): DataFrame =
+        Dedup.shingleRows(d, col("doc_id"), col("text"), n)
+          .select(col("id").as("doc_id"), phash(col("sh"), n).as("h"))
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      val p2 = gramCnt(2).groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max2"), sum(col("c")).as("ng2"))
+      val p3 = gramCnt(3).groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max3"), sum(col("c")).as("ng3"))
+      val p5 = gramCnt(5).groupBy(col("doc_id"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .as("dup5"), sum(col("c")).as("n5"))
+      d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(p2, Seq("doc_id"), "left")
+        .join(p3, Seq("doc_id"), "left")
+        .join(p5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          floor(col("max2") * 1000000L / col("ng2")).as("top2_ppm"),
+          floor(col("max3") * 1000000L / col("ng3")).as("top3_ppm"),
+          floor(col("dup5") * 1000000L / col("n5")).as("dup5_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // p25: the composed ADMISSION gate — Gopher (Rae et al. 2021)
+    // applies TWO rule families before a doc enters the corpus: the
+    // scalar rules t6 already reports (word count, word length,
+    // symbol ratio, stopwords) and the repetition rules t6 lacks.
+    // This composes t6's `keep` (reusing gopherReport, so the two
+    // can never drift) with the modal-2-gram repetition rule on
+    // t26's gram kernel (under 20% of gram positions, integer
+    // cross-multiplied — no division), yielding the final per-doc
+    // admit decision with both constituent flags visible. Scale
+    // shape: gopherReport is pure scan-projection work; the gram
+    // side is one map-side-combinable scan collapsing to per-doc
+    // (max, count); one doc-keyed left join assembles.
+    "p25_gopher_gate" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val d = docs(s, dir)
+      val g2 = Dedup.shingleRows(d, col("doc_id"), col("text"), 2)
+        .select(col("id").as("doc_id"), phash(col("sh"), 2).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max2"), sum(col("c")).as("ng2"))
+      TextFunctions.gopherReport(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("keep"))
+        .join(g2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("keep"),
+          (col("ng2").isNull || col("max2") * 5L < col("ng2"))
+            .as("r_repetition"))
+        .withColumn("admit", col("keep") && col("r_repetition"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4872,6 +4980,102 @@ object DocQueries {
         |  round(CAST(sum(err_fx) AS DOUBLE) / count(*) / 1000000, 6)
         |    AS mean_abs_err
         |FROM m GROUP BY 1 ORDER BY j_bucket""".stripMargin
-    }
+    },
+
+    // sk1: the identical CMS rebuilt in SQL — same portable hashes,
+    // same d=4 × w=1024 counter table, same min-over-rows estimate.
+    "sk1_cms_topk" ->
+      s"""WITH t AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |rows_ AS (SELECT unnest(range(0, 4)) AS r),
+        |counters AS (
+        |  SELECT r, ${dkHash("tok", "r")} % 1024 AS b, count(*) AS c
+        |  FROM t, rows_ GROUP BY 1, 2),
+        |exact_ AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM t GROUP BY 1),
+        |probes AS (
+        |  SELECT tok, exact, r, ${dkHash("tok", "r")} % 1024 AS b
+        |  FROM exact_, rows_)
+        |SELECT p.tok, CAST(min(c.c) AS BIGINT) AS est, p.exact
+        |FROM probes p JOIN counters c ON p.r = c.r AND p.b = c.b
+        |GROUP BY p.tok, p.exact
+        |ORDER BY est DESC, tok LIMIT 20""".stripMargin,
+
+    // t26: gram positions i run 1..len-n+1; seeds are the gram order
+    // n (matching phash(sh, n) on the Spark side).
+    "t26_repetition_profile" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, ${dkHash("t[i] || ' ' || t[i+1]", "2")} AS h,
+        |    count(*) AS c
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i) GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT doc_id, max(c) AS max2, sum(c) AS ng2 FROM c2 GROUP BY 1),
+        |c3 AS (
+        |  SELECT doc_id,
+        |    ${dkHash("t[i] || ' ' || t[i+1] || ' ' || t[i+2]", "3")} AS h,
+        |    count(*) AS c
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) GROUP BY 1, 2),
+        |p3 AS (
+        |  SELECT doc_id, max(c) AS max3, sum(c) AS ng3 FROM c3 GROUP BY 1),
+        |c5 AS (
+        |  SELECT doc_id,
+        |    ${dkHash(
+             "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]",
+             "5")} AS h,
+        |    count(*) AS c
+        |  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) GROUP BY 1, 2),
+        |p5 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5,
+        |    sum(c) AS n5
+        |  FROM c5 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tok,
+        |  CAST(floor(max2 * 1000000 / ng2) AS BIGINT) AS top2_ppm,
+        |  CAST(floor(max3 * 1000000 / ng3) AS BIGINT) AS top3_ppm,
+        |  CAST(floor(dup5 * 1000000 / n5) AS BIGINT) AS dup5_ppm
+        |FROM documents d
+        |LEFT JOIN p2 USING (doc_id)
+        |LEFT JOIN p3 USING (doc_id)
+        |LEFT JOIN p5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // p25: t6's keep rule (the identical SQL as the t6 oracle,
+    // collapsed to the boolean) AND the modal-2-gram repetition cut.
+    "p25_gopher_gate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, ${dkHash("t[i] || ' ' || t[i+1]", "2")} AS h,
+        |    count(*) AS c
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i) GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT doc_id, max(c) AS max2, sum(c) AS ng2 FROM c2 GROUP BY 1),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+        |      / len(string_split(text, ' ')) AS awl,
+        |    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+        |      / length(text) AS sym,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the','a','an','of','and','or','to','in','is','on','for','with'], tk)))
+        |      AS BIGINT) AS n_stop
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    ((n_words >= 3 AND n_words <= 256)
+        |      AND (awl >= 2.0 AND awl <= 12.0)
+        |      AND (sym <= 0.2) AND (n_stop >= 1)) AS keep
+        |  FROM f)
+        |SELECT k.doc_id, k.keep,
+        |  (ng2 IS NULL OR max2 * 5 < ng2) AS r_repetition,
+        |  (k.keep AND (ng2 IS NULL OR max2 * 5 < ng2)) AS admit
+        |FROM k LEFT JOIN p2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

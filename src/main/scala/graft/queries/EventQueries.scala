@@ -666,6 +666,44 @@ object EventQueries {
           col("session_start"), col("session_end"))
         .agg(count(lit(1)).as("n_errors"))
         .orderBy(col("key"), col("session_seq"))
+    }),
+
+    // sk2: KMV (k-minimum-values) distinct-count sketch — per
+    // event_type cardinality of users from only the k=64 smallest
+    // portable hashes: est = (k−1)·2⁶⁰ / h₍ₖ₎ (Bar-Yossef et al.
+    // 2002), computed in exact integer arithmetic (decimal(38,0)
+    // here, HUGEINT in the oracle — (a − a mod b)/b is a true floor
+    // divide, no float quotient exists to round differently). Groups
+    // holding fewer than k hashes are exact by construction. The
+    // `exact`/`err_ppm` columns are the eval harness — at 100 TB
+    // only the sketch side runs: per-group state is the k smallest
+    // hashes (map-side combinable dedup, then a bounded per-group
+    // rank), never the distinct-user set.
+    "sk2_kmv_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      // (k-1) * 2^60 — exceeds Long, so built as a decimal literal.
+      val a = lit(new java.math.BigDecimal("72634055190231359488"))
+        .cast("decimal(38,0)")
+      val dh = ev(s, dir)
+        .select(col("event_type"),
+          graft.functions.PortableHash
+            .phashStr(col("user_id").cast("string")).as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("_n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val perType = dh.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      val est = when(col("n_kept") < k, col("n_kept").cast("long"))
+        .otherwise(((a - a % col("hk")) / col("hk")).cast("long"))
+      val exact = ev(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      perType.join(exact, Seq("event_type"))
+        .select(col("event_type"), est.as("est"), col("exact"),
+          floor(abs(est - col("exact")) * 1000000L / col("exact"))
+            .as("err_ppm"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1239,6 +1277,37 @@ object EventQueries {
         |FROM sess JOIN err ON err.user_id = sess.key
         |  AND err.ts >= sess.session_start AND err.ts <= sess.session_end
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY key, session_seq""".stripMargin
+        |ORDER BY key, session_seq""".stripMargin,
+
+    // sk2: the identical KMV sketch rebuilt in SQL — same portable
+    // hash, same k=64 rank cut, same integer floor division.
+    "sk2_kmv_distinct" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM dh),
+        |pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |    max(h) AS hk
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM events GROUP BY 1),
+        |est_ AS (
+        |  SELECT pt.event_type,
+        |    CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |      ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // hk
+        |      END AS BIGINT) AS est,
+        |    exact
+        |  FROM pt JOIN ex USING (event_type))
+        |SELECT event_type, est, exact,
+        |  CAST(floor(abs(est - exact) * 1000000 / exact) AS BIGINT)
+        |    AS err_ppm
+        |FROM est_ ORDER BY event_type""".stripMargin
   )
 }
