@@ -234,6 +234,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sk1 CMS probes join the counter table by broadcast; top-k is TakeOrdered") {
+    val p = plan("sk1_cms_topk")
+    // the ≤4096-row counter table must broadcast (a shuffle join here
+    // would shuffle every distinct token 4×), and the final top-20 is
+    // a parallel TakeOrdered, never a global sort
+    assert(p.contains("BroadcastHashJoin"), s"sk1 counters not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"sk1 top-k is a sort:\n$p")
+  }
+
+  test("sk2 KMV rank window is keyed by event_type, never global") {
+    val p = plan("sk2_kmv_distinct")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"sk2 rank window not keyed by event_type:\n$p")
+  }
+
+  test("t26/p25 ship gram hashes, never gram strings, into their aggregations") {
+    for (q <- Seq("t26_repetition_profile", "p25_gopher_gate")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning(sh#"),
+        s"gram STRINGS shuffle in $q:\n$p")
+      assert(p.contains("hashpartitioning(h#") ||
+        p.contains("hashpartitioning(doc_id#"), p)
+    }
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
