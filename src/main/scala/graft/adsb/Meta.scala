@@ -59,6 +59,45 @@ object Meta {
 
   def silhouettesDir(): String = extractedSilhouettes
 
+  private val bundledMedia = Seq(
+    "tone_a.pcm", "tone_a_dup.pcm", "tone_b.pcm", "noise_c.pcm",
+    "sweep_d.pcm", "sweep_d_dup.pcm", "mix_e.pcm", "quiet_f.pcm",
+    "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid")
+
+  /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
+    * is headerless 8-bit PCM; .gvid is the toy frame container
+    * `"GVID" + u16le frame_size + u16le n_frames + frames`. Both are
+    * deterministic synthetic signals — stand-ins for real codec
+    * payloads, carrying the byte-level structure the frame/energy
+    * plumbing needs (the decode seam policy of `Multimodal`). */
+  private lazy val extractedMedia: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    bundledMedia.foreach { n =>
+      val in = getClass.getResourceAsStream(s"/meta/media/$n")
+      require(in != null, s"missing $n")
+      java.nio.file.Files.copy(in, dir.resolve(n))
+      dir.resolve(n).toFile.deleteOnExit()
+    }
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  def mediaDir(): String = extractedMedia
+
+  /** Binary media files of one extension as `(model, content,
+    * length)` — the S5 loader generalized beyond `.bmp` (the
+    * "opaque binary column + typed metadata" multimodal contract). */
+  def loadMediaFiles(spark: SparkSession, dir: String,
+      ext: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext")
+      .load(dir)
+      .select(
+        regexp_extract(input_file_name(), s"([^/]+)\\.$ext$$", 1)
+          .as("model"),
+        col("content"),
+        col("length"))
+
   /** openflights airlines: join key `icao` = first 3 chars of a flight
     * callsign (`create_graphql_functions.sql:53`). */
   def loadAirlines(spark: SparkSession,

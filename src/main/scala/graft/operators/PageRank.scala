@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point PageRank over an explicit edge list.
+  *
+  * The curation use-case (the g1 query): centrality over the corpus
+  * kNN graph — a library-free analog of the harmonic-centrality signal
+  * large crawl corpora publish for source weighting — so the iteration
+  * must be REPLAYABLE by an external SQL engine. Both demands are met
+  * the same way: all rank mass lives in parts-per-million longs and
+  * every step is integer-valued.
+  *
+  *   r₀(v)   = 1 000 000
+  *   rₜ₊₁(v) = (100−d)·10⁴ + ⌊d · Σ_{u→v} ⌊rₜ(u)/deg(u)⌋ / 100⌋
+  *
+  * with damping d given in percent (85 = the canonical 0.85). The two
+  * floor-divides are exact despite Spark's `/` returning double: the
+  * fractional part of the true quotient is ≥ 1/deg (resp. 1/100) while
+  * 1 ulp at the ≤2⁵³ magnitudes involved is ~1e-7 — IEEE nearest-
+  * rounding can never carry the value across the next integer, so
+  * `floor` agrees bit-for-bit with the oracle's replay. Dangling
+  * nodes (no out-edges) simply leak their mass — the simplified
+  * variant; the leak is identical in both engines and documented here
+  * rather than redistributed.
+  *
+  * Scale shape: the classic Spark PageRank loop — each iteration is
+  * ONE shuffle join (edges ⋈ ranks on src, both hash-partitioned on
+  * the same key, so AQE reuses the exchange layout) plus one
+  * aggregation to per-node in-sums; the out-degree rides the edge
+  * frame (joined once, up front). Loop state is `localCheckpoint`ed
+  * every round so plan depth stays O(1) across iterations instead of
+  * O(iterations) — the Mmr/Bpe discipline; the checkpointed frames are
+  * node- and edge-sized, which is what any distributed graph iteration
+  * materializes per superstep.
+  */
+object PageRank {
+
+  /** Ranks after `iterations` synchronous supersteps, as
+    * `(id, rank_ppm)` — one row per node of `nodes` (isolated nodes
+    * hold the base (100−d)·10⁴ after the first step).
+    *
+    * @param nodes one column `id`: the full vertex set (output is
+    *              corpus-complete even for vertices no edge touches)
+    * @param edges columns `src`, `dst` (directed; parallel edges count
+    *              multiply, as in the matrix formulation)
+    */
+  def ranksPpm(nodes: DataFrame, edges: DataFrame, iterations: Int = 8,
+      dampPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct: $dampPct")
+    val base = (100L - dampPct) * 10000L
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // out-degree joined ONCE; the loop below only ever joins ranks in
+    val e = edges.join(deg, Seq("src")).localCheckpoint(true)
+    val n = nodes.select(col("id")).localCheckpoint(true)
+    var ranks = n.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val in = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          floor(col("r") / col("deg")).cast("long").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
+      ranks = n.join(in, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + floor(lit(dampPct.toLong) *
+            coalesce(col("in_sum"), lit(0L)) / 100L).cast("long"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("rank_ppm"))
+  }
+}

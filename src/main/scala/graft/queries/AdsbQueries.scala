@@ -354,6 +354,90 @@ object AdsbQueries {
             .cast("long").as("hamming"))
         .where(col("hamming") <= 3)
         .orderBy(col("model"), col("other"))
+    }),
+
+    // mm7: acoustic fingerprint over opaque 8-bit PCM blobs — the
+    // audio leg of the multimodal contract. 64 frames × 64 samples;
+    // per-frame energy Σ(b−128)²; fingerprint bit f = 1 iff
+    // energy(f+1) > energy(f) (the sign-of-delta discipline audio
+    // fingerprinting families build on — Haitsma-Kalker 2002 —
+    // collapsed to one energy band since no DSP library exists
+    // here), packed into two 32-bit halves per the mm3 convention,
+    // then the same hamming NN readout. Everything is exact integer
+    // byte arithmetic on built-in codegen'd expressions (hex +
+    // substr + conv inside transform/aggregate — no UDF), so the
+    // oracle re-derives every bit from the dumped blobs. The
+    // fixtures plant two perturbed near-dup pairs; their NN hamming
+    // ≈ 0 while unrelated signals sit tens of bits apart — the
+    // audio-dedup signal this op exists to feed. Scale: per-blob
+    // O(bytes) map work, NN on sketch-sized hashes (banding as in
+    // mm4 once corpora outgrow the pairwise join).
+    "mm7_audio_fingerprint" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
+      val hashed = bin.withColumn("hx", hex(col("content")))
+        .withColumn("energies", expr(
+          """transform(sequence(0, 63), f ->
+            |  aggregate(sequence(0, 63), 0L, (acc, i) ->
+            |    acc + (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
+            |             AS bigint) - 128L)
+            |        * (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
+            |             AS bigint) - 128L)))""".stripMargin))
+        .withColumn("fp_lo", expr(
+          """aggregate(sequence(0, 31), 0L, (acc, f) ->
+            |  acc + IF(element_at(energies, f+2) > element_at(energies, f+1),
+            |           shiftleft(1L, f), 0L))""".stripMargin))
+        .withColumn("fp_hi", expr(
+          """aggregate(sequence(32, 62), 0L, (acc, f) ->
+            |  acc + IF(element_at(energies, f+2) > element_at(energies, f+1),
+            |           shiftleft(1L, f - 32), 0L))""".stripMargin))
+        .select(col("model"), col("length").as("n_bytes"),
+          col("fp_hi"), col("fp_lo"))
+      val pairs = hashed.as("a").join(hashed.as("b"),
+          col("a.model") =!= col("b.model"))
+        .select(col("a.model").as("model"), col("b.model").as("other"),
+          (bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
+            bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo"))))
+            .cast("long").as("hamming"))
+      val w = Window.partitionBy(col("model"))
+        .orderBy(col("hamming"), col("other"))
+      val nn = pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("model"), col("other").as("nn_model"),
+          col("hamming").as("nn_hamming"))
+      hashed.join(nn, Seq("model")).orderBy(col("model"))
+    }),
+
+    // mm8: frame sampling from a video container — the "every k-th
+    // frame" primitive a multimodal training pipeline runs before
+    // any per-frame model. The toy GVID container ("GVID" + u16le
+    // frame_size + u16le n_frames + frames) stands in for a real
+    // demuxer, but every Spark-side stage is the real shape: magic
+    // gate, little-endian header parse (the mm_media_features hex
+    // trick), per-row explode of the sampled frame index sequence,
+    // and an O(frame) byte-sum checksum per sampled frame — all
+    // built-in codegen'd expressions, row count = Σ⌈n_frames/k⌉
+    // never Σ n_frames. The oracle re-parses header and frames from
+    // the dumped blobs and replays the k=4 sampling lattice.
+    "mm8_frame_sample" -> ((s, _) => {
+      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
+      bin.withColumn("hx", hex(col("content")))
+        .where(expr("substr(hx, 1, 8) = '47564944'"))
+        .withColumn("frame_size", expr(
+          "cast(conv(substr(hx, 11, 2) || substr(hx, 9, 2), 16, 10) AS int)"))
+        .withColumn("n_frames", expr(
+          "cast(conv(substr(hx, 15, 2) || substr(hx, 13, 2), 16, 10) AS int)"))
+        .withColumn("frame_idx",
+          explode(expr("sequence(0, n_frames - 1, 4)")))
+        .select(col("model"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          (lit(8L) + col("frame_idx") * col("frame_size"))
+            .cast("long").as("offset"),
+          expr("""aggregate(sequence(0, frame_size - 1), 0L, (acc, i) ->
+            |  acc + cast(conv(substr(hx,
+            |    (8 + frame_idx*frame_size + i)*2 + 1, 2), 16, 10)
+            |    AS bigint))""".stripMargin).as("bytesum"))
+        .orderBy(col("model"), col("frame_idx"))
     })
   )
 
@@ -376,6 +460,8 @@ object AdsbQueries {
       "countries")
     w(Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir()),
       "mm_blobs")
+    w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "pcm"), "audio_blobs")
+    w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "gvid"), "video_blobs")
     w(Meta.airportsTable(spark), "meta_airports")
     w(Meta.runwaysTable(spark), "meta_runways")
     w(Meta.rangeRingsTable(spark), "meta_range_rings")
@@ -838,7 +924,71 @@ object AdsbQueries {
          |  CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
          |    AS BIGINT) AS hamming
          |FROM cands WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3
-         |ORDER BY model, other""".stripMargin
+         |ORDER BY model, other""".stripMargin,
+
+    // mm7 re-derived byte-for-byte from the dumped PCM blobs: 64×64
+    // frame energies as exact integer sums over hex-pair byte reads,
+    // the sign-of-delta bit packing into two 32-bit halves, and the
+    // xor/bit_count hamming NN.
+    "mm7_audio_fingerprint" ->
+      s"""WITH b AS (SELECT model, length, hex(content) AS hx
+         |  FROM ${tbl("audio_blobs")}),
+         |en AS (
+         |  SELECT model, length,
+         |    list_transform(range(0, 64), f ->
+         |      list_sum(list_transform(range(0, 64), i ->
+         |        (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128)
+         |        * (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128))))
+         |      AS energies
+         |  FROM b),
+         |hh AS (
+         |  SELECT model, length AS n_bytes,
+         |    CAST(list_sum(list_transform(range(32, 63), f ->
+         |      CASE WHEN energies[f+2] > energies[f+1]
+         |        THEN (1::BIGINT << (f - 32)) ELSE 0 END)) AS BIGINT)
+         |      AS fp_hi,
+         |    CAST(list_sum(list_transform(range(0, 32), f ->
+         |      CASE WHEN energies[f+2] > energies[f+1]
+         |        THEN (1::BIGINT << f) ELSE 0 END)) AS BIGINT) AS fp_lo
+         |  FROM en),
+         |pr AS (
+         |  SELECT a.model, b.model AS other,
+         |    CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
+         |         bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+         |  FROM hh a JOIN hh b ON a.model <> b.model),
+         |nn AS (
+         |  SELECT model, other AS nn_model, hamming AS nn_hamming FROM (
+         |    SELECT model, other, hamming,
+         |      row_number() OVER (PARTITION BY model ORDER BY hamming, other)
+         |        AS rn
+         |    FROM pr) WHERE rn = 1)
+         |SELECT hh.model, n_bytes, fp_hi, fp_lo, nn_model, nn_hamming
+         |FROM hh JOIN nn USING (model) ORDER BY model""".stripMargin,
+
+    // mm8 re-parsed from the dumped GVID blobs: magic gate, LE
+    // header fields, the k=4 sampling lattice via range(), and the
+    // per-frame byte-sum checksum over hex-pair reads.
+    "mm8_frame_sample" ->
+      s"""WITH b AS (SELECT model, hex(content) AS hx
+         |  FROM ${tbl("video_blobs")}),
+         |p AS (
+         |  SELECT model, hx,
+         |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER
+         |      AS frame_size,
+         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER
+         |      AS n_frames
+         |  FROM b WHERE substr(hx, 1, 8) = '47564944'),
+         |f AS (
+         |  SELECT model, hx, frame_size, n_frames,
+         |    unnest(range(0, n_frames, 4)) AS frame_idx
+         |  FROM p)
+         |SELECT model, CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(8 + frame_idx * frame_size AS BIGINT) AS offset,
+         |  CAST(list_sum(list_transform(range(0, frame_size), i ->
+         |    ('0x' || substr(hx, (8 + frame_idx*frame_size + i)*2 + 1, 2))
+         |      ::BIGINT)) AS BIGINT) AS bytesum
+         |FROM f ORDER BY model, frame_idx""".stripMargin
   )
 
   /** The reference's `event` composite type

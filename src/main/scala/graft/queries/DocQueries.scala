@@ -1814,6 +1814,29 @@ object DocQueries {
           medianMultiple = 1.25)
         .orderBy(col("cid"))),
 
+    // g1: PageRank centrality over the corpus kNN graph — the graph-
+    // side quality signal crawl curation publishes (a harmonic-
+    // centrality analog): vectors that many other vectors name among
+    // their nearest neighbors concentrate rank; isolated or
+    // peripheral ones settle at the damping base. The graph IS s14's
+    // kNN join (IVF-pruned, never all-pairs), so edge construction
+    // inherits the serve path's 100 TB shape; the 8 fixed-point
+    // supersteps are [[PageRank.ranksPpm]] — one shuffle join + one
+    // aggregation each, integer ppm mass end to end, which is what
+    // lets the oracle replay every iteration bit-for-bit (unrolled
+    // CTE chain over the same dumped index + probes).
+    "g1_knn_pagerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))
+      val edges = Ivf.knnJoinAt(s, mainIndexPath(s, dir), q,
+          topK = 3, nProbe = 2)
+        .select(col("qid").as("src"), col("vec_id").as("dst"))
+      graft.operators.PageRank.ranksPpm(
+          e.select(col("vec_id").as("id")), edges, iterations = 8)
+        .orderBy(col("id"))
+    }),
+
     // p23: dataset SNAPSHOT DIFF — the versioning readout published
     // between two corpus releases: per change class
     // (added/removed/changed/unchanged), document count and net token
@@ -2580,10 +2603,12 @@ object DocQueries {
   /** Pruned IVF cosine top-5 recomputed in SQL from an assignment +
     * probe dump — the s1 oracle's arithmetic restricted to the probe
     * join (ascending-index accumulation matches the codegen'd dot). */
-  private def ivfTopkSql(assigned: String, probes: String,
-      extraCols: String = "", extraWhere: String = "",
-      topK: Int = 5): String =
-    s"""WITH a AS (SELECT id, vec, cid$extraCols FROM ${tbl(assigned)}),
+  /** The CTE chain through `ranked` — shared by [[ivfTopkSql]] and
+    * the g1 oracle (which consumes the ranked pairs as a GRAPH rather
+    * than a result set). */
+  private def ivfTopkCtes(assigned: String, probes: String,
+      extraCols: String = "", extraWhere: String = ""): String =
+    s"""a AS (SELECT id, vec, cid$extraCols FROM ${tbl(assigned)}),
        |p AS (SELECT qid, qvec, cid FROM ${tbl(probes)}),
        |pairs AS (
        |  SELECT p.qid, a.id AS vec_id, p.qvec AS qe, a.vec AS ve
@@ -2603,7 +2628,12 @@ object DocQueries {
        |  SELECT qid, vec_id, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
        |      AS rank
-       |  FROM sims)
+       |  FROM sims)""".stripMargin
+
+  private def ivfTopkSql(assigned: String, probes: String,
+      extraCols: String = "", extraWhere: String = "",
+      topK: Int = 5): String =
+    s"""WITH ${ivfTopkCtes(assigned, probes, extraCols, extraWhere)}
        |SELECT qid, vec_id, sim, rank FROM ranked
        |WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
 
@@ -2679,6 +2709,36 @@ object DocQueries {
     // s14: the same pruned-search recomputation as s2p, over the
     // dumped corpus-wide probe set and k=3.
     "s14_knn_join" -> ivfTopkSql("ivf_main", "ivf_knn_probes", topK = 3),
+
+    // g1: s14's ranked kNN pairs consumed as a GRAPH, then the eight
+    // fixed-point PageRank supersteps UNROLLED as a CTE chain — every
+    // iteration's integer ppm mass replayed exactly (floor-divide by
+    // out-degree, damped floor-divide by 100, 150000 base).
+    "g1_knn_pagerank" -> {
+      val iters = (1 to 8).map { i =>
+        s"""r$i AS (
+           |  SELECT n.id,
+           |    CAST(150000 + floor(85 * coalesce(s.in_sum, 0) / 100)
+           |      AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id,
+           |      sum(CAST(floor(r.r / e.deg) AS BIGINT)) AS in_sum
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.id
+           |    GROUP BY 1) s ON n.id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ivfTopkCtes("ivf_main", "ivf_knn_probes")},
+         |edges0 AS (
+         |  SELECT qid AS src, vec_id AS dst FROM ranked WHERE rank <= 3),
+         |deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges0 GROUP BY 1),
+         |edges AS (
+         |  SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d USING (src)),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT id, r AS rank_ppm FROM r8 ORDER BY id""".stripMargin
+    },
 
     // s12: the top-k oracle's sims CTEs with the τ filter in place of
     // the rank window — same dump, same 5-digit rounding discipline.

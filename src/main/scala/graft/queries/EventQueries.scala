@@ -704,6 +704,129 @@ object EventQueries {
           floor(abs(est - col("exact")) * 1000000L / col("exact"))
             .as("err_ppm"))
         .orderBy(col("event_type"))
+    }),
+
+    // sk3: HyperLogLog distinct-count sketch (Flajolet et al. 2007) —
+    // sk2's mergeable counterpart with O(m)=256 registers instead of
+    // k minimum VALUES. Unlike KMV it needs no pre-dedup: the
+    // register is max(ρ) and max is duplicate-insensitive, so the
+    // whole sketch is ONE map-side-combinable pass. The 60-bit
+    // portable hash splits into bucket = h mod 256 and a 52-bit
+    // suffix w; ρ = 53 − bitlength(w) (53 when w = 0) — bitlength via
+    // `bin()`, which both engines print unpadded. The estimate
+    // α·m²/Σ2^−M is computed entirely in integers: Σ2^(53−M) (each
+    // term an exact long, total ≤ 256·2⁵³ < 2⁶³) scales the harmonic
+    // sum, α lives as the ppm literal 718273 = round(10⁶·0.7213/
+    // (1+1.079/256)), and the final division is the sk2 decimal
+    // floor-divide — no float exists anywhere to round differently.
+    // At 100 TB the per-group state is 256 longs, the groupBy
+    // combines map-side, and sketches from disjoint partitions merge
+    // by register-max (the property sk2's rank-window lacks).
+    // `exact`/`err_ppm` are the eval harness, dropped in production.
+    "sk3_hll_distinct" -> ((s, dir) => {
+      val m = 256
+      // α_ppm · m² · 2⁵³ — the estimator numerator as one exact
+      // integer constant (≈4.24e26, inside decimal(38,0)).
+      val num = lit(new java.math.BigDecimal(
+          (BigInt(718273) * m * m * BigInt(2).pow(53)).bigInteger))
+        .cast("decimal(38,0)")
+      val pow53 = 9007199254740992L // 2^53
+      val regs = ev(s, dir)
+        .select(col("event_type"),
+          graft.functions.PortableHash
+            .phashStr(col("user_id").cast("string")).as("h"))
+        .select(col("event_type"), (col("h") % m).as("b"),
+          floor(col("h") / m).cast("long").as("w"))
+        .select(col("event_type"), col("b"),
+          when(col("w") === 0L, lit(53))
+            .otherwise(lit(53) - length(bin(col("w"))))
+            .cast("int").as("rho"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(max(col("rho")).as("M"))
+      val perType = regs.groupBy(col("event_type"))
+        .agg(sum(expr("shiftleft(cast(1 as bigint), 53 - M)"))
+            .as("s_used"),
+          count(lit(1)).as("n_regs"))
+        .select(col("event_type"),
+          // Σ ≤ 256·2⁵³ fits a long; the ×10⁶ does NOT — widen first.
+          ((col("s_used") + (lit(m) - col("n_regs")) * pow53)
+            .cast("decimal(38,0)") * 1000000L)
+            .cast("decimal(38,0)").as("den"))
+      val est = ((num - num % col("den")) / col("den")).cast("long")
+      val exact = ev(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      perType.join(exact, Seq("event_type"))
+        .select(col("event_type"), est.as("est"), col("exact"),
+          floor(abs(est - col("exact")) * 1000000L / col("exact"))
+            .as("err_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // sk4: KMV set-operation sketch (Beyer et al. 2007 / the theta-
+    // sketch intersection) — distinct-USER OVERLAP between every
+    // event_type pair from only the per-type k=64 minimum-hash
+    // signatures. The union sketch of a pair is the k smallest of the
+    // two signatures' union; Jaccard is estimated by the fraction of
+    // those present in BOTH signatures, and |A∩B| = matches·est(∪)/k
+    // — integer arithmetic end to end (est(∪) is sk2's exact decimal
+    // floor-divide). The 100 TB shape is the point: after the one
+    // sk2-style sketch pass, every pairwise set operation runs on
+    // ≤64-row signatures — 5 types or 5,000 sources, the combine cost
+    // never touches the corpus again (the tagged union below joins
+    // type-pairs, metadata-sized, to signatures, sketch-sized).
+    // `exact`/`err_ppm` audit against the true pairwise overlap.
+    "sk4_kmv_intersect" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val a = lit(new java.math.BigDecimal("72634055190231359488"))
+        .cast("decimal(38,0)") // (k−1)·2⁶⁰
+      val dh = ev(s, dir)
+        .select(col("event_type"),
+          graft.functions.PortableHash
+            .phashStr(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val kept = dh.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k).select(col("event_type"), col("h"))
+      val types = kept.select(col("event_type")).distinct()
+      val prs = types.select(col("event_type").as("ta"))
+        .join(types.select(col("event_type").as("tb")),
+          col("ta") < col("tb"))
+      val tagged = kept.join(prs, col("event_type") === col("ta"))
+          .select(col("ta"), col("tb"), col("h"),
+            lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionAll(kept.join(prs, col("event_type") === col("tb"))
+          .select(col("ta"), col("tb"), col("h"),
+            lit(0).as("in_a"), lit(1).as("in_b")))
+      val u = tagged.groupBy(col("ta"), col("tb"), col("h"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      val wu = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+      val top = u.withColumn("urn", row_number().over(wu))
+        .where(col("urn") <= k)
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+            .otherwise(0L)).as("matches"))
+      val unionEst = when(col("n_kept") < k, col("n_kept").cast("long"))
+        .otherwise(((a - a % col("hk")) / col("hk")).cast("long"))
+      val est = floor(col("matches") * unionEst / k).cast("long")
+      val du = ev(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val exact = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"),
+          col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("exact"))
+      top.join(exact, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"), col("matches"),
+          unionEst.as("union_est"), est.as("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          when(coalesce(col("exact"), lit(0L)) === 0L,
+              est * 1000000L)
+            .otherwise(floor(abs(est - col("exact")) * 1000000L /
+              col("exact"))).cast("long").as("err_ppm"))
+        .orderBy(col("ta"), col("tb"))
     })
   )
 
@@ -1308,6 +1431,102 @@ object EventQueries {
         |SELECT event_type, est, exact,
         |  CAST(floor(abs(est - exact) * 1000000 / exact) AS BIGINT)
         |    AS err_ppm
-        |FROM est_ ORDER BY event_type""".stripMargin
+        |FROM est_ ORDER BY event_type""".stripMargin,
+
+    // HLL re-derived from scratch: same 60-bit hash, bucket split,
+    // bin()-bitlength ρ, register max, and the exact-integer
+    // harmonic sum (1::BIGINT << (53−M)); the α·m²·2⁵³ numerator is
+    // inlined as the identical HUGEINT literal and the division is
+    // HUGEINT floor-divide — bit-for-bit the Spark decimal path.
+    "sk3_hll_distinct" ->
+      """WITH dh AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |regs AS (
+        |  SELECT event_type, h % 256 AS b,
+        |    max(CASE WHEN h // 256 = 0 THEN 53
+        |        ELSE 53 - length(bin(h // 256)) END) AS M
+        |  FROM dh GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT event_type,
+        |    (sum((1::BIGINT << (53 - M))::HUGEINT)
+        |      + (256 - count(*))::HUGEINT * 9007199254740992::HUGEINT)
+        |      * 1000000::HUGEINT AS den
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM events GROUP BY 1),
+        |est_ AS (
+        |  SELECT pt.event_type,
+        |    CAST(423993542593778584572133376::HUGEINT // den AS BIGINT)
+        |      AS est,
+        |    exact
+        |  FROM pt JOIN ex USING (event_type))
+        |SELECT event_type, est, exact,
+        |  CAST(floor(abs(est - exact) * 1000000 / exact) AS BIGINT)
+        |    AS err_ppm
+        |FROM est_ ORDER BY event_type""".stripMargin,
+
+    // KMV set-intersection replayed with window functions: per-type
+    // 64-minimum signatures, the pair-tagged union re-ranked to its
+    // own 64 minimum, match counting, and sk2's HUGEINT floor-divide
+    // union estimate; the audit side counts true pairwise overlap.
+    "sk4_kmv_intersect" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |kept AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM dh) WHERE rn <= 64),
+        |prs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM (SELECT DISTINCT event_type FROM kept) a
+        |  JOIN (SELECT DISTINCT event_type FROM kept) b
+        |    ON a.event_type < b.event_type),
+        |tagged AS (
+        |  SELECT ta, tb, h, 1 AS in_a, 0 AS in_b
+        |  FROM kept JOIN prs ON event_type = ta
+        |  UNION ALL
+        |  SELECT ta, tb, h, 0 AS in_a, 1 AS in_b
+        |  FROM kept JOIN prs ON event_type = tb),
+        |u AS (
+        |  SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM tagged GROUP BY 1, 2, 3),
+        |top_ AS (
+        |  SELECT ta, tb,
+        |    CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk,
+        |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1
+        |             ELSE 0 END) AS BIGINT) AS matches
+        |  FROM (
+        |    SELECT ta, tb, h, in_a, in_b,
+        |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS urn
+        |    FROM u) WHERE urn <= 64 GROUP BY 1, 2),
+        |est_ AS (
+        |  SELECT ta, tb, matches,
+        |    CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |      ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // hk
+        |      END AS BIGINT) AS union_est
+        |  FROM top_),
+        |ex AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS exact
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+        |  JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e.ta, e.tb, matches, union_est,
+        |  CAST(floor(matches * union_est / 64) AS BIGINT) AS est,
+        |  coalesce(exact, 0) AS exact,
+        |  CAST(CASE WHEN coalesce(exact, 0) = 0
+        |    THEN floor(matches * union_est / 64) * 1000000
+        |    ELSE floor(abs(floor(matches * union_est / 64) - exact)
+        |      * 1000000 / exact) END AS BIGINT) AS err_ppm
+        |FROM est_ e LEFT JOIN ex ON e.ta = ex.ta AND e.tb = ex.tb
+        |ORDER BY e.ta, e.tb""".stripMargin
   )
 }

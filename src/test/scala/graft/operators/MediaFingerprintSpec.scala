@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.AdsbQueries
+
+/** Semantic pins for the audio/video media ops (the oracle proves the
+  * arithmetic; these prove the ops MEAN something): the planted
+  * perturbed near-dup audio pairs must find each other at near-zero
+  * hamming while unrelated signals stay far, and frame sampling must
+  * honor the container header exactly. */
+class MediaFingerprintSpec extends SparkSpec {
+
+  private lazy val mm7 =
+    AdsbQueries.defs("mm7_audio_fingerprint")(spark, "unused")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(4), r.getLong(5))).toMap
+
+  test("perturbed audio near-dups are each other's nearest neighbor") {
+    // ±1 on every 97th byte barely moves 64-sample energies: the
+    // sign-of-delta bits are nearly unchanged
+    assert(mm7("tone_a")._1 === "tone_a_dup")
+    assert(mm7("tone_a_dup")._1 === "tone_a")
+    assert(mm7("tone_a")._2 <= 2, s"near-dup hamming: ${mm7("tone_a")}")
+    assert(mm7("sweep_d")._1 === "sweep_d_dup")
+    assert(mm7("sweep_d")._2 <= 2)
+  }
+
+  test("unrelated audio signals sit far apart in fingerprint space") {
+    // noise vs the pure tone: no structural reason for agreement
+    assert(mm7("noise_c")._2 > 8, s"noise NN: ${mm7("noise_c")}")
+  }
+
+  test("frame sampling honors the GVID header and k=4 lattice") {
+    val rows = AdsbQueries.defs("mm8_frame_sample")(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byModel = rows.groupBy(_._1)
+    // vid_b: 20 frames -> sampled 0,4,8,12,16
+    assert(byModel("vid_b").map(_._3).sorted === Seq(0L, 4L, 8L, 12L, 16L))
+    assert(byModel("vid_b").head._2 === 20L)
+    // vid_c: 9 frames -> 0,4,8
+    assert(byModel("vid_c").map(_._3).sorted === Seq(0L, 4L, 8L))
+    // the truncated copy samples a strict prefix of the original's lattice
+    val a = byModel("vid_a").map(_._3).sorted
+    val cut = byModel("vid_a_cut").map(_._3).sorted
+    assert(cut === a.take(cut.length))
+  }
+}

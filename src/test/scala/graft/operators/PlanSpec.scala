@@ -259,6 +259,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sk3 HLL sketch is pure aggregation — no rank window anywhere") {
+    // the mergeability claim: register-max then harmonic sum are both
+    // map-side-combinable groupBys; a window (sk2's shape) would mean
+    // per-group sorted state and no partial merge
+    val p = plan("sk3_hll_distinct")
+    assert(!p.contains("windowspecdefinition"), s"window in sk3:\n$p")
+  }
+
+  test("g1 PageRank's final plan is O(1)-depth over checkpointed state") {
+    // each superstep localCheckpoints, so the presented frame must be
+    // a flat scan of the last superstep's materialization — 8 chained
+    // joins here would mean the checkpoint discipline regressed and
+    // plan depth grows with iteration count
+    val p = plan("g1_knn_pagerank")
+    assert(p.contains("ExistingRDD"), s"g1 not checkpoint-backed:\n$p")
+    assert(!p.contains("Join"), s"g1 plan re-derives supersteps:\n$p")
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
