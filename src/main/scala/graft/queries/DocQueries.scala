@@ -1825,17 +1825,38 @@ object DocQueries {
     // aggregation each, integer ppm mass end to end, which is what
     // lets the oracle replay every iteration bit-for-bit (unrolled
     // CTE chain over the same dumped index + probes).
-    "g1_knn_pagerank" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.select(col("vec_id").as("qid"),
-        col("embedding").as("qvec"))
-      val edges = Ivf.knnJoinAt(s, mainIndexPath(s, dir), q,
-          topK = 3, nProbe = 2)
-        .select(col("qid").as("src"), col("vec_id").as("dst"))
+    "g1_knn_pagerank" -> ((s, dir) =>
       graft.operators.PageRank.ranksPpm(
-          e.select(col("vec_id").as("id")), edges, iterations = 8)
-        .orderBy(col("id"))
-    }),
+          emb(s, dir).select(col("vec_id").as("id")),
+          knnEdges(s, dir), iterations = 8)
+        .orderBy(col("id"))),
+
+    // g2: label-propagation communities over the same kNN graph —
+    // WHICH topic/near-dup island each vector belongs to (the
+    // cluster-id a mixture/dedup policy keys on), where g1 says how
+    // CENTRAL it is. Five synchronous votes, most-frequent-neighbor-
+    // label with ties to the smallest label — fully deterministic,
+    // so the oracle replays every round as an unrolled CTE chain
+    // (count + row_number votes over the same undirected edge set).
+    // [[LabelProp.communities]] holds the scale shape (one shuffle
+    // join + per-node top-1 per round, checkpointed state).
+    "g2_label_propagation" -> ((s, dir) =>
+      graft.operators.LabelProp.communities(
+          emb(s, dir).select(col("vec_id").as("id")),
+          knnEdges(s, dir), iterations = 5)
+        .orderBy(col("id"))),
+
+    // g3: exact per-node triangle counts over the kNN graph — the
+    // local-density signal (a vector in many triangles sits in a
+    // tightly knit near-dup/topic core; triangle-free nodes are
+    // periphery). Canonical ordered-wedge closure: each triangle
+    // i<j<k found once by two equi-joins ([[LabelProp.triangles]] —
+    // wedge set |V|·k², never |V|²), credited to all three corners.
+    "g3_triangle_count" -> ((s, dir) =>
+      graft.operators.LabelProp.triangles(
+          emb(s, dir).select(col("vec_id").as("id")),
+          knnEdges(s, dir))
+        .orderBy(col("id"))),
 
     // p23: dataset SNAPSHOT DIFF — the versioning readout published
     // between two corpus releases: per change class
@@ -2307,6 +2328,16 @@ object DocQueries {
   )
 
   /** s8/s9's query set: the leading 8 tokens of the first 5 docs. */
+  /** The g-family's shared graph: s14's IVF-pruned kNN join (k=3,
+    * nProbe=2) as a directed edge list — graph construction inherits
+    * the serve path's pruning instead of an all-pairs build. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir).select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+    Ivf.knnJoinAt(s, mainIndexPath(s, dir), q, topK = 3, nProbe = 2)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+  }
+
   private def bm25Queries(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).where(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
@@ -2739,6 +2770,66 @@ object DocQueries {
          |$iters
          |SELECT id, r AS rank_ppm FROM r8 ORDER BY id""".stripMargin
     },
+
+    // g2: five synchronous LPA votes unrolled — per round, neighbor
+    // label counts + the (votes desc, label asc) top-1 window over
+    // the same undirected dedup'd edge set, isolated nodes keeping
+    // their label via the left join.
+    "g2_label_propagation" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""v$i AS (
+           |  SELECT id, lbl AS new_lbl FROM (
+           |    SELECT e.dst AS id, l.lbl, count(*) AS votes,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, l.lbl) AS rn
+           |    FROM und e JOIN l${i - 1} l ON e.src = l.id
+           |    GROUP BY e.dst, l.lbl) WHERE rn = 1),
+           |l$i AS (
+           |  SELECT l.id, coalesce(v.new_lbl, l.lbl) AS lbl
+           |  FROM l${i - 1} l LEFT JOIN v$i v USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ivfTopkCtes("ivf_main", "ivf_knn_probes")},
+         |edges0 AS (
+         |  SELECT qid AS src, vec_id AS dst FROM ranked WHERE rank <= 3),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges0 WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst FROM edges0 WHERE src <> dst)),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |l0 AS (SELECT id, id AS lbl FROM nodes),
+         |$rounds
+         |SELECT id, lbl AS community FROM l5 ORDER BY id""".stripMargin
+    },
+
+    // g3: ordered-wedge triangle closure — i<j<k once each via two
+    // equi-joins over the src<dst edge representatives, credit
+    // union'd to the three corners, zeros via the node left join.
+    "g3_triangle_count" ->
+      s"""WITH ${ivfTopkCtes("ivf_main", "ivf_knn_probes")},
+         |edges0 AS (
+         |  SELECT qid AS src, vec_id AS dst FROM ranked WHERE rank <= 3),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges0 WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst FROM edges0 WHERE src <> dst)),
+         |ord AS (SELECT src, dst FROM und WHERE src < dst),
+         |tris AS (
+         |  SELECT w.i, w.j, w.k FROM (
+         |    SELECT a.src AS i, a.dst AS j, b.dst AS k
+         |    FROM ord a JOIN ord b ON a.dst = b.src) w
+         |  JOIN ord c ON w.i = c.src AND w.k = c.dst),
+         |credit AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |    SELECT i AS id FROM tris
+         |    UNION ALL SELECT j FROM tris
+         |    UNION ALL SELECT k FROM tris)
+         |  GROUP BY 1),
+         |nodes AS (SELECT vec_id AS id FROM embeddings)
+         |SELECT n.id, coalesce(c.triangles, 0) AS triangles
+         |FROM nodes n LEFT JOIN credit c ON n.id = c.id
+         |ORDER BY n.id""".stripMargin,
 
     // s12: the top-k oracle's sims CTEs with the τ filter in place of
     // the rank window — same dump, same 5-digit rounding discipline.
