@@ -827,6 +827,65 @@ object EventQueries {
             .otherwise(floor(abs(est - col("exact")) * 1000000L /
               col("exact"))).cast("long").as("err_ppm"))
         .orderBy(col("ta"), col("tb"))
+    }),
+
+    // sk5: HDR-histogram quantile sketch (the HdrHistogram/DDSketch
+    // family) — p50/p90/p99 of value per event_type from a sketch of
+    // ≤ ~128 log-scaled integer buckets instead of ql's exact
+    // distributed rank. Bucketing is pure integer arithmetic on
+    // cents: values < 8 are their own (exact) bucket; otherwise with
+    // e = bitlength(c) the top four bits index bucket (e−4)·8 +
+    // ⌊c/2^(e−4)⌋, giving ≤12.5% relative bucket width. The sketch
+    // is ONE map-side-combinable groupBy; estimates read the
+    // per-type cumulative count (a ≤128-row window) at rank
+    // ⌈q·n/100⌉ (exact-integer ceil) and report the bucket's lower
+    // bound, so est ≤ exact always and err_ppm ≤ 125000 by
+    // construction. Mergeability is the 100 TB point: per-group
+    // state is bucket counts (add to merge — sketches from disjoint
+    // partitions/days combine losslessly), where ql must shuffle
+    // every value. `exact`/`err_ppm` audit against the true order
+    // statistic at the same rank rule.
+    "sk5_hdr_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = ev(s, dir).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val b = cents.withColumn("e", length(bin(col("c"))).cast("long"))
+        .select(col("event_type"),
+          when(col("c") < 8, col("c"))
+            .otherwise((col("e") - 4) * 8 +
+              expr("c div shiftleft(1L, cast(e - 4 AS int))"))
+            .as("bid"),
+          when(col("c") < 8, col("c"))
+            .otherwise(expr(
+              """c div shiftleft(1L, cast(e - 4 AS int))
+                | * shiftleft(1L, cast(e - 4 AS int))""".stripMargin))
+            .as("lb"))
+      val sketch = b.groupBy(col("event_type"), col("bid"))
+        .agg(count(lit(1)).as("cnt"), min(col("lb")).as("lb"))
+      val wT = Window.partitionBy(col("event_type"))
+      val wCum = wT.orderBy(col("bid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = sketch
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wT))
+      val qs = cum.withColumn("q", explode(typedLit(Seq(50L, 90L, 99L))))
+        .withColumn("rank", expr("(q * n + 99) div 100"))
+        .where(col("cum") >= col("rank"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(min(col("lb")).as("est_cents"))
+      val wRn = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      val ranked = cents.withColumn("rn", row_number().over(wRn))
+        .withColumn("n", count(lit(1)).over(wT))
+      val exact = ranked
+        .withColumn("q", explode(typedLit(Seq(50L, 90L, 99L))))
+        .where(col("rn") === expr("(q * n + 99) div 100"))
+        .select(col("event_type"), col("q"), col("c").as("exact_cents"))
+      qs.join(exact, Seq("event_type", "q"))
+        .select(col("event_type"), col("q"), col("est_cents"),
+          col("exact_cents"),
+          floor((col("exact_cents") - col("est_cents")) * 1000000L /
+            col("exact_cents")).as("err_ppm"))
+        .orderBy(col("event_type"), col("q"))
     })
   )
 
@@ -1527,6 +1586,55 @@ object EventQueries {
         |    ELSE floor(abs(floor(matches * union_est / 64) - exact)
         |      * 1000000 / exact) END AS BIGINT) AS err_ppm
         |FROM est_ e LEFT JOIN ex ON e.ta = ex.ta AND e.tb = ex.tb
-        |ORDER BY e.ta, e.tb""".stripMargin
+        |ORDER BY e.ta, e.tb""".stripMargin,
+
+    // HDR quantile sketch re-derived: identical integer bucketing
+    // (bin()-bitlength, shift-based powers of two, floor-divides),
+    // the one-pass bucket sketch, cumulative-count rank lookup at
+    // the exact-integer ceil rank, and the true order statistic as
+    // the audit.
+    "sk5_hdr_quantiles" ->
+      """WITH cents AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN c < 8 THEN c
+        |      ELSE (length(bin(c)) - 4) * 8
+        |        + c // (1::BIGINT << (length(bin(c)) - 4)) END AS bid,
+        |    CASE WHEN c < 8 THEN c
+        |      ELSE (c // (1::BIGINT << (length(bin(c)) - 4)))
+        |        * (1::BIGINT << (length(bin(c)) - 4)) END AS lb
+        |  FROM cents),
+        |sketch AS (
+        |  SELECT event_type, bid, CAST(count(*) AS BIGINT) AS cnt,
+        |    min(lb) AS lb
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bid, lb,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bid) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM sketch),
+        |qs AS (
+        |  SELECT event_type, q, min(lb) AS est_cents
+        |  FROM cum, UNNEST([50, 90, 99]) AS u(q)
+        |  WHERE cum >= (q * n + 99) // 100
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM cents),
+        |ex AS (
+        |  SELECT event_type, q, c AS exact_cents
+        |  FROM ranked, UNNEST([50, 90, 99]) AS u(q)
+        |  WHERE rn = (q * n + 99) // 100)
+        |SELECT s.event_type, CAST(s.q AS BIGINT) AS q, est_cents,
+        |  exact_cents,
+        |  CAST(floor((exact_cents - est_cents) * 1000000 / exact_cents)
+        |    AS BIGINT) AS err_ppm
+        |FROM qs s JOIN ex USING (event_type, q)
+        |ORDER BY event_type, q""".stripMargin
   )
 }
