@@ -179,6 +179,55 @@ object BmpAHash {
   /** Column API: [hi, lo] 32-bit halves of the 8×9-grid dHash. */
   def dHash(bin: Column): Column =
     Bridge.column(BmpDHashExpr(Bridge.expression(bin)))
+
+  /** Gray-statistics kernel for the mm9 image quality gate: over the
+    * SAME 8×8 sample grid as [[compute]] (identical grid mapping, so
+    * the oracle reuses the aHash CTE chain's sampled grays verbatim),
+    * returns [sum, sumSq, min, max] of the exact R+G+B grays
+    * (0..765). Pure integer arithmetic — sum ≤ 765·64, sumSq ≤
+    * 765²·64 ≈ 3.7e7, nowhere near overflow — and the same NULL
+    * contract as the hashes. */
+  def computeGrayStats(b: Array[Byte]): Array[Long] = {
+    def u8(p: Long): Long = b(p.toInt) & 0xffL
+    def le32(p: Int): Long =
+      u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
+    def signed(v: Long): Long = if (v > Int.MaxValue) v - 4294967296L else v
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val w = signed(le32(18))
+    val hRaw = signed(le32(22))
+    val bpp = u8(28) | (u8(29) << 8)
+    val off = le32(10)
+    if (bpp != 24 || w <= 0 || hRaw == 0) return null
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val stride = (w * 3 + 3) / 4 * 4
+    if (off + h * stride > b.length) return null
+    val grid = 8
+    var sum = 0L
+    var sumSq = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < grid * grid) {
+      val r = i / grid
+      val c = i % grid
+      val rImg = r * h / grid
+      val cImg = c * w / grid
+      val row = if (topDown) rImg else h - 1 - rImg
+      val p = off + row * stride + cImg * 3
+      val g = u8(p) + u8(p + 1) + u8(p + 2)
+      sum += g
+      sumSq += g * g
+      if (g < mn) mn = g
+      if (g > mx) mx = g
+      i += 1
+    }
+    Array(sum, sumSq, mn, mx)
+  }
+
+  /** Column API: [sum, sumSq, min, max] grid-sampled grays. */
+  def grayStats(bin: Column): Column =
+    Bridge.column(BmpGrayStatsExpr(Bridge.expression(bin)))
 }
 
 /** [[BmpAHash.computeDHash]] as a codegen expression — same
@@ -215,5 +264,43 @@ case class BmpDHashExpr(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): BmpDHashExpr =
+    copy(child = newChild)
+}
+
+/** [[BmpAHash.computeGrayStats]] as a codegen expression — same
+  * one-call-into-the-kernel generated code as [[BmpAHashExpr]]. */
+case class BmpGrayStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_gray_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bmp_gray_stats needs binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = BmpAHash.computeGrayStats(input.asInstanceOf[Array[Byte]])
+    if (out == null) null else new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bin => {
+      val out = ctx.freshName("gstats")
+      s"""
+         |long[] $out = graft.functions.BmpAHash.computeGrayStats($bin);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BmpGrayStatsExpr =
     copy(child = newChild)
 }

@@ -323,6 +323,37 @@ object AdsbQueries {
       hashed.join(nn, Seq("model")).orderBy(col("model"))
     }),
 
+    // mm9: per-image QUALITY statistics — the pixel-level admission
+    // gate a multimodal curation pipeline runs before an image enters
+    // training data (too-dark / too-bright / flat screenshots and
+    // solid-color placeholder images are the classic crawl junk).
+    // Exact integer grays over the SAME 8×8 sample grid as mm3's
+    // aHash (one kernel family, one oracle CTE chain): mean, min,
+    // max, and population variance (64·Σg² − (Σg)² over 64², always
+    // ≥ 0 by Cauchy–Schwarz so floor-div and trunc-div agree), plus
+    // the three derived gate flags at documented thresholds on the
+    // 0..765 gray scale (dark < 25%, bright > 75%, variance < 20000
+    // ≈ std 18%). Scale shape: one codegen projection per blob — no
+    // joins, no shuffle beyond the final sort; at 100 TB this is a
+    // pure map over the binary column, and the flags prune the
+    // expensive decode stages downstream of it.
+    "mm9_image_stats" -> ((s, _) => {
+      val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
+      Multimodal.withMetadata(bin, col("silhouette"))
+        .where(Multimodal.isBmp(col("silhouette")))
+        .withColumn("st", graft.functions.BmpAHash.grayStats(col("silhouette")))
+        .where(col("st").isNotNull)
+        .select(col("model"), col("width"), col("height"),
+          expr("st[0] div 64").as("gray_mean"),
+          col("st")(2).as("gray_min"), col("st")(3).as("gray_max"),
+          expr("(64 * st[1] - st[0] * st[0]) div 4096").as("contrast_var"),
+          (col("st")(0) < lit(192L * 64)).as("is_dark"),
+          (col("st")(0) > lit(573L * 64)).as("is_bright"),
+          (lit(64L) * col("st")(1) - col("st")(0) * col("st")(0) <
+            lit(20000L * 4096)).as("low_contrast"))
+        .orderBy(col("model"))
+    }),
+
     "mm4_image_neardup" -> ((s, _) => {
       val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
         .select(col("model"), col("silhouette"))
@@ -898,6 +929,26 @@ object AdsbQueries {
          |SELECT model, ahash_hi AS bmp_hi, ahash_lo AS bmp_lo,
          |  ahash_hi AS png_hi, ahash_lo AS png_lo, TRUE AS parity
          |FROM hh ORDER BY model""".stripMargin,
+
+    // mm9: the stats re-derived from the SAME sampled grays as the
+    // aHash oracle (the `g` CTE of the shared chain — the hash CTEs
+    // ride along unused), with the variance/flag arithmetic replayed
+    // in exact integer SQL.
+    "mm9_image_stats" ->
+      s"""WITH ${ahashCtes(s"SELECT model, hex(silhouette) AS hx FROM ${tbl("mm_blobs")}")},
+         |st AS (
+         |  SELECT model, sum(gray) AS sg, sum(gray * gray) AS sq,
+         |    min(gray) AS mn, max(gray) AS mx
+         |  FROM g GROUP BY 1)
+         |SELECT hh.model, width, height,
+         |  CAST(sg // 64 AS BIGINT) AS gray_mean,
+         |  CAST(mn AS BIGINT) AS gray_min,
+         |  CAST(mx AS BIGINT) AS gray_max,
+         |  CAST((64 * sq - sg * sg) // 4096 AS BIGINT) AS contrast_var,
+         |  sg < 12288 AS is_dark,
+         |  sg > 36672 AS is_bright,
+         |  (64 * sq - sg * sg) < 81920000 AS low_contrast
+         |FROM hh JOIN st USING (model) ORDER BY model""".stripMargin,
 
     // mm4: the same hash chain over the copy-injected blob set, then
     // 16-bit banding, band-bucket candidate join, hamming verify.

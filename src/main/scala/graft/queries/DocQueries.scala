@@ -2324,6 +2324,78 @@ object DocQueries {
             .as("r_repetition"))
         .withColumn("admit", col("keep") && col("r_repetition"))
         .orderBy(col("doc_id"))
+    }),
+
+    // t27: FORCAST readability — the one standard readability formula
+    // with NO sentence term (grade = 20 − 15·mono/W, mono = share of
+    // single-syllable words per 150-word sample), which is exactly
+    // right for this corpus: the documents contain zero sentence
+    // punctuation (max [.!?] count across both scale factors is 0),
+    // so Flesch/LIX-family sentence denominators would degenerate to
+    // 1 for every doc. Syllables are the standard vowel-group
+    // heuristic ([aeiouy]+ runs, a regex simple enough that Java
+    // and RE2 agree byte-for-byte); the grade is exact fixed-point —
+    // 20e6 − (15e6·mono div W), positive operands so floor-div and
+    // trunc-div coincide across engines — plus the LIX long-word
+    // numerator (≥7 chars) as a ppm. Scale shape: one token explode
+    // collapsing map-side to per-doc counters keyed by doc_id, one
+    // doc-keyed left join to keep wordless docs visible as NULLs —
+    // the t26 discipline.
+    "t27_forcast_readability" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .select(col("doc_id"), col("tok"),
+          size(regexp_extract_all(lower(col("tok")),
+            lit("[aeiouy]+"), lit(0))).as("nv"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("nv") === 1, 1L).otherwise(0L)).as("n_mono"),
+          sum(when(length(col("tok")) >= 7, 1L).otherwise(0L)).as("n_long"))
+      d.select(col("doc_id")).join(w, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_mono"), col("n_long"),
+          expr("20000000L - ((15000000L * n_mono) div n_words)")
+            .as("forcast_grade_micro"),
+          expr("(1000000L * n_long) div n_words").as("longword_ppm"))
+        .withColumn("band",
+          when(col("forcast_grade_micro").isNull,
+            lit(null).cast("string"))
+          .when(col("forcast_grade_micro") < 10000000L, lit("easy"))
+          .when(col("forcast_grade_micro") < 12000000L, lit("medium"))
+          .otherwise(lit("hard")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sk6: AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second
+    // frequency moment of the token distribution, the classic
+    // join-size / self-join-cardinality / skew estimator: each of 16
+    // sketch rows keeps ONE counter X_r = Σ_tok c_tok·s_r(tok) with
+    // s_r ∈ {−1,+1} a portable md5-derived sign, and X_r² is an
+    // unbiased estimate of F₂ = Σ c². Exact-integer end to end, so
+    // DuckDB rebuilds every counter bit-for-bit; the exact F₂ rides
+    // the same per-token count frame for an in-row error readout.
+    // Scale shape: ONE map-side-combinable token count shuffle, then
+    // a single-row aggregate computing all 16 signed sums plus the
+    // exact moment in one pass — the sketch state is 16 longs, which
+    // is the whole point: at 100 TB the exact column is dropped and
+    // the 16 counters are all that exists.
+    "sk6_ams_f2" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val R = 16
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val aggCols = (0 until R).map { r =>
+        sum(col("c") * (phash(col("tok"), r) % 2 * 2 - 1)).as(s"x$r")
+      } :+ sum(col("c") * col("c")).as("exact_f2")
+      cnt.agg(aggCols.head, aggCols.tail: _*)
+        .select(col("exact_f2"),
+          posexplode(array((0 until R).map(r => col(s"x$r")): _*)))
+        .select(col("pos").as("r"), col("col").as("x"),
+          (col("col") * col("col")).as("est"), col("exact_f2"))
+        .orderBy(col("r"))
     })
   )
 
@@ -5153,6 +5225,53 @@ object DocQueries {
         |FROM probes p JOIN counters c ON p.r = c.r AND p.b = c.b
         |GROUP BY p.tok, p.exact
         |ORDER BY est DESC, tok LIMIT 20""".stripMargin,
+
+    // t27: the same vowel-group syllable heuristic and exact
+    // fixed-point FORCAST arithmetic, independently over DuckDB's
+    // regexp engine (RE2 vs Java — the pattern is simple enough that
+    // they agree byte-for-byte).
+    "t27_forcast_readability" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, tok,
+        |    len(regexp_extract_all(lower(tok), '[aeiouy]+')) AS nv
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(CASE WHEN nv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_mono,
+        |    CAST(sum(CASE WHEN length(tok) >= 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_long
+        |  FROM w GROUP BY 1)
+        |SELECT d.doc_id, n_words, n_mono, n_long,
+        |  CAST(20000000 - ((15000000 * n_mono) // n_words) AS BIGINT)
+        |    AS forcast_grade_micro,
+        |  CAST((1000000 * n_long) // n_words AS BIGINT) AS longword_ppm,
+        |  CASE WHEN n_words IS NULL THEN NULL
+        |    WHEN 20000000 - ((15000000 * n_mono) // n_words) < 10000000
+        |      THEN 'easy'
+        |    WHEN 20000000 - ((15000000 * n_mono) // n_words) < 12000000
+        |      THEN 'medium'
+        |    ELSE 'hard' END AS band
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // sk6: every signed counter rebuilt bit-for-bit from the md5 sign
+    // hash over the same per-token counts.
+    "sk6_ams_f2" ->
+      s"""WITH t AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |xr AS (
+        |  SELECT u.r, sum(c * ((${dkHash("tok", "u.r")} % 2) * 2 - 1)) AS x
+        |  FROM cnt, UNNEST(range(0, 16)) AS u(r) GROUP BY 1),
+        |ex AS (SELECT sum(c * c) AS exact_f2 FROM cnt)
+        |SELECT CAST(r AS INTEGER) AS r, CAST(x AS BIGINT) AS x,
+        |  CAST(x * x AS BIGINT) AS est, CAST(exact_f2 AS BIGINT) AS exact_f2
+        |FROM xr, ex ORDER BY r""".stripMargin,
 
     // t26: gram positions i run 1..len-n+1; seeds are the gram order
     // n (matching phash(sh, n) on the Spark side).

@@ -120,6 +120,42 @@ class BmpAHashSpec extends SparkSpec {
       "aHash assigns both ramps the same bit mass")
   }
 
+  private def gstats(bytes: Array[Byte]): Option[Seq[Long]] = {
+    val r = Seq(Tuple1(bytes)).toDF("bin")
+      .select(BmpAHash.grayStats(col("bin")).as("st")).head()
+    if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+  }
+
+  test("gray stats: uniform image — exact sum/sumSq, zero spread") {
+    // gray = 300 at every sample → sum 300·64, sumSq 300²·64, min=max
+    assert(gstats(bmp(16, 16, (_, _) => (100, 100, 100))) ===
+      Some(Seq(300L * 64, 300L * 300 * 64, 300L, 300L)))
+  }
+
+  test("gray stats: half-bright image and both row orders") {
+    val s = gstats(bmp(16, 16,
+      (x, _) => if (x < 8) (255, 255, 255) else (0, 0, 0))).get
+    // 32 samples at 765, 32 at 0
+    assert(s === Seq(765L * 32, 765L * 765 * 32, 0L, 765L))
+    def pix(x: Int, y: Int) =
+      if ((x + y) % 3 == 0) (200, 10, 30) else (5, 80, 160)
+    assert(gstats(bmp(20, 12, pix)) === gstats(bmp(20, -12, pix)))
+  }
+
+  test("gray stats: NULL contract and interpreted-vs-codegen parity") {
+    val good = bmp(8, 8, (_, _) => (1, 2, 3))
+    assert(gstats("not a bmp".getBytes) === None)
+    assert(gstats(good.dropRight(3)) === None)
+    val img = bmp(33, 7, (x, y) => ((x * 37) % 256, (y * 91) % 256, 17))
+    val df = Seq(Tuple1(img)).toDF("bin")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try df.select(BmpAHash.grayStats(col("bin"))).head().getSeq[Long](0)
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    val gen = df.select(BmpAHash.grayStats(col("bin"))).head().getSeq[Long](0)
+    assert(interp === gen)
+  }
+
   test("dHash honors both row orders and the NULL contract") {
     def pix(x: Int, y: Int) =
       if ((x * 7 + y * 3) % 5 < 2) (220, 40, 10) else (15, 90, 140)
