@@ -277,6 +277,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"g1 plan re-derives supersteps:\n$p")
   }
 
+  test("mm9 image stats is a pure scan-projection — no join anywhere") {
+    // the admission-gate claim: at 100 TB this must be a map over the
+    // binary column; any join/window here means the stats kernel
+    // stopped being a projection
+    val p = plan("mm9_image_stats")
+    assert(!p.contains("Join"), s"join in mm9:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"window in mm9:\n$p")
+  }
+
+  test("t27 readability collapses to per-doc counters in one exchange") {
+    // token explode → map-side-combined groupBy(doc_id) → one
+    // doc-keyed join; a second hash exchange on the aggregate side
+    // would mean the partial aggregation stopped combining map-side
+    val p = plan("t27_forcast_readability")
+    assert(!p.contains("windowspecdefinition"), s"window in t27:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges in t27:\n$p")
+  }
+
+  test("sk6 AMS sketch reduces to one row with no join and no window") {
+    // all 16 signed counters and the exact moment compute in a single
+    // aggregate over the token counts — the 16-longs-of-state claim
+    val p = plan("sk6_ams_f2")
+    assert(!p.contains("Join"), s"join in sk6:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"window in sk6:\n$p")
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
