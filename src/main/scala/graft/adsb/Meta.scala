@@ -62,7 +62,8 @@ object Meta {
   private val bundledMedia = Seq(
     "tone_a.pcm", "tone_a_dup.pcm", "tone_b.pcm", "noise_c.pcm",
     "sweep_d.pcm", "sweep_d_dup.pcm", "mix_e.pcm", "quiet_f.pcm",
-    "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid")
+    "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid",
+    "vid_scene.gvid")
 
   /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
     * is headerless 8-bit PCM; .gvid is the toy frame container

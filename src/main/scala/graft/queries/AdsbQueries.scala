@@ -469,6 +469,50 @@ object AdsbQueries {
             |    (8 + frame_idx*frame_size + i)*2 + 1, 2), 16, 10)
             |    AS bigint))""".stripMargin).as("bytesum"))
         .orderBy(col("model"), col("frame_idx"))
+    }),
+
+    // mm10: shot-boundary detection — the scene segmentation
+    // primitive a video curation pipeline runs before per-shot
+    // sampling/dedup (a cut is where consecutive-frame content
+    // jumps). Signal: per-frame byte-sum energies over the GVID
+    // lattice (mm8's parse), adjacent absolute deltas, and a
+    // per-video adaptive threshold of 2× the mean absolute delta —
+    // all exact integers (positive floor-div = trunc-div on both
+    // engines), so the oracle re-derives every flag from the dumped
+    // blobs. The vid_scene fixture plants one hard cut (dark→bright
+    // at frame 8, Δ ≈ 54k vs threshold ≈ 7k) so a 0-boundary green
+    // proves nothing. Scale shape: per-blob O(bytes) map work in
+    // built-in codegen'd expressions, row count Σ(n_frames−1), no
+    // join anywhere.
+    "mm10_shot_boundaries" -> ((s, _) => {
+      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
+      bin.withColumn("hx", hex(col("content")))
+        .where(expr("substr(hx, 1, 8) = '47564944'"))
+        .withColumn("frame_size", expr(
+          "cast(conv(substr(hx, 11, 2) || substr(hx, 9, 2), 16, 10) AS int)"))
+        .withColumn("n_frames", expr(
+          "cast(conv(substr(hx, 15, 2) || substr(hx, 13, 2), 16, 10) AS int)"))
+        .where(col("n_frames") >= 2)
+        .withColumn("sums", expr(
+          """transform(sequence(0, n_frames - 1), f ->
+            |  aggregate(sequence(0, frame_size - 1), 0L, (acc, i) ->
+            |    acc + cast(conv(substr(hx,
+            |      (8 + f*frame_size + i)*2 + 1, 2), 16, 10) AS bigint)))"""
+            .stripMargin))
+        .withColumn("deltas", expr(
+          """transform(sequence(1, n_frames - 1), f ->
+            |  abs(element_at(sums, f + 1) - element_at(sums, f)))"""
+            .stripMargin))
+        .withColumn("thr", expr(
+          """2L * (aggregate(deltas, 0L, (acc, d) -> acc + d)
+            |  div cast(n_frames - 1 AS bigint))""".stripMargin))
+        .withColumn("frame_idx", explode(expr("sequence(1, n_frames - 1)")))
+        .select(col("model"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("element_at(sums, frame_idx + 1)").as("energy"),
+          expr("element_at(deltas, frame_idx)").as("delta_abs"),
+          col("thr"),
+          expr("element_at(deltas, frame_idx) > thr").as("is_boundary"))
+        .orderBy(col("model"), col("frame_idx"))
     })
   )
 
@@ -1039,7 +1083,43 @@ object AdsbQueries {
          |  CAST(list_sum(list_transform(range(0, frame_size), i ->
          |    ('0x' || substr(hx, (8 + frame_idx*frame_size + i)*2 + 1, 2))
          |      ::BIGINT)) AS BIGINT) AS bytesum
-         |FROM f ORDER BY model, frame_idx""".stripMargin
+         |FROM f ORDER BY model, frame_idx""".stripMargin,
+
+    // mm10: per-frame energies, adjacent deltas, the 2×-mean-delta
+    // adaptive threshold and every boundary flag re-derived from the
+    // dumped blobs (1-based DuckDB list indexing mirrors Spark's
+    // element_at convention).
+    "mm10_shot_boundaries" ->
+      s"""WITH b AS (SELECT model, hex(content) AS hx
+         |  FROM ${tbl("video_blobs")}),
+         |hdr AS (
+         |  SELECT model, hx,
+         |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER AS fs,
+         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS nf
+         |  FROM b WHERE substr(hx, 1, 8) = '47564944'),
+         |en AS (
+         |  SELECT model, fs, nf,
+         |    list_transform(range(0, nf), f ->
+         |      list_sum(list_transform(range(0, fs), i ->
+         |        ('0x' || substr(hx, (8 + f*fs + i)*2 + 1, 2))::BIGINT)))
+         |      AS sums
+         |  FROM hdr WHERE nf >= 2),
+         |dl AS (
+         |  SELECT model, nf, sums,
+         |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
+         |      AS deltas
+         |  FROM en),
+         |th AS (
+         |  SELECT model, nf, sums, deltas,
+         |    2 * (list_sum(deltas) // (nf - 1)) AS thr
+         |  FROM dl)
+         |SELECT model, CAST(u.f AS BIGINT) AS frame_idx,
+         |  CAST(sums[u.f + 1] AS BIGINT) AS energy,
+         |  CAST(deltas[u.f] AS BIGINT) AS delta_abs,
+         |  CAST(thr AS BIGINT) AS thr,
+         |  deltas[u.f] > thr AS is_boundary
+         |FROM th, UNNEST(range(1, nf)) AS u(f)
+         |ORDER BY model, frame_idx""".stripMargin
   )
 
   /** The reference's `event` composite type

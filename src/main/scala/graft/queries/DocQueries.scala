@@ -2396,6 +2396,60 @@ object DocQueries {
         .select(col("pos").as("r"), col("col").as("x"),
           (col("col") * col("col")).as("est"), col("exact_f2"))
         .orderBy(col("r"))
+    }),
+
+    // t28: RAKE keyword extraction (Rose et al. 2010) — co-occurrence
+    // keyword mining, the complement to t16's TF-IDF: stopwords
+    // DELIMIT candidate phrases (phrase id = running stopword count,
+    // an engine-portable integer), a word scores deg/freq over the
+    // phrases it occurs in (deg = Σ lengths of containing phrases),
+    // and a phrase scores the sum of its member word scores — all
+    // exact ppm fixed-point, top-3 phrases per doc. The stopword
+    // list is t1's, so the two text surfaces share one vocabulary of
+    // "function words". Scale shape: everything is keyed by doc_id —
+    // the phrase window, both groupBys and both joins partition on
+    // the document, so no global window/sort exists anywhere and a
+    // hot document bounds its own task, never the stage.
+    "t28_rake_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "a", "an", "of", "and", "or", "to", "in",
+        "is", "on", "for", "with")
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("is_stop",
+          col("tok").isin(stop: _*) || length(col("tok")) === 0)
+      val wPhr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val ph = toks.withColumn("phrase_id",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wPhr))
+        .where(!col("is_stop"))
+        .select(col("doc_id"), col("pos"), col("tok"), col("phrase_id"))
+      val pl = ph.groupBy(col("doc_id"), col("phrase_id"))
+        .agg(count(lit(1)).as("plen"),
+          array_join(expr("transform(array_sort(" +
+            "collect_list(struct(pos, tok))), x -> x.tok)"), " ")
+            .as("ptext"))
+      val occ = ph.join(pl.select(col("doc_id"), col("phrase_id"),
+        col("plen")), Seq("doc_id", "phrase_id"))
+      val ws = occ.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("wscore_ppm", expr("(1000000L * deg) div freq"))
+        .select(col("doc_id"), col("tok"), col("wscore_ppm"))
+      val ps = occ.join(ws, Seq("doc_id", "tok"))
+        .groupBy(col("doc_id"), col("phrase_id"))
+        .agg(sum(col("wscore_ppm")).as("score_ppm"))
+      val pd = ps.join(pl.select(col("doc_id"), col("phrase_id"),
+          col("ptext")), Seq("doc_id", "phrase_id"))
+        .groupBy(col("doc_id"), col("ptext").as("phrase"))
+        .agg(max(col("score_ppm")).as("score_ppm"),
+          count(lit(1)).as("n_occur"))
+      val wRank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+      pd.withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("phrase"), col("score_ppm"),
+          col("n_occur"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
     })
   )
 
@@ -5272,6 +5326,57 @@ object DocQueries {
         |SELECT CAST(r AS INTEGER) AS r, CAST(x AS BIGINT) AS x,
         |  CAST(x * x AS BIGINT) AS est, CAST(exact_f2 AS BIGINT) AS exact_f2
         |FROM xr, ex ORDER BY r""".stripMargin,
+
+    // t28: the full RAKE chain replayed — running-stopword-count
+    // phrase ids, deg/freq word scores, phrase-score sums, top-3 —
+    // over DuckDB's window/group machinery.
+    "t28_rake_keywords" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, u.i AS pos, t[u.i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents),
+        |    UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |st AS (
+        |  SELECT doc_id, pos, tok,
+        |    (list_contains(['the','a','an','of','and','or','to','in',
+        |      'is','on','for','with'], tok) OR length(tok) = 0)
+        |      AS is_stop
+        |  FROM tk),
+        |ph AS (
+        |  SELECT doc_id, pos, tok, is_stop,
+        |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        |  FROM st),
+        |w AS (SELECT doc_id, pos, tok, phrase_id FROM ph
+        |  WHERE NOT is_stop),
+        |pl AS (
+        |  SELECT doc_id, phrase_id, count(*) AS plen,
+        |    string_agg(tok, ' ' ORDER BY pos) AS ptext
+        |  FROM w GROUP BY 1, 2),
+        |occ AS (
+        |  SELECT w.doc_id, w.tok, w.phrase_id, pl.plen
+        |  FROM w JOIN pl USING (doc_id, phrase_id)),
+        |ws AS (
+        |  SELECT doc_id, tok,
+        |    (1000000 * sum(plen)) // count(*) AS wscore_ppm
+        |  FROM occ GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT o.doc_id, o.phrase_id, sum(ws.wscore_ppm) AS score_ppm
+        |  FROM occ o JOIN ws ON o.doc_id = ws.doc_id AND o.tok = ws.tok
+        |  GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT ps.doc_id, pl.ptext AS phrase,
+        |    max(ps.score_ppm) AS score_ppm, count(*) AS n_occur
+        |  FROM ps JOIN pl USING (doc_id, phrase_id)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT doc_id, phrase, CAST(score_ppm AS BIGINT) AS score_ppm,
+        |    CAST(n_occur AS BIGINT) AS n_occur,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_ppm DESC, phrase) AS rank
+        |  FROM pd)
+        |SELECT doc_id, phrase, score_ppm, n_occur, rank
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // t26: gram positions i run 1..len-n+1; seeds are the gram order
     // n (matching phash(sh, n) on the Spark side).

@@ -44,4 +44,21 @@ class MediaFingerprintSpec extends SparkSpec {
     val cut = byModel("vid_a_cut").map(_._3).sorted
     assert(cut === a.take(cut.length))
   }
+
+  test("shot-boundary detection fires exactly at the planted cut") {
+    val rows = AdsbQueries.defs("mm10_shot_boundaries")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(5)))
+    // vid_scene: dark frames 0-7, bright 8-15 → the ONLY boundary is
+    // the 7→8 transition (reported at frame_idx 8); every other
+    // delta is fixture noise well under the 2×-mean threshold
+    val scene = rows.filter(_._1 == "vid_scene")
+    assert(scene.length === 15) // n_frames - 1 comparison rows
+    assert(scene.filter(_._3).map(_._2).toSeq === Seq(8L))
+    // vid_a_cut is a prefix of vid_a: their shared comparison rows
+    // agree flag-for-flag (the threshold is per-video, so only check
+    // the structural prefix property on deltas via flags count ≥ 0)
+    assert(rows.count(_._1 == "vid_a") === 15)
+    assert(rows.count(_._1 == "vid_a_cut") === 11)
+  }
 }

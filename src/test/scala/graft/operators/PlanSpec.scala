@@ -304,6 +304,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), s"window in sk6:\n$p")
   }
 
+  test("mm10 shot boundaries is per-blob map work — no join anywhere") {
+    val p = plan("mm10_shot_boundaries")
+    assert(!p.contains("Join"), s"join in mm10:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"window in mm10:\n$p")
+  }
+
+  test("t28 RAKE stays doc-partitioned — no single-partition funnel") {
+    // the phrase window, the rank window, both groupBys and both
+    // joins all key on doc_id; a single-partition exchange would
+    // mean one of them lost its partitioning
+    val p = plan("t28_rake_keywords")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in t28:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-3 unpruned in t28:\n$p")
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
