@@ -2450,6 +2450,80 @@ object DocQueries {
         .select(col("doc_id"), col("phrase"), col("score_ppm"),
           col("n_occur"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // g4: connected components over the kNN graph — the REACHABILITY
+    // partition beside g2's community vote (g2 answers "which island
+    // votes you in"; g4 answers "what can you reach at all" — the
+    // partition dedup/split policies actually key on, and the same
+    // label d7/d8/p17 use on the near-dup pair graph, here exposed
+    // over the shared IVF-pruned kNN edges). Spark side runs
+    // [[Dedup.connectedComponents]] — min-label propagation to TRUE
+    // convergence (throws rather than returning non-minimal labels);
+    // the oracle replays hash-to-min WITH pointer jumping (label :=
+    // min(label, neighbor labels, label-of-label)) for 13 unrolled
+    // rounds — doubling reach covers any diameter ≤ 2¹³, far past
+    // the 5k-node corpus, and extra rounds past fixpoint are no-ops,
+    // so bounded unrolling equals true convergence. Component size
+    // rides along (the mixture/cap policies consume it).
+    "g4_connected_components" -> ((s, dir) => {
+      val und = knnEdges(s, dir).where(col("src") =!= col("dst"))
+      val cc = graft.operators.Dedup.connectedComponents(
+        und.select(col("src").as("id_a"), col("dst").as("id_b")))
+      val nodes = emb(s, dir).select(col("vec_id").as("id"))
+      val lbl = nodes.join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id"))
+          .as("component"))
+      val sizes = lbl.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      lbl.join(sizes, Seq("component"))
+        .select(col("id"), col("component"), col("csize"))
+        .orderBy(col("id"))
+    }),
+
+    // sk7: sketch-based JOIN-SIZE estimation — the AMS inner-product
+    // property (the theorem that made F₂ sketches a query-planner
+    // tool): for two relations' key-frequency vectors, E[X_r(A) ·
+    // X_r(B)] = Σ_k fA(k)·fB(k), which IS the equi-join output
+    // cardinality. Here the two relations are the lexicographically
+    // first and last document sources, keys are tokens, and the
+    // exact join size rides the same count frame for the error
+    // readout. Scale shape: ONE map-side-combinable (tok → cA, cB)
+    // shuffle, then a single-row reduce computing all 32 signed
+    // sums plus the exact product-sum — at 100 TB each side keeps
+    // 16 longs and the join size of two corpora is estimated
+    // without ever joining them (the whole point).
+    "sk7_join_size_est" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val R = 16
+      val d = docs(s, dir)
+      val bounds = d.agg(min(col("source")).as("sa"),
+        max(col("source")).as("sb"))
+      val toks = d.crossJoin(broadcast(bounds))
+        .where(col("source") === col("sa") ||
+          col("source") === col("sb"))
+        .select((col("source") === col("sa")).as("in_a"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val cnt = toks.groupBy(col("tok")).agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+      val aggs = (0 until R).flatMap { r =>
+        val sgn = phash(col("tok"), r) % 2 * 2 - 1
+        Seq(sum(col("ca") * sgn).as(s"xa$r"),
+          sum(col("cb") * sgn).as(s"xb$r"))
+      } :+ sum(col("ca") * col("cb")).as("exact_join")
+      cnt.agg(aggs.head, aggs.tail: _*)
+        .select(col("exact_join"),
+          array((0 until R).map(r => col(s"xa$r")): _*).as("xa"),
+          array((0 until R).map(r => col(s"xb$r")): _*).as("xb"))
+        .select(col("exact_join"),
+          posexplode(arrays_zip(col("xa"), col("xb"))))
+        .select(col("pos").as("r"),
+          col("col.xa").as("xa"), col("col.xb").as("xb"),
+          (col("col.xa") * col("col.xb")).as("est"),
+          col("exact_join"))
+        .orderBy(col("r"))
     })
   )
 
@@ -5377,6 +5451,70 @@ object DocQueries {
         |  FROM pd)
         |SELECT doc_id, phrase, score_ppm, n_occur, rank
         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // g4: hash-to-min with pointer jumping, 8 unrolled rounds —
+    // label := min(label, neighbor labels, label-of-label); doubling
+    // reach covers any diameter ≤ 2^8 (far past this kNN graph's),
+    // and extra rounds past the fixpoint are identity, so bounded
+    // unrolling equals Spark's run-to-convergence result. Each round
+    // references the previous one THREE times, so the round CTEs are
+    // MATERIALIZED — DuckDB otherwise inlines the chain into a 3^n
+    // expression tree and the query never plans.
+    "g4_connected_components" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, min(c.cmp) AS nb
+           |  FROM und e JOIN c${i - 1} c ON e.src = c.id GROUP BY 1),
+           |c$i AS MATERIALIZED (
+           |  SELECT c.id,
+           |    least(least(c.cmp, coalesce(m.nb, c.cmp)), p.cmp) AS cmp
+           |  FROM c${i - 1} c
+           |  LEFT JOIN m$i m USING (id)
+           |  JOIN c${i - 1} p ON p.id = c.cmp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ivfTopkCtes("ivf_main", "ivf_knn_probes")},
+         |edges0 AS (
+         |  SELECT qid AS src, vec_id AS dst FROM ranked WHERE rank <= 3),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges0 WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst FROM edges0 WHERE src <> dst)),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT id, id AS cmp FROM nodes),
+         |$rounds,
+         |sizes AS (SELECT cmp, count(*) AS csize FROM c8 GROUP BY 1)
+         |SELECT c.id, CAST(c.cmp AS BIGINT) AS component,
+         |  CAST(s.csize AS BIGINT) AS csize
+         |FROM c8 c JOIN sizes s USING (cmp) ORDER BY c.id""".stripMargin
+    },
+
+    // sk7: both signed-counter vectors and the exact product-sum
+    // rebuilt from the same (tok → cA, cB) counts.
+    "sk7_join_size_est" ->
+      s"""WITH bounds AS (
+        |  SELECT min(source) AS sa, max(source) AS sb FROM documents),
+        |tk AS (
+        |  SELECT (d.source = b.sa) AS in_a, tok
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) d, bounds b
+        |  WHERE (d.source = b.sa OR d.source = b.sb)
+        |    AND length(tok) > 0),
+        |cnt AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS cb
+        |  FROM tk GROUP BY 1),
+        |xr AS (
+        |  SELECT u.r,
+        |    sum(ca * ((${dkHash("tok", "u.r")} % 2) * 2 - 1)) AS xa,
+        |    sum(cb * ((${dkHash("tok", "u.r")} % 2) * 2 - 1)) AS xb
+        |  FROM cnt, UNNEST(range(0, 16)) AS u(r) GROUP BY 1),
+        |ex AS (SELECT sum(ca * cb) AS exact_join FROM cnt)
+        |SELECT CAST(r AS INTEGER) AS r, CAST(xa AS BIGINT) AS xa,
+        |  CAST(xb AS BIGINT) AS xb, CAST(xa * xb AS BIGINT) AS est,
+        |  CAST(exact_join AS BIGINT) AS exact_join
+        |FROM xr, ex ORDER BY r""".stripMargin,
 
     // t26: gram positions i run 1..len-n+1; seeds are the gram order
     // n (matching phash(sh, n) on the Spark side).

@@ -320,6 +320,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"top-3 unpruned in t28:\n$p")
   }
 
+  test("g4 components read checkpointed CC state, not re-derived rounds") {
+    // Dedup.connectedComponents localCheckpoints every round; the
+    // presented plan must scan that materialization (g1 discipline) —
+    // chained per-round joins here would mean plan depth grows with
+    // the iteration count
+    val p = plan("g4_connected_components")
+    assert(p.contains("ExistingRDD"), s"g4 not checkpoint-backed:\n$p")
+  }
+
+  test("sk7 join-size sketch: broadcast bounds, no cartesian, no window") {
+    // the source-bounds attach must be a broadcast (1-row side); the
+    // sketch itself is one token-count shuffle + a single-row reduce
+    val p = plan("sk7_join_size_est")
+    assert(!p.contains("CartesianProduct"), s"cartesian in sk7:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"window in sk7:\n$p")
+    assert(p.contains("Broadcast"), s"bounds not broadcast in sk7:\n$p")
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
