@@ -762,6 +762,66 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // sk8: HLL register MERGE — the property that makes sk3 a
+    // 100 TB operator, made gate-visible. Distinct users are
+    // sketched PER DAY (the partition/epoch unit a real pipeline
+    // checkpoints), the daily 256-register vectors merge by
+    // register-max, and the merged estimate is compared against the
+    // one-pass direct estimate: max is associative, so the two MUST
+    // be equal to the last integer — `merge_equal` is the sketch
+    // algebra proven in both engines, not an approximation claim
+    // (err_ppm vs exact carries that part). At 100 TB this is the
+    // difference between re-scanning history for every distinct
+    // count and adding 256 longs per epoch.
+    "sk8_hll_merge" -> ((s, dir) => {
+      val m = 256
+      val num = lit(new java.math.BigDecimal(
+          (BigInt(718273) * m * m * BigInt(2).pow(53)).bigInteger))
+        .cast("decimal(38,0)")
+      val pow53 = 9007199254740992L // 2^53
+      val hashed = ev(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          graft.functions.PortableHash
+            .phashStr(col("user_id").cast("string")).as("h"))
+        .select(col("event_type"), col("day"), (col("h") % m).as("b"),
+          floor(col("h") / m).cast("long").as("w"))
+        .select(col("event_type"), col("day"), col("b"),
+          when(col("w") === 0L, lit(53))
+            .otherwise(lit(53) - length(bin(col("w"))))
+            .cast("int").as("rho"))
+      val daily = hashed.groupBy(col("event_type"), col("day"), col("b"))
+        .agg(max(col("rho")).as("M"))
+      def estimate(regs: DataFrame, out: String): DataFrame =
+        regs.groupBy(col("event_type"))
+          .agg(sum(expr("shiftleft(cast(1 as bigint), 53 - M)"))
+              .as("s_used"),
+            count(lit(1)).as("n_regs"))
+          .select(col("event_type"),
+            ((col("s_used") + (lit(m) - col("n_regs")) * pow53)
+              .cast("decimal(38,0)") * 1000000L)
+              .cast("decimal(38,0)").as("den"))
+          .select(col("event_type"),
+            ((num - num % col("den")) / col("den")).cast("long").as(out))
+      val merged = estimate(daily.groupBy(col("event_type"), col("b"))
+        .agg(max(col("M")).as("M")), "est_merged")
+      val direct = estimate(hashed.groupBy(col("event_type"), col("b"))
+        .agg(max(col("rho")).as("M")), "est_direct")
+      val days = daily.select(col("event_type"), col("day")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      val exact = ev(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      merged.join(direct, Seq("event_type"))
+        .join(days, Seq("event_type"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("est_merged"),
+          col("est_direct"),
+          (col("est_merged") === col("est_direct")).as("merge_equal"),
+          col("exact"),
+          floor(abs(col("est_merged") - col("exact")) * 1000000L /
+            col("exact")).as("err_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // sk4: KMV set-operation sketch (Beyer et al. 2007 / the theta-
     // sketch intersection) — distinct-USER OVERLAP between every
     // event_type pair from only the per-type k=64 minimum-hash
@@ -1527,6 +1587,62 @@ object EventQueries {
         |  CAST(floor(abs(est - exact) * 1000000 / exact) AS BIGINT)
         |    AS err_ppm
         |FROM est_ ORDER BY event_type""".stripMargin,
+
+    // sk8: both estimate paths replayed — per-day registers merged
+    // by max vs the one-pass registers — through the identical
+    // HUGEINT estimator, plus the merge-equality bit itself.
+    "sk8_hll_merge" ->
+      """WITH dh AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rho AS (
+        |  SELECT event_type, day, h % 256 AS b,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |      ELSE 53 - length(bin(h // 256)) END AS rho
+        |  FROM dh),
+        |daily AS (
+        |  SELECT event_type, day, b, max(rho) AS M
+        |  FROM rho GROUP BY 1, 2, 3),
+        |mreg AS (
+        |  SELECT event_type, b, max(M) AS M FROM daily GROUP BY 1, 2),
+        |dreg AS (
+        |  SELECT event_type, b, max(rho) AS M FROM rho GROUP BY 1, 2),
+        |mpt AS (
+        |  SELECT event_type,
+        |    (sum((1::BIGINT << (53 - M))::HUGEINT)
+        |      + (256 - count(*))::HUGEINT * 9007199254740992::HUGEINT)
+        |      * 1000000::HUGEINT AS den
+        |  FROM mreg GROUP BY 1),
+        |dpt AS (
+        |  SELECT event_type,
+        |    (sum((1::BIGINT << (53 - M))::HUGEINT)
+        |      + (256 - count(*))::HUGEINT * 9007199254740992::HUGEINT)
+        |      * 1000000::HUGEINT AS den
+        |  FROM dreg GROUP BY 1),
+        |days_ AS (
+        |  SELECT event_type, CAST(count(DISTINCT day) AS BIGINT)
+        |    AS n_days
+        |  FROM dh GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM events GROUP BY 1),
+        |est_ AS (
+        |  SELECT m.event_type,
+        |    CAST(423993542593778584572133376::HUGEINT // m.den AS BIGINT)
+        |      AS est_merged,
+        |    CAST(423993542593778584572133376::HUGEINT // d.den AS BIGINT)
+        |      AS est_direct
+        |  FROM mpt m JOIN dpt d USING (event_type))
+        |SELECT e.event_type, n_days, est_merged, est_direct,
+        |  (est_merged = est_direct) AS merge_equal, exact,
+        |  CAST(floor(abs(est_merged - exact) * 1000000 / exact)
+        |    AS BIGINT) AS err_ppm
+        |FROM est_ e
+        |JOIN days_ USING (event_type)
+        |JOIN ex USING (event_type)
+        |ORDER BY e.event_type""".stripMargin,
 
     // KMV set-intersection replayed with window functions: per-type
     // 64-minimum signatures, the pair-tagged union re-ranked to its

@@ -338,6 +338,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"bounds not broadcast in sk7:\n$p")
   }
 
+  test("sk8 HLL merge is pure aggregation — register-max, no window") {
+    // the mergeability path must stay map-side-combinable groupBys
+    // exactly like sk3; a window would break the partial-merge claim
+    val p = plan("sk8_hll_merge")
+    assert(!p.contains("windowspecdefinition"), s"window in sk8:\n$p")
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
