@@ -62,6 +62,7 @@ object Meta {
   private val bundledMedia = Seq(
     "tone_a.pcm", "tone_a_dup.pcm", "tone_b.pcm", "noise_c.pcm",
     "sweep_d.pcm", "sweep_d_dup.pcm", "mix_e.pcm", "quiet_f.pcm",
+    "speech_g.pcm",
     "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid",
     "vid_scene.gvid")
 

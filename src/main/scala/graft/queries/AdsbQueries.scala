@@ -439,6 +439,42 @@ object AdsbQueries {
       hashed.join(nn, Seq("model")).orderBy(col("model"))
     }),
 
+    // mm11: audio SILENCE gate — the voice-activity-shaped admission
+    // check an audio curation pipeline runs before paying for
+    // transcription/embedding (mostly-silent recordings are the
+    // audio analog of mm9's flat images). Frames of 64 samples over
+    // the whole blob, exact integer energy Σ(b−128)² per frame, a
+    // frame is silent below the fixed threshold 4096 (mean squared
+    // deviation 64 ≈ |dev| 8 — the fixture profile separates cleanly:
+    // quiet_f's loudest frame is 2304, every active signal's
+    // quietest is ≥ 8564), and the per-blob silent-frame share in
+    // exact ppm. The speech_g fixture plants 16+16 silent frames
+    // around 32 active ones (exactly 500000 ppm, sitting ON the
+    // mostly-silent boundary) so both the ratio arithmetic and the
+    // >= cut are load-bearing. Scale: per-blob O(bytes) map work,
+    // no join, row count = blob count.
+    "mm11_audio_silence" -> ((s, _) => {
+      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
+      bin.withColumn("hx", hex(col("content")))
+        .withColumn("n_frames", floor(col("length") / 64).cast("int"))
+        .where(col("n_frames") >= 1)
+        .withColumn("energies", expr(
+          """transform(sequence(0, n_frames - 1), f ->
+            |  aggregate(sequence(0, 63), 0L, (acc, i) ->
+            |    acc + (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
+            |             AS bigint) - 128L)
+            |        * (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
+            |             AS bigint) - 128L)))""".stripMargin))
+        .withColumn("n_silent", expr(
+          "aggregate(energies, 0L, (acc, e) -> acc + IF(e < 4096, 1L, 0L))"))
+        .withColumn("silence_ppm",
+          expr("(1000000L * n_silent) div cast(n_frames AS bigint)"))
+        .select(col("model"), col("n_frames").cast("long").as("n_frames"),
+          col("n_silent"), col("silence_ppm"),
+          (col("silence_ppm") >= 500000L).as("mostly_silent"))
+        .orderBy(col("model"))
+    }),
+
     // mm8: frame sampling from a video container — the "every k-th
     // frame" primitive a multimodal training pipeline runs before
     // any per-frame model. The toy GVID container ("GVID" + u16le
@@ -1084,6 +1120,33 @@ object AdsbQueries {
          |    ('0x' || substr(hx, (8 + frame_idx*frame_size + i)*2 + 1, 2))
          |      ::BIGINT)) AS BIGINT) AS bytesum
          |FROM f ORDER BY model, frame_idx""".stripMargin,
+
+    // mm11: the frame energies, silence threshold and ppm share
+    // re-derived byte-for-byte from the dumped PCM blobs.
+    "mm11_audio_silence" ->
+      s"""WITH b AS (SELECT model, length, hex(content) AS hx
+         |  FROM ${tbl("audio_blobs")}),
+         |fr AS (
+         |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
+         |  FROM b WHERE length // 64 >= 1),
+         |en AS (
+         |  SELECT model, n_frames,
+         |    list_transform(range(0, n_frames), f ->
+         |      list_sum(list_transform(range(0, 64), i ->
+         |        (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128)
+         |        * (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT
+         |           - 128)))) AS energies
+         |  FROM fr),
+         |ag AS (
+         |  SELECT model, n_frames,
+         |    CAST(len(list_filter(energies, e -> e < 4096)) AS BIGINT)
+         |      AS n_silent
+         |  FROM en)
+         |SELECT model, n_frames, n_silent,
+         |  CAST((1000000 * n_silent) // n_frames AS BIGINT)
+         |    AS silence_ppm,
+         |  (1000000 * n_silent) // n_frames >= 500000 AS mostly_silent
+         |FROM ag ORDER BY model""".stripMargin,
 
     // mm10: per-frame energies, adjacent deltas, the 2×-mean-delta
     // adaptive threshold and every boundary flag re-derived from the

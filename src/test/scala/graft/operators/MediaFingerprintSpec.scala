@@ -61,4 +61,18 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(rows.count(_._1 == "vid_a") === 15)
     assert(rows.count(_._1 == "vid_a_cut") === 11)
   }
+
+  test("silence gate: planted half-silent audio lands exactly on the cut") {
+    val rows = AdsbQueries.defs("mm11_audio_silence")(spark, "unused")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // speech_g: 16+16 silent frames around 32 active → exactly 500000
+    // ppm, and the >= boundary admits it as mostly-silent
+    assert(rows("speech_g") === ((32L, 500000L, true)))
+    // quiet_f is wall-to-wall silence; every real signal has none
+    assert(rows("quiet_f") === ((64L, 1000000L, true)))
+    assert(rows("tone_a")._1 === 0L)
+    assert(rows("noise_c")._3 === false)
+  }
 }

@@ -345,6 +345,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), s"window in sk8:\n$p")
   }
 
+  test("mm11 silence gate is per-blob map work — no join anywhere") {
+    val p = plan("mm11_audio_silence")
+    assert(!p.contains("Join"), s"join in mm11:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"window in mm11:\n$p")
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
