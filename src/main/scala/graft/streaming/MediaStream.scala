@@ -46,12 +46,32 @@ object MediaStream {
     */
   def start(media: DataFrame, outDir: String, checkpoint: String,
       maxBytes: Int = 10 << 20,
-      watermark: String = "10 minutes"): StreamingQuery =
+      watermark: String = "10 minutes",
+      dropFlatImages: Boolean = true): StreamingQuery = {
+    // mm9's pixel-stats kernel applied AT INGEST (default on): a BMP
+    // whose sampled-gray population variance is near zero is a
+    // solid-color placeholder — the classic crawl junk — and is
+    // dropped before it pays for the dedup shuffle or storage. The
+    // DROP threshold (variance < 1000, std ≈ 32 on the 0..765 gray
+    // scale) is deliberately far stricter than mm9's ADVISORY
+    // low-contrast flag (20000): even uniform random noise has
+    // variance ≈ 15.7k, so the advisory cut would reject legitimate
+    // busy images — a gate that deletes data must only fire on the
+    // unambiguous case. Pixel-level but still a pure codegen
+    // projection (the grayStats kernel); non-BMP containers pass —
+    // ImageIO full-decode stats at the stream would fight the
+    // metadata-only gate discipline, so only the byte-kernel
+    // container gets the pixel gate.
+    val st = graft.functions.BmpAHash.grayStats(col("content"))
+    val flatBmp = Multimodal.isBmp(col("content")) &&
+      st.isNotNull &&
+      lit(64L) * st(1) - st(0) * st(0) < lit(1000L * 4096)
     Multimodal.withMetadata(media, col("content"))
       .where(col("content").isNotNull &&
         length(col("content")) >= 54 &&
         length(col("content")) <= maxBytes &&
         col("width") > 0 && col("height") > 0)
+      .where(if (dropFlatImages) !flatBmp else lit(true))
       .withColumn("content_sha256", sha2(col("content"), 256))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("content_sha256")
@@ -63,4 +83,5 @@ object MediaStream {
       .partitionBy("ingest_date")
       .outputMode("append")
       .start()
+  }
 }

@@ -15,8 +15,12 @@ class MediaStreamSpec extends SparkSpec {
 
   import spark.implicits._
 
-  /** Minimal 24-bpp BMP (the BmpAHashSpec builder, header-only needs). */
-  private def bmp(width: Int, height: Int): Array[Byte] = {
+  /** Minimal 24-bpp BMP (the BmpAHashSpec builder). `varied` fills
+    * the pixel array with a high-contrast pattern so the image passes
+    * the flat-image ingest gate; false leaves it solid (all-zero) —
+    * the placeholder junk the gate exists to drop. */
+  private def bmp(width: Int, height: Int,
+      varied: Boolean = true): Array[Byte] = {
     val stride = (width * 3 + 3) / 4 * 4
     val size = 54 + height * stride
     val b = java.nio.ByteBuffer.allocate(size)
@@ -25,7 +29,10 @@ class MediaStreamSpec extends SparkSpec {
     b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
     b.putInt(0).putInt(height * stride).putInt(2835).putInt(2835)
     b.putInt(0).putInt(0)
-    b.array()
+    val arr = b.array()
+    if (varied)
+      (54 until size).foreach(i => arr(i) = ((i * 89) % 251).toByte)
+    arr
   }
 
   test("gate drops corrupt/oversized, dedup collapses re-crawls, BMP dims real") {
@@ -47,6 +54,10 @@ class MediaStreamSpec extends SparkSpec {
       out.toByteArray
     }
 
+    // a solid-color BMP: headers valid, dims real — only the mm9
+    // pixel-variance gate can reject it
+    val flat = bmp(8, 8, varied = false)
+
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val media = in.toDF().toDF("media_id", "content", "ingest_ts")
     val outDir = Files.createTempDirectory("media-ingest").toString
@@ -61,7 +72,8 @@ class MediaStreamSpec extends SparkSpec {
       (4L, tiny, t0),
       (5L, oversize, t0),
       (6L, audio, t0),
-      (7L, png, t0)))
+      (7L, png, t0),
+      (8L, flat, t0)))
     q.processAllAvailable()
     q.stop()
 
@@ -82,5 +94,8 @@ class MediaStreamSpec extends SparkSpec {
       .select("media_type", "width", "height").head()
     assert(pngRow.getString(0) == "image")
     assert(pngRow.getInt(1) == 5 && pngRow.getInt(2) == 4)
+    // the solid-color placeholder was dropped by the pixel-variance
+    // gate even though its header is perfectly valid
+    assert(!kept.contains(8L), s"flat image admitted: $kept")
   }
 }

@@ -43,8 +43,11 @@ class StreamingSoakSpec extends SparkSpec {
     b.putInt(0).putInt(height * stride).putInt(2835).putInt(2835)
     b.putInt(0).putInt(0)
     val arr = b.array()
-    arr(54) = (id & 0x7f).toByte
-    arr(55) = ((id >> 7) & 0x7f).toByte
+    // high-contrast id-salted fill: distinct content per id for the
+    // dedup stage AND enough pixel variance to pass the flat-image
+    // ingest gate (a near-zero fill would now be gated as placeholder)
+    (54 until size).foreach(i =>
+      arr(i) = ((id * 31 + i * 89) % 251).toByte)
     arr
   }
 
