@@ -92,8 +92,12 @@ object BenchSlope {
         s""","flag_ratio":$FlagRatio,"flag_min_sec":$FlagMinSec""" +
         s""","flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","queries":$qJson}"""
+    // subset runs (query-name args) must not clobber the full-surface
+    // artifact with a partial one — the Bench outFile rule
+    val outFile =
+      if (only.isEmpty) "bench_slope.json" else "bench_slope_partial.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_slope.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[slope] write failed: ${e.getMessage}")
     }
@@ -104,7 +108,7 @@ object BenchSlope {
     println("GRAFT_SLOPE_RESULT")
     println(s"""{"metric":"slope","n_queries":${rows.size},"flagged":${
       flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-      },"worst_ratios":$worst,"detail":"bench_slope.json"}""")
+      },"worst_ratios":$worst,"detail":"$outFile"}""")
     System.out.flush()
   }
 }
