@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of the captured sbt output for the
+// bench JSON (BENCH_r05–r08 all came back "parsed": null). Two things
+// stood between the JSON and the tail: sbt's logger prefixes the
+// forked process's stdout with "[info] ", and a "[success] Total
+// time…" epilogue prints after the task. StdoutOutput passes the
+// child's stdout through verbatim; showSuccess drops the epilogue —
+// so `runMain graft.Bench` now ends with the bare compact JSON line.
+// project-level so run, runMain and forked tests all inherit it
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,6 +21,18 @@ object Bench {
       // otherwise intermittently slows fresh JVMs 3-10x
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      // Round-9 forensics: the five "regressed" r8 queries (d3v 5.68 s,
+      // s6 2.58, s7 3.33, p15 3.10, q16 1.80) all ran at/below their r7
+      // numbers when benched in isolation (d3v 0.94, s6 0.54, s7 1.17,
+      // p15 0.94, q16 0.38) — the slowdown was 177-query shared-JVM
+      // accumulation, not plan drift. ContextCleaner only releases
+      // shuffle files / broadcast blocks when a DRIVER GC happens to
+      // collect their weak refs, and its periodic System.gc() default
+      // is 30 min — longer than the whole bench — so tmpfs shuffle
+      // dirs and on-heap broadcast blocks from ~600 query runs pile up
+      // uncollected. A 1-minute periodic GC bounds that accumulation
+      // at ~a dozen collections per bench.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Silence the ~278 "No Partition Defined for Window operation"
@@ -55,7 +67,7 @@ object Bench {
     // full rationale at the `once` helper below.
     val benched = (SparkEntry.queries - "d3_ngram_jaccard")
       .filter { case (name, _) => only.isEmpty || only(name) }
-    benched.foreach { case (_, fn) =>
+    benched.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try runFully(fn(spark, warmDir)) catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
     }
@@ -65,10 +77,23 @@ object Bench {
     // 10-80 s to whichever query they land on. A throwing query is a
     // FAILURE, not a time: it benches as -1 and lands in "errors" —
     // a swallowed exception would otherwise read as a ~0 s "speedup".
+    //
+    // Every run also records the JVM GC-time delta it paid: the r8
+    // artifact could not DISTINGUISH "this query's plan regressed"
+    // from "this query ran while the shared JVM was collecting 600
+    // runs' worth of broadcast/status debris" — the per-query "gc"
+    // map in bench.json makes that adjudication readable from the
+    // artifact alone.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Either[String, Double] = {
+        : (Either[String, Double], Double) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
-      try { runFully(fn(spark, sfDir))
+      val r = try { runFully(fn(spark, sfDir))
         Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         Left((e.getClass.getSimpleName + ": " +
@@ -76,6 +101,7 @@ object Bench {
           .filter(c => c >= ' ' && c <= '~' && c != '"' && c != '\\')
           .take(160))
       }
+      (r, (gcMillis() - g0) / 1e3)
     }
     // d3 is, by declaration, the quadratic ground-truth verifier
     // (see Dedup.jaccardPairs): it exists to validate the LSH path
@@ -102,16 +128,24 @@ object Bench {
     def spread(a: Double, b: Double): Boolean =
       math.max(a, b) > 0.5 &&
         math.max(a, b) / math.max(math.min(a, b), 1e-9) > 3.0
-    val results = benched.map { case (name, fn) =>
-      val a = once(fn)
-      val b = once(fn)
+    // Deterministic name-sorted run order (recorded in the artifact as
+    // "order"): Map iteration order shuffled families across the run
+    // as the surface grew, so round-over-round per-query comparisons
+    // silently compared different JVM-age/neighbor contexts. Sorting
+    // also groups each family with the memoized indexes it serves
+    // from (s2p builds once, s4/s5/s6 reuse).
+    val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (a, ga) = once(fn)
+      val (b, gb) = once(fn)
       val needThird = (a, b) match {
         case (Right(x), Right(y)) => spread(x, y)
         case _ => false
       }
-      val samples = if (needThird) List(a, b, once(fn)) else List(a, b)
+      val samples =
+        if (needThird) { val (c, gc) = once(fn); List(a -> ga, b -> gb, c -> gc) }
+        else List(a -> ga, b -> gb)
       spark.catalog.clearCache()
-      name -> samples
+      (name, samples.map(_._1), samples.map(_._2))
     }
     def minOf(ss: List[Either[String, Double]]): Either[String, Double] =
       ss.collectFirst { case Left(e) => e } match {
@@ -119,7 +153,7 @@ object Bench {
         case None => Right(ss.collect { case Right(v) => v }.min)
       }
     val qs = results.map {
-      case (k, ss) => minOf(ss) match {
+      case (k, ss, _) => minOf(ss) match {
         case Right(v) => s"\"" + k + "\":" + v
         case Left(_) => s"\"" + k + "\":-1.0"
       }
@@ -128,24 +162,36 @@ object Bench {
     // (2, or 3 when the first pair spread), plus the reproduced-spread
     // flag list — a reader doesn't need a clean re-run to spot a
     // contaminated entry.
-    val runsJson = results.map { case (k, ss) =>
+    val runsJson = results.map { case (k, ss, _) =>
       s"\"" + k + "\":" +
         ss.map(_.fold(_ => "-1.0", _.toString)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-run GC seconds, aligned index-for-index with "runs": a run
+    // whose wall time is mostly GC is JVM debt, not this query's plan
+    val gcJson = results.map { case (k, _, gs) =>
+      s"\"" + k + "\":" +
+        gs.map(g => "%.3f".formatLocal(java.util.Locale.ROOT, g))
+          .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val steal = results.collect {
-      case (k, ss) if ss.forall(_.isRight) && {
+      case (k, ss, _) if ss.forall(_.isRight) && {
         val v = ss.collect { case Right(x) => x }.sorted
         spread(v(0), v(1))
       } => "\"" + k + "\""
     }
     val stealJson = steal.mkString(""","steal":[""", ",", "]")
-    val errors = results.collect { case (k, p) if minOf(p).isLeft =>
+    val errors = results.collect { case (k, p, _) if minOf(p).isLeft =>
       s"\"" + k + "\":\"" + minOf(p).left.getOrElse("") + "\"" }
     val errJson =
       if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
-    val total = results.values.map(minOf).collect { case Right(v) => v }.sum
+    val total = results.map(t => minOf(t._2)).collect { case Right(v) => v }.sum
+    val policy =
+      "warm all at sf0.001; timed: min of 2 runs, +1 run when the first " +
+        "pair spreads >3x above 0.5s (reproduced spread -> steal[]); " +
+        "run order = name-sorted; clearCache between queries; " +
+        "periodic driver GC 1min; gc[] = per-run GC seconds"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$stealJson$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","order":"name-sorted","queries":$qs,"runs":$runsJson,"gc":$gcJson$stealJson$errJson,"sf":"$sfDir"}"""
     // the artifact must survive log-tail truncation (BENCH_r05/r06 both
     // came back "parsed": null): persist the line as a file in cwd
     // BEFORE printing it. Subset runs (query-name args) must NOT
@@ -166,13 +212,15 @@ object Bench {
     // the complete per-query/runs/steal detail. Printed LAST, after
     // spark.stop(), behind a sentinel, so no shutdown logging can
     // push it out of the tail window.
-    // 2000-char tail window minus: sbt's "[info] " line prefixes, the
-    // sentinel line, the trailing "[success] Total time ..." sbt
-    // epilogue (~70 B), the fixed JSON fields (~150 B), and slack —
-    // measured: an 1800 budget produced a 1935-char line that could
-    // still lose its head under the epilogue, hence 1450
-    val budgetBytes = 1450
-    val byCost = results.toSeq.map { case (k, ss) =>
+    // 2000-char tail window minus: the sentinel line, the fixed JSON
+    // fields (~150 B), and slack. Round 9 removed the two tail
+    // parasites (build.sbt: StdoutOutput drops sbt's "[info] " line
+    // prefixes, showSuccess:=false drops the "[success] Total time"
+    // epilogue), so the whole window is ours — the compact line is
+    // now also the LAST stdout line, parseable by a take-the-last-line
+    // driver. 1700 keeps ~250 B of slack for the sentinel + margins.
+    val budgetBytes = 1700
+    val byCost = results.map { case (k, ss, _) =>
       k -> minOf(ss).fold(_ => -1.0, identity)
     }.sortBy { case (_, v) => -v }
     val compactEntries = new scala.collection.mutable.ArrayBuffer[String]

@@ -431,13 +431,25 @@ object Dedup {
     * signal) — raise it, or switch to alternating-star, if a corpus
     * ever produces chains that deep. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // round-9 exchange-elimination (the LabelProp.communities
+    // discipline): edges hash(dst) and labels hash(id) are pinned once
+    // up front with explicit partition counts — localCheckpoint
+    // captures the partitioning, so each round's edges⋈labels join is
+    // co-partitioned and the only per-round shuffle is the min-label
+    // union-aggregate. The convergence check rides THAT aggregate
+    // (previous label folded in via a tagged union), so the old
+    // per-round next⋈labels compare-join is gone — `changed` is a
+    // filter-count over the freshly checkpointed round state.
+    val parts = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val edges = pairs
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
       .distinct()
-      .cache()
+      .repartition(parts, col("dst"))
+      .localCheckpoint(true)
     // seed with min(self, neighbors) — the state identity labels reach
     // after one full propagation round, for the cost of one groupBy
     // (no join): star-shaped clusters, the common dedup case, then
@@ -446,6 +458,7 @@ object Dedup {
       .agg(min(col("dst")).as("_mn"))
       .select(col("src").as("id"),
         least(col("src"), col("_mn")).as("label"))
+      .repartition(parts, col("id")) // pin the count: AQE coalesces aggs
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -453,18 +466,20 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
+      // every id has EXACTLY one self-tagged row (labels is keyed by
+      // id, and viaNeighbors only re-emits edge sources, all of which
+      // labels covers), so max(when(self)) recovers the previous
+      // label loss-free
+      val next = labels.withColumn("self", lit(1))
+        .unionByName(viaNeighbors.withColumn("self", lit(0)))
         .groupBy(col("id"))
-        .agg(min(col("label")).as("label"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("self") === 1, col("label"))).as("prev"))
         .localCheckpoint(true) // truncate lineage; O(1) plan depth
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .where(col("label") =!= col("prev"))
-        .count()
-      labels = next
+      changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +

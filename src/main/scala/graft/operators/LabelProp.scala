@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic synchronous label propagation (community detection)
@@ -33,32 +32,57 @@ object LabelProp {
     * takes the most frequent neighbor label, ties to the smallest;
     * isolated nodes keep their own label.
     *
-    * Scale shape: per round ONE edges⋈labels shuffle join, one
-    * (dst, lbl) count, and a per-dst top-1 — planned as
-    * WindowGroupLimit so only each node's leading labels survive the
-    * shuffle. State is `localCheckpoint`ed per round (O(1) plan
-    * depth, the [[PageRank.ranksPpm]] discipline).
+    * Scale shape (round-9 exchange-elimination): the edge list is
+    * hash-partitioned by `src` ONCE before the loop and the label
+    * state stays hash-partitioned by `id` through every checkpoint —
+    * `localCheckpoint` captures the physical output partitioning into
+    * the `LogicalRDD`, so each round's edges⋈labels join and the
+    * labels⋈vote update join are co-partitioned (no |E|- or |V|-sized
+    * exchange; explicit partition counts keep AQE from coalescing the
+    * two sides apart). The per-round shuffle floor that remains is
+    * the vote aggregation itself: (dst, lbl) counts, then a
+    * partial-aggregable `min(struct(-votes, lbl))` top-1 per node —
+    * same (count desc, label asc) vote as the row_number formulation
+    * it replaces, but only each node's leading label survives the
+    * second (post-agg, tiny) shuffle instead of a full window sort.
+    * State is `localCheckpoint`ed per round (O(1) plan depth, the
+    * [[PageRank.ranksPpm]] discipline).
     */
   def communities(nodes: DataFrame, edges: DataFrame,
       iterations: Int = 5): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = undirect(edges).localCheckpoint(true)
-    val n = nodes.select(col("id")).localCheckpoint(true)
-    var labels = n.withColumn("lbl", col("id")).localCheckpoint(true)
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("votes").desc, col("lbl"))
-    for (_ <- 1 to iterations) {
-      val vote = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"), col("lbl"))
-        .agg(count(lit(1)).as("votes"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("id"), col("lbl").as("new_lbl"))
-      labels = labels.join(vote, Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-    }
+    val (e, labels0) = lpaInputs(nodes, edges)
+    var labels = labels0
+    for (_ <- 1 to iterations)
+      labels = lpaRound(e, labels).localCheckpoint(true)
     labels.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** The pre-loop co-partitioning: `(edges hash(src), labels hash(id))`
+    * — exposed so `LabelPropSpec` can pin one round's exchange count. */
+  private[operators] def lpaInputs(nodes: DataFrame,
+      edges: DataFrame): (DataFrame, DataFrame) = {
+    val parts = nodes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val e = undirect(edges).repartition(parts, col("src"))
+      .localCheckpoint(true)
+    val n = nodes.select(col("id")).repartition(parts, col("id"))
+      .localCheckpoint(true)
+    (e, n.withColumn("lbl", col("id")).localCheckpoint(true))
+  }
+
+  /** One synchronous vote round (pre-checkpoint). */
+  private[operators] def lpaRound(e: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val vote = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy(col("dst").as("id"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("lbl")))
+        .as("top"))
+      .select(col("id"), col("top.lbl").as("new_lbl"))
+    labels.join(vote, Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
   }
 
   /** Per-node triangle participation count over the undirected view,

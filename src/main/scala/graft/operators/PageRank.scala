@@ -52,9 +52,20 @@ object PageRank {
     require(dampPct >= 0 && dampPct <= 100, s"dampPct: $dampPct")
     val base = (100L - dampPct) * 10000L
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // out-degree joined ONCE; the loop below only ever joins ranks in
-    val e = edges.join(deg, Seq("src")).localCheckpoint(true)
-    val n = nodes.select(col("id")).localCheckpoint(true)
+    // out-degree joined ONCE; the loop below only ever joins ranks in.
+    // Round-9 exchange-elimination (the LabelProp.communities note in
+    // full): e is hash(src) and n/ranks hash(id) ONCE up front, with
+    // explicit partition counts so AQE can't coalesce the sides apart;
+    // localCheckpoint captures that partitioning into the LogicalRDD,
+    // so the per-round e⋈ranks (src = id) and n⋈in_sum (id) joins are
+    // both co-partitioned — the only per-round exchange left is the
+    // in-sum aggregation's (mass moving src→dst is the algorithm).
+    val parts = nodes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val e = edges.join(deg, Seq("src")).repartition(parts, col("src"))
+      .localCheckpoint(true)
+    val n = nodes.select(col("id")).repartition(parts, col("id"))
+      .localCheckpoint(true)
     var ranks = n.withColumn("r", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val in = e.join(ranks, e("src") === ranks("id"))

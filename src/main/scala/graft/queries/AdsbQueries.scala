@@ -226,7 +226,6 @@ object AdsbQueries {
     // substr(hex(...)) byte reads — the one media pipeline stage that
     // was still stubbed (pixel decode) is real for this container.
     "mm3_image_ahash" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
       val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
       val hashed = Multimodal.withMetadata(bin, col("silhouette"))
         .where(Multimodal.isBmp(col("silhouette")))
@@ -234,18 +233,11 @@ object AdsbQueries {
         .where(col("ah").isNotNull)
         .select(col("model"), col("width"), col("height"),
           col("ah")(0).as("ahash_hi"), col("ah")(1).as("ahash_lo"))
-      val pairs = hashed.as("a").join(hashed.as("b"),
-          col("a.model") =!= col("b.model"))
-        .select(col("a.model").as("model"), col("b.model").as("other"),
-          (bit_count(col("a.ahash_hi").bitwiseXOR(col("b.ahash_hi"))) +
-            bit_count(col("a.ahash_lo").bitwiseXOR(col("b.ahash_lo"))))
-            .cast("long").as("hamming"))
-      val w = Window.partitionBy(col("model"))
-        .orderBy(col("hamming"), col("other"))
-      val nn = pairs.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("model"), col("other").as("nn_model"),
-          col("hamming").as("nn_hamming"))
+      // NN via the shared routed readout (HammingNN): exact pairwise
+      // at fixture size, mm4's band-bucket candidates beyond the
+      // threshold — no unconditional self-cross-join remains here
+      val nn = graft.operators.HammingNN.nearest(
+        hashed, "model", "ahash_hi", "ahash_lo")
       hashed.join(nn, Seq("model")).orderBy(col("model"))
     }),
 
@@ -301,25 +293,15 @@ object AdsbQueries {
     // and replays the adjacent-pixel comparisons via a self-join on
     // the sample index.
     "mm6_image_dhash" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
       val bin = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
       val hashed = bin.where(Multimodal.isBmp(col("silhouette")))
         .withColumn("dh", graft.functions.BmpAHash.dHash(col("silhouette")))
         .where(col("dh").isNotNull)
         .select(col("model"),
           col("dh")(0).as("dhash_hi"), col("dh")(1).as("dhash_lo"))
-      val pairs = hashed.as("a").join(hashed.as("b"),
-          col("a.model") =!= col("b.model"))
-        .select(col("a.model").as("model"), col("b.model").as("other"),
-          (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
-            bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
-            .cast("long").as("hamming"))
-      val w = Window.partitionBy(col("model"))
-        .orderBy(col("hamming"), col("other"))
-      val nn = pairs.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("model"), col("other").as("nn_model"),
-          col("hamming").as("nn_hamming"))
+      // routed NN readout — see mm3
+      val nn = graft.operators.HammingNN.nearest(
+        hashed, "model", "dhash_hi", "dhash_lo")
       hashed.join(nn, Seq("model")).orderBy(col("model"))
     }),
 
@@ -401,10 +383,10 @@ object AdsbQueries {
     // fixtures plant two perturbed near-dup pairs; their NN hamming
     // ≈ 0 while unrelated signals sit tens of bits apart — the
     // audio-dedup signal this op exists to feed. Scale: per-blob
-    // O(bytes) map work, NN on sketch-sized hashes (banding as in
-    // mm4 once corpora outgrow the pairwise join).
+    // O(bytes) map work, NN on sketch-sized hashes via the routed
+    // [[graft.operators.HammingNN]] readout (mm4's banding beyond
+    // the pairwise threshold — no unconditional all-pairs join).
     "mm7_audio_fingerprint" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
       val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
       val hashed = bin.withColumn("hx", hex(col("content")))
         .withColumn("energies", expr(
@@ -424,18 +406,9 @@ object AdsbQueries {
             |           shiftleft(1L, f - 32), 0L))""".stripMargin))
         .select(col("model"), col("length").as("n_bytes"),
           col("fp_hi"), col("fp_lo"))
-      val pairs = hashed.as("a").join(hashed.as("b"),
-          col("a.model") =!= col("b.model"))
-        .select(col("a.model").as("model"), col("b.model").as("other"),
-          (bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
-            bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo"))))
-            .cast("long").as("hamming"))
-      val w = Window.partitionBy(col("model"))
-        .orderBy(col("hamming"), col("other"))
-      val nn = pairs.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("model"), col("other").as("nn_model"),
-          col("hamming").as("nn_hamming"))
+      // routed NN readout — see mm3
+      val nn = graft.operators.HammingNN.nearest(
+        hashed, "model", "fp_hi", "fp_lo")
       hashed.join(nn, Seq("model")).orderBy(col("model"))
     }),
 

@@ -2333,27 +2333,26 @@ object DocQueries {
     // punctuation (max [.!?] count across both scale factors is 0),
     // so Flesch/LIX-family sentence denominators would degenerate to
     // 1 for every doc. Syllables are the standard vowel-group
-    // heuristic ([aeiouy]+ runs, a regex simple enough that Java
-    // and RE2 agree byte-for-byte); the grade is exact fixed-point —
+    // heuristic ([aeiouy]+ runs); the grade is exact fixed-point —
     // 20e6 − (15e6·mono div W), positive operands so floor-div and
     // trunc-div coincide across engines — plus the LIX long-word
-    // numerator (≥7 chars) as a ppm. Scale shape: one token explode
-    // collapsing map-side to per-doc counters keyed by doc_id, one
-    // doc-keyed left join to keep wordless docs visible as NULLs —
-    // the t26 discipline.
+    // numerator (≥7 chars) as a ppm. Scale shape: ONE codegen byte
+    // walk per document ([[ForcastShapeExpr]]) — no explode, no
+    // shuffle, no join; the round-8 formulation (explode → per-token
+    // regexp_extract_all → groupBy doc_id) paid a regex per token
+    // and a corpus-sized shuffle for the same three counters, which
+    // at 100 TB made this the corpus bottleneck.
+    // ForcastShapeEquivalenceSpec pins new ≡ old on the fixture
+    // corpus plus edge cases; wordless docs keep their NULL counters
+    // (the left-join visibility the old shape had).
     "t27_forcast_readability" -> ((s, dir) => {
       val d = docs(s, dir)
-      val w = d.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("tok"))
-        .where(length(col("tok")) > 0)
-        .select(col("doc_id"), col("tok"),
-          size(regexp_extract_all(lower(col("tok")),
-            lit("[aeiouy]+"), lit(0))).as("nv"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(when(col("nv") === 1, 1L).otherwise(0L)).as("n_mono"),
-          sum(when(length(col("tok")) >= 7, 1L).otherwise(0L)).as("n_long"))
-      d.select(col("doc_id")).join(w, Seq("doc_id"), "left")
+      d.select(col("doc_id"),
+          graft.functions.ForcastShape.shape(col("text")).as("fs"))
+        .select(col("doc_id"),
+          when(col("fs")(0) > 0L, col("fs")(0)).as("n_words"),
+          when(col("fs")(0) > 0L, col("fs")(1)).as("n_mono"),
+          when(col("fs")(0) > 0L, col("fs")(2)).as("n_long"))
         .select(col("doc_id"), col("n_words"), col("n_mono"), col("n_long"),
           expr("20000000L - ((15000000L * n_mono) div n_words)")
             .as("forcast_grade_micro"),
@@ -2461,11 +2460,15 @@ object DocQueries {
     // [[Dedup.connectedComponents]] — min-label propagation to TRUE
     // convergence (throws rather than returning non-minimal labels);
     // the oracle replays hash-to-min WITH pointer jumping (label :=
-    // min(label, neighbor labels, label-of-label)) for 13 unrolled
-    // rounds — doubling reach covers any diameter ≤ 2¹³, far past
-    // the 5k-node corpus, and extra rounds past fixpoint are no-ops,
-    // so bounded unrolling equals true convergence. Component size
-    // rides along (the mixture/cap policies consume it).
+    // min(label, neighbor labels, label-of-label)) for 8 unrolled
+    // rounds — doubling reach covers any diameter ≤ 2⁸ = 256, far
+    // past this kNN graph's (500 vectors at the sf0.01 gate, 5000 at
+    // the sf0.1 bench — both empirically diameter ≪ 100), and extra
+    // rounds past fixpoint are no-ops, so bounded unrolling equals
+    // true convergence; a component whose diameter ever exceeded 256
+    // would diverge the oracle from Spark's run-to-convergence and
+    // show as a red hash, never a wrong green. Component size rides
+    // along (the mixture/cap policies consume it).
     "g4_connected_components" -> ((s, dir) => {
       val und = knnEdges(s, dir).where(col("src") =!= col("dst"))
       val cc = graft.operators.Dedup.connectedComponents(

@@ -15,6 +15,18 @@ object MediaStream {
   /** Gate + dedup + day-partitioned sink for a stream of
     * (media_id, content binary, ingest_ts) rows.
     *
+    * ==DATA-DELETING DEFAULT — `dropFlatImages = true`==
+    * Since round 8 this gate PERMANENTLY DISCARDS solid-color BMPs at
+    * ingest (sampled-gray population variance < 1000 — see the inline
+    * threshold note). Valid blobs that earlier deployments stored now
+    * never reach storage, and a pipeline restarting on an old
+    * checkpoint gets no warning: the filter is stateless, so the
+    * checkpoint replays fine and the blobs are just gone. Callers
+    * that need archival (keep-everything) semantics must pass
+    * `dropFlatImages = false` explicitly; the default serves the
+    * curation deployments this library targets, where a flat
+    * placeholder in the corpus is the bug.
+    *
     * Gates (all metadata-level — headers parsed, pixel data never
     * decoded): NULL/short blobs (< 54 bytes can't even hold a BMP
     * header), oversize blobs (> `maxBytes` — the classic crawler

@@ -100,6 +100,38 @@ class LabelPropSpec extends SparkSpec {
     assert(runTriangles(nodes, edges, 5) === ref)
   }
 
+  test("one LPA round pays only the vote-aggregation exchanges") {
+    // round-9 exchange-elimination pin: with edges hash(src) and
+    // labels hash(id) captured through localCheckpoint, a round's
+    // static plan shuffles ONLY for the two vote aggregations
+    // ((dst,lbl) counts, then the post-agg per-node top-1) — the
+    // edges⋈labels and labels⋈vote joins are co-partitioned. AQE off
+    // for the assertion so the pinned plan is the deterministic
+    // static one (AQE can only merge stages further, never add
+    // exchanges).
+    val rnd = new Random(53)
+    val nodes = (0L until 40L)
+    val edges = (for (_ <- 0 until 120)
+      yield (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filterNot(e => e._1 == e._2)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (e, labels) = LabelProp.lpaInputs(
+        nodes.toDF("id"), edges.toDF("src", "dst"))
+      val plan = LabelProp.lpaRound(e, labels)
+        .queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r
+        .findAllIn(plan).size
+      assert(shuffles == 2, s"expected 2 vote-agg exchanges, got $shuffles:\n$plan")
+      // broadcasts are fine (tiny checkpointed label stats — at corpus
+      // scale real stats flip these to the co-partitioned joins the
+      // repartition set up); what must never appear is a shuffle of
+      // the |E|-sized edge side or a cartesian
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("duplicate and reversed directed edges collapse to one undirected edge") {
     val nodes = Seq(1L, 2L, 3L)
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))

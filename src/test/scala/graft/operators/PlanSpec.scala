@@ -286,14 +286,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), s"window in mm9:\n$p")
   }
 
-  test("t27 readability collapses to per-doc counters in one exchange") {
-    // token explode → map-side-combined groupBy(doc_id) → one
-    // doc-keyed join; a second hash exchange on the aggregate side
-    // would mean the partial aggregation stopped combining map-side
+  test("t27 readability is a joinless zero-exchange projection") {
+    // round 9: the forcast_shape codegen byte walk replaced the
+    // explode → per-token regex → groupBy(doc_id) pipeline, so the
+    // whole query is scan → project → sort — any join, window or
+    // hash exchange means the single-pass kernel regressed back to
+    // a shuffle shape
     val p = plan("t27_forcast_readability")
+    assert(p.contains("forcast_shape"), s"kernel missing from t27:\n$p")
+    assert(!p.contains("Join"), s"join in t27:\n$p")
     assert(!p.contains("windowspecdefinition"), s"window in t27:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).length
-    assert(exchanges <= 2, s"$exchanges exchanges in t27:\n$p")
+    assert(exchanges == 0, s"$exchanges exchanges in t27:\n$p")
   }
 
   test("sk6 AMS sketch reduces to one row with no join and no window") {
