@@ -85,6 +85,66 @@ object LabelProp {
       .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
   }
 
+  /** Bounded-round k-core peel: run EXACTLY `rounds` synchronous
+    * rounds of "drop every node whose (undirected, deduplicated)
+    * degree is below k" — the densest-substructure screen beside
+    * [[communities]] (which island) and [[triangles]] (how knit): a
+    * node's core membership says whether it survives when the
+    * periphery is stripped, the standard "hub vs hanger-on" signal
+    * over a kNN/near-dup graph. Returns one row per node of `nodes`:
+    * `(id, in_core, core_deg)` with `core_deg` the degree WITHIN the
+    * final survivor set (NULL for peeled/isolated nodes).
+    *
+    * WHY bounded rounds, not run-to-fixpoint (a deliberate divergence
+    * from [[Dedup.connectedComponents]]' contract): peel depth is
+    * O(longest chain) — data-dependent and unbounded — so a
+    * convergence loop makes the operator's cost (and any external
+    * replay) unbounded too; worse, each round's survivor set feeds
+    * TWO joins, so plan-statistics products compound per round and a
+    * deep run grinds the driver in BigInteger arithmetic long before
+    * the data hurts (measured: a fixpoint variant of this loop hung
+    * minutes at sf0.1). Bounded peel is the production norm for
+    * synchronous-superstep engines: survivors after R rounds are a
+    * SUPERSET of the true core that shrinks monotonically in R, the
+    * result equals the true core whenever R ≥ peel depth, and —
+    * decisive for the gate — both engines compute the identical
+    * quantity at ANY depth, so cross-engine parity never rests on a
+    * convergence assumption. No per-round driver action exists at
+    * all (no counts): R eager checkpoints, each one job.
+    *
+    * Scale shape: edges are hash(src)-pinned once ([[communities]]'
+    * checkpoint discipline); each round is one map-side-combined
+    * degree count, a survivor filter, and two survivor semi-joins
+    * back onto the edges — survivor frames are ≤|V| rows of one long
+    * (broadcastable well past 10⁷ nodes; beyond that the optimizer's
+    * stats flip the joins to co-partitioned shuffles on the same
+    * pinned layout).
+    */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(rounds >= 1, s"rounds: $rounds")
+    val parts = nodes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    var e = undirect(edges).repartition(parts, col("src"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select(col("src").as("kid"))
+        .localCheckpoint(true)
+      e = e.join(keep.withColumnRenamed("kid", "src"), Seq("src"))
+        .join(keep.withColumnRenamed("kid", "dst"), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .repartition(parts, col("src"))
+        .localCheckpoint(true)
+    }
+    val coreDeg = e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .withColumnRenamed("src", "id")
+    nodes.select(col("id")).join(coreDeg, Seq("id"), "left")
+      .select(col("id"), col("core_deg").isNotNull.as("in_core"),
+        col("core_deg"))
+  }
+
   /** Per-node triangle participation count over the undirected view,
     * as `(id, triangles)` — one row per node of `nodes` (0 for
     * nodes in no triangle). Each triangle {i<j<k} is found exactly

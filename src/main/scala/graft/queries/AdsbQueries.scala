@@ -522,6 +522,65 @@ object AdsbQueries {
           col("thr"),
           expr("element_at(deltas, frame_idx) > thr").as("is_boundary"))
         .orderBy(col("model"), col("frame_idx"))
+    }),
+
+    // mm12: per-shot KEYFRAME selection — the representative-frame
+    // primitive a video pipeline runs between mm10's segmentation
+    // and any per-frame embedding/dedup (one frame per shot is what
+    // gets paid for downstream, not Σ n_frames). Shots are mm10's
+    // boundary lattice consumed as segments (shot id = running
+    // boundary count, the t28 phrase-id convention); the keyframe is
+    // the shot's max-energy frame, ties to the EARLIEST frame — all
+    // exact integers on mm10's byte-sum energies, so the oracle
+    // re-derives every pick from the dumped blobs. Scale shape: the
+    // same per-blob O(bytes) parse as mm10, one per-video window for
+    // the running shot id (a video's frames are one key group by
+    // construction), then a map-side-combinable per-(video, shot)
+    // aggregate via min(struct(-energy, frame)) — no row_number sort,
+    // row count Σ shots ≤ Σ n_frames.
+    "mm12_keyframes" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
+      val fx = bin.withColumn("hx", hex(col("content")))
+        .where(expr("substr(hx, 1, 8) = '47564944'"))
+        .withColumn("frame_size", expr(
+          "cast(conv(substr(hx, 11, 2) || substr(hx, 9, 2), 16, 10) AS int)"))
+        .withColumn("n_frames", expr(
+          "cast(conv(substr(hx, 15, 2) || substr(hx, 13, 2), 16, 10) AS int)"))
+        .where(col("n_frames") >= 2)
+        .withColumn("sums", expr(
+          """transform(sequence(0, n_frames - 1), f ->
+            |  aggregate(sequence(0, frame_size - 1), 0L, (acc, i) ->
+            |    acc + cast(conv(substr(hx,
+            |      (8 + f*frame_size + i)*2 + 1, 2), 16, 10) AS bigint)))"""
+            .stripMargin))
+        .withColumn("deltas", expr(
+          """transform(sequence(1, n_frames - 1), f ->
+            |  abs(element_at(sums, f + 1) - element_at(sums, f)))"""
+            .stripMargin))
+        .withColumn("thr", expr(
+          """2L * (aggregate(deltas, 0L, (acc, d) -> acc + d)
+            |  div cast(n_frames - 1 AS bigint))""".stripMargin))
+        .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+        .select(col("model"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("element_at(sums, frame_idx + 1)").as("energy"),
+          expr("""IF(frame_idx = 0, 0L,
+            |  IF(element_at(deltas, frame_idx) > thr, 1L, 0L))"""
+            .stripMargin).as("isb"))
+      fx.withColumn("shot_id",
+          sum(col("isb")).over(Window.partitionBy(col("model"))
+            .orderBy(col("frame_idx"))))
+        .groupBy(col("model"), col("shot_id"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+          max(col("frame_idx")).as("end_frame"),
+          count(lit(1)).as("n_frames_shot"),
+          min(struct((-col("energy")).as("ne"),
+            col("frame_idx").as("fi"))).as("kf"))
+        .select(col("model"), col("shot_id"), col("start_frame"),
+          col("end_frame"), col("n_frames_shot"),
+          col("kf.fi").as("keyframe_idx"),
+          (-col("kf.ne")).as("keyframe_energy"))
+        .orderBy(col("model"), col("shot_id"))
     })
   )
 
@@ -1155,7 +1214,64 @@ object AdsbQueries {
          |  CAST(thr AS BIGINT) AS thr,
          |  deltas[u.f] > thr AS is_boundary
          |FROM th, UNNEST(range(1, nf)) AS u(f)
-         |ORDER BY model, frame_idx""".stripMargin
+         |ORDER BY model, frame_idx""".stripMargin,
+
+    // mm12: mm10's parse chain consumed as segments — running
+    // boundary count = shot id, per-shot bounds/size, and the
+    // (energy DESC, frame ASC) keyframe pick replayed via a window.
+    "mm12_keyframes" ->
+      s"""WITH b AS (SELECT model, hex(content) AS hx
+         |  FROM ${tbl("video_blobs")}),
+         |hdr AS (
+         |  SELECT model, hx,
+         |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER AS fs,
+         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS nf
+         |  FROM b WHERE substr(hx, 1, 8) = '47564944'),
+         |en AS (
+         |  SELECT model, fs, nf,
+         |    list_transform(range(0, nf), f ->
+         |      list_sum(list_transform(range(0, fs), i ->
+         |        ('0x' || substr(hx, (8 + f*fs + i)*2 + 1, 2))::BIGINT)))
+         |      AS sums
+         |  FROM hdr WHERE nf >= 2),
+         |dl AS (
+         |  SELECT model, nf, sums,
+         |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
+         |  AS deltas
+         |  FROM en),
+         |th AS (
+         |  SELECT model, nf, sums, deltas,
+         |    2 * (list_sum(deltas) // (nf - 1)) AS thr
+         |  FROM dl),
+         |fx AS (
+         |  SELECT model, CAST(u.f AS BIGINT) AS frame_idx,
+         |    CAST(sums[u.f + 1] AS BIGINT) AS energy,
+         |    CASE WHEN u.f = 0 THEN 0
+         |         WHEN deltas[u.f] > thr THEN 1 ELSE 0 END AS isb
+         |  FROM th, UNNEST(range(0, nf)) AS u(f)),
+         |sh AS (
+         |  SELECT model, frame_idx, energy,
+         |    CAST(sum(isb) OVER (PARTITION BY model ORDER BY frame_idx)
+         |      AS BIGINT) AS shot_id
+         |  FROM fx),
+         |ag AS (
+         |  SELECT model, shot_id,
+         |    CAST(min(frame_idx) AS BIGINT) AS start_frame,
+         |    CAST(max(frame_idx) AS BIGINT) AS end_frame,
+         |    CAST(count(*) AS BIGINT) AS n_frames_shot
+         |  FROM sh GROUP BY 1, 2),
+         |kf AS (
+         |  SELECT model, shot_id, frame_idx AS keyframe_idx,
+         |    energy AS keyframe_energy
+         |  FROM (
+         |    SELECT model, shot_id, frame_idx, energy,
+         |      row_number() OVER (PARTITION BY model, shot_id
+         |        ORDER BY energy DESC, frame_idx) AS rn
+         |    FROM sh) WHERE rn = 1)
+         |SELECT a.model, a.shot_id, a.start_frame, a.end_frame,
+         |  a.n_frames_shot, k.keyframe_idx, k.keyframe_energy
+         |FROM ag a JOIN kf k USING (model, shot_id)
+         |ORDER BY a.model, a.shot_id""".stripMargin
   )
 
   /** The reference's `event` composite type

@@ -2366,6 +2366,59 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t29: Good–Turing frequency spectrum (Good 1953) over 3-GRAM
+    // types — the unseen-mass estimate beside t17's vocabulary
+    // growth, applied where Good–Turing classically lives: n-gram
+    // language-model smoothing (the unigram vocabulary here is a
+    // closed 31-type set per language, so its low-r spectrum is
+    // empty by construction — the TRIGRAM spectrum has thousands of
+    // singletons). Per language: N_r = number of trigram types
+    // occurring exactly r times, the smoothed count r* =
+    // (r+1)·N_{r+1}/N_r in exact micro fixed-point, and the
+    // leave-one-out unseen-trigram probability p₀ = N₁/N in exact
+    // ppm — the statistic that says how much of the language's
+    // trigram inventory the corpus has NOT seen yet (the practical
+    // stop/keep-crawling signal for a data-acquisition loop). Grams
+    // ship as 60-bit portable hashes (the t24/t26 discipline —
+    // never text; both engines hash identically, so even a
+    // collision is engine-identical). All integer: both engines
+    // rebuild every cell bit-for-bit. Scale shape: ONE map-side-
+    // combinable (lang, gram) count shuffle, then the spectrum
+    // groupBy and the r→r+1 self-join run on the ≤|langs|·max_count
+    // spectrum frame — metadata-sized by construction.
+    "t29_good_turing" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val grams = Dedup.shingleRows(docs(s, dir), col("lang"),
+          col("text"), 3)
+        .select(col("id").as("lang"), phash(col("sh"), 3).as("g"))
+      // shared: three consumers sit across joins (spectrum a/b sides,
+      // p0) — without share() the corpus-sized gram-count shuffle
+      // re-executes per side (the p13/d11 multi-consumer lesson); the
+      // cached frame is (lang, hash, c) — never text
+      val cnt = Dedup.share(grams.groupBy(col("lang"), col("g"))
+        .agg(count(lit(1)).as("c")))
+      val spec = cnt.groupBy(col("lang"), col("c").as("r"))
+        .agg(count(lit(1)).as("n_types"))
+      val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("n_tokens"))
+      val p0 = spec.where(col("r") === 1)
+        .join(tot, Seq("lang"))
+        .select(col("lang"),
+          expr("(1000000L * n_types) div n_tokens").as("p0_ppm"))
+      spec.as("a")
+        .join(spec.as("b"),
+          col("a.lang") === col("b.lang") && col("b.r") === col("a.r") + 1,
+          "left")
+        .select(col("a.lang").as("lang"), col("a.r").as("r"),
+          col("a.n_types").as("n_types"),
+          expr("(1000000L * (a.r + 1) * coalesce(b.n_types, 0L)) div a.n_types")
+            .as("r_star_micro"))
+        .where(col("r") <= 8)
+        .join(p0, Seq("lang"), "left")
+        .select(col("lang"), col("r"), col("n_types"),
+          col("r_star_micro"), col("p0_ppm"))
+        .orderBy(col("lang"), col("r"))
+    }),
+
     // sk6: AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second
     // frequency moment of the token distribution, the classic
     // join-size / self-join-cardinality / skew estimator: each of 16
@@ -2481,6 +2534,44 @@ object DocQueries {
         .agg(count(lit(1)).as("csize"))
       lbl.join(sizes, Seq("component"))
         .select(col("id"), col("component"), col("csize"))
+        .orderBy(col("id"))
+    }),
+
+    // g5: k-core peel (k=2, 8 bounded rounds) over the MUTUAL-kNN
+    // graph — the density screen beside g2 (which island) and g4
+    // (what's reachable): an edge survives only if BOTH endpoints
+    // rank each other in their top-3 (the standard robustification
+    // that makes kNN graphs clusterable — one-sided links to hubs
+    // drop out), and a node is in the core iff it survives 8
+    // synchronous rounds of sub-2-degree peeling — the
+    // hub-vs-periphery signal a curation run uses to pick
+    // representative documents from dense embedding regions. The raw
+    // top-3 graph is degree-regular by construction (every k-core of
+    // it is all-or-nothing — measured: k=3 keeps all 500 nodes, k=4
+    // keeps none); mutuality is what creates the degree gradient
+    // (0..3) that makes coreness informative. Rounds are BOUNDED on
+    // BOTH sides by design — [[LabelProp.kCore]]'s scaladoc has the
+    // full rationale (peel depth is data-unbounded; both engines
+    // compute the identical 8-round survivor set at any depth, so
+    // parity never rests on a convergence assumption); the oracle
+    // replays the same 8 rounds MATERIALIZED (the g4 discipline:
+    // each round references the previous survivor set twice).
+    // in_core + within-survivor-set degree per node.
+    "g5_kcore" -> ((s, dir) => {
+      // checkpoint BEFORE the self-join: the kNN pipeline would
+      // otherwise be planned four times over (mutual's two sides ×
+      // undirect's union), and Catalyst's size-stats products over
+      // the duplicated join tree blow up into minutes of BigInteger
+      // arithmetic at sf0.1 — the flat RDD makes the self-join plan
+      // trivial and executes the IVF search exactly once
+      val e0 = knnEdges(s, dir).where(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+      val mutual = e0.as("e").join(e0.as("r"),
+          col("e.src") === col("r.dst") && col("e.dst") === col("r.src"),
+          "left_semi")
+        .select(col("src"), col("dst"))
+      graft.operators.LabelProp.kCore(
+          emb(s, dir).select(col("vec_id").as("id")), mutual, k = 2)
         .orderBy(col("id"))
     }),
 
@@ -4783,6 +4874,42 @@ object DocQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
         |FROM j ORDER BY decile""".stripMargin,
 
+    // t29: the trigram spectrum, smoothed counts and unseen mass
+    // rebuilt from scratch — (lang, gram-hash) counts →
+    // count-of-counts → the exact r→r+1 self-join and integer
+    // fixed-point divisions (// == div on positive operands); the
+    // gram hash is the same md5-derived 60-bit portable hash
+    // (seed 3 = the gram order, the t26 convention).
+    "t29_good_turing" ->
+      s"""WITH toks AS (
+        |  SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |tc AS (
+        |  SELECT lang, ${dkHash("s", "3")} AS g,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM sh GROUP BY 1, 2),
+        |spec AS (
+        |  SELECT lang, c AS r, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tc GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM tc GROUP BY 1),
+        |p0 AS (
+        |  SELECT s.lang,
+        |    CAST((1000000 * s.n_types) // t.n_tokens AS BIGINT) AS p0_ppm
+        |  FROM spec s JOIN tot t USING (lang) WHERE s.r = 1)
+        |SELECT a.lang, a.r, a.n_types,
+        |  CAST((1000000 * (a.r + 1) * coalesce(b.n_types, 0)) // a.n_types
+        |    AS BIGINT) AS r_star_micro,
+        |  p.p0_ppm
+        |FROM spec a
+        |LEFT JOIN spec b ON a.lang = b.lang AND b.r = a.r + 1
+        |LEFT JOIN p0 p ON a.lang = p.lang
+        |WHERE a.r <= 8
+        |ORDER BY a.lang, a.r""".stripMargin,
+
     "p18_dataset_card" ->
       """WITH b AS (
         |  SELECT source, count(*) AS n_docs,
@@ -5490,6 +5617,52 @@ object DocQueries {
          |SELECT c.id, CAST(c.cmp AS BIGINT) AS component,
          |  CAST(s.csize AS BIGINT) AS csize
          |FROM c8 c JOIN sizes s USING (cmp) ORDER BY c.id""".stripMargin
+    },
+
+    // g5: the mutual edge filter (both directions present in the
+    // directed top-3 list) then EXACTLY the 8 peel rounds the Spark
+    // side runs — survivors_i = nodes whose degree within the
+    // survivors_{i-1}-induced subgraph is ≥ 2. Each round references
+    // the previous survivor set TWICE (both join endpoints), so the
+    // round CTEs are MATERIALIZED (the g4 lesson). Bounded-round
+    // parity: both engines compute the same quantity at any peel
+    // depth (LabelProp.kCore's scaladoc), so the round counts here
+    // and in the Spark binding must move TOGETHER.
+    "g5_kcore" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""s$i AS MATERIALIZED (
+           |  SELECT d.id FROM (
+           |    SELECT e.src AS id, count(*) AS dg
+           |    FROM und e
+           |    JOIN s${i - 1} a ON e.src = a.id
+           |    JOIN s${i - 1} b ON e.dst = b.id
+           |    GROUP BY 1) d
+           |  WHERE d.dg >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ivfTopkCtes("ivf_main", "ivf_knn_probes")},
+         |edges0 AS (
+         |  SELECT qid AS src, vec_id AS dst FROM ranked
+         |  WHERE rank <= 3 AND qid <> vec_id),
+         |mut AS (
+         |  SELECT e.src, e.dst FROM edges0 e
+         |  JOIN edges0 r ON e.src = r.dst AND e.dst = r.src),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM mut
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst FROM mut)),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |s0 AS MATERIALIZED (SELECT id FROM nodes),
+         |$rounds,
+         |cdeg AS (
+         |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS core_deg
+         |  FROM und e
+         |  JOIN s8 a ON e.src = a.id
+         |  JOIN s8 b ON e.dst = b.id
+         |  GROUP BY 1)
+         |SELECT n.id, (c.core_deg IS NOT NULL) AS in_core, c.core_deg
+         |FROM nodes n LEFT JOIN cdeg c ON n.id = c.id
+         |ORDER BY n.id""".stripMargin
     },
 
     // sk7: both signed-counter vectors and the exact product-sum

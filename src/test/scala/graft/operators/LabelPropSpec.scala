@@ -100,6 +100,84 @@ class LabelPropSpec extends SparkSpec {
     assert(runTriangles(nodes, edges, 5) === ref)
   }
 
+  // exactly `rounds` synchronous peels — the bounded semantics kCore
+  // pins (its scaladoc has the fixpoint-vs-bounded rationale)
+  private def referenceKCore(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      k: Int, rounds: Int): Map[Long, Option[Long]] = {
+    var und = undirect(edges)
+    for (_ <- 1 to rounds) {
+      val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val bad = deg.filter(_._2 < k).keySet
+      und = und.filter(e => !bad(e._1) && !bad(e._2))
+    }
+    val coreDeg = und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    nodes.map(v => v -> coreDeg.get(v)).toMap
+  }
+
+  private def runKCore(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      k: Int, parts: Int, rounds: Int = 8): Map[Long, Option[Long]] =
+    LabelProp.kCore(nodes.toDF("id").repartition(parts),
+        edges.toDF("src", "dst").repartition(parts), k, rounds)
+      .collect().map { r =>
+        val deg = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        assert(r.getBoolean(1) == deg.isDefined) // in_core <=> has core_deg
+        r.getLong(0) -> deg
+      }.toMap
+
+  test("kCore: clique survives, hanging chain peels, brute-force parity") {
+    // K4 on 1..4 (internal degree 3), a chain 4-5-6-7 hanging off,
+    // node 8 isolated: at k=2 the chain peels END-FIRST over three
+    // cascading rounds (the iteration is load-bearing, not one pass)
+    // and the clique alone survives; at k=3 likewise; at k=4 the
+    // graph empties. 8 rounds ≥ the 3-round peel depth, so the
+    // bounded result here IS the true core.
+    val nodes = (1L to 8L)
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    for (k <- 2 to 4; parts <- Seq(1, 5)) {
+      val got = runKCore(nodes, edges, k, parts)
+      assert(got === referenceKCore(nodes, edges, k, 8), s"k=$k parts=$parts")
+    }
+    val core2 = runKCore(nodes, edges, 2, 3)
+    assert(core2.filter(_._2.isDefined).keySet === Set(1L, 2L, 3L, 4L))
+    assert(core2(1L).contains(3L)) // within-core degree, chain excluded
+    assert(runKCore(nodes, edges, 4, 3).values.forall(_.isEmpty))
+  }
+
+  test("kCore: bounded rounds are exact mid-peel, monotone, convergent") {
+    // rounds=1 on the chain peels only the end (7); rounds=2 also 6;
+    // rounds>=3 reaches the fixpoint — pins that `rounds` means
+    // EXACTLY that many synchronous rounds, and that survivor sets
+    // shrink monotonically to the true core
+    val nodes = (1L to 7L)
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    def survivors(rounds: Int): Set[Long] =
+      runKCore(nodes, edges, 2, 3, rounds)
+        .filter(_._2.isDefined).keySet.toSet
+    assert(survivors(1) === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(survivors(2) === Set(1L, 2L, 3L, 4L, 5L))
+    assert(survivors(3) === Set(1L, 2L, 3L, 4L))
+    assert(survivors(8) === Set(1L, 2L, 3L, 4L))
+    (1 to 3).foreach { r =>
+      assert(runKCore(nodes, edges, 2, 3, r)
+        === referenceKCore(nodes, edges, 2, r), s"rounds=$r")
+    }
+  }
+
+  test("kCore: seeded random graph matches brute force, partition-invariant") {
+    val rnd = new Random(61)
+    val nodes = (0L until 30L)
+    val edges = (for (_ <- 0 until 45)
+      yield (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filterNot(e => e._1 == e._2)
+    for (k <- Seq(2, 3)) {
+      val ref = referenceKCore(nodes, edges, k, 8)
+      assert(runKCore(nodes, edges, k, 1) === ref, s"k=$k")
+      assert(runKCore(nodes, edges, k, 7) === ref, s"k=$k")
+    }
+  }
+
   test("one LPA round pays only the vote-aggregation exchanges") {
     // round-9 exchange-elimination pin: with edges hash(src) and
     // labels hash(id) captured through localCheckpoint, a round's
