@@ -822,6 +822,77 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // sk9: SLIDING-WINDOW distinct count from merged daily HLL
+    // sketches — the mergeability property sk8 proves, doing the job
+    // it exists for: trailing-7-day distinct users per day computed
+    // by register-max over the per-day sketches, never by rescanning
+    // seven days of events. This is THE production shape for windowed
+    // cardinality at 100 TB — each day's events are sketched once
+    // into 256 longs (one map-side-combinable pass per day, exactly
+    // what an epoch checkpoint stores); every window estimate then
+    // runs on the days×256-row register table, so a year of windows
+    // costs the same corpus work as one day. The `exact` audit
+    // column re-scans events per window (a deliberate 7× row fan-out
+    // through the day range join) — at scale the audit is dropped
+    // and the register table is all that exists; err_ppm stays
+    // in-row so the sketch error is visible per window. Same exact-
+    // integer estimator as sk3/sk8 (α·m²·2⁵³ decimal floor-divide),
+    // so DuckDB rebuilds every register and estimate bit-for-bit.
+    "sk9_hll_window" -> ((s, dir) => {
+      val m = 256
+      val num = lit(new java.math.BigDecimal(
+          (BigInt(718273) * m * m * BigInt(2).pow(53)).bigInteger))
+        .cast("decimal(38,0)")
+      val pow53 = 9007199254740992L // 2^53
+      val daily = ev(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          graft.functions.PortableHash
+            .phashStr(col("user_id").cast("string")).as("h"))
+        .select(col("day"), (col("h") % m).as("b"),
+          floor(col("h") / m).cast("long").as("w"))
+        .select(col("day"), col("b"),
+          when(col("w") === 0L, lit(53))
+            .otherwise(lit(53) - length(bin(col("w"))))
+            .cast("int").as("rho"))
+        .groupBy(col("day"), col("b"))
+        .agg(max(col("rho")).as("M"))
+      // sketch-sized from here on: days × 256 register rows
+      val days = daily.select(col("day")).distinct()
+      val win = days.as("t").join(daily.as("s"),
+        col("s.day").between(date_sub(col("t.day"), 6), col("t.day")))
+      val est = win
+        .groupBy(col("t.day").as("day"), col("s.b").as("b"))
+        .agg(max(col("s.M")).as("M"))
+        .groupBy(col("day"))
+        .agg(sum(expr("shiftleft(cast(1 as bigint), 53 - M)"))
+            .as("s_used"),
+          count(lit(1)).as("n_regs"))
+        .select(col("day"),
+          ((col("s_used") + (lit(m) - col("n_regs")) * pow53)
+            .cast("decimal(38,0)") * 1000000L)
+            .cast("decimal(38,0)").as("den"))
+        .select(col("day"),
+          ((num - num % col("den")) / col("den")).cast("long")
+            .as("est_window"))
+      val nDays = win.groupBy(col("t.day").as("day"))
+        .agg(countDistinct(col("s.day")).as("n_days_window"))
+      val exact = days.as("t").join(
+          ev(s, dir).select(to_date(col("ts")).as("eday"),
+            col("user_id")).as("e"),
+          col("e.eday").between(date_sub(col("t.day"), 6), col("t.day")))
+        .groupBy(col("t.day").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_window"))
+      est.join(nDays, Seq("day")).join(exact, Seq("day"))
+        // the qr convention: day emits as midnight TIMESTAMP_NTZ so
+        // pandas renders both engines' column identically
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("n_days_window"), col("est_window"),
+          col("exact_window"),
+          floor(abs(col("est_window") - col("exact_window")) * 1000000L /
+            col("exact_window")).as("err_ppm"))
+        .orderBy(col("day"))
+    }),
+
     // sk4: KMV set-operation sketch (Beyer et al. 2007 / the theta-
     // sketch intersection) — distinct-USER OVERLAP between every
     // event_type pair from only the per-type k=64 minimum-hash
@@ -1643,6 +1714,57 @@ object EventQueries {
         |JOIN days_ USING (event_type)
         |JOIN ex USING (event_type)
         |ORDER BY e.event_type""".stripMargin,
+
+    // sk9: per-day registers, register-max over the trailing 7-day
+    // window (the day×day range join), the identical HUGEINT
+    // estimator per window, and the exact windowed re-scan audit.
+    "sk9_hll_window" ->
+      """WITH dh AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |daily AS (
+        |  SELECT day, h % 256 AS b,
+        |    max(CASE WHEN h // 256 = 0 THEN 53
+        |      ELSE 53 - length(bin(h // 256)) END) AS M
+        |  FROM dh GROUP BY 1, 2),
+        |days_ AS (SELECT DISTINCT day FROM daily),
+        |win AS (
+        |  SELECT t.day, s.b, max(s.M) AS M
+        |  FROM days_ t JOIN daily s
+        |    ON s.day BETWEEN t.day - INTERVAL 6 DAY AND t.day
+        |  GROUP BY 1, 2),
+        |nw AS (
+        |  SELECT t.day, CAST(count(DISTINCT s.day) AS BIGINT)
+        |    AS n_days_window
+        |  FROM days_ t JOIN daily s
+        |    ON s.day BETWEEN t.day - INTERVAL 6 DAY AND t.day
+        |  GROUP BY 1),
+        |pt AS (
+        |  SELECT day,
+        |    (sum((1::BIGINT << (53 - M))::HUGEINT)
+        |      + (256 - count(*))::HUGEINT * 9007199254740992::HUGEINT)
+        |      * 1000000::HUGEINT AS den
+        |  FROM win GROUP BY 1),
+        |ex AS (
+        |  SELECT t.day,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_window
+        |  FROM days_ t JOIN (
+        |    SELECT CAST(ts AS DATE) AS eday, user_id FROM events) e
+        |    ON e.eday BETWEEN t.day - INTERVAL 6 DAY AND t.day
+        |  GROUP BY 1),
+        |est_ AS (
+        |  SELECT day,
+        |    CAST(423993542593778584572133376::HUGEINT // den AS BIGINT)
+        |      AS est_window
+        |  FROM pt)
+        |SELECT e.day, n_days_window, est_window, exact_window,
+        |  CAST(floor(abs(est_window - exact_window) * 1000000
+        |    / exact_window) AS BIGINT) AS err_ppm
+        |FROM est_ e
+        |JOIN nw USING (day)
+        |JOIN ex USING (day)
+        |ORDER BY e.day""".stripMargin,
 
     // KMV set-intersection replayed with window functions: per-type
     // 64-minimum signatures, the pair-tagged union re-ranked to its
