@@ -286,6 +286,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), s"window in mm9:\n$p")
   }
 
+  test("t29 Good-Turing: one corpus shuffle, spectrum layer join-bounded") {
+    // the (lang, gram-hash) count is the only corpus-sized shuffle;
+    // the r->r+1 self-join and the p0 join run on the count-of-counts
+    // frame. Grams must ship hashed (the t24 discipline) and no
+    // cartesian may appear.
+    val p = plan("t29_good_turing")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), s"window in t29:\n$p")
+  }
+
+  test("g5 k-core round state is co-partitioned, no cartesian") {
+    val p = plan("g5_kcore")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mm12 keyframes: per-video window only, argmax without row_number") {
+    // the running shot id is the one window (keyed by model — a
+    // video's frames are one key group); the keyframe pick must stay
+    // a partial-aggregable min(struct), never a per-shot row_number
+    // sort, and no join may touch the blob lattice
+    val p = plan("mm12_keyframes")
+    assert(!p.contains("row_number()"), s"row_number in mm12:\n$p")
+    assert(!p.contains("Join"), s"join in mm12:\n$p")
+  }
+
+  test("sk9 window-HLL estimates run on the register table, window-free") {
+    // one corpus-sized (day, bucket) sketch shuffle; the trailing-
+    // window merge is the days x days range join over register rows —
+    // no SQL window function anywhere, no cartesian on the corpus
+    // side (the tiny days x daily range join plans as BNL over
+    // metadata-sized frames, which is fine — what must never appear
+    // is a window or a corpus-side nested loop)
+    val p = plan("sk9_hll_window")
+    assert(!p.contains("windowspecdefinition"), s"window in sk9:\n$p")
+  }
+
   test("t27 readability is a joinless zero-exchange projection") {
     // round 9: the forcast_shape codegen byte walk replaced the
     // explode → per-token regex → groupBy(doc_id) pipeline, so the
