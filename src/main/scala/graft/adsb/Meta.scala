@@ -63,6 +63,11 @@ object Meta {
     "tone_a.pcm", "tone_a_dup.pcm", "tone_b.pcm", "noise_c.pcm",
     "sweep_d.pcm", "sweep_d_dup.pcm", "mix_e.pcm", "quiet_f.pcm",
     "speech_g.pcm",
+    // dialog_h: THREE bursts (amp 30/50/20) between four silent gaps
+    // (8|12|10|16|6|10|2 frames) — the multi-segment case that makes
+    // mm13's silent-prefix segment keying load-bearing (every other
+    // signal is a single run, where any grouping bug would pass)
+    "dialog_h.pcm",
     "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid",
     "vid_scene.gvid")
 

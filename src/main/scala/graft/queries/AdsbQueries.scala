@@ -448,6 +448,55 @@ object AdsbQueries {
         .orderBy(col("model"))
     }),
 
+    // mm13: speech-SEGMENT extraction — mm11's silence lattice
+    // consumed as segments (the audio twin of mm12's shots, and the
+    // VAD-segmentation step an audio pipeline runs before paying for
+    // per-segment transcription/embedding): a segment is a maximal
+    // run of non-silent frames (mm11's exact integer energy ≥ 4096
+    // rule, same threshold constant), keyed by the silent-PREFIX
+    // trick (running count of silent frames — t28's stopword
+    // phrase-id convention: active frames sharing a silent prefix
+    // are contiguous by construction), re-ranked to a dense 1-based
+    // seg_id. Per segment: frame bounds, length, and peak energy —
+    // all exact integers, so the oracle re-derives every segment
+    // from the dumped blobs. Scale shape: per-blob O(bytes) energy
+    // parse, two per-model windows (running silent count, dense
+    // rank) — a blob's frames are one key group by construction —
+    // and a map-side-combinable per-(model, segment) aggregate.
+    // Row count = Σ segments ≤ Σ n_frames.
+    "mm13_speech_segments" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
+      val fx = bin.withColumn("hx", hex(col("content")))
+        .withColumn("n_frames", floor(col("length") / 64).cast("int"))
+        .where(col("n_frames") >= 1)
+        .withColumn("energies", expr(
+          """transform(sequence(0, n_frames - 1), f ->
+            |  aggregate(sequence(0, 63), 0L, (acc, i) ->
+            |    acc + (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
+            |             AS bigint) - 128L)
+            |        * (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
+            |             AS bigint) - 128L)))""".stripMargin))
+        .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+        .select(col("model"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("element_at(energies, frame_idx + 1)").as("energy"))
+        .withColumn("is_silent", col("energy") < 4096L)
+      val byFrame = Window.partitionBy(col("model")).orderBy(col("frame_idx"))
+      val active = fx.withColumn("sil_prefix",
+          sum(when(col("is_silent"), 1L).otherwise(0L)).over(byFrame))
+        .where(!col("is_silent"))
+      active
+        .withColumn("seg_id",
+          dense_rank().over(Window.partitionBy(col("model"))
+            .orderBy(col("sil_prefix"))).cast("long"))
+        .groupBy(col("model"), col("seg_id"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+          max(col("frame_idx")).as("end_frame"),
+          count(lit(1)).as("n_frames_seg"),
+          max(col("energy")).as("peak_energy"))
+        .orderBy(col("model"), col("seg_id"))
+    }),
+
     // mm8: frame sampling from a video container — the "every k-th
     // frame" primitive a multimodal training pipeline runs before
     // any per-frame model. The toy GVID container ("GVID" + u16le
@@ -1271,7 +1320,48 @@ object AdsbQueries {
          |SELECT a.model, a.shot_id, a.start_frame, a.end_frame,
          |  a.n_frames_shot, k.keyframe_idx, k.keyframe_energy
          |FROM ag a JOIN kf k USING (model, shot_id)
-         |ORDER BY a.model, a.shot_id""".stripMargin
+         |ORDER BY a.model, a.shot_id""".stripMargin,
+
+    // mm13: mm11's frame energies replayed, silent-prefix segment
+    // keys via the same running-sum window, dense-ranked seg ids,
+    // per-segment bounds/peak.
+    "mm13_speech_segments" ->
+      s"""WITH b AS (SELECT model, length, hex(content) AS hx
+         |  FROM ${tbl("audio_blobs")}),
+         |fr AS (
+         |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
+         |  FROM b WHERE length // 64 >= 1),
+         |en AS (
+         |  SELECT model, n_frames,
+         |    list_transform(range(0, n_frames), f ->
+         |      list_sum(list_transform(range(0, 64), i ->
+         |        (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128)
+         |        * (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT
+         |           - 128)))) AS energies
+         |  FROM fr),
+         |fx AS (
+         |  SELECT model, CAST(u.f AS BIGINT) AS frame_idx,
+         |    CAST(energies[u.f + 1] AS BIGINT) AS energy,
+         |    (energies[u.f + 1] < 4096) AS is_silent
+         |  FROM en, UNNEST(range(0, n_frames)) AS u(f)),
+         |sp AS (
+         |  SELECT model, frame_idx, energy, is_silent,
+         |    sum(CASE WHEN is_silent THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY model ORDER BY frame_idx)
+         |      AS sil_prefix
+         |  FROM fx),
+         |act AS (
+         |  SELECT model, frame_idx, energy, sil_prefix,
+         |    CAST(dense_rank() OVER (PARTITION BY model
+         |      ORDER BY sil_prefix) AS BIGINT) AS seg_id
+         |  FROM sp WHERE NOT is_silent)
+         |SELECT model, seg_id,
+         |  CAST(min(frame_idx) AS BIGINT) AS start_frame,
+         |  CAST(max(frame_idx) AS BIGINT) AS end_frame,
+         |  CAST(count(*) AS BIGINT) AS n_frames_seg,
+         |  CAST(max(energy) AS BIGINT) AS peak_energy
+         |FROM act GROUP BY 1, 2
+         |ORDER BY model, seg_id""".stripMargin
   )
 
   /** The reference's `event` composite type

@@ -2419,6 +2419,41 @@ object DocQueries {
         .orderBy(col("lang"), col("r"))
     }),
 
+    // t30: MATTR (Covington & McFall 2010) — moving-average
+    // type-token ratio at window w=25, the length-INDEPENDENT
+    // lexical-diversity measure beside t21's root TTR (plain TTR
+    // falls with document length by construction; averaging the TTR
+    // of every w-token window removes that artifact, which is why
+    // MATTR is the diversity score corpus-quality work reports).
+    // Exact fixed-point: Σ over windows of |distinct(window)|, then
+    // mattr_ppm = 10⁶·Σ div (w·n_windows); docs shorter than w keep
+    // NULL diversity columns (no window exists — visible, not
+    // silently dropped). Scale shape: pure per-doc array work on the
+    // materialized token array (the Dedup.shingles lesson: bind the
+    // array first, never re-split inside the lambda) — no explode,
+    // no shuffle, no join; cost is O(tokens·w²) integer/string
+    // compares per doc, linear in the corpus at fixed w.
+    "t30_mattr" -> ((s, dir) => {
+      val w = 25
+      docs(s, dir)
+        .withColumn("toks",
+          filter(split(col("text"), " "), t => length(t) > 0))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr(s"""CASE WHEN size(toks) >= $w THEN
+            |  aggregate(transform(sequence(0, size(toks) - $w),
+            |    i -> cast(size(array_distinct(slice(toks, i + 1, $w)))
+            |           AS bigint)),
+            |    0L, (acc, x) -> acc + x) END""".stripMargin)
+            .as("sum_distinct"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") >= w, col("n_tokens") - (w - 1))
+            .as("n_windows"),
+          expr(s"(1000000L * sum_distinct) div ($w * (n_tokens - ${w - 1}))")
+            .as("mattr_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sk6: AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second
     // frequency moment of the token distribution, the classic
     // join-size / self-join-cardinality / skew estimator: each of 16
@@ -4909,6 +4944,29 @@ object DocQueries {
         |LEFT JOIN p0 p ON a.lang = p.lang
         |WHERE a.r <= 8
         |ORDER BY a.lang, a.r""".stripMargin,
+
+    // t30: the same windowed distinct-count fold over DuckDB's list
+    // machinery — list_slice is 1-based inclusive [begin, end], so
+    // (i+1, i+25) mirrors Spark's slice(toks, i+1, 25).
+    "t30_mattr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0)
+        |      AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(toks) >= 25 THEN
+        |      CAST(list_sum(list_transform(range(0, len(toks) - 24),
+        |        i -> len(list_distinct(list_slice(toks, i + 1, i + 25)))))
+        |        AS BIGINT) END AS sum_distinct
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens >= 25 THEN n_tokens - 24 END AS n_windows,
+        |  CASE WHEN n_tokens >= 25 THEN
+        |    (1000000 * sum_distinct) // (25 * (n_tokens - 24)) END
+        |    AS mattr_ppm
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "p18_dataset_card" ->
       """WITH b AS (

@@ -75,4 +75,22 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(rows("tone_a")._1 === 0L)
     assert(rows("noise_c")._3 === false)
   }
+
+  test("speech segments: planted three-burst dialog splits exactly") {
+    // dialog_h plants bursts at frames 8-19 (amp 30), 30-45 (amp 50),
+    // 52-61 (amp 20) between four silent gaps — the multi-segment
+    // case that makes the silent-prefix grouping load-bearing; a
+    // wall-to-wall silent blob yields NO rows, a continuous signal
+    // exactly one.
+    val rows = AdsbQueries.defs("mm13_speech_segments")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows(("dialog_h", 1L)) === ((8L, 19L, 12L, 64L * 900)))
+    assert(rows(("dialog_h", 2L)) === ((30L, 45L, 16L, 64L * 2500)))
+    assert(rows(("dialog_h", 3L)) === ((52L, 61L, 10L, 64L * 400)))
+    assert(!rows.keys.exists(_._1 == "quiet_f"))
+    assert(rows.keys.count(_._1 == "tone_a") === 1)
+  }
 }
