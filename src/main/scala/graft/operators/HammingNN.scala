@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   * candidate-best otherwise; keys whose hash shares no band with any
   * other key yield no row — at 100 TB "nearest unrelated blob" is
   * not a meaningful (or computable) question, near-dup detection is.
+  * CALLER CONTRACT (round-10, the ADVICE r9 visibility fix): join the
+  * readout back with a LEFT join — band-isolated keys then surface as
+  * NULL nn_/nn_hamming rows instead of silently vanishing from the
+  * result above `pairwiseLimit` (mm3/mm6/mm7/d19 all do).
   *
   * Top-1 per key is a partial-aggregable `min(struct(hamming, other))`
   * — same (distance asc, key asc) deterministic vote as a
@@ -36,8 +40,15 @@ object HammingNN {
     */
   def nearest(hashed: DataFrame, key: String, hi: String, lo: String,
       pairwiseLimit: Long = 4096): DataFrame = {
+    // persist before the routing count: without it the upstream hash
+    // pipeline (BMP pixel walk / PCM fingerprint parse) executes once
+    // for the count and once per self-join side — 3x the map work.
+    // persist (not localCheckpoint) so the session's clearCache/
+    // unpersist discipline reclaims it; the frame is key+16 bytes per
+    // row, orders of magnitude under the corpus it hashes.
     val base = hashed.select(
       col(key).as("__k"), col(hi).as("__hi"), col(lo).as("__lo"))
+      .persist()
     def ham = (bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
       bit_count(col("a.__lo").bitwiseXOR(col("b.__lo"))))
       .cast("long").as("hamming")

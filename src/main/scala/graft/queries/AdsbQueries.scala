@@ -238,7 +238,10 @@ object AdsbQueries {
       // threshold — no unconditional self-cross-join remains here
       val nn = graft.operators.HammingNN.nearest(
         hashed, "model", "ahash_hi", "ahash_lo")
-      hashed.join(nn, Seq("model")).orderBy(col("model"))
+      // LEFT join (HammingNN caller contract): above pairwiseLimit a
+      // band-isolated key keeps its row with NULL nn_ columns instead
+      // of silently dropping from the result
+      hashed.join(nn, Seq("model"), "left").orderBy(col("model"))
     }),
 
     // mm4: near-dup IMAGE detection at scale — d4's SimHash banding
@@ -302,7 +305,8 @@ object AdsbQueries {
       // routed NN readout — see mm3
       val nn = graft.operators.HammingNN.nearest(
         hashed, "model", "dhash_hi", "dhash_lo")
-      hashed.join(nn, Seq("model")).orderBy(col("model"))
+      // LEFT join — see mm3 (band-isolated keys stay visible)
+      hashed.join(nn, Seq("model"), "left").orderBy(col("model"))
     }),
 
     // mm9: per-image QUALITY statistics — the pixel-level admission
@@ -377,9 +381,10 @@ object AdsbQueries {
     // collapsed to one energy band since no DSP library exists
     // here), packed into two 32-bit halves per the mm3 convention,
     // then the same hamming NN readout. Everything is exact integer
-    // byte arithmetic on built-in codegen'd expressions (hex +
-    // substr + conv inside transform/aggregate — no UDF), so the
-    // oracle re-derives every bit from the dumped blobs. The
+    // byte arithmetic — the energy lattice is one codegen byte walk
+    // ([[graft.functions.FrameSums]], round-10; no hex blow-up, no
+    // per-byte conv, no UDF) — and the oracle still re-derives every
+    // bit from the dumped blobs with its own hex reads. The
     // fixtures plant two perturbed near-dup pairs; their NN hamming
     // ≈ 0 while unrelated signals sit tens of bits apart — the
     // audio-dedup signal this op exists to feed. Scale: per-blob
@@ -388,14 +393,12 @@ object AdsbQueries {
     // the pairwise threshold — no unconditional all-pairs join).
     "mm7_audio_fingerprint" -> ((s, _) => {
       val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
-      val hashed = bin.withColumn("hx", hex(col("content")))
-        .withColumn("energies", expr(
-          """transform(sequence(0, 63), f ->
-            |  aggregate(sequence(0, 63), 0L, (acc, i) ->
-            |    acc + (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
-            |             AS bigint) - 128L)
-            |        * (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
-            |             AS bigint) - 128L)))""".stripMargin))
+      // round-10: the hex/conv per-byte detour is gone — one codegen
+      // byte walk emits the 64-frame energy lattice (FrameSums); the
+      // slice pins the declared fixed-64-frame fingerprint window
+      val hashed = bin.withColumn("energies",
+          slice(graft.functions.FrameSums.frameEnergies(
+            col("content"), lit(0), lit(64)), 1, 64))
         .withColumn("fp_lo", expr(
           """aggregate(sequence(0, 31), 0L, (acc, f) ->
             |  acc + IF(element_at(energies, f+2) > element_at(energies, f+1),
@@ -409,7 +412,8 @@ object AdsbQueries {
       // routed NN readout — see mm3
       val nn = graft.operators.HammingNN.nearest(
         hashed, "model", "fp_hi", "fp_lo")
-      hashed.join(nn, Seq("model")).orderBy(col("model"))
+      // LEFT join — see mm3 (band-isolated keys stay visible)
+      hashed.join(nn, Seq("model"), "left").orderBy(col("model"))
     }),
 
     // mm11: audio SILENCE gate — the voice-activity-shaped admission
@@ -428,16 +432,13 @@ object AdsbQueries {
     // no join, row count = blob count.
     "mm11_audio_silence" -> ((s, _) => {
       val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
-      bin.withColumn("hx", hex(col("content")))
-        .withColumn("n_frames", floor(col("length") / 64).cast("int"))
+      bin.withColumn("n_frames", floor(col("length") / 64).cast("int"))
         .where(col("n_frames") >= 1)
-        .withColumn("energies", expr(
-          """transform(sequence(0, n_frames - 1), f ->
-            |  aggregate(sequence(0, 63), 0L, (acc, i) ->
-            |    acc + (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
-            |             AS bigint) - 128L)
-            |        * (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
-            |             AS bigint) - 128L)))""".stripMargin))
+        // one codegen byte walk per blob (FrameSums) — size(energies)
+        // = floor(length/64) = n_frames by the kernel's complete-frame
+        // contract
+        .withColumn("energies", graft.functions.FrameSums.frameEnergies(
+          col("content"), lit(0), lit(64)))
         .withColumn("n_silent", expr(
           "aggregate(energies, 0L, (acc, e) -> acc + IF(e < 4096, 1L, 0L))"))
         .withColumn("silence_ppm",
@@ -467,16 +468,10 @@ object AdsbQueries {
     "mm13_speech_segments" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
       val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
-      val fx = bin.withColumn("hx", hex(col("content")))
-        .withColumn("n_frames", floor(col("length") / 64).cast("int"))
+      val fx = bin.withColumn("n_frames", floor(col("length") / 64).cast("int"))
         .where(col("n_frames") >= 1)
-        .withColumn("energies", expr(
-          """transform(sequence(0, n_frames - 1), f ->
-            |  aggregate(sequence(0, 63), 0L, (acc, i) ->
-            |    acc + (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
-            |             AS bigint) - 128L)
-            |        * (cast(conv(substr(hx, (f*64 + i)*2 + 1, 2), 16, 10)
-            |             AS bigint) - 128L)))""".stripMargin))
+        .withColumn("energies", graft.functions.FrameSums.frameEnergies(
+          col("content"), lit(0), lit(64))) // codegen byte walk — see mm11
         .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
         .select(col("model"), col("frame_idx").cast("long").as("frame_idx"),
           expr("element_at(energies, frame_idx + 1)").as("energy"))
@@ -510,22 +505,24 @@ object AdsbQueries {
     // the dumped blobs and replays the k=4 sampling lattice.
     "mm8_frame_sample" -> ((s, _) => {
       val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
-      bin.withColumn("hx", hex(col("content")))
-        .where(expr("substr(hx, 1, 8) = '47564944'"))
+      // round-10: hex() runs over the 8 HEADER bytes only (the 2× hex
+      // blow-up of the whole blob is gone); the per-frame checksum
+      // lattice is one codegen byte walk (FrameSums)
+      bin.withColumn("hdr", hex(substring(col("content"), 1, 8)))
+        .where(expr("substr(hdr, 1, 8) = '47564944'"))
         .withColumn("frame_size", expr(
-          "cast(conv(substr(hx, 11, 2) || substr(hx, 9, 2), 16, 10) AS int)"))
+          "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
         .withColumn("n_frames", expr(
-          "cast(conv(substr(hx, 15, 2) || substr(hx, 13, 2), 16, 10) AS int)"))
+          "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
+        .withColumn("sums", graft.functions.FrameSums.frameByteSums(
+          col("content"), lit(8), col("frame_size")))
         .withColumn("frame_idx",
           explode(expr("sequence(0, n_frames - 1, 4)")))
         .select(col("model"), col("n_frames").cast("long").as("n_frames"),
           col("frame_idx").cast("long").as("frame_idx"),
           (lit(8L) + col("frame_idx") * col("frame_size"))
             .cast("long").as("offset"),
-          expr("""aggregate(sequence(0, frame_size - 1), 0L, (acc, i) ->
-            |  acc + cast(conv(substr(hx,
-            |    (8 + frame_idx*frame_size + i)*2 + 1, 2), 16, 10)
-            |    AS bigint))""".stripMargin).as("bytesum"))
+          expr("element_at(sums, frame_idx + 1)").as("bytesum"))
         .orderBy(col("model"), col("frame_idx"))
     }),
 
@@ -544,19 +541,16 @@ object AdsbQueries {
     // join anywhere.
     "mm10_shot_boundaries" -> ((s, _) => {
       val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
-      bin.withColumn("hx", hex(col("content")))
-        .where(expr("substr(hx, 1, 8) = '47564944'"))
+      bin.withColumn("hdr", hex(substring(col("content"), 1, 8)))
+        .where(expr("substr(hdr, 1, 8) = '47564944'"))
         .withColumn("frame_size", expr(
-          "cast(conv(substr(hx, 11, 2) || substr(hx, 9, 2), 16, 10) AS int)"))
+          "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
         .withColumn("n_frames", expr(
-          "cast(conv(substr(hx, 15, 2) || substr(hx, 13, 2), 16, 10) AS int)"))
+          "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
         .where(col("n_frames") >= 2)
-        .withColumn("sums", expr(
-          """transform(sequence(0, n_frames - 1), f ->
-            |  aggregate(sequence(0, frame_size - 1), 0L, (acc, i) ->
-            |    acc + cast(conv(substr(hx,
-            |      (8 + f*frame_size + i)*2 + 1, 2), 16, 10) AS bigint)))"""
-            .stripMargin))
+        // header-only hex + one codegen byte walk — see mm8
+        .withColumn("sums", graft.functions.FrameSums.frameByteSums(
+          col("content"), lit(8), col("frame_size")))
         .withColumn("deltas", expr(
           """transform(sequence(1, n_frames - 1), f ->
             |  abs(element_at(sums, f + 1) - element_at(sums, f)))"""
@@ -590,19 +584,16 @@ object AdsbQueries {
     "mm12_keyframes" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
       val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
-      val fx = bin.withColumn("hx", hex(col("content")))
-        .where(expr("substr(hx, 1, 8) = '47564944'"))
+      val fx = bin.withColumn("hdr", hex(substring(col("content"), 1, 8)))
+        .where(expr("substr(hdr, 1, 8) = '47564944'"))
         .withColumn("frame_size", expr(
-          "cast(conv(substr(hx, 11, 2) || substr(hx, 9, 2), 16, 10) AS int)"))
+          "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
         .withColumn("n_frames", expr(
-          "cast(conv(substr(hx, 15, 2) || substr(hx, 13, 2), 16, 10) AS int)"))
+          "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
         .where(col("n_frames") >= 2)
-        .withColumn("sums", expr(
-          """transform(sequence(0, n_frames - 1), f ->
-            |  aggregate(sequence(0, frame_size - 1), 0L, (acc, i) ->
-            |    acc + cast(conv(substr(hx,
-            |      (8 + f*frame_size + i)*2 + 1, 2), 16, 10) AS bigint)))"""
-            .stripMargin))
+        // header-only hex + one codegen byte walk — see mm8
+        .withColumn("sums", graft.functions.FrameSums.frameByteSums(
+          col("content"), lit(8), col("frame_size")))
         .withColumn("deltas", expr(
           """transform(sequence(1, n_frames - 1), f ->
             |  abs(element_at(sums, f + 1) - element_at(sums, f)))"""

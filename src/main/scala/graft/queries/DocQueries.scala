@@ -2428,28 +2428,21 @@ object DocQueries {
     // Exact fixed-point: Σ over windows of |distinct(window)|, then
     // mattr_ppm = 10⁶·Σ div (w·n_windows); docs shorter than w keep
     // NULL diversity columns (no window exists — visible, not
-    // silently dropped). Scale shape: pure per-doc array work on the
-    // materialized token array (the Dedup.shingles lesson: bind the
-    // array first, never re-split inside the lambda) — no explode,
-    // no shuffle, no join; cost is O(tokens·w²) integer/string
-    // compares per doc, linear in the corpus at fixed w.
+    // silently dropped). Scale shape: one codegen byte walk per doc
+    // ([[graft.functions.Mattr]], round-10 — prev-occurrence
+    // counting replaces the O(w²)-per-token distinct-slice ladder;
+    // VERDICT r9 ask #2) — no explode, no shuffle, no join; cost is
+    // O(tokens) per doc, linear in the corpus at any w.
     "t30_mattr" -> ((s, dir) => {
       val w = 25
       docs(s, dir)
-        .withColumn("toks",
-          filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("mw", graft.functions.Mattr.mattrWindow(col("text"), w))
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          expr(s"""CASE WHEN size(toks) >= $w THEN
-            |  aggregate(transform(sequence(0, size(toks) - $w),
-            |    i -> cast(size(array_distinct(slice(toks, i + 1, $w)))
-            |           AS bigint)),
-            |    0L, (acc, x) -> acc + x) END""".stripMargin)
-            .as("sum_distinct"))
-        .select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens") >= w, col("n_tokens") - (w - 1))
+          col("mw")(0).as("n_tokens"),
+          when(col("mw")(0) >= w, col("mw")(0) - (w - 1))
             .as("n_windows"),
-          expr(s"(1000000L * sum_distinct) div ($w * (n_tokens - ${w - 1}))")
+          when(col("mw")(0) >= w,
+            expr(s"(1000000L * mw[1]) div ($w * (mw[0] - ${w - 1}))"))
             .as("mattr_ppm"))
         .orderBy(col("doc_id"))
     }),

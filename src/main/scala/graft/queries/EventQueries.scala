@@ -736,7 +736,9 @@ object EventQueries {
           graft.functions.PortableHash
             .phashStr(col("user_id").cast("string")).as("h"))
         .select(col("event_type"), (col("h") % m).as("b"),
-          floor(col("h") / m).cast("long").as("w"))
+          // shiftrightunsigned = exact h div 256: floor(h/m) in DOUBLE
+          // loses bits past the 53-bit mantissa on 60-bit hashes
+          shiftrightunsigned(col("h"), 8).as("w"))
         .select(col("event_type"), col("b"),
           when(col("w") === 0L, lit(53))
             .otherwise(lit(53) - length(bin(col("w"))))
@@ -784,7 +786,7 @@ object EventQueries {
           graft.functions.PortableHash
             .phashStr(col("user_id").cast("string")).as("h"))
         .select(col("event_type"), col("day"), (col("h") % m).as("b"),
-          floor(col("h") / m).cast("long").as("w"))
+          shiftrightunsigned(col("h"), 8).as("w")) // exact h div 256
         .select(col("event_type"), col("day"), col("b"),
           when(col("w") === 0L, lit(53))
             .otherwise(lit(53) - length(bin(col("w"))))
@@ -849,7 +851,7 @@ object EventQueries {
           graft.functions.PortableHash
             .phashStr(col("user_id").cast("string")).as("h"))
         .select(col("day"), (col("h") % m).as("b"),
-          floor(col("h") / m).cast("long").as("w"))
+          shiftrightunsigned(col("h"), 8).as("w")) // exact h div 256
         .select(col("day"), col("b"),
           when(col("w") === 0L, lit(53))
             .otherwise(lit(53) - length(bin(col("w"))))
