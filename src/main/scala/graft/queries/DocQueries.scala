@@ -2603,6 +2603,45 @@ object DocQueries {
         .orderBy(col("id"))
     }),
 
+    // d19: CHUNK-level near-dup NN — boilerplate detection below the
+    // document grain (repeated license headers / navigation blocks /
+    // quoted passages survive doc-level dedup and still leak into
+    // training data; the chunk is the grain a pretraining curation
+    // run actually dedups at). Every doc splits into fixed 32-char
+    // chunks, each chunk gets a 64-bit portable fingerprint (two
+    // seeded 32-bit phash halves — engine-exact, so DuckDB rebuilds
+    // every bit), and each chunk reads its hamming-nearest other
+    // chunk through [[graft.operators.HammingNN]]. The corpus is
+    // ≥4.9k chunks at EVERY scale — above the 4096 pairwise limit —
+    // so this is the query that keeps the banded production branch
+    // (16-bit×4 band candidates, pigeonhole-exact ≤3 bits)
+    // gate-visible end to end (VERDICT r9 ask #4: the gate's media
+    // corpora are 6–13 blobs and always take the pairwise fast
+    // path); duplicated chunks exist in the corpus by construction
+    // (max ×6 at sf0.01, ×24 at sf0.1), so nn_hamming = 0 hits are
+    // load-bearing, and the LEFT join keeps band-isolated chunks
+    // visible as NULL-NN rows (the HammingNN caller contract).
+    // Scale shape: per-doc O(len) chunking, corpus-sized band
+    // shuffle (4 rows/key), candidates only pay XOR/popcount —
+    // never all-pairs.
+    "d19_chunk_nn" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val cw = 32
+      val hashed = docs(s, dir).where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(0L, (length(text) - 1) div $cw)"))
+            .as("ci"))
+        .select(
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("ci").cast("string")).as("ck"),
+          expr(s"substr(text, cast(ci * $cw + 1 AS int), $cw)").as("chunk"))
+        .select(col("ck"),
+          phash(col("chunk"), 1).bitwiseAND(lit(4294967295L)).as("hi"),
+          phash(col("chunk"), 2).bitwiseAND(lit(4294967295L)).as("lo"))
+      val nn = graft.operators.HammingNN.nearest(hashed, "ck", "hi", "lo")
+      hashed.join(nn, Seq("ck"), "left").orderBy(col("ck"))
+    }),
+
     // sk7: sketch-based JOIN-SIZE estimation — the AMS inner-product
     // property (the theorem that made F₂ sketches a query-planner
     // tool): for two relations' key-frequency vectors, E[X_r(A) ·
@@ -5715,6 +5754,44 @@ object DocQueries {
          |FROM nodes n LEFT JOIN cdeg c ON n.id = c.id
          |ORDER BY n.id""".stripMargin
     },
+
+    // d19: the oracle replays the band buckets themselves (16-bit ×4
+    // over the two seeded 32-bit phash halves), pairs within any
+    // shared bucket, xor/bit_count hamming, top-1 by (hamming, other),
+    // LEFT join so band-isolated chunks keep NULL-NN rows.
+    "d19_chunk_nn" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |chunks AS (
+        |  SELECT doc_id::VARCHAR || '#' || ci::VARCHAR AS ck,
+        |    substr(text, CAST(ci * 32 + 1 AS INT), 32) AS chunk
+        |  FROM d, UNNEST(range(0, (length(text) - 1) // 32 + 1)) AS u(ci)),
+        |h AS MATERIALIZED (
+        |  SELECT ck, ${dkHash("chunk", "1")} & 4294967295 AS hi,
+        |    ${dkHash("chunk", "2")} & 4294967295 AS lo
+        |  FROM chunks),
+        |bands AS MATERIALIZED (
+        |  SELECT ck, hi, lo, b.band,
+        |    CASE b.band WHEN 0 THEN lo & 65535
+        |      WHEN 1 THEN (lo >> 16) & 65535
+        |      WHEN 2 THEN hi & 65535
+        |      ELSE (hi >> 16) & 65535 END AS bv
+        |  FROM h, UNNEST(range(0, 4)) AS b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.ck AS ck,
+        |    CAST(bit_count(xor(a.hi, b.hi)) +
+        |         bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
+        |    b.ck AS other
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.ck <> b.ck),
+        |nn AS (
+        |  SELECT ck, other AS nn_ck, hamming AS nn_hamming
+        |  FROM (SELECT ck, hamming, other, row_number() OVER (
+        |          PARTITION BY ck ORDER BY hamming, other) AS rn
+        |        FROM cand) t
+        |  WHERE rn = 1)
+        |SELECT h.ck, h.hi, h.lo, nn.nn_ck, nn.nn_hamming
+        |FROM h LEFT JOIN nn USING (ck) ORDER BY ck""".stripMargin,
 
     // sk7: both signed-counter vectors and the exact product-sum
     // rebuilt from the same (tok → cA, cB) counts.
