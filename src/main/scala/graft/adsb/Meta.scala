@@ -68,15 +68,21 @@ object Meta {
     // mm13's silent-prefix segment keying load-bearing (every other
     // signal is a single run, where any grouping bug would pass)
     "dialog_h.pcm",
+    // dialog_h_w: dialog_h's SAMPLES inside a real RIFF/WAVE container
+    // (canonical 44-byte PCM header: mono, 8 kHz, 8-bit) — the
+    // real-format twin mm14 parses and mm13 must segment identically
+    "dialog_h_w.wav",
     "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid",
     "vid_scene.gvid")
 
   /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
     * is headerless 8-bit PCM; .gvid is the toy frame container
-    * `"GVID" + u16le frame_size + u16le n_frames + frames`. Both are
-    * deterministic synthetic signals — stand-ins for real codec
-    * payloads, carrying the byte-level structure the frame/energy
-    * plumbing needs (the decode seam policy of `Multimodal`). */
+    * `"GVID" + u16le frame_size + u16le n_frames + frames`; .wav is
+    * a REAL RIFF/WAVE container (public spec — canonical PCM layout)
+    * wrapping the same 8-bit samples. The synthetic signals are
+    * deterministic stand-ins for codec payloads, carrying the
+    * byte-level structure the frame/energy plumbing needs (the
+    * decode seam policy of `Multimodal`). */
   private lazy val extractedMedia: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-media")
     bundledMedia.foreach { n =>

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.adsb.{AdsbPipeline, Meta, Sbs}
@@ -56,6 +56,53 @@ object AdsbQueries {
     * session runs in UTC, so the cast is the identity on wall time. */
   private def ntz(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
+
+  /** Little-endian unsigned int from a hex'd header column: `n` bytes
+    * starting at 1-based byte `pos` (the mm8 GVID header idiom,
+    * generalized — header-only hex, never the whole blob). */
+  private def leInt(hdr: String, pos: Int, n: Int): Column = {
+    val bytes = (0 until n).reverse
+      .map(i => s"substr($hdr, ${(pos - 1 + i) * 2 + 1}, 2)")
+      .mkString(" || ")
+    expr(s"cast(conv($bytes, 16, 10) AS bigint)")
+  }
+
+  /** RIFF/WAVE header parse — a REAL public container format (round
+    * 10; the raw-PCM assumption closed): canonical PCM layout only
+    * ('RIFF' + size + 'WAVE', a 16-byte 'fmt ' chunk, then 'data'),
+    * and that narrowing is GATED, not assumed — all four chunk ids
+    * are checked, so a wav with extra chunks (LIST/fact) is excluded
+    * visibly rather than mis-parsed. One row per valid file with
+    * every header field decoded (little-endian, exact integers) plus
+    * the raw PCM payload sliced by the declared data size. */
+  private def wavParsed(s: SparkSession): DataFrame =
+    Meta.loadMediaFiles(s, Meta.mediaDir(), "wav")
+      .withColumn("hdr", hex(substring(col("content"), 1, 44)))
+      .where(expr("substr(hdr, 1, 8) = '52494646'") && // 'RIFF'
+        expr("substr(hdr, 17, 8) = '57415645'") && // 'WAVE'
+        expr("substr(hdr, 25, 8) = '666D7420'") && // 'fmt '
+        expr("substr(hdr, 73, 8) = '64617461'")) // 'data'
+      .select(col("model"), col("content"),
+        leInt("hdr", 5, 4).as("riff_bytes"),
+        leInt("hdr", 17, 4).as("fmt_bytes"),
+        leInt("hdr", 21, 2).as("audio_format"),
+        leInt("hdr", 23, 2).as("n_channels"),
+        leInt("hdr", 25, 4).as("sample_rate"),
+        leInt("hdr", 29, 4).as("byte_rate"),
+        leInt("hdr", 33, 2).as("block_align"),
+        leInt("hdr", 35, 2).as("bits_per_sample"),
+        leInt("hdr", 41, 4).as("data_bytes"))
+
+  /** The shared audio input for mm7/mm11/mm13 (round 10): headerless
+    * .pcm blobs UNION the PCM payloads of real .wav containers —
+    * container-independent audio analysis, the mm5 cross-format
+    * story for the audio leg. (model, content, length) either way. */
+  private def audioPcmBlobs(s: SparkSession): DataFrame =
+    Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
+      .unionByName(wavParsed(s).select(col("model"),
+        expr("substring(content, 45, cast(data_bytes AS int))")
+          .as("content"),
+        col("data_bytes").as("length")))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adsb_parse" -> ((s, _) =>
@@ -392,7 +439,9 @@ object AdsbQueries {
     // [[graft.operators.HammingNN]] readout (mm4's banding beyond
     // the pairwise threshold — no unconditional all-pairs join).
     "mm7_audio_fingerprint" -> ((s, _) => {
-      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
+      // pcm ∪ wav payloads: the dialog_h_w RIFF twin must land at
+      // hamming 0 from dialog_h — format-independent fingerprinting
+      val bin = audioPcmBlobs(s)
       // round-10: the hex/conv per-byte detour is gone — one codegen
       // byte walk emits the 64-frame energy lattice (FrameSums); the
       // slice pins the declared fixed-64-frame fingerprint window
@@ -431,7 +480,7 @@ object AdsbQueries {
     // >= cut are load-bearing. Scale: per-blob O(bytes) map work,
     // no join, row count = blob count.
     "mm11_audio_silence" -> ((s, _) => {
-      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
+      val bin = audioPcmBlobs(s) // pcm ∪ wav payloads — see mm7
       bin.withColumn("n_frames", floor(col("length") / 64).cast("int"))
         .where(col("n_frames") >= 1)
         // one codegen byte walk per blob (FrameSums) — size(energies)
@@ -467,7 +516,7 @@ object AdsbQueries {
     // Row count = Σ segments ≤ Σ n_frames.
     "mm13_speech_segments" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
-      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
+      val bin = audioPcmBlobs(s) // pcm ∪ wav payloads — see mm7
       val fx = bin.withColumn("n_frames", floor(col("length") / 64).cast("int"))
         .where(col("n_frames") >= 1)
         .withColumn("energies", graft.functions.FrameSums.frameEnergies(
@@ -491,6 +540,24 @@ object AdsbQueries {
           max(col("energy")).as("peak_energy"))
         .orderBy(col("model"), col("seg_id"))
     }),
+
+    // mm14: RIFF/WAVE header extraction — the real-container metadata
+    // readout (sample rate, channels, bit depth, payload size,
+    // duration) an audio ingest pipeline materializes before any
+    // decode is paid for. Canonical-PCM layout, GATED on all four
+    // chunk ids (see [[wavParsed]]); every field is an exact
+    // little-endian integer, so the oracle re-parses the dumped blob
+    // bytes independently. duration_ms = 1000·data_bytes div
+    // byte_rate — exact fixed-point, engine-identical. Scale shape:
+    // header-only hex (44 bytes) per blob, no join, row count =
+    // valid wav count.
+    "mm14_wav_header" -> ((s, _) =>
+      wavParsed(s).select(col("model"), col("riff_bytes"),
+        col("fmt_bytes"), col("audio_format"), col("n_channels"),
+        col("sample_rate"), col("byte_rate"), col("block_align"),
+        col("bits_per_sample"), col("data_bytes"),
+        expr("(1000L * data_bytes) div byte_rate").as("duration_ms"))
+        .orderBy(col("model"))),
 
     // mm8: frame sampling from a video container — the "every k-th
     // frame" primitive a multimodal training pipeline runs before
@@ -644,6 +711,7 @@ object AdsbQueries {
     w(Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir()),
       "mm_blobs")
     w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "pcm"), "audio_blobs")
+    w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "wav"), "wav_blobs")
     w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "gvid"), "video_blobs")
     w(Meta.airportsTable(spark), "meta_airports")
     w(Meta.runwaysTable(spark), "meta_runways")
@@ -656,6 +724,29 @@ object AdsbQueries {
        | p -> printf('[%.6f,%.6f]', p.x, p.y)), ',') || ']'""".stripMargin
 
   private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
+
+  /** DuckDB little-endian integer read over a hex'd blob: `n` bytes
+    * from 1-based byte `pos` (mirrors the Spark-side [[leInt]]). */
+  private def dkLe(hx: String, pos: Int, n: Int): String =
+    "('0x' || " + (0 until n).reverse
+      .map(i => s"substr($hx, ${(pos - 1 + i) * 2 + 1}, 2)")
+      .mkString(" || ") + ")::BIGINT"
+
+  /** Shared audio oracle CTE `b (model, length, hx)`: the headerless
+    * .pcm dumps UNION the data payloads of valid RIFF/WAVE dumps
+    * (canonical layout, all four chunk ids gated) — the independent
+    * DuckDB replay of [[audioPcmBlobs]]. */
+  private def audioHexCte: String =
+    s"""b AS (
+       |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}
+       |  UNION ALL
+       |  SELECT model, ${dkLe("whx", 41, 4)} AS length,
+       |    substr(whx, 89, CAST(${dkLe("whx", 41, 4)} * 2 AS INT)) AS hx
+       |  FROM (SELECT model, hex(content) AS whx FROM ${tbl("wav_blobs")})
+       |  WHERE substr(whx, 1, 8) = '52494646'
+       |    AND substr(whx, 17, 8) = '57415645'
+       |    AND substr(whx, 25, 8) = '666D7420'
+       |    AND substr(whx, 73, 8) = '64617461')""".stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two
     * hash re-derivations can never drift): from `blobSql` (any
@@ -1134,8 +1225,7 @@ object AdsbQueries {
     // the sign-of-delta bit packing into two 32-bit halves, and the
     // xor/bit_count hamming NN.
     "mm7_audio_fingerprint" ->
-      s"""WITH b AS (SELECT model, length, hex(content) AS hx
-         |  FROM ${tbl("audio_blobs")}),
+      s"""WITH $audioHexCte,
          |en AS (
          |  SELECT model, length,
          |    list_transform(range(0, 64), f ->
@@ -1196,8 +1286,7 @@ object AdsbQueries {
     // mm11: the frame energies, silence threshold and ppm share
     // re-derived byte-for-byte from the dumped PCM blobs.
     "mm11_audio_silence" ->
-      s"""WITH b AS (SELECT model, length, hex(content) AS hx
-         |  FROM ${tbl("audio_blobs")}),
+      s"""WITH $audioHexCte,
          |fr AS (
          |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
          |  FROM b WHERE length // 64 >= 1),
@@ -1317,8 +1406,7 @@ object AdsbQueries {
     // keys via the same running-sum window, dense-ranked seg ids,
     // per-segment bounds/peak.
     "mm13_speech_segments" ->
-      s"""WITH b AS (SELECT model, length, hex(content) AS hx
-         |  FROM ${tbl("audio_blobs")}),
+      s"""WITH $audioHexCte,
          |fr AS (
          |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
          |  FROM b WHERE length // 64 >= 1),
@@ -1352,7 +1440,37 @@ object AdsbQueries {
          |  CAST(count(*) AS BIGINT) AS n_frames_seg,
          |  CAST(max(energy) AS BIGINT) AS peak_energy
          |FROM act GROUP BY 1, 2
-         |ORDER BY model, seg_id""".stripMargin
+         |ORDER BY model, seg_id""".stripMargin,
+
+    // mm14: the RIFF/WAVE header re-parsed independently from the
+    // dumped blob bytes — same chunk-id gates, same little-endian
+    // reads, exact fixed-point duration.
+    "mm14_wav_header" ->
+      s"""WITH v AS (
+         |  SELECT model, hex(content) AS hx FROM ${tbl("wav_blobs")}),
+         |g AS (
+         |  SELECT model, hx FROM v
+         |  WHERE substr(hx, 1, 8) = '52494646'
+         |    AND substr(hx, 17, 8) = '57415645'
+         |    AND substr(hx, 25, 8) = '666D7420'
+         |    AND substr(hx, 73, 8) = '64617461'),
+         |p AS (
+         |  SELECT model,
+         |    ${dkLe("hx", 5, 4)} AS riff_bytes,
+         |    ${dkLe("hx", 17, 4)} AS fmt_bytes,
+         |    ${dkLe("hx", 21, 2)} AS audio_format,
+         |    ${dkLe("hx", 23, 2)} AS n_channels,
+         |    ${dkLe("hx", 25, 4)} AS sample_rate,
+         |    ${dkLe("hx", 29, 4)} AS byte_rate,
+         |    ${dkLe("hx", 33, 2)} AS block_align,
+         |    ${dkLe("hx", 35, 2)} AS bits_per_sample,
+         |    ${dkLe("hx", 41, 4)} AS data_bytes
+         |  FROM g)
+         |SELECT model, riff_bytes, fmt_bytes, audio_format, n_channels,
+         |  sample_rate, byte_rate, block_align, bits_per_sample,
+         |  data_bytes,
+         |  CAST((1000 * data_bytes) // byte_rate AS BIGINT) AS duration_ms
+         |FROM p ORDER BY model""".stripMargin
   )
 
   /** The reference's `event` composite type

@@ -93,4 +93,40 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(!rows.keys.exists(_._1 == "quiet_f"))
     assert(rows.keys.count(_._1 == "tone_a") === 1)
   }
+
+  test("RIFF/WAVE twin: identical samples through a real container") {
+    // dialog_h_w.wav wraps dialog_h's exact 4096 samples in a
+    // canonical RIFF header — the parsed payload must segment
+    // IDENTICALLY (mm13) and fingerprint to hamming 0 (mm7):
+    // container-independent audio analysis, the mm5 cross-format
+    // story for the audio leg
+    val segs = AdsbQueries.defs("mm13_speech_segments")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    (1L to 3L).foreach { i =>
+      assert(segs(("dialog_h_w", i)) === segs(("dialog_h", i)), s"seg $i")
+    }
+    assert(mm7("dialog_h")._1 === "dialog_h_w")
+    assert(mm7("dialog_h")._2 === 0L)
+    assert(mm7("dialog_h_w")._1 === "dialog_h")
+  }
+
+  test("WAV header parse matches the planted canonical-PCM fixture") {
+    val r = AdsbQueries.defs("mm14_wav_header")(spark, "unused").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "dialog_h_w")
+    assert(row.getLong(1) === 36L + 4096L) // riff_bytes
+    assert(row.getLong(2) === 16L) // fmt_bytes (canonical PCM)
+    assert(row.getLong(3) === 1L) // audio_format = PCM
+    assert(row.getLong(4) === 1L) // mono
+    assert(row.getLong(5) === 8000L) // sample_rate
+    assert(row.getLong(6) === 8000L) // byte_rate = sr*ch*bps/8
+    assert(row.getLong(7) === 1L) // block_align
+    assert(row.getLong(8) === 8L) // bits_per_sample
+    assert(row.getLong(9) === 4096L) // data_bytes
+    assert(row.getLong(10) === 512L) // duration_ms = 1000*4096/8000
+  }
 }
