@@ -35,6 +35,31 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round-10 contention self-adjudication (VERDICT r9 ask #1): the
+    // x3-spread steal detector only catches TRANSIENT stalls — a
+    // contention window that inflates both samples uniformly passed
+    // silently for three rounds (r9: 154.8 s captured vs ~108 s
+    // steady, zero flags). Task metrics carry the defense: a task's
+    // executorRunTime >> executorCpuTime (+ GC) means its threads
+    // were runnable but NOT on a CPU — host contention by
+    // construction, measurable from inside the artifact. The
+    // listener accumulates per-task CPU/run/GC; once() reads deltas
+    // around each run (bus drained via Bridge).
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            taskCpuNs.addAndGet(m.executorCpuTime)
+            taskRunMs.addAndGet(m.executorRunTime)
+            taskGcMs.addAndGet(m.jvmGCTime)
+          }
+        }
+      })
     // Silence the ~278 "No Partition Defined for Window operation"
     // warnings: every global window in the repo is provably bounded
     // (Rank's distributed-rank merge, Pack's bucket bases,
@@ -89,9 +114,38 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
+    /** One timed run: wall seconds (or the error), driver-GC seconds,
+      * the run's task-metric deltas — executor CPU, executor run time,
+      * task-attributed GC (bus drained before each read) — and the
+      * average FOREIGN host cores burned while it ran. */
+    case class Sample(t: Either[String, Double], gc: Double,
+        cpu: Double, trun: Double, tgc: Double, fcpu: Double)
+    def drain(): Unit = org.apache.spark.sql.graftbridge.Bridge
+      .drainListenerBus(spark.sparkContext)
+    // host-wide busy CPU milliseconds from /proc/stat (user+nice+
+    // system+irq+softirq+STEAL — everything that kept a core from
+    // being ours except idle/iowait), USER_HZ = 100. −1 when
+    // unreadable (non-Linux) → foreign-CPU accounting disabled, never
+    // a crash.
+    def hostBusyMillis(): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        (f(0) + f(1) + f(2) + f(5) + f(6) + f(7)) * 10L
+      } catch { case _: Throwable => -1L }
+    def procCpuNanos(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime
+        case _ => -1L
+      }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Either[String, Double], Double) = {
+        : Sample = {
       val g0 = gcMillis()
+      drain()
+      val c0 = taskCpuNs.get; val r0 = taskRunMs.get; val tg0 = taskGcMs.get
+      val hb0 = hostBusyMillis(); val pc0 = procCpuNanos()
       val t0 = System.nanoTime()
       val r = try { runFully(fn(spark, sfDir))
         Right((System.nanoTime() - t0) / 1e9) }
@@ -101,7 +155,20 @@ object Bench {
           .filter(c => c >= ' ' && c <= '~' && c != '"' && c != '\\')
           .take(160))
       }
-      (r, (gcMillis() - g0) / 1e3)
+      val wall = (System.nanoTime() - t0) / 1e9
+      drain()
+      // foreign cores = (host busy − this JVM's CPU) per wall second:
+      // a DIRECT measurement of "someone else is eating the host",
+      // independent of the query's own parallelism shape (a trun/cpu
+      // ratio can't separate contention from a query's deliberate
+      // thread oversubscription — measured: d16 sits at 1.9–2.4x on
+      // a quiet host)
+      val fcpu =
+        if (hb0 < 0 || pc0 < 0 || wall <= 0) -1.0
+        else (((hostBusyMillis() - hb0) / 1e3) -
+          ((procCpuNanos() - pc0) / 1e9)) / wall
+      Sample(r, (gcMillis() - g0) / 1e3, (taskCpuNs.get - c0) / 1e9,
+        (taskRunMs.get - r0) / 1e3, (taskGcMs.get - tg0) / 1e3, fcpu)
     }
     // d3 is, by declaration, the quadratic ground-truth verifier
     // (see Dedup.jaccardPairs): it exists to validate the LSH path
@@ -135,25 +202,27 @@ object Bench {
     // also groups each family with the memoized indexes it serves
     // from (s2p builds once, s4/s5/s6 reuse).
     val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (a, ga) = once(fn)
-      val (b, gb) = once(fn)
-      val needThird = (a, b) match {
+      val sa = once(fn)
+      val sb = once(fn)
+      val needThird = (sa.t, sb.t) match {
         case (Right(x), Right(y)) => spread(x, y)
         case _ => false
       }
       val samples =
-        if (needThird) { val (c, gc) = once(fn); List(a -> ga, b -> gb, c -> gc) }
-        else List(a -> ga, b -> gb)
+        if (needThird) List(sa, sb, once(fn)) else List(sa, sb)
       spark.catalog.clearCache()
-      (name, samples.map(_._1), samples.map(_._2))
+      (name, samples)
     }
     def minOf(ss: List[Either[String, Double]]): Either[String, Double] =
       ss.collectFirst { case Left(e) => e } match {
         case Some(e) => Left(e)
         case None => Right(ss.collect { case Right(v) => v }.min)
       }
+    def dec3a(vs: List[Double]): String =
+      vs.map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+        .mkString("[", ",", "]")
     val qs = results.map {
-      case (k, ss, _) => minOf(ss) match {
+      case (k, ss) => minOf(ss.map(_.t)) match {
         case Right(v) => s"\"" + k + "\":" + v
         case Left(_) => s"\"" + k + "\":-1.0"
       }
@@ -162,36 +231,73 @@ object Bench {
     // (2, or 3 when the first pair spread), plus the reproduced-spread
     // flag list — a reader doesn't need a clean re-run to spot a
     // contaminated entry.
-    val runsJson = results.map { case (k, ss, _) =>
+    val runsJson = results.map { case (k, ss) =>
       s"\"" + k + "\":" +
-        ss.map(_.fold(_ => "-1.0", _.toString)).mkString("[", ",", "]")
+        ss.map(_.t.fold(_ => "-1.0", _.toString)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // per-run GC seconds, aligned index-for-index with "runs": a run
     // whose wall time is mostly GC is JVM debt, not this query's plan
-    val gcJson = results.map { case (k, _, gs) =>
-      s"\"" + k + "\":" +
-        gs.map(g => "%.3f".formatLocal(java.util.Locale.ROOT, g))
-          .mkString("[", ",", "]")
+    val gcJson = results.map { case (k, ss) =>
+      s"\"" + k + "\":" + dec3a(ss.map(_.gc))
+    }.mkString("{", ",", "}")
+    // per-run EXECUTOR CPU seconds (Σ task executorCpuTime) and task
+    // run seconds (Σ task executorRunTime), aligned with "runs": the
+    // sustained-contention defense. On a quiet host trun ≈ cpu + tgc;
+    // tasks that were runnable but off-CPU show trun >> cpu — which a
+    // uniform inflation CANNOT hide the way it hides wall spread.
+    val cpuJson = results.map { case (k, ss) =>
+      s"\"" + k + "\":" + dec3a(ss.map(_.cpu))
+    }.mkString("{", ",", "}")
+    val trunJson = results.map { case (k, ss) =>
+      s"\"" + k + "\":" + dec3a(ss.map(_.trun))
     }.mkString("{", ",", "}")
     val steal = results.collect {
-      case (k, ss, _) if ss.forall(_.isRight) && {
-        val v = ss.collect { case Right(x) => x }.sorted
+      case (k, ss) if ss.forall(_.t.isRight) && {
+        val v = ss.collect { case s if s.t.isRight => s.t.toOption.get }.sorted
         spread(v(0), v(1))
       } => "\"" + k + "\""
     }
     val stealJson = steal.mkString(""","steal":[""", ",", "]")
-    val errors = results.collect { case (k, p, _) if minOf(p).isLeft =>
-      s"\"" + k + "\":\"" + minOf(p).left.getOrElse("") + "\"" }
+    // per-run foreign host cores, aligned with "runs" (−1 = probe
+    // unavailable): the sustained-contention defense the wall spread
+    // cannot provide
+    val fcpuJson = results.map { case (k, ss) =>
+      s"\"" + k + "\":" + dec3a(ss.map(_.fcpu))
+    }.mkString("{", ",", "}")
+    // contended[]: EVERY sample of the query ran while foreign
+    // processes burned > max(2, cores/4) cores — host contention by
+    // direct measurement. Distinct from steal[] (which needs the
+    // samples to DISAGREE); a contention window spanning all samples
+    // lands here instead of reading as a plan regression.
+    val foreignLimit = math.max(2.0, cpus.toDouble / 4.0)
+    def contendedRun(x: Sample): Boolean = x.t match {
+      case Right(w) => w > 0.3 && x.fcpu > foreignLimit
+      case _ => false
+    }
+    val contended = results.collect {
+      case (k, ss) if ss.nonEmpty && ss.forall(contendedRun) =>
+        "\"" + k + "\""
+    }
+    val contendedJson =
+      contended.mkString(""","contended":[""", ",", "]")
+    val errors = results.collect { case (k, ss) if minOf(ss.map(_.t)).isLeft =>
+      s"\"" + k + "\":\"" + minOf(ss.map(_.t)).left.getOrElse("") + "\"" }
     val errJson =
       if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
-    val total = results.map(t => minOf(t._2)).collect { case Right(v) => v }.sum
+    val total = results.map(t => minOf(t._2.map(_.t)))
+      .collect { case Right(v) => v }.sum
     val policy =
       "warm all at sf0.001; timed: min of 2 runs, +1 run when the first " +
         "pair spreads >3x above 0.5s (reproduced spread -> steal[]); " +
         "run order = name-sorted; clearCache between queries; " +
-        "periodic driver GC 1min; gc[] = per-run GC seconds"
+        "periodic driver GC 1min; gc[] = per-run driver GC seconds; " +
+        "cpu[]/trun[] = per-run task executor-CPU / executor-run " +
+        "seconds; fcpu[] = per-run avg FOREIGN host cores " +
+        "(/proc/stat busy minus this JVM); contended[] = every " +
+        "sample ran with foreign > max(2, cores/4) cores -> host " +
+        "contention, not a plan regression"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","order":"name-sorted","queries":$qs,"runs":$runsJson,"gc":$gcJson$stealJson$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","order":"name-sorted","queries":$qs,"runs":$runsJson,"gc":$gcJson,"cpu":$cpuJson,"trun":$trunJson,"fcpu":$fcpuJson$stealJson$contendedJson$errJson,"sf":"$sfDir"}"""
     // the artifact must survive log-tail truncation (BENCH_r05/r06 both
     // came back "parsed": null): persist the line as a file in cwd
     // BEFORE printing it. Subset runs (query-name args) must NOT
@@ -220,8 +326,8 @@ object Bench {
     // now also the LAST stdout line, parseable by a take-the-last-line
     // driver. 1700 keeps ~250 B of slack for the sentinel + margins.
     val budgetBytes = 1700
-    val byCost = results.map { case (k, ss, _) =>
-      k -> minOf(ss).fold(_ => -1.0, identity)
+    val byCost = results.map { case (k, ss) =>
+      k -> minOf(ss.map(_.t)).fold(_ => -1.0, identity)
     }.sortBy { case (_, v) => -v }
     val compactEntries = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
@@ -236,7 +342,8 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":${
         compactEntries.mkString("{", ",", "}")},"n_queries":${results.size
-        },"n_errors":${errors.size},"detail":"$outFile","sf":"$sfDir"}"""
+        },"n_errors":${errors.size},"n_contended":${contended.size
+        },"detail":"$outFile","sf":"$sfDir"}"""
     spark.stop()
     println("GRAFT_BENCH_RESULT")
     println(compact)

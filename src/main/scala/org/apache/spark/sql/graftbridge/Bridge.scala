@@ -13,6 +13,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Block until every queued listener event is delivered — task
+    * metrics arrive on the async listener bus, so a per-query CPU
+    * accounting (Bench's contention self-adjudication) must drain the
+    * bus before reading its counters. `waitUntilEmpty` is
+    * `private[spark]`; this shim lives inside the spark namespace —
+    * same extension-point technique as the Column converters above. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register a 2-arg expression builder as a SQL function. */
   def registerBinary(spark: org.apache.spark.sql.SparkSession, name: String,
       builder: (Expression, Expression) => Expression): Unit =
