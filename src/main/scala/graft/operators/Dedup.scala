@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash.phash
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Deduplication operators for large-scale document pipelines.
   *
@@ -477,9 +478,18 @@ object Dedup {
           max(when(col("self") === 1, col("label"))).as("prev"))
         .localCheckpoint(true) // truncate lineage; O(1) plan depth
       changed = next.where(col("label") =!= col("prev")).count()
+      // next is eagerly materialized: the superseded round's blocks
+      // are unreachable from any live plan — reclaim them NOW instead
+      // of waiting for a driver GC to collect their weak refs
+      // (round-10, ADVICE r9: long-lived sessions accumulated every
+      // round's labels in storage memory / tmpfs)
+      Bridge.unpersistCheckpoint(labels)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    // the returned labels frame is a flat checkpoint — it references
+    // neither the edge frame nor any superseded round
+    Bridge.unpersistCheckpoint(edges)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +

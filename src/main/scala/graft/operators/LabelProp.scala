@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Deterministic synchronous label propagation (community detection)
   * and exact triangle counting over an explicit edge list — the two
@@ -53,8 +54,15 @@ object LabelProp {
     require(iterations >= 1, "iterations must be >= 1")
     val (e, labels0) = lpaInputs(nodes, edges)
     var labels = labels0
-    for (_ <- 1 to iterations)
-      labels = lpaRound(e, labels).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val next = lpaRound(e, labels).localCheckpoint(true)
+      // eager checkpoint done — reclaim the superseded round's blocks
+      // deterministically (round-10, ADVICE r9; see Dedup.cc)
+      Bridge.unpersistCheckpoint(labels)
+      labels = next
+    }
+    // the returned frame is a flat checkpoint: the edge pin is free
+    Bridge.unpersistCheckpoint(e)
     labels.select(col("id"), col("lbl").as("community"))
   }
 
@@ -66,8 +74,10 @@ object LabelProp {
       .get("spark.sql.shuffle.partitions").toInt
     val e = undirect(edges).repartition(parts, col("src"))
       .localCheckpoint(true)
+    // ONE checkpoint for the label seed (withColumn preserves the
+    // hash(id) partitioning, so checkpointing n separately only left
+    // an extra unreachable |V| block set behind — ADVICE r9)
     val n = nodes.select(col("id")).repartition(parts, col("id"))
-      .localCheckpoint(true)
     (e, n.withColumn("lbl", col("id")).localCheckpoint(true))
   }
 
@@ -132,11 +142,17 @@ object LabelProp {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
         .where(col("dg") >= k).select(col("src").as("kid"))
         .localCheckpoint(true)
-      e = e.join(keep.withColumnRenamed("kid", "src"), Seq("src"))
+      val next = e.join(keep.withColumnRenamed("kid", "src"), Seq("src"))
         .join(keep.withColumnRenamed("kid", "dst"), Seq("dst"))
         .select(col("src"), col("dst"))
         .repartition(parts, col("src"))
         .localCheckpoint(true)
+      // next is materialized: the round's survivor list and the
+      // superseded edge set reclaim now (ADVICE r9) — only the FINAL
+      // e stays, the returned plan reads it lazily
+      Bridge.unpersistCheckpoint(keep)
+      Bridge.unpersistCheckpoint(e)
+      e = next
     }
     val coreDeg = e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .withColumnRenamed("src", "id")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Deterministic fixed-point PageRank over an explicit edge list.
   *
@@ -72,13 +73,19 @@ object PageRank {
         .select(col("dst").as("id"),
           floor(col("r") / col("deg")).cast("long").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
-      ranks = n.join(in, Seq("id"), "left")
+      val next = n.join(in, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + floor(lit(dampPct.toLong) *
             coalesce(col("in_sum"), lit(0L)) / 100L).cast("long"))
             .as("r"))
         .localCheckpoint(true)
+      // superseded round reclaims deterministically (ADVICE r9)
+      Bridge.unpersistCheckpoint(ranks)
+      ranks = next
     }
+    // the returned frame is a flat checkpoint: e and n pins are free
+    Bridge.unpersistCheckpoint(e)
+    Bridge.unpersistCheckpoint(n)
     ranks.select(col("id"), col("r").as("rank_ppm"))
   }
 }

@@ -22,6 +22,20 @@ object Bridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Deterministic reclamation for eager `localCheckpoint` state
+    * (round-10, ADVICE r9): a checkpointed Dataset's blocks otherwise
+    * survive until the driver GC happens to collect the RDD's weak
+    * reference — in a long-lived session (the resident-service mode)
+    * superseded loop rounds pile up in storage memory / tmpfs.
+    * Unpersists the RDD behind every `LogicalRDD` in the frame's
+    * plan. Call ONLY on frames no longer reachable from any live
+    * plan: a local checkpoint's lineage is truncated, so dropped
+    * blocks are unrecomputable. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+
   /** Register a 2-arg expression builder as a SQL function. */
   def registerBinary(spark: org.apache.spark.sql.SparkSession, name: String,
       builder: (Expression, Expression) => Expression): Unit =
