@@ -559,6 +559,53 @@ object AdsbQueries {
         expr("(1000L * data_bytes) div byte_rate").as("duration_ms"))
         .orderBy(col("model"))),
 
+    // mm15: whole-VIDEO near-dup via frame-signature containment —
+    // the cut/re-edit detector above mm10/mm12's within-video grain
+    // (a re-upload that trims an intro or re-cuts an ending shares
+    // most of its FRAMES with the original even when per-video
+    // adaptive thresholds re-draw the shot boundaries — which is why
+    // the signature is the frame, not the shot). Each video's
+    // distinct per-frame byte-sum signatures (mm8's exact checksum
+    // lattice, one FrameSums byte walk) form its set; for every
+    // intersecting ordered pair: |∩|, Jaccard, and containment
+    // |∩| / min(|A|,|B|) — containment is the cut detector (a strict
+    // prefix copy scores 10⁶ exactly; the planted vid_a / vid_a_cut
+    // pair pins it). Scale shape: the inverted-index join — pairs
+    // materialize ONLY through shared signatures (equi-join on the
+    // signature value, never all-pairs), then a map-side-combinable
+    // per-pair count; non-intersecting pairs never exist as rows, at
+    // any corpus size.
+    "mm15_video_neardup" -> ((s, _) => {
+      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
+      val sigs = bin
+        .withColumn("hdr", hex(substring(col("content"), 1, 8)))
+        .where(expr("substr(hdr, 1, 8) = '47564944'"))
+        .withColumn("frame_size", expr(
+          "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
+        .select(col("model"),
+          explode(graft.functions.FrameSums.frameByteSums(
+            col("content"), lit(8), col("frame_size"))).as("sig"))
+        .distinct()
+      val sizes = sigs.groupBy(col("model"))
+        .agg(count(lit(1)).as("n_sigs"))
+      val shared = sigs.as("a").join(sigs.as("b"),
+          col("a.sig") === col("b.sig") && col("a.model") < col("b.model"))
+        .groupBy(col("a.model").as("model"), col("b.model").as("other"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("model"), col("n_sigs").as("n_a")),
+          Seq("model"))
+        .join(sizes.select(col("model").as("other"),
+          col("n_sigs").as("n_b")), Seq("other"))
+        .select(col("model"), col("other"), col("n_a"), col("n_b"),
+          col("shared"),
+          expr("(1000000L * shared) div (n_a + n_b - shared)")
+            .as("jaccard_ppm"),
+          expr("(1000000L * shared) div least(n_a, n_b)")
+            .as("containment_ppm"))
+        .orderBy(col("model"), col("other"))
+    }),
+
     // mm8: frame sampling from a video container — the "every k-th
     // frame" primitive a multimodal training pipeline runs before
     // any per-frame model. The toy GVID container ("GVID" + u16le
@@ -1470,7 +1517,45 @@ object AdsbQueries {
          |  sample_rate, byte_rate, block_align, bits_per_sample,
          |  data_bytes,
          |  CAST((1000 * data_bytes) // byte_rate AS BIGINT) AS duration_ms
-         |FROM p ORDER BY model""".stripMargin
+         |FROM p ORDER BY model""".stripMargin,
+
+    // mm15: distinct frame byte-sum sets per video re-derived from the
+    // dumped blobs, pair overlap through the shared-signature join.
+    "mm15_video_neardup" ->
+      s"""WITH b AS (SELECT model, hex(content) AS hx
+         |  FROM ${tbl("video_blobs")}),
+         |p AS (
+         |  SELECT model, hx,
+         |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER
+         |      AS frame_size,
+         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER
+         |      AS n_frames
+         |  FROM b WHERE substr(hx, 1, 8) = '47564944'),
+         |sigs AS (
+         |  SELECT DISTINCT model,
+         |    CAST(list_sum(list_transform(range(0, frame_size), i ->
+         |      ('0x' || substr(hx, (8 + u.f*frame_size + i)*2 + 1, 2))
+         |        ::BIGINT)) AS BIGINT) AS sig
+         |  FROM p, UNNEST(range(0, n_frames)) AS u(f)),
+         |sizes AS (
+         |  SELECT model, CAST(count(*) AS BIGINT) AS n_sigs
+         |  FROM sigs GROUP BY 1),
+         |sh AS (
+         |  SELECT a.model AS model, b.model AS other,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.model < b.model
+         |  GROUP BY 1, 2)
+         |SELECT sh.model, sh.other, sa.n_sigs AS n_a, sb.n_sigs AS n_b,
+         |  sh.shared,
+         |  CAST((1000000 * sh.shared) // (sa.n_sigs + sb.n_sigs - sh.shared)
+         |    AS BIGINT) AS jaccard_ppm,
+         |  CAST((1000000 * sh.shared) // least(sa.n_sigs, sb.n_sigs)
+         |    AS BIGINT) AS containment_ppm
+         |FROM sh
+         |JOIN sizes sa ON sh.model = sa.model
+         |JOIN sizes sb ON sh.other = sb.model
+         |ORDER BY sh.model, sh.other""".stripMargin
   )
 
   /** The reference's `event` composite type

@@ -2447,6 +2447,58 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t31: Heaps'-law VOCABULARY GROWTH — t29's companion readout
+    // (t29 answers "how much unseen mass remains"; t31 answers "how
+    // fast is the inventory still growing as the corpus grows" — the
+    // other half of the keep-crawling decision, and the curve whose
+    // flattening is what crawl-dedup actually buys). The corpus is
+    // checkpointed at ten doc_id-decile prefixes; per prefix: total
+    // trigram occurrences, distinct trigram types whose FIRST
+    // occurrence falls inside the prefix, and the type/occurrence
+    // ratio in exact ppm. Trigrams (not words: the synthetic vocab
+    // is 31 words — degenerate; the trigram inventory grows
+    // sub-linearly like real text) ship as 60-bit hashes, the
+    // t24/t26/t29 discipline. Scale shape: ONE corpus-sized gram
+    // shuffle feeding both the (gram → min doc) first-occurrence
+    // aggregate and the per-doc occurrence counts (Dedup.share — the
+    // t29 multi-consumer lesson); each gram/doc then maps to its
+    // decile in CLOSED FORM (k = ceil(10·(id+1)/n) — no range join,
+    // no 10× fan-out), and everything after the two groupBys is a
+    // ≤10-row frame (the cumulative window is metadata-sized by
+    // construction). The 1-row doc-count frame rides broadcast
+    // crossJoins.
+    "t31_heaps_growth" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val nd = d.agg((max(col("doc_id")) + 1L).as("nd"))
+      val grams = Dedup.share(
+        Dedup.shingleRows(d, col("doc_id"), col("text"), 3)
+          .select(col("id").as("doc_id"), phash(col("sh"), 3).as("g")))
+      val dv = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(nd))
+        .select(expr("(10L * (first_doc + 1) + nd - 1) div nd").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("dv"))
+      val dc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(nd))
+        .select(expr("(10L * (doc_id + 1) + nd - 1) div nd").as("k"),
+          col("c"))
+        .groupBy(col("k")).agg(sum(col("c")).as("dc"))
+      val ks = s.range(1, 11).toDF("k").crossJoin(broadcast(nd))
+        .select(col("k"), expr("(nd * k) div 10 - 1").as("max_doc_id"))
+      // 10-row cumulative window — metadata-sized by construction
+      val w = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ks.join(dv, Seq("k"), "left").join(dc, Seq("k"), "left")
+        .select(col("k"), col("max_doc_id"),
+          sum(coalesce(col("dc"), lit(0L))).over(w).as("n_grams"),
+          sum(coalesce(col("dv"), lit(0L))).over(w).as("vocab"))
+        .select(col("k"), col("max_doc_id"), col("n_grams"), col("vocab"),
+          when(col("n_grams") > 0,
+            expr("(1000000L * vocab) div n_grams")).as("ttr_ppm"))
+        .orderBy(col("k"))
+    }),
+
     // sk6: AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second
     // frequency moment of the token distribution, the classic
     // join-size / self-join-cardinality / skew estimator: each of 16
@@ -4999,6 +5051,42 @@ object DocQueries {
         |    (1000000 * sum_distinct) // (25 * (n_tokens - 24)) END
         |    AS mattr_ppm
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // t31: the same trigram inventory (t29's shingle construction and
+    // hash seed), decile mapping in the same closed form, cumulative
+    // prefix sums over the 10-row frame.
+    "t31_heaps_growth" ->
+      s"""WITH nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |g AS (SELECT doc_id, ${dkHash("s", "3")} AS g FROM sh),
+        |dv AS (
+        |  SELECT (10 * (first_doc + 1) + n.nd - 1) // n.nd AS k,
+        |    count(*) AS dv
+        |  FROM (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1), nd n
+        |  GROUP BY 1),
+        |dc AS (
+        |  SELECT (10 * (doc_id + 1) + n.nd - 1) // n.nd AS k,
+        |    count(*) AS dc
+        |  FROM g, nd n GROUP BY 1),
+        |ks AS (
+        |  SELECT u.k AS k, (n.nd * u.k) // 10 - 1 AS max_doc_id
+        |  FROM UNNEST(range(1, 11)) AS u(k), nd n),
+        |cum AS (
+        |  SELECT k, max_doc_id,
+        |    sum(coalesce(dc.dc, 0)) OVER (ORDER BY k) AS n_grams,
+        |    sum(coalesce(dv.dv, 0)) OVER (ORDER BY k) AS vocab
+        |  FROM ks LEFT JOIN dv USING (k) LEFT JOIN dc USING (k))
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(max_doc_id AS BIGINT) AS max_doc_id,
+        |  CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  CASE WHEN n_grams > 0 THEN
+        |    CAST((1000000 * vocab) // n_grams AS BIGINT) END AS ttr_ppm
+        |FROM cum ORDER BY k""".stripMargin,
 
     "p18_dataset_card" ->
       """WITH b AS (

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.{AdsbQueries, DocQueries}
+
+/** Semantic pins for the round-10 growth/near-dup readouts (the
+  * oracle proves the arithmetic; these prove the curves MEAN
+  * something). */
+class CorpusGrowthSpec extends SparkSpec {
+
+  test("t31: decile curve is monotone and ends at the full inventory") {
+    val rows = DocQueries.defs("t31_heaps_growth")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    // cumulative prefixes: both axes monotone non-decreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3, s"$a -> $b")
+    }
+    // the k=10 prefix IS the corpus: vocab must equal the distinct
+    // trigram count and n_grams the occurrence total, independently
+    // recomputed
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash.phash
+    val grams = Dedup.shingleRows(
+        graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+        col("doc_id"), col("text"), 3)
+      .select(phash(col("sh"), 3).as("g"))
+    val (total, distinct) = (grams.count(),
+      grams.distinct().count())
+    assert(rows.last._2 === total)
+    assert(rows.last._3 === distinct)
+    // Heaps: the vocabulary must still be GROWING sub-linearly, not
+    // saturated (the word-level curve saturates at 31 — the reason
+    // t31 runs on trigrams)
+    assert(rows.last._3 > rows.head._3 * 2)
+  }
+
+  test("mm15: a strict prefix cut scores containment exactly 10^6") {
+    val rows = AdsbQueries.defs("mm15_video_neardup")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val (shared, jacc, cont) = rows(("vid_a", "vid_a_cut"))
+    assert(cont === 1000000L) // every cut frame exists in the original
+    assert(shared === 12L) // the cut's full frame set
+    assert(jacc < 1000000L) // but the cut is NOT an exact dup
+    // unrelated videos must not read as near-dups
+    rows.foreach { case (k, (_, _, c)) =>
+      if (k != (("vid_a", "vid_a_cut"))) assert(c < 500000L, k)
+    }
+  }
+}
