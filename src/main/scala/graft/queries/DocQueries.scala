@@ -2499,6 +2499,39 @@ object DocQueries {
         .orderBy(col("k"))
     }),
 
+    // t32: per-document n-gram NOVELTY — t31's curve read at the
+    // document grain (t31 says how fast the inventory grows; t32 says
+    // WHICH documents grow it — the crawl-ordering / acquisition-
+    // priority signal: a doc whose grams the corpus has already seen
+    // buys nothing, one full of first occurrences is the data worth
+    // keeping). A gram occurrence is novel iff its type's FIRST
+    // corpus occurrence (min doc_id) is this document; per doc:
+    // occurrences, novel occurrences, exact ppm share. Docs too short
+    // to produce a gram keep visible NULL columns. Scale shape: the
+    // shared t29/t31 gram shuffle feeds the (gram → min doc) first-
+    // occurrence aggregate; novelty is then ONE hash-keyed equi-join
+    // of the gram rows back onto that frame (fixed-size 60-bit keys,
+    // never text) and a map-side-combinable per-doc count — no
+    // window, no cartesian, no per-doc state.
+    "t32_doc_novelty" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val d = docs(s, dir)
+      val grams = Dedup.share(
+        Dedup.shingleRows(d, col("doc_id"), col("text"), 3)
+          .select(col("id").as("doc_id"), phash(col("sh"), 3).as("g")))
+      val fo = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      val per = grams.join(fo, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          when(col("n_grams") > 0,
+            expr("(1000000L * n_novel) div n_grams")).as("novelty_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sk6: AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second
     // frequency moment of the token distribution, the classic
     // join-size / self-join-cardinality / skew estimator: each of 16
@@ -5087,6 +5120,27 @@ object DocQueries {
         |  CASE WHEN n_grams > 0 THEN
         |    CAST((1000000 * vocab) // n_grams AS BIGINT) END AS ttr_ppm
         |FROM cum ORDER BY k""".stripMargin,
+
+    // t32: same gram construction/hash; novelty = first_doc == doc_id.
+    "t32_doc_novelty" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |g AS (SELECT doc_id, ${dkHash("s", "3")} AS g FROM sh),
+        |fo AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM g JOIN fo USING (g) GROUP BY 1)
+        |SELECT d.doc_id, per.n_grams, per.n_novel,
+        |  CASE WHEN per.n_grams > 0 THEN
+        |    CAST((1000000 * per.n_novel) // per.n_grams AS BIGINT) END
+        |    AS novelty_ppm
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "p18_dataset_card" ->
       """WITH b AS (

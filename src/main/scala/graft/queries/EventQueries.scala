@@ -895,6 +895,64 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // sk10: BLOOM-FILTER membership pruning, audited — the
+    // shuffle-free semi-join pre-filter (the classic 100 TB move: the
+    // build side compresses to an m-bit array that BROADCASTS, and
+    // the probe side filters map-side before any join shuffle
+    // exists; Spark's own runtime row-level filtering is this exact
+    // sketch, here rebuilt portably so DuckDB replays every bit).
+    // Build: the first day's distinct users, k=2 seeded 60-bit
+    // portable hashes mod m=256 — the SET of set positions IS the
+    // filter (≤ m rows, sketch-sized, exactly what would broadcast).
+    // Probe: every other day's distinct users; a probe passes iff
+    // ALL k of its positions are set. Per probe day: probes, bloom
+    // hits, exact members (the true semi-join), false positives and
+    // the fp rate among true non-members in exact ppm. m is sized so
+    // the filter runs ~65% full at the gate and false positives are
+    // PLANTED by construction (~44% fp rate at sf0.01) — a 0-fp
+    // green would prove nothing; no false negative can exist
+    // (spec-asserted: hits ≥ members, a Bloom guarantee). Scale
+    // shape: one distinct per side, a ≤m-row broadcast join, one
+    // map-side-combinable per-day count — no corpus-sized shuffle
+    // beyond the distincts.
+    "sk10_bloom_membership" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val m = 256
+      val kh = 2
+      val e = ev(s, dir).select(to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("uid"))
+      val d0 = e.agg(min(col("day")).as("day0"))
+      val build = e.join(broadcast(d0), col("day") === col("day0"))
+        .select(col("uid")).distinct()
+      val bits = build.select(explode(array((0 until kh).map(i =>
+          phash(col("uid"), i) % m): _*)).as("pos"))
+        .distinct()
+      val probes = e.join(broadcast(d0), col("day") =!= col("day0"))
+        .select(col("day"), col("uid")).distinct()
+      val hits = probes.select(col("day"), col("uid"),
+          explode(array((0 until kh).map(i =>
+            phash(col("uid"), i) % m): _*)).as("pos"))
+        .join(broadcast(bits), Seq("pos"))
+        .groupBy(col("day"), col("uid"))
+        .agg(count(lit(1)).as("nm")).where(col("nm") === kh)
+        .groupBy(col("day")).agg(count(lit(1)).as("bloom_hits"))
+      val tm = probes.join(build, Seq("uid"), "left_semi")
+        .groupBy(col("day")).agg(count(lit(1)).as("true_members"))
+      probes.groupBy(col("day")).agg(count(lit(1)).as("n_probes"))
+        .join(hits, Seq("day"), "left")
+        .join(tm, Seq("day"), "left")
+        .select(col("day"), col("n_probes"),
+          coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
+          coalesce(col("true_members"), lit(0L)).as("true_members"))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("n_probes"), col("bloom_hits"), col("true_members"),
+          (col("bloom_hits") - col("true_members")).as("false_positives"),
+          when(col("n_probes") > col("true_members"),
+            expr("(1000000L * (bloom_hits - true_members)) div " +
+              "(n_probes - true_members)")).as("fp_ppm"))
+        .orderBy(col("day"))
+    }),
+
     // sk4: KMV set-operation sketch (Beyer et al. 2007 / the theta-
     // sketch intersection) — distinct-USER OVERLAP between every
     // event_type pair from only the per-type k=64 minimum-hash
@@ -1767,6 +1825,52 @@ object EventQueries {
         |JOIN nw USING (day)
         |JOIN ex USING (day)
         |ORDER BY e.day""".stripMargin,
+
+    // sk10: the position set, the all-k membership test and the exact
+    // semi-join audit rebuilt bit-for-bit.
+    "sk10_bloom_membership" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id::VARCHAR AS uid
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS day0 FROM e),
+        |build AS (
+        |  SELECT DISTINCT uid FROM e, d0 WHERE day = day0),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(uid || '#' || u.k), 1, 15))::BIGINT % 256
+        |      AS pos
+        |  FROM build, UNNEST(range(0, 2)) AS u(k)),
+        |probes AS (
+        |  SELECT DISTINCT day, uid FROM e, d0 WHERE day <> day0),
+        |hits AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS bloom_hits FROM (
+        |    SELECT p.day, p.uid
+        |    FROM (SELECT day, uid, ('0x' || substr(md5(uid || '#' || u.k),
+        |            1, 15))::BIGINT % 256 AS pos
+        |          FROM probes, UNNEST(range(0, 2)) AS u(k)) p
+        |    JOIN bits USING (pos)
+        |    GROUP BY 1, 2 HAVING count(*) = 2)
+        |  GROUP BY 1),
+        |tm AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS true_members
+        |  FROM probes p JOIN build b USING (uid) GROUP BY 1),
+        |np AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_probes
+        |  FROM probes GROUP BY 1)
+        |SELECT np.day, np.n_probes,
+        |  coalesce(h.bloom_hits, 0) AS bloom_hits,
+        |  coalesce(t.true_members, 0) AS true_members,
+        |  coalesce(h.bloom_hits, 0) - coalesce(t.true_members, 0)
+        |    AS false_positives,
+        |  CASE WHEN np.n_probes > coalesce(t.true_members, 0) THEN
+        |    CAST((1000000 * (coalesce(h.bloom_hits, 0)
+        |      - coalesce(t.true_members, 0)))
+        |      // (np.n_probes - coalesce(t.true_members, 0)) AS BIGINT) END
+        |    AS fp_ppm
+        |FROM np
+        |LEFT JOIN hits h USING (day)
+        |LEFT JOIN tm t USING (day)
+        |ORDER BY np.day""".stripMargin,
 
     // KMV set-intersection replayed with window functions: per-type
     // 64-minimum signatures, the pair-tagged union re-ranked to its

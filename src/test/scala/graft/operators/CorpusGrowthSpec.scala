@@ -51,4 +51,37 @@ class CorpusGrowthSpec extends SparkSpec {
       if (k != (("vid_a", "vid_a_cut"))) assert(c < 500000L, k)
     }
   }
+
+  test("t32: novelty is conserved — Σ novel occurrences = Σ first-doc mass") {
+    val rows = DocQueries.defs("t32_doc_novelty")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // every gram type's occurrences inside its first doc are novel
+    // there and nowhere else, so per-doc novel sums bound total grams
+    val (grams, novel) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    assert(novel > 0 && novel <= grams)
+    // doc 0 introduces everything it contains
+    val first = DocQueries.defs("t32_doc_novelty")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(first.getLong(0) === 0L) // ordered by doc_id
+    assert(first.getLong(1) === first.getLong(2)) // all novel in doc 0
+  }
+
+  test("sk10: Bloom has false positives but NEVER false negatives") {
+    // sf0.01, not sf0.001: the planted-fp claim needs the ~65%-full
+    // filter (134 build users × 2 hashes over 256 bits); the tiny
+    // corpus is legitimately fp-free
+    val rows = graft.queries.EventQueries.defs("sk10_bloom_membership")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (np, hits, members, fp) =>
+      assert(hits >= members, "a Bloom filter cannot miss a member")
+      assert(fp === hits - members)
+      assert(hits <= np)
+    }
+    // the m=256 sizing plants false positives by construction — a
+    // 0-fp green would prove nothing
+    assert(rows.map(_._4).sum > 0, "expected planted false positives")
+  }
 }
