@@ -393,6 +393,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), s"window in mm11:\n$p")
   }
 
+  test("t31/t32: the only non-equi shape is the broadcast 1-row frame") {
+    // the doc-count frame rides broadcast crossJoins (the sanctioned
+    // metadata pattern); the gram layer itself must stay equi-joined
+    for (q <- Seq("t31_heaps_growth", "t32_doc_novelty")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin(condition"), s"$q non-equi SMJ")
+    }
+  }
+
+  test("sk10: the position-set probe joins by broadcast, never SMJ") {
+    val p = plan("sk10_bloom_membership")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "bits/build should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"sketch-sized sides must not sort-merge:\n$p")
+  }
+
+  test("mm14 WAV header parse is a joinless scan projection") {
+    val p = plan("mm14_wav_header")
+    assert(!p.contains("Join"), s"join in mm14:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"window in mm14:\n$p")
+  }
+
+  test("mm15 video near-dup pairs only through the signature equi-join") {
+    val p = plan("mm15_video_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("no query plans an unintended cartesian product") {
     // qd: deliberate 1×1 cross of two single-row aggregates.
     // s1: brute-force top-k broadcasts the query side into a
