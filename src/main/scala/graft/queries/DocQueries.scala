@@ -2532,6 +2532,45 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t33: SOURCE-overlap matrix — the inter-source duplication audit
+    // a dedup plan starts from (which source pairs share inventory —
+    // the mirror-site / re-crawl / syndication signal that decides
+    // which pairs to near-dup against each other FIRST, and the
+    // between-sources complement of t32's within-corpus novelty).
+    // Distinct trigram types per source; for every intersecting
+    // ordered pair: |∩|, Jaccard, and containment |∩|/min — the
+    // mm15 shape at the source grain. Scale shape: ONE distinct
+    // (source, gram-hash) shuffle shared across its three consumers;
+    // pairs materialize only through shared grams (equi-join on the
+    // hash), and per-gram fan-out is bounded by the source count —
+    // the pair frame is ≤ S² rows, metadata-sized at any corpus
+    // size.
+    "t33_source_overlap" -> ((s, dir) => {
+      import graft.functions.PortableHash.phash
+      val sh = Dedup.share(
+        Dedup.shingleRows(docs(s, dir), col("source"), col("text"), 3)
+          .select(col("id").as("source"), phash(col("sh"), 3).as("g"))
+          .distinct())
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select(col("source").as("source_a"),
+          col("n").as("n_a")), Seq("source_a"))
+        .join(sizes.select(col("source").as("source_b"),
+          col("n").as("n_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("shared"),
+          expr("(1000000L * shared) div (n_a + n_b - shared)")
+            .as("jaccard_ppm"),
+          expr("(1000000L * shared) div least(n_a, n_b)")
+            .as("containment_ppm"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // sk6: AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second
     // frequency moment of the token distribution, the classic
     // join-size / self-join-cardinality / skew estimator: each of 16
@@ -5141,6 +5180,32 @@ object DocQueries {
         |    AS novelty_ppm
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // t33: distinct gram types per source, pair overlap through the
+    // shared-gram join (the mm15 replay at the source grain).
+    "t33_source_overlap" ->
+      s"""WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    ${dkHash("t[i] || ' ' || t[i+1] || ' ' || t[i+2]", "3")} AS g
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, x.n AS n_a, y.n AS n_b, p.shared,
+        |  CAST((1000000 * p.shared) // (x.n + y.n - p.shared) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST((1000000 * p.shared) // least(x.n, y.n) AS BIGINT)
+        |    AS containment_ppm
+        |FROM pairs p
+        |JOIN sizes x ON p.source_a = x.source
+        |JOIN sizes y ON p.source_b = y.source
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
 
     "p18_dataset_card" ->
       """WITH b AS (

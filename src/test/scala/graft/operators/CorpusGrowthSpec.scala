@@ -84,4 +84,18 @@ class CorpusGrowthSpec extends SparkSpec {
     // 0-fp green would prove nothing
     assert(rows.map(_._4).sum > 0, "expected planted false positives")
   }
+
+  test("t33: pair frame is metadata-sized and set algebra holds") {
+    val rows = DocQueries.defs("t33_source_overlap")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(6)))
+    val nSources = rows.flatMap(r => Seq(r._1, r._2)).distinct.size.toLong
+    assert(rows.length <= nSources * (nSources - 1) / 2)
+    rows.foreach { case (a, b, na, nb, shared, cont) =>
+      assert(a < b, s"ordered pair violated: $a $b")
+      assert(shared <= math.min(na, nb), s"$a/$b")
+      assert(cont <= 1000000L)
+    }
+  }
 }
