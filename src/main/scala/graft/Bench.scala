@@ -71,6 +71,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // HammingNN persists its hash frame (round-10); re-running the
+    // same query within a bench pair re-registers the identical plan
+    // and CacheManager warns "already cached" once per sample — noise
+    // with the same tail-window risk as the window warnings above
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
 
     // full-plan materialization: toRdd executes the physical plan
     // as-is — count() would wrap it in an Aggregate whose column

@@ -75,8 +75,9 @@ object AdsbQueries {
     * visibly rather than mis-parsed. One row per valid file with
     * every header field decoded (little-endian, exact integers) plus
     * the raw PCM payload sliced by the declared data size. */
-  private def wavParsed(s: SparkSession): DataFrame =
-    Meta.loadMediaFiles(s, Meta.mediaDir(), "wav")
+  private[graft] def wavParsed(s: SparkSession,
+      dir: String = Meta.mediaDir()): DataFrame =
+    Meta.loadMediaFiles(s, dir, "wav")
       .withColumn("hdr", hex(substring(col("content"), 1, 44)))
       .where(expr("substr(hdr, 1, 8) = '52494646'") && // 'RIFF'
         expr("substr(hdr, 17, 8) = '57415645'") && // 'WAVE'
