@@ -578,7 +578,10 @@ object AdsbQueries {
     // any corpus size.
     "mm15_video_neardup" -> ((s, _) => {
       val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
-      val sigs = bin
+      // share()d: sizes + both self-join sides would otherwise
+      // re-decode every blob per consumer (the sk10 scan-budget
+      // lesson; the cached frame is (model, long) — never bytes)
+      val sigs = graft.operators.Dedup.share(bin
         .withColumn("hdr", hex(substring(col("content"), 1, 8)))
         .where(expr("substr(hdr, 1, 8) = '47564944'"))
         .withColumn("frame_size", expr(
@@ -586,7 +589,7 @@ object AdsbQueries {
         .select(col("model"),
           explode(graft.functions.FrameSums.frameByteSums(
             col("content"), lit(8), col("frame_size"))).as("sig"))
-        .distinct()
+        .distinct())
       val sizes = sigs.groupBy(col("model"))
         .agg(count(lit(1)).as("n_sigs"))
       val shared = sigs.as("a").join(sigs.as("b"),

@@ -919,16 +919,24 @@ object EventQueries {
       import graft.functions.PortableHash.phash
       val m = 256
       val kh = 2
+      // share() the three reused frames (the scan-budget rule: build
+      // feeds bits + the exact audit, probes feeds the hit test, the
+      // audit AND the per-day totals, d0 gates both sides — unshared,
+      // the plan re-read events.parquet 10×, caught by
+      // AnalysisSmokeSpec's tripwire)
       val e = ev(s, dir).select(to_date(col("ts")).as("day"),
         col("user_id").cast("string").as("uid"))
-      val d0 = e.agg(min(col("day")).as("day0"))
-      val build = e.join(broadcast(d0), col("day") === col("day0"))
-        .select(col("uid")).distinct()
+      val d0 = graft.operators.Dedup.share(
+        e.agg(min(col("day")).as("day0")))
+      val build = graft.operators.Dedup.share(
+        e.join(broadcast(d0), col("day") === col("day0"))
+          .select(col("uid")).distinct())
       val bits = build.select(explode(array((0 until kh).map(i =>
           phash(col("uid"), i) % m): _*)).as("pos"))
         .distinct()
-      val probes = e.join(broadcast(d0), col("day") =!= col("day0"))
-        .select(col("day"), col("uid")).distinct()
+      val probes = graft.operators.Dedup.share(
+        e.join(broadcast(d0), col("day") =!= col("day0"))
+          .select(col("day"), col("uid")).distinct())
       val hits = probes.select(col("day"), col("uid"),
           explode(array((0 until kh).map(i =>
             phash(col("uid"), i) % m): _*)).as("pos"))
