@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming AUDIO ingest — the audio twin of [[MediaStream.start]]:
+  * the batch audio gates (mm11's silence lattice, mm14's RIFF/WAVE
+  * admission) applied at the stream, before blobs reach the corpus
+  * store.
+  *
+  * Container handling: a blob leading with the RIFF magic must pass
+  * the FULL canonical-PCM gate (WAVE form, 'fmt ' with format 1 /
+  * 8-bit, 'data' — the `wavParsed` rules) or it is DROPPED — a RIFF
+  * blob that fails the gate is a container this parser cannot read,
+  * and admitting it as "raw PCM" would feed header bytes into the
+  * energy math as samples (silent mis-parse, the worst failure
+  * mode). Anything not RIFF-prefixed is headerless 8-bit PCM by this
+  * pipeline's input contract. The stored payload is the PCM sample
+  * section either way.
+  *
+  * Dedup is keyed on the sha2-256 of the PAYLOAD, not the container
+  * bytes: a .wav re-upload of an already-stored .pcm (or vice versa)
+  * collapses to one stored copy — the mm5/mm7 container-independence
+  * story enforced at ingest. (Consequence: the SECOND container's
+  * header metadata is not stored; the payload is what trains.)
+  *
+  * ==DATA-DELETING DEFAULT — `dropMostlySilent = true`==
+  * Like [[MediaStream]]'s flat-image gate, this PERMANENTLY DISCARDS
+  * blobs whose silent-frame share (exact integer energy < 4096 over
+  * 64-sample frames) is ≥ 50% at ingest — the mostly-silent
+  * recordings an audio curation pipeline refuses to pay
+  * transcription/embedding for. Archival callers pass `false`
+  * explicitly; a pipeline restarting on an old checkpoint gets no
+  * warning (the filter is stateless).
+  */
+object AudioStream {
+
+  /** Gate + cross-container dedup + day-partitioned sink for a stream
+    * of (media_id, content binary, ingest_ts) rows. */
+  def start(media: DataFrame, outDir: String, checkpoint: String,
+      maxBytes: Int = 10 << 20,
+      watermark: String = "10 minutes",
+      dropMostlySilent: Boolean = true): StreamingQuery = {
+    val hdr = hex(substring(col("content"), 1, 44))
+    val isRiff = expr("substr(hdr, 1, 8) = '52494646'")
+    // the full canonical-PCM admission: form, chunk ids, PCM format,
+    // 8-bit samples (the energy lattice's sample contract)
+    val wavOk = expr("substr(hdr, 17, 8) = '57415645'") &&
+      expr("substr(hdr, 25, 8) = '666D7420'") &&
+      expr("substr(hdr, 73, 8) = '64617461'") &&
+      expr("cast(conv(substr(hdr, 43, 2) || substr(hdr, 41, 2), 16, 10)" +
+        " AS int) = 1") &&
+      expr("cast(conv(substr(hdr, 71, 2) || substr(hdr, 69, 2), 16, 10)" +
+        " AS int) = 8")
+    media
+      .where(col("content").isNotNull &&
+        length(col("content")) >= 64 && // at least one 64-sample frame
+        length(col("content")) <= maxBytes)
+      .withColumn("hdr", hdr)
+      .withColumn("container",
+        when(isRiff && wavOk, "wav")
+          .when(isRiff, "riff_rejected")
+          .otherwise("pcm"))
+      .where(col("container") =!= "riff_rejected")
+      .withColumn("payload",
+        when(col("container") === "wav",
+          expr("substring(content, 45, cast(conv(substr(hdr, 87, 2) || " +
+            "substr(hdr, 85, 2) || substr(hdr, 83, 2) || " +
+            "substr(hdr, 81, 2), 16, 10) AS int))"))
+          .otherwise(col("content")))
+      .where(length(col("payload")) >= 64)
+      .withColumn("energies", graft.functions.FrameSums.frameEnergies(
+        col("payload"), lit(0), lit(64)))
+      .withColumn("n_frames", size(col("energies")).cast("long"))
+      .withColumn("silence_ppm", expr(
+        """(1000000L * aggregate(energies, 0L,
+          |  (acc, e) -> acc + IF(e < 4096, 1L, 0L))) div n_frames"""
+          .stripMargin))
+      .where(if (dropMostlySilent) col("silence_ppm") < 500000L
+        else lit(true))
+      .withColumn("content_sha256", sha2(col("payload"), 256))
+      .select(col("media_id"), col("container"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("n_frames"), col("silence_ppm"), col("content_sha256"),
+        col("ingest_ts"))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_sha256")
+      .withColumn("ingest_date", to_date(col("ingest_ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ingest_date")
+      .outputMode("append")
+      .start()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Streaming audio ingest: the RIFF admission gate, the silence gate,
+  * and the PAYLOAD-keyed dedup (a .wav re-upload of a stored .pcm
+  * collapses cross-container) — the batch mm11/mm14 semantics at the
+  * stream. */
+class AudioStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** n frames of 64 8-bit samples: loud frames alternate 128±amp
+    * (energy 64·amp² ≥ 4096 at amp ≥ 8), silent frames sit at 128. */
+  private def pcm(frames: Int, amp: Int, silentPrefix: Int = 0): Array[Byte] =
+    Array.tabulate(frames * 64) { i =>
+      val f = i / 64
+      if (f < silentPrefix) 128.toByte
+      else (128 + (if (i % 2 == 0) amp else -amp)).toByte
+    }
+
+  private def wav(data: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    b.put("data".getBytes).putInt(data.length).put(data)
+    b.array()
+  }
+
+  test("RIFF gate, silence gate, and cross-container payload dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val loud = pcm(16, 40)
+    val loudWav = wav(loud) // the container twin of `loud`
+    val other = pcm(16, 20, silentPrefix = 4) // 25% silent — passes
+    val silent = pcm(16, 40, silentPrefix = 12) // 75% silent — dropped
+    val flat = pcm(16, 0) // wall-to-wall silence — dropped
+    val badRiff = {
+      val c = wav(pcm(8, 30)); c(8) = 'A'.toByte; c // RIFF but not WAVE
+    }
+    val sixteenBit = {
+      // bits_per_sample = 16 (LE u16 at offset 34): not this
+      // lattice's sample contract — must be rejected, never mis-summed
+      val c = wav(pcm(8, 30)); c(34) = 16.toByte; c
+    }
+    val tiny = Array.fill[Byte](10)(1)
+
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val media = in.toDF().toDF("media_id", "content", "ingest_ts")
+    val outDir = Files.createTempDirectory("audio-ingest").toString
+    val ckpt = Files.createTempDirectory("audio-ingest-ckpt").toString
+    val q = AudioStream.start(media, outDir, ckpt)
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    in.addData(Seq(
+      (1L, loud, t0),
+      (2L, loudWav, t0), // same samples, real container
+      (3L, other, t0),
+      (4L, silent, t0),
+      (5L, flat, t0),
+      (6L, badRiff, t0),
+      (7L, sixteenBit, t0),
+      (8L, tiny, t0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select("media_id", "container", "n_frames", "silence_ppm")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+
+    // the wav twin deduped against the pcm original (payload-keyed):
+    // exactly ONE of ids 1/2 survives, with the full 16-frame lattice
+    val twins = Seq(1L, 2L).filter(out.contains)
+    assert(twins.size === 1, s"cross-container dedup: $out")
+    assert(out(twins.head)._2 === 16L)
+    assert(out(twins.head)._3 === 0L)
+    // the partially-silent blob survives with its exact share
+    assert(out(3L) === (("pcm", 16L, 250000L)))
+    // silence gate, RIFF admission, sample-width and size gates
+    assert(!out.contains(4L), "75%-silent must drop")
+    assert(!out.contains(5L), "flat must drop")
+    assert(!out.contains(6L), "RIFF-but-not-WAVE must drop")
+    assert(!out.contains(7L), "16-bit wav must drop (8-bit contract)")
+    assert(!out.contains(8L), "sub-frame blob must drop")
+  }
+}
