@@ -73,7 +73,12 @@ object Meta {
     // real-format twin mm14 parses and mm13 must segment identically
     "dialog_h_w.wav",
     "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid",
-    "vid_scene.gvid")
+    "vid_scene.gvid",
+    // vid_scene_a: vid_scene's FRAMES inside a real RIFF/AVI container
+    // (canonical minimal layout: RIFF('AVI ') → LIST('hdrl' avih) →
+    // LIST('movi' 00db…)) — the video-side real-format twin mm16
+    // header-parses, the mm14 story for video
+    "vid_scene_a.avi")
 
   /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
     * is headerless 8-bit PCM; .gvid is the toy frame container

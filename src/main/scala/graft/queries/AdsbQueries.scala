@@ -94,6 +94,29 @@ object AdsbQueries {
         leInt("hdr", 35, 2).as("bits_per_sample"),
         leInt("hdr", 41, 4).as("data_bytes"))
 
+  /** RIFF/AVI main-header parse — the video twin of [[wavParsed]]
+    * (same public RIFF idiom, same gated-narrowing policy): canonical
+    * minimal layout only (RIFF('AVI ') → LIST('hdrl') with 'avih'
+    * first), all five magics checked so a non-canonical AVI is
+    * excluded visibly rather than mis-parsed. One row per valid file
+    * with the avih fields decoded (little-endian, exact integers). */
+  private[graft] def aviParsed(s: SparkSession,
+      dir: String = Meta.mediaDir()): DataFrame =
+    Meta.loadMediaFiles(s, dir, "avi")
+      .withColumn("hdr", hex(substring(col("content"), 1, 72)))
+      .where(expr("substr(hdr, 1, 8) = '52494646'") && // 'RIFF'
+        expr("substr(hdr, 17, 8) = '41564920'") && // 'AVI '
+        expr("substr(hdr, 25, 8) = '4C495354'") && // 'LIST'
+        expr("substr(hdr, 41, 8) = '6864726C'") && // 'hdrl'
+        expr("substr(hdr, 49, 8) = '61766968'")) // 'avih'
+      .select(col("model"),
+        leInt("hdr", 5, 4).as("riff_bytes"),
+        leInt("hdr", 33, 4).as("us_per_frame"),
+        leInt("hdr", 49, 4).as("total_frames"),
+        leInt("hdr", 57, 4).as("n_streams"),
+        leInt("hdr", 65, 4).as("width"),
+        leInt("hdr", 69, 4).as("height"))
+
   /** The shared audio input for mm7/mm11/mm13 (round 10): headerless
     * .pcm blobs UNION the PCM payloads of real .wav containers —
     * container-independent audio analysis, the mm5 cross-format
@@ -610,6 +633,22 @@ object AdsbQueries {
         .orderBy(col("model"), col("other"))
     }),
 
+    // mm16: RIFF/AVI header extraction — the real-container metadata
+    // readout for the VIDEO leg (mm14's story for video): frame
+    // cadence, stream count, declared dimensions and exact
+    // fixed-point rate/duration (fps_milli = 10⁹ div us_per_frame;
+    // duration_ms = us·frames div 1000) from the avih chunk of a
+    // canonical minimal AVI, gated on all five magics (see
+    // [[aviParsed]]). Scale shape: header-only hex (72 bytes) per
+    // blob, no join, row count = valid avi count.
+    "mm16_avi_header" -> ((s, _) =>
+      aviParsed(s).select(col("model"), col("riff_bytes"),
+        col("us_per_frame"), col("total_frames"), col("n_streams"),
+        col("width"), col("height"),
+        expr("1000000000L div us_per_frame").as("fps_milli"),
+        expr("(us_per_frame * total_frames) div 1000").as("duration_ms"))
+        .orderBy(col("model"))),
+
     // mm8: frame sampling from a video container — the "every k-th
     // frame" primitive a multimodal training pipeline runs before
     // any per-frame model. The toy GVID container ("GVID" + u16le
@@ -763,6 +802,7 @@ object AdsbQueries {
       "mm_blobs")
     w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "pcm"), "audio_blobs")
     w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "wav"), "wav_blobs")
+    w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "avi"), "avi_blobs")
     w(Meta.loadMediaFiles(spark, Meta.mediaDir(), "gvid"), "video_blobs")
     w(Meta.airportsTable(spark), "meta_airports")
     w(Meta.runwaysTable(spark), "meta_runways")
@@ -1559,7 +1599,35 @@ object AdsbQueries {
          |FROM sh
          |JOIN sizes sa ON sh.model = sa.model
          |JOIN sizes sb ON sh.other = sb.model
-         |ORDER BY sh.model, sh.other""".stripMargin
+         |ORDER BY sh.model, sh.other""".stripMargin,
+
+    // mm16: the avih fields re-parsed independently from the dumped
+    // blob bytes — same magic gates, same little-endian reads.
+    "mm16_avi_header" ->
+      s"""WITH v AS (
+         |  SELECT model, hex(content) AS hx FROM ${tbl("avi_blobs")}),
+         |g AS (
+         |  SELECT model, hx FROM v
+         |  WHERE substr(hx, 1, 8) = '52494646'
+         |    AND substr(hx, 17, 8) = '41564920'
+         |    AND substr(hx, 25, 8) = '4C495354'
+         |    AND substr(hx, 41, 8) = '6864726C'
+         |    AND substr(hx, 49, 8) = '61766968'),
+         |p AS (
+         |  SELECT model,
+         |    ${dkLe("hx", 5, 4)} AS riff_bytes,
+         |    ${dkLe("hx", 33, 4)} AS us_per_frame,
+         |    ${dkLe("hx", 49, 4)} AS total_frames,
+         |    ${dkLe("hx", 57, 4)} AS n_streams,
+         |    ${dkLe("hx", 65, 4)} AS width,
+         |    ${dkLe("hx", 69, 4)} AS height
+         |  FROM g)
+         |SELECT model, riff_bytes, us_per_frame, total_frames, n_streams,
+         |  width, height,
+         |  CAST(1000000000 // us_per_frame AS BIGINT) AS fps_milli,
+         |  CAST((us_per_frame * total_frames) // 1000 AS BIGINT)
+         |    AS duration_ms
+         |FROM p ORDER BY model""".stripMargin
   )
 
   /** The reference's `event` composite type

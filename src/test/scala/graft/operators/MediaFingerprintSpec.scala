@@ -129,4 +129,18 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(row.getLong(9) === 4096L) // data_bytes
     assert(row.getLong(10) === 512L) // duration_ms = 1000*4096/8000
   }
+
+  test("AVI header parse matches the planted canonical fixture") {
+    val r = AdsbQueries.defs("mm16_avi_header")(spark, "unused").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "vid_scene_a")
+    assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)
+    assert(row.getLong(3) === 16L) // total_frames = vid_scene's
+    assert(row.getLong(4) === 1L) // n_streams
+    assert(row.getLong(5) === 16L) // width
+    assert(row.getLong(6) === 16L) // height
+    assert(row.getLong(7) === 25000L) // fps_milli = 1e9/40000
+    assert(row.getLong(8) === 640L) // duration_ms = 40000*16/1000
+  }
 }
