@@ -2,20 +2,24 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Per-frame byte lattice over an opaque media blob, as ONE byte walk:
-  * `media_frame_sums(content, offset, frame_size)` tiles the bytes
-  * from `offset` into consecutive `frame_size`-byte frames and emits
-  * one long per complete frame — either the plain byte sum Σb (the
-  * GVID frame checksum mm8/mm10/mm12 lattice) or the centered energy
-  * Σ(b−128)² (the 8-bit-PCM frame energy mm7/mm11/mm13 build on).
-  * Trailing bytes short of a full frame are ignored, matching the
-  * `floor(length / frame_size)` frame count every caller derives.
+  * `media_frame_sums(content, offset, frame_size, stride)` reads
+  * frame `i` as the `frame_size` bytes at `offset + i·stride` and
+  * emits one long per complete frame — either the plain byte sum Σb
+  * (the GVID/AVI frame checksum mm8/mm10/mm12 lattice) or the
+  * centered energy Σ(b−128)² (the 8-bit-PCM frame energy
+  * mm7/mm11/mm13 build on). `stride = frame_size` is the contiguous
+  * tiling (GVID, raw PCM); `stride = frame_size + 8` skips the 8-byte
+  * chunk headers interleaved between RIFF/AVI `00db` frames — the
+  * round-10 demux generalization, so the SAME kernel serves both the
+  * toy and the real container. Trailing bytes short of a full frame
+  * are ignored, matching the `floor(length / frame_size)` frame count
+  * every contiguous caller derives.
   *
   * Replaces the round-9 formulation (`hex(content)` + per-byte
   * `conv(substr(hx, i*2+1, 2), 16, 10)` inside transform/aggregate
@@ -27,69 +31,81 @@ import org.apache.spark.sql.types._
   * no allocation beyond the output array (one long per frame).
   * `FrameSumsSpec` pins bit-equality against the old hex/conv
   * formulation on the bundled fixtures plus adversarial shapes
-  * (offsets, ragged tails, empty frames).
+  * (offsets, strides, ragged tails, empty frames).
   *
   * The DuckDB oracles are untouched: they re-derive the same lattices
   * from the dumped blobs with their own hex reads, so engine
   * divergence anywhere in this kernel turns the gate red.
   */
 case class FrameSumsExpr(content: Expression, offset: Expression,
-    frameSize: Expression, energy: Boolean) extends TernaryExpression {
+    frameSize: Expression, stride: Expression, energy: Boolean)
+    extends QuaternaryExpression {
 
   override def first: Expression = content
   override def second: Expression = offset
   override def third: Expression = frameSize
+  override def fourth: Expression = stride
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String =
     if (energy) "media_frame_energies" else "media_frame_sums"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (content.dataType, offset.dataType, frameSize.dataType) match {
-      case (BinaryType, IntegerType, IntegerType) =>
+    (content.dataType, offset.dataType, frameSize.dataType,
+      stride.dataType) match {
+      case (BinaryType, IntegerType, IntegerType, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
-      case (c, o, f) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (binary, int, int), got " +
-          s"(${c.simpleString}, ${o.simpleString}, ${f.simpleString})")
+      case (c, o, f, st) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, int, int, int), got " +
+          s"(${c.simpleString}, ${o.simpleString}, ${f.simpleString}, " +
+          s"${st.simpleString})")
     }
 
-  override def nullSafeEval(c: Any, o: Any, f: Any): Any =
+  override def nullSafeEval(c: Any, o: Any, f: Any, st: Any): Any =
     new GenericArrayData(FrameSums.compute(c.asInstanceOf[Array[Byte]],
-      o.asInstanceOf[Int], f.asInstanceOf[Int], energy))
+      o.asInstanceOf[Int], f.asInstanceOf[Int], st.asInstanceOf[Int],
+      energy))
 
-  override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (c, o, f) => {
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, o, f, st) => {
       val out = ctx.freshName("fsums")
       s"""
-         |long[] $out = graft.functions.FrameSums.compute($c, $o, $f, $energy);
+         |long[] $out =
+         |  graft.functions.FrameSums.compute($c, $o, $f, $st, $energy);
          |${ev.value} =
          |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): FrameSumsExpr =
-    copy(content = newFirst, offset = newSecond, frameSize = newThird)
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): FrameSumsExpr =
+    copy(content = newFirst, offset = newSecond, frameSize = newThird,
+      stride = newFourth)
 }
 
 object FrameSums {
 
   /** Shared interpreted/codegen kernel — one pass, one output long per
-    * COMPLETE frame. A non-positive frame size or an offset at/past
-    * the end yields an empty array (the caller's n_frames guards make
-    * that unreachable on well-formed blobs, but a malformed header
-    * must not throw a task). */
-  def compute(b: Array[Byte], offset: Int, frameSize: Int,
+    * COMPLETE frame (frame i must fit: offset + i·stride + frameSize
+    * ≤ length). Non-positive sizes/strides or an offset at/past the
+    * end yield an empty array (the caller's guards make that
+    * unreachable on well-formed blobs, but a malformed header must
+    * not throw a task). */
+  def compute(b: Array[Byte], offset: Int, frameSize: Int, stride: Int,
       energy: Boolean): Array[Long] = {
-    if (frameSize <= 0 || offset < 0 || offset >= b.length)
+    if (frameSize <= 0 || stride <= 0 || offset < 0 ||
+        offset + frameSize > b.length)
       return Array.emptyLongArray
-    val n = (b.length - offset) / frameSize
+    val n = (b.length - offset - frameSize) / stride + 1
     val out = new Array[Long](n)
     var f = 0
-    var i = offset
     while (f < n) {
       var acc = 0L
+      var i = offset + f * stride
       val end = i + frameSize
       while (i < end) {
         val v = b(i) & 0xFF
@@ -103,17 +119,23 @@ object FrameSums {
     out
   }
 
-  /** Per-frame byte sums Σb (the GVID checksum lattice). */
+  /** Per-frame byte sums Σb over contiguous frames (GVID tiling). */
   def frameByteSums(content: Column, offset: Column,
       frameSize: Column): Column =
+    frameByteSums(content, offset, frameSize, frameSize)
+
+  /** Per-frame byte sums Σb at an explicit stride (AVI `00db` chunks:
+    * stride = frame_size + 8). */
+  def frameByteSums(content: Column, offset: Column, frameSize: Column,
+      stride: Column): Column =
     Bridge.column(FrameSumsExpr(Bridge.expression(content),
       Bridge.expression(offset), Bridge.expression(frameSize),
-      energy = false))
+      Bridge.expression(stride), energy = false))
 
   /** Per-frame centered energies Σ(b−128)² (the 8-bit PCM lattice). */
   def frameEnergies(content: Column, offset: Column,
       frameSize: Column): Column =
     Bridge.column(FrameSumsExpr(Bridge.expression(content),
       Bridge.expression(offset), Bridge.expression(frameSize),
-      energy = true))
+      Bridge.expression(frameSize), energy = true))
 }

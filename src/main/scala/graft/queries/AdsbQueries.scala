@@ -117,6 +117,52 @@ object AdsbQueries {
         leInt("hdr", 65, 4).as("width"),
         leInt("hdr", 69, 4).as("height"))
 
+  /** The shared VIDEO frame-sum lattice for mm10/mm12/mm15 (round
+    * 10): one row per video with (frame_size, n_frames, per-frame
+    * byte sums) — toy GVID blobs UNION demuxed RIFF/AVI blobs. The
+    * AVI side walks the canonical layout dynamically: the 'hdrl'
+    * LIST's declared size locates the 'movi' LIST, whose magics
+    * ('LIST'/'movi'/'00db') are CHECKED before the first chunk's
+    * declared frame size drives a strided FrameSums walk (stride =
+    * frame_size + 8 skips each chunk's 8-byte header) — so the same
+    * video content produces the IDENTICAL lattice from either
+    * container (spec-pinned on the planted vid_scene twin), and a
+    * non-canonical AVI is excluded visibly, never mis-summed. */
+  private[graft] def videoFrameSums(s: SparkSession): DataFrame = {
+    val gv = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
+      .withColumn("hdr", hex(substring(col("content"), 1, 8)))
+      .where(expr("substr(hdr, 1, 8) = '47564944'"))
+      .withColumn("frame_size", expr(
+        "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
+      .withColumn("n_frames", expr(
+        "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
+      .select(col("model"), col("frame_size"), col("n_frames"),
+        graft.functions.FrameSums.frameByteSums(
+          col("content"), lit(8), col("frame_size")).as("sums"))
+    val avi = Meta.loadMediaFiles(s, Meta.mediaDir(), "avi")
+      .withColumn("hdr", hex(substring(col("content"), 1, 72)))
+      .where(expr("substr(hdr, 1, 8) = '52494646'") && // 'RIFF'
+        expr("substr(hdr, 17, 8) = '41564920'") && // 'AVI '
+        expr("substr(hdr, 25, 8) = '4C495354'") && // 'LIST'
+        expr("substr(hdr, 41, 8) = '6864726C'") && // 'hdrl'
+        expr("substr(hdr, 49, 8) = '61766968'")) // 'avih'
+      .withColumn("n_frames", leInt("hdr", 49, 4).cast("int"))
+      .withColumn("movi0", (lit(20L) + leInt("hdr", 17, 4)).cast("int"))
+      .withColumn("mv", hex(expr("substring(content, movi0 + 1, 24)")))
+      .where(expr("substr(mv, 1, 8) = '4C495354'") && // 'LIST'
+        // mv layout: LIST(b0-3) size(b4-7) 'movi'(b8-11) '00db'(b12-15)
+        expr("substr(mv, 17, 8) = '6D6F7669'") && // 'movi' (byte 8)
+        expr("substr(mv, 25, 8) = '30306462'")) // '00db' (byte 12)
+      .withColumn("frame_size", expr(
+        "cast(conv(substr(mv, 39, 2) || substr(mv, 37, 2) || " +
+          "substr(mv, 35, 2) || substr(mv, 33, 2), 16, 10) AS int)"))
+      .select(col("model"), col("frame_size"), col("n_frames"),
+        graft.functions.FrameSums.frameByteSums(col("content"),
+          (col("movi0") + lit(20)).cast("int"), col("frame_size"),
+          (col("frame_size") + lit(8)).cast("int")).as("sums"))
+    gv.unionByName(avi)
+  }
+
   /** The shared audio input for mm7/mm11/mm13 (round 10): headerless
     * .pcm blobs UNION the PCM payloads of real .wav containers —
     * container-independent audio analysis, the mm5 cross-format
@@ -600,18 +646,13 @@ object AdsbQueries {
     // per-pair count; non-intersecting pairs never exist as rows, at
     // any corpus size.
     "mm15_video_neardup" -> ((s, _) => {
-      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
       // share()d: sizes + both self-join sides would otherwise
       // re-decode every blob per consumer (the sk10 scan-budget
-      // lesson; the cached frame is (model, long) — never bytes)
-      val sigs = graft.operators.Dedup.share(bin
-        .withColumn("hdr", hex(substring(col("content"), 1, 8)))
-        .where(expr("substr(hdr, 1, 8) = '47564944'"))
-        .withColumn("frame_size", expr(
-          "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
-        .select(col("model"),
-          explode(graft.functions.FrameSums.frameByteSums(
-            col("content"), lit(8), col("frame_size"))).as("sig"))
+      // lesson; the cached frame is (model, long) — never bytes).
+      // gvid ∪ demuxed avi: the planted AVI twin of vid_scene must
+      // surface at containment 10⁶ — cross-container video dedup
+      val sigs = graft.operators.Dedup.share(videoFrameSums(s)
+        .select(col("model"), explode(col("sums")).as("sig"))
         .distinct())
       val sizes = sigs.groupBy(col("model"))
         .agg(count(lit(1)).as("n_sigs"))
@@ -697,17 +738,10 @@ object AdsbQueries {
     // built-in codegen'd expressions, row count Σ(n_frames−1), no
     // join anywhere.
     "mm10_shot_boundaries" -> ((s, _) => {
-      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
-      bin.withColumn("hdr", hex(substring(col("content"), 1, 8)))
-        .where(expr("substr(hdr, 1, 8) = '47564944'"))
-        .withColumn("frame_size", expr(
-          "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
-        .withColumn("n_frames", expr(
-          "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
+      // gvid ∪ demuxed avi — the same content must segment
+      // identically from either container (see videoFrameSums)
+      videoFrameSums(s)
         .where(col("n_frames") >= 2)
-        // header-only hex + one codegen byte walk — see mm8
-        .withColumn("sums", graft.functions.FrameSums.frameByteSums(
-          col("content"), lit(8), col("frame_size")))
         .withColumn("deltas", expr(
           """transform(sequence(1, n_frames - 1), f ->
             |  abs(element_at(sums, f + 1) - element_at(sums, f)))"""
@@ -740,17 +774,8 @@ object AdsbQueries {
     // row count Σ shots ≤ Σ n_frames.
     "mm12_keyframes" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
-      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
-      val fx = bin.withColumn("hdr", hex(substring(col("content"), 1, 8)))
-        .where(expr("substr(hdr, 1, 8) = '47564944'"))
-        .withColumn("frame_size", expr(
-          "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
-        .withColumn("n_frames", expr(
-          "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
+      val fx = videoFrameSums(s) // gvid ∪ demuxed avi — see mm10
         .where(col("n_frames") >= 2)
-        // header-only hex + one codegen byte walk — see mm8
-        .withColumn("sums", graft.functions.FrameSums.frameByteSums(
-          col("content"), lit(8), col("frame_size")))
         .withColumn("deltas", expr(
           """transform(sequence(1, n_frames - 1), f ->
             |  abs(element_at(sums, f + 1) - element_at(sums, f)))"""
@@ -822,6 +847,47 @@ object AdsbQueries {
     "('0x' || " + (0 until n).reverse
       .map(i => s"substr($hx, ${(pos - 1 + i) * 2 + 1}, 2)")
       .mkString(" || ") + ")::BIGINT"
+
+  /** Shared VIDEO oracle CTE chain ending in `en (model, fs, nf,
+    * sums)` — GVID blobs UNION demuxed RIFF/AVI blobs, the
+    * independent DuckDB replay of [[videoFrameSums]] (dynamic movi
+    * location via the declared hdrl size, magic-gated, strided
+    * per-frame sums skipping the 8-byte chunk headers). */
+  private def videoSumsCte: String =
+    s"""vb AS (
+       |  SELECT model, hx, 8 AS base,
+       |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER AS fs,
+       |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS nf,
+       |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER + 0
+       |      AS stride
+       |  FROM (SELECT model, hex(content) AS hx FROM ${tbl("video_blobs")})
+       |  WHERE substr(hx, 1, 8) = '47564944'
+       |  UNION ALL
+       |  SELECT model, hx, movi0 + 20 AS base,
+       |    ('0x' || substr(hx, (movi0 + 19) * 2 + 1, 2) ||
+       |      substr(hx, (movi0 + 18) * 2 + 1, 2) ||
+       |      substr(hx, (movi0 + 17) * 2 + 1, 2) ||
+       |      substr(hx, (movi0 + 16) * 2 + 1, 2))::INTEGER AS fs,
+       |    CAST(${dkLe("hx", 49, 4)} AS INTEGER) AS nf,
+       |    fs + 8 AS stride
+       |  FROM (SELECT model, hex(content) AS hx,
+       |          CAST(20 + ${dkLe("hx", 17, 4)} AS INTEGER) AS movi0
+       |        FROM ${tbl("avi_blobs")})
+       |  WHERE substr(hx, 1, 8) = '52494646'
+       |    AND substr(hx, 17, 8) = '41564920'
+       |    AND substr(hx, 25, 8) = '4C495354'
+       |    AND substr(hx, 41, 8) = '6864726C'
+       |    AND substr(hx, 49, 8) = '61766968'
+       |    AND substr(hx, movi0 * 2 + 1, 8) = '4C495354'
+       |    AND substr(hx, (movi0 + 8) * 2 + 1, 8) = '6D6F7669'
+       |    AND substr(hx, (movi0 + 12) * 2 + 1, 8) = '30306462'),
+       |en AS (
+       |  SELECT model, fs, nf,
+       |    list_transform(range(0, nf), f ->
+       |      list_sum(list_transform(range(0, fs), i ->
+       |        ('0x' || substr(hx, (base + f*stride + i)*2 + 1, 2))
+       |          ::BIGINT))) AS sums
+       |  FROM vb WHERE nf >= 2)""".stripMargin
 
   /** Shared audio oracle CTE `b (model, length, hx)`: the headerless
     * .pcm dumps UNION the data payloads of valid RIFF/WAVE dumps
@@ -1405,20 +1471,7 @@ object AdsbQueries {
     // dumped blobs (1-based DuckDB list indexing mirrors Spark's
     // element_at convention).
     "mm10_shot_boundaries" ->
-      s"""WITH b AS (SELECT model, hex(content) AS hx
-         |  FROM ${tbl("video_blobs")}),
-         |hdr AS (
-         |  SELECT model, hx,
-         |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER AS fs,
-         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS nf
-         |  FROM b WHERE substr(hx, 1, 8) = '47564944'),
-         |en AS (
-         |  SELECT model, fs, nf,
-         |    list_transform(range(0, nf), f ->
-         |      list_sum(list_transform(range(0, fs), i ->
-         |        ('0x' || substr(hx, (8 + f*fs + i)*2 + 1, 2))::BIGINT)))
-         |      AS sums
-         |  FROM hdr WHERE nf >= 2),
+      s"""WITH $videoSumsCte,
          |dl AS (
          |  SELECT model, nf, sums,
          |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
@@ -1440,20 +1493,7 @@ object AdsbQueries {
     // boundary count = shot id, per-shot bounds/size, and the
     // (energy DESC, frame ASC) keyframe pick replayed via a window.
     "mm12_keyframes" ->
-      s"""WITH b AS (SELECT model, hex(content) AS hx
-         |  FROM ${tbl("video_blobs")}),
-         |hdr AS (
-         |  SELECT model, hx,
-         |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER AS fs,
-         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS nf
-         |  FROM b WHERE substr(hx, 1, 8) = '47564944'),
-         |en AS (
-         |  SELECT model, fs, nf,
-         |    list_transform(range(0, nf), f ->
-         |      list_sum(list_transform(range(0, fs), i ->
-         |        ('0x' || substr(hx, (8 + f*fs + i)*2 + 1, 2))::BIGINT)))
-         |      AS sums
-         |  FROM hdr WHERE nf >= 2),
+      s"""WITH $videoSumsCte,
          |dl AS (
          |  SELECT model, nf, sums,
          |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
@@ -1566,21 +1606,10 @@ object AdsbQueries {
     // mm15: distinct frame byte-sum sets per video re-derived from the
     // dumped blobs, pair overlap through the shared-signature join.
     "mm15_video_neardup" ->
-      s"""WITH b AS (SELECT model, hex(content) AS hx
-         |  FROM ${tbl("video_blobs")}),
-         |p AS (
-         |  SELECT model, hx,
-         |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER
-         |      AS frame_size,
-         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER
-         |      AS n_frames
-         |  FROM b WHERE substr(hx, 1, 8) = '47564944'),
+      s"""WITH $videoSumsCte,
          |sigs AS (
-         |  SELECT DISTINCT model,
-         |    CAST(list_sum(list_transform(range(0, frame_size), i ->
-         |      ('0x' || substr(hx, (8 + u.f*frame_size + i)*2 + 1, 2))
-         |        ::BIGINT)) AS BIGINT) AS sig
-         |  FROM p, UNNEST(range(0, n_frames)) AS u(f)),
+         |  SELECT DISTINCT model, CAST(u.sg AS BIGINT) AS sig
+         |  FROM en, UNNEST(sums) AS u(sg)),
          |sizes AS (
          |  SELECT model, CAST(count(*) AS BIGINT) AS n_sigs
          |  FROM sigs GROUP BY 1),

@@ -46,9 +46,16 @@ class CorpusGrowthSpec extends SparkSpec {
     assert(cont === 1000000L) // every cut frame exists in the original
     assert(shared === 12L) // the cut's full frame set
     assert(jacc < 1000000L) // but the cut is NOT an exact dup
+    // the AVI container twin of vid_scene: identical frame set from
+    // a REAL container — exact dup at both measures (round-10 demux)
+    val (ts, tj, tc) = rows(("vid_scene", "vid_scene_a"))
+    // 16 frames, 14 DISTINCT sums (the dark frames repeat) — both
+    // sides collapse identically, so both measures read exact-dup
+    assert((ts, tj, tc) === ((14L, 1000000L, 1000000L)))
     // unrelated videos must not read as near-dups
+    val planted = Set(("vid_a", "vid_a_cut"), ("vid_scene", "vid_scene_a"))
     rows.foreach { case (k, (_, _, c)) =>
-      if (k != (("vid_a", "vid_a_cut"))) assert(c < 500000L, k)
+      if (!planted(k)) assert(c < 500000L, k)
     }
   }
 

@@ -143,4 +143,27 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(row.getLong(7) === 25000L) // fps_milli = 1e9/40000
     assert(row.getLong(8) === 640L) // duration_ms = 40000*16/1000
   }
+
+  test("AVI demux: the container twin segments IDENTICALLY to the gvid") {
+    // vid_scene_a carries vid_scene's exact frames behind RIFF/AVI
+    // chunk headers — the strided demux must reproduce the boundary
+    // lattice row for row (energies, deltas, threshold, flags)
+    val rows = AdsbQueries.defs("mm10_shot_boundaries")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val gvid = rows.collect { case ((m, f), v) if m == "vid_scene" => f -> v }
+    val avi = rows.collect { case ((m, f), v) if m == "vid_scene_a" => f -> v }
+    assert(gvid.nonEmpty)
+    assert(avi.toMap === gvid.toMap)
+    // and the keyframe picks agree shot for shot
+    val kf = AdsbQueries.defs("mm12_keyframes")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val g = kf.collect { case ((m, sid), v) if m == "vid_scene" => sid -> v }
+    val a = kf.collect { case ((m, sid), v) if m == "vid_scene_a" => sid -> v }
+    assert(g.nonEmpty)
+    assert(a.toMap === g.toMap)
+  }
 }
