@@ -85,6 +85,37 @@ class FrameSumsSpec extends SparkSpec {
     assert(r.getSeq[Long](0).forall(_ >= 0))
   }
 
+  test("strided walk: chunked frames, overlap, and tail exclusion") {
+    import spark.implicits._
+    val b = (0 until 64).map(_.toByte).toArray
+    val df = Seq((1, b)).toDF("id", "content")
+    val r = df.select(
+      // AVI-shaped: 8-byte frames at stride 12 (4-byte headers skipped)
+      FrameSums.frameByteSums(col("content"), lit(0), lit(8), lit(12))
+        .as("chunked"),
+      // overlapping windows: stride < frame size is a legal sliding
+      // lattice (stride 4, frame 8)
+      FrameSums.frameByteSums(col("content"), lit(0), lit(8), lit(4))
+        .as("sliding"),
+      // stride = frame: must equal the 3-arg contiguous form
+      FrameSums.frameByteSums(col("content"), lit(2), lit(8), lit(8))
+        .as("explicit"),
+      FrameSums.frameByteSums(col("content"), lit(2), lit(8))
+        .as("contiguous"))
+      .head()
+    def manual(off: Int, fs: Int, st: Int): Seq[Long] = {
+      val n = if (off + fs > b.length) 0
+        else (b.length - off - fs) / st + 1
+      (0 until n).map(f =>
+        (0 until fs).map(i => (b(off + f * st + i) & 0xFF).toLong).sum)
+    }
+    assert(r.getSeq[Long](0) === manual(0, 8, 12))
+    assert(r.getSeq[Long](0).length === 5) // frame 5 would need byte 67
+    assert(r.getSeq[Long](1) === manual(0, 8, 4))
+    assert(r.getSeq[Long](1).length === 15)
+    assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+  }
+
   test("null blob propagates null (no task crash)") {
     import spark.implicits._
     val df = Seq((1, Option.empty[Array[Byte]])).toDF("id", "content")
