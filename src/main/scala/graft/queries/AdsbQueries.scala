@@ -137,6 +137,7 @@ object AdsbQueries {
       .withColumn("n_frames", expr(
         "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
       .select(col("model"), col("frame_size"), col("n_frames"),
+        lit(8).as("base"), col("frame_size").as("stride"),
         graft.functions.FrameSums.frameByteSums(
           col("content"), lit(8), col("frame_size")).as("sums"))
     val avi = Meta.loadMediaFiles(s, Meta.mediaDir(), "avi")
@@ -157,6 +158,8 @@ object AdsbQueries {
         "cast(conv(substr(mv, 39, 2) || substr(mv, 37, 2) || " +
           "substr(mv, 35, 2) || substr(mv, 33, 2), 16, 10) AS int)"))
       .select(col("model"), col("frame_size"), col("n_frames"),
+        (col("movi0") + lit(20)).cast("int").as("base"),
+        (col("frame_size") + lit(8)).cast("int").as("stride"),
         graft.functions.FrameSums.frameByteSums(col("content"),
           (col("movi0") + lit(20)).cast("int"), col("frame_size"),
           (col("frame_size") + lit(8)).cast("int")).as("sums"))
@@ -701,28 +704,20 @@ object AdsbQueries {
     // built-in codegen'd expressions, row count = Σ⌈n_frames/k⌉
     // never Σ n_frames. The oracle re-parses header and frames from
     // the dumped blobs and replays the k=4 sampling lattice.
-    "mm8_frame_sample" -> ((s, _) => {
-      val bin = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
-      // round-10: hex() runs over the 8 HEADER bytes only (the 2× hex
-      // blow-up of the whole blob is gone); the per-frame checksum
-      // lattice is one codegen byte walk (FrameSums)
-      bin.withColumn("hdr", hex(substring(col("content"), 1, 8)))
-        .where(expr("substr(hdr, 1, 8) = '47564944'"))
-        .withColumn("frame_size", expr(
-          "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
-        .withColumn("n_frames", expr(
-          "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
-        .withColumn("sums", graft.functions.FrameSums.frameByteSums(
-          col("content"), lit(8), col("frame_size")))
+    "mm8_frame_sample" -> ((s, _) =>
+      // gvid ∪ demuxed avi (see videoFrameSums): the sampled frame's
+      // byte offset honors each container's own layout (base +
+      // idx·stride — for gvid that is 8 + idx·frame_size, for avi the
+      // movi payload position past the per-chunk headers)
+      videoFrameSums(s)
         .withColumn("frame_idx",
           explode(expr("sequence(0, n_frames - 1, 4)")))
         .select(col("model"), col("n_frames").cast("long").as("n_frames"),
           col("frame_idx").cast("long").as("frame_idx"),
-          (lit(8L) + col("frame_idx") * col("frame_size"))
-            .cast("long").as("offset"),
+          (col("base").cast("long") +
+            col("frame_idx") * col("stride")).cast("long").as("offset"),
           expr("element_at(sums, frame_idx + 1)").as("bytesum"))
-        .orderBy(col("model"), col("frame_idx"))
-    }),
+        .orderBy(col("model"), col("frame_idx"))),
 
     // mm10: shot-boundary detection — the scene segmentation
     // primitive a video curation pipeline runs before per-shot
@@ -882,12 +877,12 @@ object AdsbQueries {
        |    AND substr(hx, (movi0 + 8) * 2 + 1, 8) = '6D6F7669'
        |    AND substr(hx, (movi0 + 12) * 2 + 1, 8) = '30306462'),
        |en AS (
-       |  SELECT model, fs, nf,
+       |  SELECT model, fs, nf, base, stride,
        |    list_transform(range(0, nf), f ->
        |      list_sum(list_transform(range(0, fs), i ->
        |        ('0x' || substr(hx, (base + f*stride + i)*2 + 1, 2))
        |          ::BIGINT))) AS sums
-       |  FROM vb WHERE nf >= 2)""".stripMargin
+       |  FROM vb)""".stripMargin
 
   /** Shared audio oracle CTE `b (model, length, hx)`: the headerless
     * .pcm dumps UNION the data payloads of valid RIFF/WAVE dumps
@@ -1419,25 +1414,15 @@ object AdsbQueries {
     // header fields, the k=4 sampling lattice via range(), and the
     // per-frame byte-sum checksum over hex-pair reads.
     "mm8_frame_sample" ->
-      s"""WITH b AS (SELECT model, hex(content) AS hx
-         |  FROM ${tbl("video_blobs")}),
-         |p AS (
-         |  SELECT model, hx,
-         |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER
-         |      AS frame_size,
-         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER
-         |      AS n_frames
-         |  FROM b WHERE substr(hx, 1, 8) = '47564944'),
+      s"""WITH $videoSumsCte,
          |f AS (
-         |  SELECT model, hx, frame_size, n_frames,
-         |    unnest(range(0, n_frames, 4)) AS frame_idx
-         |  FROM p)
-         |SELECT model, CAST(n_frames AS BIGINT) AS n_frames,
+         |  SELECT model, nf, base, stride, sums,
+         |    unnest(range(0, nf, 4)) AS frame_idx
+         |  FROM en)
+         |SELECT model, CAST(nf AS BIGINT) AS n_frames,
          |  CAST(frame_idx AS BIGINT) AS frame_idx,
-         |  CAST(8 + frame_idx * frame_size AS BIGINT) AS offset,
-         |  CAST(list_sum(list_transform(range(0, frame_size), i ->
-         |    ('0x' || substr(hx, (8 + frame_idx*frame_size + i)*2 + 1, 2))
-         |      ::BIGINT)) AS BIGINT) AS bytesum
+         |  CAST(base + frame_idx * stride AS BIGINT) AS offset,
+         |  CAST(sums[frame_idx + 1] AS BIGINT) AS bytesum
          |FROM f ORDER BY model, frame_idx""".stripMargin,
 
     // mm11: the frame energies, silence threshold and ppm share
@@ -1476,7 +1461,7 @@ object AdsbQueries {
          |  SELECT model, nf, sums,
          |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
          |      AS deltas
-         |  FROM en),
+         |  FROM en WHERE nf >= 2),
          |th AS (
          |  SELECT model, nf, sums, deltas,
          |    2 * (list_sum(deltas) // (nf - 1)) AS thr
@@ -1498,7 +1483,7 @@ object AdsbQueries {
          |  SELECT model, nf, sums,
          |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
          |  AS deltas
-         |  FROM en),
+         |  FROM en WHERE nf >= 2),
          |th AS (
          |  SELECT model, nf, sums, deltas,
          |    2 * (list_sum(deltas) // (nf - 1)) AS thr

@@ -45,6 +45,23 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(cut === a.take(cut.length))
   }
 
+  test("frame sampling demuxes the AVI twin to the gvid's exact checksums") {
+    val rows = AdsbQueries.defs("mm8_frame_sample")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4)))
+    def of(m: String) = rows.collect { case ((`m`, f), v) => f -> v }.toMap
+    val (g, a) = (of("vid_scene"), of("vid_scene_a"))
+    assert(g.nonEmpty && a.keySet === g.keySet)
+    g.keySet.foreach { f =>
+      assert(a(f)._2 === g(f)._2, s"frame $f bytesum") // same content
+      // but the byte offsets honor each container's own layout:
+      // gvid 8 + f·256, avi movi-payload 108 + f·264
+      assert(g(f)._1 === 8L + f * 256L)
+      assert(a(f)._1 === 108L + f * 264L)
+    }
+  }
+
   test("shot-boundary detection fires exactly at the planted cut") {
     val rows = AdsbQueries.defs("mm10_shot_boundaries")(spark, "unused")
       .collect()
