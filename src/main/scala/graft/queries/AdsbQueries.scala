@@ -677,6 +677,67 @@ object AdsbQueries {
         .orderBy(col("model"), col("other"))
     }),
 
+    // mm17: the CURATION AUDIT TABLE — one row per media asset with
+    // the admission decision and its reason, the d18-lineage shape
+    // for the multimodal family (at 100 TB the decision table IS the
+    // curation product: what got dropped, and why, is what a data
+    // audit reads — not the survivor set). Gates per modality, all
+    // exact-integer and already oracle-proven elsewhere: images
+    // reject on the flat-placeholder variance (< 1000 on the 0..765
+    // gray scale — MediaStream's ingest gate, stricter than mm9's
+    // advisory flag); audio rejects on mm11's mostly-silent share
+    // (≥ 50% frames under energy 4096); video rejects exact/contained
+    // duplicates from mm15's containment readout (the SMALLER frame
+    // set is the redundant one; ties reject the lexicographically
+    // later name) and degenerate sub-2-frame clips. Scale shape: the
+    // three gate branches are the proven per-blob projections; the
+    // only join is video's victim lookup against mm15's
+    // metadata-sized pair frame.
+    "mm17_curation_audit" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val st = graft.functions.BmpAHash.grayStats(col("silhouette"))
+      val img = Meta.loadAircraftSilhouettes(s, Meta.silhouettesDir())
+        .where(Multimodal.isBmp(col("silhouette")))
+        .withColumn("st", st)
+        .where(col("st").isNotNull)
+        .select(lit("image").as("kind"), col("model"),
+          col("length").as("n_bytes"),
+          when(lit(64L) * col("st")(1) - col("st")(0) * col("st")(0) <
+            lit(1000L * 4096), "flat_image").otherwise("ok").as("reason"))
+      val aud = audioPcmBlobs(s)
+        .withColumn("n_frames", floor(col("length") / 64).cast("int"))
+        .withColumn("energies", graft.functions.FrameSums.frameEnergies(
+          col("content"), lit(0), lit(64)))
+        .select(lit("audio").as("kind"), col("model"),
+          col("length").as("n_bytes"),
+          when(col("n_frames") < 1, "too_short")
+            .when(expr("""(1000000L * aggregate(energies, 0L,
+              |  (acc, e) -> acc + IF(e < 4096, 1L, 0L)))
+              |  div cast(n_frames AS bigint)""".stripMargin) >= 500000L,
+              "mostly_silent")
+            .otherwise("ok").as("reason"))
+      val nd = defs("mm15_video_neardup")(s, dir)
+        .where(col("containment_ppm") === 1000000L)
+        .select(
+          when(col("n_b") < col("n_a"), col("other"))
+            .when(col("n_a") < col("n_b"), col("model"))
+            .otherwise(col("other")).as("model"),
+          when(col("jaccard_ppm") === 1000000L, "exact_dup")
+            .otherwise("contained_dup").as("vreason"))
+      val vid = videoFrameSums(s)
+        .select(col("model"),
+          (col("frame_size").cast("long") * col("n_frames")).as("n_bytes"),
+          col("n_frames"))
+        .join(nd, Seq("model"), "left")
+        .select(lit("video").as("kind"), col("model"), col("n_bytes"),
+          when(col("n_frames") < 2, "too_short")
+            .otherwise(coalesce(col("vreason"), lit("ok"))).as("reason"))
+      img.unionByName(aud).unionByName(vid)
+        .select(col("kind"), col("model"), col("n_bytes"),
+          (col("reason") === "ok").as("admitted"), col("reason"))
+        .orderBy(col("kind"), col("model"))
+    }),
+
     // mm16: RIFF/AVI header extraction — the real-container metadata
     // readout for the VIDEO leg (mm14's story for video): frame
     // cadence, stream count, declared dimensions and exact
@@ -888,8 +949,9 @@ object AdsbQueries {
     * .pcm dumps UNION the data payloads of valid RIFF/WAVE dumps
     * (canonical layout, all four chunk ids gated) — the independent
     * DuckDB replay of [[audioPcmBlobs]]. */
-  private def audioHexCte: String =
-    s"""b AS (
+  private def audioHexCte: String = audioHexCte("b")
+  private def audioHexCte(name: String): String =
+    s"""$name AS (
        |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}
        |  UNION ALL
        |  SELECT model, ${dkLe("whx", 41, 4)} AS length,
@@ -1641,7 +1703,75 @@ object AdsbQueries {
          |  CAST(1000000000 // us_per_frame AS BIGINT) AS fps_milli,
          |  CAST((us_per_frame * total_frames) // 1000 AS BIGINT)
          |    AS duration_ms
-         |FROM p ORDER BY model""".stripMargin
+         |FROM p ORDER BY model""".stripMargin,
+
+    // mm17: the three gate branches replayed from the dumped blobs —
+    // BMP variance via the shared aHash gray CTEs, audio silence via
+    // the pcm∪wav byte table, video duplicates via the demuxed
+    // signature sets — then one admission row per asset.
+    "mm17_curation_audit" ->
+      s"""WITH ${ahashCtes(
+             s"SELECT model, hex(silhouette) AS hx FROM ${tbl("mm_blobs")}")},
+         |ist AS (
+         |  SELECT model, sum(gray) AS sg, sum(gray * gray) AS sq
+         |  FROM g GROUP BY 1),
+         |img AS (
+         |  SELECT 'image' AS kind, i.model,
+         |    CAST(m.length AS BIGINT) AS n_bytes,
+         |    CASE WHEN (64 * sq - sg * sg) < 4096000 THEN 'flat_image'
+         |      ELSE 'ok' END AS reason
+         |  FROM ist i JOIN ${tbl("mm_blobs")} m ON i.model = m.model),
+         |${audioHexCte("ab")},
+         |aen AS (
+         |  SELECT model, CAST(length AS BIGINT) AS n_bytes,
+         |    length // 64 AS nfr,
+         |    list_transform(range(0, length // 64), f ->
+         |      list_sum(list_transform(range(0, 64), i ->
+         |        (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128)
+         |        * (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT
+         |           - 128)))) AS energies
+         |  FROM ab),
+         |aud AS (
+         |  SELECT 'audio' AS kind, model, n_bytes,
+         |    CASE WHEN nfr < 1 THEN 'too_short'
+         |      WHEN (1000000 * list_sum(list_transform(energies,
+         |          e -> CASE WHEN e < 4096 THEN 1 ELSE 0 END))) // nfr
+         |        >= 500000 THEN 'mostly_silent'
+         |      ELSE 'ok' END AS reason
+         |  FROM aen),
+         |$videoSumsCte,
+         |sigs AS (
+         |  SELECT DISTINCT model, CAST(u.sg AS BIGINT) AS sig
+         |  FROM en, UNNEST(sums) AS u(sg)),
+         |sizes AS (
+         |  SELECT model, CAST(count(*) AS BIGINT) AS n FROM sigs GROUP BY 1),
+         |prs AS (
+         |  SELECT a.model AS ma, b.model AS mb,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.model < b.model
+         |  GROUP BY 1, 2),
+         |vict AS (
+         |  SELECT CASE WHEN y.n < x.n THEN p.mb
+         |              WHEN x.n < y.n THEN p.ma
+         |              ELSE p.mb END AS model,
+         |    CASE WHEN (1000000 * p.shared) // (x.n + y.n - p.shared)
+         |        = 1000000 THEN 'exact_dup' ELSE 'contained_dup' END
+         |      AS vreason
+         |  FROM prs p
+         |  JOIN sizes x ON p.ma = x.model
+         |  JOIN sizes y ON p.mb = y.model
+         |  WHERE (1000000 * p.shared) // least(x.n, y.n) = 1000000),
+         |vid AS (
+         |  SELECT 'video' AS kind, e.model,
+         |    CAST(e.fs AS BIGINT) * e.nf AS n_bytes,
+         |    CASE WHEN e.nf < 2 THEN 'too_short'
+         |      ELSE coalesce(v.vreason, 'ok') END AS reason
+         |  FROM en e LEFT JOIN vict v ON e.model = v.model),
+         |allrows AS (
+         |  SELECT * FROM img UNION ALL SELECT * FROM aud
+         |  UNION ALL SELECT * FROM vid)
+         |SELECT kind, model, n_bytes, reason = 'ok' AS admitted, reason
+         |FROM allrows ORDER BY kind, model""".stripMargin
   )
 
   /** The reference's `event` composite type

@@ -161,6 +161,26 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(row.getLong(8) === 640L) // duration_ms = 40000*16/1000
   }
 
+  test("curation audit: every planted rejection fires with its reason") {
+    val rows = AdsbQueries.defs("mm17_curation_audit")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getBoolean(3), r.getString(4)))
+      .toMap
+    // the planted rejects, each through a DIFFERENT gate
+    assert(rows(("audio", "quiet_f")) === ((false, "mostly_silent")))
+    assert(rows(("audio", "speech_g")) === ((false, "mostly_silent")))
+    assert(rows(("video", "vid_a_cut")) === ((false, "contained_dup")))
+    assert(rows(("video", "vid_scene_a")) === ((false, "exact_dup")))
+    // the survivors: real signals, varied images, original videos
+    Seq(("audio", "dialog_h"), ("audio", "dialog_h_w"), ("image", "A1"),
+      ("video", "vid_a"), ("video", "vid_scene")).foreach { k =>
+      assert(rows(k) === ((true, "ok")), k)
+    }
+    // admitted is the reason predicate, never independent state
+    rows.values.foreach { case (adm, r) => assert(adm === (r == "ok")) }
+  }
+
   test("AVI demux: the container twin segments IDENTICALLY to the gvid") {
     // vid_scene_a carries vid_scene's exact frames behind RIFF/AVI
     // chunk headers — the strided demux must reproduce the boundary
