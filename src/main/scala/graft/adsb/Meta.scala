@@ -72,13 +72,24 @@ object Meta {
     // (canonical 44-byte PCM header: mono, 8 kHz, 8-bit) — the
     // real-format twin mm14 parses and mm13 must segment identically
     "dialog_h_w.wav",
+    // chant_i: a NON-CANONICAL wav — a LIST/INFO chunk sits between
+    // 'fmt ' and 'data' (the common tagging layout), so it parses
+    // ONLY through the round-11 chunk walk; two bursts between
+    // near-silent runs (12/32 silent frames — admitted)
+    "chant_i.wav",
     "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid",
     "vid_scene.gvid",
     // vid_scene_a: vid_scene's FRAMES inside a real RIFF/AVI container
     // (canonical minimal layout: RIFF('AVI ') → LIST('hdrl' avih) →
     // LIST('movi' 00db…)) — the video-side real-format twin mm16
     // header-parses, the mm14 story for video
-    "vid_scene_a.avi")
+    "vid_scene_a.avi",
+    // vid_junk: a NON-CANONICAL avi — a strl LIST inside hdrl, a JUNK
+    // alignment chunk before movi, an ODD frame size (33 B — RIFF
+    // even-byte pad in the chunk stride) and a trailing idx1 index:
+    // demuxes ONLY through the round-11 chunk walk + padded stride +
+    // frame-count-bounded sums
+    "vid_junk.avi")
 
   /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
     * is headerless 8-bit PCM; .gvid is the toy frame container

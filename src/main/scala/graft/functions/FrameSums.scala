@@ -97,8 +97,11 @@ object FrameSums {
     * not throw a task). */
   def compute(b: Array[Byte], offset: Int, frameSize: Int, stride: Int,
       energy: Boolean): Array[Long] = {
+    // the offset+frameSize compare is in Long: near-Int.MaxValue header
+    // values would otherwise wrap negative, pass the guard, and compute
+    // a negative frame count — the exact throw the contract forbids
     if (frameSize <= 0 || stride <= 0 || offset < 0 ||
-        offset + frameSize > b.length)
+        offset.toLong + frameSize > b.length)
       return Array.emptyLongArray
     val n = (b.length - offset - frameSize) / stride + 1
     val out = new Array[Long](n)

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash.phash
+
+/** PORTABLE Bloom filter as a broadcastable frame — sk10's inline
+  * build/probe lifted to a shared operator (round-11 verdict ask #6),
+  * with configurable size `m` (bits) and hash count `k`.
+  *
+  * Two bloom homes, two jobs: [[graft.functions.Bloom]] wraps Spark's
+  * own `BloomFilterAggregate`/`BloomFilterMightContain` — a
+  * driver-held binary sketch embedded as a plan literal (the
+  * `InjectRuntimeFilter` shape; needs a driver action to build).
+  * THIS operator is the exact-integer portable variant: bits are
+  * k seeded 60-bit [[graft.functions.PortableHash]] hashes mod m, so
+  * a DuckDB oracle replays every bit, and the filter is a data frame
+  * (never driver state) — composable inside a fully lazy plan.
+  *
+  * Scale shape: the build is one map-side-combinable distinct over
+  * ≤ m positions; the packed form is ≤ ⌈m/64⌉ rows of 64-bit words,
+  * crossJoin-broadcast as ONE map row; the probe is a per-row
+  * codegen'd predicate (two hashes, a map lookup, a mask test) —
+  * zero probe-side shuffle, which is the whole point of a semi-join
+  * prefilter. No false negatives ever; false positives are removed
+  * by the caller's exact confirm join (p4c) or surface in the audit
+  * (sk10).
+  */
+object Bloom {
+
+  /** 1-indexed powers of two for variable-bit mask tests (codegen'd
+    * array literal — `shiftleft(Column, Column)` has no Column API). */
+  private val pow2 = typedLit((0 until 64).map(i => 1L << i))
+
+  /** The k bit positions of one key. */
+  def positions(keyCol: Column, m: Int, k: Int): Seq[Column] =
+    (0 until k).map(i => phash(keyCol, i) % m)
+
+  /** The SET of set bit positions (`pos`), ≤ m rows — sk10's
+    * broadcastable audit-friendly form. */
+  def bits(keys: DataFrame, keyCol: Column, m: Int, k: Int): DataFrame =
+    keys.select(explode(array(positions(keyCol, m, k): _*)).as("pos"))
+      .distinct()
+
+  /** [[bits]] packed into 64-bit words as ONE map row
+    * (`__bloom: map<long,long>`, word index → word) for
+    * crossJoin-broadcast into a probe plan. */
+  def wordMap(bits: DataFrame): DataFrame =
+    bits
+      .select(expr("pos div 64").as("w"),
+        expr("cast(pos % 64 AS int)").as("b"))
+      .distinct()
+      .groupBy(col("w"))
+      .agg(sum(element_at(pow2, col("b") + 1)).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("__bloom"))
+
+  /** The membership predicate against a [[wordMap]] column: true ⇒
+    * candidate (all k bits set), false ⇒ DEFINITELY absent. An empty
+    * filter (no keys) matches nothing. */
+  def mightContain(keyCol: Column, bloomCol: Column, m: Int,
+      k: Int): Column =
+    positions(keyCol, m, k).map { pos =>
+      val word = coalesce(
+        try_element_at(bloomCol, shiftrightunsigned(pos, 6)), lit(0L))
+      (word.bitwiseAND(element_at(pow2, pmod(pos, lit(64)).cast("int") + 1))
+        =!= 0)
+    }.reduce(_ && _)
+
+  /** Prefilter `df` to rows whose `keyCol` might be in `keys` — the
+    * probe side never shuffles; compose with an exact confirm join
+    * for exactness (p4c). */
+  def prefilter(df: DataFrame, keyCol: Column, keys: DataFrame,
+      buildKeyCol: Column, m: Int, k: Int): DataFrame = {
+    val wm = wordMap(bits(keys, buildKeyCol, m, k))
+    df.crossJoin(broadcast(wm))
+      .where(mightContain(keyCol, col("__bloom"), m, k))
+      .drop("__bloom")
+  }
+}

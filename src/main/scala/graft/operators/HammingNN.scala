@@ -37,15 +37,30 @@ object HammingNN {
   /** `(key, nn_<key>, nn_hamming)` — each key's hamming-nearest other
     * key, ties to the smallest key. `hashed` must carry one row per
     * key with 64-bit halves in `hi`/`lo`.
+    *
+    * `maxBucket` (banded path only) is the [[HotKeys]] cap on one
+    * band bucket's population: a degenerate hash shared by more than
+    * `maxBucket` keys (all-zero frames, whitespace chunks) would fan
+    * in quadratically inside its bucket, so its buckets are dropped
+    * from candidate generation — those keys' pairs carry no near-dup
+    * signal (everything matches everything) and a key ALL of whose
+    * buckets are capped surfaces as a NULL-NN row through the
+    * LEFT-join caller contract, which is the audit. Gate callers
+    * mirror the cap in their oracle SQL (d19).
     */
   def nearest(hashed: DataFrame, key: String, hi: String, lo: String,
-      pairwiseLimit: Long = 4096): DataFrame = {
+      pairwiseLimit: Long = 4096, maxBucket: Long = 4096,
+      // materialize=false returns the UN-checkpointed readout plan
+      // (and keeps the base pinned!) — for plan-shape specs only;
+      // production callers always materialize so the pin is released
+      materialize: Boolean = true): DataFrame = {
     // persist before the routing count: without it the upstream hash
     // pipeline (BMP pixel walk / PCM fingerprint parse) executes once
     // for the count and once per self-join side — 3x the map work.
-    // persist (not localCheckpoint) so the session's clearCache/
-    // unpersist discipline reclaims it; the frame is key+16 bytes per
-    // row, orders of magnitude under the corpus it hashes.
+    // The pin is RELEASED before returning (round-11: the readout
+    // localCheckpoints eagerly, then unpersists) — a resident-service
+    // caller inherits no cache entry, only executor-local blocks the
+    // ContextCleaner reclaims when the returned frame is dropped.
     val base = hashed.select(
       col(key).as("__k"), col(hi).as("__hi"), col(lo).as("__lo"))
       .persist()
@@ -67,15 +82,30 @@ object HammingNN {
             shiftrightunsigned(col("__hi"), 16).bitwiseAND(lit(0xFFFFL)))))
           .select(col("__k"), col("__hi"), col("__lo"),
             col("pos").as("band"), col("col").as("bv"))
-        bands.as("a").join(bands.as("b"),
+        // hot-bucket cap: one count over the 4-rows-per-key band
+        // frame, then a broadcast anti-join (HotKeys scaladoc for why
+        // the hot list is tiny by construction)
+        val capped = HotKeys.drop(bands, maxBucket, "band", "bv")
+        capped.as("a").join(capped.as("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
               col("a.__k") =!= col("b.__k"))
           .select(col("a.__k").as("__k"), col("b.__k").as("other"), ham)
       }
-    pairs.groupBy(col("__k"))
+    val nn = pairs.groupBy(col("__k"))
       .agg(min(struct(col("hamming").as("hamming"), col("other").as("other")))
         .as("t"))
       .select(col("__k").as(key), col("t.other").as(s"nn_$key"),
         col("t.hamming").as("nn_hamming"))
+    if (!materialize) nn
+    else {
+      // materialize the readout eagerly so the base pin can drop NOW:
+      // the checkpointed frame is (key, key, long) — the corpus-sized
+      // blobs it was derived from never outlive this call. Blocks are
+      // RDD-scoped (no cache-catalog entry) and self-reclaim via the
+      // ContextCleaner once the caller drops the frame.
+      val out = nn.localCheckpoint(true)
+      base.unpersist()
+      out
+    }
   }
 }

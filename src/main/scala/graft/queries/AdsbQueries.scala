@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.adsb.{AdsbPipeline, Meta, Sbs}
 import graft.adsb.FlightStateMachine.Out
 import org.apache.spark.sql.Dataset
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, Riff}
 import graft.operators.{Histogram, Multimodal}
 
 /** The ADS-B domain pipeline replayed over the reference's own 2,069
@@ -67,32 +67,25 @@ object AdsbQueries {
     expr(s"cast(conv($bytes, 16, 10) AS bigint)")
   }
 
-  /** RIFF/WAVE header parse — a REAL public container format (round
-    * 10; the raw-PCM assumption closed): canonical PCM layout only
-    * ('RIFF' + size + 'WAVE', a 16-byte 'fmt ' chunk, then 'data'),
-    * and that narrowing is GATED, not assumed — all four chunk ids
-    * are checked, so a wav with extra chunks (LIST/fact) is excluded
-    * visibly rather than mis-parsed. One row per valid file with
-    * every header field decoded (little-endian, exact integers) plus
-    * the raw PCM payload sliced by the declared data size. */
+  /** RIFF/WAVE parse — a REAL public container format, now through
+    * the CHUNK WALK ([[graft.functions.Riff]], round-11): `fmt ` and
+    * `data` are located by walking the top-level chunk sequence, so
+    * a WAV carrying LIST/INFO or fact chunks parses instead of
+    * vanishing, while a malformed container (missing chunks, sizes
+    * off the end) still excludes itself visibly — never a mis-parse.
+    * One row per valid file with every header field decoded
+    * (little-endian, exact integers) plus the 0-based payload
+    * locator (`data_off`, `data_bytes`). The same shared gate admits
+    * blobs on the streaming side ([[graft.streaming.AudioStream]]). */
   private[graft] def wavParsed(s: SparkSession,
       dir: String = Meta.mediaDir()): DataFrame =
-    Meta.loadMediaFiles(s, dir, "wav")
-      .withColumn("hdr", hex(substring(col("content"), 1, 44)))
-      .where(expr("substr(hdr, 1, 8) = '52494646'") && // 'RIFF'
-        expr("substr(hdr, 17, 8) = '57415645'") && // 'WAVE'
-        expr("substr(hdr, 25, 8) = '666D7420'") && // 'fmt '
-        expr("substr(hdr, 73, 8) = '64617461'")) // 'data'
+    graft.functions.Riff.withWavColumns(Meta.loadMediaFiles(s, dir, "wav"))
+      .where(col("wav_ok"))
       .select(col("model"), col("content"),
-        leInt("hdr", 5, 4).as("riff_bytes"),
-        leInt("hdr", 17, 4).as("fmt_bytes"),
-        leInt("hdr", 21, 2).as("audio_format"),
-        leInt("hdr", 23, 2).as("n_channels"),
-        leInt("hdr", 25, 4).as("sample_rate"),
-        leInt("hdr", 29, 4).as("byte_rate"),
-        leInt("hdr", 33, 2).as("block_align"),
-        leInt("hdr", 35, 2).as("bits_per_sample"),
-        leInt("hdr", 41, 4).as("data_bytes"))
+        col("riff_bytes"), col("fmt_bytes"), col("audio_format"),
+        col("n_channels"), col("sample_rate"), col("byte_rate"),
+        col("block_align"), col("bits_per_sample"),
+        col("data_bytes"), col("data_off"))
 
   /** RIFF/AVI main-header parse — the video twin of [[wavParsed]]
     * (same public RIFF idiom, same gated-narrowing policy): canonical
@@ -124,11 +117,20 @@ object AdsbQueries {
     * LIST's declared size locates the 'movi' LIST, whose magics
     * ('LIST'/'movi'/'00db') are CHECKED before the first chunk's
     * declared frame size drives a strided FrameSums walk (stride =
-    * frame_size + 8 skips each chunk's 8-byte header) — so the same
+    * frame_size + 8 + pad skips each chunk's 8-byte header plus the
+    * RIFF even-byte pad an odd frame size carries) — so the same
     * video content produces the IDENTICAL lattice from either
     * container (spec-pinned on the planted vid_scene twin), and a
-    * non-canonical AVI is excluded visibly, never mis-summed. */
+    * non-canonical AVI is excluded visibly, never mis-summed.
+    *
+    * The sums array is BOUNDED by the header-declared frame count
+    * (round-11, ADVICE r10 #1): the kernel's walk stops at the blob
+    * end, so trailing container data past the frames (an idx1 index,
+    * JUNK alignment chunks — ubiquitous in real AVIs) would otherwise
+    * append garbage "frames" the oracle (which builds exactly nf
+    * sums) never sees. */
   private[graft] def videoFrameSums(s: SparkSession): DataFrame = {
+    def bounded(sums: Column) = slice(sums, lit(1), col("n_frames"))
     val gv = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
       .withColumn("hdr", hex(substring(col("content"), 1, 8)))
       .where(expr("substr(hdr, 1, 8) = '47564944'"))
@@ -136,10 +138,16 @@ object AdsbQueries {
         "cast(conv(substr(hdr, 11, 2) || substr(hdr, 9, 2), 16, 10) AS int)"))
       .withColumn("n_frames", expr(
         "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
+      // completeness gate: every DECLARED frame must fit in the blob
+      // (round-11) — a truncated container is excluded visibly, never
+      // partially summed (the oracle builds exactly nf sums, so a
+      // partial walk would silently diverge)
+      .where(col("n_frames") === 0 || length(col("content")) >=
+        col("frame_size").cast("long") * col("n_frames") + 8)
       .select(col("model"), col("frame_size"), col("n_frames"),
         lit(8).as("base"), col("frame_size").as("stride"),
-        graft.functions.FrameSums.frameByteSums(
-          col("content"), lit(8), col("frame_size")).as("sums"))
+        bounded(graft.functions.FrameSums.frameByteSums(
+          col("content"), lit(8), col("frame_size"))).as("sums"))
     val avi = Meta.loadMediaFiles(s, Meta.mediaDir(), "avi")
       .withColumn("hdr", hex(substring(col("content"), 1, 72)))
       .where(expr("substr(hdr, 1, 8) = '52494646'") && // 'RIFF'
@@ -148,21 +156,31 @@ object AdsbQueries {
         expr("substr(hdr, 41, 8) = '6864726C'") && // 'hdrl'
         expr("substr(hdr, 49, 8) = '61766968'")) // 'avih'
       .withColumn("n_frames", leInt("hdr", 49, 4).cast("int"))
-      .withColumn("movi0", (lit(20L) + leInt("hdr", 17, 4)).cast("int"))
+      .withColumn("movi0", Riff.moviStart(col("content")).cast("int"))
+      .where(col("movi0") >= 0)
       .withColumn("mv", hex(expr("substring(content, movi0 + 1, 24)")))
-      .where(expr("substr(mv, 1, 8) = '4C495354'") && // 'LIST'
-        // mv layout: LIST(b0-3) size(b4-7) 'movi'(b8-11) '00db'(b12-15)
-        expr("substr(mv, 17, 8) = '6D6F7669'") && // 'movi' (byte 8)
-        expr("substr(mv, 25, 8) = '30306462'")) // '00db' (byte 12)
+      // mv layout: 'movi'(b0-3) '00db'(b4-7) size(b8-11)
+      .where(expr("substr(mv, 1, 8) = '6D6F7669'") && // 'movi'
+        expr("substr(mv, 9, 8) = '30306462'")) // '00db'
       .withColumn("frame_size", expr(
-        "cast(conv(substr(mv, 39, 2) || substr(mv, 37, 2) || " +
-          "substr(mv, 35, 2) || substr(mv, 33, 2), 16, 10) AS int)"))
+        "cast(conv(substr(mv, 23, 2) || substr(mv, 21, 2) || " +
+          "substr(mv, 19, 2) || substr(mv, 17, 2), 16, 10) AS int)"))
+      // chunk stride honors the RIFF even-byte pad (ADVICE r10 #2):
+      // an odd frame size pads each chunk to the next even boundary
+      .withColumn("stride",
+        (col("frame_size") + lit(8) + pmod(col("frame_size"), lit(2)))
+          .cast("int"))
+      // same completeness gate as the gvid branch, chunk-strided
+      .where(col("n_frames") === 0 || length(col("content")) >=
+        col("movi0").cast("long") + 12 +
+          col("stride").cast("long") * (col("n_frames") - 1) +
+          col("frame_size"))
       .select(col("model"), col("frame_size"), col("n_frames"),
-        (col("movi0") + lit(20)).cast("int").as("base"),
-        (col("frame_size") + lit(8)).cast("int").as("stride"),
-        graft.functions.FrameSums.frameByteSums(col("content"),
-          (col("movi0") + lit(20)).cast("int"), col("frame_size"),
-          (col("frame_size") + lit(8)).cast("int")).as("sums"))
+        (col("movi0") + lit(12)).cast("int").as("base"),
+        col("stride"),
+        bounded(graft.functions.FrameSums.frameByteSums(col("content"),
+          (col("movi0") + lit(12)).cast("int"), col("frame_size"),
+          col("stride"))).as("sums"))
     gv.unionByName(avi)
   }
 
@@ -173,8 +191,7 @@ object AdsbQueries {
   private def audioPcmBlobs(s: SparkSession): DataFrame =
     Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
       .unionByName(wavParsed(s).select(col("model"),
-        expr("substring(content, 45, cast(data_bytes AS int))")
-          .as("content"),
+        graft.functions.Riff.wavPayload.as("content"),
         col("data_bytes").as("length")))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -649,6 +666,7 @@ object AdsbQueries {
     // per-pair count; non-intersecting pairs never exist as rows, at
     // any corpus size.
     "mm15_video_neardup" -> ((s, _) => {
+      import graft.operators.HotKeys
       // share()d: sizes + both self-join sides would otherwise
       // re-decode every blob per consumer (the sk10 scan-budget
       // lesson; the cached frame is (model, long) — never bytes).
@@ -657,23 +675,39 @@ object AdsbQueries {
       val sigs = graft.operators.Dedup.share(videoFrameSums(s)
         .select(col("model"), explode(col("sums")).as("sig"))
         .distinct())
-      val sizes = sigs.groupBy(col("model"))
+      // hot-signature cap (round-11, HotKeys scaladoc): a degenerate
+      // frame signature shared by > 64 videos (black frames, test
+      // cards) would fan in quadratically through the inverted-index
+      // join; it identifies nothing, so it is dropped from BOTH the
+      // intersection and the set sizes (jaccard over the informative
+      // signature space), and each video's dropped count is the
+      // n_capped_* audit column. Mirrored in the oracle.
+      val hot = HotKeys.hot(sigs, cap = 64, "sig")
+      val capped = sigs.join(broadcast(hot.select(col("sig"))), Seq("sig"))
+        .groupBy(col("model")).agg(count(lit(1)).as("n_capped"))
+      val kept = HotKeys.drop(sigs, hot, "sig")
+      val sizes = kept.groupBy(col("model"))
         .agg(count(lit(1)).as("n_sigs"))
-      val shared = sigs.as("a").join(sigs.as("b"),
+        .join(capped, Seq("model"), "left")
+        .select(col("model"), col("n_sigs"),
+          coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+      val shared = kept.as("a").join(kept.as("b"),
           col("a.sig") === col("b.sig") && col("a.model") < col("b.model"))
         .groupBy(col("a.model").as("model"), col("b.model").as("other"))
         .agg(count(lit(1)).as("shared"))
       shared
-        .join(sizes.select(col("model"), col("n_sigs").as("n_a")),
-          Seq("model"))
+        .join(sizes.select(col("model"), col("n_sigs").as("n_a"),
+          col("n_capped").as("n_capped_a")), Seq("model"))
         .join(sizes.select(col("model").as("other"),
-          col("n_sigs").as("n_b")), Seq("other"))
+          col("n_sigs").as("n_b"), col("n_capped").as("n_capped_b")),
+          Seq("other"))
         .select(col("model"), col("other"), col("n_a"), col("n_b"),
           col("shared"),
           expr("(1000000L * shared) div (n_a + n_b - shared)")
             .as("jaccard_ppm"),
           expr("(1000000L * shared) div least(n_a, n_b)")
-            .as("containment_ppm"))
+            .as("containment_ppm"),
+          col("n_capped_a"), col("n_capped_b"))
         .orderBy(col("model"), col("other"))
     }),
 
@@ -716,6 +750,11 @@ object AdsbQueries {
               |  div cast(n_frames AS bigint)""".stripMargin) >= 500000L,
               "mostly_silent")
             .otherwise("ok").as("reason"))
+      // one row per victim (ADVICE r10 #4): a video contained in 2+
+      // others (or both an exact and a contained dup) would otherwise
+      // fan out duplicate audit rows through the left join below;
+      // min(vreason) is the deterministic one-reason pick
+      // ('contained_dup' < 'exact_dup'), mirrored in the oracle.
       val nd = defs("mm15_video_neardup")(s, dir)
         .where(col("containment_ppm") === 1000000L)
         .select(
@@ -724,6 +763,7 @@ object AdsbQueries {
             .otherwise(col("other")).as("model"),
           when(col("jaccard_ppm") === 1000000L, "exact_dup")
             .otherwise("contained_dup").as("vreason"))
+        .groupBy(col("model")).agg(min(col("vreason")).as("vreason"))
       val vid = videoFrameSums(s)
         .select(col("model"),
           (col("frame_size").cast("long") * col("n_frames")).as("n_bytes"),
@@ -904,39 +944,76 @@ object AdsbQueries {
       .map(i => s"substr($hx, ${(pos - 1 + i) * 2 + 1}, 2)")
       .mkString(" || ") + ")::BIGINT"
 
+  /** [[dkLe]] at a VARIABLE 0-based byte offset (`off` is a SQL
+    * expression) — the oracle twin of `Riff.leIntAt`. */
+  private def dkLeAt(hx: String, off: String, n: Int): String =
+    "('0x' || " + (0 until n).reverse
+      .map(i => s"substr($hx, (($off) + $i) * 2 + 1, 2)")
+      .mkString(" || ") + ")::BIGINT"
+
+  /** Bounded RIFF chunk walk over the (model, hx) rows of CTE `src` —
+    * the DuckDB replay of [[graft.functions.Riff]]'s kernel: emits
+    * `<pre>wk` (the recursion: p = each top-level chunk's 0-based
+    * offset) and `<pre>ck` (one row per chunk: cid/ctype hex, sz =
+    * declared size; ctype is the form word of LIST chunks, garbage
+    * hex otherwise — callers pair it with cid = 'LIST'). Same
+    * advance rule (8 + size + even pad), same 4096-chunk bound. The
+    * enclosing WITH must be RECURSIVE. */
+  private def riffWalkCte(src: String, pre: String): String = {
+    def sz(p: String) = dkLeAt("hx", s"$p + 4", 4)
+    s"""${pre}wk AS (
+       |  SELECT model, hx, CAST(12 AS BIGINT) AS p, 0 AS i FROM $src
+       |  UNION ALL
+       |  SELECT model, hx, p + 8 + ${sz("p")} + (${sz("p")} % 2) AS p,
+       |    i + 1 AS i
+       |  FROM ${pre}wk
+       |  WHERE (p + 8) * 2 <= length(hx) AND i < 4096),
+       |${pre}ck AS (
+       |  SELECT model, p, substr(hx, p * 2 + 1, 8) AS cid,
+       |    substr(hx, (p + 8) * 2 + 1, 8) AS ctype, ${sz("p")} AS sz
+       |  FROM ${pre}wk WHERE (p + 8) * 2 <= length(hx))""".stripMargin
+  }
+
   /** Shared VIDEO oracle CTE chain ending in `en (model, fs, nf,
     * sums)` — GVID blobs UNION demuxed RIFF/AVI blobs, the
-    * independent DuckDB replay of [[videoFrameSums]] (dynamic movi
-    * location via the declared hdrl size, magic-gated, strided
-    * per-frame sums skipping the 8-byte chunk headers). */
+    * independent DuckDB replay of [[videoFrameSums]]: the movi LIST
+    * is located by the bounded CHUNK WALK (round-11 — a JUNK or strl
+    * chunk no longer breaks the demux), the chunk stride carries the
+    * RIFF even-byte pad, magic-gated, per-frame sums bounded by the
+    * declared frame count. Requires WITH RECURSIVE. */
   private def videoSumsCte: String =
-    s"""vb AS (
-       |  SELECT model, hx, 8 AS base,
-       |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER AS fs,
-       |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS nf,
-       |    ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER + 0
-       |      AS stride
-       |  FROM (SELECT model, hex(content) AS hx FROM ${tbl("video_blobs")})
-       |  WHERE substr(hx, 1, 8) = '47564944'
+    s"""avsrc AS (
+       |  SELECT model, hex(content) AS hx FROM ${tbl("avi_blobs")}
+       |  WHERE substr(hex(content), 1, 8) = '52494646'
+       |    AND substr(hex(content), 17, 8) = '41564920'
+       |    AND substr(hex(content), 25, 8) = '4C495354'
+       |    AND substr(hex(content), 41, 8) = '6864726C'
+       |    AND substr(hex(content), 49, 8) = '61766968'),
+       |${riffWalkCte("avsrc", "av")},
+       |avmv AS (
+       |  SELECT model, min(p) + 8 AS movi0
+       |  FROM avck WHERE cid = '4C495354' AND ctype = '6D6F7669'
+       |  GROUP BY model),
+       |vb AS (
+       |  SELECT model, hx, 8 AS base, fs, nf, fs AS stride
+       |  FROM (
+       |    SELECT model, hx,
+       |      ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER AS fs,
+       |      ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS nf
+       |    FROM (SELECT model, hex(content) AS hx FROM ${tbl("video_blobs")})
+       |    WHERE substr(hx, 1, 8) = '47564944')
+       |  WHERE nf = 0 OR length(hx) >= (8 + fs * nf) * 2
        |  UNION ALL
-       |  SELECT model, hx, movi0 + 20 AS base,
-       |    ('0x' || substr(hx, (movi0 + 19) * 2 + 1, 2) ||
-       |      substr(hx, (movi0 + 18) * 2 + 1, 2) ||
-       |      substr(hx, (movi0 + 17) * 2 + 1, 2) ||
-       |      substr(hx, (movi0 + 16) * 2 + 1, 2))::INTEGER AS fs,
-       |    CAST(${dkLe("hx", 49, 4)} AS INTEGER) AS nf,
-       |    fs + 8 AS stride
-       |  FROM (SELECT model, hex(content) AS hx,
-       |          CAST(20 + ${dkLe("hx", 17, 4)} AS INTEGER) AS movi0
-       |        FROM ${tbl("avi_blobs")})
-       |  WHERE substr(hx, 1, 8) = '52494646'
-       |    AND substr(hx, 17, 8) = '41564920'
-       |    AND substr(hx, 25, 8) = '4C495354'
-       |    AND substr(hx, 41, 8) = '6864726C'
-       |    AND substr(hx, 49, 8) = '61766968'
-       |    AND substr(hx, movi0 * 2 + 1, 8) = '4C495354'
-       |    AND substr(hx, (movi0 + 8) * 2 + 1, 8) = '6D6F7669'
-       |    AND substr(hx, (movi0 + 12) * 2 + 1, 8) = '30306462'),
+       |  SELECT model, hx, movi0 + 12 AS base, fs, nf,
+       |    fs + 8 + (fs % 2) AS stride
+       |  FROM (
+       |    SELECT s.model, s.hx, m.movi0,
+       |      CAST(${dkLeAt("s.hx", "m.movi0 + 8", 4)} AS INTEGER) AS fs,
+       |      CAST(${dkLe("s.hx", 49, 4)} AS INTEGER) AS nf
+       |    FROM avsrc s JOIN avmv m USING (model)
+       |    WHERE substr(s.hx, (m.movi0 + 4) * 2 + 1, 8) = '30306462')
+       |  WHERE nf = 0 OR length(hx) >=
+       |    (movi0 + 12 + (fs + 8 + fs % 2) * (nf - 1) + fs) * 2),
        |en AS (
        |  SELECT model, fs, nf, base, stride,
        |    list_transform(range(0, nf), f ->
@@ -947,20 +1024,32 @@ object AdsbQueries {
 
   /** Shared audio oracle CTE `b (model, length, hx)`: the headerless
     * .pcm dumps UNION the data payloads of valid RIFF/WAVE dumps
-    * (canonical layout, all four chunk ids gated) — the independent
-    * DuckDB replay of [[audioPcmBlobs]]. */
+    * (located by the bounded CHUNK WALK, round-11 — extra LIST/fact
+    * chunks no longer exclude a well-formed file) — the independent
+    * DuckDB replay of [[audioPcmBlobs]]. Requires WITH RECURSIVE. */
   private def audioHexCte: String = audioHexCte("b")
   private def audioHexCte(name: String): String =
-    s"""$name AS (
+    s"""${name}wv AS (
+       |  SELECT model, hex(content) AS hx FROM ${tbl("wav_blobs")}
+       |  WHERE substr(hex(content), 1, 8) = '52494646'
+       |    AND substr(hex(content), 17, 8) = '57415645'),
+       |${riffWalkCte(s"${name}wv", s"${name}w")},
+       |${name}fc AS (
+       |  SELECT model, min_by(sz, p) AS sz
+       |  FROM ${name}wck WHERE cid = '666D7420' GROUP BY model),
+       |${name}dc AS (
+       |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
+       |  FROM ${name}wck WHERE cid = '64617461' GROUP BY model),
+       |$name AS (
        |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}
        |  UNION ALL
-       |  SELECT model, ${dkLe("whx", 41, 4)} AS length,
-       |    substr(whx, 89, CAST(${dkLe("whx", 41, 4)} * 2 AS INT)) AS hx
-       |  FROM (SELECT model, hex(content) AS whx FROM ${tbl("wav_blobs")})
-       |  WHERE substr(whx, 1, 8) = '52494646'
-       |    AND substr(whx, 17, 8) = '57415645'
-       |    AND substr(whx, 25, 8) = '666D7420'
-       |    AND substr(whx, 73, 8) = '64617461')""".stripMargin
+       |  SELECT v.model, d.sz AS length,
+       |    substr(v.hx, CAST(d.o * 2 + 1 AS INT), CAST(d.sz * 2 AS INT))
+       |      AS hx
+       |  FROM ${name}wv v
+       |  JOIN ${name}fc f USING (model)
+       |  JOIN ${name}dc d USING (model)
+       |  WHERE f.sz >= 16)""".stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two
     * hash re-derivations can never drift): from `blobSql` (any
@@ -1439,7 +1528,7 @@ object AdsbQueries {
     // the sign-of-delta bit packing into two 32-bit halves, and the
     // xor/bit_count hamming NN.
     "mm7_audio_fingerprint" ->
-      s"""WITH $audioHexCte,
+      s"""WITH RECURSIVE $audioHexCte,
          |en AS (
          |  SELECT model, length,
          |    list_transform(range(0, 64), f ->
@@ -1476,7 +1565,7 @@ object AdsbQueries {
     // header fields, the k=4 sampling lattice via range(), and the
     // per-frame byte-sum checksum over hex-pair reads.
     "mm8_frame_sample" ->
-      s"""WITH $videoSumsCte,
+      s"""WITH RECURSIVE $videoSumsCte,
          |f AS (
          |  SELECT model, nf, base, stride, sums,
          |    unnest(range(0, nf, 4)) AS frame_idx
@@ -1490,7 +1579,7 @@ object AdsbQueries {
     // mm11: the frame energies, silence threshold and ppm share
     // re-derived byte-for-byte from the dumped PCM blobs.
     "mm11_audio_silence" ->
-      s"""WITH $audioHexCte,
+      s"""WITH RECURSIVE $audioHexCte,
          |fr AS (
          |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
          |  FROM b WHERE length // 64 >= 1),
@@ -1518,7 +1607,7 @@ object AdsbQueries {
     // dumped blobs (1-based DuckDB list indexing mirrors Spark's
     // element_at convention).
     "mm10_shot_boundaries" ->
-      s"""WITH $videoSumsCte,
+      s"""WITH RECURSIVE $videoSumsCte,
          |dl AS (
          |  SELECT model, nf, sums,
          |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
@@ -1540,7 +1629,7 @@ object AdsbQueries {
     // boundary count = shot id, per-shot bounds/size, and the
     // (energy DESC, frame ASC) keyframe pick replayed via a window.
     "mm12_keyframes" ->
-      s"""WITH $videoSumsCte,
+      s"""WITH RECURSIVE $videoSumsCte,
          |dl AS (
          |  SELECT model, nf, sums,
          |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
@@ -1584,7 +1673,7 @@ object AdsbQueries {
     // keys via the same running-sum window, dense-ranked seg ids,
     // per-segment bounds/peak.
     "mm13_speech_segments" ->
-      s"""WITH $audioHexCte,
+      s"""WITH RECURSIVE $audioHexCte,
          |fr AS (
          |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
          |  FROM b WHERE length // 64 >= 1),
@@ -1621,29 +1710,35 @@ object AdsbQueries {
          |ORDER BY model, seg_id""".stripMargin,
 
     // mm14: the RIFF/WAVE header re-parsed independently from the
-    // dumped blob bytes — same chunk-id gates, same little-endian
-    // reads, exact fixed-point duration.
+    // dumped blob bytes — same chunk WALK (recursive CTE), same
+    // little-endian reads, exact fixed-point duration.
     "mm14_wav_header" ->
-      s"""WITH v AS (
-         |  SELECT model, hex(content) AS hx FROM ${tbl("wav_blobs")}),
-         |g AS (
-         |  SELECT model, hx FROM v
-         |  WHERE substr(hx, 1, 8) = '52494646'
-         |    AND substr(hx, 17, 8) = '57415645'
-         |    AND substr(hx, 25, 8) = '666D7420'
-         |    AND substr(hx, 73, 8) = '64617461'),
+      s"""WITH RECURSIVE v AS (
+         |  SELECT model, hex(content) AS hx FROM ${tbl("wav_blobs")}
+         |  WHERE substr(hex(content), 1, 8) = '52494646'
+         |    AND substr(hex(content), 17, 8) = '57415645'),
+         |${riffWalkCte("v", "w")},
+         |fc AS (
+         |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
+         |  FROM wck WHERE cid = '666D7420' GROUP BY model),
+         |dc AS (
+         |  SELECT model, min_by(sz, p) AS sz
+         |  FROM wck WHERE cid = '64617461' GROUP BY model),
          |p AS (
-         |  SELECT model,
+         |  SELECT v.model,
          |    ${dkLe("hx", 5, 4)} AS riff_bytes,
-         |    ${dkLe("hx", 17, 4)} AS fmt_bytes,
-         |    ${dkLe("hx", 21, 2)} AS audio_format,
-         |    ${dkLe("hx", 23, 2)} AS n_channels,
-         |    ${dkLe("hx", 25, 4)} AS sample_rate,
-         |    ${dkLe("hx", 29, 4)} AS byte_rate,
-         |    ${dkLe("hx", 33, 2)} AS block_align,
-         |    ${dkLe("hx", 35, 2)} AS bits_per_sample,
-         |    ${dkLe("hx", 41, 4)} AS data_bytes
-         |  FROM g)
+         |    f.sz AS fmt_bytes,
+         |    ${dkLeAt("hx", "f.o", 2)} AS audio_format,
+         |    ${dkLeAt("hx", "f.o + 2", 2)} AS n_channels,
+         |    ${dkLeAt("hx", "f.o + 4", 4)} AS sample_rate,
+         |    ${dkLeAt("hx", "f.o + 8", 4)} AS byte_rate,
+         |    ${dkLeAt("hx", "f.o + 12", 2)} AS block_align,
+         |    ${dkLeAt("hx", "f.o + 14", 2)} AS bits_per_sample,
+         |    d.sz AS data_bytes
+         |  FROM v
+         |  JOIN fc f USING (model)
+         |  JOIN dc d USING (model)
+         |  WHERE f.sz >= 16)
          |SELECT model, riff_bytes, fmt_bytes, audio_format, n_channels,
          |  sample_rate, byte_rate, block_align, bits_per_sample,
          |  data_bytes,
@@ -1653,17 +1748,26 @@ object AdsbQueries {
     // mm15: distinct frame byte-sum sets per video re-derived from the
     // dumped blobs, pair overlap through the shared-signature join.
     "mm15_video_neardup" ->
-      s"""WITH $videoSumsCte,
+      s"""WITH RECURSIVE $videoSumsCte,
          |sigs AS (
          |  SELECT DISTINCT model, CAST(u.sg AS BIGINT) AS sig
          |  FROM en, UNNEST(sums) AS u(sg)),
+         |hot AS (
+         |  SELECT sig FROM sigs GROUP BY sig HAVING count(*) > 64),
+         |kept AS (
+         |  SELECT * FROM sigs ANTI JOIN hot USING (sig)),
+         |capn AS (
+         |  SELECT model, CAST(count(*) AS BIGINT) AS n_capped
+         |  FROM sigs SEMI JOIN hot USING (sig) GROUP BY model),
          |sizes AS (
-         |  SELECT model, CAST(count(*) AS BIGINT) AS n_sigs
-         |  FROM sigs GROUP BY 1),
+         |  SELECT k.model, CAST(count(*) AS BIGINT) AS n_sigs,
+         |    coalesce(any_value(c.n_capped), 0) AS n_capped
+         |  FROM kept k LEFT JOIN capn c ON k.model = c.model
+         |  GROUP BY 1),
          |sh AS (
          |  SELECT a.model AS model, b.model AS other,
          |    CAST(count(*) AS BIGINT) AS shared
-         |  FROM sigs a JOIN sigs b
+         |  FROM kept a JOIN kept b
          |    ON a.sig = b.sig AND a.model < b.model
          |  GROUP BY 1, 2)
          |SELECT sh.model, sh.other, sa.n_sigs AS n_a, sb.n_sigs AS n_b,
@@ -1671,7 +1775,8 @@ object AdsbQueries {
          |  CAST((1000000 * sh.shared) // (sa.n_sigs + sb.n_sigs - sh.shared)
          |    AS BIGINT) AS jaccard_ppm,
          |  CAST((1000000 * sh.shared) // least(sa.n_sigs, sb.n_sigs)
-         |    AS BIGINT) AS containment_ppm
+         |    AS BIGINT) AS containment_ppm,
+         |  sa.n_capped AS n_capped_a, sb.n_capped AS n_capped_b
          |FROM sh
          |JOIN sizes sa ON sh.model = sa.model
          |JOIN sizes sb ON sh.other = sb.model
@@ -1710,7 +1815,7 @@ object AdsbQueries {
     // the pcm∪wav byte table, video duplicates via the demuxed
     // signature sets — then one admission row per asset.
     "mm17_curation_audit" ->
-      s"""WITH ${ahashCtes(
+      s"""WITH RECURSIVE ${ahashCtes(
              s"SELECT model, hex(silhouette) AS hx FROM ${tbl("mm_blobs")}")},
          |ist AS (
          |  SELECT model, sum(gray) AS sg, sum(gray * gray) AS sq
@@ -1743,24 +1848,30 @@ object AdsbQueries {
          |sigs AS (
          |  SELECT DISTINCT model, CAST(u.sg AS BIGINT) AS sig
          |  FROM en, UNNEST(sums) AS u(sg)),
+         |hot AS (
+         |  SELECT sig FROM sigs GROUP BY sig HAVING count(*) > 64),
+         |kept AS (
+         |  SELECT * FROM sigs ANTI JOIN hot USING (sig)),
          |sizes AS (
-         |  SELECT model, CAST(count(*) AS BIGINT) AS n FROM sigs GROUP BY 1),
+         |  SELECT model, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1),
          |prs AS (
          |  SELECT a.model AS ma, b.model AS mb,
          |    CAST(count(*) AS BIGINT) AS shared
-         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.model < b.model
+         |  FROM kept a JOIN kept b ON a.sig = b.sig AND a.model < b.model
          |  GROUP BY 1, 2),
          |vict AS (
-         |  SELECT CASE WHEN y.n < x.n THEN p.mb
-         |              WHEN x.n < y.n THEN p.ma
-         |              ELSE p.mb END AS model,
-         |    CASE WHEN (1000000 * p.shared) // (x.n + y.n - p.shared)
-         |        = 1000000 THEN 'exact_dup' ELSE 'contained_dup' END
-         |      AS vreason
-         |  FROM prs p
-         |  JOIN sizes x ON p.ma = x.model
-         |  JOIN sizes y ON p.mb = y.model
-         |  WHERE (1000000 * p.shared) // least(x.n, y.n) = 1000000),
+         |  SELECT model, min(vreason) AS vreason FROM (
+         |    SELECT CASE WHEN y.n < x.n THEN p.mb
+         |                WHEN x.n < y.n THEN p.ma
+         |                ELSE p.mb END AS model,
+         |      CASE WHEN (1000000 * p.shared) // (x.n + y.n - p.shared)
+         |          = 1000000 THEN 'exact_dup' ELSE 'contained_dup' END
+         |        AS vreason
+         |    FROM prs p
+         |    JOIN sizes x ON p.ma = x.model
+         |    JOIN sizes y ON p.mb = y.model
+         |    WHERE (1000000 * p.shared) // least(x.n, y.n) = 1000000)
+         |  GROUP BY model),
          |vid AS (
          |  SELECT 'video' AS kind, e.model,
          |    CAST(e.fs AS BIGINT) * e.nf AS n_bytes,

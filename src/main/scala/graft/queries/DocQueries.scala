@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -430,6 +430,34 @@ object DocQueries {
         expectedItems = 1L << 17, numBits = 1L << 20)
       withSplit.where(col("split") === "test")
         .where(graft.functions.Bloom.mightContain(bf, col("h")))
+        .join(trainHashes, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("h").as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // p4c: the contamination report a third time, through the
+    // PORTABLE bloom operator (round-11 ask #6: sk10's build/probe
+    // lifted to operators/Bloom and composed into the p4 semi-join).
+    // Unlike p4b's driver-held native sketch (which needs an action
+    // to build), the filter here is a ≤⌈m/64⌉-row packed-word frame
+    // broadcast into a fully LAZY plan — the probe is a map-side
+    // codegen predicate (two hashes + a mask test), zero shuffle
+    // before the exact confirm. No false negatives (bloom guarantee)
+    // + exact confirm ⇒ output bit-identical to p4, same oracle.
+    "p4c_contamination_portable" -> ((s, dir) => {
+      import graft.operators.Bloom
+      val withSplit = contaminationSplit(s, dir)
+      val trainHashes = withSplit.where(col("split") === "train")
+        .select(col("h")).distinct().localCheckpoint(false)
+      // m = 2^20 bits (16 KiB packed) on ~50k keys at the sf0.1
+      // gate: ~10% load, fp ≈ 1% — the confirm join keeps the output
+      // exact at ANY fp rate, m only tunes how much the shuffle sees
+      val wm = Bloom.wordMap(Bloom.bits(trainHashes, col("h"),
+        m = 1 << 20, k = 2))
+      withSplit.where(col("split") === "test")
+        .crossJoin(broadcast(wm))
+        .where(Bloom.mightContain(col("h"), col("__bloom"), 1 << 20, 2))
+        .drop("__bloom")
         .join(trainHashes, Seq("h"), "left_semi")
         .select(col("doc_id"), col("h").as("text_hash"))
         .orderBy(col("doc_id"))
@@ -2547,27 +2575,44 @@ object DocQueries {
     // size.
     "t33_source_overlap" -> ((s, dir) => {
       import graft.functions.PortableHash.phash
+      import graft.operators.HotKeys
       val sh = Dedup.share(
         Dedup.shingleRows(docs(s, dir), col("source"), col("text"), 3)
           .select(col("id").as("source"), phash(col("sh"), 3).as("g"))
           .distinct())
-      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
+      // hot-gram cap (round-11, HotKeys scaladoc): a boilerplate
+      // trigram present in > 64 sources identifies nothing and would
+      // fan in quadratically through the pair join — dropped from
+      // both the intersection and the per-source sizes, with the
+      // per-source dropped count as the n_capped_* audit columns.
+      // Mirrored in the oracle.
+      val hot = HotKeys.hot(sh, cap = 64, "g")
+      val capped = sh.join(broadcast(hot.select(col("g"))), Seq("g"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_capped"))
+      val kept = HotKeys.drop(sh, hot, "g")
+      val sizes = kept.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .join(capped, Seq("source"), "left")
+        .select(col("source"), col("n"),
+          coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+      val pairs = kept.as("a").join(kept.as("b"),
           col("a.g") === col("b.g") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"),
           col("b.source").as("source_b"))
         .agg(count(lit(1)).as("shared"))
       pairs
         .join(sizes.select(col("source").as("source_a"),
-          col("n").as("n_a")), Seq("source_a"))
+          col("n").as("n_a"), col("n_capped").as("n_capped_a")),
+          Seq("source_a"))
         .join(sizes.select(col("source").as("source_b"),
-          col("n").as("n_b")), Seq("source_b"))
+          col("n").as("n_b"), col("n_capped").as("n_capped_b")),
+          Seq("source_b"))
         .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
           col("shared"),
           expr("(1000000L * shared) div (n_a + n_b - shared)")
             .as("jaccard_ppm"),
           expr("(1000000L * shared) div least(n_a, n_b)")
-            .as("containment_ppm"))
+            .as("containment_ppm"),
+          col("n_capped_a"), col("n_capped_b"))
         .orderBy(col("source_a"), col("source_b"))
     }),
 
@@ -2751,19 +2796,34 @@ object DocQueries {
     "d19_chunk_nn" -> ((s, dir) => {
       import graft.functions.PortableHash.phash
       val cw = 32
+      // the chunk key is a PACKED LONG (doc_id·2³² + chunk index) for
+      // the band shuffle and the NN min-struct tie-break — half the
+      // key width of the round-10 "doc#ci" string, and the tie vote
+      // is a long compare instead of a string compare. The readable
+      // "doc#ci" form is a final projection only. Bound: doc_id <
+      // 2³², ci < 2³² (a 32-byte chunk index never reaches it; a
+      // >4G-document corpus would move to a struct key). The NN ties
+      // therefore break in (doc_id, ci) NUMERIC order — mirrored in
+      // the oracle's ORDER BY pk.
       val hashed = docs(s, dir).where(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           explode(expr(s"sequence(0L, (length(text) - 1) div $cw)"))
             .as("ci"))
         .select(
-          concat(col("doc_id").cast("string"), lit("#"),
-            col("ci").cast("string")).as("ck"),
+          (shiftleft(col("doc_id").cast("long"), 32) + col("ci")).as("pk"),
           expr(s"substr(text, cast(ci * $cw + 1 AS int), $cw)").as("chunk"))
-        .select(col("ck"),
+        .select(col("pk"),
           phash(col("chunk"), 1).bitwiseAND(lit(4294967295L)).as("hi"),
           phash(col("chunk"), 2).bitwiseAND(lit(4294967295L)).as("lo"))
-      val nn = graft.operators.HammingNN.nearest(hashed, "ck", "hi", "lo")
-      hashed.join(nn, Seq("ck"), "left").orderBy(col("ck"))
+      val nn = graft.operators.HammingNN.nearest(hashed, "pk", "hi", "lo")
+      def ckOf(c: Column) = concat(
+        shiftrightunsigned(c, 32).cast("string"), lit("#"),
+        c.bitwiseAND(lit(4294967295L)).cast("string"))
+      hashed.join(nn, Seq("pk"), "left")
+        .select(ckOf(col("pk")).as("ck"), col("hi"), col("lo"),
+          when(col("nn_pk").isNotNull, ckOf(col("nn_pk"))).as("nn_ck"),
+          col("nn_hamming"))
+        .orderBy(col("ck"))
     }),
 
     // sk7: sketch-based JOIN-SIZE estimation — the AMS inner-product
@@ -3849,6 +3909,9 @@ object DocQueries {
     // exact semi-join — no false negatives, FPs confirmed away), so it
     // shares p4's oracle verbatim.
     "p4b_contamination_bloom" -> p4OracleSql,
+    // p4c: the portable-bloom prefilter is also output-invisible
+    // (no false negatives + exact confirm) — same oracle as p4/p4b
+    "p4c_contamination_portable" -> p4OracleSql,
 
     "p11_importance_sample" ->
       s"""WITH q AS (
@@ -5190,18 +5253,29 @@ object DocQueries {
         |  SELECT DISTINCT source,
         |    ${dkHash("t[i] || ' ' || t[i+1] || ' ' || t[i+2]", "3")} AS g
         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |hot AS (
+        |  SELECT g FROM sh GROUP BY g HAVING count(*) > 64),
+        |kept AS (
+        |  SELECT * FROM sh ANTI JOIN hot USING (g)),
+        |capn AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_capped
+        |  FROM sh SEMI JOIN hot USING (g) GROUP BY source),
         |sizes AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |  SELECT k.source, CAST(count(*) AS BIGINT) AS n,
+        |    coalesce(any_value(c.n_capped), 0) AS n_capped
+        |  FROM kept k LEFT JOIN capn c ON k.source = c.source
+        |  GROUP BY 1),
         |pairs AS (
         |  SELECT a.source AS source_a, b.source AS source_b,
         |    CAST(count(*) AS BIGINT) AS shared
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT p.source_a, p.source_b, x.n AS n_a, y.n AS n_b, p.shared,
         |  CAST((1000000 * p.shared) // (x.n + y.n - p.shared) AS BIGINT)
         |    AS jaccard_ppm,
         |  CAST((1000000 * p.shared) // least(x.n, y.n) AS BIGINT)
-        |    AS containment_ppm
+        |    AS containment_ppm,
+        |  x.n_capped AS n_capped_a, y.n_capped AS n_capped_b
         |FROM pairs p
         |JOIN sizes x ON p.source_a = x.source
         |JOIN sizes y ON p.source_b = y.source
@@ -5970,35 +6044,45 @@ object DocQueries {
       s"""WITH d AS (
         |  SELECT doc_id, text FROM documents WHERE length(text) > 0),
         |chunks AS (
-        |  SELECT doc_id::VARCHAR || '#' || ci::VARCHAR AS ck,
+        |  SELECT (doc_id << 32) + ci AS pk,
         |    substr(text, CAST(ci * 32 + 1 AS INT), 32) AS chunk
         |  FROM d, UNNEST(range(0, (length(text) - 1) // 32 + 1)) AS u(ci)),
         |h AS MATERIALIZED (
-        |  SELECT ck, ${dkHash("chunk", "1")} & 4294967295 AS hi,
+        |  SELECT pk, ${dkHash("chunk", "1")} & 4294967295 AS hi,
         |    ${dkHash("chunk", "2")} & 4294967295 AS lo
         |  FROM chunks),
         |bands AS MATERIALIZED (
-        |  SELECT ck, hi, lo, b.band,
+        |  SELECT pk, hi, lo, b.band,
         |    CASE b.band WHEN 0 THEN lo & 65535
         |      WHEN 1 THEN (lo >> 16) & 65535
         |      WHEN 2 THEN hi & 65535
         |      ELSE (hi >> 16) & 65535 END AS bv
         |  FROM h, UNNEST(range(0, 4)) AS b(band)),
+        |hot AS (
+        |  SELECT band, bv FROM bands GROUP BY 1, 2
+        |  HAVING count(*) > 4096),
+        |b2 AS (
+        |  SELECT * FROM bands ANTI JOIN hot USING (band, bv)),
         |cand AS (
-        |  SELECT DISTINCT a.ck AS ck,
+        |  SELECT DISTINCT a.pk AS pk,
         |    CAST(bit_count(xor(a.hi, b.hi)) +
         |         bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
-        |    b.ck AS other
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.ck <> b.ck),
+        |    b.pk AS other
+        |  FROM b2 a JOIN b2 b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.pk <> b.pk),
         |nn AS (
-        |  SELECT ck, other AS nn_ck, hamming AS nn_hamming
-        |  FROM (SELECT ck, hamming, other, row_number() OVER (
-        |          PARTITION BY ck ORDER BY hamming, other) AS rn
+        |  SELECT pk, other AS nn_pk, hamming AS nn_hamming
+        |  FROM (SELECT pk, hamming, other, row_number() OVER (
+        |          PARTITION BY pk ORDER BY hamming, other) AS rn
         |        FROM cand) t
         |  WHERE rn = 1)
-        |SELECT h.ck, h.hi, h.lo, nn.nn_ck, nn.nn_hamming
-        |FROM h LEFT JOIN nn USING (ck) ORDER BY ck""".stripMargin,
+        |SELECT (h.pk >> 32)::VARCHAR || '#' ||
+        |    (h.pk & 4294967295)::VARCHAR AS ck,
+        |  h.hi, h.lo,
+        |  CASE WHEN nn.nn_pk IS NOT NULL THEN (nn.nn_pk >> 32)::VARCHAR
+        |    || '#' || (nn.nn_pk & 4294967295)::VARCHAR END AS nn_ck,
+        |  nn.nn_hamming
+        |FROM h LEFT JOIN nn USING (pk) ORDER BY ck""".stripMargin,
 
     // sk7: both signed-counter vectors and the exact product-sum
     // rebuilt from the same (tok → cA, cB) counts.

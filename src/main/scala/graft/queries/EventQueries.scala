@@ -931,18 +931,20 @@ object EventQueries {
       val build = graft.operators.Dedup.share(
         e.join(broadcast(d0), col("day") === col("day0"))
           .select(col("uid")).distinct())
-      val bits = build.select(explode(array((0 until kh).map(i =>
-          phash(col("uid"), i) % m): _*)).as("pos"))
-        .distinct()
+      // round-11: built/probed through the shared operators/Bloom —
+      // the bits frame is unchanged bit-for-bit (same seeded hashes
+      // mod m), and the probe is now the packed-word map-side
+      // predicate instead of an explode+join+groupBy (one fewer
+      // shuffle; identical pass/fail set, so the oracle's explicit
+      // replay of the k-position test stays green)
+      val bits = graft.operators.Bloom.bits(build, col("uid"), m, kh)
+      val wm = graft.operators.Bloom.wordMap(bits)
       val probes = graft.operators.Dedup.share(
         e.join(broadcast(d0), col("day") =!= col("day0"))
           .select(col("day"), col("uid")).distinct())
-      val hits = probes.select(col("day"), col("uid"),
-          explode(array((0 until kh).map(i =>
-            phash(col("uid"), i) % m): _*)).as("pos"))
-        .join(broadcast(bits), Seq("pos"))
-        .groupBy(col("day"), col("uid"))
-        .agg(count(lit(1)).as("nm")).where(col("nm") === kh)
+      val hits = probes.crossJoin(broadcast(wm))
+        .where(graft.operators.Bloom.mightContain(
+          col("uid"), col("__bloom"), m, kh))
         .groupBy(col("day")).agg(count(lit(1)).as("bloom_hits"))
       val tm = probes.join(build, Seq("uid"), "left_semi")
         .groupBy(col("day")).agg(count(lit(1)).as("true_members"))

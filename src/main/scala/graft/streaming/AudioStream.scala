@@ -10,8 +10,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * store.
   *
   * Container handling: a blob leading with the RIFF magic must pass
-  * the FULL canonical-PCM gate (WAVE form, 'fmt ' with format 1 /
-  * 8-bit, 'data' — the `wavParsed` rules) or it is DROPPED — a RIFF
+  * the shared chunk-walk gate (`Riff.withWavColumns`, the SAME gate
+  * the batch parser uses — round-11, one home for the magics) plus
+  * this stream's stricter format-1 / 8-bit sample contract, or it is
+  * DROPPED — a RIFF
   * blob that fails the gate is a container this parser cannot read,
   * and admitting it as "raw PCM" would feed header bytes into the
   * energy math as samples (silent mis-parse, the worst failure
@@ -42,32 +44,29 @@ object AudioStream {
       maxBytes: Int = 10 << 20,
       watermark: String = "10 minutes",
       dropMostlySilent: Boolean = true): StreamingQuery = {
-    val hdr = hex(substring(col("content"), 1, 44))
-    val isRiff = expr("substr(hdr, 1, 8) = '52494646'")
-    // the full canonical-PCM admission: form, chunk ids, PCM format,
-    // 8-bit samples (the energy lattice's sample contract)
-    val wavOk = expr("substr(hdr, 17, 8) = '57415645'") &&
-      expr("substr(hdr, 25, 8) = '666D7420'") &&
-      expr("substr(hdr, 73, 8) = '64617461'") &&
-      expr("cast(conv(substr(hdr, 43, 2) || substr(hdr, 41, 2), 16, 10)" +
-        " AS int) = 1") &&
-      expr("cast(conv(substr(hdr, 71, 2) || substr(hdr, 69, 2), 16, 10)" +
-        " AS int) = 8")
-    media
-      .where(col("content").isNotNull &&
-        length(col("content")) >= 64 && // at least one 64-sample frame
-        length(col("content")) <= maxBytes)
-      .withColumn("hdr", hdr)
+    import graft.functions.Riff
+    val isRiff =
+      hex(substring(col("content"), 1, 4)) === lit("52494646")
+    // ONE gate shared with the batch parser (Riff.withWavColumns —
+    // round-11: the duplicated header offsets are gone): the chunk
+    // walk must find fmt + data, PLUS this stream's stricter sample
+    // contract — PCM format 1, 8-bit samples (the energy lattice's
+    // input type); anything RIFF-prefixed that fails is a container
+    // this parser cannot read, and is DROPPED, never fed to the
+    // energy math as samples.
+    val wavOk = col("wav_ok") &&
+      col("audio_format") === 1 && col("bits_per_sample") === 8
+    Riff.withWavColumns(media
+        .where(col("content").isNotNull &&
+          length(col("content")) >= 64 && // at least one 64-sample frame
+          length(col("content")) <= maxBytes))
       .withColumn("container",
         when(isRiff && wavOk, "wav")
           .when(isRiff, "riff_rejected")
           .otherwise("pcm"))
       .where(col("container") =!= "riff_rejected")
       .withColumn("payload",
-        when(col("container") === "wav",
-          expr("substring(content, 45, cast(conv(substr(hdr, 87, 2) || " +
-            "substr(hdr, 85, 2) || substr(hdr, 83, 2) || " +
-            "substr(hdr, 81, 2), 16, 10) AS int))"))
+        when(col("container") === "wav", Riff.wavPayload)
           .otherwise(col("content")))
       .where(length(col("payload")) >= 64)
       .withColumn("energies", graft.functions.FrameSums.frameEnergies(

@@ -1,0 +1,110 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The RIFF chunk-walk kernel (round-11): find semantics, malformed
+  * bounds, and the planted NON-CANONICAL fixtures demuxing through
+  * it — vid_junk (strl + JUNK + odd-frame-size pad + idx1) and
+  * chant_i (LIST/INFO between fmt and data). */
+class RiffWalkSpec extends SparkSpec {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/meta/media/$name")
+    require(in != null)
+    val b = in.readAllBytes(); in.close(); b
+  }
+
+  private val t = Riff.pack4cc _
+
+  test("find: ids, LIST types, even-pad advance, first-match wins") {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes ++ Array[Byte]((data.length & 0xFF).toByte,
+        ((data.length >> 8) & 0xFF).toByte, 0, 0) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val body = chunk("odd ", Array[Byte](1, 2, 3)) ++ // odd size: padded
+      chunk("LIST", "INFO".getBytes ++ Array[Byte](9)) ++
+      chunk("fmt ", Array[Byte](7, 7)) ++
+      chunk("fmt ", Array[Byte](8, 8, 8, 8)) // second fmt: must NOT win
+    val b = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes ++ body
+    // plain chunk by id: data offset skips the 8-byte header
+    val f = Riff.find(b, 12, b.length, t("fmt "))
+    assert(f >= 0)
+    val (off, sz) = ((f >>> 32).toInt, (f & 0xFFFFFFFFL).toInt)
+    // odd chunk (8+3+1=12) then LIST (8+9... 'INFO'+1 byte=5, padded
+    // to 6 → 14) then fmt header → data
+    assert(off === 12 + 12 + 14 + 8 && sz === 2)
+    // LIST matched by its form type; data INCLUDES the type word
+    val l = Riff.find(b, 12, b.length, t("INFO"))
+    assert((l >>> 32).toInt === 12 + 12 + 8 && (l & 0xFFFFFFFFL) === 5)
+    // absent fourcc
+    assert(Riff.find(b, 12, b.length, t("data")) === -1L)
+    // a declared size running off the end: walk stops, returns -1
+    val trunc = b.take(12) ++ "fmt ".getBytes ++
+      Array[Byte](-1, -1, -1, 127) ++ Array[Byte](1, 2)
+    assert(Riff.find(trunc, 12, trunc.length, t("data")) === -1L)
+    // start past the end / negative: -1, never a throw
+    assert(Riff.find(b, b.length + 4, b.length, t("fmt ")) === -1L)
+    assert(Riff.find(b, -3, b.length, t("fmt ")) === -1L)
+  }
+
+  test("vid_junk demuxes: walk past strl+JUNK, padded stride, nf-bounded") {
+    val rows = graft.queries.AdsbQueries.videoFrameSums(spark)
+      .where(col("model") === "vid_junk")
+      .select("frame_size", "n_frames", "base", "stride", "sums")
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getInt(0) === 33) // odd frame size
+    assert(r.getInt(1) === 9)
+    // RIFF(12) + hdrl(8+184) + JUNK(8+12) + LIST hdr(8) + 'movi'(4)
+    // + chunk hdr(8) = 244
+    assert(r.getInt(2) === 244)
+    assert(r.getInt(3) === 42) // 33 + 8 + 1 pad
+    val sums = r.getSeq[Long](4)
+    // bounded by the declared frame count — the trailing idx1 bytes
+    // must never appear as extra "frames"
+    assert(sums.length === 9)
+    val expected = (0 until 9).map(f =>
+      (0 until 33).map(i => (f * 37 + i * 11 + 7) % 251).sum.toLong)
+    assert(sums === expected)
+  }
+
+  test("mm16 decodes vid_junk's avih exactly") {
+    val r = graft.queries.AdsbQueries.defs("mm16_avi_header")(spark, "")
+      .where(col("model") === "vid_junk").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(2) === 66666L) // us_per_frame
+    assert(row.getLong(3) === 9L) // total_frames
+    assert(row.getLong(4) === 1L) // n_streams
+    assert(row.getLong(5) === 11L) // width
+    assert(row.getLong(6) === 3L) // height
+    assert(row.getLong(7) === 1000000000L / 66666L) // fps_milli
+    assert(row.getLong(8) === 66666L * 9L / 1000L) // duration_ms
+  }
+
+  test("mm8 samples vid_junk at container-true byte offsets") {
+    val rows = graft.queries.AdsbQueries.defs("mm8_frame_sample")(spark, "")
+      .where(col("model") === "vid_junk").collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    // k=4 sampling of 9 frames: indices 0, 4, 8
+    assert(rows.keySet === Set(0L, 4L, 8L))
+    rows.foreach { case (idx, off) => assert(off === 244L + idx * 42L) }
+  }
+
+  test("chant_i joins the audio corpus through the walked payload") {
+    // the non-canonical wav's payload participates in the pcm∪wav
+    // audio family exactly like a headerless blob
+    val b = fixture("chant_i.wav")
+    val rows = graft.queries.AdsbQueries.defs("mm11_audio_silence")(
+      spark, "").where(col("model") === "chant_i").collect()
+    assert(rows.length === 1)
+    // 24 of 64 frames are near-silent by construction (37.5% —
+    // admitted by the 50% gate)
+    assert(rows.head.getAs[Long]("n_frames") === 64L)
+    assert(rows.head.getAs[Long]("silence_ppm") === 375000L)
+    assert(b.length === 4166) // container: header + LIST/INFO + data
+  }
+}

@@ -131,10 +131,12 @@ class MediaFingerprintSpec extends SparkSpec {
   }
 
   test("WAV header parse matches the planted canonical-PCM fixture") {
-    val r = AdsbQueries.defs("mm14_wav_header")(spark, "unused").collect()
-    assert(r.length === 1)
+    val all = AdsbQueries.defs("mm14_wav_header")(spark, "unused").collect()
+    // both bundled wavs parse: the canonical twin AND the round-11
+    // non-canonical chant_i (LIST/INFO between fmt and data)
+    assert(all.map(_.getString(0)).toSet === Set("dialog_h_w", "chant_i"))
+    val r = all.filter(_.getString(0) == "dialog_h_w")
     val row = r.head
-    assert(row.getString(0) === "dialog_h_w")
     assert(row.getLong(1) === 36L + 4096L) // riff_bytes
     assert(row.getLong(2) === 16L) // fmt_bytes (canonical PCM)
     assert(row.getLong(3) === 1L) // audio_format = PCM
@@ -148,10 +150,12 @@ class MediaFingerprintSpec extends SparkSpec {
   }
 
   test("AVI header parse matches the planted canonical fixture") {
-    val r = AdsbQueries.defs("mm16_avi_header")(spark, "unused").collect()
-    assert(r.length === 1)
+    val all = AdsbQueries.defs("mm16_avi_header")(spark, "unused").collect()
+    // both bundled avis parse: the canonical twin AND the round-11
+    // non-canonical vid_junk (strl + JUNK + odd frames + idx1)
+    assert(all.map(_.getString(0)).toSet === Set("vid_scene_a", "vid_junk"))
+    val r = all.filter(_.getString(0) == "vid_scene_a")
     val row = r.head
-    assert(row.getString(0) === "vid_scene_a")
     assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)
     assert(row.getLong(3) === 16L) // total_frames = vid_scene's
     assert(row.getLong(4) === 1L) // n_streams
