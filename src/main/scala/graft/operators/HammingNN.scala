@@ -49,21 +49,20 @@ object HammingNN {
     * mirror the cap in their oracle SQL (d19).
     */
   def nearest(hashed: DataFrame, key: String, hi: String, lo: String,
-      pairwiseLimit: Long = 4096, maxBucket: Long = 4096,
-      // materialize=false returns the UN-checkpointed readout plan
-      // (and keeps the base pinned!) — for plan-shape specs only;
-      // production callers always materialize so the pin is released
-      materialize: Boolean = true): DataFrame = {
-    // persist before the routing count: without it the upstream hash
-    // pipeline (BMP pixel walk / PCM fingerprint parse) executes once
-    // for the count and once per self-join side — 3x the map work.
-    // The pin is RELEASED before returning (round-11: the readout
-    // localCheckpoints eagerly, then unpersists) — a resident-service
-    // caller inherits no cache entry, only executor-local blocks the
-    // ContextCleaner reclaims when the returned frame is dropped.
+      pairwiseLimit: Long = 4096, maxBucket: Long = 4096): DataFrame = {
+    // EAGER localCheckpoint before the routing count (round-11, the
+    // ADVICE r10 pin-leak fix): the upstream hash pipeline (BMP pixel
+    // walk / PCM fingerprint parse) runs exactly ONCE — the count and
+    // both self-join sides read the checkpointed (key + 16 B)/row
+    // blocks. Unlike the round-10 persist(), this registers NO
+    // cache-catalog entry a resident service would have to clearCache
+    // away: the blocks are RDD-scoped and the ContextCleaner reclaims
+    // them when the returned (lazy) readout frame is dropped. The
+    // readout itself stays lazy, so the caller's single action is the
+    // only execution of the band join + aggregate.
     val base = hashed.select(
       col(key).as("__k"), col(hi).as("__hi"), col(lo).as("__lo"))
-      .persist()
+      .localCheckpoint(true)
     def ham = (bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
       bit_count(col("a.__lo").bitwiseXOR(col("b.__lo"))))
       .cast("long").as("hamming")
@@ -91,21 +90,10 @@ object HammingNN {
               col("a.__k") =!= col("b.__k"))
           .select(col("a.__k").as("__k"), col("b.__k").as("other"), ham)
       }
-    val nn = pairs.groupBy(col("__k"))
+    pairs.groupBy(col("__k"))
       .agg(min(struct(col("hamming").as("hamming"), col("other").as("other")))
         .as("t"))
       .select(col("__k").as(key), col("t.other").as(s"nn_$key"),
         col("t.hamming").as("nn_hamming"))
-    if (!materialize) nn
-    else {
-      // materialize the readout eagerly so the base pin can drop NOW:
-      // the checkpointed frame is (key, key, long) — the corpus-sized
-      // blobs it was derived from never outlive this call. Blocks are
-      // RDD-scoped (no cache-catalog entry) and self-reclaim via the
-      // ContextCleaner once the caller drops the frame.
-      val out = nn.localCheckpoint(true)
-      base.unpersist()
-      out
-    }
   }
 }

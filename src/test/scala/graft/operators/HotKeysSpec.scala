@@ -55,16 +55,10 @@ class HotKeysSpec extends SparkSpec {
     assert(byK("c1") === Some("c2") && byK("c2") === Some("c1"))
     // plan shape: the cap is a broadcast anti-join before the
     // band-bucket equi-join — never a shuffled exchange of hot rows
-    // (materialize=false: the production readout checkpoints, which
-    // would hide the shape behind a LogicalRDD)
-    val shape = HammingNN.nearest(hashed, "k", "hi", "lo",
-      pairwiseLimit = 8, maxBucket = 20, materialize = false)
-    try {
-      val plan = shape.queryExecution.executedPlan.toString
-      assert(plan.contains("LeftAnti"), plan.take(1500))
-      assert(plan.contains("BroadcastHashJoin") ||
-        plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
-    } finally spark.catalog.clearCache()
+    val plan = nn.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
   test("the gate fixtures never reach the caps (hashes unchanged)") {

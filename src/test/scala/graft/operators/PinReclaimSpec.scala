@@ -7,10 +7,11 @@ import graft.queries.{AdsbQueries, DocQueries}
   * released by the engine — a resident-service caller inherits no
   * cache-catalog entry from running a query. Two layers:
   *
-  *  - [[HammingNN.nearest]] persists its hash frame for the routing
-  *    count; round-11 it localCheckpoints the (small) readout and
-  *    unpersists the base before returning, so NO caller-visible
-  *    SQL-cache entry survives in ANY share mode.
+  *  - [[HammingNN.nearest]] needs its hash frame resident for the
+  *    routing count + self-join; round-11 it localCheckpoints the
+  *    base (RDD-scoped blocks, ContextCleaner-reclaimed) instead of
+  *    the round-10 persist(), so NO caller-visible SQL-cache entry
+  *    exists in ANY share mode.
   *  - `Dedup.share()` in its resident-service mode
   *    (`graft.share.mode=checkpoint`) uses RDD-scoped localCheckpoint
   *    blocks, which the ContextCleaner reclaims when the frame is

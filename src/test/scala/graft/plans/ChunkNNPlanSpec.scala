@@ -15,36 +15,17 @@ class ChunkNNPlanSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("d19 takes the banded branch: band join present, no cartesian") {
-    // the production readout eagerly localCheckpoints (round-11 pin
-    // release), which collapses the executed stages to a LogicalRDD —
-    // pin the plan SHAPE on the un-materialized twin of d19's exact
-    // input instead (same chunker, same packed key, same params)
-    import graft.functions.PortableHash.phash
-    import org.apache.spark.sql.functions._
-    val hashed = graft.Tables.load(spark, dir, "documents")
-      .where(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0L, (length(text) - 1) div 32)")).as("ci"))
-      .select((shiftleft(col("doc_id").cast("long"), 32) + col("ci"))
-          .as("pk"),
-        expr("substr(text, cast(ci * 32 + 1 AS int), 32)").as("chunk"))
-      .select(col("pk"),
-        phash(col("chunk"), 1).bitwiseAND(lit(4294967295L)).as("hi"),
-        phash(col("chunk"), 2).bitwiseAND(lit(4294967295L)).as("lo"))
-    val df = graft.operators.HammingNN.nearest(hashed, "pk", "hi", "lo",
-      materialize = false)
-    try {
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), p.take(2000))
-      // the banded branch's signature: the posexplode'd band column is
-      // an equi-join key in the physical plan, and the hot-bucket cap
-      // sits in front as a broadcast anti-join
-      val analyzed = df.queryExecution.analyzed.toString
-      assert(analyzed.contains("posexplode"),
-        "expected the band posexplode of HammingNN's banded branch")
-      assert(p.contains("LeftAnti"),
-        "expected the HotKeys anti-join hot-bucket cap")
-    } finally spark.catalog.clearCache() // materialize=false keeps the pin
+    val df = DocQueries.defs("d19_chunk_nn")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the banded branch's signature: the posexplode'd band column is
+    // an equi-join key in the physical plan, and the hot-bucket cap
+    // sits in front as a broadcast anti-join (round-11)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("posexplode"),
+      "expected the band posexplode of HammingNN's banded branch")
+    assert(p.contains("LeftAnti"),
+      "expected the HotKeys anti-join hot-bucket cap")
   }
 
   test("d19 preserves every chunk row through the left-join readout") {

@@ -89,4 +89,41 @@ class AudioStreamSpec extends SparkSpec {
     assert(!out.contains(7L), "16-bit wav must drop (8-bit contract)")
     assert(!out.contains(8L), "sub-frame blob must drop")
   }
+
+  test("non-canonical wav admits through the SHARED chunk walk (round-11)") {
+    // a LIST/INFO chunk between fmt and data — the round-10 stream
+    // gate (fixed offsets) dropped this; the shared Riff walk admits
+    // it with the payload located correctly
+    implicit val sqlCtx = spark.sqlContext
+    val data = pcm(16, 40)
+    val info = "INFO".getBytes ++ "IART".getBytes ++
+      Array[Byte](4, 0, 0, 0) ++ "spec".getBytes
+    val b = java.nio.ByteBuffer
+      .allocate(44 + 8 + info.length + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 8 + info.length + data.length)
+      .put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    b.put("LIST".getBytes).putInt(info.length).put(info)
+    b.put("data".getBytes).putInt(data.length).put(data)
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val media = in.toDF().toDF("media_id", "content", "ingest_ts")
+    val outDir = Files.createTempDirectory("audio-ingest-nc").toString
+    val ckpt = Files.createTempDirectory("audio-ingest-nc-ckpt").toString
+    val q = AudioStream.start(media, outDir, ckpt)
+    in.addData(Seq((21L, b.array(), Timestamp.valueOf("2024-03-01 10:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(outDir)
+      .select("media_id", "container", "n_frames", "n_bytes")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 21L)
+    assert(rows.head.getString(1) === "wav")
+    // the payload slice came from the WALKED data offset: exactly the
+    // 16-frame sample section, not a shifted garbage window
+    assert(rows.head.getLong(2) === 16L)
+    assert(rows.head.getLong(3) === data.length.toLong)
+  }
 }
