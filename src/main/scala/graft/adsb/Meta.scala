@@ -77,6 +77,11 @@ object Meta {
     // ONLY through the round-11 chunk walk; two bursts between
     // near-silent runs (12/32 silent frames — admitted)
     "chant_i.wav",
+    // claim_j: a structurally VALID canonical wav whose declared
+    // byte_rate lies (16000 vs sample_rate·block_align = 8000) — the
+    // encoder-bug case mm18's declared-vs-derived rate check flags;
+    // parsers must still admit it (structure is fine)
+    "claim_j.wav",
     "vid_a.gvid", "vid_a_cut.gvid", "vid_b.gvid", "vid_c.gvid",
     "vid_scene.gvid",
     // vid_scene_a: vid_scene's FRAMES inside a real RIFF/AVI container

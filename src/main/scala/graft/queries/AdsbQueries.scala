@@ -868,6 +868,79 @@ object AdsbQueries {
         expr("(us_per_frame * total_frames) div 1000").as("duration_ms"))
         .orderBy(col("model"))),
 
+    // mm18: CONTAINER CONSISTENCY AUDIT — declared-vs-derived header
+    // validation over every RIFF blob (wav ∪ avi), the intake check a
+    // curation pipeline runs BEFORE trusting container metadata (a
+    // header that lies about its byte rate poisons every duration /
+    // bitrate readout downstream; a declared size that disagrees with
+    // the file length marks truncation or trailing junk). One row per
+    // blob — including the ones the structural gate REJECTS (an audit
+    // that hides its failures is not an audit; mm17's principle at the
+    // container grain). Checks, all exact-integer:
+    //  wav: structure (walked fmt+data), riff_size == length-8,
+    //       byte_rate == sample_rate·block_align AND block_align ==
+    //       n_channels·(bits div 8), payload fits in the blob;
+    //  avi: structure (five magics + walked movi + '00db'),
+    //       riff_size == length-8, us_per_frame > 0 AND frame_size ==
+    //       width·height, all declared frames fit (completeness).
+    // Scale shape: header-only per blob, joinless; row count = blob
+    // count. The planted claim_j (lying byte_rate) fails EXACTLY the
+    // rate check.
+    "mm18_container_audit" -> ((s, _) => {
+      def ok(structOk: Column, c: Column) =
+        when(structOk, c).otherwise(lit(false))
+      val wav = Riff.withWavColumns(
+        Meta.loadMediaFiles(s, Meta.mediaDir(), "wav"))
+        .select(lit("wav").as("container"), col("model"),
+          col("length").as("n_bytes"),
+          col("wav_ok").as("structure_ok"),
+          ok(col("wav_ok"),
+            col("riff_bytes") === col("length") - 8).as("riff_size_ok"),
+          ok(col("wav_ok"),
+            col("byte_rate") === col("sample_rate") * col("block_align")
+              && col("block_align") === col("n_channels") *
+                expr("bits_per_sample div 8")).as("rate_ok"),
+          ok(col("wav_ok"),
+            col("data_off") + col("data_bytes") <= col("length"))
+            .as("payload_ok"))
+      val avi = Meta.loadMediaFiles(s, Meta.mediaDir(), "avi")
+        .withColumn("hdr", hex(substring(col("content"), 1, 72)))
+        .withColumn("magics_ok",
+          expr("substr(hdr, 1, 8) = '52494646'") &&
+            expr("substr(hdr, 17, 8) = '41564920'") &&
+            expr("substr(hdr, 25, 8) = '4C495354'") &&
+            expr("substr(hdr, 41, 8) = '6864726C'") &&
+            expr("substr(hdr, 49, 8) = '61766968'"))
+        .withColumn("movi0", Riff.moviStart(col("content")).cast("int"))
+        .withColumn("mv", hex(expr("substring(content, movi0 + 1, 12)")))
+        .withColumn("structure_ok", col("magics_ok") &&
+          col("movi0") >= 0 && expr("substr(mv, 9, 8) = '30306462'"))
+        .withColumn("frame_size", expr(
+          "cast(conv(substr(mv, 23, 2) || substr(mv, 21, 2) || " +
+            "substr(mv, 19, 2) || substr(mv, 17, 2), 16, 10) AS int)"))
+        .withColumn("n_frames", leInt("hdr", 49, 4).cast("int"))
+        .withColumn("stride",
+          col("frame_size") + lit(8) + pmod(col("frame_size"), lit(2)))
+        .select(lit("avi").as("container"), col("model"),
+          col("length").as("n_bytes"),
+          col("structure_ok"),
+          ok(col("structure_ok"),
+            leInt("hdr", 5, 4) === col("length") - 8).as("riff_size_ok"),
+          ok(col("structure_ok"),
+            leInt("hdr", 33, 4) > 0 &&
+              col("frame_size").cast("long") ===
+                leInt("hdr", 65, 4) * leInt("hdr", 69, 4)).as("rate_ok"),
+          ok(col("structure_ok"),
+            col("n_frames") === 0 || length(col("content")) >=
+              col("movi0").cast("long") + 12 +
+                col("stride").cast("long") * (col("n_frames") - 1) +
+                col("frame_size")).as("payload_ok"))
+      wav.unionByName(avi)
+        .withColumn("consistent", col("structure_ok") &&
+          col("riff_size_ok") && col("rate_ok") && col("payload_ok"))
+        .orderBy(col("container"), col("model"))
+    }),
+
     // mm8: frame sampling from a video container — the "every k-th
     // frame" primitive a multimodal training pipeline runs before
     // any per-frame model. The toy GVID container ("GVID" + u16le
@@ -1869,6 +1942,91 @@ object AdsbQueries {
          |JOIN sizes sa ON sh.model = sa.model
          |JOIN sizes sb ON sh.other = sb.model
          |ORDER BY sh.model, sh.other""".stripMargin,
+
+    // mm18: every declared-vs-derived check replayed from the dumped
+    // blob bytes — the same chunk walks, the same exact-integer
+    // comparisons, INCLUDING the structurally-rejected rows.
+    "mm18_container_audit" ->
+      s"""WITH RECURSIVE wv AS (
+         |  SELECT model, length, hex(content) AS hx
+         |  FROM ${tbl("wav_blobs")}),
+         |${riffWalkCte("wv", "w")},
+         |fc AS (
+         |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
+         |  FROM wck WHERE cid = '666D7420' GROUP BY model),
+         |dc AS (
+         |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
+         |  FROM wck WHERE cid = '64617461' GROUP BY model),
+         |wavp AS (
+         |  SELECT w.model, CAST(w.length AS BIGINT) AS n_bytes,
+         |    coalesce(substr(hx, 1, 8) = '52494646'
+         |      AND substr(hx, 17, 8) = '57415645'
+         |      AND f.o IS NOT NULL AND d.o IS NOT NULL
+         |      AND f.sz >= 16, false) AS structure_ok,
+         |    ${dkLe("hx", 5, 4)} AS riff_bytes,
+         |    ${dkLeAt("hx", "f.o + 4", 4)} AS sample_rate,
+         |    ${dkLeAt("hx", "f.o + 8", 4)} AS byte_rate,
+         |    ${dkLeAt("hx", "f.o + 12", 2)} AS block_align,
+         |    ${dkLeAt("hx", "f.o", 2)} AS audio_format,
+         |    ${dkLeAt("hx", "f.o + 2", 2)} AS n_channels,
+         |    ${dkLeAt("hx", "f.o + 14", 2)} AS bits,
+         |    d.o AS data_off, d.sz AS data_bytes
+         |  FROM wv w
+         |  LEFT JOIN fc f USING (model)
+         |  LEFT JOIN dc d USING (model)),
+         |wrows AS (
+         |  SELECT 'wav' AS container, model, n_bytes, structure_ok,
+         |    CASE WHEN structure_ok THEN riff_bytes = n_bytes - 8
+         |      ELSE false END AS riff_size_ok,
+         |    CASE WHEN structure_ok THEN
+         |      byte_rate = sample_rate * block_align
+         |      AND block_align = n_channels * (bits // 8)
+         |      ELSE false END AS rate_ok,
+         |    CASE WHEN structure_ok THEN data_off + data_bytes <= n_bytes
+         |      ELSE false END AS payload_ok
+         |  FROM wavp),
+         |av0 AS (
+         |  SELECT model, length, hex(content) AS hx
+         |  FROM ${tbl("avi_blobs")}),
+         |${riffWalkCte("av0", "a")},
+         |amv AS (
+         |  SELECT model, min(p) + 8 AS movi0
+         |  FROM ack WHERE cid = '4C495354' AND ctype = '6D6F7669'
+         |  GROUP BY model),
+         |avp AS (
+         |  SELECT a.model, CAST(a.length AS BIGINT) AS n_bytes, m.movi0,
+         |    coalesce(substr(hx, 1, 8) = '52494646'
+         |      AND substr(hx, 17, 8) = '41564920'
+         |      AND substr(hx, 25, 8) = '4C495354'
+         |      AND substr(hx, 41, 8) = '6864726C'
+         |      AND substr(hx, 49, 8) = '61766968'
+         |      AND m.movi0 IS NOT NULL
+         |      AND substr(hx, (m.movi0 + 4) * 2 + 1, 8) = '30306462',
+         |      false) AS structure_ok,
+         |    ${dkLe("hx", 5, 4)} AS riff_bytes,
+         |    ${dkLe("hx", 33, 4)} AS uspf,
+         |    ${dkLe("hx", 49, 4)} AS nf,
+         |    ${dkLe("hx", 65, 4)} AS wd,
+         |    ${dkLe("hx", 69, 4)} AS ht,
+         |    ${dkLeAt("hx", "m.movi0 + 8", 4)} AS fs
+         |  FROM av0 a LEFT JOIN amv m USING (model)),
+         |arows AS (
+         |  SELECT 'avi' AS container, model, n_bytes, structure_ok,
+         |    CASE WHEN structure_ok THEN riff_bytes = n_bytes - 8
+         |      ELSE false END AS riff_size_ok,
+         |    CASE WHEN structure_ok THEN uspf > 0 AND fs = wd * ht
+         |      ELSE false END AS rate_ok,
+         |    CASE WHEN structure_ok THEN nf = 0 OR n_bytes >=
+         |        movi0 + 12 + (fs + 8 + fs % 2) * (nf - 1) + fs
+         |      ELSE false END AS payload_ok
+         |  FROM avp),
+         |allrows AS (
+         |  SELECT * FROM wrows UNION ALL SELECT * FROM arows)
+         |SELECT container, model, n_bytes, structure_ok, riff_size_ok,
+         |  rate_ok, payload_ok,
+         |  structure_ok AND riff_size_ok AND rate_ok AND payload_ok
+         |    AS consistent
+         |FROM allrows ORDER BY container, model""".stripMargin,
 
     // mm16: the avih fields re-parsed independently from the dumped
     // blob bytes — same magic gates, same little-endian reads.

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.AdsbQueries
+
+/** mm18 (round-11): the declared-vs-derived container audit — one row
+  * per RIFF blob INCLUDING structural rejects, with the planted
+  * lying-header fixture failing exactly its one check. */
+class ContainerAuditSpec extends SparkSpec {
+
+  test("claim_j fails exactly the rate check; everything else passes") {
+    val rows = AdsbQueries.defs("mm18_container_audit")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    // one row per bundled RIFF container
+    assert(rows.keySet === Set(
+      ("wav", "dialog_h_w"), ("wav", "chant_i"), ("wav", "claim_j"),
+      ("avi", "vid_scene_a"), ("avi", "vid_junk")))
+    // the lying byte_rate: structure fine, size fine, payload fine,
+    // rate WRONG, consistent false
+    assert(rows(("wav", "claim_j")) ===
+      ((true, true, false, true, false)))
+    // every honestly-built fixture is fully consistent
+    (rows.keySet - (("wav", "claim_j"))).foreach { k =>
+      assert(rows(k) === ((true, true, true, true, true)), k.toString)
+    }
+  }
+
+  test("a malformed container stays VISIBLE as a failing audit row") {
+    // mm17's principle at the container grain: an audit that hides
+    // its failures is not an audit — a truncated wav must appear
+    // with structure_ok = false, not vanish. (Constructed via the
+    // same loader path on a temp dir.)
+    val good = {
+      val in = getClass.getResourceAsStream("/meta/media/dialog_h_w.wav")
+      val b = in.readAllBytes(); in.close(); b
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit")
+    java.nio.file.Files.write(dir.resolve("cut.wav"), good.take(30))
+    import org.apache.spark.sql.functions._
+    val w = graft.functions.Riff.withWavColumns(
+      graft.adsb.Meta.loadMediaFiles(spark, dir.toString, "wav"))
+      .select(col("model"), col("wav_ok")).collect()
+    assert(w.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+      Seq(("cut", false)))
+  }
+}

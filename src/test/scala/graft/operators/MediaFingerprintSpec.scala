@@ -132,9 +132,11 @@ class MediaFingerprintSpec extends SparkSpec {
 
   test("WAV header parse matches the planted canonical-PCM fixture") {
     val all = AdsbQueries.defs("mm14_wav_header")(spark, "unused").collect()
-    // both bundled wavs parse: the canonical twin AND the round-11
-    // non-canonical chant_i (LIST/INFO between fmt and data)
-    assert(all.map(_.getString(0)).toSet === Set("dialog_h_w", "chant_i"))
+    // all bundled wavs parse: the canonical twin, the round-11
+    // non-canonical chant_i (LIST/INFO between fmt and data), and
+    // claim_j (valid structure, lying byte_rate — mm18's case)
+    assert(all.map(_.getString(0)).toSet ===
+      Set("dialog_h_w", "chant_i", "claim_j"))
     val r = all.filter(_.getString(0) == "dialog_h_w")
     val row = r.head
     assert(row.getLong(1) === 36L + 4096L) // riff_bytes
