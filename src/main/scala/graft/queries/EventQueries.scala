@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1030,6 +1030,91 @@ object EventQueries {
         .orderBy(col("ta"), col("tb"))
     }),
 
+    // sk11: KMV set DIFFERENCE (theta-sketch a-not-b) — the third leg
+    // of the sketch set algebra (sk2 distinct, sk4 intersect): per
+    // event_type pair, |A \ B| and |B \ A| estimated from ONLY the
+    // two k=64 minimum-hash signatures — the churn/exclusive-reach
+    // readout ("users who did A but never B") computable between any
+    // two stored sketches without touching the corpora. Same
+    // estimator frame as sk4: the union sketch's k smallest union
+    // hashes are an unbiased sample of A ∪ B, so |A\B| ≈
+    // (only-in-A among them)·est(∪)/k — exact-integer end to end,
+    // exact twins ride the same distinct frame for the err readout.
+    // Scale shape: identical to sk4 (sketches are ≤k rows per type;
+    // the exact twin exists for the gate, not the 100 TB path).
+    "sk11_kmv_anotb" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val a = lit(new java.math.BigDecimal("72634055190231359488"))
+        .cast("decimal(38,0)") // (k−1)·2⁶⁰
+      val dh = ev(s, dir)
+        .select(col("event_type"),
+          graft.functions.PortableHash
+            .phashStr(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val kept = dh.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k).select(col("event_type"), col("h"))
+      val types = kept.select(col("event_type")).distinct()
+      val prs = types.select(col("event_type").as("ta"))
+        .join(types.select(col("event_type").as("tb")),
+          col("ta") < col("tb"))
+      val tagged = kept.join(prs, col("event_type") === col("ta"))
+          .select(col("ta"), col("tb"), col("h"),
+            lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionAll(kept.join(prs, col("event_type") === col("tb"))
+          .select(col("ta"), col("tb"), col("h"),
+            lit(0).as("in_a"), lit(1).as("in_b")))
+      val u = tagged.groupBy(col("ta"), col("tb"), col("h"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      val wu = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+      val top = u.withColumn("urn", row_number().over(wu))
+        .where(col("urn") <= k)
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"),
+          sum(when(col("in_a") === 1 && col("in_b") === 0, 1L)
+            .otherwise(0L)).as("only_a"),
+          sum(when(col("in_a") === 0 && col("in_b") === 1, 1L)
+            .otherwise(0L)).as("only_b"))
+      val unionEst = when(col("n_kept") < k, col("n_kept").cast("long"))
+        .otherwise(((a - a % col("hk")) / col("hk")).cast("long"))
+      val estA = floor(col("only_a") * unionEst / k).cast("long")
+      val estB = floor(col("only_b") * unionEst / k).cast("long")
+      val du = ev(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val cnt = du.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val inter = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"),
+          col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("inter"))
+      def err(est: Column, exact: Column) =
+        when(exact === 0L, est * 1000000L)
+          .otherwise(floor(abs(est - exact) * 1000000L / exact))
+          .cast("long")
+      top
+        .join(inter, Seq("ta", "tb"), "left")
+        .join(cnt.select(col("event_type").as("ta"),
+          col("n").as("na")), Seq("ta"))
+        .join(cnt.select(col("event_type").as("tb"),
+          col("n").as("nb")), Seq("tb"))
+        .select(col("ta"), col("tb"), col("only_a"), col("only_b"),
+          unionEst.as("union_est"),
+          estA.as("est_a_not_b"), estB.as("est_b_not_a"),
+          (col("na") - coalesce(col("inter"), lit(0L)))
+            .as("exact_a_not_b"),
+          (col("nb") - coalesce(col("inter"), lit(0L)))
+            .as("exact_b_not_a"))
+        .select(col("ta"), col("tb"), col("only_a"), col("only_b"),
+          col("union_est"), col("est_a_not_b"), col("est_b_not_a"),
+          col("exact_a_not_b"), col("exact_b_not_a"),
+          err(col("est_a_not_b"), col("exact_a_not_b")).as("err_a_ppm"),
+          err(col("est_b_not_a"), col("exact_b_not_a")).as("err_b_ppm"))
+        .orderBy(col("ta"), col("tb"))
+    }),
+
     // sk5: HDR-histogram quantile sketch (the HdrHistogram/DDSketch
     // family) — p50/p90/p99 of value per event_type from a sketch of
     // ≤ ~128 log-scaled integer buckets instead of ql's exact
@@ -1941,6 +2026,82 @@ object EventQueries {
         |      * 1000000 / exact) END AS BIGINT) AS err_ppm
         |FROM est_ e LEFT JOIN ex ON e.ta = ex.ta AND e.tb = ex.tb
         |ORDER BY e.ta, e.tb""".stripMargin,
+
+    // sk11: the a-not-b counters and both exact differences rebuilt
+    // from the same union-sketch frame (sk4's estimator with the
+    // exclusive-membership counters).
+    "sk11_kmv_anotb" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |kept AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM dh) WHERE rn <= 64),
+        |prs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM (SELECT DISTINCT event_type FROM kept) a
+        |  JOIN (SELECT DISTINCT event_type FROM kept) b
+        |    ON a.event_type < b.event_type),
+        |tagged AS (
+        |  SELECT ta, tb, h, 1 AS in_a, 0 AS in_b
+        |  FROM kept JOIN prs ON event_type = ta
+        |  UNION ALL
+        |  SELECT ta, tb, h, 0 AS in_a, 1 AS in_b
+        |  FROM kept JOIN prs ON event_type = tb),
+        |u AS (
+        |  SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM tagged GROUP BY 1, 2, 3),
+        |top_ AS (
+        |  SELECT ta, tb,
+        |    CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk,
+        |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1
+        |             ELSE 0 END) AS BIGINT) AS only_a,
+        |    CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1
+        |             ELSE 0 END) AS BIGINT) AS only_b
+        |  FROM (
+        |    SELECT ta, tb, h, in_a, in_b,
+        |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS urn
+        |    FROM u) WHERE urn <= 64 GROUP BY 1, 2),
+        |est_ AS (
+        |  SELECT ta, tb, only_a, only_b,
+        |    CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |      ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // hk
+        |      END AS BIGINT) AS union_est
+        |  FROM top_),
+        |du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |cnt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM du GROUP BY 1),
+        |inter AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS iv
+        |  FROM du x JOIN du y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT e.ta, e.tb, only_a, only_b, union_est,
+        |    CAST(floor(only_a * union_est / 64) AS BIGINT)
+        |      AS est_a_not_b,
+        |    CAST(floor(only_b * union_est / 64) AS BIGINT)
+        |      AS est_b_not_a,
+        |    ca.n - coalesce(iv, 0) AS exact_a_not_b,
+        |    cb.n - coalesce(iv, 0) AS exact_b_not_a
+        |  FROM est_ e
+        |  LEFT JOIN inter i ON e.ta = i.ta AND e.tb = i.tb
+        |  JOIN cnt ca ON e.ta = ca.event_type
+        |  JOIN cnt cb ON e.tb = cb.event_type)
+        |SELECT ta, tb, only_a, only_b, union_est, est_a_not_b,
+        |  est_b_not_a, exact_a_not_b, exact_b_not_a,
+        |  CAST(CASE WHEN exact_a_not_b = 0 THEN est_a_not_b * 1000000
+        |    ELSE floor(abs(est_a_not_b - exact_a_not_b) * 1000000
+        |      / exact_a_not_b) END AS BIGINT) AS err_a_ppm,
+        |  CAST(CASE WHEN exact_b_not_a = 0 THEN est_b_not_a * 1000000
+        |    ELSE floor(abs(est_b_not_a - exact_b_not_a) * 1000000
+        |      / exact_b_not_a) END AS BIGINT) AS err_b_ppm
+        |FROM j ORDER BY ta, tb""".stripMargin,
 
     // HDR quantile sketch re-derived: identical integer bucketing
     // (bin()-bitlength, shift-based powers of two, floor-divides),
