@@ -1055,14 +1055,20 @@ object EventQueries {
       val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
       val kept = dh.withColumn("rn", row_number().over(w))
         .where(col("rn") <= k).select(col("event_type"), col("h"))
-      val types = kept.select(col("event_type")).distinct()
+      // share()d: kept feeds types + both tagged sides, du (below)
+      // feeds the per-type counts AND both exact-intersection sides —
+      // unshared, the plan re-read events.parquet 10× (the sk10
+      // scan-budget tripwire caught it; both frames are
+      // sketch-/distinct-sized)
+      val keptS = graft.operators.Dedup.share(kept)
+      val types = keptS.select(col("event_type")).distinct()
       val prs = types.select(col("event_type").as("ta"))
         .join(types.select(col("event_type").as("tb")),
           col("ta") < col("tb"))
-      val tagged = kept.join(prs, col("event_type") === col("ta"))
+      val tagged = keptS.join(prs, col("event_type") === col("ta"))
           .select(col("ta"), col("tb"), col("h"),
             lit(1).as("in_a"), lit(0).as("in_b"))
-        .unionAll(kept.join(prs, col("event_type") === col("tb"))
+        .unionAll(keptS.join(prs, col("event_type") === col("tb"))
           .select(col("ta"), col("tb"), col("h"),
             lit(0).as("in_a"), lit(1).as("in_b")))
       val u = tagged.groupBy(col("ta"), col("tb"), col("h"))
@@ -1080,8 +1086,8 @@ object EventQueries {
         .otherwise(((a - a % col("hk")) / col("hk")).cast("long"))
       val estA = floor(col("only_a") * unionEst / k).cast("long")
       val estB = floor(col("only_b") * unionEst / k).cast("long")
-      val du = ev(s, dir)
-        .select(col("event_type"), col("user_id")).distinct()
+      val du = graft.operators.Dedup.share(ev(s, dir)
+        .select(col("event_type"), col("user_id")).distinct())
       val cnt = du.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
       val inter = du.as("x").join(du.as("y"),
