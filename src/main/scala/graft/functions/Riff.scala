@@ -22,10 +22,14 @@ import org.apache.spark.sql.types._
   * (round-11 verdict ask #3): a WAV carrying a LIST/INFO chunk
   * before `data`, or an AVI with a JUNK alignment chunk between
   * `hdrl` and `movi` — both ubiquitous in real files — now PARSE
-  * instead of vanishing, while a blob whose declared sizes run off
-  * the end still excludes itself visibly (−1, never a mis-parse:
-  * the walk compares in Long, advances strictly, and caps at 4096
-  * chunks, so a hostile header cannot throw a task or loop it).
+  * instead of vanishing. The walk itself is hostile-header-safe
+  * (compares in Long, advances strictly, caps at 4096 chunks — it
+  * can neither throw a task nor loop), and it REPORTS what a found
+  * chunk's header declares: a declared size running past the blob
+  * end is surfaced to the caller-side fits/completeness gates
+  * (`withWavColumns.wav_fits`, the video completeness gate, mm18's
+  * payload audit column), which exclude or flag it visibly — never
+  * a silent mis-parse.
   *
   * One home for the magics, shared by batch ([[graft.queries
   * .AdsbQueries]]'s wavParsed / videoFrameSums) and streaming
@@ -54,7 +58,9 @@ case class RiffFindExpr(content: Expression, start: Expression,
           s"'$fourcc')")
     }
 
-  private val target: Int = Riff.pack4cc(fourcc)
+  // lazy: pack4cc requires 4 chars, and that must surface as the
+  // analysis-time TypeCheckFailure above, not a construction throw
+  private lazy val target: Int = Riff.pack4cc(fourcc)
 
   override def nullSafeEval(c: Any, s: Any, e: Any): Any =
     Riff.find(c.asInstanceOf[Array[Byte]], s.asInstanceOf[Int],
@@ -168,6 +174,12 @@ object Riff {
       .withColumn("data_bytes", col("__dat").bitwiseAND(lit(4294967295L)))
       .withColumn("wav_ok", isRiffForm(c, "WAVE") &&
         col("__fmt") >= 0 && col("__dat") >= 0 && col("fmt_bytes") >= 16)
+      // the walk reports what the header DECLARES; truncation is the
+      // caller-visible fits check — analysis admission (wavParsed,
+      // AudioStream) requires it, the mm18 audit exposes it as a
+      // failing payload column instead of hiding the row
+      .withColumn("wav_fits", col("__dat") >= 0 &&
+        col("data_off") + col("data_bytes") <= length(c))
       .withColumn("riff_bytes", leIntAt(c, lit(4L), 4))
       .withColumn("audio_format", leIntAt(c, col("fmt_off"), 2))
       .withColumn("n_channels", leIntAt(c, col("fmt_off") + 2, 2))

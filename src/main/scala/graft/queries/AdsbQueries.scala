@@ -84,7 +84,7 @@ object AdsbQueries {
   private[graft] def wavParsed(s: SparkSession,
       dir: String = Meta.mediaDir()): DataFrame =
     graft.functions.Riff.withWavColumns(Meta.loadMediaFiles(s, dir, "wav"))
-      .where(col("wav_ok"))
+      .where(col("wav_ok") && col("wav_fits"))
       .select(col("model"), col("content"),
         col("riff_bytes"), col("fmt_bytes"), col("audio_format"),
         col("n_channels"), col("sample_rate"), col("byte_rate"),
@@ -134,7 +134,11 @@ object AdsbQueries {
     * append garbage "frames" the oracle (which builds exactly nf
     * sums) never sees. */
   private[graft] def videoFrameSums(s: SparkSession): DataFrame = {
-    def bounded(sums: Column) = slice(sums, lit(1), col("n_frames"))
+    // the int cast is safe on both branches: gvid counts are u16, and
+    // the avi branch's completeness gate has already bounded nf by the
+    // (int-sized) blob length
+    def bounded(sums: Column) =
+      slice(sums, lit(1), col("n_frames").cast("int"))
     val gv = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
       .withColumn("hdr", hex(substring(col("content"), 1, 8)))
       .where(expr("substr(hdr, 1, 8) = '47564944'"))
@@ -159,7 +163,12 @@ object AdsbQueries {
         expr("substr(hdr, 25, 8) = '4C495354'") && // 'LIST'
         expr("substr(hdr, 41, 8) = '6864726C'") && // 'hdrl'
         expr("substr(hdr, 49, 8) = '61766968'")) // 'avih'
-      .withColumn("n_frames", leInt("hdr", 49, 4).cast("int"))
+      // header counts stay LONG until the completeness gate has
+      // bounded them (round-11 review): a hostile dwTotalFrames or
+      // frame size ≥ 2³¹ would wrap through an early int cast, slip
+      // past the gate, and throw in slice() — the exact
+      // hostile-header task-crash the kernel contract forbids
+      .withColumn("n_frames", leInt("hdr", 49, 4))
       .withColumn("movi0", Riff.moviStart(col("content")).cast("int"))
       .where(col("movi0") >= 0)
       .withColumn("mv", hex(expr("substring(content, movi0 + 1, 24)")))
@@ -168,23 +177,29 @@ object AdsbQueries {
         expr("substr(mv, 9, 8) = '30306462'")) // '00db'
       .withColumn("frame_size", expr(
         "cast(conv(substr(mv, 23, 2) || substr(mv, 21, 2) || " +
-          "substr(mv, 19, 2) || substr(mv, 17, 2), 16, 10) AS int)"))
+          "substr(mv, 19, 2) || substr(mv, 17, 2), 16, 10) AS bigint)"))
       // chunk stride honors the RIFF even-byte pad (ADVICE r10 #2):
       // an odd frame size pads each chunk to the next even boundary
       .withColumn("stride",
-        (col("frame_size") + lit(8) + pmod(col("frame_size"), lit(2)))
-          .cast("int"))
-      // same completeness gate as the gvid branch, chunk-strided
-      .where(col("n_frames") === 0 || length(col("content")) >=
-        col("movi0").cast("long") + 12 +
-          col("stride").cast("long") * (col("n_frames") - 1) +
-          col("frame_size"))
-      .select(col("model"), col("frame_size"), col("n_frames"),
+        col("frame_size") + lit(8L) + pmod(col("frame_size"), lit(2L)))
+      // same completeness gate as the gvid branch, chunk-strided; the
+      // fs/nf ≤ blob-length pre-bounds keep the strided product under
+      // 2⁶² (ANSI long overflow would otherwise throw) and are
+      // short-circuited by Spark's And — mirrored as the oracle's
+      // CASE guard
+      .where(col("frame_size") <= length(col("content")) &&
+        col("n_frames") <= length(col("content")) &&
+        (col("n_frames") === 0 || length(col("content")) >=
+          col("movi0").cast("long") + 12 +
+            col("stride") * (col("n_frames") - 1) + col("frame_size")))
+      .select(col("model"), col("frame_size").cast("int").as("frame_size"),
+        col("n_frames").cast("int").as("n_frames"),
         (col("movi0") + lit(12)).cast("int").as("base"),
-        col("stride"),
+        col("stride").cast("int").as("stride"),
         bounded(graft.functions.FrameSums.frameByteSums(col("content"),
-          (col("movi0") + lit(12)).cast("int"), col("frame_size"),
-          col("stride"))).as("sums"))
+          (col("movi0") + lit(12)).cast("int"),
+          col("frame_size").cast("int"),
+          col("stride").cast("int"))).as("sums"))
     gv.unionByName(avi)
   }
 
@@ -278,10 +293,24 @@ object AdsbQueries {
       val cols = Seq("kind", "hexident", "session_start", "time",
         "first_seen", "last_seen", "callsign", "n_positions", "lon",
         "lat", "alt_m", "onground", "runway")
-      ntz(s.table(name).where(col("hexident") =!= "ZZZZZZ"),
+      // materialize off the memory sink so the per-run driver state
+      // can drop NOW (a bench session invokes this query repeatedly:
+      // without the cleanup each run would leave a full result copy
+      // in the sink table and a checkpoint dir in tmpfs). The
+      // localCheckpoint blocks are the usual self-reclaiming kind.
+      val out = ntz(s.table(name).where(col("hexident") =!= "ZZZZZZ"),
         "session_start", "time", "first_seen", "last_seen")
         .select(cols.map(col): _*)
         .orderBy(cols.map(col): _*)
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
+      }
+      out
     }),
 
     "adsb_events" -> ((s, _) =>
@@ -915,12 +944,17 @@ object AdsbQueries {
         .withColumn("mv", hex(expr("substring(content, movi0 + 1, 12)")))
         .withColumn("structure_ok", col("magics_ok") &&
           col("movi0") >= 0 && expr("substr(mv, 9, 8) = '30306462'"))
+        // declared counts stay LONG (round-11 review): an int cast
+        // would WRAP exactly the lying headers this audit exists to
+        // flag, diverging from the oracle's exact BIGINT reads; the
+        // width·height product rides decimal so a hostile 2³¹-scale
+        // pair cannot throw under ANSI overflow
         .withColumn("frame_size", expr(
           "cast(conv(substr(mv, 23, 2) || substr(mv, 21, 2) || " +
-            "substr(mv, 19, 2) || substr(mv, 17, 2), 16, 10) AS int)"))
-        .withColumn("n_frames", leInt("hdr", 49, 4).cast("int"))
+            "substr(mv, 19, 2) || substr(mv, 17, 2), 16, 10) AS bigint)"))
+        .withColumn("n_frames", leInt("hdr", 49, 4))
         .withColumn("stride",
-          col("frame_size") + lit(8) + pmod(col("frame_size"), lit(2)))
+          col("frame_size") + lit(8L) + pmod(col("frame_size"), lit(2L)))
         .select(lit("avi").as("container"), col("model"),
           col("length").as("n_bytes"),
           col("structure_ok"),
@@ -928,13 +962,19 @@ object AdsbQueries {
             leInt("hdr", 5, 4) === col("length") - 8).as("riff_size_ok"),
           ok(col("structure_ok"),
             leInt("hdr", 33, 4) > 0 &&
-              col("frame_size").cast("long") ===
-                leInt("hdr", 65, 4) * leInt("hdr", 69, 4)).as("rate_ok"),
+              col("frame_size").cast("decimal(20,0)") ===
+                leInt("hdr", 65, 4).cast("decimal(20,0)") *
+                  leInt("hdr", 69, 4)).as("rate_ok"),
           ok(col("structure_ok"),
-            col("n_frames") === 0 || length(col("content")) >=
-              col("movi0").cast("long") + 12 +
-                col("stride").cast("long") * (col("n_frames") - 1) +
-                col("frame_size")).as("payload_ok"))
+            // fs/nf ≤ blob-length pre-bounds keep the strided product
+            // under 2⁶² (And short-circuits); an insane declared
+            // count is by itself a payload inconsistency
+            col("frame_size") <= length(col("content")) &&
+              col("n_frames") <= length(col("content")) &&
+              (col("n_frames") === 0 || length(col("content")) >=
+                col("movi0").cast("long") + 12 +
+                  col("stride") * (col("n_frames") - 1) +
+                  col("frame_size"))).as("payload_ok"))
       wav.unionByName(avi)
         .withColumn("consistent", col("structure_ok") &&
           col("riff_size_ok") && col("rate_ok") && col("payload_ok"))
@@ -1118,7 +1158,8 @@ object AdsbQueries {
        |${pre}ck AS (
        |  SELECT model, p, substr(hx, p * 2 + 1, 8) AS cid,
        |    substr(hx, (p + 8) * 2 + 1, 8) AS ctype, ${sz("p")} AS sz
-       |  FROM ${pre}wk WHERE (p + 8) * 2 <= length(hx))""".stripMargin
+       |  FROM ${pre}wk
+       |  WHERE (p + 8) * 2 <= length(hx) AND i < 4096)""".stripMargin
   }
 
   /** Shared VIDEO oracle CTE chain ending in `en (model, fs, nf,
@@ -1151,16 +1192,19 @@ object AdsbQueries {
        |    WHERE substr(hx, 1, 8) = '47564944')
        |  WHERE nf = 0 OR length(hx) >= (8 + fs * nf) * 2
        |  UNION ALL
-       |  SELECT model, hx, movi0 + 12 AS base, fs, nf,
-       |    fs + 8 + (fs % 2) AS stride
+       |  SELECT model, hx, CAST(movi0 + 12 AS INTEGER) AS base,
+       |    CAST(fs AS INTEGER) AS fs, CAST(nf AS INTEGER) AS nf,
+       |    CAST(fs + 8 + (fs % 2) AS INTEGER) AS stride
        |  FROM (
        |    SELECT s.model, s.hx, m.movi0,
-       |      CAST(${dkLeAt("s.hx", "m.movi0 + 8", 4)} AS INTEGER) AS fs,
-       |      CAST(${dkLe("s.hx", 49, 4)} AS INTEGER) AS nf
+       |      ${dkLeAt("s.hx", "m.movi0 + 8", 4)} AS fs,
+       |      ${dkLe("s.hx", 49, 4)} AS nf
        |    FROM avsrc s JOIN avmv m USING (model)
        |    WHERE substr(s.hx, (m.movi0 + 4) * 2 + 1, 8) = '30306462')
-       |  WHERE nf = 0 OR length(hx) >=
-       |    (movi0 + 12 + (fs + 8 + fs % 2) * (nf - 1) + fs) * 2),
+       |  WHERE CASE WHEN fs <= length(hx) // 2 AND nf <= length(hx) // 2
+       |    THEN nf = 0 OR length(hx) >=
+       |      (movi0 + 12 + (fs + 8 + fs % 2) * (nf - 1) + fs) * 2
+       |    ELSE false END),
        |en AS (
        |  SELECT model, fs, nf, base, stride,
        |    list_transform(range(0, nf), f ->
@@ -1196,7 +1240,8 @@ object AdsbQueries {
        |  FROM ${name}wv v
        |  JOIN ${name}fc f USING (model)
        |  JOIN ${name}dc d USING (model)
-       |  WHERE f.sz >= 16)""".stripMargin
+       |  WHERE f.sz >= 16 AND d.o + d.sz <= length(v.hx) // 2)"""
+      .stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two
     * hash re-derivations can never drift): from `blobSql` (any
@@ -1883,7 +1928,7 @@ object AdsbQueries {
          |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
          |  FROM wck WHERE cid = '666D7420' GROUP BY model),
          |dc AS (
-         |  SELECT model, min_by(sz, p) AS sz
+         |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
          |  FROM wck WHERE cid = '64617461' GROUP BY model),
          |p AS (
          |  SELECT v.model,
@@ -1899,7 +1944,7 @@ object AdsbQueries {
          |  FROM v
          |  JOIN fc f USING (model)
          |  JOIN dc d USING (model)
-         |  WHERE f.sz >= 16)
+         |  WHERE f.sz >= 16 AND d.o + d.sz <= length(hx) // 2)
          |SELECT model, riff_bytes, fmt_bytes, audio_format, n_channels,
          |  sample_rate, byte_rate, block_align, bits_per_sample,
          |  data_bytes,
@@ -2014,9 +2059,11 @@ object AdsbQueries {
          |  SELECT 'avi' AS container, model, n_bytes, structure_ok,
          |    CASE WHEN structure_ok THEN riff_bytes = n_bytes - 8
          |      ELSE false END AS riff_size_ok,
-         |    CASE WHEN structure_ok THEN uspf > 0 AND fs = wd * ht
+         |    CASE WHEN structure_ok THEN uspf > 0
+         |      AND fs::HUGEINT = wd::HUGEINT * ht
          |      ELSE false END AS rate_ok,
-         |    CASE WHEN structure_ok THEN nf = 0 OR n_bytes >=
+         |    CASE WHEN structure_ok AND fs <= n_bytes AND nf <= n_bytes
+         |      THEN nf = 0 OR n_bytes >=
          |        movi0 + 12 + (fs + 8 + fs % 2) * (nf - 1) + fs
          |      ELSE false END AS payload_ok
          |  FROM avp),

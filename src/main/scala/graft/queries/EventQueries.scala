@@ -683,7 +683,7 @@ object EventQueries {
       import org.apache.spark.sql.expressions.Window
       val k = 64
       // (k-1) * 2^60 — exceeds Long, so built as a decimal literal.
-      val a = lit(new java.math.BigDecimal("72634055190231359488"))
+      val a = lit(new java.math.BigDecimal("72634054790231359488"))
         .cast("decimal(38,0)")
       val dh = ev(s, dir)
         .select(col("event_type"),
@@ -979,7 +979,7 @@ object EventQueries {
     "sk4_kmv_intersect" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val k = 64
-      val a = lit(new java.math.BigDecimal("72634055190231359488"))
+      val a = lit(new java.math.BigDecimal("72634054790231359488"))
         .cast("decimal(38,0)") // (k−1)·2⁶⁰
       val dh = ev(s, dir)
         .select(col("event_type"),
@@ -1045,7 +1045,7 @@ object EventQueries {
     "sk11_kmv_anotb" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val k = 64
-      val a = lit(new java.math.BigDecimal("72634055190231359488"))
+      val a = lit(new java.math.BigDecimal("72634054790231359488"))
         .cast("decimal(38,0)") // (k−1)·2⁶⁰
       val dh = ev(s, dir)
         .select(col("event_type"),

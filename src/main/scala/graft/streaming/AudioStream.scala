@@ -54,7 +54,7 @@ object AudioStream {
     // input type); anything RIFF-prefixed that fails is a container
     // this parser cannot read, and is DROPPED, never fed to the
     // energy math as samples.
-    val wavOk = col("wav_ok") &&
+    val wavOk = col("wav_ok") && col("wav_fits") &&
       col("audio_format") === 1 && col("bits_per_sample") === 8
     Riff.withWavColumns(media
         .where(col("content").isNotNull &&

@@ -40,11 +40,23 @@ class ContainerAuditSpec extends SparkSpec {
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-audit")
     java.nio.file.Files.write(dir.resolve("cut.wav"), good.take(30))
+    // truncated PAYLOAD (round-11 review): the data chunk declares
+    // its full size but the blob ends early — structure parses,
+    // wav_fits must go false, and the analysis parser must EXCLUDE
+    // it (admitting it would feed a declared-length lattice over
+    // missing bytes)
+    java.nio.file.Files.write(dir.resolve("shear.wav"), good.take(1000))
     import org.apache.spark.sql.functions._
     val w = graft.functions.Riff.withWavColumns(
       graft.adsb.Meta.loadMediaFiles(spark, dir.toString, "wav"))
-      .select(col("model"), col("wav_ok")).collect()
-    assert(w.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
-      Seq(("cut", false)))
+      .select(col("model"), col("wav_ok"), col("wav_fits")).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(w("cut") === ((false, false)))
+    assert(w("shear") === ((true, false)))
+    val admitted = AdsbQueries.wavParsed(spark, dir.toString)
+      .select("model").collect()
+    assert(admitted.isEmpty,
+      "neither truncated container may reach the analysis corpus")
   }
 }

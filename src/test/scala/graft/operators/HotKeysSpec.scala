@@ -57,8 +57,10 @@ class HotKeysSpec extends SparkSpec {
     // band-bucket equi-join — never a shuffled exchange of hot rows
     val plan = nn.queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), plan.take(1500))
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the cap keys on (band, bv) equality — a hashed broadcast join,
+    // never a nested loop
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
   test("the gate fixtures never reach the caps (hashes unchanged)") {

@@ -18,6 +18,7 @@ class ChunkNNPlanSpec extends SparkSpec {
     val df = DocQueries.defs("d19_chunk_nn")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     // the banded branch's signature: the posexplode'd band column is
     // an equi-join key in the physical plan, and the hot-bucket cap
     // sits in front as a broadcast anti-join (round-11)
