@@ -60,33 +60,8 @@ object Bench {
           }
         }
       })
-    // Silence the ~278 "No Partition Defined for Window operation"
-    // warnings: every global window in the repo is provably bounded
-    // (Rank's distributed-rank merge, Pack's bucket bases,
-    // TpchQueries' single-row totals — all metadata-sized inputs by
-    // construction), and in round 5/6 the warning volume pushed the
-    // final JSON line past the driver's captured log tail, leaving
-    // "parsed": null artifacts. Scoped to the window package, not
-    // a global level change.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
-    // The round-11 deterministic unpersists of locally-checkpointed
-    // frames (CheckpointReclaim loops, HammingNN bases) each log a
-    // WARN ("lineage has been truncated and cannot be recomputed") —
-    // correct behavior here by design (the data is never recomputed),
-    // but ~150 lines of it risk pushing the final JSON line out of
-    // the driver's captured log tail. Scoped to the rdd package.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd",
-      org.apache.logging.log4j.Level.ERROR)
-    // HammingNN persists its hash frame (round-10); re-running the
-    // same query within a bench pair re-registers the identical plan
-    // and CacheManager warns "already cached" once per sample — noise
-    // with the same tail-window risk as the window warnings above
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.CacheManager",
-      org.apache.logging.log4j.Level.ERROR)
+    // log scoping: see QuietLogs (tail-window protection)
+    QuietLogs()
 
     // full-plan materialization: toRdd executes the physical plan
     // as-is — count() would wrap it in an Aggregate whose column

@@ -39,18 +39,7 @@ object BenchSlope {
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
-    // The round-11 deterministic unpersists of locally-checkpointed
-    // frames (CheckpointReclaim loops, HammingNN bases) each log a
-    // WARN ("lineage has been truncated and cannot be recomputed") —
-    // correct behavior here by design (the data is never recomputed),
-    // but ~150 lines of it risk pushing the final JSON line out of
-    // the driver's captured log tail. Scoped to the rdd package.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd",
-      org.apache.logging.log4j.Level.ERROR)
+    QuietLogs()
 
     def runFully(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()

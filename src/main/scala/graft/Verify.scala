@@ -18,20 +18,8 @@ object Verify {
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the repo's global windows are all provably bounded (see Bench);
-    // the per-window warnings only bury the [verify] progress lines
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
-    // The round-11 deterministic unpersists of locally-checkpointed
-    // frames (CheckpointReclaim loops, HammingNN bases) each log a
-    // WARN ("lineage has been truncated and cannot be recomputed") —
-    // correct behavior here by design (the data is never recomputed),
-    // but ~150 lines of it risk pushing the final JSON line out of
-    // the driver's captured log tail. Scoped to the rdd package.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd",
-      org.apache.logging.log4j.Level.ERROR)
+    // log scoping: see QuietLogs (tail-window protection)
+    QuietLogs()
     new java.io.File(outDir).mkdirs()
     // ADS-B oracle base: the sessionizer output + raw fixture + dims,
     // dumped as parquet so the adsb_* oracle SQL (which reads them via

@@ -39,7 +39,8 @@ import org.apache.spark.sql.types._
   * any divergence in this kernel turns the gate red.
   */
 case class RiffFindExpr(content: Expression, start: Expression,
-    end: Expression, fourcc: String) extends TernaryExpression {
+    end: Expression, fourcc: String, forms: Boolean)
+    extends TernaryExpression {
 
   override def first: Expression = content
   override def second: Expression = start
@@ -64,14 +65,14 @@ case class RiffFindExpr(content: Expression, start: Expression,
 
   override def nullSafeEval(c: Any, s: Any, e: Any): Any =
     Riff.find(c.asInstanceOf[Array[Byte]], s.asInstanceOf[Int],
-      e.asInstanceOf[Int], target)
+      e.asInstanceOf[Int], target, forms)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (c, s, e) =>
-      s"${ev.value} = graft.functions.Riff.find($c, $s, $e, $target);")
+      s"${ev.value} = graft.functions.Riff.find($c, $s, $e, $target, $forms);")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): RiffFindExpr =
@@ -96,8 +97,16 @@ object Riff {
     ((b(p) & 0xFFL)) | ((b(p + 1) & 0xFFL) << 8) |
       ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
 
-  /** Shared interpreted/codegen kernel — see [[RiffFindExpr]]. */
-  def find(b: Array[Byte], start: Int, end: Int, target: Int): Long = {
+  /** Shared interpreted/codegen kernel — see [[RiffFindExpr]].
+    * `forms = true` matches ONLY LIST/RIFF chunks by their form word;
+    * `forms = false` matches ONLY plain chunk ids. The split is the
+    * kernel/oracle parity contract (round-11 review): the oracle's
+    * fmt/data lookups match chunk ids and its movi lookup matches
+    * LIST forms — a single fused rule would let a LIST whose form
+    * word spells 'data' shadow the real data chunk on one engine
+    * only. */
+  def find(b: Array[Byte], start: Int, end: Int, target: Int,
+      forms: Boolean): Long = {
     val stop = math.min(end.toLong, b.length.toLong)
     var p = start.toLong
     var i = 0
@@ -106,10 +115,10 @@ object Riff {
       val id = be32(b, p.toInt)
       val size = le32(b, p.toInt + 4)
       if (id == List4cc || id == Riff4cc) {
-        if (size >= 4 && p + 12 <= stop &&
+        if (forms && size >= 4 && p + 12 <= stop &&
             be32(b, p.toInt + 8) == target)
           return ((p + 8) << 32) | size
-      } else if (id == target) {
+      } else if (!forms && id == target) {
         return ((p + 8) << 32) | size
       }
       p += 8 + size + (size & 1)
@@ -121,10 +130,10 @@ object Riff {
   /** `riff_find` as a Column; `start`/`end` are 0-based byte offsets
     * (end exclusive, clamped to the blob length). */
   def riffFind(content: Column, start: Column, end: Column,
-      fourcc: String): Column =
+      fourcc: String, forms: Boolean = false): Column =
     Bridge.column(RiffFindExpr(Bridge.expression(content),
       Bridge.expression(start.cast("int")),
-      Bridge.expression(end.cast("int")), fourcc))
+      Bridge.expression(end.cast("int")), fourcc, forms))
 
   /** One byte of `content` at 0-based offset `off`, as a long. */
   private def byteAt(content: Column, off: Column): Column =
@@ -150,7 +159,8 @@ object Riff {
   /** 0-based byte offset of the `movi` LIST's type word (the byte
     * spelling 'movi'; sub-chunks begin 4 bytes later), or −1. */
   def moviStart(content: Column): Column = {
-    val r = riffFind(content, lit(12), length(content), "movi")
+    val r = riffFind(content, lit(12), length(content), "movi",
+      forms = true)
     when(r >= 0, shiftrightunsigned(r, 32)).otherwise(lit(-1L))
   }
 
@@ -177,9 +187,12 @@ object Riff {
       // the walk reports what the header DECLARES; truncation is the
       // caller-visible fits check — analysis admission (wavParsed,
       // AudioStream) requires it, the mm18 audit exposes it as a
-      // failing payload column instead of hiding the row
-      .withColumn("wav_fits", col("__dat") >= 0 &&
-        col("data_off") + col("data_bytes") <= length(c))
+      // failing payload column instead of hiding the row. BOTH chunk
+      // bodies must fit: a truncated fmt body would otherwise decode
+      // NULL header fields past the blob end (round-11 review)
+      .withColumn("wav_fits", col("__dat") >= 0 && col("__fmt") >= 0 &&
+        col("data_off") + col("data_bytes") <= length(c) &&
+        col("fmt_off") + col("fmt_bytes") <= length(c))
       .withColumn("riff_bytes", leIntAt(c, lit(4L), 4))
       .withColumn("audio_format", leIntAt(c, col("fmt_off"), 2))
       .withColumn("n_channels", leIntAt(c, col("fmt_off") + 2, 2))

@@ -184,14 +184,17 @@ object AdsbQueries {
         col("frame_size") + lit(8L) + pmod(col("frame_size"), lit(2L)))
       // same completeness gate as the gvid branch, chunk-strided; the
       // fs/nf ≤ blob-length pre-bounds keep the strided product under
-      // 2⁶² (ANSI long overflow would otherwise throw) and are
-      // short-circuited by Spark's And — mirrored as the oracle's
-      // CASE guard
-      .where(col("frame_size") <= length(col("content")) &&
-        col("n_frames") <= length(col("content")) &&
-        (col("n_frames") === 0 || length(col("content")) >=
+      // 2⁶² (ANSI long overflow would otherwise throw). The guard is
+      // a when() — CASE branches are contractually lazy, while WHERE
+      // conjunct order is an optimizer freedom — mirroring the
+      // oracle's CASE form
+      .where(when(
+        col("frame_size") <= length(col("content")) &&
+          col("n_frames") <= length(col("content")),
+        col("n_frames") === 0 || length(col("content")) >=
           col("movi0").cast("long") + 12 +
-            col("stride") * (col("n_frames") - 1) + col("frame_size")))
+            col("stride") * (col("n_frames") - 1) + col("frame_size"))
+        .otherwise(lit(false)))
       .select(col("model"), col("frame_size").cast("int").as("frame_size"),
         col("n_frames").cast("int").as("n_frames"),
         (col("movi0") + lit(12)).cast("int").as("base"),
@@ -296,21 +299,28 @@ object AdsbQueries {
       // materialize off the memory sink so the per-run driver state
       // can drop NOW (a bench session invokes this query repeatedly:
       // without the cleanup each run would leave a full result copy
-      // in the sink table and a checkpoint dir in tmpfs). The
-      // localCheckpoint blocks are the usual self-reclaiming kind.
-      val out = ntz(s.table(name).where(col("hexident") =!= "ZZZZZZ"),
-        "session_start", "time", "first_seen", "last_seen")
-        .select(cols.map(col): _*)
-        .orderBy(cols.map(col): _*)
-        .localCheckpoint(true)
-      s.catalog.dropTempView(name)
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
+      // in the sink table and a checkpoint dir in tmpfs). Cleanup
+      // rides a finally — a failed materialization must not leak the
+      // very state this block exists to reclaim. The localCheckpoint
+      // blocks are the usual self-reclaiming kind.
+      try {
+        ntz(s.table(name).where(col("hexident") =!= "ZZZZZZ"),
+          "session_start", "time", "first_seen", "last_seen")
+          .select(cols.map(col): _*)
+          .orderBy(cols.map(col): _*)
+          .localCheckpoint(true)
+      } finally {
+        scala.util.Try(s.catalog.dropTempView(name))
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(ckpt))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        }
       }
-      out
     }),
 
     "adsb_events" -> ((s, _) =>
@@ -929,9 +939,9 @@ object AdsbQueries {
             col("byte_rate") === col("sample_rate") * col("block_align")
               && col("block_align") === col("n_channels") *
                 expr("bits_per_sample div 8")).as("rate_ok"),
-          ok(col("wav_ok"),
-            col("data_off") + col("data_bytes") <= col("length"))
-            .as("payload_ok"))
+          // the SHARED fits column (drift-proof with admission):
+          // both chunk bodies must fit in the blob
+          ok(col("wav_ok"), col("wav_fits")).as("payload_ok"))
       val avi = Meta.loadMediaFiles(s, Meta.mediaDir(), "avi")
         .withColumn("hdr", hex(substring(col("content"), 1, 72)))
         .withColumn("magics_ok",
@@ -965,16 +975,18 @@ object AdsbQueries {
               col("frame_size").cast("decimal(20,0)") ===
                 leInt("hdr", 65, 4).cast("decimal(20,0)") *
                   leInt("hdr", 69, 4)).as("rate_ok"),
-          ok(col("structure_ok"),
-            // fs/nf ≤ blob-length pre-bounds keep the strided product
-            // under 2⁶² (And short-circuits); an insane declared
-            // count is by itself a payload inconsistency
-            col("frame_size") <= length(col("content")) &&
-              col("n_frames") <= length(col("content")) &&
-              (col("n_frames") === 0 || length(col("content")) >=
-                col("movi0").cast("long") + 12 +
-                  col("stride") * (col("n_frames") - 1) +
-                  col("frame_size"))).as("payload_ok"))
+          // fs/nf ≤ blob-length pre-bounds keep the strided product
+          // under 2⁶²; when()-guarded (CASE branches are lazy by
+          // contract) — an insane declared count is by itself a
+          // payload inconsistency
+          when(col("structure_ok") &&
+              col("frame_size") <= length(col("content")) &&
+              col("n_frames") <= length(col("content")),
+            col("n_frames") === 0 || length(col("content")) >=
+              col("movi0").cast("long") + 12 +
+                col("stride") * (col("n_frames") - 1) +
+                col("frame_size"))
+            .otherwise(lit(false)).as("payload_ok"))
       wav.unionByName(avi)
         .withColumn("consistent", col("structure_ok") &&
           col("riff_size_ok") && col("rate_ok") && col("payload_ok"))
@@ -1181,6 +1193,7 @@ object AdsbQueries {
        |avmv AS (
        |  SELECT model, min(p) + 8 AS movi0
        |  FROM avck WHERE cid = '4C495354' AND ctype = '6D6F7669'
+       |    AND sz >= 4
        |  GROUP BY model),
        |vb AS (
        |  SELECT model, hx, 8 AS base, fs, nf, fs AS stride
@@ -1226,7 +1239,7 @@ object AdsbQueries {
        |    AND substr(hex(content), 17, 8) = '57415645'),
        |${riffWalkCte(s"${name}wv", s"${name}w")},
        |${name}fc AS (
-       |  SELECT model, min_by(sz, p) AS sz
+       |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
        |  FROM ${name}wck WHERE cid = '666D7420' GROUP BY model),
        |${name}dc AS (
        |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
@@ -1240,8 +1253,8 @@ object AdsbQueries {
        |  FROM ${name}wv v
        |  JOIN ${name}fc f USING (model)
        |  JOIN ${name}dc d USING (model)
-       |  WHERE f.sz >= 16 AND d.o + d.sz <= length(v.hx) // 2)"""
-      .stripMargin
+       |  WHERE f.sz >= 16 AND d.o + d.sz <= length(v.hx) // 2
+       |    AND f.o + f.sz <= length(v.hx) // 2)""".stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two
     * hash re-derivations can never drift): from `blobSql` (any
@@ -1944,7 +1957,8 @@ object AdsbQueries {
          |  FROM v
          |  JOIN fc f USING (model)
          |  JOIN dc d USING (model)
-         |  WHERE f.sz >= 16 AND d.o + d.sz <= length(hx) // 2)
+         |  WHERE f.sz >= 16 AND d.o + d.sz <= length(hx) // 2
+         |    AND f.o + f.sz <= length(hx) // 2)
          |SELECT model, riff_bytes, fmt_bytes, audio_format, n_channels,
          |  sample_rate, byte_rate, block_align, bits_per_sample,
          |  data_bytes,
@@ -2015,7 +2029,8 @@ object AdsbQueries {
          |    ${dkLeAt("hx", "f.o", 2)} AS audio_format,
          |    ${dkLeAt("hx", "f.o + 2", 2)} AS n_channels,
          |    ${dkLeAt("hx", "f.o + 14", 2)} AS bits,
-         |    d.o AS data_off, d.sz AS data_bytes
+         |    d.o AS data_off, d.sz AS data_bytes,
+         |    f.o AS fmt_off, f.sz AS fmt_sz
          |  FROM wv w
          |  LEFT JOIN fc f USING (model)
          |  LEFT JOIN dc d USING (model)),
@@ -2027,7 +2042,9 @@ object AdsbQueries {
          |      byte_rate = sample_rate * block_align
          |      AND block_align = n_channels * (bits // 8)
          |      ELSE false END AS rate_ok,
-         |    CASE WHEN structure_ok THEN data_off + data_bytes <= n_bytes
+         |    CASE WHEN structure_ok THEN
+         |      data_off + data_bytes <= n_bytes
+         |      AND fmt_off + fmt_sz <= n_bytes
          |      ELSE false END AS payload_ok
          |  FROM wavp),
          |av0 AS (
@@ -2037,6 +2054,7 @@ object AdsbQueries {
          |amv AS (
          |  SELECT model, min(p) + 8 AS movi0
          |  FROM ack WHERE cid = '4C495354' AND ctype = '6D6F7669'
+         |    AND sz >= 4
          |  GROUP BY model),
          |avp AS (
          |  SELECT a.model, CAST(a.length AS BIGINT) AS n_bytes, m.movi0,

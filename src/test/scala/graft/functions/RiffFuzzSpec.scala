@@ -40,19 +40,22 @@ class RiffFuzzSpec extends AnyFunSuite {
           (rnd.nextInt(400) - 50, rnd.nextInt(400) - 50)).foreach {
         case (start, end) =>
           fourccs.foreach { t =>
-            val r = Riff.find(b, start, end, t)
-            if (r != -1L) {
-              val off = (r >>> 32).toInt
-              assert(off >= 0 && off <= b.length, s"off $off len ${b.length}")
-              def word(p: Int): Int =
-                if (p >= 0 && p + 4 <= b.length)
-                  ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
-                    ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
-                else -1
-              // plain chunk: id is 8 bytes before the data offset;
-              // LIST/RIFF: the form word sits AT the data offset
-              assert(word(off - 8) == t || word(off) == t,
-                s"match at $off spells neither header nor form target")
+            Seq(false, true).foreach { forms =>
+              val r = Riff.find(b, start, end, t, forms)
+              if (r != -1L) {
+                val off = (r >>> 32).toInt
+                assert(off >= 0 && off <= b.length,
+                  s"off $off len ${b.length}")
+                def word(p: Int): Int =
+                  if (p >= 0 && p + 4 <= b.length)
+                    ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
+                      ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+                  else -1
+                // forms=false: id is 8 bytes before the data offset;
+                // forms=true: the form word sits AT the data offset
+                assert(if (forms) word(off) == t else word(off - 8) == t,
+                  s"match at $off (forms=$forms) spells wrong target")
+              }
             }
           }
       }

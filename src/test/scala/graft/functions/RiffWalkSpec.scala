@@ -29,24 +29,32 @@ class RiffWalkSpec extends SparkSpec {
     val b = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
       "WAVE".getBytes ++ body
     // plain chunk by id: data offset skips the 8-byte header
-    val f = Riff.find(b, 12, b.length, t("fmt "))
+    val f = Riff.find(b, 12, b.length, t("fmt "), forms = false)
     assert(f >= 0)
     val (off, sz) = ((f >>> 32).toInt, (f & 0xFFFFFFFFL).toInt)
     // odd chunk (8+3+1=12) then LIST (8+9... 'INFO'+1 byte=5, padded
     // to 6 → 14) then fmt header → data
     assert(off === 12 + 12 + 14 + 8 && sz === 2)
-    // LIST matched by its form type; data INCLUDES the type word
-    val l = Riff.find(b, 12, b.length, t("INFO"))
+    // LIST matched by its form type (forms = true); data INCLUDES
+    // the type word
+    val l = Riff.find(b, 12, b.length, t("INFO"), forms = true)
     assert((l >>> 32).toInt === 12 + 12 + 8 && (l & 0xFFFFFFFFL) === 5)
     // absent fourcc
-    assert(Riff.find(b, 12, b.length, t("data")) === -1L)
+    assert(Riff.find(b, 12, b.length, t("data"), forms = false) === -1L)
+    // mode split (round-11 review): an id search never matches a LIST
+    // form word, and a form search never matches a plain id — a LIST
+    // whose form spells 'fmt ' cannot shadow the real fmt chunk
+    assert(Riff.find(b, 12, b.length, t("INFO"), forms = false) === -1L)
+    assert(Riff.find(b, 12, b.length, t("fmt "), forms = true) === -1L)
     // a declared size running off the end: walk stops, returns -1
     val trunc = b.take(12) ++ "fmt ".getBytes ++
       Array[Byte](-1, -1, -1, 127) ++ Array[Byte](1, 2)
-    assert(Riff.find(trunc, 12, trunc.length, t("data")) === -1L)
+    assert(Riff.find(trunc, 12, trunc.length, t("data"),
+      forms = false) === -1L)
     // start past the end / negative: -1, never a throw
-    assert(Riff.find(b, b.length + 4, b.length, t("fmt ")) === -1L)
-    assert(Riff.find(b, -3, b.length, t("fmt ")) === -1L)
+    assert(Riff.find(b, b.length + 4, b.length, t("fmt "),
+      forms = false) === -1L)
+    assert(Riff.find(b, -3, b.length, t("fmt "), forms = false) === -1L)
   }
 
   test("vid_junk demuxes: walk past strl+JUNK, padded stride, nf-bounded") {
