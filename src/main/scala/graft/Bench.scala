@@ -177,15 +177,19 @@ object Bench {
     // round-4 review flagged) without changing what's measured.
     //
     // Steal adjudication (round-5 verdict ask #8): a pair whose two
-    // runs disagree by >3x (slow one above 0.5 s — tiny queries flap
+    // runs disagree by >2x (slow one above 0.5 s — tiny queries flap
     // on scheduler noise, not steal) gets ONE extra sample. The flag
     // then requires the spread to REPRODUCE — the two fastest samples
-    // still >3x apart — so a single one-off stall (or a run-2 cache
+    // still >2x apart — so a single one-off stall (or a run-2 cache
     // reuse making run 1 look slow) self-cleans out of the artifact
-    // instead of flagging a pair whose min is untouched.
+    // instead of flagging a pair whose min is untouched. Trigger
+    // lowered 3x -> 2x (round-12, VERDICT r11 ask #1): sk1's r11
+    // capture spread 2.37x — just under the old trigger — and shipped
+    // a 13.3 s sample with no third run to adjudicate it; a >2x
+    // mover can no longer ship on two samples.
     def spread(a: Double, b: Double): Boolean =
       math.max(a, b) > 0.5 &&
-        math.max(a, b) / math.max(math.min(a, b), 1e-9) > 3.0
+        math.max(a, b) / math.max(math.min(a, b), 1e-9) > 2.0
     // Deterministic name-sorted run order (recorded in the artifact as
     // "order"): Map iteration order shuffled families across the run
     // as the surface grew, so round-over-round per-query comparisons
@@ -279,7 +283,7 @@ object Bench {
       .collect { case Right(v) => v }.sum
     val policy =
       "warm all at sf0.001; timed: min of 2 runs, +1 run when the first " +
-        "pair spreads >3x above 0.5s (reproduced spread -> steal[]); " +
+        "pair spreads >2x above 0.5s (reproduced spread -> steal[]); " +
         "run order = name-sorted; clearCache between queries; " +
         "periodic driver GC 1min; gc[] = per-run driver GC seconds; " +
         "cpu[]/trun[] = per-run task executor-CPU / executor-run " +

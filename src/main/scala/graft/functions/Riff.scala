@@ -87,7 +87,6 @@ object Riff {
   }
 
   private val List4cc = pack4cc("LIST")
-  private val Riff4cc = pack4cc("RIFF")
 
   private def be32(b: Array[Byte], p: Int): Int =
     ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
@@ -98,13 +97,17 @@ object Riff {
       ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
 
   /** Shared interpreted/codegen kernel — see [[RiffFindExpr]].
-    * `forms = true` matches ONLY LIST/RIFF chunks by their form word;
-    * `forms = false` matches ONLY plain chunk ids. The split is the
-    * kernel/oracle parity contract (round-11 review): the oracle's
-    * fmt/data lookups match chunk ids and its movi lookup matches
-    * LIST forms — a single fused rule would let a LIST whose form
-    * word spells 'data' shadow the real data chunk on one engine
-    * only. */
+    * `forms = true` matches ONLY LIST chunks by their form word;
+    * `forms = false` matches ONLY non-LIST chunk ids. The split is
+    * the kernel/oracle parity contract (round-11 review): the
+    * oracle's fmt/data lookups match chunk ids and its movi lookup
+    * matches LIST forms — a single fused rule would let a LIST whose
+    * form word spells 'data' shadow the real data chunk on one
+    * engine only. Form matching is LIST-only (round-12, ADVICE r11
+    * #1): the oracle walk's form consumers filter cid = 'LIST'
+    * exactly, so a nested 'RIFF'-id chunk must neither form-match
+    * here (it previously did) nor be treated as anything but a plain
+    * chunk — both engines now skip or plain-match it identically. */
   def find(b: Array[Byte], start: Int, end: Int, target: Int,
       forms: Boolean): Long = {
     val stop = math.min(end.toLong, b.length.toLong)
@@ -114,7 +117,7 @@ object Riff {
     while (p + 8 <= stop && i < 4096) {
       val id = be32(b, p.toInt)
       val size = le32(b, p.toInt + 4)
-      if (id == List4cc || id == Riff4cc) {
+      if (id == List4cc) {
         if (forms && size >= 4 && p + 12 <= stop &&
             be32(b, p.toInt + 8) == target)
           return ((p + 8) << 32) | size
