@@ -94,7 +94,17 @@ object Meta {
     // even-byte pad in the chunk stride) and a trailing idx1 index:
     // demuxes ONLY through the round-11 chunk walk + padded stride +
     // frame-count-bounded sums
-    "vid_junk.avi")
+    "vid_junk.avi",
+    // vid_pre: a JUNK alignment chunk BEFORE the hdrl LIST (spec-
+    // legal; common in remuxed files) — parses ONLY through the
+    // round-12 walked header (the old gate pinned hdrl at byte 12)
+    "vid_pre.avi",
+    // vid_mix: an INTERLEAVED movi — 01wb audio chunks between the
+    // 00db video frames, per-frame size variation (two frames off
+    // the declared 6x3 dims; mm18 flags rate_ok=false), a strl LIST
+    // padding hdrl after avih: demuxes ONLY through the round-12
+    // movi sub-chunk walk keyed on chunk ids
+    "vid_mix.avi")
 
   /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
     * is headerless 8-bit PCM; .gvid is the toy frame container

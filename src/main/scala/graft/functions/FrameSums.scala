@@ -87,6 +87,57 @@ case class FrameSumsExpr(content: Expression, offset: Expression,
       stride = newFourth)
 }
 
+/** Per-chunk byte sums over DEMUXED frames: `packed_byte_sums(
+  * content, packs)` takes [[Riff.riffChunks]]' packed
+  * `(off << 32) | size` longs and emits one Σb per chunk, in order —
+  * the variable-size twin of the strided [[FrameSumsExpr]] walk,
+  * needed once an interleaved AVI's `00db` chunks stop sharing one
+  * size/stride (round-12). Same no-throw contract: a declared size
+  * past the blob end clamps (the caller's completeness gate excludes
+  * such rows from analysis; the audit paths flag them). */
+case class PackedSumsExpr(content: Expression, packs: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = content
+  override def right: Expression = packs
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "packed_byte_sums"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (content.dataType, packs.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, p) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, array<bigint>), got " +
+          s"(${c.simpleString}, ${p.simpleString})")
+    }
+
+  override def nullSafeEval(c: Any, p: Any): Any =
+    new GenericArrayData(FrameSums.computePacked(
+      c.asInstanceOf[Array[Byte]],
+      p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, p) => {
+      val out = ctx.freshName("psums")
+      s"""
+         |long[] $out = graft.functions.FrameSums.computePacked($c,
+         |  $p.toLongArray());
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PackedSumsExpr =
+    copy(content = newLeft, packs = newRight)
+}
+
 object FrameSums {
 
   /** Shared interpreted/codegen kernel — one pass, one output long per
@@ -121,6 +172,29 @@ object FrameSums {
     }
     out
   }
+
+  /** One Σb per packed `(off << 32) | size` chunk, clamped at the
+    * blob end — see [[PackedSumsExpr]]. */
+  def computePacked(b: Array[Byte], packs: Array[Long]): Array[Long] = {
+    val out = new Array[Long](packs.length)
+    var k = 0
+    while (k < packs.length) {
+      val off = packs(k) >>> 32
+      val sz = packs(k) & 0xFFFFFFFFL
+      var i = math.min(math.max(off, 0L), b.length.toLong).toInt
+      val end = math.min(off + sz, b.length.toLong).toInt
+      var acc = 0L
+      while (i < end) { acc += b(i) & 0xFF; i += 1 }
+      out(k) = acc
+      k += 1
+    }
+    out
+  }
+
+  /** `packed_byte_sums` as a Column. */
+  def packedByteSums(content: Column, packs: Column): Column =
+    Bridge.column(PackedSumsExpr(Bridge.expression(content),
+      Bridge.expression(packs)))
 
   /** Per-frame byte sums Σb over contiguous frames (GVID tiling). */
   def frameByteSums(content: Column, offset: Column,

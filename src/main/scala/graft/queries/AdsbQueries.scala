@@ -61,16 +61,6 @@ object AdsbQueries {
   private def ntz(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
 
-  /** Little-endian unsigned int from a hex'd header column: `n` bytes
-    * starting at 1-based byte `pos` (the mm8 GVID header idiom,
-    * generalized — header-only hex, never the whole blob). */
-  private def leInt(hdr: String, pos: Int, n: Int): Column = {
-    val bytes = (0 until n).reverse
-      .map(i => s"substr($hdr, ${(pos - 1 + i) * 2 + 1}, 2)")
-      .mkString(" || ")
-    expr(s"cast(conv($bytes, 16, 10) AS bigint)")
-  }
-
   /** RIFF/WAVE parse — a REAL public container format, now through
     * the CHUNK WALK ([[graft.functions.Riff]], round-11): `fmt ` and
     * `data` are located by walking the top-level chunk sequence, so
@@ -92,53 +82,45 @@ object AdsbQueries {
         col("data_bytes"), col("data_off"))
 
   /** RIFF/AVI main-header parse — the video twin of [[wavParsed]]
-    * (same public RIFF idiom, same gated-narrowing policy): canonical
-    * minimal layout only (RIFF('AVI ') → LIST('hdrl') with 'avih'
-    * first), all five magics checked so a non-canonical AVI is
-    * excluded visibly rather than mis-parsed. One row per valid file
-    * with the avih fields decoded (little-endian, exact integers). */
+    * (same public RIFF idiom, same gated-narrowing policy), through
+    * the shared CHUNK-WALK gate ([[graft.functions.Riff
+    * .withAviColumns]], round-12): `hdrl` is located by the
+    * top-level walk and `avih` by a walk INSIDE `hdrl`, so a JUNK
+    * chunk before `hdrl` or a padded `hdrl` (strl headers before
+    * avih) parses instead of vanishing, while a malformed container
+    * still excludes itself visibly. One row per valid file with the
+    * avih fields decoded (little-endian, exact integers). */
   private[graft] def aviParsed(s: SparkSession,
       dir: String = Meta.mediaDir()): DataFrame =
-    Meta.loadMediaFiles(s, dir, "avi")
-      .withColumn("hdr", hex(substring(col("content"), 1, 72)))
-      .where(expr("substr(hdr, 1, 8) = '52494646'") && // 'RIFF'
-        expr("substr(hdr, 17, 8) = '41564920'") && // 'AVI '
-        expr("substr(hdr, 25, 8) = '4C495354'") && // 'LIST'
-        expr("substr(hdr, 41, 8) = '6864726C'") && // 'hdrl'
-        expr("substr(hdr, 49, 8) = '61766968'")) // 'avih'
-      .select(col("model"),
-        leInt("hdr", 5, 4).as("riff_bytes"),
-        leInt("hdr", 33, 4).as("us_per_frame"),
-        leInt("hdr", 49, 4).as("total_frames"),
-        leInt("hdr", 57, 4).as("n_streams"),
-        leInt("hdr", 65, 4).as("width"),
-        leInt("hdr", 69, 4).as("height"))
+    Riff.withAviColumns(Meta.loadMediaFiles(s, dir, "avi"))
+      .where(col("avi_ok"))
+      .select(col("model"), col("riff_bytes"), col("us_per_frame"),
+        col("total_frames"), col("n_streams"), col("width"),
+        col("height"))
 
-  /** The shared VIDEO frame-sum lattice for mm10/mm12/mm15 (round
-    * 10): one row per video with (frame_size, n_frames, per-frame
-    * byte sums) — toy GVID blobs UNION demuxed RIFF/AVI blobs. The
-    * AVI side walks the canonical layout dynamically: the 'hdrl'
-    * LIST's declared size locates the 'movi' LIST, whose magics
-    * ('LIST'/'movi'/'00db') are CHECKED before the first chunk's
-    * declared frame size drives a strided FrameSums walk (stride =
-    * frame_size + 8 + pad skips each chunk's 8-byte header plus the
-    * RIFF even-byte pad an odd frame size carries) — so the same
-    * video content produces the IDENTICAL lattice from either
-    * container (spec-pinned on the planted vid_scene twin), and a
-    * non-canonical AVI is excluded visibly, never mis-summed.
+  /** The shared VIDEO frame lattice for mm8/mm10/mm12/mm15 (round
+    * 10, demux-generalized round 12): one row per admitted video with
+    * `n_frames` plus PER-FRAME arrays `offs`/`szs`/`sums` (0-based
+    * payload offset, declared size, byte sum of frame i) — toy GVID
+    * blobs UNION demuxed RIFF/AVI blobs. The AVI side is the real
+    * demux now (round-12 verdict ask #3): [[graft.functions.Riff
+    * .withAviColumns]] walks the `movi` LIST's sub-chunks and keeps
+    * ONLY the `00db` video chunks, each at its own offset/size — so
+    * interleaved `01wb` audio chunks and per-frame size variation
+    * parse instead of excluding the file, and the uniform-stride
+    * fixtures produce the identICAL lattice they did under the old
+    * strided walk (spec-pinned). A non-canonical container still
+    * excludes itself visibly, never mis-summed.
     *
-    * The sums array is BOUNDED by the header-declared frame count
-    * (round-11, ADVICE r10 #1): the kernel's walk stops at the blob
-    * end, so trailing container data past the frames (an idx1 index,
-    * JUNK alignment chunks — ubiquitous in real AVIs) would otherwise
-    * append garbage "frames" the oracle (which builds exactly nf
-    * sums) never sees. */
+    * Frames are BOUNDED by the header-declared count (round-11,
+    * ADVICE r10 #1) and the completeness gate requires every
+    * declared frame to be present and fit in the blob — a truncated
+    * movi is excluded visibly, never partially summed. The gvid
+    * branch additionally requires `frame_size > 0` (round-12, ADVICE
+    * r11 #2): a zero-size frame declaration made the Spark kernel
+    * emit an empty lattice while the oracle built nf empty sums —
+    * the gate now excludes it identically on both engines. */
   private[graft] def videoFrameSums(s: SparkSession): DataFrame = {
-    // the int cast is safe on both branches: gvid counts are u16, and
-    // the avi branch's completeness gate has already bounded nf by the
-    // (int-sized) blob length
-    def bounded(sums: Column) =
-      slice(sums, lit(1), col("n_frames").cast("int"))
     val gv = Meta.loadMediaFiles(s, Meta.mediaDir(), "gvid")
       .withColumn("hdr", hex(substring(col("content"), 1, 8)))
       .where(expr("substr(hdr, 1, 8) = '47564944'"))
@@ -148,61 +130,48 @@ object AdsbQueries {
         "cast(conv(substr(hdr, 15, 2) || substr(hdr, 13, 2), 16, 10) AS int)"))
       // completeness gate: every DECLARED frame must fit in the blob
       // (round-11) — a truncated container is excluded visibly, never
-      // partially summed (the oracle builds exactly nf sums, so a
-      // partial walk would silently diverge)
-      .where(col("n_frames") === 0 || length(col("content")) >=
-        col("frame_size").cast("long") * col("n_frames") + 8)
-      .select(col("model"), col("frame_size"), col("n_frames"),
-        lit(8).as("base"), col("frame_size").as("stride"),
-        bounded(graft.functions.FrameSums.frameByteSums(
-          col("content"), lit(8), col("frame_size"))).as("sums"))
-    val avi = Meta.loadMediaFiles(s, Meta.mediaDir(), "avi")
-      .withColumn("hdr", hex(substring(col("content"), 1, 72)))
-      .where(expr("substr(hdr, 1, 8) = '52494646'") && // 'RIFF'
-        expr("substr(hdr, 17, 8) = '41564920'") && // 'AVI '
-        expr("substr(hdr, 25, 8) = '4C495354'") && // 'LIST'
-        expr("substr(hdr, 41, 8) = '6864726C'") && // 'hdrl'
-        expr("substr(hdr, 49, 8) = '61766968'")) // 'avih'
+      // partially summed — and the frame size must be positive
+      // (round-12, ADVICE r11 #2)
+      .where(col("n_frames") === 0 || (col("frame_size") > 0 &&
+        length(col("content")) >=
+          col("frame_size").cast("long") * col("n_frames") + 8))
+      .select(col("model"), col("n_frames"),
+        expr("""IF(n_frames = 0, CAST(array() AS array<bigint>),
+          |  transform(sequence(0, n_frames - 1),
+          |    f -> CAST(8 + f * frame_size AS BIGINT)))"""
+          .stripMargin).as("offs"),
+        array_repeat(col("frame_size").cast("long"),
+          col("n_frames")).as("szs"),
+        slice(graft.functions.FrameSums.frameByteSums(
+            col("content"), lit(8), col("frame_size")),
+          lit(1), col("n_frames")).as("sums"))
+    val avi = Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(),
+        "avi"))
+      .where(col("avi_ok"))
       // header counts stay LONG until the completeness gate has
-      // bounded them (round-11 review): a hostile dwTotalFrames or
-      // frame size ≥ 2³¹ would wrap through an early int cast, slip
-      // past the gate, and throw in slice() — the exact
-      // hostile-header task-crash the kernel contract forbids
-      .withColumn("n_frames", leInt("hdr", 49, 4))
-      .withColumn("movi0", Riff.moviStart(col("content")).cast("int"))
-      .where(col("movi0") >= 0)
-      .withColumn("mv", hex(expr("substring(content, movi0 + 1, 24)")))
-      // mv layout: 'movi'(b0-3) '00db'(b4-7) size(b8-11)
-      .where(expr("substr(mv, 1, 8) = '6D6F7669'") && // 'movi'
-        expr("substr(mv, 9, 8) = '30306462'")) // '00db'
-      .withColumn("frame_size", expr(
-        "cast(conv(substr(mv, 23, 2) || substr(mv, 21, 2) || " +
-          "substr(mv, 19, 2) || substr(mv, 17, 2), 16, 10) AS bigint)"))
-      // chunk stride honors the RIFF even-byte pad (ADVICE r10 #2):
-      // an odd frame size pads each chunk to the next even boundary
-      .withColumn("stride",
-        col("frame_size") + lit(8L) + pmod(col("frame_size"), lit(2L)))
-      // same completeness gate as the gvid branch, chunk-strided; the
-      // fs/nf ≤ blob-length pre-bounds keep the strided product under
-      // 2⁶² (ANSI long overflow would otherwise throw). The guard is
-      // a when() — CASE branches are contractually lazy, while WHERE
-      // conjunct order is an optimizer freedom — mirroring the
-      // oracle's CASE form
-      .where(when(
-        col("frame_size") <= length(col("content")) &&
-          col("n_frames") <= length(col("content")),
-        col("n_frames") === 0 || length(col("content")) >=
-          col("movi0").cast("long") + 12 +
-            col("stride") * (col("n_frames") - 1) + col("frame_size"))
+      // bounded them (round-11 review): a hostile dwTotalFrames
+      // ≥ 2³¹ would wrap through an early int cast, slip past the
+      // gate, and throw in slice() — the exact hostile-header
+      // task-crash the kernel contract forbids. The gate is a when()
+      // — CASE branches are contractually lazy, while WHERE conjunct
+      // order is an optimizer freedom — mirroring the oracle's CASE:
+      // nf ≤ found-chunk-count (≤ 4096 by the walk bound) makes the
+      // slice int cast safe, then every declared frame's payload
+      // must fit in the blob
+      .where(when(col("total_frames") <= size(col("avi_dbs")),
+        col("total_frames") === 0 || expr(
+          """aggregate(slice(avi_dbs, 1, CAST(total_frames AS INT)),
+            |  true, (acc, x) -> acc AND
+            |    shiftrightunsigned(x, 32) + (x & 4294967295) <=
+            |      length(content))""".stripMargin))
         .otherwise(lit(false)))
-      .select(col("model"), col("frame_size").cast("int").as("frame_size"),
-        col("n_frames").cast("int").as("n_frames"),
-        (col("movi0") + lit(12)).cast("int").as("base"),
-        col("stride").cast("int").as("stride"),
-        bounded(graft.functions.FrameSums.frameByteSums(col("content"),
-          (col("movi0") + lit(12)).cast("int"),
-          col("frame_size").cast("int"),
-          col("stride").cast("int"))).as("sums"))
+      .withColumn("dbs",
+        slice(col("avi_dbs"), lit(1), col("total_frames").cast("int")))
+      .select(col("model"), col("total_frames").cast("int").as("n_frames"),
+        expr("transform(dbs, x -> shiftrightunsigned(x, 32))").as("offs"),
+        expr("transform(dbs, x -> x & 4294967295)").as("szs"),
+        graft.functions.FrameSums.packedByteSums(col("content"),
+          col("dbs")).as("sums"))
     gv.unionByName(avi)
   }
 
@@ -879,7 +848,10 @@ object AdsbQueries {
         .groupBy(col("model")).agg(min(col("vreason")).as("vreason"))
       val vid = videoFrameSums(s)
         .select(col("model"),
-          (col("frame_size").cast("long") * col("n_frames")).as("n_bytes"),
+          // payload bytes = Σ demuxed frame sizes (round-12: frames
+          // may vary per chunk; equals frame_size·n_frames when
+          // uniform)
+          expr("aggregate(szs, 0L, (acc, x) -> acc + x)").as("n_bytes"),
           col("n_frames"))
         .join(nd, Seq("model"), "left")
         .select(lit("video").as("kind"), col("model"), col("n_bytes"),
@@ -942,50 +914,44 @@ object AdsbQueries {
           // the SHARED fits column (drift-proof with admission):
           // both chunk bodies must fit in the blob
           ok(col("wav_ok"), col("wav_fits")).as("payload_ok"))
-      val avi = Meta.loadMediaFiles(s, Meta.mediaDir(), "avi")
-        .withColumn("hdr", hex(substring(col("content"), 1, 72)))
-        .withColumn("magics_ok",
-          expr("substr(hdr, 1, 8) = '52494646'") &&
-            expr("substr(hdr, 17, 8) = '41564920'") &&
-            expr("substr(hdr, 25, 8) = '4C495354'") &&
-            expr("substr(hdr, 41, 8) = '6864726C'") &&
-            expr("substr(hdr, 49, 8) = '61766968'"))
-        .withColumn("movi0", Riff.moviStart(col("content")).cast("int"))
-        .withColumn("mv", hex(expr("substring(content, movi0 + 1, 12)")))
-        .withColumn("structure_ok", col("magics_ok") &&
-          col("movi0") >= 0 && expr("substr(mv, 9, 8) = '30306462'"))
-        // declared counts stay LONG (round-11 review): an int cast
-        // would WRAP exactly the lying headers this audit exists to
-        // flag, diverging from the oracle's exact BIGINT reads; the
-        // width·height product rides decimal so a hostile 2³¹-scale
-        // pair cannot throw under ANSI overflow
-        .withColumn("frame_size", expr(
-          "cast(conv(substr(mv, 23, 2) || substr(mv, 21, 2) || " +
-            "substr(mv, 19, 2) || substr(mv, 17, 2), 16, 10) AS bigint)"))
-        .withColumn("n_frames", leInt("hdr", 49, 4))
-        .withColumn("stride",
-          col("frame_size") + lit(8L) + pmod(col("frame_size"), lit(2L)))
+      val avi = Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(),
+          "avi"))
+        // structure = the shared walk gate (form + walked hdrl +
+        // avih) + a walked movi LIST (round-12: the first-sub-chunk-
+        // is-00db requirement is gone — an interleaved audio-first
+        // movi is structurally fine, the demux keys on chunk ids)
+        .withColumn("structure_ok", col("avi_ok") && col("movi_off") >= 0)
         .select(lit("avi").as("container"), col("model"),
           col("length").as("n_bytes"),
           col("structure_ok"),
           ok(col("structure_ok"),
-            leInt("hdr", 5, 4) === col("length") - 8).as("riff_size_ok"),
+            col("riff_bytes") === col("length") - 8).as("riff_size_ok"),
+          // declared counts stay LONG (round-11 review): an int cast
+          // would WRAP exactly the lying headers this audit exists to
+          // flag; width·height rides decimal so a hostile 2³¹-scale
+          // pair cannot throw under ANSI overflow. Every demuxed
+          // frame must match the declared dimensions (round-12: the
+          // check covers ALL 00db chunks, not just the first — a
+          // variable-size frame stream flags rather than hides)
           ok(col("structure_ok"),
-            leInt("hdr", 33, 4) > 0 &&
-              col("frame_size").cast("decimal(20,0)") ===
-                leInt("hdr", 65, 4).cast("decimal(20,0)") *
-                  leInt("hdr", 69, 4)).as("rate_ok"),
-          // fs/nf ≤ blob-length pre-bounds keep the strided product
-          // under 2⁶²; when()-guarded (CASE branches are lazy by
+            col("us_per_frame") > 0 && expr(
+              """aggregate(avi_dbs, true, (acc, x) -> acc AND
+                |  CAST(x & 4294967295 AS DECIMAL(20,0)) =
+                |    CAST(width AS DECIMAL(20,0)) * height)"""
+                .stripMargin)).as("rate_ok"),
+          // completeness: the declared frame count is DEMUXED and
+          // every declared frame's payload fits. nf ≤ found-count
+          // (≤ 4096 by the walk bound) keeps the slice int cast
+          // safe; when()-guarded (CASE branches are lazy by
           // contract) — an insane declared count is by itself a
           // payload inconsistency
           when(col("structure_ok") &&
-              col("frame_size") <= length(col("content")) &&
-              col("n_frames") <= length(col("content")),
-            col("n_frames") === 0 || length(col("content")) >=
-              col("movi0").cast("long") + 12 +
-                col("stride") * (col("n_frames") - 1) +
-                col("frame_size"))
+              col("total_frames") <= size(col("avi_dbs")),
+            col("total_frames") === 0 || expr(
+              """aggregate(slice(avi_dbs, 1, CAST(total_frames AS INT)),
+                |  true, (acc, x) -> acc AND
+                |    shiftrightunsigned(x, 32) + (x & 4294967295) <=
+                |      length(content))""".stripMargin))
             .otherwise(lit(false)).as("payload_ok"))
       wav.unionByName(avi)
         .withColumn("consistent", col("structure_ok") &&
@@ -1006,16 +972,16 @@ object AdsbQueries {
     // the dumped blobs and replays the k=4 sampling lattice.
     "mm8_frame_sample" -> ((s, _) =>
       // gvid ∪ demuxed avi (see videoFrameSums): the sampled frame's
-      // byte offset honors each container's own layout (base +
-      // idx·stride — for gvid that is 8 + idx·frame_size, for avi the
-      // movi payload position past the per-chunk headers)
+      // byte offset honors each container's own layout — for gvid
+      // 8 + idx·frame_size, for avi the demuxed 00db chunk's own
+      // payload position (interleaved audio chunks shift it, so a
+      // uniform stride no longer exists; round-12)
       videoFrameSums(s)
         .withColumn("frame_idx",
           explode(expr("sequence(0, n_frames - 1, 4)")))
         .select(col("model"), col("n_frames").cast("long").as("n_frames"),
           col("frame_idx").cast("long").as("frame_idx"),
-          (col("base").cast("long") +
-            col("frame_idx") * col("stride")).cast("long").as("offset"),
+          expr("element_at(offs, frame_idx + 1)").as("offset"),
           expr("element_at(sums, frame_idx + 1)").as("bytesum"))
         .orderBy(col("model"), col("frame_idx"))),
 
@@ -1150,81 +1116,162 @@ object AdsbQueries {
       .map(i => s"substr($hx, (($off) + $i) * 2 + 1, 2)")
       .mkString(" || ") + ")::BIGINT"
 
-  /** Bounded RIFF chunk walk over the (model, hx) rows of CTE `src` —
-    * the DuckDB replay of [[graft.functions.Riff]]'s kernel: emits
-    * `<pre>wk` (the recursion: p = each top-level chunk's 0-based
-    * offset) and `<pre>ck` (one row per chunk: cid/ctype hex, sz =
-    * declared size; ctype is the form word of LIST chunks, garbage
-    * hex otherwise — callers pair it with cid = 'LIST'). Same
-    * advance rule (8 + size + even pad), same 4096-chunk bound. The
-    * enclosing WITH must be RECURSIVE. */
-  private def riffWalkCte(src: String, pre: String): String = {
+  /** Bounded RIFF chunk walk over the (model, hx, st, en0) rows of
+    * CTE `src` — the DuckDB replay of [[graft.functions.Riff]]'s
+    * kernel over an ARBITRARY byte range (st = 0-based start, en0 =
+    * exclusive stop, both already clamped by the caller): emits
+    * `<pre>wk` (the recursion: p = each chunk's 0-based offset) and
+    * `<pre>ck` (one row per chunk: cid/ctype hex, sz = declared
+    * size; ctype is the form word of LIST chunks, garbage hex
+    * otherwise — callers pair it with cid = 'LIST'). Same advance
+    * rule (8 + size + even pad), same 4096-chunk bound as the
+    * kernel. Sub-walks (inside an `hdrl` or `movi` LIST) feed this
+    * directly; the top-level convenience below fixes (12, blob
+    * length). The enclosing WITH must be RECURSIVE. */
+  private def riffSubWalkCte(src: String, pre: String): String = {
     def sz(p: String) = dkLeAt("hx", s"$p + 4", 4)
     s"""${pre}wk AS (
-       |  SELECT model, hx, CAST(12 AS BIGINT) AS p, 0 AS i FROM $src
+       |  SELECT model, hx, CAST(st AS BIGINT) AS p, 0 AS i,
+       |    CAST(en0 AS BIGINT) AS stp
+       |  FROM $src
        |  UNION ALL
        |  SELECT model, hx, p + 8 + ${sz("p")} + (${sz("p")} % 2) AS p,
-       |    i + 1 AS i
+       |    i + 1 AS i, stp
        |  FROM ${pre}wk
-       |  WHERE (p + 8) * 2 <= length(hx) AND i < 4096),
+       |  WHERE p + 8 <= stp AND i < 4096),
        |${pre}ck AS (
        |  SELECT model, p, substr(hx, p * 2 + 1, 8) AS cid,
        |    substr(hx, (p + 8) * 2 + 1, 8) AS ctype, ${sz("p")} AS sz
        |  FROM ${pre}wk
-       |  WHERE (p + 8) * 2 <= length(hx) AND i < 4096)""".stripMargin
+       |  WHERE p + 8 <= stp AND i < 4096)""".stripMargin
   }
 
-  /** Shared VIDEO oracle CTE chain ending in `en (model, fs, nf,
-    * sums)` — GVID blobs UNION demuxed RIFF/AVI blobs, the
-    * independent DuckDB replay of [[videoFrameSums]]: the movi LIST
-    * is located by the bounded CHUNK WALK (round-11 — a JUNK or strl
-    * chunk no longer breaks the demux), the chunk stride carries the
-    * RIFF even-byte pad, magic-gated, per-frame sums bounded by the
-    * declared frame count. Requires WITH RECURSIVE. */
-  private def videoSumsCte: String =
+  /** [[riffSubWalkCte]] anchored at the top level: byte 12 (past the
+    * RIFF header + form word) to the blob end — ONE definition of
+    * the walk for both grains, so the advance rule cannot drift. */
+  private def riffWalkCte(src: String, pre: String): String =
+    riffSubWalkCte(
+      s"(SELECT model, hx, 12 AS st, length(hx) // 2 AS en0 FROM $src)",
+      pre)
+
+  /** Shared AVI walk/demux CTE chain — the DuckDB replay of
+    * [[graft.functions.Riff.withAviColumns]] (round-12): over ALL
+    * dumped avi blobs, walk the top level for the `hdrl` LIST, walk
+    * INSIDE `hdrl` for `avih`, decode the header fields, walk the
+    * top level for `movi` and walk INSIDE it for the ordered `00db`
+    * video chunks (interleaved `01wb` audio chunks skipped by id,
+    * per-chunk sizes kept). Emits:
+    *  - `avsrc (model, hx)`: every blob (walks run on garbage too —
+    *    bounded, harmless; gates are conditions, not inputs);
+    *  - `avhdr (model, hx, uspf, nf, nstreams, wd, ht)`: blobs
+    *    passing the Spark-side `avi_ok` gate (RIFF('AVI ') form +
+    *    walked hdrl + walked avih of ≥ 40 declared bytes that fit);
+    *  - `avmv (model, movi0, msz)`: the movi LIST where present;
+    *  - `avdb (model, off, sz, rn)`: the demuxed 00db chunks in walk
+    *    order (rn = 1-based frame index).
+    * Requires WITH RECURSIVE. */
+  private def aviDemuxCtes: String =
     s"""avsrc AS (
-       |  SELECT model, hex(content) AS hx FROM ${tbl("avi_blobs")}
-       |  WHERE substr(hex(content), 1, 8) = '52494646'
-       |    AND substr(hex(content), 17, 8) = '41564920'
-       |    AND substr(hex(content), 25, 8) = '4C495354'
-       |    AND substr(hex(content), 41, 8) = '6864726C'
-       |    AND substr(hex(content), 49, 8) = '61766968'),
+       |  SELECT model, hex(content) AS hx FROM ${tbl("avi_blobs")}),
        |${riffWalkCte("avsrc", "av")},
+       |avhd AS (
+       |  SELECT model, min(p) + 8 AS hoff, min_by(sz, p) AS hsz
+       |  FROM avck WHERE cid = '4C495354' AND ctype = '6864726C'
+       |    AND sz >= 4
+       |  GROUP BY model),
+       |avhsrc AS (
+       |  SELECT s.model, s.hx, h.hoff + 4 AS st,
+       |    least(h.hoff + h.hsz, length(s.hx) // 2) AS en0
+       |  FROM avsrc s JOIN avhd h USING (model)),
+       |${riffSubWalkCte("avhsrc", "ah")},
+       |avih AS (
+       |  SELECT model, min(p) + 8 AS aoff, min_by(sz, p) AS asz
+       |  FROM ahck WHERE cid = '61766968' GROUP BY model),
+       |avhdr AS (
+       |  SELECT s.model, s.hx,
+       |    ${dkLeAt("s.hx", "a.aoff", 4)} AS uspf,
+       |    ${dkLeAt("s.hx", "a.aoff + 16", 4)} AS nf,
+       |    ${dkLeAt("s.hx", "a.aoff + 24", 4)} AS nstreams,
+       |    ${dkLeAt("s.hx", "a.aoff + 32", 4)} AS wd,
+       |    ${dkLeAt("s.hx", "a.aoff + 36", 4)} AS ht
+       |  FROM avsrc s JOIN avih a USING (model)
+       |  WHERE substr(s.hx, 1, 8) = '52494646'
+       |    AND substr(s.hx, 17, 8) = '41564920'
+       |    AND a.asz >= 40 AND a.aoff + 40 <= length(s.hx) // 2),
        |avmv AS (
-       |  SELECT model, min(p) + 8 AS movi0
+       |  SELECT model, min(p) + 8 AS movi0, min_by(sz, p) AS msz
        |  FROM avck WHERE cid = '4C495354' AND ctype = '6D6F7669'
        |    AND sz >= 4
        |  GROUP BY model),
+       |avmsrc AS (
+       |  SELECT s.model, s.hx, m.movi0 + 4 AS st,
+       |    least(m.movi0 + m.msz, length(s.hx) // 2) AS en0
+       |  FROM avsrc s JOIN avmv m USING (model)),
+       |${riffSubWalkCte("avmsrc", "am")},
+       |avdb AS (
+       |  SELECT model, p + 8 AS off, sz,
+       |    row_number() OVER (PARTITION BY model ORDER BY p) AS rn
+       |  FROM amck WHERE cid = '30306462')""".stripMargin
+
+  /** Shared VIDEO oracle CTE chain ending in `en (model, nf, offs,
+    * szs, sums)` — GVID blobs UNION demuxed RIFF/AVI blobs, the
+    * independent DuckDB replay of [[videoFrameSums]] over
+    * [[aviDemuxCtes]]: per-frame offsets/sizes/byte-sums honor each
+    * container's own layout (round-12 — interleaved audio chunks
+    * and per-frame size variation demux instead of excluding the
+    * file), frames bounded by the declared count, the completeness
+    * gate requires every declared frame present and fitting, and
+    * the gvid branch requires frame_size > 0 (ADVICE r11 #2).
+    * Requires WITH RECURSIVE. */
+  private def videoSumsCte: String =
+    s"""$aviDemuxCtes,
+       |avfit AS (
+       |  SELECT g.model, g.hx, g.nf,
+       |    coalesce(sum(CASE WHEN d.off + d.sz <= length(g.hx) // 2
+       |      THEN 1 ELSE 0 END) FILTER (WHERE d.rn <= g.nf), 0) AS n_fit
+       |  FROM avhdr g LEFT JOIN avdb d USING (model)
+       |  GROUP BY g.model, g.hx, g.nf),
+       |avfs AS (
+       |  SELECT a.model, d.rn, d.off, d.sz,
+       |    coalesce(list_sum(list_transform(range(0, d.sz), i ->
+       |      ('0x' || substr(a.hx, CAST((d.off + i) * 2 + 1 AS BIGINT), 2))
+       |        ::BIGINT)), 0) AS fsum
+       |  FROM (SELECT model, hx, nf FROM avfit
+       |        WHERE nf = 0 OR n_fit = nf) a
+       |  JOIN avdb d USING (model)
+       |  WHERE d.rn <= a.nf),
+       |aven AS (
+       |  SELECT a.model, CAST(a.nf AS INT) AS nf,
+       |    coalesce(list(CAST(f.off AS BIGINT) ORDER BY f.rn)
+       |      FILTER (WHERE f.rn IS NOT NULL), []) AS offs,
+       |    coalesce(list(CAST(f.sz AS BIGINT) ORDER BY f.rn)
+       |      FILTER (WHERE f.rn IS NOT NULL), []) AS szs,
+       |    coalesce(list(f.fsum ORDER BY f.rn)
+       |      FILTER (WHERE f.rn IS NOT NULL), []) AS sums
+       |  FROM (SELECT model, nf FROM avfit WHERE nf = 0 OR n_fit = nf) a
+       |  LEFT JOIN avfs f USING (model)
+       |  GROUP BY a.model, a.nf),
        |vb AS (
-       |  SELECT model, hx, 8 AS base, fs, nf, fs AS stride
+       |  SELECT model, hx, fs, nf
        |  FROM (
        |    SELECT model, hx,
        |      ('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::INTEGER AS fs,
        |      ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS nf
        |    FROM (SELECT model, hex(content) AS hx FROM ${tbl("video_blobs")})
        |    WHERE substr(hx, 1, 8) = '47564944')
-       |  WHERE nf = 0 OR length(hx) >= (8 + fs * nf) * 2
-       |  UNION ALL
-       |  SELECT model, hx, CAST(movi0 + 12 AS INTEGER) AS base,
-       |    CAST(fs AS INTEGER) AS fs, CAST(nf AS INTEGER) AS nf,
-       |    CAST(fs + 8 + (fs % 2) AS INTEGER) AS stride
-       |  FROM (
-       |    SELECT s.model, s.hx, m.movi0,
-       |      ${dkLeAt("s.hx", "m.movi0 + 8", 4)} AS fs,
-       |      ${dkLe("s.hx", 49, 4)} AS nf
-       |    FROM avsrc s JOIN avmv m USING (model)
-       |    WHERE substr(s.hx, (m.movi0 + 4) * 2 + 1, 8) = '30306462')
-       |  WHERE CASE WHEN fs <= length(hx) // 2 AND nf <= length(hx) // 2
-       |    THEN nf = 0 OR length(hx) >=
-       |      (movi0 + 12 + (fs + 8 + fs % 2) * (nf - 1) + fs) * 2
-       |    ELSE false END),
+       |  WHERE nf = 0 OR (fs > 0 AND length(hx) >= (8 + fs * nf) * 2)),
        |en AS (
-       |  SELECT model, fs, nf, base, stride,
+       |  SELECT model, nf,
+       |    list_transform(range(0, nf), f -> CAST(8 + f * fs AS BIGINT))
+       |      AS offs,
+       |    list_transform(range(0, nf), f -> CAST(fs AS BIGINT)) AS szs,
        |    list_transform(range(0, nf), f ->
        |      list_sum(list_transform(range(0, fs), i ->
-       |        ('0x' || substr(hx, (base + f*stride + i)*2 + 1, 2))
+       |        ('0x' || substr(hx, (8 + f*fs + i)*2 + 1, 2))
        |          ::BIGINT))) AS sums
-       |  FROM vb)""".stripMargin
+       |  FROM vb
+       |  UNION ALL
+       |  SELECT model, nf, offs, szs, sums FROM aven)""".stripMargin
 
   /** Shared audio oracle CTE `b (model, length, hx)`: the headerless
     * .pcm dumps UNION the data payloads of valid RIFF/WAVE dumps
@@ -1786,12 +1833,12 @@ object AdsbQueries {
     "mm8_frame_sample" ->
       s"""WITH RECURSIVE $videoSumsCte,
          |f AS (
-         |  SELECT model, nf, base, stride, sums,
+         |  SELECT model, nf, offs, sums,
          |    unnest(range(0, nf, 4)) AS frame_idx
          |  FROM en)
          |SELECT model, CAST(nf AS BIGINT) AS n_frames,
          |  CAST(frame_idx AS BIGINT) AS frame_idx,
-         |  CAST(base + frame_idx * stride AS BIGINT) AS offset,
+         |  CAST(offs[frame_idx + 1] AS BIGINT) AS offset,
          |  CAST(sums[frame_idx + 1] AS BIGINT) AS bytesum
          |FROM f ORDER BY model, frame_idx""".stripMargin,
 
@@ -2047,42 +2094,39 @@ object AdsbQueries {
          |      AND fmt_off + fmt_sz <= n_bytes
          |      ELSE false END AS payload_ok
          |  FROM wavp),
-         |av0 AS (
-         |  SELECT model, length, hex(content) AS hx
+         |$aviDemuxCtes,
+         |avlen AS (
+         |  SELECT model, CAST(length AS BIGINT) AS n_bytes
          |  FROM ${tbl("avi_blobs")}),
-         |${riffWalkCte("av0", "a")},
-         |amv AS (
-         |  SELECT model, min(p) + 8 AS movi0
-         |  FROM ack WHERE cid = '4C495354' AND ctype = '6D6F7669'
-         |    AND sz >= 4
-         |  GROUP BY model),
+         |avagg AS (
+         |  SELECT h.model,
+         |    coalesce(sum(CASE WHEN d.off + d.sz <= length(h.hx) // 2
+         |      THEN 1 ELSE 0 END) FILTER (WHERE d.rn <= h.nf), 0)
+         |      AS n_fit,
+         |    coalesce(count(d.rn), 0) AS n_found,
+         |    coalesce(bool_and(d.sz::HUGEINT = h.wd::HUGEINT * h.ht),
+         |      true) AS dims_ok
+         |  FROM avhdr h LEFT JOIN avdb d USING (model)
+         |  GROUP BY h.model),
          |avp AS (
-         |  SELECT a.model, CAST(a.length AS BIGINT) AS n_bytes, m.movi0,
-         |    coalesce(substr(hx, 1, 8) = '52494646'
-         |      AND substr(hx, 17, 8) = '41564920'
-         |      AND substr(hx, 25, 8) = '4C495354'
-         |      AND substr(hx, 41, 8) = '6864726C'
-         |      AND substr(hx, 49, 8) = '61766968'
-         |      AND m.movi0 IS NOT NULL
-         |      AND substr(hx, (m.movi0 + 4) * 2 + 1, 8) = '30306462',
-         |      false) AS structure_ok,
-         |    ${dkLe("hx", 5, 4)} AS riff_bytes,
-         |    ${dkLe("hx", 33, 4)} AS uspf,
-         |    ${dkLe("hx", 49, 4)} AS nf,
-         |    ${dkLe("hx", 65, 4)} AS wd,
-         |    ${dkLe("hx", 69, 4)} AS ht,
-         |    ${dkLeAt("hx", "m.movi0 + 8", 4)} AS fs
-         |  FROM av0 a LEFT JOIN amv m USING (model)),
+         |  SELECT l.model, l.n_bytes,
+         |    coalesce(h.model IS NOT NULL AND m.movi0 IS NOT NULL, false)
+         |      AS structure_ok,
+         |    ${dkLe("h.hx", 5, 4)} AS riff_bytes,
+         |    h.uspf AS uspf, h.nf AS nf,
+         |    g.n_fit, g.n_found, g.dims_ok
+         |  FROM avlen l
+         |  LEFT JOIN avhdr h USING (model)
+         |  LEFT JOIN avmv m USING (model)
+         |  LEFT JOIN avagg g USING (model)),
          |arows AS (
          |  SELECT 'avi' AS container, model, n_bytes, structure_ok,
          |    CASE WHEN structure_ok THEN riff_bytes = n_bytes - 8
          |      ELSE false END AS riff_size_ok,
-         |    CASE WHEN structure_ok THEN uspf > 0
-         |      AND fs::HUGEINT = wd::HUGEINT * ht
+         |    CASE WHEN structure_ok THEN uspf > 0 AND dims_ok
          |      ELSE false END AS rate_ok,
-         |    CASE WHEN structure_ok AND fs <= n_bytes AND nf <= n_bytes
-         |      THEN nf = 0 OR n_bytes >=
-         |        movi0 + 12 + (fs + 8 + fs % 2) * (nf - 1) + fs
+         |    CASE WHEN structure_ok AND nf <= n_found
+         |      THEN nf = 0 OR n_fit = nf
          |      ELSE false END AS payload_ok
          |  FROM avp),
          |allrows AS (
@@ -2094,26 +2138,19 @@ object AdsbQueries {
          |FROM allrows ORDER BY container, model""".stripMargin,
 
     // mm16: the avih fields re-parsed independently from the dumped
-    // blob bytes — same magic gates, same little-endian reads.
+    // blob bytes — the same chunk WALK (top-level for hdrl, inside
+    // it for avih; round-12), same little-endian reads.
     "mm16_avi_header" ->
-      s"""WITH v AS (
-         |  SELECT model, hex(content) AS hx FROM ${tbl("avi_blobs")}),
-         |g AS (
-         |  SELECT model, hx FROM v
-         |  WHERE substr(hx, 1, 8) = '52494646'
-         |    AND substr(hx, 17, 8) = '41564920'
-         |    AND substr(hx, 25, 8) = '4C495354'
-         |    AND substr(hx, 41, 8) = '6864726C'
-         |    AND substr(hx, 49, 8) = '61766968'),
+      s"""WITH RECURSIVE $aviDemuxCtes,
          |p AS (
          |  SELECT model,
          |    ${dkLe("hx", 5, 4)} AS riff_bytes,
-         |    ${dkLe("hx", 33, 4)} AS us_per_frame,
-         |    ${dkLe("hx", 49, 4)} AS total_frames,
-         |    ${dkLe("hx", 57, 4)} AS n_streams,
-         |    ${dkLe("hx", 65, 4)} AS width,
-         |    ${dkLe("hx", 69, 4)} AS height
-         |  FROM g)
+         |    uspf AS us_per_frame,
+         |    nf AS total_frames,
+         |    nstreams AS n_streams,
+         |    wd AS width,
+         |    ht AS height
+         |  FROM avhdr)
          |SELECT model, riff_bytes, us_per_frame, total_frames, n_streams,
          |  width, height,
          |  CAST(1000000000 // us_per_frame AS BIGINT) AS fps_milli,
@@ -2185,7 +2222,7 @@ object AdsbQueries {
          |  GROUP BY model),
          |vid AS (
          |  SELECT 'video' AS kind, e.model,
-         |    CAST(e.fs AS BIGINT) * e.nf AS n_bytes,
+         |    CAST(coalesce(list_sum(e.szs), 0) AS BIGINT) AS n_bytes,
          |    CASE WHEN e.nf < 2 THEN 'too_short'
          |      ELSE coalesce(v.vreason, 'ok') END AS reason
          |  FROM en e LEFT JOIN vict v ON e.model = v.model),

@@ -62,6 +62,70 @@ class RiffFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("findChunks never throws, agrees with find, packs in-bounds ids") {
+    // the demux walk (round-12) shares find's advance rule: its FIRST
+    // element must equal find(forms=false)'s packed result on every
+    // input, every match must spell the target, and list order must
+    // be strictly increasing offsets
+    val rnd = new scala.util.Random(0xC21C)
+    val cases = (0 until 3000).map { i =>
+      val n = rnd.nextInt(300)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      // seed real chunk ids so matches actually occur
+      if (i % 2 == 0 && n >= 20) {
+        val ids = Seq("00db", "01wb", "fmt ", "LIST")
+        (0 until 2).foreach { _ =>
+          val p = rnd.nextInt(n - 8)
+          ids(rnd.nextInt(ids.size)).getBytes.copyToArray(b, p)
+        }
+      }
+      b
+    }
+    val targets = fourccs ++ Seq(Riff.pack4cc("00db"), Riff.pack4cc("01wb"))
+    cases.foreach { b =>
+      Seq((-64, 64), (0, Int.MaxValue), (12, b.length),
+          (rnd.nextInt(400) - 50, rnd.nextInt(400) - 50)).foreach {
+        case (start, end) =>
+          targets.foreach { t =>
+            val all = Riff.findChunks(b, start, end, t)
+            val first = Riff.find(b, start, end, t, forms = false)
+            assert((if (all.isEmpty) -1L else all.head) === first)
+            var prev = -1L
+            all.foreach { r =>
+              val off = (r >>> 32).toInt
+              assert(off > prev, "offsets must strictly increase")
+              prev = off
+              assert(off - 8 >= 0 && off <= b.length)
+              val id = ((b(off - 8) & 0xFF) << 24) |
+                ((b(off - 7) & 0xFF) << 16) |
+                ((b(off - 6) & 0xFF) << 8) | (b(off - 5) & 0xFF)
+              assert(id === t, s"match at $off spells wrong id")
+            }
+          }
+      }
+    }
+  }
+
+  test("FrameSums.computePacked never throws, clamps at the blob end") {
+    val rnd = new scala.util.Random(0x9ACC)
+    (0 until 2000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b)
+      val packs = Array.fill(rnd.nextInt(6)) {
+        val off = (rnd.nextInt(400) - 50).toLong
+        val sz = rnd.nextInt(3) match {
+          case 0 => 0xFFFFFFFFL // hostile declared size
+          case 1 => 0L
+          case _ => rnd.nextInt(300).toLong
+        }
+        ((off & 0xFFFFFFFFL) << 32) | sz
+      }
+      val r = FrameSums.computePacked(b, packs)
+      assert(r.length === packs.length)
+      // each sum is bounded by what the blob can physically hold
+      r.foreach(s => assert(s >= 0 && s <= 255L * b.length))
+    }
+  }
+
   test("FrameSums.compute never throws on hostile geometry") {
     val rnd = new scala.util.Random(0xF5A3)
     val edges = Seq(Int.MinValue, -1, 0, 1, 7, Int.MaxValue - 3,

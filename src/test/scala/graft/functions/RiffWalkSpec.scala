@@ -60,23 +60,62 @@ class RiffWalkSpec extends SparkSpec {
   test("vid_junk demuxes: walk past strl+JUNK, padded stride, nf-bounded") {
     val rows = graft.queries.AdsbQueries.videoFrameSums(spark)
       .where(col("model") === "vid_junk")
-      .select("frame_size", "n_frames", "base", "stride", "sums")
+      .select("n_frames", "offs", "szs", "sums")
       .collect()
     assert(rows.length === 1)
     val r = rows.head
-    assert(r.getInt(0) === 33) // odd frame size
-    assert(r.getInt(1) === 9)
+    assert(r.getInt(0) === 9)
     // RIFF(12) + hdrl(8+184) + JUNK(8+12) + LIST hdr(8) + 'movi'(4)
-    // + chunk hdr(8) = 244
-    assert(r.getInt(2) === 244)
-    assert(r.getInt(3) === 42) // 33 + 8 + 1 pad
-    val sums = r.getSeq[Long](4)
+    // + chunk hdr(8) = 244; odd 33-byte frames pad each chunk to a
+    // 42-byte stride
+    assert(r.getSeq[Long](1) === (0 until 9).map(f => 244L + f * 42L))
+    assert(r.getSeq[Long](2) === Seq.fill(9)(33L))
+    val sums = r.getSeq[Long](3)
     // bounded by the declared frame count — the trailing idx1 bytes
     // must never appear as extra "frames"
     assert(sums.length === 9)
     val expected = (0 until 9).map(f =>
       (0 until 33).map(i => (f * 37 + i * 11 + 7) % 251).sum.toLong)
     assert(sums === expected)
+  }
+
+  test("vid_pre parses: a JUNK chunk before hdrl no longer excludes") {
+    // round-12 verdict ask #2: the old gate pinned hdrl at byte 12
+    val hdr = graft.queries.AdsbQueries.defs("mm16_avi_header")(spark, "")
+      .where(col("model") === "vid_pre").collect()
+    assert(hdr.length === 1)
+    assert(hdr.head.getLong(2) === 40000L) // us_per_frame
+    assert(hdr.head.getLong(3) === 6L) // total_frames
+    assert(hdr.head.getLong(5) === 5L) // width
+    assert(hdr.head.getLong(6) === 4L) // height
+    val r = graft.queries.AdsbQueries.videoFrameSums(spark)
+      .where(col("model") === "vid_pre")
+      .select("n_frames", "offs", "szs", "sums").collect().head
+    assert(r.getInt(0) === 6)
+    // RIFF(12) + JUNK(8+18) + LIST hdrl(8+68) + LIST hdr(8) +
+    // 'movi'(4) + chunk hdr(8) = 134; even 20-byte frames, stride 28
+    assert(r.getSeq[Long](1) === (0 until 6).map(f => 134L + f * 28L))
+    assert(r.getSeq[Long](3) ===
+      Seq(1390L, 2010L, 2630L, 3250L, 3614L, 2954L))
+  }
+
+  test("vid_mix demuxes: interleaved 01wb skipped, per-chunk sizes kept") {
+    // round-12 verdict ask #3: three audio chunks interleave the five
+    // video frames, two frames are off the uniform size (17 B odd ->
+    // RIFF pad, 11 B short) — the id-keyed sub-chunk walk must keep
+    // exactly the 00db chunks at their container-true offsets
+    val r = graft.queries.AdsbQueries.videoFrameSums(spark)
+      .where(col("model") === "vid_mix")
+      .select("n_frames", "offs", "szs", "sums").collect().head
+    assert(r.getInt(0) === 5)
+    assert(r.getSeq[Long](1) === Seq(144L, 190L, 216L, 262L, 288L))
+    assert(r.getSeq[Long](2) === Seq(18L, 18L, 17L, 18L, 11L))
+    assert(r.getSeq[Long](3) === Seq(1773L, 2727L, 2615L, 2331L, 1200L))
+    // and mm8 samples at those offsets, not a uniform stride
+    val mm8 = graft.queries.AdsbQueries.defs("mm8_frame_sample")(spark, "")
+      .where(col("model") === "vid_mix").collect()
+      .map(x => x.getLong(2) -> x.getLong(3)).toMap
+    assert(mm8 === Map(0L -> 144L, 4L -> 288L))
   }
 
   test("mm16 decodes vid_junk's avih exactly") {

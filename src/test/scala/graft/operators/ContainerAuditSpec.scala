@@ -18,15 +18,22 @@ class ContainerAuditSpec extends SparkSpec {
     // one row per bundled RIFF container
     assert(rows.keySet === Set(
       ("wav", "dialog_h_w"), ("wav", "chant_i"), ("wav", "claim_j"),
-      ("avi", "vid_scene_a"), ("avi", "vid_junk")))
+      ("avi", "vid_scene_a"), ("avi", "vid_junk"), ("avi", "vid_pre"),
+      ("avi", "vid_mix")))
     // the lying byte_rate: structure fine, size fine, payload fine,
     // rate WRONG, consistent false
     assert(rows(("wav", "claim_j")) ===
       ((true, true, false, true, false)))
+    // the interleaved fixture's two off-dims frames (17 B, 11 B vs
+    // the declared 6x3): structurally valid and complete, but the
+    // per-frame dims check flags it — visible, never hidden
+    assert(rows(("avi", "vid_mix")) ===
+      ((true, true, false, true, false)))
     // every honestly-built fixture is fully consistent
-    (rows.keySet - (("wav", "claim_j"))).foreach { k =>
-      assert(rows(k) === ((true, true, true, true, true)), k.toString)
-    }
+    (rows.keySet -- Set(("wav", "claim_j"), ("avi", "vid_mix")))
+      .foreach { k =>
+        assert(rows(k) === ((true, true, true, true, true)), k.toString)
+      }
   }
 
   test("a malformed container stays VISIBLE as a failing audit row") {

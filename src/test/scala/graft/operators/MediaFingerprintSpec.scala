@@ -153,9 +153,12 @@ class MediaFingerprintSpec extends SparkSpec {
 
   test("AVI header parse matches the planted canonical fixture") {
     val all = AdsbQueries.defs("mm16_avi_header")(spark, "unused").collect()
-    // both bundled avis parse: the canonical twin AND the round-11
-    // non-canonical vid_junk (strl + JUNK + odd frames + idx1)
-    assert(all.map(_.getString(0)).toSet === Set("vid_scene_a", "vid_junk"))
+    // every bundled avi parses: the canonical twin, the round-11
+    // non-canonical vid_junk (strl + JUNK + odd frames + idx1), and
+    // the round-12 walked-header pair (JUNK before hdrl; interleaved
+    // movi with a strl-padded hdrl)
+    assert(all.map(_.getString(0)).toSet ===
+      Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix"))
     val r = all.filter(_.getString(0) == "vid_scene_a")
     val row = r.head
     assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)
@@ -179,8 +182,11 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(rows(("video", "vid_a_cut")) === ((false, "contained_dup")))
     assert(rows(("video", "vid_scene_a")) === ((false, "exact_dup")))
     // the survivors: real signals, varied images, original videos
+    // (incl. the round-12 walked-header fixtures — unique content,
+    // so the dedup gate must admit them)
     Seq(("audio", "dialog_h"), ("audio", "dialog_h_w"), ("image", "A1"),
-      ("video", "vid_a"), ("video", "vid_scene")).foreach { k =>
+      ("video", "vid_a"), ("video", "vid_scene"), ("video", "vid_pre"),
+      ("video", "vid_mix")).foreach { k =>
       assert(rows(k) === ((true, "ok")), k)
     }
     // admitted is the reason predicate, never independent state
