@@ -185,6 +185,114 @@ object AdsbQueries {
         graft.functions.Riff.wavPayload.as("content"),
         col("data_bytes").as("length")))
 
+  /** Shared harness for the stream ≡ batch parity rows: replay the
+    * reference capture through a streaming sessionizer
+    * (MemoryStream + flatMapGroupsWithState + event-time watermark)
+    * in micro-batches, push the watermark past every 300 s timeout
+    * with a sentinel aircraft so open sessions CLOSE and emit, and
+    * return the non-sentinel rows ordered for the oracle diff
+    * (DuckDB reads the BATCH sessionizer's dump — the row turns red
+    * the day the incremental fold and the batch fold diverge).
+    *
+    * `reorder = false`: messages in arrival (seq) order through the
+    * in-order sessionizer, two data batches (state carry-over across
+    * a boundary). `reorder = true` (round-12): a DETERMINISTIC
+    * bounded shuffle — messages sort by (8-second event-time window,
+    * scrambled seq), displacing them within windows strictly under
+    * the 10 s watermark delay but across three micro-batch
+    * boundaries — through the watermark-BUFFERED sessionizer
+    * ([[graft.streaming.AdsbStream.sessionizeReordered]]), which
+    * must reproduce the same batch-equal output. */
+  private def streamParity(s: SparkSession, reorder: Boolean): DataFrame = {
+    import graft.adsb.{AdsbMsg, FlightStateMachine}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val inOrder = Sbs.messages(
+      Sbs.fixtureLines(s, "adsb_message_stream.txt"))
+      .collect().sortBy(_.seq)
+    val msgs = if (!reorder) inOrder
+    else inOrder.sortBy { m =>
+      (FlightStateMachine.micros(m.gen_date_time) / 8000000L,
+        m.seq * 0x9E3779B97F4A7C15L, m.seq)
+    }
+    val stream = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[AdsbMsg]
+    val name = s"graft_stream_parity_${parityId.incrementAndGet()}"
+    // tmpfs checkpoint when available: this gate row pays ~1 fsync
+    // per micro-batch per state partition — real deployments
+    // checkpoint durably, the gate only needs determinism
+    val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = (if (java.nio.file.Files.isDirectory(ckptBase))
+      java.nio.file.Files.createTempDirectory(ckptBase, "graft-parity")
+    else java.nio.file.Files.createTempDirectory("graft-parity"))
+      .toString
+    // 8 state partitions for ~54 aircraft: each micro-batch commits
+    // one state-store delta PER partition, so the session's 32
+    // shuffle partitions would quadruple the commit overhead of
+    // this fixture-sized stream for nothing (scoped to the stream:
+    // the partition count is captured when the query STARTS;
+    // restored immediately after)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val sessionized =
+      if (reorder) graft.streaming.AdsbStream.sessionizeReordered(
+        stream.toDS())
+      else graft.streaming.AdsbStream.sessionize(stream.toDS())
+    val q =
+      try sessionized
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      // in-order: two data micro-batches (the 3-batch grain is
+      // AdsbStreamSpec's); reorder: three, so shuffled windows
+      // straddle more boundaries
+      msgs.grouped(if (reorder) 700 else 1100).foreach { b =>
+        stream.addData(b.toSeq); q.processAllAvailable()
+      }
+      val tMaxUs = msgs.map(m =>
+        FlightStateMachine.micros(m.gen_date_time)).max
+      def sentinel(sec: Long, seq: Long) = AdsbMsg(seq, 2, "ZZZZZZ",
+        new java.sql.Timestamp(tMaxUs / 1000 + sec * 1000),
+        None, None, None, None, Some(47.1), Some(-1.6), None,
+        Some(false))
+      // batch n+1 pushes the watermark past every timeout (and past
+      // every buffered row in reorder mode); batch n+2 lets the
+      // timeouts fire in their own trigger
+      stream.addData(sentinel(1200, 1000000L)); q.processAllAvailable()
+      stream.addData(sentinel(1300, 1000001L)); q.processAllAvailable()
+    } finally q.stop()
+    val cols = Seq("kind", "hexident", "session_start", "time",
+      "first_seen", "last_seen", "callsign", "n_positions", "lon",
+      "lat", "alt_m", "onground", "runway")
+    // materialize off the memory sink so the per-run driver state
+    // can drop NOW (a bench session invokes this query repeatedly:
+    // without the cleanup each run would leave a full result copy
+    // in the sink table and a checkpoint dir in tmpfs). Cleanup
+    // rides a finally — a failed materialization must not leak the
+    // very state this block exists to reclaim. The localCheckpoint
+    // blocks are the usual self-reclaiming kind.
+    try {
+      ntz(s.table(name).where(col("hexident") =!= "ZZZZZZ"),
+        "session_start", "time", "first_seen", "last_seen")
+        .select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*)
+        .localCheckpoint(true)
+    } finally {
+      scala.util.Try(s.catalog.dropTempView(name))
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(ckpt))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+    }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adsb_parse" -> ((s, _) =>
       ntz(Sbs.parse(Sbs.fixtureLines(s, "adsb_message_stream.txt")),
@@ -213,84 +321,17 @@ object AdsbQueries {
     // (without it, end-of-stream flights stay open and the parity is
     // spec-only, as in rounds ≤ 10). Sentinel rows are excluded from
     // both sides (the batch replay never saw it).
-    "adsb_stream_parity" -> ((s, _) => {
-      import graft.adsb.{AdsbMsg, FlightStateMachine}
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val msgs = Sbs.messages(
-        Sbs.fixtureLines(s, "adsb_message_stream.txt"))
-        .collect().sortBy(_.seq)
-      val stream = org.apache.spark.sql.execution.streaming
-        .runtime.MemoryStream[AdsbMsg]
-      val name = s"graft_stream_parity_${parityId.incrementAndGet()}"
-      // tmpfs checkpoint when available: this gate row pays ~1 fsync
-      // per micro-batch per state partition — real deployments
-      // checkpoint durably, the gate only needs determinism
-      val ckptBase = java.nio.file.Paths.get("/dev/shm")
-      val ckpt = (if (java.nio.file.Files.isDirectory(ckptBase))
-        java.nio.file.Files.createTempDirectory(ckptBase, "graft-parity")
-      else java.nio.file.Files.createTempDirectory("graft-parity"))
-        .toString
-      // 8 state partitions for ~54 aircraft: each micro-batch commits
-      // one state-store delta PER partition, so the session's 32
-      // shuffle partitions would quadruple the commit overhead of
-      // this fixture-sized stream for nothing (scoped to the stream:
-      // the partition count is captured when the query STARTS;
-      // restored immediately after)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try graft.streaming.AdsbStream.sessionize(stream.toDS())
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").option("checkpointLocation", ckpt)
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        // two data micro-batches: enough for state carry-over across
-        // a batch boundary (the 3-batch grain is AdsbStreamSpec's)
-        msgs.grouped(1100).foreach { b =>
-          stream.addData(b.toSeq); q.processAllAvailable()
-        }
-        val tMaxUs = msgs.map(m =>
-          FlightStateMachine.micros(m.gen_date_time)).max
-        def sentinel(sec: Long, seq: Long) = AdsbMsg(seq, 2, "ZZZZZZ",
-          new java.sql.Timestamp(tMaxUs / 1000 + sec * 1000),
-          None, None, None, None, Some(47.1), Some(-1.6), None,
-          Some(false))
-        // batch n+1 pushes the watermark past every timeout; batch
-        // n+2 lets the timeouts fire in their own trigger
-        stream.addData(sentinel(1200, 1000000L)); q.processAllAvailable()
-        stream.addData(sentinel(1300, 1000001L)); q.processAllAvailable()
-      } finally q.stop()
-      val cols = Seq("kind", "hexident", "session_start", "time",
-        "first_seen", "last_seen", "callsign", "n_positions", "lon",
-        "lat", "alt_m", "onground", "runway")
-      // materialize off the memory sink so the per-run driver state
-      // can drop NOW (a bench session invokes this query repeatedly:
-      // without the cleanup each run would leave a full result copy
-      // in the sink table and a checkpoint dir in tmpfs). Cleanup
-      // rides a finally — a failed materialization must not leak the
-      // very state this block exists to reclaim. The localCheckpoint
-      // blocks are the usual self-reclaiming kind.
-      try {
-        ntz(s.table(name).where(col("hexident") =!= "ZZZZZZ"),
-          "session_start", "time", "first_seen", "last_seen")
-          .select(cols.map(col): _*)
-          .orderBy(cols.map(col): _*)
-          .localCheckpoint(true)
-      } finally {
-        scala.util.Try(s.catalog.dropTempView(name))
-        scala.util.Try {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(
-            java.nio.file.Paths.get(ckpt))
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala
-            .foreach(p => java.nio.file.Files.delete(p))
-          finally walk.close()
-        }
-      }
-    }),
+    "adsb_stream_parity" -> ((s, _) => streamParity(s, reorder = false)),
+
+    // STREAM ≡ BATCH under BOUNDED DISORDER (round-12 verdict ask
+    // #5): the same capture with a deterministic shuffle that
+    // displaces messages WITHIN 8-second event-time windows — under
+    // the 10 s watermark delay, but across micro-batch boundaries,
+    // which the in-order path's per-batch sort cannot repair. The
+    // watermark-buffered sessionizer must still emit byte-identical
+    // rows to the batch sessionizer's global sort; the oracle is the
+    // SAME batch dump diff as adsb_stream_parity.
+    "adsb_stream_parity_ooo" -> ((s, _) => streamParity(s, reorder = true)),
 
     "adsb_events" -> ((s, _) =>
       ntz(AdsbPipeline.events(out(s)), "session_start", "time")
@@ -1102,6 +1143,20 @@ object AdsbQueries {
 
   private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
 
+  /** The batch sessionizer's dump, whole-row ordered — the oracle
+    * BOTH stream-parity rows diff against (in-order and bounded-
+    * disorder replays must land on the identical row set). */
+  private def streamParitySql: String =
+    s"""SELECT kind, hexident, session_start, time, first_seen,
+       |  last_seen, callsign, n_positions, lon, lat, alt_m, onground,
+       |  runway
+       |FROM ${tbl("adsb_out")}
+       |ORDER BY kind, hexident, session_start, time,
+       |  first_seen NULLS FIRST, last_seen NULLS FIRST,
+       |  callsign NULLS FIRST, n_positions NULLS FIRST,
+       |  lon NULLS FIRST, lat NULLS FIRST, alt_m NULLS FIRST,
+       |  onground NULLS FIRST, runway NULLS FIRST""".stripMargin
+
   /** DuckDB little-endian integer read over a hex'd blob: `n` bytes
     * from 1-based byte `pos` (mirrors the Spark-side [[leInt]]). */
   private def dkLe(hx: String, pos: Int, n: Int): String =
@@ -1540,16 +1595,11 @@ object AdsbQueries {
     // stream parity: the oracle side is the BATCH sessionizer's own
     // dump, whole rows — the Spark side ran the STREAMING operator,
     // so this compare IS the stream-vs-batch diff, run by DuckDB
-    "adsb_stream_parity" ->
-      s"""SELECT kind, hexident, session_start, time, first_seen,
-         |  last_seen, callsign, n_positions, lon, lat, alt_m, onground,
-         |  runway
-         |FROM ${tbl("adsb_out")}
-         |ORDER BY kind, hexident, session_start, time,
-         |  first_seen NULLS FIRST, last_seen NULLS FIRST,
-         |  callsign NULLS FIRST, n_positions NULLS FIRST,
-         |  lon NULLS FIRST, lat NULLS FIRST, alt_m NULLS FIRST,
-         |  onground NULLS FIRST, runway NULLS FIRST""".stripMargin,
+    "adsb_stream_parity" -> streamParitySql,
+
+    // the out-of-order replay must produce the SAME batch dump —
+    // one oracle, two input orders (round-12)
+    "adsb_stream_parity_ooo" -> streamParitySql,
 
     "adsb_events" ->
       s"""SELECT kind, hexident, session_start, time, runway

@@ -85,6 +85,84 @@ object AdsbStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateGroup)
   }
 
+  /** Per-aircraft reorder buffer + session state for
+    * [[sessionizeReordered]]: `pending` holds messages still above
+    * the watermark (not yet safe to fold), `session` the open flight
+    * session if any. */
+  final case class ReorderState(pending: Seq[AdsbMsg],
+      session: Option[State])
+
+  private def updateGroupReordered(
+      hexident: String,
+      msgs: Iterator[AdsbMsg],
+      state: GroupState[ReorderState]): Iterator[Out] = {
+    import scala.collection.mutable.ArrayBuffer
+    val prev = state.getOption.getOrElse(ReorderState(Nil, None))
+    val wmMs = state.getCurrentWatermarkMs()
+    // ripe = event time at/below the watermark: the watermark
+    // CONTRACT says no further input can arrive there, so folding
+    // the ripe set in event order is final — and because every later
+    // ripe set sits strictly above this watermark, the fold sees the
+    // exact total order the batch sessionizer's global sort produces
+    val (ripe, hold) = (prev.pending ++ msgs).partition(m =>
+      FlightStateMachine.micros(m.gen_date_time) / 1000 <= wmMs)
+    val outs = ArrayBuffer.empty[Out]
+    var st = FlightStateMachine.fold(prev.session,
+      ripe.sortBy(AdsbPipeline.orderKey).iterator, outs)
+    // event-time expiry once the buffer is drained: the watermark
+    // passing last_seen + 300 s proves no message can reopen the
+    // session (the same rule the fold applies to in-stream gaps)
+    if (hold.isEmpty) st match {
+      case Some(s)
+          if wmMs >= s.lastSeenUs / 1000 +
+            FlightStateMachine.MaxAgeSec * 1000 =>
+        outs += FlightStateMachine.flightRow(s)
+        st = None
+      case _ => ()
+    }
+    if (hold.isEmpty && st.isEmpty) {
+      if (state.exists) state.remove()
+    } else {
+      state.update(ReorderState(hold, st))
+      // a non-empty buffer must re-examine on EVERY watermark
+      // advance (rows ripen as it moves); a bare session only at its
+      // expiry point. Never at/behind the current watermark (the
+      // setTimeoutTimestamp contract)
+      val next =
+        if (hold.nonEmpty) wmMs + 1
+        else st.map(_.lastSeenUs / 1000 +
+          FlightStateMachine.MaxAgeSec * 1000).getOrElse(wmMs + 1)
+      state.setTimeoutTimestamp(math.max(next, wmMs + 1))
+    }
+    outs.iterator
+  }
+
+  /** [[sessionize]] with a WATERMARK-BUFFERED reorder stage (round-12
+    * verdict ask #5): messages are held in per-aircraft state until
+    * the event-time watermark passes them, then folded in event
+    * order — so input disorder BOUNDED BY THE WATERMARK DELAY
+    * (including across micro-batch boundaries, which the per-batch
+    * sort of [[sessionize]] cannot repair) yields byte-identical
+    * output to the batch sessionizer's global sort. The trade is
+    * latency: rows emit one watermark delay late. The in-order path
+    * stays the default — the reference processes in arrival order
+    * (T12), and this variant is the event-time upgrade for feeds
+    * that genuinely interleave (multi-receiver aggregation at
+    * scale). Gate: `adsb_stream_parity_ooo` replays the reference
+    * capture with a deterministic bounded shuffle and DuckDB-diffs
+    * the output against the batch dump. */
+  def sessionizeReordered(msgs: Dataset[AdsbMsg],
+      watermarked: Boolean = false): Dataset[Out] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    (if (watermarked) msgs
+     else msgs.withWatermark("gen_date_time", WatermarkDelay))
+      .groupByKey(_.hexident)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateGroupReordered)
+  }
+
   /** Raw lines from a dump1090 TCP port (S1). */
   def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream.format("socket")

@@ -185,6 +185,88 @@ class AdsbStreamSpec extends SparkSpec {
     assert(sFl.exceptAll(bFl).count() === 0)
   }
 
+  test("reorder buffer repairs CROSS-BATCH disorder under the watermark") {
+    // the case the in-order path cannot fix (round-12): a message
+    // older than already-folded ones arrives in a LATER micro-batch
+    // (above the watermark, so the contract admits it). The batch
+    // fold sorts globally -> session_start = the true first message;
+    // the watermark-buffered sessionizer must land on the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2019-10-20 11:00:00")
+    def at(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    def msg(hex: String, sec: Long, seq: Long) =
+      graft.adsb.AdsbMsg(seq, 2, hex, at(sec), None, None, None, None,
+        Some(47.1), Some(-1.6), None, Some(false))
+    val delivered = Seq(
+      Seq(msg("AAAAAA", 5, 1), msg("AAAAAA", 8, 2), msg("BBBBBB", 12, 3)),
+      Seq(msg("AAAAAA", 4, 0)), // late arrival: wm = 12-10 = 2 < 4
+      Seq(msg("CCCCCC", 1200, 4)), // sentinel: close everything
+      Seq(msg("CCCCCC", 1300, 5)))
+    val stream = MemoryStream[graft.adsb.AdsbMsg]
+    val ckpt = Files.createTempDirectory("graft-ckpt-ooo").toString
+    val q = AdsbStream.sessionizeReordered(stream.toDS()).writeStream
+      .format("memory").queryName("adsb_ooo_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    delivered.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("adsb_ooo_out")
+      .where("hexident IN ('AAAAAA', 'BBBBBB')")
+    val batch = {
+      import org.apache.spark.sql.functions.col
+      val msgs = delivered.flatten
+        .filter(m => m.hexident != "CCCCCC")
+      AdsbPipeline.process(spark.createDataset(msgs))
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "kind", "hexident", "cast(session_start as string)",
+      "cast(time as string)", "n_positions", "lon", "lat")
+    assert(key(streamed.toDF()).exceptAll(key(batch.toDF())).count() === 0)
+    assert(key(batch.toDF()).exceptAll(key(streamed.toDF())).count() === 0)
+    // and the repaired session really starts at the LATE message
+    assert(streamed.where("kind = 'flight' AND hexident = 'AAAAAA'")
+      .selectExpr("cast(session_start as string)").head().getString(0)
+      === "2019-10-20 11:00:04")
+  }
+
+  test("parity-ooo shuffle: real disorder, bounded by the watermark") {
+    // the adsb_stream_parity_ooo gate is only as strong as its input
+    // disorder: pin that the deterministic shuffle (8 s event-time
+    // windows, scrambled within) produces inversions ACROSS the
+    // 700-message micro-batch grain, while no message is displaced
+    // below the watermark its predecessors imply (max-seen - 10 s)
+    val inOrder = Sbs.messages(
+      Sbs.fixtureLines(spark, "adsb_message_stream.txt"))
+      .collect().sortBy(_.seq)
+    def us(m: graft.adsb.AdsbMsg) =
+      graft.adsb.FlightStateMachine.micros(m.gen_date_time)
+    val shuffled = inOrder.sortBy { m =>
+      (us(m) / 8000000L, m.seq * 0x9E3779B97F4A7C15L, m.seq)
+    }
+    assert(shuffled.map(_.seq).toSeq != inOrder.map(_.seq).toSeq)
+    // cross-batch inversion: some message lands in a LATER batch than
+    // a strictly newer (by event time) message
+    val batchOf = shuffled.zipWithIndex.map { case (m, i) => m -> i / 700 }
+    val crossInversions = batchOf.sliding(2).count {
+      case Array((a, ba), (b, bb)) => ba < bb && us(a) > us(b)
+    }
+    val anyCross = batchOf.indices.exists { i =>
+      batchOf.drop(i + 1).exists { case (b, bb) =>
+        bb > batchOf(i)._2 && us(batchOf(i)._1) > us(b)
+      }
+    }
+    assert(anyCross, s"no cross-batch disorder (adjacent: $crossInversions)")
+    // bounded: never below the running watermark
+    var maxUs = Long.MinValue / 2 // /2: the -10 s slack must not wrap
+    shuffled.foreach { m =>
+      assert(us(m) > maxUs - 10000000L,
+        s"seq ${m.seq} displaced below the watermark")
+      maxUs = math.max(maxUs, us(m))
+    }
+  }
+
   test("sessionizer state survives on the RocksDB state store") {
     // the conf-gated 100 TB state backend: the same batch ≡ stream
     // replay, with the sessionizer's keyed state in RocksDB instead
