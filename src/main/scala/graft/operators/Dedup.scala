@@ -308,19 +308,56 @@ object Dedup {
       shingles: DataFrame,
       numHashes: Int,
       bands: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded = bandedBuckets(shingles, numHashes, bands)
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    minhashCandidatesCapped(shingles, numHashes, bands,
+      maxBucketSize = maxBucketSize).drop("capped_only")
+
+  /** [[minhashCandidatesFromShingles]] with the HOT-BUCKET STAR ROUTE
+    * (round-12, the HotKeys idiom composed into the band join): a
+    * bucket of k > `hotBucketCap` colliding docs emits k−1 STAR pairs
+    * to its minimum member instead of k·(k−1)/2 — linear, and by
+    * construction every member stays connected to the bucket min, so
+    * the d7 connected-components path still collapses the cluster to
+    * ONE canonical (cluster recall 1.0 for the degenerate case the
+    * cap exists for: a crawl shard of near-identical boilerplate).
+    * What the cap trades away is PAIRWISE completeness inside hot
+    * buckets — `capped_only` audits it (true = the pair exists only
+    * through star routing, i.e. every bucket that produced it was
+    * hot), so no silent caps. Unlike `maxBucketSize` (which DROPS
+    * mega-buckets), star routing keeps the cluster signal. */
+  def minhashCandidatesCapped(
+      shingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      hotBucketCap: Int = Int.MaxValue,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
     // Pairs via per-bucket grouping — a single pipeline; the self-join
     // alternative recomputes the whole signature plan for each side.
+    bandedPairs(
+      bandedBuckets(shingles, numHashes, bands)
+        .select(col("id"), col("band"), col("bucket")),
+      maxBucketSize, hotBucketCap)
+
+  /** The shared bucket→pairs stage over (id, band, bucket) rows:
+    * full pairs for cool buckets, k−1 star pairs (to the bucket-min
+    * id) for buckets above `hotBucketCap`, buckets above
+    * `maxBucketSize` dropped; distinct pairs with the `capped_only`
+    * audit flag (true = no cool bucket produced this pair). */
+  private def bandedPairs(banded: DataFrame, maxBucketSize: Int,
+      hotBucketCap: Int): DataFrame =
     banded
       .groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .withColumn("capped", size(col("ids")) > hotBucketCap)
+      .withColumn("lefts",
+        when(col("capped"), array(array_min(col("ids"))))
+          .otherwise(col("ids")))
+      .select(col("capped"), explode(col("lefts")).as("id_a"), col("ids"))
+      .select(col("capped"), col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .distinct()
-  }
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(expr("bool_and(capped)").as("capped_only"))
 
   /** Cross-corpus boilerplate report (the RefinedWeb/C4-style
     * repeated-span filter, re-expressed over n-grams): an n-gram
@@ -380,6 +417,27 @@ object Dedup {
       maxHamming: Int = 1,
       bands: Int = 4,
       bits: Int = 60,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    simhashNearDupPairsCapped(sims, maxHamming, bands, bits,
+      maxBucketSize = maxBucketSize).drop("capped_only")
+
+  /** [[simhashNearDupPairs]] with the hot-bucket star route (round-12
+    * — see [[minhashCandidatesCapped]] for the idiom): a degenerate
+    * chunk bucket (the all-zeros fingerprint of near-empty docs, a
+    * boilerplate shard) emits k−1 star candidates to its minimum
+    * member instead of k·(k−1)/2. The hamming verify still applies
+    * to every candidate, so precision is untouched; the pigeonhole
+    * RECALL guarantee weakens only inside hot buckets (a qualifying
+    * pair whose every shared chunk is hot surfaces only if one side
+    * is the bucket min) — `capped_only` audits exactly those pairs,
+    * and the identical-fingerprint cluster the cap targets stays
+    * connected for the d7 component path. */
+  def simhashNearDupPairsCapped(
+      sims: DataFrame,
+      maxHamming: Int = 1,
+      bands: Int = 4,
+      bits: Int = 60,
+      hotBucketCap: Int = Int.MaxValue,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= bands - 1,
       s"recall guarantee needs maxHamming ($maxHamming) <= bands-1 (${bands - 1})")
@@ -393,15 +451,22 @@ object Dedup {
       .groupBy(col("band"), col("chunk"))
       .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
       .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
+      // struct ordering is field-lexicographic, so array_min picks
+      // the minimum id — the star center
+      .withColumn("capped", size(col("ms")) > hotBucketCap)
+      .withColumn("lefts",
+        when(col("capped"), array(array_min(col("ms"))))
+          .otherwise(col("ms")))
+      .select(col("capped"), explode(col("lefts")).as("a"), col("ms"))
+      .select(col("capped"), col("a"), explode(col("ms")).as("b"))
       .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("capped"), col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .agg(expr("bool_and(capped)").as("capped_only"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"), col("capped_only"))
   }
 
   /** Connected components over a near-duplicate pair list: each node's

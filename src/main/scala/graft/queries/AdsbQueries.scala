@@ -1158,7 +1158,7 @@ object AdsbQueries {
        |  onground NULLS FIRST, runway NULLS FIRST""".stripMargin
 
   /** DuckDB little-endian integer read over a hex'd blob: `n` bytes
-    * from 1-based byte `pos` (mirrors the Spark-side [[leInt]]). */
+    * from 1-based byte `pos` (fixed-offset twin of [[dkLeAt]]). */
   private def dkLe(hx: String, pos: Int, n: Int): String =
     "('0x' || " + (0 until n).reverse
       .map(i => s"substr($hx, ${(pos - 1 + i) * 2 + 1}, 2)")

@@ -94,6 +94,21 @@ object DocQueries {
           n = 3, numHashes = 16, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // d2c: the band join under the HOT-BUCKET STAR ROUTE (round-12,
+    // HotKeys composed into LSH): buckets above the cap emit k−1
+    // star pairs to their minimum member instead of k·(k−1)/2 —
+    // the quadratic-blowup guard for a crawl shard of near-identical
+    // boilerplate, with cluster connectivity (and therefore the d7
+    // component path) preserved by construction. cap = 2 so the sf
+    // corpora exercise BOTH routes; `capped_only` audits every pair
+    // that exists only through star routing — no silent caps.
+    "d2c_minhash_capped" -> ((s, dir) =>
+      Dedup.minhashCandidatesCapped(
+          Dedup.shingleRows(docs(s, dir), col("doc_id"), col("text"),
+            n = 3),
+          numHashes = 16, bands = 4, hotBucketCap = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Exact pairwise 3-gram Jaccard ≥ 0.2 (ground truth for LSH).
     "d3_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), col("doc_id"), col("text"),
@@ -578,6 +593,19 @@ object DocQueries {
       Dedup.simhashNearDupPairs(
           Dedup.simhash(docs(s, dir), col("doc_id"), col("text")),
           maxHamming = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // d4vc: d4v's chunk-bucket join under the hot-bucket star route
+    // (round-12 — the d2c idiom on SimHash banding, where the sf
+    // corpora carry REAL mega-buckets: ~150 docs share degenerate
+    // chunks at sf0.01). Hamming verification still applies to every
+    // candidate (precision untouched); the pigeonhole recall
+    // guarantee narrows only inside hot buckets, audited per pair by
+    // `capped_only`.
+    "d4vc_simhash_capped" -> ((s, dir) =>
+      Dedup.simhashNearDupPairsCapped(
+          Dedup.simhash(docs(s, dir), col("doc_id"), col("text")),
+          maxHamming = 1, hotBucketCap = 32)
         .orderBy(col("id_a"), col("id_b"))),
 
     // d7: near-dup CLUSTERS — connected components over the verified
@@ -3526,6 +3554,40 @@ object DocQueries {
         |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // the star route replayed: buckets above the cap pair every
+    // member with the bucket MIN only; bool_and over all producing
+    // buckets = the capped_only audit
+    "d2c_minhash_capped" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |sh2 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mh
+        |  FROM sh2, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |bcnt AS (
+        |  SELECT b, bucket, list(doc_id ORDER BY doc_id) AS ids,
+        |    count(*) AS k
+        |  FROM bands GROUP BY 1, 2 HAVING count(*) > 1),
+        |pr AS (
+        |  SELECT k > 2 AS capped, u.l AS id_a, v.r AS id_b
+        |  FROM bcnt,
+        |    UNNEST(CASE WHEN k > 2 THEN [ids[1]] ELSE ids END) AS u(l),
+        |    UNNEST(ids) AS v(r)
+        |  WHERE u.l < v.r)
+        |SELECT id_a, id_b, bool_and(capped) AS capped_only
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "d3_ngram_jaccard" ->
       s"""WITH $shingleCte,
         |sh2 AS (
@@ -4063,6 +4125,50 @@ object DocQueries {
         |    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // d4v's banding with the star route on chunk buckets above 32
+    // members (the sf corpora's real degenerate-chunk mega-buckets),
+    // hamming verify unchanged, capped_only = bool_and over every
+    // producing bucket
+    "d4vc_simhash_capped" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, u.t AS tok
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |h AS (SELECT doc_id, ${dkHash("tok", "0")} AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.i AS bit,
+        |    CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END AS w
+        |  FROM h, UNNEST(range(0, 60)) AS r(i)),
+        |agg AS (SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY 1, 2),
+        |sh2 AS (
+        |  SELECT doc_id AS id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+        |      AS simhash
+        |  FROM agg GROUP BY 1),
+        |banded AS (
+        |  SELECT id, simhash, b.i AS band,
+        |    (simhash >> (b.i * 15)) & 32767 AS chunk
+        |  FROM sh2, UNNEST(range(0, 4)) AS b(i)),
+        |bcnt AS (
+        |  SELECT band, chunk, list(id ORDER BY id) AS ids, count(*) AS k
+        |  FROM banded GROUP BY 1, 2 HAVING count(*) > 1),
+        |pr AS (
+        |  SELECT k > 32 AS capped, u.l AS id_a, v.r AS id_b
+        |  FROM bcnt,
+        |    UNNEST(CASE WHEN k > 32 THEN [ids[1]] ELSE ids END) AS u(l),
+        |    UNNEST(ids) AS v(r)
+        |  WHERE u.l < v.r),
+        |pairs AS (
+        |  SELECT id_a, id_b, bool_and(capped) AS capped_only
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming,
+        |  p.capped_only
+        |FROM pairs p
+        |JOIN sh2 x ON p.id_a = x.id
+        |JOIN sh2 y ON p.id_b = y.id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d7_dedup_clusters" -> {
