@@ -72,6 +72,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
   }
 
+  test("star-routed band joins keep d2's exchange budget") {
+    // round-12: the hot-bucket star route is a projection inside the
+    // existing bucket pipeline (when/array_min/explode) and the pair
+    // distinct-with-audit is one hash aggregate (never a join back
+    // to the buckets) — so each capped variant must plan EXACTLY the
+    // exchange count of its uncapped twin, with no product joins
+    def exchanges(q: String): Int =
+      "Exchange hashpartitioning".r.findAllMatchIn(plan(q)).length
+    for ((capped, plain) <- Seq(
+        "d2c_minhash_capped" -> "d2_minhash_lsh",
+        "d4vc_simhash_capped" -> "d4v_simhash_neardup")) {
+      val (c, u) = (exchanges(capped), exchanges(plain))
+      assert(c === u, s"$capped: $c exchanges vs $plain's $u")
+      val p = plan(capped)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), capped)
+    }
+  }
+
   test("headline aggregations stay inside whole-stage codegen") {
     // AQE's wrapper hides codegen annotation in the plan string; the
     // non-adaptive physical plan marks codegen stages with "*(n)".
