@@ -104,7 +104,14 @@ object Meta {
     // the declared 6x3 dims; mm18 flags rate_ok=false), a strl LIST
     // padding hdrl after avih: demuxes ONLY through the round-12
     // movi sub-chunk walk keyed on chunk ids
-    "vid_mix.avi")
+    "vid_mix.avi",
+    // vid_talk: an interleaved AVI whose 01wb AUDIO stream is real —
+    // 4096 bytes (64 pcm frames: 16 silent, 40 burst, 8 silent)
+    // split across three chunks between four video frames. Feeds the
+    // round-12 audio demux leg: the SAME signal analysis over pcm ∪
+    // wav ∪ avi (admitted by mm11's 50% gate at 375000 ppm silent,
+    // fingerprinted by mm7 at exactly its 64-frame window)
+    "vid_talk.avi")
 
   /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
     * is headerless 8-bit PCM; .gvid is the toy frame container

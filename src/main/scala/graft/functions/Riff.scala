@@ -217,9 +217,20 @@ object Riff {
       Bridge.expression(start.cast("int")),
       Bridge.expression(end.cast("int")), fourcc, forms))
 
-  /** One byte of `content` at 0-based offset `off`, as a long. */
+  /** One byte of `content` at 0-based offset `off`, as a long —
+    * NULL (not a throw) past the blob end. The clamp before the int
+    * cast matters (round-12): a not-found chunk's packed sentinel
+    * decodes to offset 2³²−1, and the field columns built on this
+    * are only MEANINGFUL under their `wav_ok`/`avi_ok` guards but
+    * may be EVALUATED unguarded (local-relation constant evaluation
+    * runs whole projections) — an ANSI cast overflow there would
+    * crash the task instead of yielding the NULL the guards
+    * expect. Blobs are JVM byte arrays (< 2³¹), so the clamp never
+    * changes an in-range read. */
   private def byteAt(content: Column, off: Column): Column =
-    conv(hex(content.substr(off.cast("int") + lit(1), lit(1))), 16, 10)
+    conv(hex(content.substr(
+      least(off, lit(Int.MaxValue.toLong - 1)).cast("int") + lit(1),
+      lit(1))), 16, 10)
       .cast("long")
 
   /** Little-endian unsigned int of `n` bytes at 0-based byte offset
@@ -351,4 +362,34 @@ object Riff {
   def wavPayload: Column =
     expr("substring(content, cast(data_off AS int) + 1, " +
       "cast(data_bytes AS int))")
+
+  /** [[withAviColumns]] plus the AUDIO demux (round-12): `avi_wbs`
+    * (every `01wb` sub-chunk of movi, packed, in order),
+    * `avi_audio_ok` (valid AVI with ≥ 1 audio chunk whose declared
+    * payloads all FIT — the wav_fits contract on the audio leg), and
+    * `avi_audio` (the ordered payload concatenation — the container-
+    * independent PCM stream, NULL unless ok). ONE home for the audio
+    * demux, shared by the batch corpus ([[graft.queries
+    * .AdsbQueries]]) and the streaming gate ([[graft.streaming
+    * .AudioStream]]). */
+  def withAviAudio(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = col("content")
+    withAviColumns(df)
+      .withColumn("avi_wbs", when(col("movi_off") >= 0,
+        riffChunks(c, col("movi_off") + 4,
+          least(col("movi_off") + col("movi_sz"), length(c)), "01wb"))
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("avi_audio_ok", col("avi_ok") &&
+        col("movi_off") >= 0 && size(col("avi_wbs")) > 0 && expr(
+        """aggregate(avi_wbs, true, (acc, x) -> acc AND
+          |  shiftrightunsigned(x, 32) + (x & 4294967295) <=
+          |    length(content))""".stripMargin))
+      .withColumn("avi_audio", when(col("avi_audio_ok"), expr(
+        """aggregate(avi_wbs, cast('' AS binary), (acc, x) ->
+          |  acc || substring(content,
+          |    CAST(shiftrightunsigned(x, 32) AS INT) + 1,
+          |    CAST(x & 4294967295 AS INT)))""".stripMargin))
+        .otherwise(lit(null).cast("binary")))
+  }
 }

@@ -176,14 +176,30 @@ object AdsbQueries {
   }
 
   /** The shared audio input for mm7/mm11/mm13 (round 10): headerless
-    * .pcm blobs UNION the PCM payloads of real .wav containers —
-    * container-independent audio analysis, the mm5 cross-format
-    * story for the audio leg. (model, content, length) either way. */
+    * .pcm blobs UNION the PCM payloads of real .wav containers UNION
+    * the demuxed `01wb` audio streams of real .avi containers
+    * (round-12 — the third container through the same chunk walk:
+    * an interleaved AVI's audio is the ordered concatenation of its
+    * 01wb sub-chunk payloads, exactly as its video is the ordered
+    * 00db set) — container-independent audio analysis, the mm5
+    * cross-format story for the audio leg. (model, content, length)
+    * all three ways. */
   private def audioPcmBlobs(s: SparkSession): DataFrame =
     Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
       .unionByName(wavParsed(s).select(col("model"),
         graft.functions.Riff.wavPayload.as("content"),
         col("data_bytes").as("length")))
+      .unionByName(aviAudioPcm(s))
+
+  /** The demuxed audio stream of every valid AVI with ≥ 1 `01wb`
+    * chunk whose payloads all fit — the audio twin of the 00db
+    * video demux, via the SAME shared gate the streaming intake uses
+    * ([[graft.functions.Riff.withAviAudio]]). */
+  private def aviAudioPcm(s: SparkSession): DataFrame =
+    Riff.withAviAudio(Meta.loadMediaFiles(s, Meta.mediaDir(), "avi"))
+      .where(col("avi_audio_ok"))
+      .select(col("model"), col("avi_audio").as("content"),
+        length(col("avi_audio")).cast("long").as("length"))
 
   /** Shared harness for the stream ≡ batch parity rows: replay the
     * reference capture through a streaming sessionizer
@@ -652,9 +668,14 @@ object AdsbQueries {
     // [[graft.operators.HammingNN]] readout (mm4's banding beyond
     // the pairwise threshold — no unconditional all-pairs join).
     "mm7_audio_fingerprint" -> ((s, _) => {
-      // pcm ∪ wav payloads: the dialog_h_w RIFF twin must land at
-      // hamming 0 from dialog_h — format-independent fingerprinting
-      val bin = audioPcmBlobs(s)
+      // pcm ∪ wav ∪ avi audio: the dialog_h_w RIFF twin must land at
+      // hamming 0 from dialog_h — format-independent fingerprinting.
+      // The fingerprint is a DECLARED fixed 64-frame (4096-byte)
+      // window: clips shorter than the window carry no fingerprint
+      // and are excluded (round-12 — the avi leg admits variable
+      // clip lengths, and a short clip would otherwise index past
+      // its energy lattice)
+      val bin = audioPcmBlobs(s).where(col("length") >= 64L * 64L)
       // round-10: the hex/conv per-byte detour is gone — one codegen
       // byte walk emits the 64-frame energy lattice (FrameSums); the
       // slice pins the declared fixed-64-frame fingerprint window
@@ -1225,48 +1246,59 @@ object AdsbQueries {
     *  - `avdb (model, off, sz, rn)`: the demuxed 00db chunks in walk
     *    order (rn = 1-based frame index).
     * Requires WITH RECURSIVE. */
-  private def aviDemuxCtes: String =
-    s"""avsrc AS (
+  private def aviDemuxCtes: String = aviDemuxCtes("av")
+
+  /** The same chain under an arbitrary CTE-name prefix, so a query
+    * whose WITH already embeds the video chain (mm17) can ALSO embed
+    * the audio leg's copy without name collisions. The externally
+    * consumed names are `${pre}src`, `${pre}hdr`, `${pre}mv`,
+    * `${pre}db` (00db video chunks) and `${pre}wb` (01wb audio
+    * chunks, round-12). */
+  private def aviDemuxCtes(pre: String): String =
+    s"""${pre}src AS (
        |  SELECT model, hex(content) AS hx FROM ${tbl("avi_blobs")}),
-       |${riffWalkCte("avsrc", "av")},
-       |avhd AS (
+       |${riffWalkCte(s"${pre}src", pre)},
+       |${pre}hd AS (
        |  SELECT model, min(p) + 8 AS hoff, min_by(sz, p) AS hsz
-       |  FROM avck WHERE cid = '4C495354' AND ctype = '6864726C'
+       |  FROM ${pre}ck WHERE cid = '4C495354' AND ctype = '6864726C'
        |    AND sz >= 4
        |  GROUP BY model),
-       |avhsrc AS (
+       |${pre}hsrc AS (
        |  SELECT s.model, s.hx, h.hoff + 4 AS st,
        |    least(h.hoff + h.hsz, length(s.hx) // 2) AS en0
-       |  FROM avsrc s JOIN avhd h USING (model)),
-       |${riffSubWalkCte("avhsrc", "ah")},
-       |avih AS (
+       |  FROM ${pre}src s JOIN ${pre}hd h USING (model)),
+       |${riffSubWalkCte(s"${pre}hsrc", s"${pre}h")},
+       |${pre}ih AS (
        |  SELECT model, min(p) + 8 AS aoff, min_by(sz, p) AS asz
-       |  FROM ahck WHERE cid = '61766968' GROUP BY model),
-       |avhdr AS (
+       |  FROM ${pre}hck WHERE cid = '61766968' GROUP BY model),
+       |${pre}hdr AS (
        |  SELECT s.model, s.hx,
        |    ${dkLeAt("s.hx", "a.aoff", 4)} AS uspf,
        |    ${dkLeAt("s.hx", "a.aoff + 16", 4)} AS nf,
        |    ${dkLeAt("s.hx", "a.aoff + 24", 4)} AS nstreams,
        |    ${dkLeAt("s.hx", "a.aoff + 32", 4)} AS wd,
        |    ${dkLeAt("s.hx", "a.aoff + 36", 4)} AS ht
-       |  FROM avsrc s JOIN avih a USING (model)
+       |  FROM ${pre}src s JOIN ${pre}ih a USING (model)
        |  WHERE substr(s.hx, 1, 8) = '52494646'
        |    AND substr(s.hx, 17, 8) = '41564920'
        |    AND a.asz >= 40 AND a.aoff + 40 <= length(s.hx) // 2),
-       |avmv AS (
+       |${pre}mv AS (
        |  SELECT model, min(p) + 8 AS movi0, min_by(sz, p) AS msz
-       |  FROM avck WHERE cid = '4C495354' AND ctype = '6D6F7669'
+       |  FROM ${pre}ck WHERE cid = '4C495354' AND ctype = '6D6F7669'
        |    AND sz >= 4
        |  GROUP BY model),
-       |avmsrc AS (
+       |${pre}msrc AS (
        |  SELECT s.model, s.hx, m.movi0 + 4 AS st,
        |    least(m.movi0 + m.msz, length(s.hx) // 2) AS en0
-       |  FROM avsrc s JOIN avmv m USING (model)),
-       |${riffSubWalkCte("avmsrc", "am")},
-       |avdb AS (
+       |  FROM ${pre}src s JOIN ${pre}mv m USING (model)),
+       |${riffSubWalkCte(s"${pre}msrc", s"${pre}m")},
+       |${pre}db AS (
        |  SELECT model, p + 8 AS off, sz,
        |    row_number() OVER (PARTITION BY model ORDER BY p) AS rn
-       |  FROM amck WHERE cid = '30306462')""".stripMargin
+       |  FROM ${pre}mck WHERE cid = '30306462'),
+       |${pre}wb AS (
+       |  SELECT model, p, p + 8 AS off, sz
+       |  FROM ${pre}mck WHERE cid = '30317762')""".stripMargin
 
   /** Shared VIDEO oracle CTE chain ending in `en (model, nf, offs,
     * szs, sums)` — GVID blobs UNION demuxed RIFF/AVI blobs, the
@@ -1330,9 +1362,10 @@ object AdsbQueries {
 
   /** Shared audio oracle CTE `b (model, length, hx)`: the headerless
     * .pcm dumps UNION the data payloads of valid RIFF/WAVE dumps
-    * (located by the bounded CHUNK WALK, round-11 — extra LIST/fact
-    * chunks no longer exclude a well-formed file) — the independent
-    * DuckDB replay of [[audioPcmBlobs]]. Requires WITH RECURSIVE. */
+    * UNION the concatenated `01wb` audio chunks of valid RIFF/AVI
+    * dumps (round-12 — the third container through the same chunk
+    * walk) — the independent DuckDB replay of [[audioPcmBlobs]].
+    * Requires WITH RECURSIVE. */
   private def audioHexCte: String = audioHexCte("b")
   private def audioHexCte(name: String): String =
     s"""${name}wv AS (
@@ -1346,6 +1379,16 @@ object AdsbQueries {
        |${name}dc AS (
        |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
        |  FROM ${name}wck WHERE cid = '64617461' GROUP BY model),
+       |${aviDemuxCtes(s"${name}a")},
+       |${name}ax AS (
+       |  SELECT h.model,
+       |    string_agg(substr(h.hx, CAST(d.off * 2 + 1 AS BIGINT),
+       |      CAST(d.sz * 2 AS BIGINT)), '' ORDER BY d.p) AS hx,
+       |    CAST(sum(d.sz) AS BIGINT) AS length,
+       |    bool_and(d.off + d.sz <= length(h.hx) // 2) AS fits
+       |  FROM ${name}ahdr h
+       |  JOIN ${name}awb d USING (model)
+       |  GROUP BY h.model),
        |$name AS (
        |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}
        |  UNION ALL
@@ -1356,7 +1399,9 @@ object AdsbQueries {
        |  JOIN ${name}fc f USING (model)
        |  JOIN ${name}dc d USING (model)
        |  WHERE f.sz >= 16 AND d.o + d.sz <= length(v.hx) // 2
-       |    AND f.o + f.sz <= length(v.hx) // 2)""".stripMargin
+       |    AND f.o + f.sz <= length(v.hx) // 2
+       |  UNION ALL
+       |  SELECT model, length, hx FROM ${name}ax WHERE fits)""".stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two
     * hash re-derivations can never drift): from `blobSql` (any
@@ -1852,7 +1897,7 @@ object AdsbQueries {
          |        (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128)
          |        * (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128))))
          |      AS energies
-         |  FROM b),
+         |  FROM b WHERE length >= 4096),
          |hh AS (
          |  SELECT model, length AS n_bytes,
          |    CAST(list_sum(list_transform(range(32, 63), f ->

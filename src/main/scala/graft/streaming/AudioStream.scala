@@ -10,16 +10,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * store.
   *
   * Container handling: a blob leading with the RIFF magic must pass
-  * the shared chunk-walk gate (`Riff.withWavColumns`, the SAME gate
-  * the batch parser uses — round-11, one home for the magics) plus
-  * this stream's stricter format-1 / 8-bit sample contract, or it is
-  * DROPPED — a RIFF
-  * blob that fails the gate is a container this parser cannot read,
-  * and admitting it as "raw PCM" would feed header bytes into the
-  * energy math as samples (silent mis-parse, the worst failure
-  * mode). Anything not RIFF-prefixed is headerless 8-bit PCM by this
-  * pipeline's input contract. The stored payload is the PCM sample
-  * section either way.
+  * a shared chunk-walk gate — `Riff.withWavColumns` (WAVE payloads,
+  * round-11) or `Riff.withAviAudio` (the demuxed 01wb audio stream
+  * of an interleaved AVI, round-12) — the SAME gates the batch
+  * parser uses, one home for the magics; WAVE additionally carries
+  * this stream's stricter format-1 / 8-bit sample contract. A RIFF
+  * blob that fails both gates is a container this parser cannot
+  * read and is DROPPED — admitting it as "raw PCM" would feed
+  * header bytes into the energy math as samples (silent mis-parse,
+  * the worst failure mode). Anything not RIFF-prefixed is headerless
+  * 8-bit PCM by this pipeline's input contract. The stored payload
+  * is the PCM sample section in all three cases.
   *
   * Dedup is keyed on the sha2-256 of the PAYLOAD, not the container
   * bytes: a .wav re-upload of an already-stored .pcm (or vice versa)
@@ -56,17 +57,24 @@ object AudioStream {
     // energy math as samples.
     val wavOk = col("wav_ok") && col("wav_fits") &&
       col("audio_format") === 1 && col("bits_per_sample") === 8
-    Riff.withWavColumns(media
+    Riff.withAviAudio(Riff.withWavColumns(media
         .where(col("content").isNotNull &&
           length(col("content")) >= 64 && // at least one 64-sample frame
-          length(col("content")) <= maxBytes))
+          length(col("content")) <= maxBytes)))
       .withColumn("container",
         when(isRiff && wavOk, "wav")
+          // the THIRD container (round-12): an interleaved AVI's
+          // audio is the demuxed 01wb concatenation, through the
+          // same shared gate the batch corpus uses (Riff
+          // .withAviAudio) — an audio-less or truncated AVI still
+          // rejects
+          .when(isRiff && col("avi_audio_ok"), "avi")
           .when(isRiff, "riff_rejected")
           .otherwise("pcm"))
       .where(col("container") =!= "riff_rejected")
       .withColumn("payload",
         when(col("container") === "wav", Riff.wavPayload)
+          .when(col("container") === "avi", col("avi_audio"))
           .otherwise(col("content")))
       .where(length(col("payload")) >= 64)
       .withColumn("energies", graft.functions.FrameSums.frameEnergies(

@@ -141,6 +141,63 @@ class RiffWalkSpec extends SparkSpec {
     rows.foreach { case (idx, off) => assert(off === 244L + idx * 42L) }
   }
 
+  test("vid_talk's 01wb audio joins the corpus through the demux") {
+    // round-12: the THIRD container — an interleaved AVI's audio is
+    // the ordered concat of its 01wb payloads (4096 bytes across
+    // three chunks), analyzed identically to pcm/wav: 64 frames,
+    // 24 silent (planted 16+8 around a 40-frame burst), admitted
+    val r = graft.queries.AdsbQueries.defs("mm11_audio_silence")(
+      spark, "").where(col("model") === "vid_talk").collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_frames") === 64L)
+    assert(r.head.getAs[Long]("n_silent") === 24L)
+    assert(r.head.getAs[Long]("silence_ppm") === 375000L)
+    assert(!r.head.getAs[Boolean]("mostly_silent"))
+    // segment structure: ONE active run spanning frames 16-55
+    val seg = graft.queries.AdsbQueries.defs("mm13_speech_segments")(
+      spark, "").where(col("model") === "vid_talk").collect()
+    assert(seg.length === 1)
+    assert(seg.head.getAs[Long]("start_frame") === 16L)
+    assert(seg.head.getAs[Long]("end_frame") === 55L)
+    assert(seg.head.getAs[Long]("n_frames_seg") === 40L)
+    // and the too-short audio stream (vid_mix, 30 bytes) never
+    // reaches the frame lattice
+    val mix = graft.queries.AdsbQueries.defs("mm11_audio_silence")(
+      spark, "").where(col("model") === "vid_mix").collect()
+    assert(mix.isEmpty)
+  }
+
+  test("the shared gates never throw on garbage blobs, even unguarded") {
+    // round-12 regression: a not-found chunk's packed sentinel
+    // decodes to offset 2³²−1; selecting the field columns OUTSIDE
+    // their ok-guards (which local-relation constant evaluation does
+    // for whole projections) previously hit an ANSI int-cast
+    // overflow and crashed the task. Fields must come back NULL with
+    // the gates false — for raw noise, a bare RIFF header, and an
+    // empty blob.
+    import spark.implicits._
+    val blobs = Seq(
+      1L -> Array.fill[Byte](10)(1),
+      2L -> "RIFF    WAVE".getBytes("ISO-8859-1"),
+      3L -> Array.emptyByteArray)
+    val df = blobs.toDF("media_id", "content")
+    val w = Riff.withWavColumns(df)
+      .select(col("media_id"), col("wav_ok"), col("audio_format"),
+        col("sample_rate")).collect()
+    w.foreach { r =>
+      assert(!r.getBoolean(1), s"wav_ok for ${r.getLong(0)}")
+      assert(r.isNullAt(2) && r.isNullAt(3), s"fields for ${r.getLong(0)}")
+    }
+    val a = Riff.withAviAudio(df)
+      .select(col("media_id"), col("avi_ok"), col("us_per_frame"),
+        col("width"), col("avi_audio_ok"), col("avi_audio")).collect()
+    a.foreach { r =>
+      assert(!r.getBoolean(1) && !r.getBoolean(4), s"ok ${r.getLong(0)}")
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(5),
+        s"fields for ${r.getLong(0)}")
+    }
+  }
+
   test("chant_i joins the audio corpus through the walked payload") {
     // the non-canonical wav's payload participates in the pcm∪wav
     // audio family exactly like a headerless blob

@@ -158,7 +158,7 @@ class MediaFingerprintSpec extends SparkSpec {
     // the round-12 walked-header pair (JUNK before hdrl; interleaved
     // movi with a strl-padded hdrl)
     assert(all.map(_.getString(0)).toSet ===
-      Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix"))
+      Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix", "vid_talk"))
     val r = all.filter(_.getString(0) == "vid_scene_a")
     val row = r.head
     assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)
@@ -186,9 +186,14 @@ class MediaFingerprintSpec extends SparkSpec {
     // so the dedup gate must admit them)
     Seq(("audio", "dialog_h"), ("audio", "dialog_h_w"), ("image", "A1"),
       ("video", "vid_a"), ("video", "vid_scene"), ("video", "vid_pre"),
-      ("video", "vid_mix")).foreach { k =>
+      ("video", "vid_mix"), ("video", "vid_talk"),
+      ("audio", "vid_talk")).foreach { k =>
       assert(rows(k) === ((true, "ok")), k)
     }
+    // the interleaved fixture's 30-byte audio stream: demuxed (one
+    // row per media stream, video AND audio for the same container),
+    // visibly rejected as too short — never hidden
+    assert(rows(("audio", "vid_mix")) === ((false, "too_short")))
     // admitted is the reason predicate, never independent state
     rows.values.foreach { case (adm, r) => assert(adm === (r == "ok")) }
   }

@@ -126,4 +126,40 @@ class AudioStreamSpec extends SparkSpec {
     assert(rows.head.getLong(2) === 16L)
     assert(rows.head.getLong(3) === data.length.toLong)
   }
+
+  test("an interleaved AVI's 01wb audio admits; an audio-less AVI rejects") {
+    // round-12: the THIRD container through the shared gate — the
+    // bundled vid_talk fixture (4096 audio bytes across three 01wb
+    // chunks between video frames) must ingest as its demuxed
+    // payload; vid_pre (video-only movi) must stay riff_rejected
+    def fixture(name: String): Array[Byte] = {
+      val in0 = getClass.getResourceAsStream(s"/meta/media/$name")
+      require(in0 != null); val b = in0.readAllBytes(); in0.close(); b
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val media = in.toDF().toDF("media_id", "content", "ingest_ts")
+    val outDir = Files.createTempDirectory("audio-ingest-avi").toString
+    val ckpt = Files.createTempDirectory("audio-ingest-avi-ck").toString
+    val q = AudioStream.start(media, outDir, ckpt)
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    in.addData(Seq(
+      (31L, fixture("vid_talk.avi"), t0),
+      (32L, fixture("vid_pre.avi"), t0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(outDir)
+      .select("media_id", "container", "n_bytes", "n_frames",
+        "silence_ppm")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 31L)
+    assert(rows.head.getString(1) === "avi")
+    // the demuxed concat: exactly the 4096 planted audio bytes, with
+    // the planted 24/64 silent-frame share — chunk headers and video
+    // frames never leak into the sample stream
+    assert(rows.head.getLong(2) === 4096L)
+    assert(rows.head.getLong(3) === 64L)
+    assert(rows.head.getLong(4) === 375000L)
+  }
 }
