@@ -79,6 +79,46 @@ case class RiffFindExpr(content: Expression, start: Expression,
     copy(content = newFirst, start = newSecond, end = newThird)
 }
 
+/** `riff_auds_strf(content, start, end)` — the audio stream-format
+  * locator over an `hdrl` range: the first `strf` of the first
+  * `strl` whose `strh` declares 'auds', packed
+  * `(dataOff << 32) | size`, or −1. See [[Riff.findAudsStrf]]. */
+case class RiffAudsExpr(content: Expression, start: Expression,
+    end: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = content
+  override def second: Expression = start
+  override def third: Expression = end
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "riff_auds_strf"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (content.dataType, start.dataType, end.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, s, e) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, int, int), got " +
+          s"(${c.simpleString}, ${s.simpleString}, ${e.simpleString})")
+    }
+
+  override def nullSafeEval(c: Any, s: Any, e: Any): Any =
+    Riff.findAudsStrf(c.asInstanceOf[Array[Byte]], s.asInstanceOf[Int],
+      e.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, s, e) =>
+      s"${ev.value} = graft.functions.Riff.findAudsStrf($c, $s, $e);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): RiffAudsExpr =
+    copy(content = newFirst, start = newSecond, end = newThird)
+}
+
 /** ALL matches of a plain chunk id in one bounded walk —
   * `riff_chunks(content, start, end, '4cc')` returns every matching
   * chunk as `(dataOffset << 32) | dataSize` packed longs, in walk
@@ -188,6 +228,53 @@ object Riff {
     -1L
   }
 
+  private val Strl4cc = pack4cc("strl")
+  private val Strh4cc = pack4cc("strh")
+  private val Strf4cc = pack4cc("strf")
+  private val Auds4cc = pack4cc("auds")
+
+  /** The AUDIO stream-format locator (round-12 review #2): walk the
+    * `hdrl` range for `strl` LISTs; the FIRST one whose first `strh`
+    * declares fccType 'auds' is the audio stream — return its first
+    * `strf` (a WAVEFORMATEX) packed `(dataOff << 32) | size`, or −1
+    * when no auds stream (or its strf) exists. Same bounds/advance
+    * as [[find]] at both walk levels; the strh fccType read requires
+    * the declared 4 bytes to sit inside the strl (a header lying
+    * about its size is "not auds", never a throw). Without this, the
+    * 01wb demux would feed bytes of UNKNOWN sample format into the
+    * 8-bit energy math — the silent mis-parse the audio gates exist
+    * to prevent. */
+  def findAudsStrf(b: Array[Byte], start: Int, end: Int): Long = {
+    val stop = math.min(end.toLong, b.length.toLong)
+    var p = start.toLong
+    var i = 0
+    if (p < 0) return -1L
+    while (p + 8 <= stop && i < 4096) {
+      val id = be32(b, p.toInt)
+      val size = le32(b, p.toInt + 4)
+      if (id == List4cc && size >= 4 && p + 12 <= stop &&
+          be32(b, p.toInt + 8) == Strl4cc) {
+        val innerStop = math.min(p + 8 + size, b.length.toLong)
+        // first strh in this strl, find semantics
+        val sh = find(b, (p + 12).toInt,
+          math.min(innerStop, Int.MaxValue.toLong).toInt, Strh4cc,
+          forms = false)
+        if (sh >= 0) {
+          val so = sh >>> 32
+          val ssz = sh & 0xFFFFFFFFL
+          if (ssz >= 4 && so + 4 <= innerStop &&
+              be32(b, so.toInt) == Auds4cc)
+            return find(b, (p + 12).toInt,
+              math.min(innerStop, Int.MaxValue.toLong).toInt, Strf4cc,
+              forms = false)
+        }
+      }
+      p += 8 + size + (size & 1)
+      i += 1
+    }
+    -1L
+  }
+
   /** Every plain-id match in the walk, packed `(off << 32) | size` —
     * see [[RiffChunksExpr]]. Shares `find`'s advance rule and bounds
     * exactly (one drifting copy of the walk would be a silent demux
@@ -247,6 +334,19 @@ object Riff {
     val formHex = form.getBytes("US-ASCII").map("%02X".format(_)).mkString
     hdr.substr(1, 8) === lit("52494646") &&
       hdr.substr(17, 8) === lit(formHex)
+  }
+
+  /** TRUE iff every packed `(off << 32) | size` chunk's declared
+    * payload fits inside `content` — THE completeness predicate for
+    * demuxed chunk lists (one definition: the video lattice gate,
+    * mm18's payload audit and the audio demux all ride it; a drifted
+    * copy would silently split the fits semantics the oracles
+    * replay). Vacuously true on an empty list. */
+  def packsFit(packs: Column, content: Column): Column = {
+    val fits = (x: Column) =>
+      shiftrightunsigned(x, 32) + x.bitwiseAND(lit(4294967295L)) <=
+        length(content)
+    aggregate(packs, lit(true), (acc, x) => acc && fits(x))
   }
 
   /** `riff_chunks` as a Column: ALL plain chunks matching `fourcc`
@@ -364,14 +464,18 @@ object Riff {
       "cast(data_bytes AS int))")
 
   /** [[withAviColumns]] plus the AUDIO demux (round-12): `avi_wbs`
-    * (every `01wb` sub-chunk of movi, packed, in order),
-    * `avi_audio_ok` (valid AVI with ≥ 1 audio chunk whose declared
-    * payloads all FIT — the wav_fits contract on the audio leg), and
-    * `avi_audio` (the ordered payload concatenation — the container-
-    * independent PCM stream, NULL unless ok). ONE home for the audio
-    * demux, shared by the batch corpus ([[graft.queries
-    * .AdsbQueries]]) and the streaming gate ([[graft.streaming
-    * .AudioStream]]). */
+    * (every `01wb` sub-chunk of movi, packed, in order), the
+    * DECLARED audio stream format (`avi_audio_format`/
+    * `avi_audio_bits` from the auds strl's strf — review #2: bytes
+    * of unknown sample format must never reach the 8-bit energy
+    * math), `avi_audio_ok` (valid AVI, ≥ 1 audio chunk, every
+    * declared payload FITS, an auds strf of ≥ 16 fitting bytes
+    * declaring PCM format 1 at 8 bits — the exact contract the WAV
+    * leg's fmt gate enforces), and `avi_audio` (the ordered payload
+    * concatenation — the container-independent PCM stream, NULL
+    * unless ok). ONE home for the audio demux, shared by the batch
+    * corpus ([[graft.queries.AdsbQueries]]) and the streaming gate
+    * ([[graft.streaming.AudioStream]]). */
   def withAviAudio(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val c = col("content")
@@ -380,16 +484,32 @@ object Riff {
         riffChunks(c, col("movi_off") + 4,
           least(col("movi_off") + col("movi_sz"), length(c)), "01wb"))
         .otherwise(array().cast("array<bigint>")))
+      .withColumn("__auds", when(col("hdrl_off") >= 0 &&
+          col("hdrl_off") < length(c),
+        Bridge.column(RiffAudsExpr(
+          Bridge.expression(c),
+          Bridge.expression((col("hdrl_off") + 4).cast("int")),
+          Bridge.expression(least(col("hdrl_off") + col("hdrl_sz"),
+            length(c)).cast("int")))))
+        .otherwise(lit(-1L)))
+      .withColumn("auds_off", shiftrightunsigned(col("__auds"), 32))
+      .withColumn("auds_sz", col("__auds").bitwiseAND(lit(4294967295L)))
+      .withColumn("avi_audio_format",
+        when(col("__auds") >= 0, leIntAt(c, col("auds_off"), 2)))
+      .withColumn("avi_audio_bits",
+        when(col("__auds") >= 0, leIntAt(c, col("auds_off") + 14, 2)))
       .withColumn("avi_audio_ok", col("avi_ok") &&
-        col("movi_off") >= 0 && size(col("avi_wbs")) > 0 && expr(
-        """aggregate(avi_wbs, true, (acc, x) -> acc AND
-          |  shiftrightunsigned(x, 32) + (x & 4294967295) <=
-          |    length(content))""".stripMargin))
+        col("movi_off") >= 0 && size(col("avi_wbs")) > 0 &&
+        packsFit(col("avi_wbs"), c) &&
+        col("__auds") >= 0 && col("auds_sz") >= 16 &&
+        col("auds_off") + 16 <= length(c) &&
+        col("avi_audio_format") === 1 && col("avi_audio_bits") === 8)
       .withColumn("avi_audio", when(col("avi_audio_ok"), expr(
         """aggregate(avi_wbs, cast('' AS binary), (acc, x) ->
           |  acc || substring(content,
           |    CAST(shiftrightunsigned(x, 32) AS INT) + 1,
           |    CAST(x & 4294967295 AS INT)))""".stripMargin))
         .otherwise(lit(null).cast("binary")))
+      .drop("__auds")
   }
 }

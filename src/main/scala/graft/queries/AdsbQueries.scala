@@ -159,11 +159,9 @@ object AdsbQueries {
       // slice int cast safe, then every declared frame's payload
       // must fit in the blob
       .where(when(col("total_frames") <= size(col("avi_dbs")),
-        col("total_frames") === 0 || expr(
-          """aggregate(slice(avi_dbs, 1, CAST(total_frames AS INT)),
-            |  true, (acc, x) -> acc AND
-            |    shiftrightunsigned(x, 32) + (x & 4294967295) <=
-            |      length(content))""".stripMargin))
+        col("total_frames") === 0 || Riff.packsFit(
+          slice(col("avi_dbs"), lit(1), col("total_frames").cast("int")),
+          col("content")))
         .otherwise(lit(false)))
       .withColumn("dbs",
         slice(col("avi_dbs"), lit(1), col("total_frames").cast("int")))
@@ -1009,11 +1007,10 @@ object AdsbQueries {
           // payload inconsistency
           when(col("structure_ok") &&
               col("total_frames") <= size(col("avi_dbs")),
-            col("total_frames") === 0 || expr(
-              """aggregate(slice(avi_dbs, 1, CAST(total_frames AS INT)),
-                |  true, (acc, x) -> acc AND
-                |    shiftrightunsigned(x, 32) + (x & 4294967295) <=
-                |      length(content))""".stripMargin))
+            col("total_frames") === 0 || Riff.packsFit(
+              slice(col("avi_dbs"), lit(1),
+                col("total_frames").cast("int")),
+              col("content")))
             .otherwise(lit(false)).as("payload_ok"))
       wav.unionByName(avi)
         .withColumn("consistent", col("structure_ok") &&
@@ -1039,6 +1036,10 @@ object AdsbQueries {
       // payload position (interleaved audio chunks shift it, so a
       // uniform stride no longer exists; round-12)
       videoFrameSums(s)
+        // nf = 0 is ADMITTED by the lattice gates (empty arrays) but
+        // sequence(0, -1, 4) throws — filter, matching the oracle's
+        // empty range(0, 0, 4) (round-12 review)
+        .where(col("n_frames") > 0)
         .withColumn("frame_idx",
           explode(expr("sequence(0, n_frames - 1, 4)")))
         .select(col("model"), col("n_frames").cast("long").as("n_frames"),
@@ -1217,7 +1218,31 @@ object AdsbQueries {
        |  WHERE p + 8 <= stp AND i < 4096),
        |${pre}ck AS (
        |  SELECT model, p, substr(hx, p * 2 + 1, 8) AS cid,
-       |    substr(hx, (p + 8) * 2 + 1, 8) AS ctype, ${sz("p")} AS sz
+       |    substr(hx, (p + 8) * 2 + 1, 8) AS ctype, ${sz("p")} AS sz,
+       |    stp
+       |  FROM ${pre}wk
+       |  WHERE p + 8 <= stp AND i < 4096)""".stripMargin
+  }
+
+  /** [[riffSubWalkCte]] with an extra per-row key `kp` — one walk
+    * per (model, kp) region, for ranges that occur several times per
+    * blob (each `strl` LIST inside `hdrl`, round-12). `src` must
+    * provide (model, kp, hx, st, en0). */
+  private def riffSubWalkKeyedCte(src: String, pre: String): String = {
+    def sz(p: String) = dkLeAt("hx", s"$p + 4", 4)
+    s"""${pre}wk AS (
+       |  SELECT model, kp, hx, CAST(st AS BIGINT) AS p, 0 AS i,
+       |    CAST(en0 AS BIGINT) AS stp
+       |  FROM $src
+       |  UNION ALL
+       |  SELECT model, kp, hx, p + 8 + ${sz("p")} + (${sz("p")} % 2) AS p,
+       |    i + 1 AS i, stp
+       |  FROM ${pre}wk
+       |  WHERE p + 8 <= stp AND i < 4096),
+       |${pre}ck AS (
+       |  SELECT model, kp, p, substr(hx, p * 2 + 1, 8) AS cid,
+       |    substr(hx, (p + 8) * 2 + 1, 8) AS ctype, ${sz("p")} AS sz,
+       |    stp
        |  FROM ${pre}wk
        |  WHERE p + 8 <= stp AND i < 4096)""".stripMargin
   }
@@ -1380,14 +1405,40 @@ object AdsbQueries {
        |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
        |  FROM ${name}wck WHERE cid = '64617461' GROUP BY model),
        |${aviDemuxCtes(s"${name}a")},
+       |${name}sl AS (
+       |  SELECT s.model, c.p AS kp, s.hx, c.p + 12 AS st,
+       |    least(c.p + 8 + c.sz, length(s.hx) // 2) AS en0
+       |  FROM ${name}asrc s JOIN ${name}ahck c USING (model)
+       |  WHERE c.cid = '4C495354' AND c.ctype = '7374726C'
+       |    AND c.sz >= 4 AND c.p + 12 <= c.stp),
+       |${riffSubWalkKeyedCte(s"${name}sl", s"${name}sw")},
+       |${name}sh AS (
+       |  SELECT model, kp, min(p) + 8 AS o, min_by(sz, p) AS ssz,
+       |    min_by(stp, p) AS sstp
+       |  FROM ${name}swck WHERE cid = '73747268' GROUP BY model, kp),
+       |${name}au AS (
+       |  SELECT h.model, min(h.kp) AS kp
+       |  FROM ${name}sh h JOIN ${name}asrc s USING (model)
+       |  WHERE h.ssz >= 4 AND h.o + 4 <= h.sstp
+       |    AND substr(s.hx, CAST(h.o * 2 + 1 AS BIGINT), 8) = '61756473'
+       |  GROUP BY h.model),
+       |${name}sf AS (
+       |  SELECT c.model, min(c.p) + 8 AS fo, min_by(c.sz, c.p) AS fsz
+       |  FROM ${name}swck c JOIN ${name}au a
+       |    ON c.model = a.model AND c.kp = a.kp
+       |  WHERE c.cid = '73747266' GROUP BY c.model),
        |${name}ax AS (
        |  SELECT h.model,
        |    string_agg(substr(h.hx, CAST(d.off * 2 + 1 AS BIGINT),
        |      CAST(d.sz * 2 AS BIGINT)), '' ORDER BY d.p) AS hx,
        |    CAST(sum(d.sz) AS BIGINT) AS length,
-       |    bool_and(d.off + d.sz <= length(h.hx) // 2) AS fits
+       |    bool_and(d.off + d.sz <= length(h.hx) // 2
+       |      AND f.fsz >= 16 AND f.fo + 16 <= length(h.hx) // 2
+       |      AND ${dkLeAt("h.hx", "f.fo", 2)} = 1
+       |      AND ${dkLeAt("h.hx", "f.fo + 14", 2)} = 8) AS fits
        |  FROM ${name}ahdr h
        |  JOIN ${name}awb d USING (model)
+       |  JOIN ${name}sf f USING (model)
        |  GROUP BY h.model),
        |$name AS (
        |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}

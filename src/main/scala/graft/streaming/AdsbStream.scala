@@ -98,24 +98,30 @@ object AdsbStream {
       state: GroupState[ReorderState]): Iterator[Out] = {
     import scala.collection.mutable.ArrayBuffer
     val prev = state.getOption.getOrElse(ReorderState(Nil, None))
-    val wmMs = state.getCurrentWatermarkMs()
-    // ripe = event time at/below the watermark: the watermark
-    // CONTRACT says no further input can arrive there, so folding
-    // the ripe set in event order is final — and because every later
-    // ripe set sits strictly above this watermark, the fold sees the
-    // exact total order the batch sessionizer's global sort produces
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    // ripe = event time STRICTLY below the watermark instant: late
+    // events are only guaranteed absent strictly below it (an event
+    // AT the watermark can still legally arrive, and the watermark
+    // has ms grain while events carry µs), so finality — folding the
+    // ripe set in event order as the batch sessionizer's global sort
+    // would — is claimed only where the contract actually gives it.
+    // Strictness costs one extra trigger of buffering at the exact
+    // boundary, never correctness (round-12 review).
     val (ripe, hold) = (prev.pending ++ msgs).partition(m =>
-      FlightStateMachine.micros(m.gen_date_time) / 1000 <= wmMs)
+      FlightStateMachine.micros(m.gen_date_time) < wmUs)
     val outs = ArrayBuffer.empty[Out]
     var st = FlightStateMachine.fold(prev.session,
       ripe.sortBy(AdsbPipeline.orderKey).iterator, outs)
-    // event-time expiry once the buffer is drained: the watermark
-    // passing last_seen + 300 s proves no message can reopen the
-    // session (the same rule the fold applies to in-stream gaps)
+    // event-time expiry once the buffer is drained: close only when
+    // the watermark is STRICTLY past last_seen + 300 s — a message
+    // landing at exactly the 300 s boundary (gap == MaxAge, which
+    // the fold KEEPS: its split rule is gap > MaxAge) can still
+    // arrive at the watermark instant, and closing early would split
+    // a session the batch fold keeps whole
     if (hold.isEmpty) st match {
       case Some(s)
-          if wmMs >= s.lastSeenUs / 1000 +
-            FlightStateMachine.MaxAgeSec * 1000 =>
+          if wmUs > s.lastSeenUs +
+            FlightStateMachine.MaxAgeSec * 1000000L =>
         outs += FlightStateMachine.flightRow(s)
         st = None
       case _ => ()
@@ -126,12 +132,15 @@ object AdsbStream {
       state.update(ReorderState(hold, st))
       // a non-empty buffer must re-examine on EVERY watermark
       // advance (rows ripen as it moves); a bare session only at its
-      // expiry point. Never at/behind the current watermark (the
-      // setTimeoutTimestamp contract)
+      // expiry point (the +1 ms makes the ms-grain timeout STRICTLY
+      // past the µs-exact threshold). Never at/behind the current
+      // watermark (the setTimeoutTimestamp contract)
+      val wmMs = wmUs / 1000
       val next =
         if (hold.nonEmpty) wmMs + 1
-        else st.map(_.lastSeenUs / 1000 +
-          FlightStateMachine.MaxAgeSec * 1000).getOrElse(wmMs + 1)
+        else st.map(s => (s.lastSeenUs +
+          FlightStateMachine.MaxAgeSec * 1000000L) / 1000 + 1)
+          .getOrElse(wmMs + 1)
       state.setTimeoutTimestamp(math.max(next, wmMs + 1))
     }
     outs.iterator

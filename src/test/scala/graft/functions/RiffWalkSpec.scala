@@ -108,14 +108,14 @@ class RiffWalkSpec extends SparkSpec {
       .where(col("model") === "vid_mix")
       .select("n_frames", "offs", "szs", "sums").collect().head
     assert(r.getInt(0) === 5)
-    assert(r.getSeq[Long](1) === Seq(144L, 190L, 216L, 262L, 288L))
+    assert(r.getSeq[Long](1) === Seq(244L, 290L, 316L, 362L, 388L))
     assert(r.getSeq[Long](2) === Seq(18L, 18L, 17L, 18L, 11L))
     assert(r.getSeq[Long](3) === Seq(1773L, 2727L, 2615L, 2331L, 1200L))
     // and mm8 samples at those offsets, not a uniform stride
     val mm8 = graft.queries.AdsbQueries.defs("mm8_frame_sample")(spark, "")
       .where(col("model") === "vid_mix").collect()
       .map(x => x.getLong(2) -> x.getLong(3)).toMap
-    assert(mm8 === Map(0L -> 144L, 4L -> 288L))
+    assert(mm8 === Map(0L -> 244L, 4L -> 388L))
   }
 
   test("mm16 decodes vid_junk's avih exactly") {

@@ -143,9 +143,18 @@ class AudioStreamSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("audio-ingest-avi-ck").toString
     val q = AudioStream.start(media, outDir, ckpt)
     val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    // a 16-bit auds declaration (wBitsPerSample byte of vid_talk's
+    // auds strf flipped 8 -> 16): the 01wb bytes are no longer this
+    // lattice's sample format and MUST reject — the round-12 review
+    // case (feeding unknown-format bytes to the 8-bit energy math
+    // is the silent mis-parse the gates exist for)
+    val wide = fixture("vid_talk.avi").clone()
+    assert(wide(310) === 8.toByte, "auds strf layout moved — repin")
+    wide(310) = 16.toByte
     in.addData(Seq(
       (31L, fixture("vid_talk.avi"), t0),
-      (32L, fixture("vid_pre.avi"), t0)))
+      (32L, fixture("vid_pre.avi"), t0),
+      (33L, wide, t0)))
     q.processAllAvailable()
     q.stop()
     val rows = spark.read.parquet(outDir)
