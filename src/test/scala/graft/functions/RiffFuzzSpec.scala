@@ -106,6 +106,42 @@ class RiffFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("findAudsStrf never throws, matches spell strf inside the blob") {
+    // the nested walk (strl inside hdrl, strh/strf inside strl) gets
+    // the same hostile-input sweep as the flat walks: any bytes, any
+    // bounds -> terminate without throwing; a claimed strf locator
+    // must point at bytes spelling 'strf' 8 before the data offset
+    val rnd = new scala.util.Random(0xAD51)
+    val cases = (0 until 3000).map { i =>
+      val n = rnd.nextInt(400)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      if (i % 2 == 0 && n >= 30) {
+        val ids = Seq("LIST", "strl", "strh", "strf", "auds", "vids")
+        (0 until 3).foreach { _ =>
+          val p = rnd.nextInt(n - 8)
+          ids(rnd.nextInt(ids.size)).getBytes.copyToArray(b, p)
+        }
+      }
+      b
+    }
+    cases.foreach { b =>
+      Seq((-64, 64), (0, Int.MaxValue), (12, b.length),
+          (rnd.nextInt(500) - 60, rnd.nextInt(500) - 60)).foreach {
+        case (start, end) =>
+          val r = Riff.findAudsStrf(b, start, end)
+          if (r != -1L) {
+            val off = (r >>> 32).toInt
+            assert(off - 8 >= 0 && off <= b.length, s"off $off")
+            val id = ((b(off - 8) & 0xFF) << 24) |
+              ((b(off - 7) & 0xFF) << 16) |
+              ((b(off - 6) & 0xFF) << 8) | (b(off - 5) & 0xFF)
+            assert(id === Riff.pack4cc("strf"),
+              s"match at $off spells wrong id")
+          }
+      }
+    }
+  }
+
   test("FrameSums.computePacked never throws, clamps at the blob end") {
     val rnd = new scala.util.Random(0x9ACC)
     (0 until 2000).foreach { _ =>
