@@ -388,8 +388,14 @@ object Riff {
     df
       .withColumn("__hdrl", riffFind(c, lit(12), len, "hdrl",
         forms = true))
-      .withColumn("hdrl_off", shiftrightunsigned(col("__hdrl"), 32))
-      .withColumn("hdrl_sz", col("__hdrl").bitwiseAND(lit(4294967295L)))
+      // -1/-1 when absent (like movi_off): `hdrl_off >= 0` must be a
+      // REAL presence test — the packed sentinel would decode to
+      // 2³²−1, which is ≥ 0 and only accidentally below any JVM blob
+      // length (round-12 second-pass review)
+      .withColumn("hdrl_off", when(col("__hdrl") >= 0,
+        shiftrightunsigned(col("__hdrl"), 32)).otherwise(lit(-1L)))
+      .withColumn("hdrl_sz", when(col("__hdrl") >= 0,
+        col("__hdrl").bitwiseAND(lit(4294967295L))).otherwise(lit(-1L)))
       .withColumn("__avih", when(col("__hdrl") >= 0,
         riffFind(c, col("hdrl_off") + 4,
           least(col("hdrl_off") + col("hdrl_sz"), len), "avih"))
@@ -484,8 +490,7 @@ object Riff {
         riffChunks(c, col("movi_off") + 4,
           least(col("movi_off") + col("movi_sz"), length(c)), "01wb"))
         .otherwise(array().cast("array<bigint>")))
-      .withColumn("__auds", when(col("hdrl_off") >= 0 &&
-          col("hdrl_off") < length(c),
+      .withColumn("__auds", when(col("hdrl_off") >= 0,
         Bridge.column(RiffAudsExpr(
           Bridge.expression(c),
           Bridge.expression((col("hdrl_off") + 4).cast("int")),

@@ -148,23 +148,23 @@ object AdsbQueries {
     val avi = Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(),
         "avi"))
       .where(col("avi_ok"))
-      // header counts stay LONG until the completeness gate has
-      // bounded them (round-11 review): a hostile dwTotalFrames
-      // ≥ 2³¹ would wrap through an early int cast, slip past the
-      // gate, and throw in slice() — the exact hostile-header
-      // task-crash the kernel contract forbids. The gate is a when()
-      // — CASE branches are contractually lazy, while WHERE conjunct
-      // order is an optimizer freedom — mirroring the oracle's CASE:
+      // header counts stay LONG until bounded (round-11 review): a
+      // hostile dwTotalFrames ≥ 2³¹ would wrap through an early int
+      // cast, slip past the gate, and throw in slice() — the exact
+      // hostile-header task-crash the kernel contract forbids. The
+      // nf-bound rides a when() (CASE branches are contractually
+      // lazy, while WHERE conjunct order is an optimizer freedom):
       // nf ≤ found-chunk-count (≤ 4096 by the walk bound) makes the
-      // slice int cast safe, then every declared frame's payload
-      // must fit in the blob
-      .where(when(col("total_frames") <= size(col("avi_dbs")),
-        col("total_frames") === 0 || Riff.packsFit(
-          slice(col("avi_dbs"), lit(1), col("total_frames").cast("int")),
-          col("content")))
-        .otherwise(lit(false)))
-      .withColumn("dbs",
-        slice(col("avi_dbs"), lit(1), col("total_frames").cast("int")))
+      // slice int cast safe, a failing bound yields NULL (excluded),
+      // and the ONE sliced `dbs` feeds gate and projections alike
+      // (second-pass review: no duplicate slice). Then every declared
+      // frame's payload must fit in the blob
+      .withColumn("dbs", when(
+        col("total_frames") >= 0 &&
+          col("total_frames") <= size(col("avi_dbs")),
+        slice(col("avi_dbs"), lit(1), col("total_frames").cast("int"))))
+      .where(col("dbs").isNotNull &&
+        Riff.packsFit(col("dbs"), col("content")))
       .select(col("model"), col("total_frames").cast("int").as("n_frames"),
         expr("transform(dbs, x -> shiftrightunsigned(x, 32))").as("offs"),
         expr("transform(dbs, x -> x & 4294967295)").as("szs"),
@@ -1205,29 +1205,18 @@ object AdsbQueries {
     * kernel. Sub-walks (inside an `hdrl` or `movi` LIST) feed this
     * directly; the top-level convenience below fixes (12, blob
     * length). The enclosing WITH must be RECURSIVE. */
-  private def riffSubWalkCte(src: String, pre: String): String = {
-    def sz(p: String) = dkLeAt("hx", s"$p + 4", 4)
-    s"""${pre}wk AS (
-       |  SELECT model, hx, CAST(st AS BIGINT) AS p, 0 AS i,
-       |    CAST(en0 AS BIGINT) AS stp
-       |  FROM $src
-       |  UNION ALL
-       |  SELECT model, hx, p + 8 + ${sz("p")} + (${sz("p")} % 2) AS p,
-       |    i + 1 AS i, stp
-       |  FROM ${pre}wk
-       |  WHERE p + 8 <= stp AND i < 4096),
-       |${pre}ck AS (
-       |  SELECT model, p, substr(hx, p * 2 + 1, 8) AS cid,
-       |    substr(hx, (p + 8) * 2 + 1, 8) AS ctype, ${sz("p")} AS sz,
-       |    stp
-       |  FROM ${pre}wk
-       |  WHERE p + 8 <= stp AND i < 4096)""".stripMargin
-  }
+  private def riffSubWalkCte(src: String, pre: String): String =
+    riffSubWalkKeyedCte(
+      s"(SELECT model, CAST(0 AS BIGINT) AS kp, hx, st, en0 FROM $src)",
+      pre)
 
-  /** [[riffSubWalkCte]] with an extra per-row key `kp` — one walk
-    * per (model, kp) region, for ranges that occur several times per
-    * blob (each `strl` LIST inside `hdrl`, round-12). `src` must
-    * provide (model, kp, hx, st, en0). */
+  /** The ONE walk template (round-12 second-pass review: every other
+    * walk grain derives from this so the advance rule cannot drift):
+    * an extra per-row key `kp` scopes one walk per (model, kp)
+    * region, for ranges that occur several times per blob (each
+    * `strl` LIST inside `hdrl`); the unkeyed sub-walk pins kp = 0
+    * and the top-level walk anchors (12, blob end) on top of that.
+    * `src` must provide (model, kp, hx, st, en0). */
   private def riffSubWalkKeyedCte(src: String, pre: String): String = {
     def sz(p: String) = dkLeAt("hx", s"$p + 4", 4)
     s"""${pre}wk AS (

@@ -130,14 +130,19 @@ object AdsbStream {
       if (state.exists) state.remove()
     } else {
       state.update(ReorderState(hold, st))
-      // a non-empty buffer must re-examine on EVERY watermark
-      // advance (rows ripen as it moves); a bare session only at its
-      // expiry point (the +1 ms makes the ms-grain timeout STRICTLY
-      // past the µs-exact threshold). Never at/behind the current
-      // watermark (the setTimeoutTimestamp contract)
+      // wake exactly when something can HAPPEN (second-pass review:
+      // wm+1 re-fired every buffered group on every watermark
+      // advance — O(groups) state churn per trigger at fleet scale):
+      // a buffered group at its OLDEST pending row's ripen point, a
+      // bare session at its expiry point (the +1 ms makes the
+      // ms-grain timeout STRICTLY past the µs-exact threshold
+      // either way). Never at/behind the current watermark (the
+      // setTimeoutTimestamp contract)
       val wmMs = wmUs / 1000
       val next =
-        if (hold.nonEmpty) wmMs + 1
+        if (hold.nonEmpty)
+          hold.map(m => FlightStateMachine.micros(m.gen_date_time))
+            .min / 1000 + 1
         else st.map(s => (s.lastSeenUs +
           FlightStateMachine.MaxAgeSec * 1000000L) / 1000 + 1)
           .getOrElse(wmMs + 1)
