@@ -91,6 +91,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the video frame lattice is joinless per-blob projection work") {
+    // round-12: the demuxed lattice (walk + per-frame arrays) must
+    // stay a scan-side projection — a future change that sneaks a
+    // join or a hash shuffle into the per-blob path would turn the
+    // 100 TB story (row count = blob count, no exchange before
+    // consumers aggregate) into a shuffle of raw media bytes
+    val p = graft.queries.AdsbQueries.videoFrameSums(spark)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
   test("headline aggregations stay inside whole-stage codegen") {
     // AQE's wrapper hides codegen annotation in the plan string; the
     // non-adaptive physical plan marks codegen stages with "*(n)".
