@@ -111,7 +111,14 @@ object Meta {
     // round-12 audio demux leg: the SAME signal analysis over pcm ∪
     // wav ∪ avi (admitted by mm11's 50% gate at 375000 ppm silent,
     // fingerprinted by mm7 at exactly its 64-frame window)
-    "vid_talk.avi")
+    "vid_talk.avi",
+    // vid_scene_b: vid_scene_a with EVERY frame perturbed at two
+    // off-sample-grid pixels — every frame byte-SUM changes (the
+    // mm15 sum-signature dedup sees two unrelated videos) while the
+    // 8×8 aHash point samples are untouched (mm19's perceptual
+    // frame hash sees 16 hamming-0 twins): the re-encode case that
+    // motivates frame-level perceptual dedup
+    "vid_scene_b.avi")
 
   /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
     * is headerless 8-bit PCM; .gvid is the toy frame container

@@ -70,7 +70,102 @@ case class BmpAHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[BmpAHashExpr]]'s convention over a RAW 8-bit gray frame inside a
+  * larger blob — `frame_ahash(content, off, w, h)` (round-12, mm19):
+  * the demuxed video frames carry no container of their own (w×h
+  * bytes, row-major, top-down), so the locator is explicit. Same
+  * integer grid mapping (`r·h/8`, `c·w/8` point samples), same
+  * integer mean threshold, same [hi, lo] 32-bit packing — a frame
+  * and a BMP of the same content hash comparably. NULL for
+  * non-positive dims or a frame overrunning the blob. */
+case class FrameAHashExpr(content: Expression, off: Expression,
+    w: Expression, h: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = content
+  override def second: Expression = off
+  override def third: Expression = w
+  override def fourth: Expression = h
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "frame_ahash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (content.dataType, off.dataType, w.dataType, h.dataType) match {
+      case (BinaryType, IntegerType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, o, ww, hh) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, int, int, int), got " +
+          s"(${c.simpleString}, ${o.simpleString}, ${ww.simpleString}, " +
+          s"${hh.simpleString})")
+    }
+
+  override def nullSafeEval(c: Any, o: Any, ww: Any, hh: Any): Any = {
+    val out = BmpAHash.computeFrame(c.asInstanceOf[Array[Byte]],
+      o.asInstanceOf[Int], ww.asInstanceOf[Int], hh.asInstanceOf[Int])
+    if (out == null) null else new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, o, ww, hh) => {
+      val out = ctx.freshName("fahash")
+      s"""
+         |long[] $out = graft.functions.BmpAHash.computeFrame($c, $o, $ww, $hh);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): FrameAHashExpr =
+    copy(content = newFirst, off = newSecond, w = newThird, h = newFourth)
+}
+
 object BmpAHash {
+
+  /** [[FrameAHashExpr]]'s shared kernel: [hi, lo] or null. */
+  def computeFrame(b: Array[Byte], off: Int, w: Int, h: Int): Array[Long] = {
+    if (b == null || w <= 0 || h <= 0 || off < 0 ||
+        off.toLong + w.toLong * h > b.length) return null
+    val grid = 8
+    val n = grid * grid
+    val gray = new Array[Long](n)
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val r = i / grid
+      val c = i % grid
+      val p = off.toLong + (r.toLong * h / grid) * w + (c.toLong * w / grid)
+      gray(i) = b(p.toInt) & 0xffL
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / n
+    var hi = 0L
+    var lo = 0L
+    i = 0
+    while (i < n) {
+      if (gray(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    Array(hi, lo)
+  }
+
+  /** `frame_ahash` as a Column. */
+  def frameAHash(content: Column, off: Column, w: Column,
+      h: Column): Column =
+    Bridge.column(FrameAHashExpr(Bridge.expression(content),
+      Bridge.expression(off.cast("int")), Bridge.expression(w.cast("int")),
+      Bridge.expression(h.cast("int"))))
 
   /** The shared interpreted/codegen kernel (the generated code calls
     * straight into it — the hash is one tight JVM loop either way, so

@@ -49,7 +49,8 @@ object HammingNN {
     * mirror the cap in their oracle SQL (d19).
     */
   def nearest(hashed: DataFrame, key: String, hi: String, lo: String,
-      pairwiseLimit: Long = 4096, maxBucket: Long = 4096): DataFrame = {
+      pairwiseLimit: Long = 4096, maxBucket: Long = 4096,
+      crossGroup: Option[String] = None): DataFrame = {
     // EAGER localCheckpoint before the routing count (round-11, the
     // ADVICE r10 pin-leak fix): the upstream hash pipeline (BMP pixel
     // walk / PCM fingerprint parse) runs exactly ONCE — the count and
@@ -61,8 +62,16 @@ object HammingNN {
     // readout itself stays lazy, so the caller's single action is the
     // only execution of the band join + aggregate.
     val base = hashed.select(
-      col(key).as("__k"), col(hi).as("__hi"), col(lo).as("__lo"))
+      (Seq(col(key).as("__k"), col(hi).as("__hi"), col(lo).as("__lo")) ++
+        crossGroup.map(g => col(g).as("__g"))): _*)
       .localCheckpoint(true)
+    // cross-group mode (round-12, mm19): the NN must come from a
+    // DIFFERENT group (another video's frames) — filtering the
+    // readout after the min would be wrong (the global NN may be an
+    // adjacent same-group frame), so the restriction rides the pair
+    // join itself on both routing shapes
+    def ok = crossGroup.map(_ => col("a.__g") =!= col("b.__g"))
+      .getOrElse(col("a.__k") =!= col("b.__k"))
     def ham = (bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
       bit_count(col("a.__lo").bitwiseXOR(col("b.__lo"))))
       .cast("long").as("hamming")
@@ -70,24 +79,27 @@ object HammingNN {
     // adaptive-threshold discipline as Similarity's blocked fallback
     val pairs =
       if (base.count() <= pairwiseLimit)
-        base.as("a").join(base.as("b"), col("a.__k") =!= col("b.__k"))
+        base.as("a").join(base.as("b"),
+            col("a.__k") =!= col("b.__k") && ok)
           .select(col("a.__k").as("__k"), col("b.__k").as("other"), ham)
       else {
-        val bands = base.select(col("__k"), col("__hi"), col("__lo"),
+        val bands = base.select((Seq(col("__k"), col("__hi"), col("__lo")) ++
+          crossGroup.map(_ => col("__g")) :+
           posexplode(array(
             col("__lo").bitwiseAND(lit(0xFFFFL)),
             shiftrightunsigned(col("__lo"), 16).bitwiseAND(lit(0xFFFFL)),
             col("__hi").bitwiseAND(lit(0xFFFFL)),
-            shiftrightunsigned(col("__hi"), 16).bitwiseAND(lit(0xFFFFL)))))
-          .select(col("__k"), col("__hi"), col("__lo"),
-            col("pos").as("band"), col("col").as("bv"))
+            shiftrightunsigned(col("__hi"), 16).bitwiseAND(lit(0xFFFFL))))): _*)
+          .select((Seq(col("__k"), col("__hi"), col("__lo")) ++
+            crossGroup.map(_ => col("__g")) ++
+            Seq(col("pos").as("band"), col("col").as("bv"))): _*)
         // hot-bucket cap: one count over the 4-rows-per-key band
         // frame, then a broadcast anti-join (HotKeys scaladoc for why
         // the hot list is tiny by construction)
         val capped = HotKeys.drop(bands, maxBucket, "band", "bv")
         capped.as("a").join(capped.as("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-              col("a.__k") =!= col("b.__k"))
+              col("a.__k") =!= col("b.__k") && ok)
           .select(col("a.__k").as("__k"), col("b.__k").as("other"), ham)
       }
     pairs.groupBy(col("__k"))

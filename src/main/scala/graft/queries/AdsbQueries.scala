@@ -98,6 +98,30 @@ object AdsbQueries {
         col("total_frames"), col("n_streams"), col("width"),
         col("height"))
 
+  /** The ADMITTED AVI base shared by the frame lattice and mm19: the
+    * walked-gate columns ([[graft.functions.Riff.withAviColumns]])
+    * plus `dbs` — the declared-count-bounded demuxed `00db` list —
+    * with the completeness gate applied. Header counts stay LONG
+    * until bounded (round-11 review): a hostile dwTotalFrames ≥ 2³¹
+    * would wrap through an early int cast, slip past the gate, and
+    * throw in slice() — the exact hostile-header task-crash the
+    * kernel contract forbids. The nf-bound rides a when() (CASE
+    * branches are contractually lazy, while WHERE conjunct order is
+    * an optimizer freedom): nf ≤ found-chunk-count (≤ 4096 by the
+    * walk bound) makes the slice int cast safe, a failing bound
+    * yields NULL (excluded), and the ONE sliced `dbs` feeds gate and
+    * every consumer alike. Then every declared frame's payload must
+    * fit in the blob. */
+  private def aviAdmitted(s: SparkSession): DataFrame =
+    Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(), "avi"))
+      .where(col("avi_ok"))
+      .withColumn("dbs", when(
+        col("total_frames") >= 0 &&
+          col("total_frames") <= size(col("avi_dbs")),
+        slice(col("avi_dbs"), lit(1), col("total_frames").cast("int"))))
+      .where(col("dbs").isNotNull &&
+        Riff.packsFit(col("dbs"), col("content")))
+
   /** The shared VIDEO frame lattice for mm8/mm10/mm12/mm15 (round
     * 10, demux-generalized round 12): one row per admitted video with
     * `n_frames` plus PER-FRAME arrays `offs`/`szs`/`sums` (0-based
@@ -145,26 +169,7 @@ object AdsbQueries {
         slice(graft.functions.FrameSums.frameByteSums(
             col("content"), lit(8), col("frame_size")),
           lit(1), col("n_frames")).as("sums"))
-    val avi = Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(),
-        "avi"))
-      .where(col("avi_ok"))
-      // header counts stay LONG until bounded (round-11 review): a
-      // hostile dwTotalFrames ≥ 2³¹ would wrap through an early int
-      // cast, slip past the gate, and throw in slice() — the exact
-      // hostile-header task-crash the kernel contract forbids. The
-      // nf-bound rides a when() (CASE branches are contractually
-      // lazy, while WHERE conjunct order is an optimizer freedom):
-      // nf ≤ found-chunk-count (≤ 4096 by the walk bound) makes the
-      // slice int cast safe, a failing bound yields NULL (excluded),
-      // and the ONE sliced `dbs` feeds gate and projections alike
-      // (second-pass review: no duplicate slice). Then every declared
-      // frame's payload must fit in the blob
-      .withColumn("dbs", when(
-        col("total_frames") >= 0 &&
-          col("total_frames") <= size(col("avi_dbs")),
-        slice(col("avi_dbs"), lit(1), col("total_frames").cast("int"))))
-      .where(col("dbs").isNotNull &&
-        Riff.packsFit(col("dbs"), col("content")))
+    val avi = aviAdmitted(s)
       .select(col("model"), col("total_frames").cast("int").as("n_frames"),
         expr("transform(dbs, x -> shiftrightunsigned(x, 32))").as("offs"),
         expr("transform(dbs, x -> x & 4294967295)").as("szs"),
@@ -1016,6 +1021,52 @@ object AdsbQueries {
         .withColumn("consistent", col("structure_ok") &&
           col("riff_size_ok") && col("rate_ok") && col("payload_ok"))
         .orderBy(col("container"), col("model"))
+    }),
+
+    // mm19: FRAME-LEVEL perceptual near-dup across videos — the
+    // re-encode detector byte-exact dedup cannot be (round-12): a
+    // video re-saved with tiny pixel deltas shares NO frame byte
+    // sums with its source (mm15 sees two unrelated videos; the
+    // planted vid_scene_b twin proves it), but its 8×8 point-sample
+    // aHash is unchanged, so frame-granular hamming-NN finds every
+    // twin at distance 0. Per demuxed CONFORMING frame (declared
+    // size = width·height — the raw-gray contract; off-dims frames
+    // are excluded visibly, the vid_mix case): hash through the
+    // BmpAHash grid convention (a frame and a BMP of the same
+    // content hash comparably), then the shared HammingNN readout
+    // restricted to CROSS-VIDEO neighbors (an adjacent same-video
+    // frame is trivially near and carries no dedup signal). Scale
+    // shape: the hash is a per-blob transform (joinless, one scan),
+    // NN is the routed band join; row count = Σ conforming frames.
+    // Keys are model#frame strings (pack to a long at d19's scale).
+    "mm19_frame_phash" -> ((s, _) => {
+      import graft.functions.BmpAHash
+      val hashed = aviAdmitted(s)
+        .select(col("model"), transform(col("dbs"), pk => {
+          val off = shiftrightunsigned(pk, 32)
+          val sz = pk.bitwiseAND(lit(4294967295L))
+          // conforming ⇒ w·h = sz ≤ blob < 2³¹, so the int casts
+          // inside frameAHash cannot overflow (when() is lazy)
+          when(sz.cast("decimal(20,0)") ===
+              col("width").cast("decimal(20,0)") * col("height"),
+            BmpAHash.frameAHash(col("content"), off, col("width"),
+              col("height")))
+        }).as("fhs"))
+        .select(col("model"), posexplode(col("fhs")).as(Seq("fi", "hh")))
+        .where(col("hh").isNotNull)
+        .select(col("model"), col("fi").cast("long").as("frame_idx"),
+          expr("element_at(hh, 1)").as("ahash_hi"),
+          expr("element_at(hh, 2)").as("ahash_lo"))
+        .withColumn("key",
+          concat(col("model"), lit("#"), col("frame_idx")))
+      val nn = graft.operators.HammingNN.nearest(hashed, "key",
+        "ahash_hi", "ahash_lo", crossGroup = Some("model"))
+      // LEFT join — the HammingNN caller contract (band-isolated
+      // keys surface as NULL-NN rows, never vanish)
+      hashed.join(nn, Seq("key"), "left")
+        .select(col("model"), col("frame_idx"), col("ahash_hi"),
+          col("ahash_lo"), col("nn_key"), col("nn_hamming"))
+        .orderBy(col("model"), col("frame_idx"))
     }),
 
     // mm8: frame sampling from a video container — the "every k-th
@@ -2292,6 +2343,59 @@ object AdsbQueries {
          |  CAST((us_per_frame * total_frames) // 1000 AS BIGINT)
          |    AS duration_ms
          |FROM p ORDER BY model""".stripMargin,
+
+    // mm19: every conforming frame's 8×8 point-sample aHash
+    // re-derived from the dumped blobs (the BmpAHash grid convention
+    // on raw w×h gray frames), then the cross-video hamming-NN
+    // replayed as all-pairs + row_number — same (distance, key
+    // string) tie-break as the Spark min(struct) vote.
+    "mm19_frame_phash" ->
+      s"""WITH RECURSIVE $videoSumsCte,
+         |fr AS (
+         |  SELECT e.model, u.i AS fi, offs[u.i + 1] AS off,
+         |    h.wd, h.ht, s.hx
+         |  FROM en e
+         |  JOIN avhdr h USING (model)
+         |  JOIN avsrc s USING (model),
+         |  UNNEST(range(0, e.nf)) AS u(i)
+         |  WHERE szs[u.i + 1]::HUGEINT = h.wd::HUGEINT * h.ht),
+         |gr AS (
+         |  SELECT model, fi, g.i AS i,
+         |    ('0x' || substr(hx, CAST((off + ((g.i // 8) * ht) // 8 * wd
+         |      + ((g.i % 8) * wd) // 8) * 2 + 1 AS BIGINT), 2))::BIGINT
+         |      AS gray
+         |  FROM fr, UNNEST(range(0, 64)) AS g(i)),
+         |mn AS (
+         |  SELECT model, fi, sum(gray) // 64 AS mean
+         |  FROM gr GROUP BY 1, 2),
+         |hh AS (
+         |  SELECT g.model, CAST(g.fi AS BIGINT) AS frame_idx,
+         |    CAST(sum(CASE WHEN gray > mean AND i >= 32
+         |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT)
+         |      AS ahash_hi,
+         |    CAST(sum(CASE WHEN gray > mean AND i < 32
+         |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ahash_lo
+         |  FROM gr g JOIN mn m ON g.model = m.model AND g.fi = m.fi
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT a.model, a.frame_idx,
+         |    b.model || '#' || b.frame_idx AS okey,
+         |    CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |         bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
+         |      AS hamming
+         |  FROM hh a JOIN hh b ON a.model <> b.model),
+         |nn AS (
+         |  SELECT model, frame_idx, okey AS nn_key,
+         |    hamming AS nn_hamming
+         |  FROM (
+         |    SELECT model, frame_idx, okey, hamming,
+         |      row_number() OVER (PARTITION BY model, frame_idx
+         |        ORDER BY hamming, okey) AS rn
+         |    FROM pr) WHERE rn = 1)
+         |SELECT h.model, h.frame_idx, h.ahash_hi, h.ahash_lo,
+         |  n.nn_key, n.nn_hamming
+         |FROM hh h JOIN nn n USING (model, frame_idx)
+         |ORDER BY h.model, h.frame_idx""".stripMargin,
 
     // mm17: the three gate branches replayed from the dumped blobs —
     // BMP variance via the shared aHash gray CTEs, audio silence via

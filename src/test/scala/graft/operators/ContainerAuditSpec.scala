@@ -19,7 +19,7 @@ class ContainerAuditSpec extends SparkSpec {
     assert(rows.keySet === Set(
       ("wav", "dialog_h_w"), ("wav", "chant_i"), ("wav", "claim_j"),
       ("avi", "vid_scene_a"), ("avi", "vid_junk"), ("avi", "vid_pre"),
-      ("avi", "vid_mix"), ("avi", "vid_talk")))
+      ("avi", "vid_mix"), ("avi", "vid_talk"), ("avi", "vid_scene_b")))
     // the lying byte_rate: structure fine, size fine, payload fine,
     // rate WRONG, consistent false
     assert(rows(("wav", "claim_j")) ===

@@ -158,7 +158,8 @@ class MediaFingerprintSpec extends SparkSpec {
     // the round-12 walked-header pair (JUNK before hdrl; interleaved
     // movi with a strl-padded hdrl)
     assert(all.map(_.getString(0)).toSet ===
-      Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix", "vid_talk"))
+      Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix", "vid_talk",
+        "vid_scene_b"))
     val r = all.filter(_.getString(0) == "vid_scene_a")
     val row = r.head
     assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)
@@ -187,7 +188,7 @@ class MediaFingerprintSpec extends SparkSpec {
     Seq(("audio", "dialog_h"), ("audio", "dialog_h_w"), ("image", "A1"),
       ("video", "vid_a"), ("video", "vid_scene"), ("video", "vid_pre"),
       ("video", "vid_mix"), ("video", "vid_talk"),
-      ("audio", "vid_talk")).foreach { k =>
+      ("video", "vid_scene_b"), ("audio", "vid_talk")).foreach { k =>
       assert(rows(k) === ((true, "ok")), k)
     }
     // the interleaved fixture's 30-byte audio stream: demuxed (one
@@ -196,6 +197,35 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(rows(("audio", "vid_mix")) === ((false, "too_short")))
     // admitted is the reason predicate, never independent state
     rows.values.foreach { case (adm, r) => assert(adm === (r == "ok")) }
+  }
+
+  test("mm19: the re-encoded twin is invisible to sums, 0 to the phash") {
+    // vid_scene_b = vid_scene_a with two OFF-SAMPLE-GRID pixels
+    // perturbed per frame: every frame byte-sum changes, so the
+    // mm15 sum-signature dedup reads the pair as weakly related
+    // (containment well under the dup threshold) — while the
+    // perceptual frame hash is bit-identical, so mm19 finds all 16
+    // frames at hamming 0 in vid_scene_a. THE reason frame-level
+    // perceptual hashing exists.
+    val sums = AdsbQueries.defs("mm15_video_neardup")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    val contB = sums.getOrElse(("vid_scene_a", "vid_scene_b"), 0L)
+    assert(contB < 500000L, s"sum containment should be weak: $contB")
+    val ph = AdsbQueries.defs("mm19_frame_phash")(spark, "unused")
+      .collect()
+      .filter(_.getString(0) == "vid_scene_b")
+      .map(r => (r.getLong(1), r.getString(4), r.getLong(5)))
+    assert(ph.length === 16)
+    ph.foreach { case (fi, nn, ham) =>
+      assert(ham === 0L, s"frame $fi")
+      assert(nn.startsWith("vid_scene_a#"), s"frame $fi nn $nn")
+    }
+    // and the off-dims vid_mix frames are EXCLUDED from hashing
+    // (frame 2 is 17 B vs the declared 6x3) — visible via the gap
+    val mix = AdsbQueries.defs("mm19_frame_phash")(spark, "unused")
+      .collect().filter(_.getString(0) == "vid_mix").map(_.getLong(1))
+    assert(mix.sorted.toSeq === Seq(0L, 1L, 3L))
   }
 
   test("AVI demux: the container twin segments IDENTICALLY to the gvid") {
