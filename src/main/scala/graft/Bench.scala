@@ -279,6 +279,69 @@ object Bench {
       s"\"" + k + "\":\"" + minOf(ss.map(_.t)).left.getOrElse("") + "\"" }
     val errJson =
       if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
+    // ---- per-query FLOOR table (round-13, VERDICT r12 ask #2) ----
+    // The r12 bench-drift adjudication ("host capacity decays over a
+    // 5 h session; per-query minima are flat") was six hand-compared
+    // runs — this makes it an ARTIFACT. bench_floor.json accumulates
+    // each query's MINIMUM seconds across every FULL bench run of
+    // the session (runs < 3 h apart chain; a ≥ 3 h gap rotates
+    // floors → prior, so the next session compares against this
+    // one's best). The round artifact then carries floor, prior
+    // floor, and floor_flags = queries whose FLOOR moved > 1.5×
+    // above 0.3 s — the only signal that survives both single-run
+    // noise AND uniform session-wide drift. Subset runs never touch
+    // the file (a partial floor would read as a headline one).
+    case class FloorFile(updatedMs: Long, floors: Map[String, Double],
+        prior: Map[String, Double])
+    def parseFloorFile(s: String): FloorFile = {
+      def obj(key: String): Map[String, Double] =
+        ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r
+          .findFirstMatchIn(s).map(_.group(1)) match {
+          case Some(body) =>
+            "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          case None => Map.empty
+        }
+      val upd = "\"updated_ms\"\\s*:\\s*([0-9]+)".r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      FloorFile(upd, obj("floors"), obj("prior"))
+    }
+    def dec3m(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}")
+    val (floorJson: String, nFloorFlags: Int) =
+      if (only.nonEmpty) ("", 0)
+      else {
+        val floorPath = java.nio.file.Paths.get("bench_floor.json")
+        val prev =
+          try parseFloorFile(java.nio.file.Files.readString(floorPath))
+          catch { case _: Throwable => FloorFile(0L, Map.empty, Map.empty) }
+        val nowMs = System.currentTimeMillis()
+        val rotate =
+          prev.updatedMs > 0 && nowMs - prev.updatedMs > 3L * 3600 * 1000
+        val base = if (rotate) Map.empty[String, Double] else prev.floors
+        val prior = if (rotate) prev.floors else prev.prior
+        val thisRun = results.flatMap { case (k, ss) =>
+          minOf(ss.map(_.t)).toOption.map(k -> _)
+        }.toMap
+        val floors = (base.keySet ++ thisRun.keySet).map { q =>
+          q -> math.min(base.getOrElse(q, Double.MaxValue),
+            thisRun.getOrElse(q, Double.MaxValue))
+        }.toMap
+        val flags = floors.keys.filter { q =>
+          prior.get(q).exists(p => floors(q) > 1.5 * p && floors(q) > 0.3)
+        }.toSeq.sorted
+        val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+        try java.nio.file.Files.writeString(floorPath,
+          s"""{"updated_ms":$nowMs,"floors":${dec3m(floors)},""" +
+            s""""prior":${dec3m(prior)},"floor_flags":$flagsJson}""" + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] floor write failed: ${e.getMessage}")
+        }
+        (s""","floor":${dec3m(floors)},"floor_prev":${dec3m(prior)}""" +
+          s""","floor_flags":$flagsJson""", flags.size)
+      }
     val total = results.map(t => minOf(t._2.map(_.t)))
       .collect { case Right(v) => v }.sum
     val policy =
@@ -290,9 +353,13 @@ object Bench {
         "seconds; fcpu[] = per-run avg FOREIGN host cores " +
         "(/proc/stat busy minus this JVM); contended[] = every " +
         "sample ran with foreign > max(2, cores/4) cores -> host " +
-        "contention, not a plan regression"
+        "contention, not a plan regression; floor[] = per-query MIN " +
+        "across this session's full runs (bench_floor.json, 3h-gap " +
+        "session rotation), floor_flags = floor moved >1.5x vs the " +
+        "prior session's floor above 0.3s - THE cross-run regression " +
+        "signal (single-run spread never flags)"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","order":"name-sorted","queries":$qs,"runs":$runsJson,"gc":$gcJson,"cpu":$cpuJson,"trun":$trunJson,"fcpu":$fcpuJson$stealJson$contendedJson$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","policy":"$policy","order":"name-sorted","queries":$qs,"runs":$runsJson,"gc":$gcJson,"cpu":$cpuJson,"trun":$trunJson,"fcpu":$fcpuJson$stealJson$contendedJson$errJson$floorJson,"sf":"$sfDir"}"""
     // the artifact must survive log-tail truncation (BENCH_r05/r06 both
     // came back "parsed": null): persist the line as a file in cwd
     // BEFORE printing it. Subset runs (query-name args) must NOT
@@ -338,7 +405,7 @@ object Bench {
       s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":${
         compactEntries.mkString("{", ",", "}")},"n_queries":${results.size
         },"n_errors":${errors.size},"n_contended":${contended.size
-        },"detail":"$outFile","sf":"$sfDir"}"""
+        },"n_floor_flags":$nFloorFlags,"detail":"$outFile","sf":"$sfDir"}"""
     spark.stop()
     println("GRAFT_BENCH_RESULT")
     println(compact)

@@ -118,7 +118,33 @@ object Meta {
     // 8×8 aHash point samples are untouched (mm19's perceptual
     // frame hash sees 16 hamming-0 twins): the re-encode case that
     // motivates frame-level perceptual dedup
-    "vid_scene_b.avi")
+    "vid_scene_b.avi",
+    // dialog_h_16: dialog_h's SIGNAL as 16-bit little-endian mono
+    // (sample i = dialog_h[i]·256 + junk low byte) — round-13:
+    // canonicalizes to dialog_h's EXACT bytes, so mm13 segments
+    // identically and mm7 lands a third hamming-0 twin:
+    // bit-depth-independent audio analysis, proven end to end
+    "dialog_h_16.wav",
+    // duet_s8: 8-bit STEREO (L = c+5, R = c−5 around a fresh
+    // 2048-sample signal) — the channel-mean canonicalization case;
+    // 12/32 silent frames (admitted), one speech segment (8..27)
+    "duet_s8.wav",
+    // organ_24: a structurally VALID, internally consistent wav
+    // declaring 24-bit samples — OUTSIDE the canonicalization
+    // contract, so the analysis family must REJECT it visibly
+    // (mm14/mm18 still parse the header; fail-closed, never a
+    // mis-read of 3-byte samples as 8-bit)
+    "organ_24.wav",
+    // vid_duet: an interleaved AVI carrying 16-bit STEREO audio
+    // (65 canonical frames, 2/63-frame silent rim) behind the auds
+    // strf — the both-widenings-at-once case for the shared gate
+    "vid_duet.avi",
+    // vid_wall: a movi LIST with 4102 sub-chunks — MORE than the
+    // 4096-chunk walk cap (round-13, ADVICE r12 #1): the video leg
+    // still admits (its 2 declared frames demux early), but the
+    // audio demux would be TRUNCATED, so avi_audio_ok must reject
+    // and mm18's demux_complete column must flag it
+    "vid_wall.avi")
 
   /** Extract the bundled synthetic audio/video blobs (mm7/mm8): .pcm
     * is headerless 8-bit PCM; .gvid is the toy frame container

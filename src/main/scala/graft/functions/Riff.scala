@@ -177,6 +177,45 @@ case class RiffChunksExpr(content: Expression, start: Expression,
     copy(content = newFirst, start = newSecond, end = newThird)
 }
 
+/** `riff_walk_complete(content, start, end)` — TRUE iff the bounded
+  * chunk walk consumed the whole range rather than hitting the
+  * 4096-chunk cap. See [[Riff.walkComplete]]. */
+case class RiffWalkDoneExpr(content: Expression, start: Expression,
+    end: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = content
+  override def second: Expression = start
+  override def third: Expression = end
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "riff_walk_complete"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (content.dataType, start.dataType, end.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, s, e) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, int, int), got " +
+          s"(${c.simpleString}, ${s.simpleString}, ${e.simpleString})")
+    }
+
+  override def nullSafeEval(c: Any, s: Any, e: Any): Any =
+    Riff.walkComplete(c.asInstanceOf[Array[Byte]], s.asInstanceOf[Int],
+      e.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, s, e) =>
+      s"${ev.value} = graft.functions.Riff.walkComplete($c, $s, $e);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): RiffWalkDoneExpr =
+    copy(content = newFirst, start = newSecond, end = newThird)
+}
+
 object Riff {
 
   private[functions] def pack4cc(s: String): Int = {
@@ -273,6 +312,30 @@ object Riff {
       i += 1
     }
     -1L
+  }
+
+  /** TRUE iff the bounded walk over `[start, end)` terminated because
+    * it CONSUMED the range (next header would not fit), FALSE iff the
+    * 4096-chunk cap stopped it with chunks still unread — the
+    * completeness attestation for demux consumers (round-13, ADVICE
+    * r12 #1: `findChunks` on a movi LIST with > 4096 sub-chunks —
+    * ~2 min of real interleaved 25 fps A/V — silently truncates the
+    * `01wb` list; the video leg is bounded by the header-declared
+    * frame count, but the audio demux is "all matching chunks", so a
+    * capped walk MUST fail the audio gate instead of admitting a
+    * truncated PCM stream). Same advance rule and bounds as [[find]];
+    * a negative start attests nothing (false). */
+  def walkComplete(b: Array[Byte], start: Int, end: Int): Boolean = {
+    val stop = math.min(end.toLong, b.length.toLong)
+    var p = start.toLong
+    var i = 0
+    if (p < 0) return false
+    while (p + 8 <= stop && i < 4096) {
+      val size = le32(b, p.toInt + 4)
+      p += 8 + size + (size & 1)
+      i += 1
+    }
+    p + 8 > stop
   }
 
   /** Every plain-id match in the walk, packed `(off << 32) | size` —
@@ -421,8 +484,28 @@ object Riff {
         riffChunks(c, col("movi_off") + 4,
           least(col("movi_off") + col("movi_sz"), len), "00db"))
         .otherwise(array().cast("array<bigint>")))
+      // movi-walk completeness (round-13, ADVICE r12 #1): riffChunks
+      // caps at 4096 sub-chunks, so a longer interleaved movi
+      // truncates the demux lists SILENTLY from this projection's
+      // point of view. The video consumers are safe by construction
+      // (bounded by the header-declared frame count, which a
+      // truncated list fails), but "all matching chunks" consumers —
+      // the 01wb audio demux — and the mm18 audit need the walk to
+      // ATTEST it consumed the whole LIST. Vacuously true with no
+      // movi (nothing was demuxed).
+      .withColumn("avi_walk_complete", when(col("__movi") >= 0,
+        riffWalkDone(c, col("movi_off") + 4,
+          least(col("movi_off") + col("movi_sz"), len)))
+        .otherwise(lit(true)))
       .drop("__hdrl", "__avih", "__movi")
   }
+
+  /** `riff_walk_complete` as a Column — TRUE iff the bounded walk of
+    * `[start, end)` consumed the range (did NOT hit the 4096 cap). */
+  def riffWalkDone(content: Column, start: Column, end: Column): Column =
+    Bridge.column(RiffWalkDoneExpr(Bridge.expression(content),
+      Bridge.expression(start.cast("int")),
+      Bridge.expression(end.cast("int"))))
 
   /** The shared WAV admission + header decode (one home for batch
     * AND streaming — round-11 verdict ask #3): input must carry a
@@ -472,13 +555,19 @@ object Riff {
   /** [[withAviColumns]] plus the AUDIO demux (round-12): `avi_wbs`
     * (every `01wb` sub-chunk of movi, packed, in order), the
     * DECLARED audio stream format (`avi_audio_format`/
-    * `avi_audio_bits` from the auds strl's strf — review #2: bytes
-    * of unknown sample format must never reach the 8-bit energy
-    * math), `avi_audio_ok` (valid AVI, ≥ 1 audio chunk, every
-    * declared payload FITS, an auds strf of ≥ 16 fitting bytes
-    * declaring PCM format 1 at 8 bits — the exact contract the WAV
-    * leg's fmt gate enforces), and `avi_audio` (the ordered payload
-    * concatenation — the container-independent PCM stream, NULL
+    * `avi_audio_bits`/`avi_audio_channels` from the auds strl's strf
+    * — review #2: bytes of unknown sample format must never reach
+    * the sample math), `avi_audio_ok` (valid AVI, ≥ 1 audio chunk,
+    * every declared payload FITS, a COMPLETE movi walk — round-13,
+    * ADVICE r12 #1: a movi holding > 4096 sub-chunks truncates the
+    * demux list at the walk cap, and unlike the frame-count-bounded
+    * video leg the audio demux is "all matching chunks", so a capped
+    * walk must REJECT, not admit a truncated PCM stream — and an
+    * auds strf of ≥ 16 fitting bytes declaring PCM format 1 at 8 or
+    * 16 bits, mono or stereo: the exact contract the WAV leg's fmt
+    * gate enforces), and `avi_audio` (the ordered payload
+    * concatenation — the container-level PCM stream in its DECLARED
+    * format; consumers canonicalize via [[Pcm.pcmCanonical]], NULL
     * unless ok). ONE home for the audio demux, shared by the batch
     * corpus ([[graft.queries.AdsbQueries]]) and the streaming gate
     * ([[graft.streaming.AudioStream]]). */
@@ -501,14 +590,20 @@ object Riff {
       .withColumn("auds_sz", col("__auds").bitwiseAND(lit(4294967295L)))
       .withColumn("avi_audio_format",
         when(col("__auds") >= 0, leIntAt(c, col("auds_off"), 2)))
+      .withColumn("avi_audio_channels",
+        when(col("__auds") >= 0, leIntAt(c, col("auds_off") + 2, 2)))
       .withColumn("avi_audio_bits",
         when(col("__auds") >= 0, leIntAt(c, col("auds_off") + 14, 2)))
       .withColumn("avi_audio_ok", col("avi_ok") &&
         col("movi_off") >= 0 && size(col("avi_wbs")) > 0 &&
         packsFit(col("avi_wbs"), c) &&
+        col("avi_walk_complete") &&
         col("__auds") >= 0 && col("auds_sz") >= 16 &&
         col("auds_off") + 16 <= length(c) &&
-        col("avi_audio_format") === 1 && col("avi_audio_bits") === 8)
+        col("avi_audio_format") === 1 &&
+        (col("avi_audio_bits") === 8 || col("avi_audio_bits") === 16) &&
+        (col("avi_audio_channels") === 1 ||
+          col("avi_audio_channels") === 2))
       .withColumn("avi_audio", when(col("avi_audio_ok"), expr(
         """aggregate(avi_wbs, cast('' AS binary), (acc, x) ->
           |  acc || substring(content,

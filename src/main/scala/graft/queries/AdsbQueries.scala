@@ -186,23 +186,135 @@ object AdsbQueries {
     * 01wb sub-chunk payloads, exactly as its video is the ordered
     * 00db set) — container-independent audio analysis, the mm5
     * cross-format story for the audio leg. (model, content, length)
-    * all three ways. */
+    * all three ways.
+    *
+    * Round-13 (VERDICT r12 ask #1): container payloads CANONICALIZE
+    * before analysis — 16-bit and stereo PCM decode onto the
+    * unsigned-8-mono sample stream via [[graft.functions.Pcm
+    * .pcmCanonical]] (8-bit mono is the identity, so every prior
+    * blob's bytes — and hash — are unchanged), and the wav leg now
+    * carries the SAME declared-format gate the AVI/streaming legs
+    * enforce (PCM format 1, bits ∈ {8,16}, channels ∈ {1,2}): a
+    * 24-bit or compressed WAV is REJECTED visibly instead of having
+    * its raw bytes mis-read as 8-bit samples. Headerless .pcm blobs
+    * are 8-bit mono BY the input contract (no header to declare
+    * otherwise). `length` is the canonical (= sample) count. */
   private def audioPcmBlobs(s: SparkSession): DataFrame =
     Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
-      .unionByName(wavParsed(s).select(col("model"),
-        graft.functions.Riff.wavPayload.as("content"),
-        col("data_bytes").as("length")))
+      .unionByName(wavParsed(s)
+        .where(col("audio_format") === 1 &&
+          col("bits_per_sample").isin(8L, 16L) &&
+          col("n_channels").isin(1L, 2L))
+        .select(col("model"),
+          graft.functions.Pcm.pcmCanonical(graft.functions.Riff.wavPayload,
+            col("bits_per_sample"), col("n_channels")).as("content"))
+        .select(col("model"), col("content"),
+          length(col("content")).cast("long").as("length")))
       .unionByName(aviAudioPcm(s))
 
   /** The demuxed audio stream of every valid AVI with ≥ 1 `01wb`
-    * chunk whose payloads all fit — the audio twin of the 00db
-    * video demux, via the SAME shared gate the streaming intake uses
-    * ([[graft.functions.Riff.withAviAudio]]). */
+    * chunk whose payloads all fit (and a COMPLETE movi walk —
+    * round-13, ADVICE r12 #1) — the audio twin of the 00db video
+    * demux, via the SAME shared gate the streaming intake uses
+    * ([[graft.functions.Riff.withAviAudio]]), canonicalized onto the
+    * unsigned-8-mono sample stream. */
   private def aviAudioPcm(s: SparkSession): DataFrame =
     Riff.withAviAudio(Meta.loadMediaFiles(s, Meta.mediaDir(), "avi"))
       .where(col("avi_audio_ok"))
-      .select(col("model"), col("avi_audio").as("content"),
-        length(col("avi_audio")).cast("long").as("length"))
+      .select(col("model"),
+        graft.functions.Pcm.pcmCanonical(col("avi_audio"),
+          col("avi_audio_bits"), col("avi_audio_channels")).as("content"))
+      .select(col("model"), col("content"),
+        length(col("content")).cast("long").as("length"))
+
+  /** mm15's whole-video near-dup readout over a frame lattice —
+    * extracted (round-13, VERDICT r12 ask #4) so mm17 can feed the
+    * SAME [[Dedup.share]]d lattice to this and to its video audit
+    * leg instead of re-deriving the container parses per leg.
+    * gvid ∪ demuxed avi: the planted AVI twin of vid_scene must
+    * surface at containment 10⁶ — cross-container video dedup. */
+  private def videoNearDup(lattice: DataFrame): DataFrame = {
+    import graft.operators.HotKeys
+    // share()d: sizes + both self-join sides would otherwise
+    // re-decode every blob per consumer (the sk10 scan-budget
+    // lesson; the cached frame is (model, long) — never bytes).
+    val sigs = graft.operators.Dedup.share(lattice
+      .select(col("model"), explode(col("sums")).as("sig"))
+      .distinct())
+    // hot-signature cap (round-11, HotKeys scaladoc): a degenerate
+    // frame signature shared by > 64 videos (black frames, test
+    // cards) would fan in quadratically through the inverted-index
+    // join; it identifies nothing, so it is dropped from BOTH the
+    // intersection and the set sizes (jaccard over the informative
+    // signature space), and each video's dropped count is the
+    // n_capped_* audit column. Mirrored in the oracle.
+    val hot = HotKeys.hot(sigs, cap = 64, "sig")
+    val capped = sigs.join(broadcast(hot.select(col("sig"))), Seq("sig"))
+      .groupBy(col("model")).agg(count(lit(1)).as("n_capped"))
+    val kept = HotKeys.drop(sigs, hot, "sig")
+    val sizes = kept.groupBy(col("model"))
+      .agg(count(lit(1)).as("n_sigs"))
+      .join(capped, Seq("model"), "left")
+      .select(col("model"), col("n_sigs"),
+        coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+    val shared = kept.as("a").join(kept.as("b"),
+        col("a.sig") === col("b.sig") && col("a.model") < col("b.model"))
+      .groupBy(col("a.model").as("model"), col("b.model").as("other"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("model"), col("n_sigs").as("n_a"),
+        col("n_capped").as("n_capped_a")), Seq("model"))
+      .join(sizes.select(col("model").as("other"),
+        col("n_sigs").as("n_b"), col("n_capped").as("n_capped_b")),
+        Seq("other"))
+      .select(col("model"), col("other"), col("n_a"), col("n_b"),
+        col("shared"),
+        expr("(1000000L * shared) div (n_a + n_b - shared)")
+          .as("jaccard_ppm"),
+        expr("(1000000L * shared) div least(n_a, n_b)")
+          .as("containment_ppm"),
+        col("n_capped_a"), col("n_capped_b"))
+      .orderBy(col("model"), col("other"))
+  }
+
+  /** mm19's video-catalog dictionary: one row per admitted video with
+    * a dense numeric id (lexicographic model rank). The
+    * single-partition window runs over catalog METADATA — one row per
+    * video, ≪ frame count at any scale — and every consumer join
+    * broadcasts it. */
+  private[graft] def mm19Dict(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    aviAdmitted(s).select(col("model")).distinct()
+      .withColumn("mid",
+        row_number().over(Window.orderBy(col("model"))).cast("long"))
+  }
+
+  /** mm19's per-frame hash frame with the PACKED band-join key
+    * (round-13, VERDICT r12 ask #5): key = mid·2³² + frame_idx, a
+    * LongType — the band exchange shuffles 8-byte keys, never
+    * model#frame strings ([[graft.operators.PlanSpec]] pins both the
+    * key type and the banded-path exchange keys). */
+  private[graft] def mm19Hashed(s: SparkSession): DataFrame = {
+    import graft.functions.BmpAHash
+    val hashed0 = aviAdmitted(s)
+      .select(col("model"), transform(col("dbs"), pk => {
+        val off = shiftrightunsigned(pk, 32)
+        val sz = pk.bitwiseAND(lit(4294967295L))
+        // conforming ⇒ w·h = sz ≤ blob < 2³¹, so the int casts
+        // inside frameAHash cannot overflow (when() is lazy)
+        when(sz.cast("decimal(20,0)") ===
+            col("width").cast("decimal(20,0)") * col("height"),
+          BmpAHash.frameAHash(col("content"), off, col("width"),
+            col("height")))
+      }).as("fhs"))
+      .select(col("model"), posexplode(col("fhs")).as(Seq("fi", "hh")))
+      .where(col("hh").isNotNull)
+      .select(col("model"), col("fi").cast("long").as("frame_idx"),
+        expr("element_at(hh, 1)").as("ahash_hi"),
+        expr("element_at(hh, 2)").as("ahash_lo"))
+    hashed0.join(broadcast(mm19Dict(s)), Seq("model"))
+      .withColumn("key", shiftleft(col("mid"), 32) + col("frame_idx"))
+  }
 
   /** Shared harness for the stream ≡ batch parity rows: replay the
     * reference capture through a streaming sessionizer
@@ -812,51 +924,8 @@ object AdsbQueries {
     // signature value, never all-pairs), then a map-side-combinable
     // per-pair count; non-intersecting pairs never exist as rows, at
     // any corpus size.
-    "mm15_video_neardup" -> ((s, _) => {
-      import graft.operators.HotKeys
-      // share()d: sizes + both self-join sides would otherwise
-      // re-decode every blob per consumer (the sk10 scan-budget
-      // lesson; the cached frame is (model, long) — never bytes).
-      // gvid ∪ demuxed avi: the planted AVI twin of vid_scene must
-      // surface at containment 10⁶ — cross-container video dedup
-      val sigs = graft.operators.Dedup.share(videoFrameSums(s)
-        .select(col("model"), explode(col("sums")).as("sig"))
-        .distinct())
-      // hot-signature cap (round-11, HotKeys scaladoc): a degenerate
-      // frame signature shared by > 64 videos (black frames, test
-      // cards) would fan in quadratically through the inverted-index
-      // join; it identifies nothing, so it is dropped from BOTH the
-      // intersection and the set sizes (jaccard over the informative
-      // signature space), and each video's dropped count is the
-      // n_capped_* audit column. Mirrored in the oracle.
-      val hot = HotKeys.hot(sigs, cap = 64, "sig")
-      val capped = sigs.join(broadcast(hot.select(col("sig"))), Seq("sig"))
-        .groupBy(col("model")).agg(count(lit(1)).as("n_capped"))
-      val kept = HotKeys.drop(sigs, hot, "sig")
-      val sizes = kept.groupBy(col("model"))
-        .agg(count(lit(1)).as("n_sigs"))
-        .join(capped, Seq("model"), "left")
-        .select(col("model"), col("n_sigs"),
-          coalesce(col("n_capped"), lit(0L)).as("n_capped"))
-      val shared = kept.as("a").join(kept.as("b"),
-          col("a.sig") === col("b.sig") && col("a.model") < col("b.model"))
-        .groupBy(col("a.model").as("model"), col("b.model").as("other"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.select(col("model"), col("n_sigs").as("n_a"),
-          col("n_capped").as("n_capped_a")), Seq("model"))
-        .join(sizes.select(col("model").as("other"),
-          col("n_sigs").as("n_b"), col("n_capped").as("n_capped_b")),
-          Seq("other"))
-        .select(col("model"), col("other"), col("n_a"), col("n_b"),
-          col("shared"),
-          expr("(1000000L * shared) div (n_a + n_b - shared)")
-            .as("jaccard_ppm"),
-          expr("(1000000L * shared) div least(n_a, n_b)")
-            .as("containment_ppm"),
-          col("n_capped_a"), col("n_capped_b"))
-        .orderBy(col("model"), col("other"))
-    }),
+    "mm15_video_neardup" -> ((s, _) =>
+      videoNearDup(videoFrameSums(s))),
 
     // mm17: the CURATION AUDIT TABLE — one row per media asset with
     // the admission decision and its reason, the d18-lineage shape
@@ -897,12 +966,19 @@ object AdsbQueries {
               |  div cast(n_frames AS bigint)""".stripMargin) >= 500000L,
               "mostly_silent")
             .otherwise("ok").as("reason"))
+      // ONE shared frame lattice for BOTH video legs (round-13,
+      // VERDICT r12 ask #4 — the scan-budget rule): the near-dup
+      // victim lookup and the audit projection below used to each
+      // re-derive videoFrameSums (two full container walks +
+      // byte-sum lattices); the share()d frame is (model, ints +
+      // long arrays) — never blob bytes.
+      val lattice = graft.operators.Dedup.share(videoFrameSums(s))
       // one row per victim (ADVICE r10 #4): a video contained in 2+
       // others (or both an exact and a contained dup) would otherwise
       // fan out duplicate audit rows through the left join below;
       // min(vreason) is the deterministic one-reason pick
       // ('contained_dup' < 'exact_dup'), mirrored in the oracle.
-      val nd = defs("mm15_video_neardup")(s, dir)
+      val nd = videoNearDup(lattice)
         .where(col("containment_ppm") === 1000000L)
         .select(
           when(col("n_b") < col("n_a"), col("other"))
@@ -911,7 +987,7 @@ object AdsbQueries {
           when(col("jaccard_ppm") === 1000000L, "exact_dup")
             .otherwise("contained_dup").as("vreason"))
         .groupBy(col("model")).agg(min(col("vreason")).as("vreason"))
-      val vid = videoFrameSums(s)
+      val vid = lattice
         .select(col("model"),
           // payload bytes = Σ demuxed frame sizes (round-12: frames
           // may vary per chunk; equals frame_size·n_frames when
@@ -978,7 +1054,11 @@ object AdsbQueries {
                 expr("bits_per_sample div 8")).as("rate_ok"),
           // the SHARED fits column (drift-proof with admission):
           // both chunk bodies must fit in the blob
-          ok(col("wav_ok"), col("wav_fits")).as("payload_ok"))
+          ok(col("wav_ok"), col("wav_fits")).as("payload_ok"),
+          // wav locates chunks, it demuxes nothing — the column
+          // exists so the avi walk-cap audit (round-13) has one
+          // schema across containers
+          ok(col("wav_ok"), lit(true)).as("demux_complete"))
       val avi = Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(),
           "avi"))
         // structure = the shared walk gate (form + walked hdrl +
@@ -1016,10 +1096,18 @@ object AdsbQueries {
               slice(col("avi_dbs"), lit(1),
                 col("total_frames").cast("int")),
               col("content")))
-            .otherwise(lit(false)).as("payload_ok"))
+            .otherwise(lit(false)).as("payload_ok"),
+          // round-13 (ADVICE r12 #1): the movi walk must ATTEST it
+          // consumed the whole LIST — a > 4096-sub-chunk movi
+          // truncates the demux lists at the walk cap, and an audit
+          // that reads a truncated list as "the chunks" would hide
+          // exactly the incompleteness it exists to surface
+          ok(col("structure_ok"),
+            col("avi_walk_complete")).as("demux_complete"))
       wav.unionByName(avi)
         .withColumn("consistent", col("structure_ok") &&
-          col("riff_size_ok") && col("rate_ok") && col("payload_ok"))
+          col("riff_size_ok") && col("rate_ok") && col("payload_ok") &&
+          col("demux_complete"))
         .orderBy(col("container"), col("model"))
     }),
 
@@ -1038,34 +1126,33 @@ object AdsbQueries {
     // frame is trivially near and carries no dedup signal). Scale
     // shape: the hash is a per-blob transform (joinless, one scan),
     // NN is the routed band join; row count = Σ conforming frames.
-    // Keys are model#frame strings (pack to a long at d19's scale).
+    // Keys are PACKED LONGS (round-13, VERDICT r12 ask #5 — the d19
+    // idiom): models dictionary-encode against the video-catalog
+    // dimension (metadata-sized relative to frames — one row per
+    // admitted video, broadcast both ways), key = mid·2³² +
+    // frame_idx, so the band exchange shuffles 8-byte keys, never
+    // model#frame strings; the presentation `nn_key` string is
+    // rebuilt from the broadcast dictionary AFTER the NN readout.
+    // Equal-hamming ties now break on (mid, frame_idx) — numeric
+    // frame order, mirrored in the oracle's ORDER BY (the retired
+    // string key ordered "#10" before "#2").
     "mm19_frame_phash" -> ((s, _) => {
-      import graft.functions.BmpAHash
-      val hashed = aviAdmitted(s)
-        .select(col("model"), transform(col("dbs"), pk => {
-          val off = shiftrightunsigned(pk, 32)
-          val sz = pk.bitwiseAND(lit(4294967295L))
-          // conforming ⇒ w·h = sz ≤ blob < 2³¹, so the int casts
-          // inside frameAHash cannot overflow (when() is lazy)
-          when(sz.cast("decimal(20,0)") ===
-              col("width").cast("decimal(20,0)") * col("height"),
-            BmpAHash.frameAHash(col("content"), off, col("width"),
-              col("height")))
-        }).as("fhs"))
-        .select(col("model"), posexplode(col("fhs")).as(Seq("fi", "hh")))
-        .where(col("hh").isNotNull)
-        .select(col("model"), col("fi").cast("long").as("frame_idx"),
-          expr("element_at(hh, 1)").as("ahash_hi"),
-          expr("element_at(hh, 2)").as("ahash_lo"))
-        .withColumn("key",
-          concat(col("model"), lit("#"), col("frame_idx")))
+      val hashed = mm19Hashed(s)
       val nn = graft.operators.HammingNN.nearest(hashed, "key",
-        "ahash_hi", "ahash_lo", crossGroup = Some("model"))
+        "ahash_hi", "ahash_lo", crossGroup = Some("mid"))
       // LEFT join — the HammingNN caller contract (band-isolated
-      // keys surface as NULL-NN rows, never vanish)
+      // keys surface as NULL-NN rows, never vanish); the NN's packed
+      // key decodes arithmetically, the model name comes back from
+      // the broadcast dictionary
       hashed.join(nn, Seq("key"), "left")
+        .join(broadcast(mm19Dict(s).select(col("mid").as("__nmid"),
+            col("model").as("__nmodel"))),
+          shiftrightunsigned(col("nn_key"), 32) === col("__nmid"), "left")
         .select(col("model"), col("frame_idx"), col("ahash_hi"),
-          col("ahash_lo"), col("nn_key"), col("nn_hamming"))
+          col("ahash_lo"),
+          when(col("nn_key").isNotNull, concat(col("__nmodel"), lit("#"),
+            col("nn_key").bitwiseAND(lit(4294967295L)))).as("nn_key"),
+          col("nn_hamming"))
         .orderBy(col("model"), col("frame_idx"))
     }),
 
@@ -1178,6 +1265,68 @@ object AdsbQueries {
           col("kf.fi").as("keyframe_idx"),
           (-col("kf.ne")).as("keyframe_energy"))
         .orderBy(col("model"), col("shot_id"))
+    }),
+
+    // mm20: per-shot MEDOID keyframes (round-13, VERDICT r12 stretch
+    // #7) — mm12 picks the max-ENERGY frame per shot; the standard
+    // video-curation step picks the most REPRESENTATIVE one: the
+    // shot member minimizing total perceptual (hamming) distance to
+    // its fellow members — the medoid over mm19's 8×8 point-sample
+    // aHash. Composes two oracle-proven lattices: mm10's shot
+    // segmentation (running boundary count over byte-sum deltas)
+    // and mm19's per-frame hash; membership is CONFORMING frames
+    // only (a hash-less off-dims frame — the vid_mix case — neither
+    // votes nor wins; a shot with no hashed frame emits no row).
+    // Ties break to the earliest frame. Scale shape: the per-blob
+    // lattices are joinless scans; the medoid pays one equi-join on
+    // (model, shot) — Σ shot_size² pairs, bounded by shot length
+    // (shots are short by construction; a pathological single-shot
+    // video is the caller's segmentation problem, not a join
+    // explosion: the join stays keyed, never cross-video) — then a
+    // map-side-combinable min(struct) argmin, row count = Σ shots.
+    "mm20_shot_medoids" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val shots = videoFrameSums(s)
+        .where(col("n_frames") >= 2)
+        .withColumn("deltas", expr(
+          """transform(sequence(1, n_frames - 1), f ->
+            |  abs(element_at(sums, f + 1) - element_at(sums, f)))"""
+            .stripMargin))
+        .withColumn("thr", expr(
+          """2L * (aggregate(deltas, 0L, (acc, d) -> acc + d)
+            |  div cast(n_frames - 1 AS bigint))""".stripMargin))
+        .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+        .select(col("model"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("""IF(frame_idx = 0, 0L,
+            |  IF(element_at(deltas, frame_idx) > thr, 1L, 0L))"""
+            .stripMargin).as("isb"))
+        .withColumn("shot_id",
+          sum(col("isb")).over(Window.partitionBy(col("model"))
+            .orderBy(col("frame_idx"))))
+        .select(col("model"), col("frame_idx"), col("shot_id"))
+      // share(): the member frame feeds BOTH sides of the medoid
+      // join — without it the whole demux + hash pipeline runs twice
+      val members = graft.operators.Dedup.share(
+        mm19Hashed(s).select(col("model"), col("frame_idx"),
+            col("ahash_hi"), col("ahash_lo"))
+          .join(shots, Seq("model", "frame_idx")))
+      members.as("a").join(members.as("b"),
+          col("a.model") === col("b.model") &&
+            col("a.shot_id") === col("b.shot_id"))
+        .groupBy(col("a.model").as("model"),
+          col("a.shot_id").as("shot_id"),
+          col("a.frame_idx").as("frame_idx"))
+        .agg((sum(bit_count(col("a.ahash_hi").bitwiseXOR(col("b.ahash_hi"))) +
+            bit_count(col("a.ahash_lo").bitwiseXOR(col("b.ahash_lo")))))
+          .cast("long").as("th"),
+          count(lit(1)).as("nm"))
+        .groupBy(col("model"), col("shot_id"))
+        .agg(min(struct(col("th"), col("frame_idx").as("fi"))).as("m"),
+          max(col("nm")).as("n_hashed"))
+        .select(col("model"), col("shot_id"),
+          col("m.fi").as("medoid_idx"),
+          col("m.th").as("total_hamming"), col("n_hashed"))
+        .orderBy(col("model"), col("shot_id"))
     })
   )
 
@@ -1243,6 +1392,32 @@ object AdsbQueries {
     "('0x' || " + (0 until n).reverse
       .map(i => s"substr($hx, (($off) + $i) * 2 + 1, 2)")
       .mkString(" || ") + ")::BIGINT"
+
+  /** The DuckDB replay of [[graft.functions.Pcm.canonical]] over a
+    * payload HEX column: canonical unsigned-8-mono sample hex from
+    * (`ph` hex, `bits`, `ch` — column names, bits ∈ {8,16} and ch ∈
+    * {1,2} pre-gated by the caller). Same rule, independently
+    * expressed: unsigned space first (16-bit LE signed + 32768 =
+    * `xor(le16, 32768)`), stereo collapses to `(L + R) // 2`, 16-bit
+    * keeps the top byte (`// 256`), a trailing partial sample frame
+    * drops via the floor-division sample count. 8-bit mono is the
+    * identity (the pre-round-13 hex, so prior oracle replays are
+    * byte-identical). */
+  private def pcmCanonHexSql(ph: String, bits: String, ch: String): String = {
+    def b(off: String) = s"('0x' || substr($ph, ($off) * 2 + 1, 2))::BIGINT"
+    def u16(off: String) =
+      s"xor(${b(off)} + 256 * ${b(s"($off) + 1")}, 32768)"
+    s"""CASE WHEN $bits = 8 AND $ch = 1 THEN $ph
+       |    ELSE array_to_string(list_transform(
+       |      range(0, (length($ph) // 2) // (($bits // 8) * $ch)),
+       |      i -> printf('%02X',
+       |        CASE WHEN $bits = 8
+       |          THEN (${b("i * 2")} + ${b("i * 2 + 1")}) // 2
+       |          WHEN $ch = 1 THEN ${u16("i * 2")} // 256
+       |          ELSE ((${u16("i * 4")} + ${u16("i * 4 + 2")}) // 2) // 256
+       |        END)), '')
+       |    END""".stripMargin
+  }
 
   /** Bounded RIFF chunk walk over the (model, hx, st, en0) rows of
     * CTE `src` — the DuckDB replay of [[graft.functions.Riff]]'s
@@ -1317,8 +1492,11 @@ object AdsbQueries {
     * whose WITH already embeds the video chain (mm17) can ALSO embed
     * the audio leg's copy without name collisions. The externally
     * consumed names are `${pre}src`, `${pre}hdr`, `${pre}mv`,
-    * `${pre}db` (00db video chunks) and `${pre}wb` (01wb audio
-    * chunks, round-12). */
+    * `${pre}db` (00db video chunks), `${pre}wb` (01wb audio chunks,
+    * round-12) and `${pre}mcap` (models whose movi walk HIT the
+    * 4096-chunk cap — round-13, the truncated-demux audit: a wk row
+    * at i = 4096 with another header still in range is exactly the
+    * kernel's cap-stop condition). */
   private def aviDemuxCtes(pre: String): String =
     s"""${pre}src AS (
        |  SELECT model, hex(content) AS hx FROM ${tbl("avi_blobs")}),
@@ -1363,7 +1541,10 @@ object AdsbQueries {
        |  FROM ${pre}mck WHERE cid = '30306462'),
        |${pre}wb AS (
        |  SELECT model, p, p + 8 AS off, sz
-       |  FROM ${pre}mck WHERE cid = '30317762')""".stripMargin
+       |  FROM ${pre}mck WHERE cid = '30317762'),
+       |${pre}mcap AS (
+       |  SELECT DISTINCT model FROM ${pre}mwk
+       |  WHERE i = 4096 AND p + 8 <= stp)""".stripMargin
 
   /** Shared VIDEO oracle CTE chain ending in `en (model, nf, offs,
     * szs, sums)` — GVID blobs UNION demuxed RIFF/AVI blobs, the
@@ -1430,7 +1611,11 @@ object AdsbQueries {
     * UNION the concatenated `01wb` audio chunks of valid RIFF/AVI
     * dumps (round-12 — the third container through the same chunk
     * walk) — the independent DuckDB replay of [[audioPcmBlobs]].
-    * Requires WITH RECURSIVE. */
+    * Round-13: container legs carry the declared-format gate (PCM
+    * format 1, bits ∈ {8,16}, channels ∈ {1,2}), the avi leg
+    * additionally requires a non-capped movi walk (`amcap` empty for
+    * the model), and both CANONICALIZE onto unsigned-8 mono via
+    * [[pcmCanonHexSql]]. Requires WITH RECURSIVE. */
   private def audioHexCte: String = audioHexCte("b")
   private def audioHexCte(name: String): String =
     s"""${name}wv AS (
@@ -1470,29 +1655,44 @@ object AdsbQueries {
        |${name}ax AS (
        |  SELECT h.model,
        |    string_agg(substr(h.hx, CAST(d.off * 2 + 1 AS BIGINT),
-       |      CAST(d.sz * 2 AS BIGINT)), '' ORDER BY d.p) AS hx,
-       |    CAST(sum(d.sz) AS BIGINT) AS length,
+       |      CAST(d.sz * 2 AS BIGINT)), '' ORDER BY d.p) AS ph,
+       |    CAST(sum(d.sz) AS BIGINT) AS raw_len,
        |    bool_and(d.off + d.sz <= length(h.hx) // 2
        |      AND f.fsz >= 16 AND f.fo + 16 <= length(h.hx) // 2
        |      AND ${dkLeAt("h.hx", "f.fo", 2)} = 1
-       |      AND ${dkLeAt("h.hx", "f.fo + 14", 2)} = 8) AS fits
+       |      AND ${dkLeAt("h.hx", "f.fo + 14", 2)} IN (8, 16)
+       |      AND ${dkLeAt("h.hx", "f.fo + 2", 2)} IN (1, 2)
+       |      AND c.model IS NULL) AS fits,
+       |    min(${dkLeAt("h.hx", "f.fo + 14", 2)}) AS bits,
+       |    min(${dkLeAt("h.hx", "f.fo + 2", 2)}) AS nch
        |  FROM ${name}ahdr h
        |  JOIN ${name}awb d USING (model)
        |  JOIN ${name}sf f USING (model)
+       |  LEFT JOIN ${name}amcap c USING (model)
        |  GROUP BY h.model),
-       |$name AS (
-       |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}
-       |  UNION ALL
-       |  SELECT v.model, d.sz AS length,
+       |${name}wx AS (
+       |  SELECT v.model, d.sz AS raw_len,
        |    substr(v.hx, CAST(d.o * 2 + 1 AS INT), CAST(d.sz * 2 AS INT))
-       |      AS hx
+       |      AS ph,
+       |    ${dkLeAt("v.hx", "f.o", 2)} AS fmt,
+       |    ${dkLeAt("v.hx", "f.o + 2", 2)} AS nch,
+       |    ${dkLeAt("v.hx", "f.o + 14", 2)} AS bits
        |  FROM ${name}wv v
        |  JOIN ${name}fc f USING (model)
        |  JOIN ${name}dc d USING (model)
        |  WHERE f.sz >= 16 AND d.o + d.sz <= length(v.hx) // 2
-       |    AND f.o + f.sz <= length(v.hx) // 2
+       |    AND f.o + f.sz <= length(v.hx) // 2),
+       |$name AS (
+       |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}
        |  UNION ALL
-       |  SELECT model, length, hx FROM ${name}ax WHERE fits)""".stripMargin
+       |  SELECT model, raw_len // ((bits // 8) * nch) AS length,
+       |    ${pcmCanonHexSql("ph", "bits", "nch")} AS hx
+       |  FROM ${name}wx
+       |  WHERE fmt = 1 AND bits IN (8, 16) AND nch IN (1, 2)
+       |  UNION ALL
+       |  SELECT model, raw_len // ((bits // 8) * nch) AS length,
+       |    ${pcmCanonHexSql("ph", "bits", "nch")} AS hx
+       |  FROM ${name}ax WHERE fits)""".stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two
     * hash re-derivations can never drift): from `blobSql` (any
@@ -2121,6 +2321,79 @@ object AdsbQueries {
          |FROM ag a JOIN kf k USING (model, shot_id)
          |ORDER BY a.model, a.shot_id""".stripMargin,
 
+    // mm20: the shot lattice (mm12's running-boundary rule) joined
+    // to the re-derived frame hashes (mm19's grid), then the medoid
+    // argmin replayed as an all-member pair sum + row_number — same
+    // (total hamming, frame) tie-break as the Spark min(struct).
+    "mm20_shot_medoids" ->
+      s"""WITH RECURSIVE $videoSumsCte,
+         |dl AS (
+         |  SELECT model, nf, sums,
+         |    list_transform(range(1, nf), f -> abs(sums[f+1] - sums[f]))
+         |  AS deltas
+         |  FROM en WHERE nf >= 2),
+         |thv AS (
+         |  SELECT model, nf, deltas,
+         |    2 * (list_sum(deltas) // (nf - 1)) AS thr
+         |  FROM dl),
+         |shx AS (
+         |  SELECT model, frame_idx,
+         |    CAST(sum(isb) OVER (PARTITION BY model ORDER BY frame_idx)
+         |      AS BIGINT) AS shot_id
+         |  FROM (
+         |    SELECT model, CAST(u.f AS BIGINT) AS frame_idx,
+         |      CASE WHEN u.f = 0 THEN 0
+         |           WHEN deltas[u.f] > thr THEN 1 ELSE 0 END AS isb
+         |    FROM thv, UNNEST(range(0, nf)) AS u(f))),
+         |fr AS (
+         |  SELECT e.model, u.i AS fi, offs[u.i + 1] AS off,
+         |    h.wd, h.ht, s.hx
+         |  FROM en e
+         |  JOIN avhdr h USING (model)
+         |  JOIN avsrc s USING (model),
+         |  UNNEST(range(0, e.nf)) AS u(i)
+         |  WHERE szs[u.i + 1]::HUGEINT = h.wd::HUGEINT * h.ht
+         |    AND szs[u.i + 1] > 0),
+         |gr AS (
+         |  SELECT model, fi, g.i AS i,
+         |    ('0x' || substr(hx, CAST((off + ((g.i // 8) * ht) // 8 * wd
+         |      + ((g.i % 8) * wd) // 8) * 2 + 1 AS BIGINT), 2))::BIGINT
+         |      AS gray
+         |  FROM fr, UNNEST(range(0, 64)) AS g(i)),
+         |mn AS (
+         |  SELECT model, fi, sum(gray) // 64 AS mean
+         |  FROM gr GROUP BY 1, 2),
+         |hh AS (
+         |  SELECT g.model, CAST(g.fi AS BIGINT) AS frame_idx,
+         |    CAST(sum(CASE WHEN gray > mean AND i >= 32
+         |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT)
+         |      AS ahash_hi,
+         |    CAST(sum(CASE WHEN gray > mean AND i < 32
+         |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ahash_lo
+         |  FROM gr g JOIN mn m ON g.model = m.model AND g.fi = m.fi
+         |  GROUP BY 1, 2),
+         |mem AS (
+         |  SELECT x.model, x.shot_id, h.frame_idx,
+         |    h.ahash_hi, h.ahash_lo
+         |  FROM shx x JOIN hh h USING (model, frame_idx)),
+         |tot AS (
+         |  SELECT a.model, a.shot_id, a.frame_idx,
+         |    CAST(sum(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |             bit_count(xor(a.ahash_lo, b.ahash_lo)))
+         |      AS BIGINT) AS th,
+         |    CAST(count(*) AS BIGINT) AS nm
+         |  FROM mem a JOIN mem b
+         |    ON a.model = b.model AND a.shot_id = b.shot_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT model, shot_id, frame_idx AS medoid_idx,
+         |  th AS total_hamming, nm AS n_hashed
+         |FROM (
+         |  SELECT model, shot_id, frame_idx, th, nm,
+         |    row_number() OVER (PARTITION BY model, shot_id
+         |      ORDER BY th, frame_idx) AS rn
+         |  FROM tot) WHERE rn = 1
+         |ORDER BY model, shot_id""".stripMargin,
+
     // mm13: mm11's frame energies replayed, silent-prefix segment
     // keys via the same running-sum window, dense-ranked seg ids,
     // per-segment bounds/peak.
@@ -2278,7 +2551,8 @@ object AdsbQueries {
          |    CASE WHEN structure_ok THEN
          |      data_off + data_bytes <= n_bytes
          |      AND fmt_off + fmt_sz <= n_bytes
-         |      ELSE false END AS payload_ok
+         |      ELSE false END AS payload_ok,
+         |    structure_ok AS demux_complete
          |  FROM wavp),
          |$aviDemuxCtes,
          |avlen AS (
@@ -2300,11 +2574,13 @@ object AdsbQueries {
          |      AS structure_ok,
          |    ${dkLe("h.hx", 5, 4)} AS riff_bytes,
          |    h.uspf AS uspf, h.nf AS nf,
-         |    g.n_fit, g.n_found, g.dims_ok
+         |    g.n_fit, g.n_found, g.dims_ok,
+         |    c.model IS NULL AS walk_done
          |  FROM avlen l
          |  LEFT JOIN avhdr h USING (model)
          |  LEFT JOIN avmv m USING (model)
-         |  LEFT JOIN avagg g USING (model)),
+         |  LEFT JOIN avagg g USING (model)
+         |  LEFT JOIN avmcap c USING (model)),
          |arows AS (
          |  SELECT 'avi' AS container, model, n_bytes, structure_ok,
          |    CASE WHEN structure_ok THEN riff_bytes = n_bytes - 8
@@ -2313,14 +2589,16 @@ object AdsbQueries {
          |      ELSE false END AS rate_ok,
          |    CASE WHEN structure_ok AND nf <= n_found
          |      THEN nf = 0 OR n_fit = nf
-         |      ELSE false END AS payload_ok
+         |      ELSE false END AS payload_ok,
+         |    CASE WHEN structure_ok THEN walk_done
+         |      ELSE false END AS demux_complete
          |  FROM avp),
          |allrows AS (
          |  SELECT * FROM wrows UNION ALL SELECT * FROM arows)
          |SELECT container, model, n_bytes, structure_ok, riff_size_ok,
-         |  rate_ok, payload_ok,
+         |  rate_ok, payload_ok, demux_complete,
          |  structure_ok AND riff_size_ok AND rate_ok AND payload_ok
-         |    AS consistent
+         |    AND demux_complete AS consistent
          |FROM allrows ORDER BY container, model""".stripMargin,
 
     // mm16: the avih fields re-parsed independently from the dumped
@@ -2347,8 +2625,11 @@ object AdsbQueries {
     // mm19: every conforming frame's 8×8 point-sample aHash
     // re-derived from the dumped blobs (the BmpAHash grid convention
     // on raw w×h gray frames), then the cross-video hamming-NN
-    // replayed as all-pairs + row_number — same (distance, key
-    // string) tie-break as the Spark min(struct) vote.
+    // replayed as all-pairs + row_number — same (distance, model,
+    // frame_idx) tie-break as the Spark min(struct) vote over the
+    // packed (mid·2³² + frame_idx) key (round-13: numeric frame
+    // order; the dictionary ranks models lexicographically, so
+    // ordering by model string ≡ ordering by mid).
     "mm19_frame_phash" ->
       s"""WITH RECURSIVE $videoSumsCte,
          |fr AS (
@@ -2358,7 +2639,8 @@ object AdsbQueries {
          |  JOIN avhdr h USING (model)
          |  JOIN avsrc s USING (model),
          |  UNNEST(range(0, e.nf)) AS u(i)
-         |  WHERE szs[u.i + 1]::HUGEINT = h.wd::HUGEINT * h.ht),
+         |  WHERE szs[u.i + 1]::HUGEINT = h.wd::HUGEINT * h.ht
+         |    AND szs[u.i + 1] > 0),
          |gr AS (
          |  SELECT model, fi, g.i AS i,
          |    ('0x' || substr(hx, CAST((off + ((g.i // 8) * ht) // 8 * wd
@@ -2379,6 +2661,7 @@ object AdsbQueries {
          |  GROUP BY 1, 2),
          |pr AS (
          |  SELECT a.model, a.frame_idx,
+         |    b.model AS omodel, b.frame_idx AS ofi,
          |    b.model || '#' || b.frame_idx AS okey,
          |    CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
          |         bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
@@ -2390,11 +2673,11 @@ object AdsbQueries {
          |  FROM (
          |    SELECT model, frame_idx, okey, hamming,
          |      row_number() OVER (PARTITION BY model, frame_idx
-         |        ORDER BY hamming, okey) AS rn
+         |        ORDER BY hamming, omodel, ofi) AS rn
          |    FROM pr) WHERE rn = 1)
          |SELECT h.model, h.frame_idx, h.ahash_hi, h.ahash_lo,
          |  n.nn_key, n.nn_hamming
-         |FROM hh h JOIN nn n USING (model, frame_idx)
+         |FROM hh h LEFT JOIN nn n USING (model, frame_idx)
          |ORDER BY h.model, h.frame_idx""".stripMargin,
 
     // mm17: the three gate branches replayed from the dumped blobs —

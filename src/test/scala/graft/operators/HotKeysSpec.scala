@@ -108,6 +108,40 @@ class HotKeysSpec extends SparkSpec {
     (0 until 10000).foreach(i => assert(cc(i.toLong) === 0L))
   }
 
+  test("at-rest star route: a degenerate ingest batch stays linear " +
+      "and audited (d10c)") {
+    // round-13 (VERDICT r12 ask #3): 6 identical corpus docs drive
+    // one index bucket past cap 2; each of 3 colliding new docs must
+    // propose exactly ONE candidate — the bucket-min corpus id —
+    // flagged capped_only, while a distinct cool pair flows
+    // untouched. This is matchNewCapped in isolation; the gate row
+    // d10c replays the same rule against the DuckDB oracle.
+    import graft.operators.NearDupIndex
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val fresh = "one two three four five six seven eight nine ten"
+    val corpus = ((0 until 6).map(i => (i * 2L, boiler)) :+
+      (100L, fresh)).toDF("doc_id", "text")
+    val batch = ((0 until 3).map(i => (1000L + i, boiler)) :+
+      (1001L + 100, fresh + " ten")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("d10c-spec").toString
+    NearDupIndex.persist(corpus, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, bands = 4, path = dir)
+    val got = NearDupIndex.matchNewCapped(spark, dir, batch,
+        col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 4,
+        threshold = 0.2, hotBucketCap = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    // every boilerplate new doc: ONE pair, to corpus id 0, audited
+    (0 until 3).foreach { i =>
+      val mine = got.keys.filter(_._1 == 1000L + i)
+      assert(mine.toSet === Set((1000L + i, 0L)), s"batch ${1000 + i}")
+      assert(got((1000L + i, 0L)) === true)
+    }
+    // the cool pair: full route, unaudited
+    assert(got.get((1101L, 100L)) === Some(false))
+  }
+
   test("the gate fixtures never reach the caps (hashes unchanged)") {
     // mm15's audit columns must read 0 on the real media corpus —
     // the cap exists for crawl-scale degenerate content, not to

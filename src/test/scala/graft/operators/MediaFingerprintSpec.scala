@@ -113,10 +113,11 @@ class MediaFingerprintSpec extends SparkSpec {
 
   test("RIFF/WAVE twin: identical samples through a real container") {
     // dialog_h_w.wav wraps dialog_h's exact 4096 samples in a
-    // canonical RIFF header — the parsed payload must segment
-    // IDENTICALLY (mm13) and fingerprint to hamming 0 (mm7):
-    // container-independent audio analysis, the mm5 cross-format
-    // story for the audio leg
+    // canonical RIFF header, and dialog_h_16.wav (round-13) carries
+    // the SAME signal as 16-bit little-endian samples — all three
+    // must segment IDENTICALLY (mm13) and fingerprint to hamming 0
+    // (mm7): container- AND bit-depth-independent audio analysis,
+    // the mm5 cross-format story for the audio leg
     val segs = AdsbQueries.defs("mm13_speech_segments")(spark, "unused")
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
@@ -124,19 +125,38 @@ class MediaFingerprintSpec extends SparkSpec {
       .toMap
     (1L to 3L).foreach { i =>
       assert(segs(("dialog_h_w", i)) === segs(("dialog_h", i)), s"seg $i")
+      assert(segs(("dialog_h_16", i)) === segs(("dialog_h", i)), s"s16 $i")
     }
-    assert(mm7("dialog_h")._1 === "dialog_h_w")
+    // three hamming-0 twins: ties break to the smallest model name
+    assert(mm7("dialog_h")._1 === "dialog_h_16")
     assert(mm7("dialog_h")._2 === 0L)
-    assert(mm7("dialog_h_w")._1 === "dialog_h")
+    assert(mm7("dialog_h_16") === (("dialog_h", 0L)))
+    assert(mm7("dialog_h_w") === (("dialog_h", 0L)))
   }
 
   test("WAV header parse matches the planted canonical-PCM fixture") {
     val all = AdsbQueries.defs("mm14_wav_header")(spark, "unused").collect()
     // all bundled wavs parse: the canonical twin, the round-11
-    // non-canonical chant_i (LIST/INFO between fmt and data), and
-    // claim_j (valid structure, lying byte_rate — mm18's case)
+    // non-canonical chant_i (LIST/INFO between fmt and data),
+    // claim_j (valid structure, lying byte_rate — mm18's case), and
+    // the round-13 sample-format trio — 16-bit, stereo, and the
+    // format-rejected 24-bit (whose HEADER must still read: mm14 is
+    // the metadata readout, not the analysis gate)
     assert(all.map(_.getString(0)).toSet ===
-      Set("dialog_h_w", "chant_i", "claim_j"))
+      Set("dialog_h_w", "chant_i", "claim_j",
+        "dialog_h_16", "duet_s8", "organ_24"))
+    val r16 = all.filter(_.getString(0) == "dialog_h_16").head
+    assert(r16.getLong(4) === 1L) // mono
+    assert(r16.getLong(6) === 16000L) // byte_rate = 8000·1·16/8
+    assert(r16.getLong(7) === 2L) // block_align
+    assert(r16.getLong(8) === 16L) // bits_per_sample
+    assert(r16.getLong(9) === 8192L) // data_bytes = 4096 samples · 2
+    val rst = all.filter(_.getString(0) == "duet_s8").head
+    assert(rst.getLong(4) === 2L) // stereo
+    assert(rst.getLong(7) === 2L) // block_align = 2·8/8
+    assert(rst.getLong(9) === 4096L) // 2048 sample frames · 2 ch
+    val r24 = all.filter(_.getString(0) == "organ_24").head
+    assert(r24.getLong(8) === 24L) // declared 24-bit — parses here
     val r = all.filter(_.getString(0) == "dialog_h_w")
     val row = r.head
     assert(row.getLong(1) === 36L + 4096L) // riff_bytes
@@ -154,12 +174,14 @@ class MediaFingerprintSpec extends SparkSpec {
   test("AVI header parse matches the planted canonical fixture") {
     val all = AdsbQueries.defs("mm16_avi_header")(spark, "unused").collect()
     // every bundled avi parses: the canonical twin, the round-11
-    // non-canonical vid_junk (strl + JUNK + odd frames + idx1), and
-    // the round-12 walked-header pair (JUNK before hdrl; interleaved
-    // movi with a strl-padded hdrl)
+    // non-canonical vid_junk (strl + JUNK + odd frames + idx1), the
+    // round-12 walked-header pair (JUNK before hdrl; interleaved
+    // movi with a strl-padded hdrl), and the round-13 pair (16-bit
+    // stereo audio; the >4096-sub-chunk movi — whose HEADER still
+    // reads fine)
     assert(all.map(_.getString(0)).toSet ===
       Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix", "vid_talk",
-        "vid_scene_b"))
+        "vid_scene_b", "vid_duet", "vid_wall"))
     val r = all.filter(_.getString(0) == "vid_scene_a")
     val row = r.head
     assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)
@@ -226,6 +248,30 @@ class MediaFingerprintSpec extends SparkSpec {
     val mix = AdsbQueries.defs("mm19_frame_phash")(spark, "unused")
       .collect().filter(_.getString(0) == "vid_mix").map(_.getLong(1))
     assert(mix.sorted.toSeq === Seq(0L, 1L, 3L))
+  }
+
+  test("mm20: the shot medoid is the perceptually central frame") {
+    // round-13 (stretch): composes mm10's shots with mm19's frame
+    // hashes. vid_scene_a's planted cut at frame 8 yields two
+    // 8-frame shots whose medoid argmin must pick the earliest
+    // frame of each (ties inside near-uniform shots break to the
+    // smallest index), and the re-encoded twin — hash-identical by
+    // construction — must produce the SAME medoid table; hash-less
+    // off-dims frames (vid_mix frame 2) neither vote nor win
+    val rows = AdsbQueries.defs("mm20_shot_medoids")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows(("vid_scene_a", 0L))._1 === 0L)
+    assert(rows(("vid_scene_a", 1L))._1 === 8L)
+    assert(rows(("vid_scene_a", 0L))._3 === 8L) // 8 hashed members
+    assert(rows(("vid_scene_b", 0L)) === rows(("vid_scene_a", 0L)))
+    assert(rows(("vid_scene_b", 1L)) === rows(("vid_scene_a", 1L)))
+    // vid_mix: 5 frames, frame 2 off-dims → only 3 voters in shot 0
+    assert(rows(("vid_mix", 0L))._3 === 3L)
+    // gvid-only videos carry no frame hashes — no medoid rows
+    assert(!rows.keys.exists(_._1 == "vid_a"))
   }
 
   test("AVI demux: the container twin segments IDENTICALLY to the gvid") {

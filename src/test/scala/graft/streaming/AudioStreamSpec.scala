@@ -45,9 +45,16 @@ class AudioStreamSpec extends SparkSpec {
       val c = wav(pcm(8, 30)); c(8) = 'A'.toByte; c // RIFF but not WAVE
     }
     val sixteenBit = {
-      // bits_per_sample = 16 (LE u16 at offset 34): not this
-      // lattice's sample contract — must be rejected, never mis-summed
+      // bits_per_sample = 16 (LE u16 at offset 34): round-13 ADMITS
+      // and canonicalizes — 512 payload bytes become 256 top-byte
+      // samples (the constant 226 here: every LE pair is (158, 98)),
+      // 4 loud frames
       val c = wav(pcm(8, 30)); c(34) = 16.toByte; c
+    }
+    val twentyFourBit = {
+      // 24-bit stays OUTSIDE the canonicalization contract — the
+      // fail-closed case: rejected, never mis-read as samples
+      val c = wav(pcm(8, 30)); c(34) = 24.toByte; c
     }
     val tiny = Array.fill[Byte](10)(1)
 
@@ -65,7 +72,8 @@ class AudioStreamSpec extends SparkSpec {
       (5L, flat, t0),
       (6L, badRiff, t0),
       (7L, sixteenBit, t0),
-      (8L, tiny, t0)))
+      (8L, tiny, t0),
+      (9L, twentyFourBit, t0)))
     q.processAllAvailable()
     q.stop()
 
@@ -86,8 +94,12 @@ class AudioStreamSpec extends SparkSpec {
     assert(!out.contains(4L), "75%-silent must drop")
     assert(!out.contains(5L), "flat must drop")
     assert(!out.contains(6L), "RIFF-but-not-WAVE must drop")
-    assert(!out.contains(7L), "16-bit wav must drop (8-bit contract)")
+    // round-13: 16-bit ADMITS through the canonical decode — the 512
+    // payload bytes collapse to 256 constant-226 samples (4 frames,
+    // no silence); 24-bit stays fail-closed
+    assert(out(7L) === (("wav", 4L, 0L)))
     assert(!out.contains(8L), "sub-frame blob must drop")
+    assert(!out.contains(9L), "24-bit wav must drop (fail-closed)")
   }
 
   test("non-canonical wav admits through the SHARED chunk walk (round-11)") {
@@ -143,32 +155,42 @@ class AudioStreamSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("audio-ingest-avi-ck").toString
     val q = AudioStream.start(media, outDir, ckpt)
     val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
-    // a 16-bit auds declaration (wBitsPerSample byte of vid_talk's
-    // auds strf flipped 8 -> 16): the 01wb bytes are no longer this
-    // lattice's sample format and MUST reject — the round-12 review
-    // case (feeding unknown-format bytes to the 8-bit energy math
-    // is the silent mis-parse the gates exist for)
+    // an UNSUPPORTED auds declaration (wBitsPerSample byte of
+    // vid_talk's auds strf flipped 8 -> 24): outside the
+    // canonicalization contract, MUST reject — feeding
+    // unknown-format bytes to the energy math is the silent
+    // mis-parse the gates exist for. (A 16-bit declaration now
+    // ADMITS — round-13 — which vid_duet proves below.)
     val wide = fixture("vid_talk.avi").clone()
     assert(wide(310) === 8.toByte, "auds strf layout moved — repin")
-    wide(310) = 16.toByte
+    wide(310) = 24.toByte
     in.addData(Seq(
       (31L, fixture("vid_talk.avi"), t0),
       (32L, fixture("vid_pre.avi"), t0),
-      (33L, wide, t0)))
+      (33L, wide, t0),
+      (34L, fixture("vid_duet.avi"), t0),
+      (35L, fixture("vid_wall.avi"), t0)))
     q.processAllAvailable()
     q.stop()
     val rows = spark.read.parquet(outDir)
       .select("media_id", "container", "n_bytes", "n_frames",
         "silence_ppm")
       .collect()
-    assert(rows.length === 1)
-    assert(rows.head.getLong(0) === 31L)
-    assert(rows.head.getString(1) === "avi")
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set(31L, 34L))
     // the demuxed concat: exactly the 4096 planted audio bytes, with
     // the planted 24/64 silent-frame share — chunk headers and video
     // frames never leak into the sample stream
-    assert(rows.head.getLong(2) === 4096L)
-    assert(rows.head.getLong(3) === 64L)
-    assert(rows.head.getLong(4) === 375000L)
+    assert(rows(31L) === (("avi", 4096L, 64L, 375000L)))
+    // round-13: the REAL 16-bit stereo fixture admits through the
+    // canonical decode — 16640 raw bytes collapse to 4160 top-byte
+    // channel-mean samples, 65 frames with the planted 4-frame
+    // silent rim (ppm 61538 = 4·10⁶ div 65)
+    assert(rows(34L) === (("avi", 4160L, 65L, 61538L)))
+    // vid_wall: the 4102-sub-chunk movi hits the 4096 walk cap —
+    // the stream must REJECT rather than store a truncated demux
+    // (round-13, ADVICE r12 #1 at the intake)
+    assert(!rows.contains(35L))
   }
 }
