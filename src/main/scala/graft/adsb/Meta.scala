@@ -135,6 +135,11 @@ object Meta {
     // (mm14/mm18 still parse the header; fail-closed, never a
     // mis-read of 3-byte samples as 8-bit)
     "organ_24.wav",
+    // hymn_x: WAVE_FORMAT_EXTENSIBLE (0xFFFE) 16-bit stereo — the
+    // layout most real-world multi-channel/high-bit-depth WAVs ship
+    // as; admits ONLY through the SubFormat-GUID PCM check
+    // (Riff.fmtIsPcm), then canonicalizes like any 16/2 payload
+    "hymn_x.wav",
     // vid_duet: an interleaved AVI carrying 16-bit STEREO audio
     // (65 canonical frames, 2/63-frame silent rim) behind the auds
     // strf — the both-widenings-at-once case for the shared gate

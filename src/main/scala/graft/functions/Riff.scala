@@ -390,6 +390,38 @@ object Riff {
     (0 until n).map(i => byteAt(content, off + lit(i)) * lit(1L << (8 * i)))
       .reduce(_ + _)
 
+  /** `n` raw bytes at 0-based offset `off`, hex'd — same sentinel
+    * clamp as [[byteAt]] (a not-found chunk's packed offset decodes
+    * to 2³²−1; an ANSI int-cast overflow there would crash an
+    * unguarded whole-projection evaluation the ok-gates expect to
+    * yield false/NULL). Short reads yield a short hex → any
+    * fixed-width compare is false, never a throw. */
+  private def bytesHexAt(content: Column, off: Column, n: Int): Column =
+    hex(content.substr(
+      least(off, lit(Int.MaxValue.toLong - n - 1)).cast("int") + lit(1),
+      lit(n)))
+
+  /** The KSDATAFORMAT_SUBTYPE_PCM GUID
+    * ({00000001-0000-0010-8000-00AA00389B71}) as its 16 serialized
+    * bytes, hex — the WAVE_FORMAT_EXTENSIBLE SubFormat that means
+    * "integer PCM" (public spec: mmreg.h / RFC 2361). */
+  private[graft] val SubformatPcmHex = "0100000000001000800000AA00389B71"
+
+  /** TRUE iff the fmt body at 0-based `fmtOff` (declared size
+    * `fmtBytes`) declares INTEGER PCM — either plain format 1, or
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) carrying the full 40-byte
+    * extensible layout whose SubFormat GUID is PCM (round-13: most
+    * real-world stereo/high-bit-depth WAVs ship as EXTENSIBLE, so
+    * format-1-only ran on few of them). Any other format — float
+    * PCM (3), compressed, a lying EXTENSIBLE header too short for
+    * its GUID — stays fail-closed. */
+  def fmtIsPcm(content: Column, fmtOff: Column, fmtBytes: Column,
+      format: Column): Column =
+    format === 1 ||
+      (format === 65534 && fmtBytes >= 40 &&
+        fmtOff + 40 <= length(content) &&
+        bytesHexAt(content, fmtOff + 24, 16) === lit(SubformatPcmHex))
+
   /** 'RIFF' magic + the given form type ('WAVE', 'AVI ') — the
     * container admission precondition before any chunk walk. */
   def isRiffForm(content: Column, form: String): Column = {
@@ -600,7 +632,8 @@ object Riff {
         col("avi_walk_complete") &&
         col("__auds") >= 0 && col("auds_sz") >= 16 &&
         col("auds_off") + 16 <= length(c) &&
-        col("avi_audio_format") === 1 &&
+        fmtIsPcm(c, col("auds_off"), col("auds_sz"),
+          col("avi_audio_format")) &&
         (col("avi_audio_bits") === 8 || col("avi_audio_bits") === 16) &&
         (col("avi_audio_channels") === 1 ||
           col("avi_audio_channels") === 2))

@@ -79,7 +79,7 @@ object AdsbQueries {
         col("riff_bytes"), col("fmt_bytes"), col("audio_format"),
         col("n_channels"), col("sample_rate"), col("byte_rate"),
         col("block_align"), col("bits_per_sample"),
-        col("data_bytes"), col("data_off"))
+        col("data_bytes"), col("data_off"), col("fmt_off"))
 
   /** RIFF/AVI main-header parse — the video twin of [[wavParsed]]
     * (same public RIFF idiom, same gated-narrowing policy), through
@@ -202,7 +202,8 @@ object AdsbQueries {
   private def audioPcmBlobs(s: SparkSession): DataFrame =
     Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
       .unionByName(wavParsed(s)
-        .where(col("audio_format") === 1 &&
+        .where(graft.functions.Riff.fmtIsPcm(col("content"),
+            col("fmt_off"), col("fmt_bytes"), col("audio_format")) &&
           col("bits_per_sample").isin(8L, 16L) &&
           col("n_channels").isin(1L, 2L))
         .select(col("model"),
@@ -887,6 +888,80 @@ object AdsbQueries {
           max(col("frame_idx")).as("end_frame"),
           count(lit(1)).as("n_frames_seg"),
           max(col("energy")).as("peak_energy"))
+        .orderBy(col("model"), col("seg_id"))
+    }),
+
+    // mm21: SEGMENT-level audio near-dup (round-13) — mm13's VAD
+    // segments fingerprinted and matched ACROSS blobs: the dedup
+    // grain an audio curation pipeline actually wants (a speech
+    // burst re-recorded inside a different program is invisible to
+    // whole-blob fingerprints — mm7 sees two unrelated files — but
+    // its SEGMENT energy contour is intact). Fingerprint = mm7's
+    // sign-of-delta discipline over the segment's own frame
+    // energies (first ≤ 33 frames → ≤ 32 bits; segments under 8
+    // frames carry too little signal and are excluded), then the
+    // shared cross-group HammingNN readout restricted to OTHER
+    // blobs. The canonicalization story compounds here: dialog_h's
+    // three bursts must land at hamming 0 from dialog_h_w's AND
+    // dialog_h_16's — same segments through three containers and
+    // two bit depths. Scale shape: per-blob O(bytes) energy parse,
+    // the mm13 windows, one (model, seg) aggregate; keys pack as
+    // aid·2³² + seg_id against the broadcast blob catalog (the mm19
+    // idiom); NN is the routed band join, never all-pairs.
+    "mm21_segment_neardup" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val bin = audioPcmBlobs(s)
+      val fx = bin
+        .withColumn("n_frames", floor(col("length") / 64).cast("int"))
+        .where(col("n_frames") >= 1)
+        .withColumn("energies", graft.functions.FrameSums.frameEnergies(
+          col("content"), lit(0), lit(64)))
+        .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+        .select(col("model"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("element_at(energies, frame_idx + 1)").as("energy"))
+        .withColumn("is_silent", col("energy") < 4096L)
+      val byFrame = Window.partitionBy(col("model"))
+        .orderBy(col("frame_idx"))
+      val segs = fx.withColumn("sil_prefix",
+          sum(when(col("is_silent"), 1L).otherwise(0L)).over(byFrame))
+        .where(!col("is_silent"))
+        .withColumn("seg_id",
+          dense_rank().over(Window.partitionBy(col("model"))
+            .orderBy(col("sil_prefix"))).cast("long"))
+        .groupBy(col("model"), col("seg_id"))
+        .agg(count(lit(1)).as("n_frames_seg"),
+          sort_array(collect_list(struct(col("frame_idx"),
+            col("energy")))).as("fe"))
+        .where(col("n_frames_seg") >= 8)
+        .withColumn("es", expr("transform(fe, x -> x.energy)"))
+        .withColumn("fp_lo", expr(
+          """aggregate(sequence(0, least(size(es) - 2, 31)), 0L,
+            |  (acc, f) ->
+            |  acc + IF(element_at(es, f + 2) > element_at(es, f + 1),
+            |           shiftleft(1L, f), 0L))""".stripMargin))
+        // the CONTOUR LENGTH class rides the high word: a constant-
+        // loudness burst's delta bits are all zero (faithfully — the
+        // contour is flat), so without this every flat segment of
+        // any length would collide at hamming 0; packing the capped
+        // bit-length makes a length mismatch VISIBLE to the metric
+        // instead of silently comparing contours of different spans
+        .withColumn("fp_hi", least(col("n_frames_seg") - 1, lit(32L)))
+      val dict = bin.select(col("model")).distinct()
+        .withColumn("aid",
+          row_number().over(Window.orderBy(col("model"))).cast("long"))
+      val hashed = segs.join(broadcast(dict), Seq("model"))
+        .withColumn("key", shiftleft(col("aid"), 32) + col("seg_id"))
+      val nn = graft.operators.HammingNN.nearest(hashed, "key",
+        "fp_hi", "fp_lo", crossGroup = Some("aid"))
+      hashed.join(nn, Seq("key"), "left")
+        .join(broadcast(dict.select(col("aid").as("__nid"),
+            col("model").as("__nmodel"))),
+          shiftrightunsigned(col("nn_key"), 32) === col("__nid"), "left")
+        .select(col("model"), col("seg_id"), col("n_frames_seg"),
+          col("fp_lo"),
+          when(col("nn_key").isNotNull, concat(col("__nmodel"), lit("#"),
+            col("nn_key").bitwiseAND(lit(4294967295L)))).as("nn_key"),
+          col("nn_hamming"))
         .orderBy(col("model"), col("seg_id"))
     }),
 
@@ -1659,7 +1734,11 @@ object AdsbQueries {
        |    CAST(sum(d.sz) AS BIGINT) AS raw_len,
        |    bool_and(d.off + d.sz <= length(h.hx) // 2
        |      AND f.fsz >= 16 AND f.fo + 16 <= length(h.hx) // 2
-       |      AND ${dkLeAt("h.hx", "f.fo", 2)} = 1
+       |      AND (${dkLeAt("h.hx", "f.fo", 2)} = 1 OR
+       |       (${dkLeAt("h.hx", "f.fo", 2)} = 65534 AND f.fsz >= 40
+       |        AND f.fo + 40 <= length(h.hx) // 2
+       |        AND substr(h.hx, CAST((f.fo + 24) * 2 + 1 AS BIGINT), 32)
+       |          = '${graft.functions.Riff.SubformatPcmHex}'))
        |      AND ${dkLeAt("h.hx", "f.fo + 14", 2)} IN (8, 16)
        |      AND ${dkLeAt("h.hx", "f.fo + 2", 2)} IN (1, 2)
        |      AND c.model IS NULL) AS fits,
@@ -1674,7 +1753,11 @@ object AdsbQueries {
        |  SELECT v.model, d.sz AS raw_len,
        |    substr(v.hx, CAST(d.o * 2 + 1 AS INT), CAST(d.sz * 2 AS INT))
        |      AS ph,
-       |    ${dkLeAt("v.hx", "f.o", 2)} AS fmt,
+       |    (${dkLeAt("v.hx", "f.o", 2)} = 1 OR
+       |     (${dkLeAt("v.hx", "f.o", 2)} = 65534 AND f.sz >= 40
+       |      AND f.o + 40 <= length(v.hx) // 2
+       |      AND substr(v.hx, CAST((f.o + 24) * 2 + 1 AS BIGINT), 32)
+       |        = '${graft.functions.Riff.SubformatPcmHex}')) AS is_pcm,
        |    ${dkLeAt("v.hx", "f.o + 2", 2)} AS nch,
        |    ${dkLeAt("v.hx", "f.o + 14", 2)} AS bits
        |  FROM ${name}wv v
@@ -1688,7 +1771,7 @@ object AdsbQueries {
        |  SELECT model, raw_len // ((bits // 8) * nch) AS length,
        |    ${pcmCanonHexSql("ph", "bits", "nch")} AS hx
        |  FROM ${name}wx
-       |  WHERE fmt = 1 AND bits IN (8, 16) AND nch IN (1, 2)
+       |  WHERE is_pcm AND bits IN (8, 16) AND nch IN (1, 2)
        |  UNION ALL
        |  SELECT model, raw_len // ((bits // 8) * nch) AS length,
        |    ${pcmCanonHexSql("ph", "bits", "nch")} AS hx
@@ -2433,6 +2516,73 @@ object AdsbQueries {
          |  CAST(max(energy) AS BIGINT) AS peak_energy
          |FROM act GROUP BY 1, 2
          |ORDER BY model, seg_id""".stripMargin,
+
+    // mm21: mm13's segment lattice replayed, per-segment
+    // sign-of-delta fingerprints over the segment's own energy
+    // contour, cross-blob NN as all-pairs + row_number — same
+    // (hamming, model, seg) tie-break as the Spark min(struct) vote
+    // over the packed (aid·2³² + seg_id) key (the dictionary ranks
+    // models lexicographically).
+    "mm21_segment_neardup" ->
+      s"""WITH RECURSIVE $audioHexCte,
+         |fr AS (
+         |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
+         |  FROM b WHERE length // 64 >= 1),
+         |en AS (
+         |  SELECT model, n_frames,
+         |    list_transform(range(0, n_frames), f ->
+         |      list_sum(list_transform(range(0, 64), i ->
+         |        (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128)
+         |        * (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT
+         |           - 128)))) AS energies
+         |  FROM fr),
+         |fx AS (
+         |  SELECT model, CAST(u.f AS BIGINT) AS frame_idx,
+         |    CAST(energies[u.f + 1] AS BIGINT) AS energy,
+         |    (energies[u.f + 1] < 4096) AS is_silent
+         |  FROM en, UNNEST(range(0, n_frames)) AS u(f)),
+         |sp AS (
+         |  SELECT model, frame_idx, energy, is_silent,
+         |    sum(CASE WHEN is_silent THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY model ORDER BY frame_idx)
+         |      AS sil_prefix
+         |  FROM fx),
+         |act AS (
+         |  SELECT model, frame_idx, energy, sil_prefix,
+         |    CAST(dense_rank() OVER (PARTITION BY model
+         |      ORDER BY sil_prefix) AS BIGINT) AS seg_id
+         |  FROM sp WHERE NOT is_silent),
+         |seg AS (
+         |  SELECT model, seg_id, CAST(count(*) AS BIGINT) AS n_frames_seg,
+         |    list(energy ORDER BY frame_idx) AS es
+         |  FROM act GROUP BY 1, 2 HAVING count(*) >= 8),
+         |fp AS (
+         |  SELECT model, seg_id, n_frames_seg,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      range(0, least(len(es) - 1, 32)),
+         |      f -> CASE WHEN es[f + 2] > es[f + 1]
+         |        THEN (1::BIGINT << f) ELSE 0 END)), 0) AS BIGINT)
+         |      AS fp_lo,
+         |    CAST(least(len(es) - 1, 32) AS BIGINT) AS fp_hi
+         |  FROM seg),
+         |pr AS (
+         |  SELECT a.model, a.seg_id,
+         |    b.model AS om, b.seg_id AS os,
+         |    b.model || '#' || b.seg_id AS okey,
+         |    CAST(bit_count(xor(a.fp_lo, b.fp_lo)) +
+         |         bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) AS hamming
+         |  FROM fp a JOIN fp b ON a.model <> b.model),
+         |nn AS (
+         |  SELECT model, seg_id, okey AS nn_key, hamming AS nn_hamming
+         |  FROM (
+         |    SELECT model, seg_id, okey, hamming,
+         |      row_number() OVER (PARTITION BY model, seg_id
+         |        ORDER BY hamming, om, os) AS rn
+         |    FROM pr) WHERE rn = 1)
+         |SELECT f.model, f.seg_id, f.n_frames_seg, f.fp_lo,
+         |  n.nn_key, n.nn_hamming
+         |FROM fp f LEFT JOIN nn n USING (model, seg_id)
+         |ORDER BY f.model, f.seg_id""".stripMargin,
 
     // mm14: the RIFF/WAVE header re-parsed independently from the
     // dumped blob bytes — same chunk WALK (recursive CTE), same

@@ -61,7 +61,8 @@ object AudioStream {
     // RIFF-prefixed that fails is a container this parser cannot
     // read, and is DROPPED, never fed to the energy math as samples.
     val wavOk = col("wav_ok") && col("wav_fits") &&
-      col("audio_format") === 1 &&
+      Riff.fmtIsPcm(col("content"), col("fmt_off"), col("fmt_bytes"),
+        col("audio_format")) &&
       col("bits_per_sample").isin(8L, 16L) &&
       col("n_channels").isin(1L, 2L)
     Riff.withAviAudio(Riff.withWavColumns(media

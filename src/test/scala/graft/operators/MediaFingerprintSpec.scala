@@ -91,6 +91,11 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(rows("quiet_f") === ((64L, 1000000L, true)))
     assert(rows("tone_a")._1 === 0L)
     assert(rows("noise_c")._3 === false)
+    // round-13: the EXTENSIBLE 16-bit stereo wav canonicalizes in
+    // through the SubFormat-GUID gate (6 silent of 66 frames); the
+    // 24-bit wav never reaches the lattice — fail-closed
+    assert(rows("hymn_x") === ((6L, 90909L, false)))
+    assert(!rows.contains("organ_24"))
   }
 
   test("speech segments: planted three-burst dialog splits exactly") {
@@ -144,7 +149,13 @@ class MediaFingerprintSpec extends SparkSpec {
     // the metadata readout, not the analysis gate)
     assert(all.map(_.getString(0)).toSet ===
       Set("dialog_h_w", "chant_i", "claim_j",
-        "dialog_h_16", "duet_s8", "organ_24"))
+        "dialog_h_16", "duet_s8", "organ_24", "hymn_x"))
+    // the EXTENSIBLE container: header reads normally (format is the
+    // 0xFFFE marker; the PCM admission decision lives in the gates)
+    val rx = all.filter(_.getString(0) == "hymn_x").head
+    assert(rx.getLong(3) === 65534L) // WAVE_FORMAT_EXTENSIBLE
+    assert(rx.getLong(4) === 2L)
+    assert(rx.getLong(8) === 16L)
     val r16 = all.filter(_.getString(0) == "dialog_h_16").head
     assert(r16.getLong(4) === 1L) // mono
     assert(r16.getLong(6) === 16000L) // byte_rate = 8000·1·16/8
@@ -248,6 +259,32 @@ class MediaFingerprintSpec extends SparkSpec {
     val mix = AdsbQueries.defs("mm19_frame_phash")(spark, "unused")
       .collect().filter(_.getString(0) == "vid_mix").map(_.getLong(1))
     assert(mix.sorted.toSeq === Seq(0L, 1L, 3L))
+  }
+
+  test("mm21: segment contours match across containers and bit depths") {
+    // round-13: dialog_h's three bursts (lengths 12/16/10) must find
+    // their twins inside dialog_h_w (same bytes behind a RIFF
+    // header) and dialog_h_16 (same signal at 16-bit) at hamming 0 —
+    // segment-grain dedup composed on top of the canonicalization;
+    // ties at 0 break to the smallest (model rank, seg) key, which
+    // is dialog_h_16 for dialog_h and dialog_h for the other two.
+    // The flat-contour bursts separate by LENGTH CLASS (fp_hi), so
+    // three same-blob flat bursts never collapse into one.
+    val rows = AdsbQueries.defs("mm21_segment_neardup")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(4), r.getLong(5)))
+      .toMap
+    (1L to 3L).foreach { i =>
+      assert(rows(("dialog_h", i)) === ((s"dialog_h_16#$i", 0L)), s"s$i")
+      assert(rows(("dialog_h_w", i)) === ((s"dialog_h#$i", 0L)), s"w$i")
+      assert(rows(("dialog_h_16", i)) === ((s"dialog_h#$i", 0L)), s"x$i")
+    }
+    // perturbed whole-blob dups still pair at 0 at the segment grain
+    assert(rows(("sweep_d", 1L)) === (("sweep_d_dup#1", 0L)))
+    assert(rows(("tone_a", 1L)) === (("tone_a_dup#1", 0L)))
+    // unrelated contours stay far
+    assert(rows(("noise_c", 1L))._2 > 8)
   }
 
   test("mm20: the shot medoid is the perceptually central frame") {

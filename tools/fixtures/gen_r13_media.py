@@ -124,6 +124,34 @@ open(os.path.join(D, 'organ_24.wav'), 'wb').write(
     wav(1, 1, 8000, 24, pay))
 print('organ_24: payload', len(pay))
 
+# ---- hymn_x.wav: WAVE_FORMAT_EXTENSIBLE, 16-bit stereo ---------------
+PCM_GUID = bytes.fromhex('0100000000001000800000AA00389B71')
+
+def wav_ext(ch, sr, bits, payload):
+    ba = ch * (bits // 8)
+    f = struct.pack('<HHIIHH', 0xFFFE, ch, sr, sr * ba, ba, bits)
+    f += struct.pack('<HHI', 22, bits, (1 << ch) - 1) + PCM_GUID
+    assert len(f) == 40
+    body = b'WAVE' + chunk(b'fmt ', f) + chunk(b'data', payload)
+    return b'RIFF' + struct.pack('<I', len(body)) + body
+
+canon = bytearray()
+for f in range(66):
+    amp = 0 if (f < 3 or f >= 63) else 15 + (f % 6) * 9
+    for i in range(64):
+        canon.append(128 + (amp if i % 2 == 0 else -amp))
+pay = bytearray()
+for c in canon:
+    uL, uR = c * 256 + 33, c * 256 + 77      # mean top byte = c
+    pay += struct.pack('<HH', (uL - 32768) % 65536, (uR - 32768) % 65536)
+open(os.path.join(D, 'hymn_x.wav'), 'wb').write(
+    wav_ext(2, 8000, 16, bytes(pay)))
+es = energies(canon)
+print('hymn_x: raw', len(pay), 'canon', len(canon), 'frames', len(es),
+      'n_silent', sum(1 for e in es if e < 4096),
+      'ppm', 1000000 * sum(1 for e in es if e < 4096) // len(es),
+      'segs', segs(es))
+
 # ---- vid_duet.avi: 16-bit stereo interleaved audio -------------------
 canon = bytearray()
 for f in range(65):
