@@ -27,10 +27,14 @@ import org.apache.spark.sql.types._
   * janino danger zone (the [[CodebookArgMax]] lesson). This loop is
   * O(1) generated code at any grid size.
   *
-  * NULL for: NULL/short blobs, missing 'BM' magic, bpp ≠ 24,
-  * non-positive width / zero height, or a pixel array that overruns
-  * the blob (truncated file) — a diagnosable null beats garbage bits.
-  * Negative stored height (top-down row order) is honored.
+  * NULL for: NULL/short blobs, missing 'BM' magic, a sample format
+  * outside the contract (24-bpp, or 32-bpp BI_RGB — round-13: the
+  * ubiquitous BGRX screenshot layout, gray = the same first three
+  * bytes with the pad byte skipped; a 32-bpp BI_BITFIELDS mask could
+  * reorder channels and stays fail-closed), non-positive width /
+  * zero height, or a pixel array that overruns the blob (truncated
+  * file) — a diagnosable null beats garbage bits. Negative stored
+  * height (top-down row order) is honored.
   */
 case class BmpAHashExpr(child: Expression) extends UnaryExpression {
 
@@ -171,8 +175,18 @@ object BmpAHash {
     * straight into it — the hash is one tight JVM loop either way, so
     * there is no eval/codegen divergence to test for). Returns
     * [hi, lo] or null per the expression's NULL contract. */
-  def compute(b: Array[Byte], grid: Int): Array[Long] = {
-    require(grid * grid == 64, s"bit packing assumes an 8x8 grid, got $grid")
+  /** Shared BMP pixel-array locator: [w, h, topDown(0/1), stride,
+    * off, bytesPerPixel], or null for anything the grid walk must
+    * not touch. 24-bpp as ever; 32-bpp admits when biCompression is
+    * 0 = BI_RGB (round-13 — the image twin of the audio
+    * sample-format widening: 32-bpp BGRX is ubiquitous in
+    * screenshots/render dumps, and its gray is the same first three
+    * bytes with the pad byte skipped; a BI_BITFIELDS mask could
+    * REORDER channels, so it stays fail-closed). The 24-bpp path
+    * keeps its round-10 contract byte for byte — compression is
+    * deliberately unchecked there, exactly as both engines always
+    * have. */
+  private[functions] def header(b: Array[Byte]): Array[Long] = {
     def u8(p: Long): Long = b(p.toInt) & 0xffL
     def le32(p: Int): Long =
       u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
@@ -181,12 +195,24 @@ object BmpAHash {
     val w = signed(le32(18))
     val hRaw = signed(le32(22))
     val bpp = u8(28) | (u8(29) << 8)
+    val comp = le32(30)
     val off = le32(10)
-    if (bpp != 24 || w <= 0 || hRaw == 0) return null
+    if (w <= 0 || hRaw == 0) return null
+    if (bpp != 24 && !(bpp == 32 && comp == 0)) return null
+    val bpx = (bpp / 8).toInt
     val h = math.abs(hRaw)
-    val topDown = hRaw < 0
-    val stride = (w * 3 + 3) / 4 * 4
+    val stride = (w * bpx + 3) / 4 * 4
     if (off + h * stride > b.length) return null
+    Array(w, h, if (hRaw < 0) 1L else 0L, stride, off, bpx.toLong)
+  }
+
+  def compute(b: Array[Byte], grid: Int): Array[Long] = {
+    require(grid * grid == 64, s"bit packing assumes an 8x8 grid, got $grid")
+    def u8(p: Long): Long = b(p.toInt) & 0xffL
+    val hd = header(b)
+    if (hd == null) return null
+    val Array(w, h, td, stride, off, bpx) = hd
+    val topDown = td == 1L
     val n = grid * grid
     val gray = new Array[Long](n)
     var sum = 0L
@@ -197,7 +223,7 @@ object BmpAHash {
       val rImg = r * h / grid
       val cImg = c * w / grid
       val row = if (topDown) rImg else h - 1 - rImg
-      val p = off + row * stride + cImg * 3
+      val p = off + row * stride + cImg * bpx
       gray(i) = u8(p) + u8(p + 1) + u8(p + 2)
       sum += gray(i)
       i += 1
@@ -227,19 +253,10 @@ object BmpAHash {
     * real pipelines carry both. Returns [hi, lo] or null. */
   def computeDHash(b: Array[Byte]): Array[Long] = {
     def u8(p: Long): Long = b(p.toInt) & 0xffL
-    def le32(p: Int): Long =
-      u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
-    def signed(v: Long): Long = if (v > Int.MaxValue) v - 4294967296L else v
-    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
-    val w = signed(le32(18))
-    val hRaw = signed(le32(22))
-    val bpp = u8(28) | (u8(29) << 8)
-    val off = le32(10)
-    if (bpp != 24 || w <= 0 || hRaw == 0) return null
-    val h = math.abs(hRaw)
-    val topDown = hRaw < 0
-    val stride = (w * 3 + 3) / 4 * 4
-    if (off + h * stride > b.length) return null
+    val hd = header(b)
+    if (hd == null) return null
+    val Array(w, h, td, stride, off, bpx) = hd
+    val topDown = td == 1L
     val rows = 8
     val cols = 9
     val gray = new Array[Long](rows * cols)
@@ -250,7 +267,7 @@ object BmpAHash {
       val rImg = r * h / rows
       val cImg = c * w / cols
       val row = if (topDown) rImg else h - 1 - rImg
-      val p = off + row * stride + cImg * 3
+      val p = off + row * stride + cImg * bpx
       gray(i) = u8(p) + u8(p + 1) + u8(p + 2)
       i += 1
     }
@@ -284,19 +301,10 @@ object BmpAHash {
     * contract as the hashes. */
   def computeGrayStats(b: Array[Byte]): Array[Long] = {
     def u8(p: Long): Long = b(p.toInt) & 0xffL
-    def le32(p: Int): Long =
-      u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
-    def signed(v: Long): Long = if (v > Int.MaxValue) v - 4294967296L else v
-    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
-    val w = signed(le32(18))
-    val hRaw = signed(le32(22))
-    val bpp = u8(28) | (u8(29) << 8)
-    val off = le32(10)
-    if (bpp != 24 || w <= 0 || hRaw == 0) return null
-    val h = math.abs(hRaw)
-    val topDown = hRaw < 0
-    val stride = (w * 3 + 3) / 4 * 4
-    if (off + h * stride > b.length) return null
+    val hd = header(b)
+    if (hd == null) return null
+    val Array(w, h, td, stride, off, bpx) = hd
+    val topDown = td == 1L
     val grid = 8
     var sum = 0L
     var sumSq = 0L
@@ -309,7 +317,7 @@ object BmpAHash {
       val rImg = r * h / grid
       val cImg = c * w / grid
       val row = if (topDown) rImg else h - 1 - rImg
-      val p = off + row * stride + cImg * 3
+      val p = off + row * stride + cImg * bpx
       val g = u8(p) + u8(p + 1) + u8(p + 2)
       sum += g
       sumSq += g * g

@@ -922,7 +922,13 @@ object AdsbQueries {
         .withColumn("is_silent", col("energy") < 4096L)
       val byFrame = Window.partitionBy(col("model"))
         .orderBy(col("frame_idx"))
-      val segs = fx.withColumn("sil_prefix",
+      // share()d: the fingerprint frame feeds the dictionary, the NN
+      // construction AND the final readout join — without it the
+      // whole blob-walk + energy + window pipeline re-executes per
+      // consumer (the scan-budget rule; (model, seg, longs) rows,
+      // never blob bytes)
+      val segs = graft.operators.Dedup.share(fx
+        .withColumn("sil_prefix",
           sum(when(col("is_silent"), 1L).otherwise(0L)).over(byFrame))
         .where(!col("is_silent"))
         .withColumn("seg_id",
@@ -946,7 +952,11 @@ object AdsbQueries {
         // bit-length makes a length mismatch VISIBLE to the metric
         // instead of silently comparing contours of different spans
         .withColumn("fp_hi", least(col("n_frames_seg") - 1, lit(32L)))
-      val dict = bin.select(col("model")).distinct()
+        .select(col("model"), col("seg_id"), col("n_frames_seg"),
+          col("fp_lo"), col("fp_hi")))
+      // the blob catalog comes off the SHARED segment frame (only
+      // fingerprinted blobs can be or have neighbors)
+      val dict = segs.select(col("model")).distinct()
         .withColumn("aid",
           row_number().over(Window.orderBy(col("model"))).cast("long"))
       val hashed = segs.join(broadcast(dict), Seq("model"))
@@ -1798,25 +1808,29 @@ object AdsbQueries {
        |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
        |           || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h0,
        |    ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2))::BIGINT AS bpp,
+       |    ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2)
+       |           || substr(hx, 63, 2) || substr(hx, 61, 2))::BIGINT AS comp,
        |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
        |           || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS off
        |  FROM b WHERE substr(hx, 1, 4) = '424D' AND length(hx) >= 108),
        |dims AS (
-       |  SELECT model, hx, off, bpp,
+       |  SELECT model, hx, off, bpp, comp, bpp // 8 AS bpx,
        |    CASE WHEN w0 >= 2147483648 THEN w0 - 4294967296 ELSE w0 END AS w,
        |    CASE WHEN h0 >= 2147483648 THEN h0 - 4294967296 ELSE h0 END AS hraw
        |  FROM hdr),
        |d2 AS (
-       |  SELECT model, hx, off, w, hraw, abs(hraw) AS h,
-       |    (w * 3 + 3) // 4 * 4 AS stride
+       |  SELECT model, hx, off, w, hraw, abs(hraw) AS h, bpx,
+       |    (w * bpx + 3) // 4 * 4 AS stride
        |  FROM dims
-       |  WHERE bpp = 24 AND w > 0 AND hraw <> 0
-       |    AND off + abs(hraw) * ((w * 3 + 3) // 4 * 4) <= length(hx) // 2),
+       |  WHERE (bpp = 24 OR (bpp = 32 AND comp = 0))
+       |    AND w > 0 AND hraw <> 0
+       |    AND off + abs(hraw) * ((w * bpx + 3) // 4 * 4)
+       |      <= length(hx) // 2),
        |px AS (
        |  SELECT model, hx, u.i AS i,
        |    (off + (CASE WHEN hraw < 0 THEN (u.i // 8) * h // 8
        |                 ELSE h - 1 - ((u.i // 8) * h // 8) END) * stride
-       |         + ((u.i % 8) * w // 8) * 3) AS p
+       |         + ((u.i % 8) * w // 8) * bpx) AS p
        |  FROM d2, UNNEST(range(0, 64)) AS u(i)),
        |g AS (
        |  SELECT model, i,
@@ -1853,25 +1867,29 @@ object AdsbQueries {
        |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
        |           || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h0,
        |    ('0x' || substr(hx, 59, 2) || substr(hx, 57, 2))::BIGINT AS bpp,
+       |    ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2)
+       |           || substr(hx, 63, 2) || substr(hx, 61, 2))::BIGINT AS comp,
        |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
        |           || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS off
        |  FROM b WHERE substr(hx, 1, 4) = '424D' AND length(hx) >= 108),
        |dims AS (
-       |  SELECT model, hx, off, bpp,
+       |  SELECT model, hx, off, bpp, comp, bpp // 8 AS bpx,
        |    CASE WHEN w0 >= 2147483648 THEN w0 - 4294967296 ELSE w0 END AS w,
        |    CASE WHEN h0 >= 2147483648 THEN h0 - 4294967296 ELSE h0 END AS hraw
        |  FROM hdr),
        |d2 AS (
-       |  SELECT model, hx, off, w, hraw, abs(hraw) AS h,
-       |    (w * 3 + 3) // 4 * 4 AS stride
+       |  SELECT model, hx, off, w, hraw, abs(hraw) AS h, bpx,
+       |    (w * bpx + 3) // 4 * 4 AS stride
        |  FROM dims
-       |  WHERE bpp = 24 AND w > 0 AND hraw <> 0
-       |    AND off + abs(hraw) * ((w * 3 + 3) // 4 * 4) <= length(hx) // 2),
+       |  WHERE (bpp = 24 OR (bpp = 32 AND comp = 0))
+       |    AND w > 0 AND hraw <> 0
+       |    AND off + abs(hraw) * ((w * bpx + 3) // 4 * 4)
+       |      <= length(hx) // 2),
        |px AS (
        |  SELECT model, hx, u.i AS i,
        |    (off + (CASE WHEN hraw < 0 THEN (u.i // 9) * h // 8
        |                 ELSE h - 1 - ((u.i // 9) * h // 8) END) * stride
-       |         + ((u.i % 9) * w // 9) * 3) AS p
+       |         + ((u.i % 9) * w // 9) * bpx) AS p
        |  FROM d2, UNNEST(range(0, 72)) AS u(i)),
        |g AS (
        |  SELECT model, i,

@@ -197,7 +197,14 @@ object DocQueries {
         .where(col("doc_id") === col("_mn"))
         .select(explode(sequence(col("_mx"), col("_mx") + 9))
           .as("doc_id"), col("text"))
-      val all = d.select(col("doc_id"), col("text")).unionByName(boiler)
+      // share()d: the augmented corpus feeds the (memoized) index
+      // build AND matchNewCapped's three batch-side consumers
+      // (banding, hashed grams, sizes) — without it the scan+union
+      // +max subtree re-executes per consumer (the scan-budget rule;
+      // matchNew itself deliberately never caches, so the GATE
+      // binding owns the materialization)
+      val all = Dedup.share(
+        d.select(col("doc_id"), col("text")).unionByName(boiler))
       val path = persistedIndex(s, s"d10c|$dir") { p =>
         graft.operators.NearDupIndex.persist(
           all.where(col("doc_id") % 2 === 0),

@@ -38,8 +38,9 @@ class MetaSpec extends SparkSpec {
   test("silhouette binary loader keys by filename stem") {
     val s = Meta.loadAircraftSilhouettes(spark, Meta.silhouettesDir())
     val models = s.select("model").collect().map(_.getString(0)).toSet
-    assert(models === Set("A1", "A10", "A109", "A119", "A122", "A124"))
-    assert(s.where(length(col("silhouette")) > 0).count() === 6)
+    assert(models ===
+      Set("A1", "A10", "A109", "A119", "A122", "A124", "X32"))
+    assert(s.where(length(col("silhouette")) > 0).count() === 7)
   }
 
   test("range_rings WKB seed parses: 3 LFRS rings of 161 points") {
@@ -89,10 +90,10 @@ class MetaSpec extends SparkSpec {
     assert(a.select("model", "width", "height", "e").exceptAll(
       b.select("model", "width", "height", "e")).count() === 0)
     val frames = Multimodal.sampleFrames(bin, col("silhouette"), 3)
-    assert(frames.count() === 18)
+    assert(frames.count() === 21)
   }
 
-  test("BMP headers parse for real: 85x20 @ 24bpp silhouettes") {
+  test("BMP headers parse for real: 85x20 silhouettes, 24- and 32-bpp") {
     import graft.operators.Multimodal
     // ground truth from the fixtures' own 54-byte headers (verified
     // with an independent struct.unpack read): all six reference
@@ -101,12 +102,15 @@ class MetaSpec extends SparkSpec {
     val meta = Multimodal.withMetadata(bin, col("silhouette"))
       .select("model", "media_type", "width", "height", "bpp")
       .collect()
-    assert(meta.length === 6)
+    assert(meta.length === 7)
     meta.foreach { r =>
       assert(r.getString(1) === "image", r.getString(0))
       assert(r.getInt(2) === 85, s"${r.getString(0)} width")
       assert(r.getInt(3) === 20, s"${r.getString(0)} height")
-      assert(r.getInt(4) === 24, s"${r.getString(0)} bpp")
+      // the six reference silhouettes are 24-bpp; the planted X32 is
+      // the 32-bpp BI_RGB case the round-13 widening admits
+      assert(r.getInt(4) === (if (r.getString(0) == "X32") 32 else 24),
+        s"${r.getString(0)} bpp")
     }
   }
 
@@ -166,7 +170,8 @@ class MetaSpec extends SparkSpec {
       r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
     val b = run(32).collect().map(r =>
       r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
-    assert(a.keySet === Set("A1", "A10", "A109", "A119", "A122", "A124"))
+    assert(a.keySet ===
+      Set("A1", "A10", "A109", "A119", "A122", "A124", "X32"))
     assert(a === b) // batch boundaries must not change results
     assert(a.values.forall(_.length === 8))
   }

@@ -74,6 +74,49 @@ class BmpAHashSpec extends SparkSpec {
     assert(bottomBright === ((4294967295L, 0L)))
   }
 
+  /** 32-bpp BI_RGB twin of [[bmp]]: same pixels, BGRX layout. */
+  private def bmp32(width: Int, height: Int,
+      pix: (Int, Int) => (Int, Int, Int),
+      compression: Int = 0): Array[Byte] = {
+    val h = math.abs(height)
+    val stride = width * 4
+    val size = 54 + h * stride
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(32)
+    b.putInt(compression).putInt(h * stride).putInt(2835).putInt(2835)
+    b.putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      val y = if (height < 0) row else h - 1 - row
+      for (x <- 0 until width) {
+        val (r, g, bl) = pix(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte).put(0.toByte)
+      }
+    }
+    b.array()
+  }
+
+  test("32-bpp BI_RGB hashes identically to its 24-bpp twin") {
+    // round-13: same pixels through both layouts must produce the
+    // SAME bits (gray is the same first three bytes; the pad byte is
+    // skipped and the stride math honors 4 bytes/px) — and a 32-bpp
+    // blob declaring BI_BITFIELDS (masks could reorder channels)
+    // stays NULL, fail-closed
+    def pix(x: Int, y: Int) =
+      if (x >= 8) (200, 180, 160) else (10, 20, 30)
+    assert(hash(bmp32(16, 16, pix)) === hash(bmp(16, 16, pix)))
+    assert(hash(bmp32(16, -16, pix)) === hash(bmp(16, 16, pix)))
+    assert(hash(bmp32(16, 16, pix, compression = 3)) === None)
+    // dHash and grayStats ride the same shared header parse
+    assert(BmpAHash.computeDHash(bmp32(16, 16, pix)).toSeq ===
+      BmpAHash.computeDHash(bmp(16, 16, pix)).toSeq)
+    assert(BmpAHash.computeGrayStats(bmp32(16, 16, pix)).toSeq ===
+      BmpAHash.computeGrayStats(bmp(16, 16, pix)).toSeq)
+    assert(BmpAHash.computeGrayStats(
+      bmp32(16, 16, pix, compression = 3)) === null)
+  }
+
   test("malformed blobs are NULL, not garbage") {
     val good = bmp(8, 8, (_, _) => (1, 2, 3))
     assert(hash("not a bmp".getBytes) === None)       // no magic

@@ -193,3 +193,30 @@ b = avi(40000, 2, 6, 3, strls, movi)
 open(os.path.join(D, 'vid_wall.avi'), 'wb').write(b)
 print('vid_wall: total', len(b), 'movi chunks', len(movi),
       'fr_sums', sum(fr0), sum(fr1))
+
+# ---- X32.bmp: 32-bpp BI_RGB silhouette (round-13 image widening) ----
+SIL = '/root/repo/src/main/resources/meta/silhouettes'
+
+def bmp32(w, h, px):
+    """px(x, y) -> (B, G, R); writes bottom-up BI_RGB 32-bpp."""
+    stride = w * 4                      # already 4-aligned
+    size = 54 + h * stride
+    hdr = b'BM' + struct.pack('<IHHI', size, 0, 0, 54)
+    hdr += struct.pack('<IiiHHIIiiII', 40, w, h, 1, 32, 0,
+                       h * stride, 2835, 2835, 0, 0)
+    body = bytearray()
+    for row in range(h):                # bottom-up: row 0 = image bottom
+        y = h - 1 - row
+        for x in range(w):
+            b_, g_, r_ = px(x, y)
+            body += bytes([b_, g_, r_, 0])
+    return hdr + bytes(body)
+
+def x32px(x, y):
+    # high-contrast deterministic pattern (passes the flat-image gate)
+    return ((x * 29 + y * 53) % 256, (x * 71 + y * 13) % 256,
+            (x * 17 + y * 97) % 256)
+
+open(os.path.join(SIL, 'X32.bmp'), 'wb').write(bmp32(85, 20, x32px))
+print('X32.bmp written: 85x20 32-bpp BI_RGB,',
+      os.path.getsize(os.path.join(SIL, 'X32.bmp')), 'bytes')
