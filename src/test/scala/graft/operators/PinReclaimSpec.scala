@@ -75,4 +75,19 @@ class PinReclaimSpec extends SparkSpec {
     run("d19_chunk_nn", DocQueries.defs, "/root/testdata/sf0.001",
       maxRddPins = 2)
   }
+
+  test("mm19/mm20/mm21 (round-13 NN composites) release their pins") {
+    // mm19: dictionary + NN checkpoint; mm20: shared lattice + NN
+    // members share + mm19's hash chain; mm21: shared segment frame
+    // + NN checkpoint — all RDD-scoped under checkpoint share mode
+    run("mm19_frame_phash", AdsbQueries.defs, "unused", maxRddPins = 2)
+    run("mm20_shot_medoids", AdsbQueries.defs, "unused", maxRddPins = 3)
+    run("mm21_segment_neardup", AdsbQueries.defs, "unused",
+      maxRddPins = 3)
+  }
+
+  test("d10c capped index match releases its pins") {
+    run("d10c_index_match_capped", DocQueries.defs,
+      "/root/testdata/sf0.001", maxRddPins = 3)
+  }
 }

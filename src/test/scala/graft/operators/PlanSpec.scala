@@ -129,6 +129,17 @@ class PlanSpec extends SparkSpec {
       s"string keys in band exchange: $stringParts")
   }
 
+  test("mm20's medoid join is a keyed equi-join, never a product") {
+    // round-13: the pair stage must stay keyed on (model, shot) — a
+    // product here would silently turn the Σ shot_size² bound into
+    // n². (mm21's NN legitimately plans the HammingNN pairwise BNLJ
+    // at fixture scale, so its guard is the scan-budget tripwire +
+    // mm19's packed-key pin over the shared readout.)
+    val p = plan("mm20_shot_medoids")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("headline aggregations stay inside whole-stage codegen") {
     // AQE's wrapper hides codegen annotation in the plan string; the
     // non-adaptive physical plan marks codegen stages with "*(n)".
