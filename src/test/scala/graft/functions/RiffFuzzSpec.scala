@@ -180,4 +180,42 @@ class RiffFuzzSpec extends AnyFunSuite {
           off.toLong + (r.length - 1).toLong * st + fs <= b.length)
     }
   }
+
+  test("round-13 kernels never throw: walkComplete, Pcm.canonical, " +
+      "BmpAHash.header") {
+    // the same hostile-input contract for the walk-cap attestation,
+    // the PCM canonicalizer (any declared bits/channels on any
+    // bytes) and the widened BMP header parse
+    val rnd = new scala.util.Random(0xD13C)
+    val edges = Seq(Int.MinValue, -1, 0, 1, 8, 16, 24, 32, 65534,
+      Int.MaxValue)
+    (0 until 3000).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b)
+      if (i % 4 == 0 && b.length >= 2) { b(0) = 'B'; b(1) = 'M' }
+      def pick() = if (rnd.nextBoolean()) edges(rnd.nextInt(edges.size))
+        else rnd.nextInt(600) - 100
+      val wc = Riff.walkComplete(b, pick(), pick())
+      assert(wc || !wc) // terminated without throwing
+      val bits = pick(); val ch = pick()
+      val canon = Pcm.canonical(b, bits, ch)
+      assert(canon != null)
+      // canonical length honors the floor sample count for supported
+      // formats and is empty otherwise
+      if ((bits == 8 || bits == 16) && (ch == 1 || ch == 2))
+        assert(canon.length == b.length / ((bits / 8) * ch) ||
+          (bits == 8 && ch == 1 && (canon eq b)))
+      else assert(canon.length == 0)
+      val hd = BmpAHash.header(b)
+      if (hd != null) {
+        val Array(w, h, _, stride, off, bpx) = hd
+        assert(w > 0 && h > 0 && (bpx == 3 || bpx == 4))
+        assert(off + h * stride <= b.length)
+      }
+      // the hash/stats kernels inherit the guard
+      assert(BmpAHash.compute(b, 8) == null ||
+        BmpAHash.compute(b, 8).length == 2)
+      assert(BmpAHash.computeGrayStats(b) == null ||
+        BmpAHash.computeGrayStats(b).length == 4)
+    }
+  }
 }

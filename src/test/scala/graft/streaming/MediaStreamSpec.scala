@@ -58,6 +58,26 @@ class MediaStreamSpec extends SparkSpec {
     // pixel-variance gate can reject it
     val flat = bmp(8, 8, varied = false)
 
+    // a 32-bpp BI_RGB bitmap (round-13 intake widening): varied BGRX
+    // pixels — must admit with real dims through the shared header
+    // parse; a flat 32-bpp one still hits the variance gate
+    def bmp32(varied: Boolean): Array[Byte] = {
+      val w = 8; val h = 8; val stride = w * 4
+      val size = 54 + h * stride
+      val b = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(32)
+      b.putInt(0).putInt(h * stride).putInt(2835).putInt(2835)
+      b.putInt(0).putInt(0)
+      val arr = b.array()
+      if (varied)
+        (54 until size).foreach(i => arr(i) = ((i * 131) % 247).toByte)
+      arr
+    }
+    val deep = bmp32(varied = true)
+    val deepFlat = bmp32(varied = false)
+
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val media = in.toDF().toDF("media_id", "content", "ingest_ts")
     val outDir = Files.createTempDirectory("media-ingest").toString
@@ -73,7 +93,9 @@ class MediaStreamSpec extends SparkSpec {
       (5L, oversize, t0),
       (6L, audio, t0),
       (7L, png, t0),
-      (8L, flat, t0)))
+      (8L, flat, t0),
+      (9L, deep, t0),
+      (10L, deepFlat, t0)))
     q.processAllAvailable()
     q.stop()
 
@@ -97,5 +119,14 @@ class MediaStreamSpec extends SparkSpec {
     // the solid-color placeholder was dropped by the pixel-variance
     // gate even though its header is perfectly valid
     assert(!kept.contains(8L), s"flat image admitted: $kept")
+    // the 32-bpp blob admits with real dims (round-13: the shared
+    // header parse covers BGRX); the flat 32-bpp twin still gates
+    assert(kept.contains(9L), s"32-bpp dropped: $kept")
+    val deepRow = out.where(col("media_id") === 9L)
+      .select("media_type", "width", "height", "bpp").head()
+    assert(deepRow.getString(0) == "image")
+    assert(deepRow.getInt(1) == 8 && deepRow.getInt(2) == 8)
+    assert(deepRow.getInt(3) == 32)
+    assert(!kept.contains(10L), s"flat 32-bpp admitted: $kept")
   }
 }
