@@ -41,7 +41,31 @@ object NearDupIndex {
     * signature/bucket pipeline, the shingle-hash table and the size
     * table. */
   def persist(docs: DataFrame, idCol: Column, textCol: Column,
-      n: Int, numHashes: Int, bands: Int, path: String): Unit = {
+      n: Int, numHashes: Int, bands: Int, path: String): Unit =
+    writeIndex(docs, idCol, textCol, n, numHashes, bands, path,
+      mode = "overwrite")
+
+  /** APPEND an ingest batch INTO the at-rest index (round-13 — the
+    * s2a/IVF-append lifecycle story for the near-dup index): the
+    * batch's banded buckets, distinct gram hashes and size rows land
+    * as NEW files in the SAME band/pb partition directories, so a
+    * later [[matchNew]] sees original + appended corpus through one
+    * read and dynamic partition pruning still works — the rolling-
+    * corpus shape where yesterday's accepted batch becomes part of
+    * today's dedup corpus without re-shingling anything already
+    * indexed. Contract: appended ids are disjoint from everything
+    * already in the index (same caller re-idify rule as matchNew);
+    * bucket values are [[Dedup.bandedBuckets]]' portable hashes, so
+    * appended and original docs collide in the same buckets by
+    * construction. */
+  def append(docs: DataFrame, idCol: Column, textCol: Column,
+      n: Int, numHashes: Int, bands: Int, path: String): Unit =
+    writeIndex(docs, idCol, textCol, n, numHashes, bands, path,
+      mode = "append")
+
+  private def writeIndex(docs: DataFrame, idCol: Column, textCol: Column,
+      n: Int, numHashes: Int, bands: Int, path: String,
+      mode: String): Unit = {
     val sh = Dedup.shingleRows(docs, idCol, textCol, n).cache()
     try {
       // repartition by the partition column before each partitionBy
@@ -52,7 +76,7 @@ object NearDupIndex {
       // partitions while keeping the per-directory locality.
       Dedup.bandedBuckets(sh, numHashes, bands)
         .repartition(col("band"))
-        .write.mode("overwrite").partitionBy("band")
+        .write.mode(mode).partitionBy("band")
         .parquet(s"$path/buckets")
       val hashed = sh.select(col("id"), phash(col("sh"), 0).as("h"))
         .distinct()
@@ -60,10 +84,10 @@ object NearDupIndex {
       try {
         hashed.withColumn("pb", pb(col("id")))
           .repartition(col("pb"))
-          .write.mode("overwrite").partitionBy("pb")
+          .write.mode(mode).partitionBy("pb")
           .parquet(s"$path/shingles")
         hashed.groupBy("id").agg(count(lit(1)).as("n_sh"))
-          .write.mode("overwrite").parquet(s"$path/sizes")
+          .write.mode(mode).parquet(s"$path/sizes")
       } finally hashed.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }

@@ -176,6 +176,34 @@ object DocQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // d10a: the at-rest index LIFECYCLE — build on the even half,
+    // APPEND the (doc_id % 4 = 1) quarter as an accepted ingest
+    // batch (new files into the same band/pb partition directories;
+    // the s2a/IVF-append story for the near-dup index), then match
+    // the (doc_id % 4 = 3) quarter against the UPDATED index: its
+    // candidates must surface against original AND appended corpus
+    // docs through one pruned read — yesterday's batch is part of
+    // today's dedup corpus without re-shingling anything indexed.
+    "d10a_index_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = persistedIndex(s, s"d10a|$dir") { p =>
+        graft.operators.NearDupIndex.persist(
+          d.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 4,
+          path = p)
+        graft.operators.NearDupIndex.append(
+          d.where(col("doc_id") % 4 === 1),
+          col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 4,
+          path = p)
+      }
+      graft.operators.NearDupIndex.matchNew(s, path,
+          d.where(col("doc_id") % 4 === 3), col("doc_id"), col("text"),
+          n = 3, numHashes = 16, bands = 4, threshold = 0.2,
+          maxBucketSize = Int.MaxValue)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // d10c: the at-rest index under the HOT-BUCKET STAR ROUTE
     // (round-13, VERDICT r12 ask #3 — d10's `maxBucketSize` was a
     // production knob the gate never saw; the d2c precedent makes
@@ -3740,6 +3768,50 @@ object DocQueries {
         |  FROM bands c JOIN bands n
         |    ON c.b = n.b AND c.bucket = n.bucket
         |  WHERE c.doc_id % 2 = 0 AND n.doc_id % 2 = 1),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+        |co AS (
+        |  SELECT c.new_id, c.corpus_id, count(*) AS common
+        |  FROM cand c
+        |  JOIN shd x ON c.new_id = x.doc_id
+        |  JOIN shd y ON c.corpus_id = y.doc_id AND x.h = y.h
+        |  GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |  round(common::DOUBLE / (sn.n_sh + sc.n_sh - common), 6) AS jaccard
+        |FROM co
+        |JOIN sizes sn ON new_id = sn.doc_id
+        |JOIN sizes sc ON corpus_id = sc.doc_id
+        |WHERE common::DOUBLE / (sn.n_sh + sc.n_sh - common) >= 0.2
+        |ORDER BY new_id, corpus_id""".stripMargin
+    },
+
+    // d10a: identical replay to d10 with the corpus predicate
+    // covering the ORIGINAL build plus the appended quarter — the
+    // engine's append must be indistinguishable from having built
+    // the bigger index in one shot
+    "d10a_index_append" -> {
+      val coeffRows = (0 until 16).map { k =>
+        val (a, b) = graft.functions.PortableHash.minhashCoeffs(k)
+        s"($k, $a, $b)"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, m.i AS i, min((m.a * h0 + m.b) % 4294967291) AS mhv
+        |  FROM mh, (VALUES $coeffRows) AS m(i, a, b)
+        |  GROUP BY doc_id, m.i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS b,
+        |    ${dkHash("string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY i)", "-1")} AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bands c JOIN bands n
+        |    ON c.b = n.b AND c.bucket = n.bucket
+        |  WHERE (c.doc_id % 2 = 0 OR c.doc_id % 4 = 1)
+        |    AND n.doc_id % 4 = 3),
         |shd AS (
         |  SELECT DISTINCT doc_id, ${dkHash("s", "0")} AS h FROM sh),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
