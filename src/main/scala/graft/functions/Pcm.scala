@@ -2,106 +2,149 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.functions.{lit, when}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-/** PCM sample-format canonicalization — `pcm_canonical(payload, bits,
-  * channels)` maps a declared-format PCM payload onto the CANONICAL
-  * unsigned-8-bit MONO sample stream every audio analysis in this
-  * engine runs on (the mm7 fingerprint, the mm11/mm13 energy lattice,
-  * the streaming silence gate).
+/** PCM sample-format canonicalization — `pcm_canonical(payload, fmt,
+  * bits, channels)` maps a declared-format audio payload onto the
+  * CANONICAL unsigned-8-bit MONO sample stream every audio analysis
+  * in this engine runs on (the mm7 fingerprint, the mm11/mm13 energy
+  * lattice, the streaming silence gate).
   *
-  * Round-13 (VERDICT r12 ask #1): until now the audio family admitted
-  * only PCM format 1 at 8-bit mono — fail-closed and correct, but
-  * nearly every real-world WAV/AVI is 16-bit PCM, so the whole
-  * analysis surface ran on almost no real file. This kernel is the
-  * decode step that widens admission to 16-bit and stereo WITHOUT
-  * touching any downstream math: consumers keep their exact-integer
-  * 8-bit contract, and existing 8-bit-mono blobs canonicalize to
-  * themselves (identity — prior hashes unchanged by construction).
+  * Round-13 (VERDICT r12 ask #1, then widened): until now the audio
+  * family admitted only PCM format 1 at 8-bit mono — fail-closed and
+  * correct, but nearly every real-world WAV/AVI is 16-bit PCM (and
+  * telephony captures are G.711). This kernel is the decode step
+  * that widens admission WITHOUT touching any downstream math:
+  * consumers keep their exact-integer 8-bit contract, and existing
+  * 8-bit-mono blobs canonicalize to themselves (identity — prior
+  * hashes unchanged by construction).
   *
   * The documented rule (replayed bit-exactly by the DuckDB oracles):
-  *  - sample values move to UNSIGNED space first — an 8-bit sample is
-  *    its byte; a 16-bit sample is the signed little-endian value
-  *    + 32768 (equivalently `le16 XOR 0x8000`);
+  *  - sample values move to UNSIGNED space first — an 8-bit linear
+  *    sample is its byte; a 16-bit linear sample is the signed
+  *    little-endian value + 32768 (`le16 XOR 0x8000`); a G.711
+  *    µ-law (format 7) or A-law (format 6) byte decodes to its
+  *    16-bit linear value by the public ITU formulas (µ: complement,
+  *    `((man·8 + 132) << exp) − 132`, sign bit negative; A:
+  *    `XOR 0x55`, `man·16 + 8` at exp 0 else
+  *    `(man·16 + 264) << (exp−1)`, sign bit POSITIVE — both pinned
+  *    against the published table values in `PcmCanonSpec`), then
+  *    + 32768;
   *  - stereo collapses per sample frame to `(L + R) div 2` — floor
   *    division of non-negative operands, so Spark's and DuckDB's
   *    integer division agree by construction;
-  *  - 16-bit scales to 8-bit by keeping the top byte (`div 256`);
+  *  - 16-bit-space values scale to 8-bit by keeping the top byte
+  *    (`div 256`);
   *  - a trailing PARTIAL sample frame (payload length not a multiple
-  *    of channels · bits/8) is dropped, matching the floor-division
-  *    frame counts every consumer derives.
+  *    of channels · bytes/sample) is dropped, matching the
+  *    floor-division frame counts every consumer derives.
   *
-  * Contract: bits ∈ {8, 16} and channels ∈ {1, 2} — the admission
-  * gates ([[graft.queries.AdsbQueries]]'s wav leg,
-  * [[Riff.withAviAudio]]'s `avi_audio_ok`, the streaming intake)
-  * enforce this BEFORE the kernel runs; any other declared format
-  * yields an EMPTY stream, never a throw and never a silent mis-read
-  * of unknown-format bytes as samples (the failure mode the gates
-  * exist to prevent — an empty canonical stream is shorter than one
-  * analysis frame and excludes itself downstream).
+  * Contract: (fmt, bits) ∈ {(1, 8), (1, 16), (6, 8), (7, 8)} and
+  * channels ∈ {1, 2} — the admission gates ([[Riff.sampleFormatOk]]
+  * at the batch wav leg, the AVI auds gate and the streaming intake)
+  * enforce this BEFORE the kernel runs; callers normalize
+  * WAVE_FORMAT_EXTENSIBLE-wrapping-PCM to fmt 1 via
+  * [[Pcm.canonFormat]] (the GUID check lives in the gate). Any other
+  * declared format yields an EMPTY stream, never a throw and never a
+  * silent mis-read of unknown-format bytes as samples (the failure
+  * mode the gates exist to prevent — an empty canonical stream is
+  * shorter than one analysis frame and excludes itself downstream).
   */
-case class PcmCanonExpr(payload: Expression, bits: Expression,
-    channels: Expression)
-    extends TernaryExpression {
+case class PcmCanonExpr(payload: Expression, fmt: Expression,
+    bits: Expression, channels: Expression)
+    extends QuaternaryExpression {
 
   override def first: Expression = payload
-  override def second: Expression = bits
-  override def third: Expression = channels
+  override def second: Expression = fmt
+  override def third: Expression = bits
+  override def fourth: Expression = channels
 
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pcm_canonical"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (payload.dataType, bits.dataType, channels.dataType) match {
-      case (BinaryType, IntegerType, IntegerType) =>
+    (payload.dataType, fmt.dataType, bits.dataType,
+      channels.dataType) match {
+      case (BinaryType, IntegerType, IntegerType, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
-      case (p, b, c) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (binary, int, int), got " +
-          s"(${p.simpleString}, ${b.simpleString}, ${c.simpleString})")
+      case (p, f, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, int, int, int), got " +
+          s"(${p.simpleString}, ${f.simpleString}, ${b.simpleString}, " +
+          s"${c.simpleString})")
     }
 
-  override def nullSafeEval(p: Any, b: Any, c: Any): Any =
-    Pcm.canonical(p.asInstanceOf[Array[Byte]], b.asInstanceOf[Int],
-      c.asInstanceOf[Int])
+  override def nullSafeEval(p: Any, f: Any, b: Any, c: Any): Any =
+    Pcm.canonical(p.asInstanceOf[Array[Byte]], f.asInstanceOf[Int],
+      b.asInstanceOf[Int], c.asInstanceOf[Int])
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, (p, b, c) =>
-      s"${ev.value} = graft.functions.Pcm.canonical($p, $b, $c);")
+    nullSafeCodeGen(ctx, ev, (p, f, b, c) =>
+      s"${ev.value} = graft.functions.Pcm.canonical($p, $f, $b, $c);")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): PcmCanonExpr =
-    copy(payload = newFirst, bits = newSecond, channels = newThird)
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): PcmCanonExpr =
+    copy(payload = newFirst, fmt = newSecond, bits = newThird,
+      channels = newFourth)
 }
 
 object Pcm {
 
+  /** G.711 µ-law byte → 16-bit linear (ITU formula; spec-pinned
+    * against the published table: 0x00 → −32124, 0xFF → 0). */
+  def ulaw(u: Int): Int = {
+    val v = ~u & 0xFF
+    val mag = ((((v & 0xF) << 3) + 0x84) << ((v >> 4) & 7)) - 0x84
+    if ((v & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → 16-bit linear (ITU formula; sign bit 1 =
+    * POSITIVE; spec-pinned: 0x55 → −8, 0xD5 → +8, 0x2A → −32256). */
+  def alaw(a: Int): Int = {
+    val v = (a ^ 0x55) & 0xFF
+    val exp = (v >> 4) & 7
+    val man = v & 0xF
+    val mag = if (exp == 0) (man << 4) + 8 else ((man << 4) + 0x108) << (exp - 1)
+    if ((v & 0x80) != 0) mag else -mag
+  }
+
   /** Shared interpreted/codegen kernel — see [[PcmCanonExpr]] for the
     * canonicalization rule. O(bytes), one output array, no throw on
-    * any input. 8-bit mono returns the input array ITSELF (identity —
-    * no copy; rows are immutable downstream). */
-  def canonical(b: Array[Byte], bits: Int, ch: Int): Array[Byte] = {
-    if (bits == 8 && ch == 1) return b
-    if ((bits != 8 && bits != 16) || (ch != 1 && ch != 2))
-      return Array.emptyByteArray
-    val bpf = (bits / 8) * ch
+    * any input. Linear 8-bit mono returns the input array ITSELF
+    * (identity — no copy; rows are immutable downstream). */
+  def canonical(b: Array[Byte], fmt: Int, bits: Int, ch: Int): Array[Byte] = {
+    if (fmt == 1 && bits == 8 && ch == 1) return b
+    val g711 = fmt == 6 || fmt == 7
+    val ok = (ch == 1 || ch == 2) &&
+      ((fmt == 1 && (bits == 8 || bits == 16)) || (g711 && bits == 8))
+    if (!ok) return Array.emptyByteArray
+    val bpsB = if (fmt == 1) bits / 8 else 1
+    val bpf = bpsB * ch
     val n = b.length / bpf
     val out = new Array[Byte](n)
+    // one unsigned-16 read per channel sample for every non-trivial
+    // format; linear 8-bit rides its own byte-space mean (the
+    // pre-round-13 arithmetic, kept byte-identical)
+    def u16(off: Int): Int = fmt match {
+      case 1 => (((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)) ^ 0x8000)
+      case 7 => ulaw(b(off) & 0xFF) + 32768
+      case _ => alaw(b(off) & 0xFF) + 32768
+    }
     var i = 0
     while (i < n) {
       val base = i * bpf
       val v =
-        if (bits == 8) ((b(base) & 0xFF) + (b(base + 1) & 0xFF)) / 2
+        if (fmt == 1 && bits == 8)
+          ((b(base) & 0xFF) + (b(base + 1) & 0xFF)) / 2
         else {
-          val l = ((b(base) & 0xFF) | ((b(base + 1) & 0xFF) << 8)) ^ 0x8000
-          val u =
-            if (ch == 1) l
-            else (l + (((b(base + 2) & 0xFF) |
-              ((b(base + 3) & 0xFF) << 8)) ^ 0x8000)) / 2
+          val l = u16(base)
+          val u = if (ch == 1) l else (l + u16(base + bpsB)) / 2
           u >> 8
         }
       out(i) = v.toByte
@@ -110,9 +153,18 @@ object Pcm {
     out
   }
 
+  /** The kernel-facing format id: WAVE_FORMAT_EXTENSIBLE wrapping the
+    * PCM SubFormat GUID decodes as plain integer PCM — the GUID check
+    * itself lives in the admission gate ([[Riff.fmtIsPcm]]), which
+    * runs BEFORE any payload reaches the kernel. */
+  def canonFormat(format: Column): Column =
+    when(format === 65534, lit(1L)).otherwise(format)
+
   /** `pcm_canonical` as a Column. */
-  def pcmCanonical(payload: Column, bits: Column, channels: Column): Column =
+  def pcmCanonical(payload: Column, format: Column, bits: Column,
+      channels: Column): Column =
     Bridge.column(PcmCanonExpr(Bridge.expression(payload),
+      Bridge.expression(canonFormat(format).cast("int")),
       Bridge.expression(bits.cast("int")),
       Bridge.expression(channels.cast("int"))))
 }

@@ -422,6 +422,20 @@ object Riff {
         fmtOff + 40 <= length(content) &&
         bytesHexAt(content, fmtOff + 24, 16) === lit(SubformatPcmHex))
 
+  /** The ONE sample-format admission shared by the batch wav leg,
+    * the AVI auds gate and the streaming intake (round-13): integer
+    * PCM ([[fmtIsPcm]] — format 1, or EXTENSIBLE wrapping the PCM
+    * GUID) at 8/16 bits, or G.711 A-law (6) / µ-law (7) at their
+    * fixed 8 bits — mono or stereo. Everything else (float PCM 3,
+    * compressed formats, a lying EXTENSIBLE header) fails CLOSED:
+    * rejected visibly, never decoded as the wrong sample type. */
+  def sampleFormatOk(content: Column, fmtOff: Column, fmtBytes: Column,
+      format: Column, bits: Column, channels: Column): Column =
+    ((fmtIsPcm(content, fmtOff, fmtBytes, format) &&
+        (bits === 8 || bits === 16)) ||
+      ((format === 6 || format === 7) && bits === 8)) &&
+      (channels === 1 || channels === 2)
+
   /** 'RIFF' magic + the given form type ('WAVE', 'AVI ') — the
     * container admission precondition before any chunk walk. */
   def isRiffForm(content: Column, form: String): Column = {
@@ -632,11 +646,9 @@ object Riff {
         col("avi_walk_complete") &&
         col("__auds") >= 0 && col("auds_sz") >= 16 &&
         col("auds_off") + 16 <= length(c) &&
-        fmtIsPcm(c, col("auds_off"), col("auds_sz"),
-          col("avi_audio_format")) &&
-        (col("avi_audio_bits") === 8 || col("avi_audio_bits") === 16) &&
-        (col("avi_audio_channels") === 1 ||
-          col("avi_audio_channels") === 2))
+        sampleFormatOk(c, col("auds_off"), col("auds_sz"),
+          col("avi_audio_format"), col("avi_audio_bits"),
+          col("avi_audio_channels")))
       .withColumn("avi_audio", when(col("avi_audio_ok"), expr(
         """aggregate(avi_wbs, cast('' AS binary), (acc, x) ->
           |  acc || substring(content,

@@ -202,13 +202,13 @@ object AdsbQueries {
   private def audioPcmBlobs(s: SparkSession): DataFrame =
     Meta.loadMediaFiles(s, Meta.mediaDir(), "pcm")
       .unionByName(wavParsed(s)
-        .where(graft.functions.Riff.fmtIsPcm(col("content"),
-            col("fmt_off"), col("fmt_bytes"), col("audio_format")) &&
-          col("bits_per_sample").isin(8L, 16L) &&
-          col("n_channels").isin(1L, 2L))
+        .where(graft.functions.Riff.sampleFormatOk(col("content"),
+          col("fmt_off"), col("fmt_bytes"), col("audio_format"),
+          col("bits_per_sample"), col("n_channels")))
         .select(col("model"),
           graft.functions.Pcm.pcmCanonical(graft.functions.Riff.wavPayload,
-            col("bits_per_sample"), col("n_channels")).as("content"))
+            col("audio_format"), col("bits_per_sample"),
+            col("n_channels")).as("content"))
         .select(col("model"), col("content"),
           length(col("content")).cast("long").as("length")))
       .unionByName(aviAudioPcm(s))
@@ -224,7 +224,8 @@ object AdsbQueries {
       .where(col("avi_audio_ok"))
       .select(col("model"),
         graft.functions.Pcm.pcmCanonical(col("avi_audio"),
-          col("avi_audio_bits"), col("avi_audio_channels")).as("content"))
+          col("avi_audio_format"), col("avi_audio_bits"),
+          col("avi_audio_channels")).as("content"))
       .select(col("model"), col("content"),
         length(col("content")).cast("long").as("length"))
 
@@ -1480,26 +1481,52 @@ object AdsbQueries {
 
   /** The DuckDB replay of [[graft.functions.Pcm.canonical]] over a
     * payload HEX column: canonical unsigned-8-mono sample hex from
-    * (`ph` hex, `bits`, `ch` — column names, bits ∈ {8,16} and ch ∈
-    * {1,2} pre-gated by the caller). Same rule, independently
-    * expressed: unsigned space first (16-bit LE signed + 32768 =
-    * `xor(le16, 32768)`), stereo collapses to `(L + R) // 2`, 16-bit
-    * keeps the top byte (`// 256`), a trailing partial sample frame
-    * drops via the floor-division sample count. 8-bit mono is the
-    * identity (the pre-round-13 hex, so prior oracle replays are
-    * byte-identical). */
-  private def pcmCanonHexSql(ph: String, bits: String, ch: String): String = {
+    * (`ph` hex, `fmt` — NORMALIZED: callers map 65534 → 1 exactly as
+    * [[graft.functions.Pcm.canonFormat]] does — `bits`, `ch`; all
+    * pre-gated by the caller's [[graft.functions.Riff
+    * .sampleFormatOk]] twin). Same rule, independently expressed:
+    * unsigned space first (16-bit LE signed + 32768 = `xor(le16,
+    * 32768)`; G.711 µ-law/A-law decode by the same ITU formulas the
+    * kernel uses, + 32768), stereo collapses to `(L + R) // 2`,
+    * 16-bit-space values keep the top byte (`// 256`), a trailing
+    * partial sample frame drops via the floor-division sample
+    * count. Linear 8-bit mono is the identity (the pre-round-13
+    * hex, so prior oracle replays are byte-identical). */
+  private def pcmCanonHexSql(ph: String, fmt: String, bits: String,
+      ch: String): String = {
     def b(off: String) = s"('0x' || substr($ph, ($off) * 2 + 1, 2))::BIGINT"
     def u16(off: String) =
       s"xor(${b(off)} + 256 * ${b(s"($off) + 1")}, 32768)"
-    s"""CASE WHEN $bits = 8 AND $ch = 1 THEN $ph
+    // G.711 byte at byte-offset `off` -> unsigned-16 (linear + 32768)
+    def g711(off: String) =
+      s"""(CASE WHEN $fmt = 7 THEN
+         |    (CASE WHEN (255 - ${b(off)}) >= 128 THEN -1 ELSE 1 END) *
+         |      ((((255 - ${b(off)}) % 16) * 8 + 132) *
+         |        (1::BIGINT << CAST(((255 - ${b(off)}) // 16) % 8
+         |          AS INTEGER)) - 132)
+         |  ELSE
+         |    (CASE WHEN xor(${b(off)}, 85) >= 128 THEN 1 ELSE -1 END) *
+         |      (CASE WHEN ((xor(${b(off)}, 85) // 16) % 8) = 0
+         |        THEN (xor(${b(off)}, 85) % 16) * 16 + 8
+         |        ELSE ((xor(${b(off)}, 85) % 16) * 16 + 264) *
+         |          (1::BIGINT << CAST((((xor(${b(off)}, 85) // 16) % 8)
+         |            - 1) AS INTEGER))
+         |        END)
+         |  END + 32768)""".stripMargin
+    s"""CASE WHEN $fmt = 1 AND $bits = 8 AND $ch = 1 THEN $ph
        |    ELSE array_to_string(list_transform(
-       |      range(0, (length($ph) // 2) // (($bits // 8) * $ch)),
+       |      range(0, (length($ph) // 2) //
+       |        (CASE WHEN $fmt = 1 THEN ($bits // 8) * $ch
+       |              ELSE $ch END)),
        |      i -> printf('%02X',
-       |        CASE WHEN $bits = 8
+       |        CASE WHEN $fmt = 1 AND $bits = 8
        |          THEN (${b("i * 2")} + ${b("i * 2 + 1")}) // 2
-       |          WHEN $ch = 1 THEN ${u16("i * 2")} // 256
-       |          ELSE ((${u16("i * 4")} + ${u16("i * 4 + 2")}) // 2) // 256
+       |          WHEN $fmt = 1 AND $ch = 1 THEN ${u16("i * 2")} // 256
+       |          WHEN $fmt = 1
+       |          THEN ((${u16("i * 4")} + ${u16("i * 4 + 2")}) // 2) // 256
+       |          WHEN $ch = 1 THEN ${g711("i")} // 256
+       |          ELSE ((${g711("i * 2")} + ${g711("i * 2 + 1")}) // 2)
+       |            // 256
        |        END)), '')
        |    END""".stripMargin
   }
@@ -1744,14 +1771,17 @@ object AdsbQueries {
        |    CAST(sum(d.sz) AS BIGINT) AS raw_len,
        |    bool_and(d.off + d.sz <= length(h.hx) // 2
        |      AND f.fsz >= 16 AND f.fo + 16 <= length(h.hx) // 2
-       |      AND (${dkLeAt("h.hx", "f.fo", 2)} = 1 OR
-       |       (${dkLeAt("h.hx", "f.fo", 2)} = 65534 AND f.fsz >= 40
-       |        AND f.fo + 40 <= length(h.hx) // 2
-       |        AND substr(h.hx, CAST((f.fo + 24) * 2 + 1 AS BIGINT), 32)
-       |          = '${graft.functions.Riff.SubformatPcmHex}'))
-       |      AND ${dkLeAt("h.hx", "f.fo + 14", 2)} IN (8, 16)
+       |      AND (((${dkLeAt("h.hx", "f.fo", 2)} = 1 OR
+       |        (${dkLeAt("h.hx", "f.fo", 2)} = 65534 AND f.fsz >= 40
+       |         AND f.fo + 40 <= length(h.hx) // 2
+       |         AND substr(h.hx, CAST((f.fo + 24) * 2 + 1 AS BIGINT), 32)
+       |           = '${graft.functions.Riff.SubformatPcmHex}'))
+       |        AND ${dkLeAt("h.hx", "f.fo + 14", 2)} IN (8, 16))
+       |       OR (${dkLeAt("h.hx", "f.fo", 2)} IN (6, 7)
+       |        AND ${dkLeAt("h.hx", "f.fo + 14", 2)} = 8))
        |      AND ${dkLeAt("h.hx", "f.fo + 2", 2)} IN (1, 2)
        |      AND c.model IS NULL) AS fits,
+       |    min(${dkLeAt("h.hx", "f.fo", 2)}) AS fmt,
        |    min(${dkLeAt("h.hx", "f.fo + 14", 2)}) AS bits,
        |    min(${dkLeAt("h.hx", "f.fo + 2", 2)}) AS nch
        |  FROM ${name}ahdr h
@@ -1768,6 +1798,7 @@ object AdsbQueries {
        |      AND f.o + 40 <= length(v.hx) // 2
        |      AND substr(v.hx, CAST((f.o + 24) * 2 + 1 AS BIGINT), 32)
        |        = '${graft.functions.Riff.SubformatPcmHex}')) AS is_pcm,
+       |    ${dkLeAt("v.hx", "f.o", 2)} AS fmt,
        |    ${dkLeAt("v.hx", "f.o + 2", 2)} AS nch,
        |    ${dkLeAt("v.hx", "f.o + 14", 2)} AS bits
        |  FROM ${name}wv v
@@ -1778,13 +1809,23 @@ object AdsbQueries {
        |$name AS (
        |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}
        |  UNION ALL
-       |  SELECT model, raw_len // ((bits // 8) * nch) AS length,
-       |    ${pcmCanonHexSql("ph", "bits", "nch")} AS hx
+       |  SELECT model,
+       |    raw_len // (CASE WHEN fmt IN (6, 7) THEN nch
+       |                     ELSE (bits // 8) * nch END) AS length,
+       |    ${pcmCanonHexSql("ph",
+             "(CASE WHEN fmt = 65534 THEN 1 ELSE fmt END)", "bits",
+             "nch")} AS hx
        |  FROM ${name}wx
-       |  WHERE is_pcm AND bits IN (8, 16) AND nch IN (1, 2)
+       |  WHERE ((is_pcm AND bits IN (8, 16))
+       |      OR (fmt IN (6, 7) AND bits = 8))
+       |    AND nch IN (1, 2)
        |  UNION ALL
-       |  SELECT model, raw_len // ((bits // 8) * nch) AS length,
-       |    ${pcmCanonHexSql("ph", "bits", "nch")} AS hx
+       |  SELECT model,
+       |    raw_len // (CASE WHEN fmt IN (6, 7) THEN nch
+       |                     ELSE (bits // 8) * nch END) AS length,
+       |    ${pcmCanonHexSql("ph",
+             "(CASE WHEN fmt = 65534 THEN 1 ELSE fmt END)", "bits",
+             "nch")} AS hx
        |  FROM ${name}ax WHERE fits)""".stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two

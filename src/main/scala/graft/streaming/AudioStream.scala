@@ -14,8 +14,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * round-11) or `Riff.withAviAudio` (the demuxed 01wb audio stream
   * of an interleaved AVI, round-12) — the SAME gates the batch
   * parser uses, one home for the magics; both containers carry the
-  * shared sample contract (PCM format 1, bits ∈ {8,16}, channels ∈
-  * {1,2} — round-13 widened from 8-bit mono, with payloads
+  * shared sample contract (integer PCM at 8/16 bits, or G.711
+  * A-law/µ-law at 8 bits, channels ∈ {1,2} — round-13 widened from 8-bit mono, with payloads
   * CANONICALIZED onto the unsigned-8-mono stream by the same
   * `Pcm.canonical` kernel the batch corpus uses). A RIFF blob that
   * fails both gates is a container this parser cannot read and is
@@ -61,10 +61,9 @@ object AudioStream {
     // RIFF-prefixed that fails is a container this parser cannot
     // read, and is DROPPED, never fed to the energy math as samples.
     val wavOk = col("wav_ok") && col("wav_fits") &&
-      Riff.fmtIsPcm(col("content"), col("fmt_off"), col("fmt_bytes"),
-        col("audio_format")) &&
-      col("bits_per_sample").isin(8L, 16L) &&
-      col("n_channels").isin(1L, 2L)
+      Riff.sampleFormatOk(col("content"), col("fmt_off"),
+        col("fmt_bytes"), col("audio_format"), col("bits_per_sample"),
+        col("n_channels"))
     Riff.withAviAudio(Riff.withWavColumns(media
         .where(col("content").isNotNull &&
           length(col("content")) >= 64 && // at least one 64-sample frame
@@ -83,10 +82,10 @@ object AudioStream {
       .where(col("container") =!= "riff_rejected")
       .withColumn("payload",
         when(col("container") === "wav",
-          Pcm.pcmCanonical(Riff.wavPayload,
+          Pcm.pcmCanonical(Riff.wavPayload, col("audio_format"),
             col("bits_per_sample"), col("n_channels")))
           .when(col("container") === "avi",
-            Pcm.pcmCanonical(col("avi_audio"),
+            Pcm.pcmCanonical(col("avi_audio"), col("avi_audio_format"),
               col("avi_audio_bits"), col("avi_audio_channels")))
           .otherwise(col("content")))
       .where(length(col("payload")) >= 64)

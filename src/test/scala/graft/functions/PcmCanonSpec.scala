@@ -13,7 +13,7 @@ class PcmCanonSpec extends SparkSpec {
 
   test("8-bit mono is the identity (prior hashes unchanged)") {
     val b = Array.tabulate[Byte](257)(i => (i % 256).toByte)
-    assert(Pcm.canonical(b, 8, 1) eq b)
+    assert(Pcm.canonical(b, 1, 8, 1) eq b)
   }
 
   test("16-bit mono keeps the top byte of the unsigned-space sample") {
@@ -21,38 +21,62 @@ class PcmCanonSpec extends SparkSpec {
     // low byte): the generator identity behind dialog_h_16
     val pay = (0 until 256).flatMap(s8 =>
       le16(((s8 * 256 + 131) - 32768) & 0xFFFF)).toArray.map(_.toByte)
-    val canon = Pcm.canonical(pay, 16, 1)
+    val canon = Pcm.canonical(pay, 1, 16, 1)
     assert(canon.toSeq === (0 until 256).map(_.toByte))
   }
 
   test("stereo collapses to the floor channel mean") {
     // 8-bit: (L + R) / 2
     val b8 = Array[Byte](100, 105, 0, 255.toByte, 7, 8)
-    assert(Pcm.canonical(b8, 8, 2).toSeq ===
+    assert(Pcm.canonical(b8, 1, 8, 2).toSeq ===
       Seq(102.toByte, 127.toByte, 7.toByte))
     // 16-bit stereo: mean in unsigned space, then the top byte
     val b16 = (le16((60 * 256 + 17 - 32768) & 0xFFFF) ++
       le16((61 * 256 + 91 - 32768) & 0xFFFF)).map(_.toByte)
-    assert(Pcm.canonical(b16, 16, 2).toSeq === Seq(60.toByte))
+    assert(Pcm.canonical(b16, 1, 16, 2).toSeq === Seq(60.toByte))
   }
 
   test("trailing partial sample frames drop; bad formats go empty") {
     val b = Array[Byte](1, 2, 3, 4, 5)
-    assert(Pcm.canonical(b, 16, 2).length === 1) // 5 bytes / bpf 4
-    assert(Pcm.canonical(b, 24, 1).length === 0) // fail-closed
-    assert(Pcm.canonical(b, 8, 3).length === 0)
-    assert(Pcm.canonical(Array.emptyByteArray, 16, 1).length === 0)
+    assert(Pcm.canonical(b, 1, 16, 2).length === 1) // 5 bytes / bpf 4
+    assert(Pcm.canonical(b, 1, 24, 1).length === 0) // fail-closed
+    assert(Pcm.canonical(b, 1, 8, 3).length === 0)
+    assert(Pcm.canonical(Array.emptyByteArray, 1, 16, 1).length === 0)
   }
 
   test("the Column expression matches the kernel through codegen") {
     import spark.implicits._
     val pay = (0 until 64).flatMap(i =>
       le16(((i * 4 * 256 + i) - 32768) & 0xFFFF)).toArray.map(_.toByte)
-    val row = Seq((pay, 16, 1)).toDF("p", "b", "c")
-      .select(Pcm.pcmCanonical(col("p"), col("b"), col("c")).as("k"))
+    val row = Seq((pay, 1, 16, 1)).toDF("p", "f", "b", "c")
+      .select(Pcm.pcmCanonical(col("p"), col("f"), col("b"), col("c"))
+        .as("k"))
       .head()
     assert(row.getAs[Array[Byte]]("k").toSeq ===
-      Pcm.canonical(pay, 16, 1).toSeq)
+      Pcm.canonical(pay, 1, 16, 1).toSeq)
+  }
+
+  test("G.711 decode matches the published table values") {
+    // the ITU formulas pinned against the canonical table entries
+    assert(Pcm.ulaw(0x00) === -32124)
+    assert(Pcm.ulaw(0xFF) === 0)
+    assert(Pcm.ulaw(0x7F) === 0)
+    assert(Pcm.ulaw(0x80) === 32124)
+    assert(Pcm.alaw(0x55) === -8)
+    assert(Pcm.alaw(0xD5) === 8)
+    assert(Pcm.alaw(0x2A) === -32256)
+    assert(Pcm.alaw(0xAA) === 32256)
+    // canonicalization: u-law mono -> (linear + 32768) >> 8
+    val mono = Array[Byte](0x00, 0xFF.toByte, 0x80.toByte)
+    assert(Pcm.canonical(mono, 7, 8, 1).toSeq ===
+      Seq(((-32124 + 32768) >> 8).toByte, (32768 >> 8).toByte,
+        ((32124 + 32768) >> 8).toByte))
+    // A-law stereo: unsigned-space channel mean then the top byte
+    val st = Array[Byte](0x55, 0xD5.toByte) // -8 and +8 -> mean 0
+    assert(Pcm.canonical(st, 6, 8, 2).toSeq === Seq((32768 >> 8).toByte))
+    // G.711 is 8-bit by definition: 16-bit declarations fail closed
+    assert(Pcm.canonical(mono, 7, 16, 1).length === 0)
+    assert(Pcm.canonical(mono, 3, 8, 1).length === 0) // float PCM
   }
 
   test("walkComplete: natural end true, 4096-cap false, clamped") {

@@ -196,15 +196,20 @@ class RiffFuzzSpec extends AnyFunSuite {
         else rnd.nextInt(600) - 100
       val wc = Riff.walkComplete(b, pick(), pick())
       assert(wc || !wc) // terminated without throwing
+      val fmt = Seq(1, 1, 3, 6, 7, 65534, pick())(rnd.nextInt(7))
       val bits = pick(); val ch = pick()
-      val canon = Pcm.canonical(b, bits, ch)
+      val canon = Pcm.canonical(b, fmt, bits, ch)
       assert(canon != null)
       // canonical length honors the floor sample count for supported
       // formats and is empty otherwise
-      if ((bits == 8 || bits == 16) && (ch == 1 || ch == 2))
-        assert(canon.length == b.length / ((bits / 8) * ch) ||
-          (bits == 8 && ch == 1 && (canon eq b)))
-      else assert(canon.length == 0)
+      if (ch == 1 || ch == 2) {
+        if (fmt == 1 && (bits == 8 || bits == 16))
+          assert(canon.length == b.length / ((bits / 8) * ch) ||
+            (bits == 8 && ch == 1 && (canon eq b)))
+        else if ((fmt == 6 || fmt == 7) && bits == 8)
+          assert(canon.length == b.length / ch)
+        else assert(canon.length == 0)
+      } else assert(canon.length == 0)
       val hd = BmpAHash.header(b)
       if (hd != null) {
         val Array(w, h, _, stride, off, bpx) = hd

@@ -96,6 +96,10 @@ class MediaFingerprintSpec extends SparkSpec {
     // 24-bit wav never reaches the lattice — fail-closed
     assert(rows("hymn_x") === ((6L, 90909L, false)))
     assert(!rows.contains("organ_24"))
+    // the G.711 captures decode through the ITU formulas: the
+    // planted silent rims land exactly (8/24 and 10/24 frames)
+    assert(rows("phone_u") === ((8L, 333333L, false)))
+    assert(rows("fax_a") === ((10L, 416666L, false)))
   }
 
   test("speech segments: planted three-burst dialog splits exactly") {
@@ -149,7 +153,8 @@ class MediaFingerprintSpec extends SparkSpec {
     // the metadata readout, not the analysis gate)
     assert(all.map(_.getString(0)).toSet ===
       Set("dialog_h_w", "chant_i", "claim_j",
-        "dialog_h_16", "duet_s8", "organ_24", "hymn_x"))
+        "dialog_h_16", "duet_s8", "organ_24", "hymn_x",
+        "phone_u", "fax_a"))
     // the EXTENSIBLE container: header reads normally (format is the
     // 0xFFFE marker; the PCM admission decision lives in the gates)
     val rx = all.filter(_.getString(0) == "hymn_x").head

@@ -220,3 +220,47 @@ def x32px(x, y):
 open(os.path.join(SIL, 'X32.bmp'), 'wb').write(bmp32(85, 20, x32px))
 print('X32.bmp written: 85x20 32-bpp BI_RGB,',
       os.path.getsize(os.path.join(SIL, 'X32.bmp')), 'bytes')
+
+# ---- phone_u.wav / fax_a.wav: G.711 u-law / A-law telephony audio ----
+def ulaw_dec(u):
+    v = ~u & 0xFF
+    mag = ((((v & 0xF) << 3) + 0x84) << ((v >> 4) & 7)) - 0x84
+    return -mag if (v & 0x80) else mag
+
+def alaw_dec(a):
+    v = (a ^ 0x55) & 0xFF
+    exp = (v >> 4) & 7; man = v & 0xF
+    mag = (man << 4) + 8 if exp == 0 else ((man << 4) + 0x108) << (exp - 1)
+    return mag if (v & 0x80) else -mag
+
+def g711_report(name, pay, dec):
+    canon = bytes(((dec(b) + 32768) >> 8) for b in pay)
+    es = energies(canon)
+    print(name, 'payload', len(pay), 'n_silent',
+          sum(1 for e in es if e < 4096), 'of', len(es),
+          'ppm', 1000000 * sum(1 for e in es if e < 4096) // len(es),
+          'segs', segs(es))
+
+pay = bytearray()
+for f in range(24):
+    for i in range(64):
+        if f < 4 or f >= 20:
+            pay.append(0xFF)                     # linear 0 -> silent
+        else:
+            pos, neg = 0xA0 - (f % 4), 0x20 + (f % 4)
+            pay.append(pos if i % 2 == 0 else neg)
+open(os.path.join(D, 'phone_u.wav'), 'wb').write(
+    wav(7, 1, 8000, 8, bytes(pay)))
+g711_report('phone_u:', pay, ulaw_dec)
+
+pay = bytearray()
+for f in range(24):
+    for i in range(64):
+        if f < 5 or f >= 19:
+            pay.append(0x55)                     # linear -8 -> silent
+        else:
+            pos, neg = 0xAA - (f % 3), 0x2A + (f % 3)
+            pay.append(pos if i % 2 == 0 else neg)
+open(os.path.join(D, 'fax_a.wav'), 'wb').write(
+    wav(6, 1, 8000, 8, bytes(pay)))
+g711_report('fax_a:', pay, alaw_dec)
