@@ -314,9 +314,27 @@ object Bench {
       if (only.nonEmpty) ("", 0)
       else {
         val floorPath = java.nio.file.Paths.get("bench_floor.json")
+        // a missing file is the normal first run; anything else that
+        // resets the floors must be VISIBLE in the run log (ADVICE
+        // r13: a corrupted/truncated bench_floor.json silently erasing
+        // the cross-run regression signal is exactly the failure this
+        // file exists to catch)
         val prev =
-          try parseFloorFile(java.nio.file.Files.readString(floorPath))
-          catch { case _: Throwable => FloorFile(0L, Map.empty, Map.empty) }
+          try {
+            val raw = java.nio.file.Files.readString(floorPath)
+            val p = parseFloorFile(raw)
+            if (raw.trim.nonEmpty && p.updatedMs == 0L && p.floors.isEmpty)
+              System.err.println("[bench] floor parse failed: " +
+                "unrecognized bench_floor.json content — session floors reset")
+            p
+          } catch {
+            case _: java.nio.file.NoSuchFileException =>
+              FloorFile(0L, Map.empty, Map.empty)
+            case e: Throwable =>
+              System.err.println("[bench] floor parse failed: " +
+                s"${e.getMessage} — session floors reset")
+              FloorFile(0L, Map.empty, Map.empty)
+          }
         val nowMs = System.currentTimeMillis()
         val rotate =
           prev.updatedMs > 0 && nowMs - prev.updatedMs > 3L * 3600 * 1000

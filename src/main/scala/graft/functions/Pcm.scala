@@ -42,6 +42,15 @@ import org.apache.spark.sql.types._
   *    of channels · bytes/sample) is dropped, matching the
   *    floor-division frame counts every consumer derives.
   *
+  * Aliasing note (ADVICE r13): the linear-8-bit-mono identity path
+  * returns the INPUT ARRAY ITSELF as the expression result — no
+  * defensive copy, which is what guarantees prior 8-bit-mono hashes
+  * (and the blobs' identity) are unchanged by construction. Safe
+  * under Spark's binary-column semantics (row buffers are immutable
+  * downstream of an expression); if a mutable/reused-buffer source
+  * is ever added upstream of this expression, the identity path must
+  * grow a copy.
+  *
   * Contract: (fmt, bits) ∈ {(1, 8), (1, 16), (6, 8), (7, 8)} and
   * channels ∈ {1, 2} — the admission gates ([[Riff.sampleFormatOk]]
   * at the batch wav leg, the AVI auds gate and the streaming intake)

@@ -63,9 +63,54 @@ object NearDupIndex {
     writeIndex(docs, idCol, textCol, n, numHashes, bands, path,
       mode = "append")
 
+  /** The index parameters, persisted beside the data at build time and
+    * VERIFIED on every append/match (ADVICE r13: appending with
+    * mismatched (n, numHashes, bands) silently corrupts the index —
+    * mismatched banding breaks bucket collisions, a different shingle
+    * width makes the Jaccard verify compare incomparable gram sets.
+    * The contract was scaladoc-only; now it fails loudly). */
+  private def writeMeta(docs: DataFrame, n: Int, numHashes: Int,
+      bands: Int, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def requireParams(spark: SparkSession, path: String, n: Int,
+      numHashes: Int, bands: Int, op: String): Unit = {
+    val r =
+      try spark.read.parquet(s"$path/meta")
+        .select(col("n"), col("num_hashes"), col("bands")).head()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"near-dup index at $path has no meta/ — not built by " +
+            s"NearDupIndex.persist (cannot $op safely)", e)
+      }
+    val (in, ih, ib) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    require(in == n && ih == numHashes && ib == bands,
+      s"near-dup index parameter mismatch on $op at $path: index has " +
+        s"(n=$in, numHashes=$ih, bands=$ib), caller passed " +
+        s"(n=$n, numHashes=$numHashes, bands=$bands)")
+  }
+
   private def writeIndex(docs: DataFrame, idCol: Column, textCol: Column,
       n: Int, numHashes: Int, bands: Int, path: String,
       mode: String): Unit = {
+    val spark = docs.sparkSession
+    if (mode == "append") {
+      requireParams(spark, path, n, numHashes, bands, "append")
+      // id disjointness is the other half of the append contract; a
+      // duplicated sizes row would fan out every matchNew join result
+      // for that doc. One pruned-column scan of sizes per append,
+      // limit(1) short-circuit.
+      val overlap = spark.read.parquet(s"$path/sizes").select(col("id"))
+        .join(docs.select(idCol.as("id")).distinct(), Seq("id"))
+        .limit(1).count()
+      require(overlap == 0L,
+        s"near-dup index append at $path: batch ids overlap ids " +
+          "already in the index (callers must re-idify)")
+    } else writeMeta(docs, n, numHashes, bands, path)
     val sh = Dedup.shingleRows(docs, idCol, textCol, n).cache()
     try {
       // repartition by the partition column before each partitionBy
@@ -126,11 +171,14 @@ object NearDupIndex {
       bands: Int, threshold: Double,
       hotBucketCap: Int = Int.MaxValue,
       maxBucketSize: Int = 10000): DataFrame = {
+    requireParams(spark, path, n, numHashes, bands, "matchNew")
     // No caching here: the shingle/signature frames recompute off the
     // (small) batch rather than leaking an unreleasable cache entry
     // per call — Ivf.searchPersisted's convention; long-running
     // callers (DocStream) stay leak-free without session-wide
-    // cache eviction.
+    // cache eviction. The one exception is `stats` below, which is
+    // localCheckpointed (self-reclaiming blocks, not a catalog entry)
+    // only when the hot route actually consumes it twice.
     val newSh = Dedup.shingleRows(newDocs, idCol, textCol, n)
     val newBanded = Dedup.bandedBuckets(newSh, numHashes, bands)
       .withColumnRenamed("id", "new_id")
@@ -141,11 +189,18 @@ object NearDupIndex {
     // id list: the degenerate mega-bucket this guards against would
     // otherwise blow up a collect_list buffer before being dropped.
     // The same aggregate carries each bucket's min corpus id — the
-    // star center the hot route needs.
-    val stats = idxBuckets
+    // star center the hot route needs. Computed ONCE (ADVICE r13: the
+    // cool and hot filters each replanned the groupBy, so the at-rest
+    // buckets parquet was scanned three times per match): with the
+    // default no-cap the hot branch is dead and is not planned at
+    // all; with a real cap the aggregate materializes via
+    // localCheckpoint so both filters read the checkpointed rows.
+    val uncapped = hotBucketCap == Int.MaxValue
+    val stats0 = idxBuckets
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("_n"), min(col("corpus_id")).as("_min_cid"))
       .where(col("_n") <= maxBucketSize)
+    val stats = if (uncapped) stats0 else stats0.localCheckpoint(true)
     // cool buckets: full batch × corpus collision join, as ever
     val cool = idxBuckets.join(
       stats.where(col("_n") <= hotBucketCap)
@@ -161,7 +216,8 @@ object NearDupIndex {
       Seq("band", "bucket"))
       .select(col("new_id"), col("_min_cid").as("corpus_id"),
         lit(true).as("capped"))
-    val candidates = coolCand.unionByName(hotCand)
+    val candidates = (if (uncapped) coolCand
+      else coolCand.unionByName(hotCand))
       .groupBy(col("new_id"), col("corpus_id"))
       .agg(expr("bool_and(capped)").as("capped_only"))
       .withColumn("pb", pb(col("corpus_id")))

@@ -58,6 +58,38 @@ class NearDupIndexSpec extends SparkSpec {
     assert(buildAndMatch() === buildAndMatch())
   }
 
+  test("append/match validate the persisted index contract loudly") {
+    val path = java.nio.file.Files.createTempDirectory("ndi-spec")
+      .resolve("idx").toString
+    NearDupIndex.persist(corpus, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, bands = 4, path = path)
+    // mismatched banding on append: silent corruption before ADVICE
+    // r13, now a loud parameter-mismatch failure
+    val e1 = intercept[IllegalArgumentException] {
+      NearDupIndex.append(batch, col("doc_id"), col("text"),
+        n = 3, numHashes = 16, bands = 8, path = path)
+    }
+    assert(e1.getMessage.contains("parameter mismatch"))
+    // mismatched shingle width on match
+    val e2 = intercept[IllegalArgumentException] {
+      NearDupIndex.matchNew(spark, path, batch, col("doc_id"),
+        col("text"), n = 4, numHashes = 16, bands = 4, threshold = 0.2)
+    }
+    assert(e2.getMessage.contains("parameter mismatch"))
+    // overlapping ids on append: duplicate sizes rows would fan out
+    // every later matchNew join result for those docs
+    val e3 = intercept[IllegalArgumentException] {
+      NearDupIndex.append(corpus.limit(1), col("doc_id"), col("text"),
+        n = 3, numHashes = 16, bands = 4, path = path)
+    }
+    assert(e3.getMessage.contains("overlap"))
+    // a valid append after the rejected ones still works and the
+    // rejected calls left nothing behind: match ≡ the one-shot build
+    NearDupIndex.append(batch, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, bands = 4, path = path)
+    spark.catalog.clearCache()
+  }
+
   test("verify reads the shingle table partition-pruned") {
     val path = java.nio.file.Files.createTempDirectory("ndi-spec")
       .resolve("idx").toString
