@@ -32,7 +32,9 @@ import org.apache.spark.sql.types._
   *    `XOR 0x55`, `man·16 + 8` at exp 0 else
   *    `(man·16 + 264) << (exp−1)`, sign bit POSITIVE — both pinned
   *    against the published table values in `PcmCanonSpec`), then
-  *    + 32768;
+  *    + 32768; an IEEE float PCM (format 3, 32-bit) sample decodes
+  *    to floor(clamp(x, −1, 1)·32767) + 32768 via the exact
+  *    integer-from-raw-bits rule in [[Pcm.f32ToV16]] (round-14);
   *  - stereo collapses per sample frame to `(L + R) div 2` — floor
   *    division of non-negative operands, so Spark's and DuckDB's
   *    integer division agree by construction;
@@ -51,7 +53,8 @@ import org.apache.spark.sql.types._
   * is ever added upstream of this expression, the identity path must
   * grow a copy.
   *
-  * Contract: (fmt, bits) ∈ {(1, 8), (1, 16), (6, 8), (7, 8)} and
+  * Contract: (fmt, bits) ∈ {(1, 8), (1, 16), (3, 32), (6, 8), (7, 8)}
+  * and
   * channels ∈ {1, 2} — the admission gates ([[Riff.sampleFormatOk]]
   * at the batch wav leg, the AVI auds gate and the streaming intake)
   * enforce this BEFORE the kernel runs; callers normalize
@@ -123,6 +126,38 @@ object Pcm {
     if ((v & 0x80) != 0) mag else -mag
   }
 
+  /** IEEE-754 binary32 bits → the engine's 16-bit sample value
+    * floor(clamp(x, −1, 1) · 32767), computed in EXACT integer
+    * arithmetic from the RAW BITS — never a libm/float operation —
+    * so the DuckDB oracle replays it bit-identically (round-14,
+    * VERDICT r13 ask #4: the engine-exact float→int policy float
+    * PCM needed before honest admission). The decode rule, casewise
+    * on exponent e and mantissa m:
+    *  - e = 255: NaN (m ≠ 0) → 0; ±Inf clamps to ±32767;
+    *  - e ≥ 127: |x| ≥ 1, clamps to ±32767 (x = ±1.0 exactly lands
+    *    on the same values through floor);
+    *  - e ≤ 87 (including denormals): |x|·32767 < 1 — 0 for
+    *    non-negative x, −1 for negative nonzero (floor of a negative
+    *    fraction), 0 for ±0;
+    *  - otherwise x = ±(m + 2²³)·2^(e−150), and floor(x·32767) is
+    *    an exact shift: `(mant·32767) >> (150−e)` for positive,
+    *    sign-aware ceiling for negative. mant·32767 < 2³⁹ and
+    *    150−e ≤ 62, so the long arithmetic is exact. */
+  def f32ToV16(u32: Int): Int = {
+    val neg = (u32 >>> 31) != 0
+    val e = (u32 >>> 23) & 0xFF
+    val m = u32 & 0x7FFFFF
+    if (e == 255) { if (m != 0) 0 else if (neg) -32767 else 32767 }
+    else if (e >= 127) { if (neg) -32767 else 32767 }
+    else if (e <= 87) { if (neg && (m > 0 || e > 0)) -1 else 0 }
+    else {
+      val num = (m | 0x800000).toLong * 32767L
+      val k = 150 - e
+      if (neg) (-((num + ((1L << k) - 1)) >> k)).toInt
+      else (num >> k).toInt
+    }
+  }
+
   /** Shared interpreted/codegen kernel — see [[PcmCanonExpr]] for the
     * canonicalization rule. O(bytes), one output array, no throw on
     * any input. Linear 8-bit mono returns the input array ITSELF
@@ -131,9 +166,10 @@ object Pcm {
     if (fmt == 1 && bits == 8 && ch == 1) return b
     val g711 = fmt == 6 || fmt == 7
     val ok = (ch == 1 || ch == 2) &&
-      ((fmt == 1 && (bits == 8 || bits == 16)) || (g711 && bits == 8))
+      ((fmt == 1 && (bits == 8 || bits == 16)) || (g711 && bits == 8) ||
+        (fmt == 3 && bits == 32))
     if (!ok) return Array.emptyByteArray
-    val bpsB = if (fmt == 1) bits / 8 else 1
+    val bpsB = if (fmt == 1 || fmt == 3) bits / 8 else 1
     val bpf = bpsB * ch
     val n = b.length / bpf
     val out = new Array[Byte](n)
@@ -142,6 +178,8 @@ object Pcm {
     // pre-round-13 arithmetic, kept byte-identical)
     def u16(off: Int): Int = fmt match {
       case 1 => (((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)) ^ 0x8000)
+      case 3 => f32ToV16((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)) + 32768
       case 7 => ulaw(b(off) & 0xFF) + 32768
       case _ => alaw(b(off) & 0xFF) + 32768
     }

@@ -425,24 +425,33 @@ object Riff {
   /** The ONE sample-format admission shared by the batch wav leg,
     * the AVI auds gate and the streaming intake (round-13): integer
     * PCM ([[fmtIsPcm]] — format 1, or EXTENSIBLE wrapping the PCM
-    * GUID) at 8/16 bits, or G.711 A-law (6) / µ-law (7) at their
-    * fixed 8 bits — mono or stereo. Everything else (float PCM 3,
+    * GUID) at 8/16 bits, G.711 A-law (6) / µ-law (7) at their fixed
+    * 8 bits, or IEEE float PCM (3) at 32 bits (round-14, VERDICT r13
+    * ask #4 — decoded by the engine-exact integer policy in
+    * [[Pcm]]: floor(clamp(x, −1, 1)·32767) computed from the raw
+    * bits, never libm) — mono or stereo. Everything else (float64,
     * compressed formats, a lying EXTENSIBLE header) fails CLOSED:
     * rejected visibly, never decoded as the wrong sample type. */
   def sampleFormatOk(content: Column, fmtOff: Column, fmtBytes: Column,
       format: Column, bits: Column, channels: Column): Column =
     ((fmtIsPcm(content, fmtOff, fmtBytes, format) &&
         (bits === 8 || bits === 16)) ||
+      (format === 3 && bits === 32) ||
       ((format === 6 || format === 7) && bits === 8)) &&
       (channels === 1 || channels === 2)
 
   /** 'RIFF' magic + the given form type ('WAVE', 'AVI ') — the
     * container admission precondition before any chunk walk. */
-  def isRiffForm(content: Column, form: String): Column = {
+  def isRiffForm(content: Column, form: String): Column =
+    isMagicForm(content, "RIFF", form)
+
+  /** An arbitrary RIFF-family magic + form pair — 'RF64'/'WAVE' is
+    * the 64-bit WAV admission (round-14, VERDICT r13 ask #3). */
+  private def isMagicForm(content: Column, magic: String,
+      form: String): Column = {
     val hdr = hex(substring(content, 1, 12))
-    val formHex = form.getBytes("US-ASCII").map("%02X".format(_)).mkString
-    hdr.substr(1, 8) === lit("52494646") &&
-      hdr.substr(17, 8) === lit(formHex)
+    def h(s: String) = s.getBytes("US-ASCII").map("%02X".format(_)).mkString
+    hdr.substr(1, 8) === lit(h(magic)) && hdr.substr(17, 8) === lit(h(form))
   }
 
   /** TRUE iff every packed `(off << 32) | size` chunk's declared
@@ -560,19 +569,53 @@ object Riff {
     * payload. Fields are NULL-free only where `wav_ok`; callers
     * filter on it. Gate: RIFF/WAVE form, a `fmt ` chunk of ≥ 16
     * bytes, a `data` chunk — found by the chunk WALK, so extra
-    * LIST/fact/JUNK chunks no longer exclude a well-formed file. */
+    * LIST/fact/JUNK chunks no longer exclude a well-formed file.
+    *
+    * RF64/BWF (round-14, VERDICT r13 ask #3 — 64-bit WAV, what a
+    * > 4 GiB capture actually ships as): an 'RF64'/'WAVE' form
+    * admits through the SAME walk when it carries a `ds64` chunk of
+    * ≥ 28 fitting bytes (riffSize u64 @0, dataSize u64 @8 — public
+    * EBU Tech 3306 layout). Where the 32-bit header size fields hold
+    * the 0xFFFFFFFF placeholder the spec reserves, `riff_bytes` and
+    * `data_bytes` take the ds64 values, so every downstream consumer
+    * (fits gate, payload slice, the mm18 size audit) reads the REAL
+    * sizes. JVM blobs are < 2³¹ bytes, so `rf64_ok` requires the
+    * u64s' top two bytes to be zero (a declared size ≥ 2⁴⁸ could
+    * not fit any readable blob AND would overflow the long read
+    * under ANSI) — an over-declaring header then fails the fits
+    * gate visibly, exactly like a lying 32-bit size. Everything
+    * else about RF64 — a missing/short/truncated ds64 — fails
+    * CLOSED through `wav_ok`. */
   def withWavColumns(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val c = col("content")
+    val len = length(c)
     df
-      .withColumn("__fmt", riffFind(c, lit(12), length(c), "fmt "))
-      .withColumn("__dat", riffFind(c, lit(12), length(c), "data"))
+      .withColumn("__fmt", riffFind(c, lit(12), len, "fmt "))
+      .withColumn("__dat", riffFind(c, lit(12), len, "data"))
       .withColumn("fmt_off", shiftrightunsigned(col("__fmt"), 32))
       .withColumn("fmt_bytes", col("__fmt").bitwiseAND(lit(4294967295L)))
       .withColumn("data_off", shiftrightunsigned(col("__dat"), 32))
-      .withColumn("data_bytes", col("__dat").bitwiseAND(lit(4294967295L)))
-      .withColumn("wav_ok", isRiffForm(c, "WAVE") &&
-        col("__fmt") >= 0 && col("__dat") >= 0 && col("fmt_bytes") >= 16)
+      .withColumn("__raw_data_bytes",
+        col("__dat").bitwiseAND(lit(4294967295L)))
+      .withColumn("__ds64", when(isMagicForm(c, "RF64", "WAVE"),
+        riffFind(c, lit(12), len, "ds64")).otherwise(lit(-1L)))
+      .withColumn("__ds64_off", shiftrightunsigned(col("__ds64"), 32))
+      .withColumn("rf64_ok", coalesce(
+        col("__ds64") >= 0 &&
+          col("__ds64").bitwiseAND(lit(4294967295L)) >= 28 &&
+          col("__ds64_off") + 28 <= len &&
+          leIntAt(c, col("__ds64_off") + 6, 2) === 0 &&
+          leIntAt(c, col("__ds64_off") + 14, 2) === 0,
+        lit(false)))
+      .withColumn("data_bytes", when(
+        col("rf64_ok") && col("__raw_data_bytes") === 4294967295L,
+        leIntAt(c, col("__ds64_off") + 8, 6))
+        .otherwise(col("__raw_data_bytes")))
+      .withColumn("wav_ok",
+        (isRiffForm(c, "WAVE") || col("rf64_ok")) &&
+          col("__fmt") >= 0 && col("__dat") >= 0 &&
+          col("fmt_bytes") >= 16)
       // the walk reports what the header DECLARES; truncation is the
       // caller-visible fits check — analysis admission (wavParsed,
       // AudioStream) requires it, the mm18 audit exposes it as a
@@ -580,16 +623,19 @@ object Riff {
       // bodies must fit: a truncated fmt body would otherwise decode
       // NULL header fields past the blob end (round-11 review)
       .withColumn("wav_fits", col("__dat") >= 0 && col("__fmt") >= 0 &&
-        col("data_off") + col("data_bytes") <= length(c) &&
-        col("fmt_off") + col("fmt_bytes") <= length(c))
-      .withColumn("riff_bytes", leIntAt(c, lit(4L), 4))
+        col("data_off") + col("data_bytes") <= len &&
+        col("fmt_off") + col("fmt_bytes") <= len)
+      .withColumn("riff_bytes", when(
+        col("rf64_ok") && leIntAt(c, lit(4L), 4) === 4294967295L,
+        leIntAt(c, col("__ds64_off"), 6))
+        .otherwise(leIntAt(c, lit(4L), 4)))
       .withColumn("audio_format", leIntAt(c, col("fmt_off"), 2))
       .withColumn("n_channels", leIntAt(c, col("fmt_off") + 2, 2))
       .withColumn("sample_rate", leIntAt(c, col("fmt_off") + 4, 4))
       .withColumn("byte_rate", leIntAt(c, col("fmt_off") + 8, 4))
       .withColumn("block_align", leIntAt(c, col("fmt_off") + 12, 2))
       .withColumn("bits_per_sample", leIntAt(c, col("fmt_off") + 14, 2))
-      .drop("__fmt", "__dat")
+      .drop("__fmt", "__dat", "__ds64", "__ds64_off", "__raw_data_bytes")
   }
 
   /** The PCM payload slice of a walked WAV row (requires the

@@ -1513,10 +1513,34 @@ object AdsbQueries {
          |            - 1) AS INTEGER))
          |        END)
          |  END + 32768)""".stripMargin
+    // IEEE binary32 at byte offset `off` -> unsigned-16 sample
+    // (floor(clamp·32767) + 32768) — the exact integer-from-raw-bits
+    // replay of [[graft.functions.Pcm.f32ToV16]] (round-14): same
+    // exponent cases, same sign-aware ceiling shift, no float op
+    // anywhere, so the two engines cannot diverge by an ulp.
+    def f32(off: String) = {
+      val u = s"(${b(off)} + 256 * ${b(s"($off) + 1")} + " +
+        s"65536 * ${b(s"($off) + 2")} + 16777216 * ${b(s"($off) + 3")})"
+      val e = s"(($u // 8388608) % 256)"
+      val m = s"($u % 8388608)"
+      val sg = s"($u >= 2147483648)"
+      s"""(CASE WHEN $e = 255 THEN
+         |    (CASE WHEN $m <> 0 THEN 0
+         |          WHEN $sg THEN -32767 ELSE 32767 END)
+         |  WHEN $e >= 127 THEN (CASE WHEN $sg THEN -32767 ELSE 32767 END)
+         |  WHEN $e <= 87 THEN
+         |    (CASE WHEN $sg AND ($m > 0 OR $e > 0) THEN -1 ELSE 0 END)
+         |  WHEN $sg THEN -((($m + 8388608) * 32767
+         |    + (1::BIGINT << CAST(150 - $e AS INTEGER)) - 1)
+         |    >> CAST(150 - $e AS INTEGER))
+         |  ELSE (($m + 8388608) * 32767) >> CAST(150 - $e AS INTEGER)
+         |  END + 32768)""".stripMargin
+    }
     s"""CASE WHEN $fmt = 1 AND $bits = 8 AND $ch = 1 THEN $ph
        |    ELSE array_to_string(list_transform(
        |      range(0, (length($ph) // 2) //
        |        (CASE WHEN $fmt = 1 THEN ($bits // 8) * $ch
+       |              WHEN $fmt = 3 THEN 4 * $ch
        |              ELSE $ch END)),
        |      i -> printf('%02X',
        |        CASE WHEN $fmt = 1 AND $bits = 8
@@ -1524,6 +1548,9 @@ object AdsbQueries {
        |          WHEN $fmt = 1 AND $ch = 1 THEN ${u16("i * 2")} // 256
        |          WHEN $fmt = 1
        |          THEN ((${u16("i * 4")} + ${u16("i * 4 + 2")}) // 2) // 256
+       |          WHEN $fmt = 3 AND $ch = 1 THEN ${f32("i * 4")} // 256
+       |          WHEN $fmt = 3
+       |          THEN ((${f32("i * 8")} + ${f32("i * 8 + 4")}) // 2) // 256
        |          WHEN $ch = 1 THEN ${g711("i")} // 256
        |          ELSE ((${g711("i * 2")} + ${g711("i * 2 + 1")}) // 2)
        |            // 256
@@ -1581,6 +1608,72 @@ object AdsbQueries {
     riffSubWalkCte(
       s"(SELECT model, hx, 12 AS st, length(hx) // 2 AS en0 FROM $src)",
       pre)
+
+  /** Shared WAV header CTE chain — the DuckDB replay of
+    * [[graft.functions.Riff.withWavColumns]] under prefix `pre`
+    * (round-14: mm14, mm18 and the audio-corpus CTE each carried a
+    * hand copy of the fmt/data lookups, and RF64 support would have
+    * tripled that drift surface — one template now, the
+    * riffSubWalkKeyedCte discipline at the header grain). Emits
+    * `${pre}hdrx`: ONE row per dumped wav blob, REJECTS INCLUDED
+    * (consumers gate on the boolean columns): (model, n_bytes, hx,
+    * structure_ok, fits, riff_bytes, fmt_off, fmt_sz, data_off,
+    * data_bytes, audio_format, n_channels, sample_rate, byte_rate,
+    * block_align, bits). `riff_bytes`/`data_bytes` are the EFFECTIVE
+    * sizes: where an `rf64_ok` header (RF64/WAVE form + a ds64 chunk
+    * of ≥ 28 fitting bytes whose u64 sizes' top two bytes are zero)
+    * holds the 0xFFFFFFFF placeholder, the ds64 values replace the
+    * 32-bit reads — the exact withWavColumns rule. Requires WITH
+    * RECURSIVE. */
+  private def wavHdrCtes(pre: String): String =
+    s"""${pre}wv AS (
+       |  SELECT model, length, hex(content) AS hx FROM ${tbl("wav_blobs")}),
+       |${riffWalkCte(s"${pre}wv", s"${pre}w")},
+       |${pre}fc AS (
+       |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
+       |  FROM ${pre}wck WHERE cid = '666D7420' GROUP BY model),
+       |${pre}dc AS (
+       |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
+       |  FROM ${pre}wck WHERE cid = '64617461' GROUP BY model),
+       |${pre}d64 AS (
+       |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
+       |  FROM ${pre}wck WHERE cid = '64733634' GROUP BY model),
+       |${pre}r64 AS (
+       |  SELECT w.model, s.o,
+       |    coalesce(substr(w.hx, 1, 8) = '52463634'
+       |      AND substr(w.hx, 17, 8) = '57415645'
+       |      AND s.sz >= 28 AND s.o + 28 <= length(w.hx) // 2
+       |      AND ${dkLeAt("w.hx", "s.o + 6", 2)} = 0
+       |      AND ${dkLeAt("w.hx", "s.o + 14", 2)} = 0, false) AS ok
+       |  FROM ${pre}wv w LEFT JOIN ${pre}d64 s USING (model)),
+       |${pre}hdr0 AS (
+       |  SELECT w.model, CAST(w.length AS BIGINT) AS n_bytes, w.hx,
+       |    coalesce(((substr(w.hx, 1, 8) = '52494646'
+       |        AND substr(w.hx, 17, 8) = '57415645') OR r.ok)
+       |      AND f.o IS NOT NULL AND d.o IS NOT NULL
+       |      AND f.sz >= 16, false) AS structure_ok,
+       |    CASE WHEN r.ok AND ${dkLe("w.hx", 5, 4)} = 4294967295
+       |      THEN ${dkLeAt("w.hx", "r.o", 6)}
+       |      ELSE ${dkLe("w.hx", 5, 4)} END AS riff_bytes,
+       |    f.o AS fmt_off, f.sz AS fmt_sz, d.o AS data_off,
+       |    CASE WHEN r.ok AND d.sz = 4294967295
+       |      THEN ${dkLeAt("w.hx", "r.o + 8", 6)}
+       |      ELSE d.sz END AS data_bytes,
+       |    ${dkLeAt("w.hx", "f.o", 2)} AS audio_format,
+       |    ${dkLeAt("w.hx", "f.o + 2", 2)} AS n_channels,
+       |    ${dkLeAt("w.hx", "f.o + 4", 4)} AS sample_rate,
+       |    ${dkLeAt("w.hx", "f.o + 8", 4)} AS byte_rate,
+       |    ${dkLeAt("w.hx", "f.o + 12", 2)} AS block_align,
+       |    ${dkLeAt("w.hx", "f.o + 14", 2)} AS bits
+       |  FROM ${pre}wv w
+       |  LEFT JOIN ${pre}fc f USING (model)
+       |  LEFT JOIN ${pre}dc d USING (model)
+       |  LEFT JOIN ${pre}r64 r USING (model)),
+       |${pre}hdrx AS (
+       |  SELECT *,
+       |    coalesce(data_off + data_bytes <= n_bytes
+       |      AND fmt_off + fmt_sz <= n_bytes, false) AS fits
+       |  FROM ${pre}hdr0)""".stripMargin
 
   /** Shared AVI walk/demux CTE chain — the DuckDB replay of
     * [[graft.functions.Riff.withAviColumns]] (round-12): over ALL
@@ -1730,17 +1823,7 @@ object AdsbQueries {
     * [[pcmCanonHexSql]]. Requires WITH RECURSIVE. */
   private def audioHexCte: String = audioHexCte("b")
   private def audioHexCte(name: String): String =
-    s"""${name}wv AS (
-       |  SELECT model, hex(content) AS hx FROM ${tbl("wav_blobs")}
-       |  WHERE substr(hex(content), 1, 8) = '52494646'
-       |    AND substr(hex(content), 17, 8) = '57415645'),
-       |${riffWalkCte(s"${name}wv", s"${name}w")},
-       |${name}fc AS (
-       |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
-       |  FROM ${name}wck WHERE cid = '666D7420' GROUP BY model),
-       |${name}dc AS (
-       |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
-       |  FROM ${name}wck WHERE cid = '64617461' GROUP BY model),
+    s"""${wavHdrCtes(name)},
        |${aviDemuxCtes(s"${name}a")},
        |${name}sl AS (
        |  SELECT s.model, c.p AS kp, s.hx, c.p + 12 AS st,
@@ -1777,6 +1860,8 @@ object AdsbQueries {
        |         AND substr(h.hx, CAST((f.fo + 24) * 2 + 1 AS BIGINT), 32)
        |           = '${graft.functions.Riff.SubformatPcmHex}'))
        |        AND ${dkLeAt("h.hx", "f.fo + 14", 2)} IN (8, 16))
+       |       OR (${dkLeAt("h.hx", "f.fo", 2)} = 3
+       |        AND ${dkLeAt("h.hx", "f.fo + 14", 2)} = 32)
        |       OR (${dkLeAt("h.hx", "f.fo", 2)} IN (6, 7)
        |        AND ${dkLeAt("h.hx", "f.fo + 14", 2)} = 8))
        |      AND ${dkLeAt("h.hx", "f.fo + 2", 2)} IN (1, 2)
@@ -1790,22 +1875,17 @@ object AdsbQueries {
        |  LEFT JOIN ${name}amcap c USING (model)
        |  GROUP BY h.model),
        |${name}wx AS (
-       |  SELECT v.model, d.sz AS raw_len,
-       |    substr(v.hx, CAST(d.o * 2 + 1 AS INT), CAST(d.sz * 2 AS INT))
-       |      AS ph,
-       |    (${dkLeAt("v.hx", "f.o", 2)} = 1 OR
-       |     (${dkLeAt("v.hx", "f.o", 2)} = 65534 AND f.sz >= 40
-       |      AND f.o + 40 <= length(v.hx) // 2
-       |      AND substr(v.hx, CAST((f.o + 24) * 2 + 1 AS BIGINT), 32)
+       |  SELECT model, data_bytes AS raw_len,
+       |    substr(hx, CAST(data_off * 2 + 1 AS BIGINT),
+       |      CAST(data_bytes * 2 AS BIGINT)) AS ph,
+       |    (audio_format = 1 OR
+       |     (audio_format = 65534 AND fmt_sz >= 40
+       |      AND fmt_off + 40 <= n_bytes
+       |      AND substr(hx, CAST((fmt_off + 24) * 2 + 1 AS BIGINT), 32)
        |        = '${graft.functions.Riff.SubformatPcmHex}')) AS is_pcm,
-       |    ${dkLeAt("v.hx", "f.o", 2)} AS fmt,
-       |    ${dkLeAt("v.hx", "f.o + 2", 2)} AS nch,
-       |    ${dkLeAt("v.hx", "f.o + 14", 2)} AS bits
-       |  FROM ${name}wv v
-       |  JOIN ${name}fc f USING (model)
-       |  JOIN ${name}dc d USING (model)
-       |  WHERE f.sz >= 16 AND d.o + d.sz <= length(v.hx) // 2
-       |    AND f.o + f.sz <= length(v.hx) // 2),
+       |    audio_format AS fmt, n_channels AS nch, bits
+       |  FROM ${name}hdrx
+       |  WHERE structure_ok AND fits),
        |$name AS (
        |  SELECT model, length, hex(content) AS hx FROM ${tbl("audio_blobs")}
        |  UNION ALL
@@ -1817,6 +1897,7 @@ object AdsbQueries {
              "nch")} AS hx
        |  FROM ${name}wx
        |  WHERE ((is_pcm AND bits IN (8, 16))
+       |      OR (fmt = 3 AND bits = 32)
        |      OR (fmt IN (6, 7) AND bits = 8))
        |    AND nch IN (1, 2)
        |  UNION ALL
@@ -2647,33 +2728,13 @@ object AdsbQueries {
     // dumped blob bytes — same chunk WALK (recursive CTE), same
     // little-endian reads, exact fixed-point duration.
     "mm14_wav_header" ->
-      s"""WITH RECURSIVE v AS (
-         |  SELECT model, hex(content) AS hx FROM ${tbl("wav_blobs")}
-         |  WHERE substr(hex(content), 1, 8) = '52494646'
-         |    AND substr(hex(content), 17, 8) = '57415645'),
-         |${riffWalkCte("v", "w")},
-         |fc AS (
-         |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
-         |  FROM wck WHERE cid = '666D7420' GROUP BY model),
-         |dc AS (
-         |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
-         |  FROM wck WHERE cid = '64617461' GROUP BY model),
+      s"""WITH RECURSIVE ${wavHdrCtes("")},
          |p AS (
-         |  SELECT v.model,
-         |    ${dkLe("hx", 5, 4)} AS riff_bytes,
-         |    f.sz AS fmt_bytes,
-         |    ${dkLeAt("hx", "f.o", 2)} AS audio_format,
-         |    ${dkLeAt("hx", "f.o + 2", 2)} AS n_channels,
-         |    ${dkLeAt("hx", "f.o + 4", 4)} AS sample_rate,
-         |    ${dkLeAt("hx", "f.o + 8", 4)} AS byte_rate,
-         |    ${dkLeAt("hx", "f.o + 12", 2)} AS block_align,
-         |    ${dkLeAt("hx", "f.o + 14", 2)} AS bits_per_sample,
-         |    d.sz AS data_bytes
-         |  FROM v
-         |  JOIN fc f USING (model)
-         |  JOIN dc d USING (model)
-         |  WHERE f.sz >= 16 AND d.o + d.sz <= length(hx) // 2
-         |    AND f.o + f.sz <= length(hx) // 2)
+         |  SELECT model, riff_bytes, fmt_sz AS fmt_bytes, audio_format,
+         |    n_channels, sample_rate, byte_rate, block_align,
+         |    bits AS bits_per_sample, data_bytes
+         |  FROM hdrx
+         |  WHERE structure_ok AND fits)
          |SELECT model, riff_bytes, fmt_bytes, audio_format, n_channels,
          |  sample_rate, byte_rate, block_align, bits_per_sample,
          |  data_bytes,
@@ -2721,34 +2782,7 @@ object AdsbQueries {
     // blob bytes — the same chunk walks, the same exact-integer
     // comparisons, INCLUDING the structurally-rejected rows.
     "mm18_container_audit" ->
-      s"""WITH RECURSIVE wv AS (
-         |  SELECT model, length, hex(content) AS hx
-         |  FROM ${tbl("wav_blobs")}),
-         |${riffWalkCte("wv", "w")},
-         |fc AS (
-         |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
-         |  FROM wck WHERE cid = '666D7420' GROUP BY model),
-         |dc AS (
-         |  SELECT model, min_by(sz, p) AS sz, min(p) + 8 AS o
-         |  FROM wck WHERE cid = '64617461' GROUP BY model),
-         |wavp AS (
-         |  SELECT w.model, CAST(w.length AS BIGINT) AS n_bytes,
-         |    coalesce(substr(hx, 1, 8) = '52494646'
-         |      AND substr(hx, 17, 8) = '57415645'
-         |      AND f.o IS NOT NULL AND d.o IS NOT NULL
-         |      AND f.sz >= 16, false) AS structure_ok,
-         |    ${dkLe("hx", 5, 4)} AS riff_bytes,
-         |    ${dkLeAt("hx", "f.o + 4", 4)} AS sample_rate,
-         |    ${dkLeAt("hx", "f.o + 8", 4)} AS byte_rate,
-         |    ${dkLeAt("hx", "f.o + 12", 2)} AS block_align,
-         |    ${dkLeAt("hx", "f.o", 2)} AS audio_format,
-         |    ${dkLeAt("hx", "f.o + 2", 2)} AS n_channels,
-         |    ${dkLeAt("hx", "f.o + 14", 2)} AS bits,
-         |    d.o AS data_off, d.sz AS data_bytes,
-         |    f.o AS fmt_off, f.sz AS fmt_sz
-         |  FROM wv w
-         |  LEFT JOIN fc f USING (model)
-         |  LEFT JOIN dc d USING (model)),
+      s"""WITH RECURSIVE ${wavHdrCtes("")},
          |wrows AS (
          |  SELECT 'wav' AS container, model, n_bytes, structure_ok,
          |    CASE WHEN structure_ok THEN riff_bytes = n_bytes - 8
@@ -2757,12 +2791,10 @@ object AdsbQueries {
          |      byte_rate = sample_rate * block_align
          |      AND block_align = n_channels * (bits // 8)
          |      ELSE false END AS rate_ok,
-         |    CASE WHEN structure_ok THEN
-         |      data_off + data_bytes <= n_bytes
-         |      AND fmt_off + fmt_sz <= n_bytes
+         |    CASE WHEN structure_ok THEN fits
          |      ELSE false END AS payload_ok,
          |    structure_ok AS demux_complete
-         |  FROM wavp),
+         |  FROM hdrx),
          |$aviDemuxCtes,
          |avlen AS (
          |  SELECT model, CAST(length AS BIGINT) AS n_bytes

@@ -49,8 +49,11 @@ object AudioStream {
       watermark: String = "10 minutes",
       dropMostlySilent: Boolean = true): StreamingQuery = {
     import graft.functions.{Pcm, Riff}
+    // RF64 is RIFF-family (round-14): an RF64-prefixed blob must go
+    // through the container gates — falling through to "pcm" would
+    // feed its header bytes into the energy math as samples
     val isRiff =
-      hex(substring(col("content"), 1, 4)) === lit("52494646")
+      hex(substring(col("content"), 1, 4)).isin("52494646", "52463634")
     // ONE gate shared with the batch parser (Riff.withWavColumns —
     // round-11: the duplicated header offsets are gone): the chunk
     // walk must find fmt + data, PLUS this stream's sample contract

@@ -79,6 +79,55 @@ class PcmCanonSpec extends SparkSpec {
     assert(Pcm.canonical(mono, 3, 8, 1).length === 0) // float PCM
   }
 
+  test("float PCM decode: the integer rule IS floor(clamp(x)·32767)") {
+    import java.lang.Float.floatToIntBits
+    // the raw-bits integer kernel must agree with the mathematical
+    // definition (double products of ≤ 39 mantissa bits are exact, so
+    // floor over doubles is the ground truth here) across the whole
+    // value shape: normals, denormals, clamp region, exact ±1, ties
+    val probes = Seq(0.0f, -0.0f, 1.0f, -1.0f, 0.5f, -0.5f, 2.0f,
+      -3.5f, 0.999999f, -0.999999f, 1e-10f, -1e-10f,
+      java.lang.Float.MIN_VALUE, -java.lang.Float.MIN_VALUE,
+      java.lang.Float.MAX_VALUE, -java.lang.Float.MAX_VALUE,
+      Float.PositiveInfinity, Float.NegativeInfinity) ++
+      (-40 to 40).map(k => (k * 817) / 32768.0f)
+    probes.foreach { x =>
+      val expect =
+        math.floor(math.max(-1.0, math.min(1.0, x.toDouble)) * 32767.0).toInt
+      assert(Pcm.f32ToV16(floatToIntBits(x)) === expect, s"x=$x")
+    }
+    assert(Pcm.f32ToV16(floatToIntBits(Float.NaN)) === 0)
+    // spot pins (the oracle's CASE arms): exact ±1 clamp, the
+    // half-tie floors, denormal sign asymmetry
+    assert(Pcm.f32ToV16(0x3F800000) === 32767) //  1.0
+    assert(Pcm.f32ToV16(0xBF800000) === -32767) // -1.0
+    assert(Pcm.f32ToV16(0x3F000000) === 16383) //  0.5 -> floor(16383.5)
+    assert(Pcm.f32ToV16(0xBF000000) === -16384) // -0.5 -> floor(-16383.5)
+    assert(Pcm.f32ToV16(0x00000001) === 0) // +denormal
+    assert(Pcm.f32ToV16(0x80000001) === -1) // -denormal
+  }
+
+  test("float PCM canonicalizes through the shared kernel") {
+    def f32le(x: Float): Array[Byte] = {
+      val u = java.lang.Float.floatToIntBits(x)
+      Array(u, u >> 8, u >> 16, u >> 24).map(v => (v & 0xFF).toByte)
+    }
+    // k/32768 floats are exact; u16 = (k - (k>0)) + 32768, top byte
+    val ks = Seq(100, -100, 60 * 256 + 100, -60 * 256 + 100)
+    val pay = ks.flatMap(k => f32le(k / 32768.0f)).toArray
+    assert(Pcm.canonical(pay, 3, 32, 1).toSeq === Seq(
+      ((32768 + 99) >> 8).toByte, ((32768 - 100) >> 8).toByte,
+      ((32768 + 60 * 256 + 99) >> 8).toByte,
+      ((32768 - 60 * 256 + 100) >> 8).toByte))
+    // stereo: unsigned-space mean of the two decoded channels
+    val st = (f32le(0.5f) ++ f32le(-0.5f)).toArray
+    assert(Pcm.canonical(st, 3, 32, 2).toSeq ===
+      Seq((((16383 + 32768) + (-16384 + 32768)) / 2 >> 8).toByte))
+    // float is 32-bit by definition here: anything else fails closed
+    assert(Pcm.canonical(pay, 3, 16, 1).length === 0)
+    assert(Pcm.canonical(pay, 3, 64, 1).length === 0)
+  }
+
   test("walkComplete: natural end true, 4096-cap false, clamped") {
     def chunk(id: String, n: Int): Array[Byte] =
       id.getBytes("US-ASCII") ++

@@ -208,6 +208,8 @@ class RiffFuzzSpec extends AnyFunSuite {
             (bits == 8 && ch == 1 && (canon eq b)))
         else if ((fmt == 6 || fmt == 7) && bits == 8)
           assert(canon.length == b.length / ch)
+        else if (fmt == 3 && bits == 32) // round-14: float PCM admits
+          assert(canon.length == b.length / (4 * ch))
         else assert(canon.length == 0)
       } else assert(canon.length == 0)
       val hd = BmpAHash.header(b)
@@ -221,6 +223,35 @@ class RiffFuzzSpec extends AnyFunSuite {
         BmpAHash.compute(b, 8).length == 2)
       assert(BmpAHash.computeGrayStats(b) == null ||
         BmpAHash.computeGrayStats(b).length == 4)
+    }
+  }
+
+  test("walkComplete attests exactly findChunks' consumption") {
+    // ADVICE r13: walkComplete is a fourth hand copy of the
+    // chunk-advance loop; a future edit to findChunks' advance/cap
+    // could silently decouple the completeness attestation from the
+    // demux it attests. This property pins them together: over
+    // random well-formed chunk trains (every chunk matching the
+    // target, lengths straddling the 4096 cap, optional trailing
+    // partial header), findChunks must return min(n, 4096) matches
+    // and walkComplete must be TRUE exactly when findChunks saw
+    // every chunk.
+    val rnd = new scala.util.Random(0xA14)
+    (0 until 60).foreach { _ =>
+      val n = Seq(0, 1, 3, 17, 4095, 4096, 4097, 4200)(rnd.nextInt(8))
+      val bld = new scala.collection.mutable.ArrayBuffer[Byte]()
+      (0 until n).foreach { _ =>
+        val sz = rnd.nextInt(3)
+        bld ++= "tttt".getBytes("ISO-8859-1")
+        bld ++= Array[Byte]((sz & 0xFF).toByte, 0, 0, 0)
+        bld ++= Array.fill[Byte](sz + (sz & 1))(5)
+      }
+      // < 8 trailing bytes: not another header, range still consumed
+      if (rnd.nextBoolean()) bld ++= Array.fill[Byte](rnd.nextInt(7))(9)
+      val b = bld.toArray
+      val found = Riff.findChunks(b, 0, b.length, Riff.pack4cc("tttt"))
+      assert(found.length === math.min(n, 4096))
+      assert(Riff.walkComplete(b, 0, b.length) === (found.length == n))
     }
   }
 }

@@ -198,6 +198,60 @@ class RiffWalkSpec extends SparkSpec {
     }
   }
 
+  test("RF64 admits through ds64; lying or missing ds64 fails closed") {
+    import spark.implicits._
+    def le(n: Long, w: Int): Array[Byte] =
+      (0 until w).map(i => ((n >> (8 * i)) & 0xFF).toByte).toArray
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le(data.length.toLong, 4) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0)
+         else Array.emptyByteArray)
+    val fmt = le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(16000, 4) ++
+      le(2, 2) ++ le(16, 2)
+    val pay = Array.tabulate[Byte](128)(i => i.toByte)
+    def build(ds: Option[Array[Byte]], dataSz: Long): Array[Byte] =
+      "RF64".getBytes("ISO-8859-1") ++ le(0xFFFFFFFFL, 4) ++
+        "WAVE".getBytes("ISO-8859-1") ++
+        ds.map(d => chunk("ds64", d)).getOrElse(Array.emptyByteArray) ++
+        chunk("fmt ", fmt) ++
+        "data".getBytes("ISO-8859-1") ++ le(dataSz, 4) ++ pay
+    def ds64(riffSz: Long, dataSz: Long) =
+      le(riffSz, 8) ++ le(dataSz, 8) ++ le(64L, 8) ++ le(0L, 4)
+    val blobs = Seq(
+      1L -> build(Some(ds64(9000L, 128L)), 0xFFFFFFFFL), // honest RF64
+      2L -> build(None, 0xFFFFFFFFL), // no ds64
+      3L -> build(Some(le(0L, 8) ++ le(128L, 4)), 0xFFFFFFFFL), // short
+      // u64 dataSize with a nonzero top-two-byte region: could not
+      // fit any readable blob and would overflow the long read —
+      // rejected at rf64_ok, before any size math
+      4L -> build(Some(ds64(9000L, 1L << 48)), 0xFFFFFFFFL),
+      // ds64 declares more payload than the blob carries: admits
+      // structurally, fails the fits gate VISIBLY
+      5L -> build(Some(ds64(9000L, 256L)), 0xFFFFFFFFL))
+    val w = Riff.withWavColumns(blobs.toDF("media_id", "content"))
+      .select(col("media_id"), col("wav_ok"), col("wav_fits"),
+        col("data_bytes"), col("riff_bytes"), col("bits_per_sample"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(w(1L).getBoolean(1) && w(1L).getBoolean(2))
+    assert(w(1L).getLong(3) === 128L) // ds64 dataSize, not 0xFFFFFFFF
+    assert(w(1L).getLong(4) === 9000L) // ds64 riffSize
+    assert(w(1L).getLong(5) === 16L)
+    Seq(2L, 3L, 4L).foreach(id =>
+      assert(!w(id).getBoolean(1), s"wav_ok for $id"))
+    assert(w(5L).getBoolean(1) && !w(5L).getBoolean(2))
+    // a plain-RIFF wav is untouched by the RF64 path: raw 32-bit
+    // sizes stay authoritative even if a stray ds64 chunk appears
+    val riff = "RIFF".getBytes("ISO-8859-1") ++ le(12345L, 4) ++
+      "WAVE".getBytes("ISO-8859-1") ++
+      chunk("ds64", ds64(7L, 7L)) ++ chunk("fmt ", fmt) ++
+      chunk("data", pay)
+    val r = Riff.withWavColumns(Seq(6L -> riff).toDF("media_id", "content"))
+      .select(col("wav_ok"), col("data_bytes"), col("riff_bytes")).head()
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) === 128L)
+    assert(r.getLong(2) === 12345L)
+  }
+
   test("chant_i joins the audio corpus through the walked payload") {
     // the non-canonical wav's payload participates in the pcm∪wav
     // audio family exactly like a headerless blob

@@ -21,6 +21,7 @@ class ContainerAuditSpec extends SparkSpec {
       ("wav", "dialog_h_w"), ("wav", "chant_i"), ("wav", "claim_j"),
       ("wav", "dialog_h_16"), ("wav", "duet_s8"), ("wav", "organ_24"),
       ("wav", "hymn_x"), ("wav", "phone_u"), ("wav", "fax_a"),
+      ("wav", "bell_r64"), ("wav", "flute_f32"),
       ("avi", "vid_scene_a"), ("avi", "vid_junk"), ("avi", "vid_pre"),
       ("avi", "vid_mix"), ("avi", "vid_talk"), ("avi", "vid_scene_b"),
       ("avi", "vid_duet"), ("avi", "vid_wall")))

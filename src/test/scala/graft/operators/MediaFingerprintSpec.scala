@@ -96,6 +96,11 @@ class MediaFingerprintSpec extends SparkSpec {
     // 24-bit wav never reaches the lattice — fail-closed
     assert(rows("hymn_x") === ((6L, 90909L, false)))
     assert(!rows.contains("organ_24"))
+    // round-14: the RF64 container (ds64-declared sizes) and the
+    // IEEE-float format-3 wav decode through the same shared gate —
+    // planted silent rims land exactly (9/70 and 7/68 frames)
+    assert(rows("bell_r64") === ((9L, 128571L, false)))
+    assert(rows("flute_f32") === ((7L, 102941L, false)))
     // the G.711 captures decode through the ITU formulas: the
     // planted silent rims land exactly (8/24 and 10/24 frames)
     assert(rows("phone_u") === ((8L, 333333L, false)))
@@ -154,7 +159,21 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(all.map(_.getString(0)).toSet ===
       Set("dialog_h_w", "chant_i", "claim_j",
         "dialog_h_16", "duet_s8", "organ_24", "hymn_x",
-        "phone_u", "fax_a"))
+        "phone_u", "fax_a", "bell_r64", "flute_f32"))
+    // round-14 RF64: the 32-bit size fields hold the 0xFFFFFFFF
+    // placeholder — riff_bytes and data_bytes must be the ds64
+    // values (EBU Tech 3306), not the placeholder
+    val r64 = all.filter(_.getString(0) == "bell_r64").head
+    assert(r64.getLong(1) === 9032L) // ds64 riffSize = file - 8
+    assert(r64.getLong(3) === 1L) // PCM inside the RF64 form
+    assert(r64.getLong(8) === 16L)
+    assert(r64.getLong(9) === 8960L) // ds64 dataSize (4480 · 2)
+    // round-14 float PCM: header reads the declared format 3 / 32
+    val f32 = all.filter(_.getString(0) == "flute_f32").head
+    assert(f32.getLong(3) === 3L)
+    assert(f32.getLong(7) === 4L) // block_align = 1 ch · 32/8
+    assert(f32.getLong(8) === 32L)
+    assert(f32.getLong(9) === 17408L) // 4352 samples · 4
     // the EXTENSIBLE container: header reads normally (format is the
     // 0xFFFE marker; the PCM admission decision lives in the gates)
     val rx = all.filter(_.getString(0) == "hymn_x").head
