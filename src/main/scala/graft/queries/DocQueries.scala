@@ -1967,6 +1967,36 @@ object DocQueries {
           medianMultiple = 1.25)
         .orderBy(col("cid"))),
 
+    // s18: ACT on s17's trigger (round-14, VERDICT r13 ask #5 — the
+    // missing repair step of the index lifecycle): re-train only the
+    // flagged clusters' centroids (exact fixed-point member means),
+    // reassign only their members across the updated codebook, and
+    // persist the repaired layout — never a full rebuild. Runs on a
+    // PRIVATE copy of the same drift-planted build+append index the
+    // s17 oracle dump describes, so the oracle replays the entire
+    // repair (trigger → repaired codebook → argmax reassignment →
+    // membership checksum) from the pre-repair dump. Recall
+    // restoration is spec-pinned (ReindexSpec) — the gate row pins
+    // the reassignment itself. Scale shape: repair cost follows the
+    // FLAGGED membership plus one (id, cid) audit scan; the audit is
+    // k rows of index metadata, persisted beside the index.
+    "s18_reindex_flagged" -> ((s, dir) => {
+      val path = persistedIndex(s, s"s18|$dir") { p =>
+        val e = emb(s, dir)
+        val index = Ivf.build(e.where(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), k = 16)
+        Ivf.persist(index, p)
+        index.assigned.unpersist(blocking = false)
+        Ivf.appendPersisted(s, p, e.where(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"))
+        graft.operators.IndexMaintenance.reindexFlagged(s, p,
+          medianMultiple = 1.25)
+        ()
+      }
+      s.read.parquet(path.stripSuffix("/") + "__reindex_audit")
+        .orderBy(col("cid"))
+    }),
+
     // g1: PageRank centrality over the corpus kNN graph — the graph-
     // side quality signal crawl curation publishes (a harmonic-
     // centrality analog): vectors that many other vectors name among
@@ -3264,6 +3294,40 @@ object DocQueries {
     }
 
   private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
+
+  /** The s17 drift replay as a reusable CTE block (round-14 — shared
+    * by the s17 gate row and s18's repair replay so the trigger rule
+    * cannot drift): over the dumped append index + quantizer, ends in
+    * `m (cid, id, vec)`, `me (cid, j, e)`, `c (cid, cvec)`,
+    * `d (cid, n_members, drift)` and `med (md)`. */
+  private def driftCtes: String =
+    s"""m AS (
+      |  SELECT cid, id, vec FROM ${tbl("ivf_append")}),
+      |me AS (
+      |  SELECT cid, j, CAST(floor(vec[j] * 10000000.0) AS BIGINT) AS e
+      |  FROM m, UNNEST(range(1, len(vec) + 1)) AS u(j)),
+      |sums AS (
+      |  SELECT cid, j, count(*) AS n, CAST(sum(e) AS BIGINT) AS s
+      |  FROM me GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cid, cvec FROM ${tbl("ivf_append_quantizer")}),
+      |ce AS (
+      |  SELECT cid, j, CAST(floor(cvec[j] * 10000000.0) AS BIGINT) AS c6
+      |  FROM c, UNNEST(range(1, len(cvec) + 1)) AS u(j)),
+      |agg AS (
+      |  SELECT cid, CAST(max(n) AS BIGINT) AS n_members,
+      |    sum(CAST(s AS HUGEINT) * c6) AS num,
+      |    sum(CAST(s AS HUGEINT) * s) AS na,
+      |    sum(CAST(c6 AS HUGEINT) * c6) AS nb
+      |  FROM sums JOIN ce USING (cid, j) GROUP BY 1),
+      |d AS (
+      |  SELECT cid, n_members,
+      |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+      |      ELSE round(1.0 - CAST(num AS DOUBLE) /
+      |        (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+      |      END AS drift
+      |  FROM agg),
+      |med AS (SELECT quantile_cont(drift, 0.5) AS md FROM d)""".stripMargin
 
   /** Shared t15/p21 oracle prefix (one definition so the two replays
     * can never drift): re-apply the dumped merge table over the
@@ -5742,39 +5806,90 @@ object DocQueries {
 
     // s17: the oracle recomputes the fixed-point member sums and the
     // decimal cosine from the index dump + quantizer sidecar dump;
-    // HUGEINT plays decimal(38,0).
+    // HUGEINT plays decimal(38,0). The drift CTE block is shared with
+    // s18's repair replay (round-14 — one definition of the trigger).
     "s17_centroid_drift" ->
-      s"""WITH m AS (
-        |  SELECT cid, vec FROM ${tbl("ivf_append")}),
-        |me AS (
-        |  SELECT cid, j, CAST(floor(vec[j] * 10000000.0) AS BIGINT) AS e
-        |  FROM m, UNNEST(range(1, len(vec) + 1)) AS u(j)),
-        |sums AS (
-        |  SELECT cid, j, count(*) AS n, CAST(sum(e) AS BIGINT) AS s
-        |  FROM me GROUP BY 1, 2),
-        |c AS (
-        |  SELECT cid, cvec FROM ${tbl("ivf_append_quantizer")}),
-        |ce AS (
-        |  SELECT cid, j, CAST(floor(cvec[j] * 10000000.0) AS BIGINT) AS c6
-        |  FROM c, UNNEST(range(1, len(cvec) + 1)) AS u(j)),
-        |agg AS (
-        |  SELECT cid, CAST(max(n) AS BIGINT) AS n_members,
-        |    sum(CAST(s AS HUGEINT) * c6) AS num,
-        |    sum(CAST(s AS HUGEINT) * s) AS na,
-        |    sum(CAST(c6 AS HUGEINT) * c6) AS nb
-        |  FROM sums JOIN ce USING (cid, j) GROUP BY 1),
-        |d AS (
-        |  SELECT cid, n_members,
-        |    CASE WHEN na = 0 OR nb = 0 THEN NULL
-        |      ELSE round(1.0 - CAST(num AS DOUBLE) /
-        |        (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
-        |      END AS drift
-        |  FROM agg),
-        |med AS (SELECT quantile_cont(drift, 0.5) AS md FROM d)
+      s"""WITH $driftCtes
         |SELECT c.cid, CAST(coalesce(n_members, 0) AS BIGINT) AS n_members,
         |  drift, coalesce(drift > 1.25 * md, false) AS rebuild
         |FROM c LEFT JOIN d USING (cid) CROSS JOIN med
         |ORDER BY c.cid""".stripMargin,
+
+    // s18: the flagged-cluster REPAIR replayed end to end from the
+    // pre-repair dump: the s17 trigger selects the flagged set, the
+    // repaired centroids are the exact fixed-point floor means
+    // (float(⌊Σ⌊x·1e7⌋/n⌋/1e7) — integer until the final two IEEE
+    // ops, so both engines build the identical codebook), and the
+    // reassignment is the same double cosine argmax the engine's
+    // assign kernel runs (sequential dot, ties to the smallest cid,
+    // NaN-as-max — DuckDB orders NaN greatest). sum_ids_after is the
+    // membership checksum: any vector landing differently flips it.
+    "s18_reindex_flagged" ->
+      s"""WITH $driftCtes,
+        |flag AS (
+        |  SELECT d.cid FROM d CROSS JOIN med
+        |  WHERE coalesce(d.drift > 1.25 * med.md, false)),
+        |mm AS (
+        |  SELECT id, vec, cid AS old_cid FROM m
+        |  WHERE cid IN (SELECT cid FROM flag)),
+        |repj AS (
+        |  SELECT cid, j,
+        |    CAST(floor(CAST(sum(e) AS DOUBLE) / count(*)) AS BIGINT) AS c7
+        |  FROM me WHERE cid IN (SELECT cid FROM flag) GROUP BY 1, 2),
+        |repv AS (
+        |  SELECT cid,
+        |    list(CAST(CAST(c7 AS DOUBLE) / 10000000.0 AS FLOAT)
+        |      ORDER BY j) AS cvec
+        |  FROM repj GROUP BY 1),
+        |newq AS (
+        |  SELECT c.cid, coalesce(r.cvec, c.cvec) AS cvec
+        |  FROM c LEFT JOIN repv r USING (cid)),
+        |sims AS (
+        |  SELECT mm.id, mm.old_cid, q.cid,
+        |    list_sum(list_transform(range(1, len(mm.vec) + 1), j ->
+        |      CAST(mm.vec[j] AS DOUBLE) * CAST(q.cvec[j] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(mm.vec) + 1), j ->
+        |      CAST(mm.vec[j] AS DOUBLE) * CAST(mm.vec[j] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(q.cvec) + 1), j ->
+        |      CAST(q.cvec[j] AS DOUBLE) * CAST(q.cvec[j] AS DOUBLE)))))
+        |      AS sim
+        |  FROM mm, newq q),
+        |best AS (
+        |  SELECT id, old_cid, cid AS new_cid FROM (
+        |    SELECT id, old_cid, cid,
+        |      row_number() OVER (PARTITION BY id
+        |        ORDER BY sim DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |post AS (
+        |  SELECT cid, id FROM m
+        |  WHERE cid NOT IN (SELECT cid FROM flag)
+        |  UNION ALL SELECT new_cid AS cid, id FROM best),
+        |prec AS (
+        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_before
+        |  FROM m GROUP BY 1),
+        |pstats AS (
+        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(sum(id) AS BIGINT) AS sum_ids_after
+        |  FROM post GROUP BY 1),
+        |mvout AS (
+        |  SELECT old_cid AS cid, CAST(count(*) AS BIGINT) AS n FROM best
+        |  WHERE new_cid <> old_cid GROUP BY 1),
+        |mvin AS (
+        |  SELECT new_cid AS cid, CAST(count(*) AS BIGINT) AS n FROM best
+        |  WHERE new_cid <> old_cid GROUP BY 1)
+        |SELECT CAST(c.cid AS BIGINT) AS cid,
+        |  c.cid IN (SELECT cid FROM flag) AS flagged,
+        |  coalesce(p.n_before, 0) AS n_before,
+        |  coalesce(s.n_after, 0) AS n_after,
+        |  coalesce(o.n, 0) AS n_moved_out,
+        |  coalesce(i.n, 0) AS n_moved_in,
+        |  coalesce(s.sum_ids_after, 0) AS sum_ids_after
+        |FROM c
+        |LEFT JOIN prec p USING (cid)
+        |LEFT JOIN pstats s USING (cid)
+        |LEFT JOIN mvout o USING (cid)
+        |LEFT JOIN mvin i USING (cid)
+        |ORDER BY cid""".stripMargin,
 
     "s16_nprobe_curve" ->
       s"""WITH q AS (
