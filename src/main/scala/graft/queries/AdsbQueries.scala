@@ -232,6 +232,54 @@ object AdsbQueries {
       .select(col("model"), col("content"),
         length(col("content")).cast("long").as("length"))
 
+  /** The per-(blob, VAD-segment) energy-contour fingerprints mm21
+    * matches on — extracted round-14 so mm22's container-pair
+    * verdict table composes the SAME fingerprints (one definition of
+    * the segment grain). share()d: the frame feeds the mm21
+    * dictionary, the NN construction and the readout join — and
+    * mm22's pair legs — without re-running the blob-walk + energy +
+    * window pipeline per consumer (the scan-budget rule; rows are
+    * (model, seg, longs), never blob bytes). fp_lo = sign-of-delta
+    * contour bits over the first ≤ 33 frames; fp_hi = the capped
+    * length class (a flat contour of any span is all-zero bits, so
+    * without the length word every flat burst would collide at
+    * hamming 0). */
+  private def audioSegFingerprints(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fx = audioPcmBlobs(s)
+      .withColumn("n_frames", floor(col("length") / 64).cast("int"))
+      .where(col("n_frames") >= 1)
+      .withColumn("energies", graft.functions.FrameSums.frameEnergies(
+        col("content"), lit(0), lit(64)))
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .select(col("model"), col("frame_idx").cast("long").as("frame_idx"),
+        expr("element_at(energies, frame_idx + 1)").as("energy"))
+      .withColumn("is_silent", col("energy") < 4096L)
+    val byFrame = Window.partitionBy(col("model"))
+      .orderBy(col("frame_idx"))
+    graft.operators.Dedup.share(fx
+      .withColumn("sil_prefix",
+        sum(when(col("is_silent"), 1L).otherwise(0L)).over(byFrame))
+      .where(!col("is_silent"))
+      .withColumn("seg_id",
+        dense_rank().over(Window.partitionBy(col("model"))
+          .orderBy(col("sil_prefix"))).cast("long"))
+      .groupBy(col("model"), col("seg_id"))
+      .agg(count(lit(1)).as("n_frames_seg"),
+        sort_array(collect_list(struct(col("frame_idx"),
+          col("energy")))).as("fe"))
+      .where(col("n_frames_seg") >= 8)
+      .withColumn("es", expr("transform(fe, x -> x.energy)"))
+      .withColumn("fp_lo", expr(
+        """aggregate(sequence(0, least(size(es) - 2, 31)), 0L,
+          |  (acc, f) ->
+          |  acc + IF(element_at(es, f + 2) > element_at(es, f + 1),
+          |           shiftleft(1L, f), 0L))""".stripMargin))
+      .withColumn("fp_hi", least(col("n_frames_seg") - 1, lit(32L)))
+      .select(col("model"), col("seg_id"), col("n_frames_seg"),
+        col("fp_lo"), col("fp_hi")))
+  }
+
   /** mm15's whole-video near-dup readout over a frame lattice —
     * extracted (round-13, VERDICT r12 ask #4) so mm17 can feed the
     * SAME [[Dedup.share]]d lattice to this and to its video audit
@@ -926,50 +974,7 @@ object AdsbQueries {
     // idiom); NN is the routed band join, never all-pairs.
     "mm21_segment_neardup" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
-      val bin = audioPcmBlobs(s)
-      val fx = bin
-        .withColumn("n_frames", floor(col("length") / 64).cast("int"))
-        .where(col("n_frames") >= 1)
-        .withColumn("energies", graft.functions.FrameSums.frameEnergies(
-          col("content"), lit(0), lit(64)))
-        .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
-        .select(col("model"), col("frame_idx").cast("long").as("frame_idx"),
-          expr("element_at(energies, frame_idx + 1)").as("energy"))
-        .withColumn("is_silent", col("energy") < 4096L)
-      val byFrame = Window.partitionBy(col("model"))
-        .orderBy(col("frame_idx"))
-      // share()d: the fingerprint frame feeds the dictionary, the NN
-      // construction AND the final readout join — without it the
-      // whole blob-walk + energy + window pipeline re-executes per
-      // consumer (the scan-budget rule; (model, seg, longs) rows,
-      // never blob bytes)
-      val segs = graft.operators.Dedup.share(fx
-        .withColumn("sil_prefix",
-          sum(when(col("is_silent"), 1L).otherwise(0L)).over(byFrame))
-        .where(!col("is_silent"))
-        .withColumn("seg_id",
-          dense_rank().over(Window.partitionBy(col("model"))
-            .orderBy(col("sil_prefix"))).cast("long"))
-        .groupBy(col("model"), col("seg_id"))
-        .agg(count(lit(1)).as("n_frames_seg"),
-          sort_array(collect_list(struct(col("frame_idx"),
-            col("energy")))).as("fe"))
-        .where(col("n_frames_seg") >= 8)
-        .withColumn("es", expr("transform(fe, x -> x.energy)"))
-        .withColumn("fp_lo", expr(
-          """aggregate(sequence(0, least(size(es) - 2, 31)), 0L,
-            |  (acc, f) ->
-            |  acc + IF(element_at(es, f + 2) > element_at(es, f + 1),
-            |           shiftleft(1L, f), 0L))""".stripMargin))
-        // the CONTOUR LENGTH class rides the high word: a constant-
-        // loudness burst's delta bits are all zero (faithfully — the
-        // contour is flat), so without this every flat segment of
-        // any length would collide at hamming 0; packing the capped
-        // bit-length makes a length mismatch VISIBLE to the metric
-        // instead of silently comparing contours of different spans
-        .withColumn("fp_hi", least(col("n_frames_seg") - 1, lit(32L)))
-        .select(col("model"), col("seg_id"), col("n_frames_seg"),
-          col("fp_lo"), col("fp_hi")))
+      val segs = audioSegFingerprints(s)
       // the blob catalog comes off the SHARED segment frame (only
       // fingerprinted blobs can be or have neighbors)
       val dict = segs.select(col("model")).distinct()
@@ -989,6 +994,73 @@ object AdsbQueries {
             col("nn_key").bitwiseAND(lit(4294967295L)))).as("nn_key"),
           col("nn_hamming"))
         .orderBy(col("model"), col("seg_id"))
+    }),
+
+    // mm22: CONTAINER-level dup classification (round-14, VERDICT r13
+    // stretch #7) — the verdict table the per-modality signals feed:
+    // mm19's perceptual frame hashes and mm21's segment fingerprints
+    // composed into one row per related container pair, classed
+    // full_dup / video_only_dup / audio_only_dup / related. This is
+    // the actual curation decision: a re-crawl that duplicates BOTH
+    // modalities is a drop; a video re-score (same frames, new
+    // audio) or a re-used soundtrack is an edit decision, not a
+    // dedup one. Legs, both set-containment at the 10⁶ ppm cut:
+    //  video: distinct frame-hash sets (hot hashes shared by > 64
+    //    containers dropped — the black-frame mega-bucket rule from
+    //    mm15, replayed in the oracle); full containment of the
+    //    smaller set = dup;
+    //  audio: distinct (length-class, contour) segment fingerprints,
+    //    same hot rule, same cut.
+    // Scale shape: both legs are inverted-index equi-joins (pairs
+    // exist only through shared signatures, never all-pairs), sizes
+    // and verdicts are metadata-grade aggregates; the full-outer
+    // merge ships only pair rows. Fixtures pin every class:
+    // (vid_duet, vid_duet_c) full_dup, (vid_mj, vid_mj_raw)
+    // video_only_dup, the dialog trio audio_only_dup.
+    "mm22_container_dup" -> ((s, _) => {
+      def pairLeg(sigs: DataFrame, shared: String,
+          cont: String): DataFrame = {
+        val hot = sigs.groupBy(col("h1"), col("h2"))
+          .agg(count(lit(1)).as("_n")).where(col("_n") > 64)
+          .select(col("h1"), col("h2"))
+        val kept = graft.operators.Dedup.share(
+          sigs.join(hot, Seq("h1", "h2"), "left_anti"))
+        val sizes = kept.groupBy(col("model"))
+          .agg(count(lit(1)).as("_ns"))
+        kept.select(col("model").as("model_a"), col("h1"), col("h2"))
+          .join(kept.select(col("model").as("model_b"), col("h1"),
+            col("h2")), Seq("h1", "h2"))
+          .where(col("model_a") < col("model_b"))
+          .groupBy(col("model_a"), col("model_b"))
+          .agg(count(lit(1)).as(shared))
+          .join(sizes.select(col("model").as("model_a"),
+            col("_ns").as("_na")), Seq("model_a"))
+          .join(sizes.select(col("model").as("model_b"),
+            col("_ns").as("_nb")), Seq("model_b"))
+          .select(col("model_a"), col("model_b"), col(shared),
+            expr(s"(1000000L * $shared) div least(_na, _nb)").as(cont))
+      }
+      val vleg = pairLeg(mm19Hashed(s)
+        .select(col("model"), col("ahash_hi").as("h1"),
+          col("ahash_lo").as("h2")).distinct(),
+        "v_shared", "v_cont_ppm")
+      val aleg = pairLeg(audioSegFingerprints(s)
+        .select(col("model"), col("fp_hi").as("h1"),
+          col("fp_lo").as("h2")).distinct(),
+        "a_shared", "a_cont_ppm")
+      vleg.join(aleg, Seq("model_a", "model_b"), "full_outer")
+        .select(col("model_a"), col("model_b"),
+          coalesce(col("v_shared"), lit(0L)).as("v_shared"),
+          coalesce(col("v_cont_ppm"), lit(0L)).as("v_cont_ppm"),
+          coalesce(col("a_shared"), lit(0L)).as("a_shared"),
+          coalesce(col("a_cont_ppm"), lit(0L)).as("a_cont_ppm"))
+        .withColumn("verdict",
+          when(col("v_cont_ppm") === 1000000L &&
+            col("a_cont_ppm") === 1000000L, "full_dup")
+            .when(col("v_cont_ppm") === 1000000L, "video_only_dup")
+            .when(col("a_cont_ppm") === 1000000L, "audio_only_dup")
+            .otherwise("related"))
+        .orderBy(col("model_a"), col("model_b"))
     }),
 
     // mm14: RIFF/WAVE header extraction — the real-container metadata
@@ -1973,6 +2045,56 @@ object AdsbQueries {
              "nch")} AS hx
        |  FROM ${name}ax WHERE fits)""".stripMargin
 
+  /** The mm21 segment-fingerprint CTE chain under prefix `pre`
+    * (round-14 — shared with mm22's audio leg so the segment grain
+    * cannot drift): from the audio corpus CTE `b` ([[audioHexCte]])
+    * to `${pre}fp (model, seg_id, n_frames_seg, fp_lo, fp_hi)` —
+    * VAD segments via the silent-prefix grouping, sign-of-delta
+    * contour bits, capped length class. The prefix exists because
+    * mm22 embeds this beside [[videoSumsCte]]/[[frameHashCtes]],
+    * whose `en`/`fr` names would otherwise collide. */
+  private def segFpCtes(pre: String): String =
+    s"""${pre}fr AS (
+       |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
+       |  FROM b WHERE length // 64 >= 1),
+       |${pre}en AS (
+       |  SELECT model, n_frames,
+       |    list_transform(range(0, n_frames), f ->
+       |      list_sum(list_transform(range(0, 64), i ->
+       |        (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128)
+       |        * (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT
+       |           - 128)))) AS energies
+       |  FROM ${pre}fr),
+       |${pre}fx AS (
+       |  SELECT model, CAST(u.f AS BIGINT) AS frame_idx,
+       |    CAST(energies[u.f + 1] AS BIGINT) AS energy,
+       |    (energies[u.f + 1] < 4096) AS is_silent
+       |  FROM ${pre}en, UNNEST(range(0, n_frames)) AS u(f)),
+       |${pre}sp AS (
+       |  SELECT model, frame_idx, energy, is_silent,
+       |    sum(CASE WHEN is_silent THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY model ORDER BY frame_idx)
+       |      AS sil_prefix
+       |  FROM ${pre}fx),
+       |${pre}act AS (
+       |  SELECT model, frame_idx, energy, sil_prefix,
+       |    CAST(dense_rank() OVER (PARTITION BY model
+       |      ORDER BY sil_prefix) AS BIGINT) AS seg_id
+       |  FROM ${pre}sp WHERE NOT is_silent),
+       |${pre}seg AS (
+       |  SELECT model, seg_id, CAST(count(*) AS BIGINT) AS n_frames_seg,
+       |    list(energy ORDER BY frame_idx) AS es
+       |  FROM ${pre}act GROUP BY 1, 2 HAVING count(*) >= 8),
+       |${pre}fp AS (
+       |  SELECT model, seg_id, n_frames_seg,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      range(0, least(len(es) - 1, 32)),
+       |      f -> CASE WHEN es[f + 2] > es[f + 1]
+       |        THEN (1::BIGINT << f) ELSE 0 END)), 0) AS BIGINT)
+       |      AS fp_lo,
+       |    CAST(least(len(es) - 1, 32) AS BIGINT) AS fp_hi
+       |  FROM ${pre}seg)""".stripMargin
+
   /** Shared frame-hash CTE chain for mm19/mm20 (round-14: one home —
     * the two hand copies of the grid/mean/packing CTEs could drift,
     * and the MJPEG arm must exist exactly once): from the
@@ -2751,46 +2873,7 @@ object AdsbQueries {
     // models lexicographically).
     "mm21_segment_neardup" ->
       s"""WITH RECURSIVE $audioHexCte,
-         |fr AS (
-         |  SELECT model, CAST(length // 64 AS BIGINT) AS n_frames, hx
-         |  FROM b WHERE length // 64 >= 1),
-         |en AS (
-         |  SELECT model, n_frames,
-         |    list_transform(range(0, n_frames), f ->
-         |      list_sum(list_transform(range(0, 64), i ->
-         |        (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT - 128)
-         |        * (('0x' || substr(hx, (f*64 + i)*2 + 1, 2))::BIGINT
-         |           - 128)))) AS energies
-         |  FROM fr),
-         |fx AS (
-         |  SELECT model, CAST(u.f AS BIGINT) AS frame_idx,
-         |    CAST(energies[u.f + 1] AS BIGINT) AS energy,
-         |    (energies[u.f + 1] < 4096) AS is_silent
-         |  FROM en, UNNEST(range(0, n_frames)) AS u(f)),
-         |sp AS (
-         |  SELECT model, frame_idx, energy, is_silent,
-         |    sum(CASE WHEN is_silent THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY model ORDER BY frame_idx)
-         |      AS sil_prefix
-         |  FROM fx),
-         |act AS (
-         |  SELECT model, frame_idx, energy, sil_prefix,
-         |    CAST(dense_rank() OVER (PARTITION BY model
-         |      ORDER BY sil_prefix) AS BIGINT) AS seg_id
-         |  FROM sp WHERE NOT is_silent),
-         |seg AS (
-         |  SELECT model, seg_id, CAST(count(*) AS BIGINT) AS n_frames_seg,
-         |    list(energy ORDER BY frame_idx) AS es
-         |  FROM act GROUP BY 1, 2 HAVING count(*) >= 8),
-         |fp AS (
-         |  SELECT model, seg_id, n_frames_seg,
-         |    CAST(coalesce(list_sum(list_transform(
-         |      range(0, least(len(es) - 1, 32)),
-         |      f -> CASE WHEN es[f + 2] > es[f + 1]
-         |        THEN (1::BIGINT << f) ELSE 0 END)), 0) AS BIGINT)
-         |      AS fp_lo,
-         |    CAST(least(len(es) - 1, 32) AS BIGINT) AS fp_hi
-         |  FROM seg),
+         |${segFpCtes("")},
          |pr AS (
          |  SELECT a.model, a.seg_id,
          |    b.model AS om, b.seg_id AS os,
@@ -2809,6 +2892,74 @@ object AdsbQueries {
          |  n.nn_key, n.nn_hamming
          |FROM fp f LEFT JOIN nn n USING (model, seg_id)
          |ORDER BY f.model, f.seg_id""".stripMargin,
+
+    // mm22: both modality legs re-derived from the dumped blobs (the
+    // frame-hash chain incl. the MJPEG twin arm; the segment
+    // fingerprints under the q prefix), the same hot-signature drop,
+    // set containments and the 10^6-cut verdict CASE.
+    "mm22_container_dup" ->
+      s"""WITH RECURSIVE $videoSumsCte,
+         |$frameHashCtes,
+         |$audioHexCte,
+         |${segFpCtes("q")},
+         |vh AS (
+         |  SELECT DISTINCT model, ahash_hi AS h1, ahash_lo AS h2
+         |  FROM hh),
+         |vhot AS (
+         |  SELECT h1, h2 FROM vh GROUP BY h1, h2 HAVING count(*) > 64),
+         |vk AS (SELECT * FROM vh ANTI JOIN vhot USING (h1, h2)),
+         |vsz AS (
+         |  SELECT model, CAST(count(*) AS BIGINT) AS ns
+         |  FROM vk GROUP BY 1),
+         |vp AS (
+         |  SELECT a.model AS model_a, b.model AS model_b,
+         |    CAST(count(*) AS BIGINT) AS v_shared
+         |  FROM vk a JOIN vk b ON a.h1 = b.h1 AND a.h2 = b.h2
+         |    AND a.model < b.model
+         |  GROUP BY 1, 2),
+         |vpc AS (
+         |  SELECT model_a, model_b, v_shared,
+         |    CAST((1000000 * v_shared) // least(x.ns, y.ns) AS BIGINT)
+         |      AS v_cont_ppm
+         |  FROM vp
+         |  JOIN vsz x ON vp.model_a = x.model
+         |  JOIN vsz y ON vp.model_b = y.model),
+         |ah AS (
+         |  SELECT DISTINCT model, fp_hi AS h1, fp_lo AS h2 FROM qfp),
+         |ahot AS (
+         |  SELECT h1, h2 FROM ah GROUP BY h1, h2 HAVING count(*) > 64),
+         |ak AS (SELECT * FROM ah ANTI JOIN ahot USING (h1, h2)),
+         |asz AS (
+         |  SELECT model, CAST(count(*) AS BIGINT) AS ns
+         |  FROM ak GROUP BY 1),
+         |ap AS (
+         |  SELECT a.model AS model_a, b.model AS model_b,
+         |    CAST(count(*) AS BIGINT) AS a_shared
+         |  FROM ak a JOIN ak b ON a.h1 = b.h1 AND a.h2 = b.h2
+         |    AND a.model < b.model
+         |  GROUP BY 1, 2),
+         |apc AS (
+         |  SELECT model_a, model_b, a_shared,
+         |    CAST((1000000 * a_shared) // least(x.ns, y.ns) AS BIGINT)
+         |      AS a_cont_ppm
+         |  FROM ap
+         |  JOIN asz x ON ap.model_a = x.model
+         |  JOIN asz y ON ap.model_b = y.model),
+         |mg AS (
+         |  SELECT model_a, model_b,
+         |    coalesce(v_shared, 0) AS v_shared,
+         |    coalesce(v_cont_ppm, 0) AS v_cont_ppm,
+         |    coalesce(a_shared, 0) AS a_shared,
+         |    coalesce(a_cont_ppm, 0) AS a_cont_ppm
+         |  FROM vpc FULL OUTER JOIN apc USING (model_a, model_b))
+         |SELECT model_a, model_b, v_shared, v_cont_ppm, a_shared,
+         |  a_cont_ppm,
+         |  CASE WHEN v_cont_ppm = 1000000 AND a_cont_ppm = 1000000
+         |      THEN 'full_dup'
+         |    WHEN v_cont_ppm = 1000000 THEN 'video_only_dup'
+         |    WHEN a_cont_ppm = 1000000 THEN 'audio_only_dup'
+         |    ELSE 'related' END AS verdict
+         |FROM mg ORDER BY model_a, model_b""".stripMargin,
 
     // mm14: the RIFF/WAVE header re-parsed independently from the
     // dumped blob bytes — same chunk WALK (recursive CTE), same

@@ -25,7 +25,8 @@ class ContainerAuditSpec extends SparkSpec {
       ("avi", "vid_scene_a"), ("avi", "vid_junk"), ("avi", "vid_pre"),
       ("avi", "vid_mix"), ("avi", "vid_talk"), ("avi", "vid_scene_b"),
       ("avi", "vid_duet"), ("avi", "vid_wall"),
-      ("avi", "vid_mj"), ("avi", "vid_mj_raw")))
+      ("avi", "vid_mj"), ("avi", "vid_mj_raw"),
+      ("avi", "vid_duet_c")))
     // the lying byte_rate: structure fine, size fine, payload fine,
     // rate WRONG, consistent false
     assert(rows(("wav", "claim_j")) ===

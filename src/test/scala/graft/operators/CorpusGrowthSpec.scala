@@ -52,8 +52,13 @@ class CorpusGrowthSpec extends SparkSpec {
     // 16 frames, 14 DISTINCT sums (the dark frames repeat) — both
     // sides collapse identically, so both measures read exact-dup
     assert((ts, tj, tc) === ((14L, 1000000L, 1000000L)))
+    // the round-14 byte-identical re-upload (mm22's full-dup
+    // fixture): exact dup at both measures
+    val (ds, dj, dc) = rows(("vid_duet", "vid_duet_c"))
+    assert((dj, dc) === ((1000000L, 1000000L)), s"shared $ds")
     // unrelated videos must not read as near-dups
-    val planted = Set(("vid_a", "vid_a_cut"), ("vid_scene", "vid_scene_a"))
+    val planted = Set(("vid_a", "vid_a_cut"), ("vid_scene", "vid_scene_a"),
+      ("vid_duet", "vid_duet_c"))
     rows.foreach { case (k, (_, _, c)) =>
       if (!planted(k)) assert(c < 500000L, k)
     }

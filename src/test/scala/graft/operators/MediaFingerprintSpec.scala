@@ -216,7 +216,8 @@ class MediaFingerprintSpec extends SparkSpec {
     // reads fine)
     assert(all.map(_.getString(0)).toSet ===
       Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix", "vid_talk",
-        "vid_scene_b", "vid_duet", "vid_wall", "vid_mj", "vid_mj_raw"))
+        "vid_scene_b", "vid_duet", "vid_wall", "vid_mj", "vid_mj_raw",
+        "vid_duet_c"))
     val r = all.filter(_.getString(0) == "vid_scene_a")
     val row = r.head
     assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)
@@ -366,6 +367,34 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(rows(("vid_mix", 0L))._3 === 3L)
     // gvid-only videos carry no frame hashes — no medoid rows
     assert(!rows.keys.exists(_._1 == "vid_a"))
+  }
+
+  test("mm22: every planted container-pair class lands its verdict") {
+    // round-14 (stretch): the verdict table composing mm19's frame
+    // hashes with mm21's segment fingerprints — each planted pair
+    // must land in ITS class, through a different modality pattern
+    val rows = AdsbQueries.defs("mm22_container_dup")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(6))
+      .toMap
+    // byte-identical re-upload: both legs agree
+    assert(rows(("vid_duet", "vid_duet_c")) === "full_dup")
+    // codec twins: identical decoded frames, no audio stream at all
+    assert(rows(("vid_mj", "vid_mj_raw")) === "video_only_dup")
+    // the dialog trio: same speech through three containers / bit
+    // depths — audio-only containers, so the video leg stays empty
+    assert(rows(("dialog_h", "dialog_h_16")) === "audio_only_dup")
+    assert(rows(("dialog_h", "dialog_h_w")) === "audio_only_dup")
+    assert(rows(("dialog_h_16", "dialog_h_w")) === "audio_only_dup")
+    // perturbed whole-blob audio dups classify at the segment grain
+    assert(rows(("sweep_d", "sweep_d_dup")) === "audio_only_dup")
+    // no pair may claim a modality neither container carries
+    val full = AdsbQueries.defs("mm22_container_dup")(spark, "unused")
+      .collect()
+    full.foreach { r =>
+      if (r.getString(6) == "full_dup")
+        assert(r.getLong(2) > 0 && r.getLong(4) > 0, r.toString)
+    }
   }
 
   test("AVI demux: the container twin segments IDENTICALLY to the gvid") {

@@ -121,3 +121,13 @@ got = bytes((f32_to_v16(struct.unpack('<I', pay[4 * i:4 * i + 4])[0])
 print('flute_f32: file', len(blob), 'payload', len(pay),
       'canon==designed:', got == bytes(canon))
 report('flute_f32', canon)
+
+# ---- vid_duet_c.avi: byte-identical re-upload of vid_duet ----------
+# The FULL-DUP fixture for mm22's container-pair verdict table: same
+# video frames AND same interleaved audio as vid_duet under a new
+# name — the re-crawl case where both modality legs must agree.
+import shutil
+shutil.copyfile(os.path.join(D, 'vid_duet.avi'),
+                os.path.join(D, 'vid_duet_c.avi'))
+print('vid_duet_c: byte copy of vid_duet,',
+      os.path.getsize(os.path.join(D, 'vid_duet_c.avi')), 'B')
