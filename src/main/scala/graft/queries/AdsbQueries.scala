@@ -1018,13 +1018,19 @@ object AdsbQueries {
     // (vid_duet, vid_duet_c) full_dup, (vid_mj, vid_mj_raw)
     // video_only_dup, the dialog trio audio_only_dup.
     "mm22_container_dup" -> ((s, _) => {
-      def pairLeg(sigs: DataFrame, shared: String,
+      def pairLeg(sigs0: DataFrame, shared: String,
           cont: String): DataFrame = {
+        // share the SIGNATURE frame, not the hot-filtered one: the
+        // hot-set aggregation and the anti-join both consume it, so
+        // sharing downstream of the filter would run the expensive
+        // derivation (container walks, JPEG decodes, energy
+        // lattices) twice — once for `hot`, once to materialize the
+        // kept rows
+        val sigs = graft.operators.Dedup.share(sigs0)
         val hot = sigs.groupBy(col("h1"), col("h2"))
           .agg(count(lit(1)).as("_n")).where(col("_n") > 64)
           .select(col("h1"), col("h2"))
-        val kept = graft.operators.Dedup.share(
-          sigs.join(hot, Seq("h1", "h2"), "left_anti"))
+        val kept = sigs.join(hot, Seq("h1", "h2"), "left_anti")
         val sizes = kept.groupBy(col("model"))
           .agg(count(lit(1)).as("_ns"))
         kept.select(col("model").as("model_a"), col("h1"), col("h2"))

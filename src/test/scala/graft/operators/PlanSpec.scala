@@ -140,6 +140,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("mm22's pair legs are inverted-index equi-joins, never products") {
+    // round-14: container pairs must materialize ONLY through shared
+    // signatures — a product join here is the all-pairs shape the
+    // verdict table exists to avoid at corpus scale. (The hash-equal
+    // signature join keys on (h1, h2); the sizes joins are
+    // metadata-grade.)
+    val p = plan("mm22_container_dup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("headline aggregations stay inside whole-stage codegen") {
     // AQE's wrapper hides codegen annotation in the plan string; the
     // non-adaptive physical plan marks codegen stages with "*(n)".
