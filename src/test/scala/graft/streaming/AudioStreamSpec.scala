@@ -102,6 +102,43 @@ class AudioStreamSpec extends SparkSpec {
     assert(!out.contains(9L), "24-bit wav must drop (fail-closed)")
   }
 
+  test("RF64 and float PCM stream in; a broken RF64 drops, not raw-reads") {
+    // round-14: the bundled RF64 (ds64-declared sizes) and IEEE
+    // float-PCM fixtures must ADMIT through the streaming gate with
+    // their exact canonical lattices, and an RF64 whose ds64 is
+    // missing must be riff_rejected — never fall through to the
+    // headerless-PCM branch and feed header bytes to the energy math
+    implicit val sqlCtx = spark.sqlContext
+    def fixture(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/meta/media/$n")
+      val b = in.readAllBytes(); in.close(); b
+    }
+    val rf64 = fixture("bell_r64.wav")
+    val f32 = fixture("flute_f32.wav")
+    val brokenRf64 = {
+      // corrupt the ds64 chunk id: the walk no longer finds it, so
+      // the placeholder sizes have no authority — wav_ok false
+      val c = rf64.clone(); c(12) = 'x'.toByte; c
+    }
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val media = in.toDF().toDF("media_id", "content", "ingest_ts")
+    val outDir = Files.createTempDirectory("audio-ingest-r14").toString
+    val ckpt = Files.createTempDirectory("audio-ingest-r14-ckpt").toString
+    val q = AudioStream.start(media, outDir, ckpt)
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    in.addData(Seq((31L, rf64, t0), (32L, f32, t0), (33L, brokenRf64, t0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("media_id", "container", "n_frames", "silence_ppm")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the generator-pinned lattices (gen_r14_media.py report lines)
+    assert(out(31L) === (("wav", 70L, 128571L)))
+    assert(out(32L) === (("wav", 68L, 102941L)))
+    assert(!out.contains(33L), s"broken RF64 must drop: $out")
+  }
+
   test("non-canonical wav admits through the SHARED chunk walk (round-11)") {
     // a LIST/INFO chunk between fmt and data — the round-10 stream
     // gate (fixed offsets) dropped this; the shared Riff walk admits
