@@ -148,11 +148,14 @@ object IndexMaintenance {
     *
     * Idempotent per index: an existing `__reindex_audit` short-
     * circuits to the stored audit (the gate/bench steady state).
-    * Crash window: a failure between directory replacement and the
-    * stage cleanup leaves the staged rows on disk — rerunning after
-    * restoring the flagged dirs from stage is manual today (the
-    * [[compactPersisted]] staged-swap protocol is the shape a
-    * production run wraps each directory in). Payload-carrying
+    * CRASH-SAFE: the complete repair plan (reassigned rows, updated
+    * quantizer, audit, `_COMMIT` marker) stages BEFORE any live
+    * mutation, and the apply step ([[applyReindexStage]]) rewrites
+    * each affected directory through [[Sinks.compact]]'s
+    * staged-rename swap with an idempotent transform — so
+    * [[recoverReindex]] rolls a committed stage forward (or
+    * discards an uncommitted one, live index untouched) after a
+    * crash at any point. Payload-carrying
     * indexes ([[Ivf.persistWithPayload]]) are out of scope: the
     * stage write would drop their metadata columns.
     *
@@ -178,80 +181,155 @@ object IndexMaintenance {
       .agg(count(lit(1)).as("n"), sum(col("id")).as("sid"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    // (old_cid, new_cid) -> (count, id sum): k²-bounded driver state
-    val moved: Map[(Int, Int), (Long, Long)] =
-      if (flagged.isEmpty) Map.empty
-      else {
-        val members = pre
-          .where(col("cid").isin(flagged.map(Int.box): _*))
-          .select(col("id"), col("vec"), col("cid").as("old_cid"))
-        val rep = members
-          .select(col("old_cid").as("cid"),
-            posexplode(col("vec")).as(Seq("j", "x")))
-          .groupBy(col("cid"), col("j"))
-          .agg(count(lit(1)).as("n"),
-            sum(floor(col("x").cast("double") * 10000000.0d).cast("long"))
-              .as("sfp"))
-          .select(col("cid"), col("j"),
-            floor(col("sfp").cast("double") / col("n")).cast("long")
-              .as("c7"))
-          .groupBy(col("cid"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("j"), col("c7")))),
-            e => (e("c7").cast("double") / lit(10000000.0d)).cast("float"))
-            .as("cvec"))
-        val repMap = rep.collect()
-          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-        val codebook = Ivf.loadCodebook(spark, base).map {
-          case (cid, v, nrm) => repMap.get(cid)
-            .map(rv => (cid, rv, Ivf.vnorm(rv)))
-            .getOrElse((cid, v, nrm))
-        }
-        // materialize BEFORE the directory surgery: the plan below
-        // scans exactly the files the repair deletes
-        val reassigned = Ivf.assign(
-            members.select(col("id"), col("vec")), codebook)
-          .join(members.select(col("id"), col("old_cid")), Seq("id"))
-          .localCheckpoint(true)
-        val stage = base + "__reindex_stage"
-        reassigned.select(col("id"), col("vec"), col("cid"))
-          .write.mode("overwrite").partitionBy("cid").parquet(stage)
-        flagged.foreach(c => fs.delete(new Path(s"$base/cid=$c"), true))
-        spark.read.parquet(stage).select(col("id"), col("vec"), col("cid"))
-          .write.mode("append").partitionBy("cid").parquet(base)
-        codebook.toSeq.map { case (c, v, _) => (c, v.toSeq) }
-          .toDF("cid", "cvec")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(Ivf.quantizerPath(base))
-        val out = reassigned.groupBy(col("old_cid"), col("cid"))
-          .agg(count(lit(1)).as("n"), sum(col("id")).as("sid"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) ->
-            (r.getLong(2), r.getLong(3)))
-          .toMap
-        fs.delete(new Path(stage), true)
-        out
-      }
-    val flaggedSet = flagged.toSet
-    val allCids = Ivf.loadCodebook(spark, base).map(_._1)
-    val audit = allCids.toSeq.sorted.map { c =>
-      val (nb, sb) = preAgg.getOrElse(c, (0L, 0L))
-      // .toSeq first: collecting (Long, Long) values straight off the
-      // Map would rebuild a Map keyed by the COUNT (deduping every
-      // same-count pair — the bug that under-reported multi-target
-      // moves until the oracle caught it)
-      val outPairs = moved.toSeq.collect {
-        case ((o, n), v) if o == c && n != c => v }
-      val inPairs = moved.toSeq.collect {
-        case ((o, n), v) if n == c && o != c => v }
-      val (no, so) = (outPairs.map(_._1).sum, outPairs.map(_._2).sum)
-      val (ni, si) = (inPairs.map(_._1).sum, inPairs.map(_._2).sum)
-      (c.toLong, flaggedSet.contains(c), nb, nb - no + ni, no, ni,
-        sb - so + si)
-    }.toDF("cid", "flagged", "n_before", "n_after", "n_moved_out",
-      "n_moved_in", "sum_ids_after")
-    audit.coalesce(1).write.mode("overwrite").parquet(auditPath)
+    def auditFrame(moved: Map[(Int, Int), (Long, Long)]): DataFrame = {
+      val flaggedSet = flagged.toSet
+      val allCids = Ivf.loadCodebook(spark, base).map(_._1)
+      allCids.toSeq.sorted.map { c =>
+        val (nb, sb) = preAgg.getOrElse(c, (0L, 0L))
+        // .toSeq first: collecting (Long, Long) values straight off
+        // the Map would rebuild a Map keyed by the COUNT (deduping
+        // every same-count pair — the bug that under-reported
+        // multi-target moves until the oracle caught it)
+        val outPairs = moved.toSeq.collect {
+          case ((o, n), v) if o == c && n != c => v }
+        val inPairs = moved.toSeq.collect {
+          case ((o, n), v) if n == c && o != c => v }
+        val (no, so) = (outPairs.map(_._1).sum, outPairs.map(_._2).sum)
+        val (ni, si) = (inPairs.map(_._1).sum, inPairs.map(_._2).sum)
+        (c.toLong, flaggedSet.contains(c), nb, nb - no + ni, no, ni,
+          sb - so + si)
+      }.toDF("cid", "flagged", "n_before", "n_after", "n_moved_out",
+        "n_moved_in", "sum_ids_after")
+    }
+    if (flagged.isEmpty) {
+      auditFrame(Map.empty).coalesce(1).write.mode("overwrite")
+        .parquet(auditPath)
+      return spark.read.parquet(auditPath)
+    }
+    val members = pre
+      .where(col("cid").isin(flagged.map(Int.box): _*))
+      .select(col("id"), col("vec"), col("cid").as("old_cid"))
+    val rep = members
+      .select(col("old_cid").as("cid"),
+        posexplode(col("vec")).as(Seq("j", "x")))
+      .groupBy(col("cid"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 10000000.0d).cast("long"))
+          .as("sfp"))
+      .select(col("cid"), col("j"),
+        floor(col("sfp").cast("double") / col("n")).cast("long")
+          .as("c7"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("c7")))),
+        e => (e("c7").cast("double") / lit(10000000.0d)).cast("float"))
+        .as("cvec"))
+    val repMap = rep.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    val codebook = Ivf.loadCodebook(spark, base).map {
+      case (cid, v, nrm) => repMap.get(cid)
+        .map(rv => (cid, rv, Ivf.vnorm(rv)))
+        .getOrElse((cid, v, nrm))
+    }
+    // materialized: the audit aggregate below and the stage write
+    // must see ONE assignment, and the apply step rewrites the very
+    // files this plan scans
+    val reassigned = Ivf.assign(
+        members.select(col("id"), col("vec")), codebook)
+      .join(members.select(col("id"), col("old_cid")), Seq("id"))
+      .localCheckpoint(true)
+    val moved = reassigned.groupBy(col("old_cid"), col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // STAGE the COMPLETE repair plan before ANY live mutation
+    // (round-14 hardening of the original delete-then-append
+    // surgery, whose crash window lost flagged members): reassigned
+    // rows, the updated quantizer, the audit, the flagged list, and
+    // a _COMMIT marker written LAST. Until _COMMIT exists the live
+    // index is untouched; after it, [[applyReindexStage]] is
+    // idempotent, so [[recoverReindex]] can always roll the repair
+    // forward (or discard an uncommitted stage) after a crash.
+    val stage = stagePath(base)
+    fs.delete(new Path(stage), true)
+    reassigned.select(col("id"), col("vec"), col("cid"))
+      .write.partitionBy("cid").parquet(s"$stage/rows")
+    codebook.toSeq.map { case (c, v, _) => (c, v.toSeq) }
+      .toDF("cid", "cvec")
+      .coalesce(1).write.parquet(s"$stage/quantizer")
+    auditFrame(moved).coalesce(1).write.parquet(s"$stage/audit")
+    fs.create(new Path(s"$stage/_COMMIT")).close()
+    applyReindexStage(spark, base)
     spark.read.parquet(auditPath)
+  }
+
+  private def stagePath(base: String): String =
+    base.stripSuffix("/") + "__reindex_stage"
+
+  /** Roll a COMMITTED reindex stage forward onto the live index —
+    * IDEMPOTENT, so it doubles as the crash-recovery path: every
+    * affected cluster directory (flagged sources ∪ move targets)
+    * rewrites through [[Sinks.compact]]'s staged-rename swap with
+    * the transform "drop any staged id, add this directory's staged
+    * rows" (re-applying to an already-repaired directory reproduces
+    * the same content); the quantizer and audit sidecars overwrite
+    * from the stage; the stage deletes LAST (the done marker). A
+    * crash inside any single directory swap heals via
+    * [[recoverPersisted]] before re-applying. Write amplification:
+    * affected directories rewrite wholly — the price of exactly-once
+    * repair without a transaction log; affected = drift-flagged
+    * clusters plus their move targets, few by construction, and each
+    * directory swap is independent (shardable at fleet scale). */
+  private[operators] def applyReindexStage(spark: SparkSession,
+      path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val stage = stagePath(base)
+    val fs = fsOf(spark, base)
+    require(fs.exists(new Path(s"$stage/_COMMIT")),
+      s"applyReindexStage: no committed stage at $stage")
+    val rows = spark.read.parquet(s"$stage/rows")
+      .select(col("id"), col("vec"), col("cid"))
+    val stagedIds = rows.select(col("id")).distinct()
+    val flagged = spark.read.parquet(s"$stage/audit")
+      .where(col("flagged")).select(col("cid"))
+      .collect().map(_.getLong(0).toInt)
+    val targets = rows.select(col("cid")).distinct()
+      .collect().map(_.getInt(0))
+    (flagged ++ targets).distinct.sorted.foreach { c =>
+      val dir = s"$base/cid=$c"
+      val add = rows.where(col("cid") === c).select(col("id"), col("vec"))
+      if (fs.exists(new Path(dir)))
+        Sinks.compact(spark, dir, rowsPerFile = 1L << 20, transform = df =>
+          df.join(stagedIds, Seq("id"), "left_anti").unionByName(add))
+      else add.write.parquet(dir)
+    }
+    spark.read.parquet(s"$stage/quantizer").localCheckpoint(true)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Ivf.quantizerPath(base))
+    spark.read.parquet(s"$stage/audit").localCheckpoint(true)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(base + "__reindex_audit")
+    fs.delete(new Path(stage), true)
+  }
+
+  /** Recover a [[reindexFlagged]] interrupted at ANY point: heal any
+    * mid-swap directory first, then roll a committed stage forward
+    * (idempotent) or discard an uncommitted one (the live index was
+    * never touched before _COMMIT). Returns the action taken. */
+  def recoverReindex(spark: SparkSession, path: String): String = {
+    val base = path.stripSuffix("/")
+    val stage = stagePath(base)
+    val fs = fsOf(spark, base)
+    recoverPersisted(spark, base)
+    if (!fs.exists(new Path(stage))) "clean"
+    else if (fs.exists(new Path(s"$stage/_COMMIT"))) {
+      applyReindexStage(spark, base)
+      "resumed"
+    } else {
+      fs.delete(new Path(stage), true)
+      "discarded_uncommitted_stage"
+    }
   }
 
   /** Run [[Sinks.recoverCompact]]'s case analysis over every partition
