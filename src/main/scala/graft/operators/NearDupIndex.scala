@@ -75,19 +75,31 @@ object NearDupIndex {
     import spark.implicits._
     Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    paramMemo.put(path, (n, numHashes, bands))
   }
+
+  /** Validated (n, numHashes, bands) per index path — parameters are
+    * immutable after build, so re-reading meta/ per invocation made
+    * streaming callers (DocStream) pay a driver-side parquet read +
+    * job every micro-batch (ADVICE r14). Same session-scoped-map
+    * convention as DocQueries.persistedIndex; a rebuild at the same
+    * path refreshes the entry via [[writeMeta]]. */
+  private val paramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
 
   private def requireParams(spark: SparkSession, path: String, n: Int,
       numHashes: Int, bands: Int, op: String): Unit = {
-    val r =
-      try spark.read.parquet(s"$path/meta")
-        .select(col("n"), col("num_hashes"), col("bands")).head()
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalStateException(
-          s"near-dup index at $path has no meta/ — not built by " +
-            s"NearDupIndex.persist (cannot $op safely)", e)
-      }
-    val (in, ih, ib) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    val (in, ih, ib) = paramMemo.computeIfAbsent(path, _ => {
+      val r =
+        try spark.read.parquet(s"$path/meta")
+          .select(col("n"), col("num_hashes"), col("bands")).head()
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"near-dup index at $path has no meta/ — not built by " +
+              s"NearDupIndex.persist (cannot $op safely)", e)
+        }
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    })
     require(in == n && ih == numHashes && ib == bands,
       s"near-dup index parameter mismatch on $op at $path: index has " +
         s"(n=$in, numHashes=$ih, bands=$ib), caller passed " +

@@ -55,6 +55,18 @@ object AdsbQueries {
   // and Verify may invoke the query more than once per session)
   private val parityId = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Declared MJPEG pixel-twin pins: each MJPG-routed model and the
+    * raw-frame bundled fixture whose derived hashes serve as its
+    * oracle expectation (DuckDB cannot decode JPEG, so the oracle
+    * pins the Spark decode against the twin's byte-derived lattice).
+    * ONE home (ADVICE r14): [[frameHashCtes]] derives its twin-union
+    * CTE from this table, and MediaFixtureSpec asserts every
+    * MJPG-routed bundled model appears here (and every raw twin is
+    * bundled), so an unpinned future MJPG fixture fails with a clear
+    * missing-pin message, never a silent zero-oracle-rows diff. */
+  private[graft] val MjpegTwinPins: Seq[(String, String)] =
+    Seq("vid_mj" -> "vid_mj_raw")
+
   /** Instant → wall-clock cast for driver-facing outputs: the DuckDB
     * oracle reads the parquet dumps as naive timestamps, and the
     * session runs in UTC, so the cast is the identity on wall time. */
@@ -330,17 +342,46 @@ object AdsbQueries {
       .orderBy(col("model"), col("other"))
   }
 
+  // Catalog-id dictionaries (mm19's videos, mm21's audio blobs) are
+  // dense LEXICOGRAPHIC model ranks — the NN tie-break ("smallest
+  // packed key") must agree with the oracles' ORDER BY hamming,
+  // model, idx, so id order is semantically visible and must stay
+  // lexicographic. Ranked via [[graft.operators.Rank.globalRowNumber]]
+  // instead of `row_number() OVER (ORDER BY model)` (VERDICT r14 #3:
+  // that window plans an Exchange SinglePartition — metadata-sized
+  // today, the one serialization point at billions of containers):
+  // the bucket key is the code-point-packed 3-char model prefix
+  // (order-consistent with UTF8 binary string order, since UTF-8
+  // preserves code-point order), the model itself finishes the order
+  // within a bucket, so ranks are the exact lexicographic ranks while
+  // every data-scaled stage stays partitioned. Computed ONCE per
+  // session and localCheckpointed (the boundary pass is an eager
+  // job; Bench runs the whole media family in one JVM) — consumer
+  // plans then broadcast a checkpointed metadata frame with no
+  // window at all.
+  private val dictMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private def catalogIds(s: SparkSession, key: String, idName: String)(
+      models: => DataFrame): DataFrame =
+    dictMemo.computeIfAbsent((s, key), _ => {
+      val prefixKey = (0 until 3).map(i =>
+          ascii(substring(col("model"), i + 1, 1)).cast("long") *
+            lit(1L << (21 * (2 - i))))
+        .reduce(_ + _)
+      graft.operators.Rank.globalRowNumber(
+          models, prefixKey, col("model"), nBuckets = 32)
+        .withColumnRenamed("rank", idName)
+        .localCheckpoint(true)
+    })
+
   /** mm19's video-catalog dictionary: one row per admitted video with
-    * a dense numeric id (lexicographic model rank). The
-    * single-partition window runs over catalog METADATA — one row per
-    * video, ≪ frame count at any scale — and every consumer join
-    * broadcasts it. */
-  private[graft] def mm19Dict(s: SparkSession): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    aviAdmitted(s).select(col("model")).distinct()
-      .withColumn("mid",
-        row_number().over(Window.orderBy(col("model"))).cast("long"))
-  }
+    * a dense numeric id (lexicographic model rank, distributed — see
+    * [[catalogIds]]); every consumer join broadcasts it. */
+  private[graft] def mm19Dict(s: SparkSession): DataFrame =
+    catalogIds(s, "mm19", "mid")(
+      aviAdmitted(s).select(col("model")).distinct())
 
   /** mm19's per-frame hash frame with the PACKED band-join key
     * (round-13, VERDICT r12 ask #5): key = mid·2³² + frame_idx, a
@@ -973,13 +1014,12 @@ object AdsbQueries {
     // aid·2³² + seg_id against the broadcast blob catalog (the mm19
     // idiom); NN is the routed band join, never all-pairs.
     "mm21_segment_neardup" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
       val segs = audioSegFingerprints(s)
       // the blob catalog comes off the SHARED segment frame (only
-      // fingerprinted blobs can be or have neighbors)
-      val dict = segs.select(col("model")).distinct()
-        .withColumn("aid",
-          row_number().over(Window.orderBy(col("model"))).cast("long"))
+      // fingerprinted blobs can be or have neighbors); distributed
+      // lexicographic ranks — see [[catalogIds]]
+      val dict = catalogIds(s, "mm21", "aid")(
+        segs.select(col("model")).distinct())
       val hashed = segs.join(broadcast(dict), Seq("model"))
         .withColumn("key", shiftleft(col("aid"), 32) + col("seg_id"))
       val nn = graft.operators.HammingNN.nearest(hashed, "key",
@@ -2113,7 +2153,12 @@ object AdsbQueries {
     * frame-for-frame JPEG encode of `vid_mj_raw`; the mm5
     * cross-format-parity discipline at the frame grain: the Spark
     * side hashes the actual in-engine decode, so any decode or grid
-    * divergence turns the gate red). */
+    * divergence turns the gate red). The twin mapping derives from
+    * [[MjpegTwinPins]] — ONE declared home (ADVICE r14: the mapping
+    * was hardcoded inline, so a future unpinned MJPG fixture would
+    * go red with a confusing missing-rows diff; now
+    * MediaFixtureSpec asserts every MJPG-routed bundled model has a
+    * pin, failing with a clear missing-pin message instead). */
   private def frameHashCtes: String =
     s"""fr AS (
        |  SELECT e.model, u.i AS fi, offs[u.i + 1] AS off,
@@ -2143,11 +2188,13 @@ object AdsbQueries {
        |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ahash_lo
        |  FROM gr g JOIN mn m ON g.model = m.model AND g.fi = m.fi
        |  GROUP BY 1, 2),
+       |mjt(model, raw) AS (VALUES ${MjpegTwinPins.map {
+             case (m, r) => s"('$m', '$r')" }.mkString(", ")}),
        |hh AS (
        |  SELECT * FROM hh0
        |  UNION ALL
-       |  SELECT 'vid_mj' AS model, frame_idx, ahash_hi, ahash_lo
-       |  FROM hh0 WHERE model = 'vid_mj_raw')""".stripMargin
+       |  SELECT t.model, h.frame_idx, h.ahash_hi, h.ahash_lo
+       |  FROM mjt t JOIN hh0 h ON h.model = t.raw)""".stripMargin
 
   /** Shared mm3/mm4 oracle CTE chain (one definition so the two
     * hash re-derivations can never drift): from `blobSql` (any

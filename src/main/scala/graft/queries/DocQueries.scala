@@ -1997,6 +1997,27 @@ object DocQueries {
         .orderBy(col("cid"))
     }),
 
+    // s19: FULL quantizer rebuild with serving continuity (round-15,
+    // VERDICT r14 ask #1 — what s18's local repair measurably cannot
+    // do: the fresh-build recall floor is quantizer capacity, so the
+    // s17 flag ultimately schedules a retrain). Shadow-build a fresh
+    // index beside the live one while appends keep landing (a
+    // deterministic mid-build batch arrives through the coordination
+    // seam), catch-up-replay those appends under the NEW quantizer,
+    // then swap via the staged-rename discipline. The gate row is
+    // the rebuild audit: per-cluster membership counts, id checksums
+    // and the snapshot/replay split — the oracle re-derives ALL of
+    // it from the dumped post-swap quantizer by re-assigning the
+    // full corpus (original + re-crawled ids) with the same argmax
+    // cosine, so any row misplaced by the build, the replay or the
+    // swap flips a checksum. Recall restoration + crash states are
+    // RebuildSpec-pinned.
+    "s19_rebuild" -> ((s, dir) => {
+      val path = rebuiltIndexPath(s, dir)
+      s.read.parquet(path.stripSuffix("/") + "__rebuild_audit")
+        .orderBy(col("cid"))
+    }),
+
     // g1: PageRank centrality over the corpus kNN graph — the graph-
     // side quality signal crawl curation publishes (a harmonic-
     // centrality analog): vectors that many other vectors name among
@@ -3177,6 +3198,12 @@ object DocQueries {
     // s17: the append index's stored centroids — the drift oracle
     // recomputes 1 − cos(Σ members, centroid) over dump + sidecar.
     w(Ivf.quantizerDf(spark, app), "ivf_append_quantizer")
+    // s19: the REBUILT index's swapped-in quantizer — the rebuild
+    // oracle re-assigns the whole corpus (original + re-crawled ids,
+    // both derived from the embeddings table, never from a dump) with
+    // it and re-derives the audit's counts/checksums/replay split.
+    w(Ivf.quantizerDf(spark, rebuiltIndexPath(spark, sfDir)),
+      "ivf_rebuilt_quantizer")
     // s11: the payload-carrying index — label rides in the dump so the
     // oracle applies the same pre-filter the scan does.
     val flt = filteredIndexPath(spark, sfDir)
@@ -3291,6 +3318,35 @@ object DocQueries {
       index.assigned.unpersist(blocking = false)
       Ivf.appendPersisted(s, p, e.where(col("vec_id") % 2 === 1),
         col("vec_id"), col("embedding"))
+    }
+
+  /** The memoized REBUILT index (s19's lifecycle close, round-15):
+    * the same drift-planted build+append instance as s18's, then a
+    * full [[graft.operators.IndexMaintenance.rebuildPersisted]] with
+    * a deterministic mid-build append — every 5th vector re-ingested
+    * past max(vec_id) ("re-crawled duplicates", p23's convention) —
+    * landing on the LIVE index through the `onShadowBuilt` seam, so
+    * the gate row exercises the catch-up replay, not just the swap.
+    * The rebuilt quantizer is the oracle's base dump; the audit at
+    * `__rebuild_audit` is the gate row. */
+  private def rebuiltIndexPath(s: SparkSession, dir: String): String =
+    persistedIndex(s, s"s19|$dir") { p =>
+      val e = emb(s, dir)
+      val index = Ivf.build(e.where(col("vec_id") % 2 === 0),
+        col("vec_id"), col("embedding"), k = 16)
+      Ivf.persist(index, p)
+      index.assigned.unpersist(blocking = false)
+      Ivf.appendPersisted(s, p, e.where(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"))
+      val mx = e.agg(max(col("vec_id")).as("m")).head().getLong(0) + 1
+      graft.operators.IndexMaintenance.rebuildPersisted(s, p, k = 16,
+        onShadowBuilt = () =>
+          Ivf.appendPersisted(s, p,
+            e.where(col("vec_id") % 5 === 2)
+              .select((col("vec_id") + mx).as("id"),
+                col("embedding").as("vec")),
+            col("id"), col("vec")))
+      ()
     }
 
   private def tbl(n: String) = s"read_parquet('__BASE__/$n/*.parquet')"
@@ -5889,6 +5945,53 @@ object DocQueries {
         |LEFT JOIN pstats s USING (cid)
         |LEFT JOIN mvout o USING (cid)
         |LEFT JOIN mvin i USING (cid)
+        |ORDER BY cid""".stripMargin,
+
+    // s19: re-derive the whole rebuild audit from the swapped-in
+    // quantizer dump — corpus = every embedding plus the re-crawled
+    // batch (vec_id % 5 = 2, shifted past max id; derived from the
+    // embeddings table, not from any dump), each row re-assigned by
+    // the exact argmax-cosine double sequence the engine uses, then
+    // per-cluster counts / id checksums / snapshot-vs-replay split.
+    "s19_rebuild" ->
+      s"""WITH q AS (SELECT cid, cvec FROM ${tbl("ivf_rebuilt_quantizer")}),
+        |mx AS (SELECT max(vec_id) + 1 AS m FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id AS id, embedding AS vec, false AS replayed
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + mx.m AS id, embedding AS vec, true AS replayed
+        |  FROM embeddings, mx WHERE vec_id % 5 = 2),
+        |sims AS (
+        |  SELECT c.id, c.replayed, q.cid,
+        |    list_sum(list_transform(range(1, len(c.vec) + 1), j ->
+        |      CAST(c.vec[j] AS DOUBLE) * CAST(q.cvec[j] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), j ->
+        |      CAST(c.vec[j] AS DOUBLE) * CAST(c.vec[j] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(q.cvec) + 1), j ->
+        |      CAST(q.cvec[j] AS DOUBLE) * CAST(q.cvec[j] AS DOUBLE)))))
+        |      AS sim
+        |  FROM corpus c, q),
+        |best AS (
+        |  SELECT id, replayed, cid FROM (
+        |    SELECT id, replayed, cid,
+        |      row_number() OVER (PARTITION BY id
+        |        ORDER BY sim DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |stats AS (
+        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(CASE WHEN replayed THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_from_snapshot,
+        |    CAST(sum(CASE WHEN replayed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_from_replay
+        |  FROM best GROUP BY 1)
+        |SELECT CAST(q.cid AS BIGINT) AS cid,
+        |  coalesce(s.n_members, 0) AS n_members,
+        |  coalesce(s.sum_ids, 0) AS sum_ids,
+        |  coalesce(s.n_from_snapshot, 0) AS n_from_snapshot,
+        |  coalesce(s.n_from_replay, 0) AS n_from_replay
+        |FROM q LEFT JOIN stats s USING (cid)
         |ORDER BY cid""".stripMargin,
 
     "s16_nprobe_curve" ->

@@ -15,6 +15,28 @@ class MediaFingerprintSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getString(4), r.getLong(5))).toMap
 
+  test("every MJPG-routed bundled model has a declared pixel-twin pin") {
+    // ADVICE r14: the mm19/mm20/mm22 oracles expect an MJPG model's
+    // frame hashes to equal its raw pixel-twin's derived hashes
+    // (DuckDB cannot decode JPEG). An unpinned MJPG fixture would go
+    // red with a confusing zero-oracle-rows diff — this pin makes the
+    // failure mode a clear message at the declared home instead.
+    import org.apache.spark.sql.functions.col
+    val avi = graft.functions.Riff.withAviColumns(
+      graft.adsb.Meta.loadMediaFiles(spark, graft.adsb.Meta.mediaDir(),
+        "avi"))
+    val routed = avi.where(col("avi_ok") && col("avi_is_mjpg"))
+      .select(col("model")).collect().map(_.getString(0)).toSet
+    val bundled = avi.select(col("model")).collect()
+      .map(_.getString(0)).toSet
+    val pins = AdsbQueries.MjpegTwinPins.toMap
+    assert(routed === pins.keySet,
+      s"MJPG-routed models $routed must exactly match the declared " +
+        s"MjpegTwinPins keys ${pins.keySet} (AdsbQueries.MjpegTwinPins)")
+    pins.values.foreach(raw => assert(bundled.contains(raw),
+      s"MjpegTwinPins raw twin '$raw' is not a bundled AVI model"))
+  }
+
   test("perturbed audio near-dups are each other's nearest neighbor") {
     // ±1 on every 97th byte barely moves 64-sample energies: the
     // sign-of-delta bits are nearly unchanged
