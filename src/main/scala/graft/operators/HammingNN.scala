@@ -79,7 +79,13 @@ object HammingNN {
     // adaptive-threshold discipline as Similarity's blocked fallback
     val pairs =
       if (base.count() <= pairwiseLimit)
-        base.as("a").join(base.as("b"),
+        // explicit broadcast: the count just PROVED this side fits
+        // (≤ pairwiseLimit rows of key + 16 B), so the all-pairs
+        // join must plan as a broadcast nested loop regardless of
+        // what size the optimizer estimates for the checkpointed
+        // upstream (a CartesianProduct here would shuffle-split both
+        // sides for a join the branch exists to keep trivially small)
+        base.as("a").join(broadcast(base.as("b")),
             col("a.__k") =!= col("b.__k") && ok)
           .select(col("a.__k").as("__k"), col("b.__k").as("other"), ham)
       else {

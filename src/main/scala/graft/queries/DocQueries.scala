@@ -68,7 +68,7 @@ object DocQueries {
     }))
     root
   }
-  private def persistedIndex(s: SparkSession, key: String)(
+  private[queries] def persistedIndex(s: SparkSession, key: String)(
       build: String => Unit): String =
     idxMemo.computeIfAbsent((s, key), { _ =>
       val dir = idxTmpRoot.resolve(

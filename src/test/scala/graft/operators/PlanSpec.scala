@@ -151,6 +151,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("media plans contain no unpartitioned window at all") {
+    // round-15 (VERDICT r14 #3 done criterion): the catalog
+    // dictionaries were the one single-partition window idiom left in
+    // the media family — now distributed (Rank.globalRowNumber) and
+    // memoized behind a localCheckpoint, so every media consumer plan
+    // must be free of Exchange-SinglePartition windows entirely; the
+    // per-model windows (segmentation, shot detection) all carry a
+    // partitionSpec.
+    Seq("mm8_frame_sample", "mm15_video_neardup", "mm19_frame_phash",
+      "mm20_shot_medoids", "mm21_segment_neardup", "mm22_container_dup",
+      "mm23_signal_inventory").foreach { q =>
+      val exec = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val global = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$q plans ${global.size} unpartitioned window(s):\n" +
+          global.mkString("\n"))
+    }
+  }
+
   test("headline aggregations stay inside whole-stage codegen") {
     // AQE's wrapper hides codegen annotation in the plan string; the
     // non-adaptive physical plan marks codegen stages with "*(n)".
