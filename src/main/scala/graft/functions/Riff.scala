@@ -460,6 +460,52 @@ object Riff {
       ((format === 6 || format === 7) && bits === 8)) &&
       (channels === 1 || channels === 2)
 
+  /** Per-blob AUDIO codec classification (round-15, VERDICT r14 ask
+    * #4): the fail-closed gates rejected compressed audio SILENTLY —
+    * at crawl scale most audio is compressed, and those blobs
+    * vanished from the families with no per-blob reason. ONE
+    * classification home for the batch audit (mm18) and the
+    * streaming intake counters, over the [[withWavColumns]] header
+    * fields:
+    *  - `ok`: [[sampleFormatOk]] admits (integer PCM 8/16, G.711,
+    *    float32 — mono/stereo);
+    *  - `mp3_layer3`: format tag 0x0055 (MPEG Layer 3 in WAV);
+    *  - `unsupported_layout`: a codec this engine DOES decode, at a
+    *    bit depth / channel count it does not (24-bit PCM, 5.1);
+    *  - `unsupported_codec`: every other format tag (WMA, AAC,
+    *    ADPCM, float64, a lying EXTENSIBLE GUID, ...). */
+  def audioCodecReason(content: Column, fmtOff: Column, fmtBytes: Column,
+      format: Column, bits: Column, channels: Column): Column =
+    when(sampleFormatOk(content, fmtOff, fmtBytes, format, bits,
+      channels), lit("ok"))
+      .when(format === 85, lit("mp3_layer3"))
+      .when(fmtIsPcm(content, fmtOff, fmtBytes, format) ||
+        format === 3 || format === 6 || format === 7,
+        lit("unsupported_layout"))
+      .otherwise(lit("unsupported_codec"))
+
+  /** The H.264-family fourccs (hex of 'H264', 'h264', 'X264',
+    * 'avc1') — named because it is the highest-hit-rate reject class
+    * on a real crawl, so its reason code is its own. */
+  val H264FourccsHex: Seq[String] =
+    Seq("48323634", "68323634", "58323634", "61766331")
+
+  /** Per-blob VIDEO codec classification over the vids-strh
+    * fccHandler hex ([[withAviColumns]]'s `avi_vcodec_hex`): `ok`
+    * for raw frames (no handler / zero fourcc) and MJPG (the one
+    * compressed codec the engine decodes), `h264` for the
+    * H.264-family fourccs, `unsupported_codec` for the rest (VP9,
+    * HEVC, ... — an inter-frame decoder is out of engine scope;
+    * these stay fail-closed but VISIBLY so). */
+  def videoCodecReason(vcodecHex: Column): Column =
+    when(vcodecHex.isNull || vcodecHex === "00000000" ||
+      vcodecHex === MjpgFourccHex, lit("ok"))
+      .when(vcodecHex.isin(H264FourccsHex: _*), lit("h264"))
+      .otherwise(lit("unsupported_codec"))
+
+  /** hex('MJPG') — the codec-routing fourcc, one home. */
+  val MjpgFourccHex: String = "4D4A5047"
+
   /** 'RIFF' magic + the given form type ('WAVE', 'AVI ') — the
     * container admission precondition before any chunk walk. */
   def isRiffForm(content: Column, form: String): Column =

@@ -1350,7 +1350,16 @@ object AdsbQueries {
           // wav locates chunks, it demuxes nothing — the column
           // exists so the avi walk-cap audit (round-13) has one
           // schema across containers
-          ok(col("wav_ok"), lit(true)).as("demux_complete"))
+          ok(col("wav_ok"), lit(true)).as("demux_complete"),
+          // round-15 (VERDICT r14 ask #4): the codec verdict beside
+          // the structural one — a structurally-perfect MP3-in-WAV is
+          // `consistent` yet undecodable here, and it must say WHY
+          // instead of silently vanishing from the audio corpus
+          when(!col("wav_ok"), lit("unparsed"))
+            .otherwise(Riff.audioCodecReason(col("content"),
+              col("fmt_off"), col("fmt_bytes"), col("audio_format"),
+              col("bits_per_sample"), col("n_channels")))
+            .as("codec_reason"))
       val avi = Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(),
           "avi"))
         // structure = the shared walk gate (form + walked hdrl +
@@ -1402,7 +1411,14 @@ object AdsbQueries {
           // that reads a truncated list as "the chunks" would hide
           // exactly the incompleteness it exists to surface
           ok(col("structure_ok"),
-            col("avi_walk_complete")).as("demux_complete"))
+            col("avi_walk_complete")).as("demux_complete"),
+          // round-15 (VERDICT r14 ask #4): name the codec that made
+          // the frame families exclude this container — 'h264' is
+          // its own code (the highest-hit-rate reject class on a
+          // real crawl); raw and MJPG are 'ok'
+          when(!col("structure_ok"), lit("unparsed"))
+            .otherwise(Riff.videoCodecReason(col("avi_vcodec_hex")))
+            .as("codec_reason"))
       wav.unionByName(avi)
         .withColumn("consistent", col("structure_ok") &&
           col("riff_size_ok") && col("rate_ok") && col("payload_ok") &&
@@ -3185,7 +3201,23 @@ object AdsbQueries {
          |      ELSE false END AS rate_ok,
          |    CASE WHEN structure_ok THEN fits
          |      ELSE false END AS payload_ok,
-         |    structure_ok AS demux_complete
+         |    structure_ok AS demux_complete,
+         |    CASE WHEN NOT structure_ok THEN 'unparsed'
+         |      WHEN (((audio_format = 1 OR (audio_format = 65534
+         |          AND fmt_sz >= 40 AND fmt_off + 40 <= n_bytes
+         |          AND substr(hx, CAST((fmt_off + 24) * 2 + 1 AS BIGINT),
+         |            32) = '${graft.functions.Riff.SubformatPcmHex}'))
+         |          AND bits IN (8, 16))
+         |        OR (audio_format = 3 AND bits = 32)
+         |        OR (audio_format IN (6, 7) AND bits = 8))
+         |        AND n_channels IN (1, 2) THEN 'ok'
+         |      WHEN audio_format = 85 THEN 'mp3_layer3'
+         |      WHEN audio_format = 1 OR (audio_format = 65534
+         |          AND fmt_sz >= 40 AND fmt_off + 40 <= n_bytes
+         |          AND substr(hx, CAST((fmt_off + 24) * 2 + 1 AS BIGINT),
+         |            32) = '${graft.functions.Riff.SubformatPcmHex}')
+         |        OR audio_format IN (3, 6, 7) THEN 'unsupported_layout'
+         |      ELSE 'unsupported_codec' END AS codec_reason
          |  FROM hdrx),
          |$aviDemuxCtes,
          |avlen AS (
@@ -3219,7 +3251,7 @@ object AdsbQueries {
          |  LEFT JOIN avagg g USING (model)
          |  LEFT JOIN avmcap c USING (model)),
          |arows AS (
-         |  SELECT 'avi' AS container, model, n_bytes, structure_ok,
+         |  SELECT 'avi' AS container, p.model, n_bytes, structure_ok,
          |    CASE WHEN structure_ok THEN riff_bytes = n_bytes - 8
          |      ELSE false END AS riff_size_ok,
          |    CASE WHEN structure_ok THEN uspf > 0 AND dims_ok
@@ -3228,12 +3260,19 @@ object AdsbQueries {
          |      THEN nf = 0 OR n_fit = nf
          |      ELSE false END AS payload_ok,
          |    CASE WHEN structure_ok THEN walk_done
-         |      ELSE false END AS demux_complete
-         |  FROM avp),
+         |      ELSE false END AS demux_complete,
+         |    CASE WHEN NOT structure_ok THEN 'unparsed'
+         |      WHEN v.vcodec IS NULL OR v.vcodec = '00000000'
+         |        OR v.vcodec = '${graft.functions.Riff.MjpgFourccHex}'
+         |        THEN 'ok'
+         |      WHEN v.vcodec IN (${graft.functions.Riff.H264FourccsHex
+               .map(h => s"'$h'").mkString(", ")}) THEN 'h264'
+         |      ELSE 'unsupported_codec' END AS codec_reason
+         |  FROM avp p LEFT JOIN avvh v USING (model)),
          |allrows AS (
          |  SELECT * FROM wrows UNION ALL SELECT * FROM arows)
          |SELECT container, model, n_bytes, structure_ok, riff_size_ok,
-         |  rate_ok, payload_ok, demux_complete,
+         |  rate_ok, payload_ok, demux_complete, codec_reason,
          |  structure_ok AND riff_size_ok AND rate_ok AND payload_ok
          |    AND demux_complete AS consistent
          |FROM allrows ORDER BY container, model""".stripMargin,

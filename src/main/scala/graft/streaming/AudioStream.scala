@@ -42,13 +42,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object AudioStream {
 
-  /** Gate + cross-container dedup + day-partitioned sink for a stream
-    * of (media_id, content binary, ingest_ts) rows. */
-  def start(media: DataFrame, outDir: String, checkpoint: String,
-      maxBytes: Int = 10 << 20,
-      watermark: String = "10 minutes",
-      dropMostlySilent: Boolean = true): StreamingQuery = {
-    import graft.functions.{Pcm, Riff}
+  /** The shared intake CLASSIFICATION (round-15, VERDICT r14 ask #4
+    * — one home for the sink gate and the reject counter, so the
+    * two can never diverge): the walked container columns plus
+    * `container` (`wav` / `avi` / `pcm` admitted; `riff_rejected`
+    * dropped) and `reject_reason` — 'ok' for admitted rows; for a
+    * rejected RIFF blob the [[graft.functions.Riff]] codec codes
+    * (`mp3_layer3`, `h264`, `unsupported_codec`,
+    * `unsupported_layout`), `no_audio_stream` for a structurally
+    * fine video-only AVI, `unparsed` for a container the walk
+    * cannot read. Length/size gating stays in the callers (the
+    * counter must SEE oversize blobs; the sink must not). */
+  private[streaming] def classify(media: DataFrame): DataFrame = {
+    import graft.functions.Riff
     // RF64 is RIFF-family (round-14): an RF64-prefixed blob must go
     // through the container gates — falling through to "pcm" would
     // feed its header bytes into the energy math as samples
@@ -57,20 +63,15 @@ object AudioStream {
     // ONE gate shared with the batch parser (Riff.withWavColumns —
     // round-11: the duplicated header offsets are gone): the chunk
     // walk must find fmt + data, PLUS this stream's sample contract
-    // — PCM format 1 at 8 or 16 bits, mono or stereo (round-13,
-    // VERDICT r12 ask #1: container payloads CANONICALIZE onto the
-    // unsigned-8-mono stream the energy lattice runs on, via the
-    // same Pcm.canonical kernel the batch corpus uses); anything
-    // RIFF-prefixed that fails is a container this parser cannot
-    // read, and is DROPPED, never fed to the energy math as samples.
+    // — the shared sampleFormatOk admission (round-13/14 widenings
+    // included); anything RIFF-prefixed that fails is a container
+    // this parser cannot read, and is DROPPED, never fed to the
+    // energy math as samples.
     val wavOk = col("wav_ok") && col("wav_fits") &&
       Riff.sampleFormatOk(col("content"), col("fmt_off"),
         col("fmt_bytes"), col("audio_format"), col("bits_per_sample"),
         col("n_channels"))
-    Riff.withAviAudio(Riff.withWavColumns(media
-        .where(col("content").isNotNull &&
-          length(col("content")) >= 64 && // at least one 64-sample frame
-          length(col("content")) <= maxBytes)))
+    Riff.withAviAudio(Riff.withWavColumns(media))
       .withColumn("container",
         when(isRiff && wavOk, "wav")
           // the THIRD container (round-12): an interleaved AVI's
@@ -82,6 +83,60 @@ object AudioStream {
           .when(isRiff && col("avi_audio_ok"), "avi")
           .when(isRiff, "riff_rejected")
           .otherwise("pcm"))
+      .withColumn("reject_reason",
+        when(col("container") =!= "riff_rejected", lit("ok"))
+          // a walked WAV whose codec the engine cannot decode: name
+          // the codec (the mm18 codes, same classifier)
+          .when(col("wav_ok") && col("wav_fits"),
+            Riff.audioCodecReason(col("content"), col("fmt_off"),
+              col("fmt_bytes"), col("audio_format"),
+              col("bits_per_sample"), col("n_channels")))
+          // a structurally fine AVI that yields no admissible audio:
+          // if its VIDEO stream names a known compressed codec,
+          // that is the reason (the h264 crawl class); otherwise it
+          // simply carries no decodable audio stream
+          .when(col("avi_ok"),
+            when(Riff.videoCodecReason(col("avi_vcodec_hex")) =!= "ok",
+              Riff.videoCodecReason(col("avi_vcodec_hex")))
+              .otherwise(lit("no_audio_stream")))
+          .otherwise(lit("unparsed")))
+  }
+
+  /** Windowed intake REJECT COUNTERS — the visibility half of the
+    * fail-closed policy (round-15): every blob classifies through
+    * the SAME gates the sink uses, and (window, container, reason)
+    * counts land in a parquet sink — so the compressed-codec share
+    * of a crawl stops vanishing silently. Bounded state (watermarked
+    * window aggregate); counts emit when their window closes. */
+  def startIntakeCounter(media: DataFrame, outDir: String,
+      checkpoint: String, windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): StreamingQuery =
+    classify(media.where(col("content").isNotNull))
+      .select(col("ingest_ts"), col("container"), col("reject_reason"))
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), windowLen), col("container"),
+        col("reject_reason"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("container"),
+        col("reject_reason"), col("n"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** Gate + cross-container dedup + day-partitioned sink for a stream
+    * of (media_id, content binary, ingest_ts) rows. */
+  def start(media: DataFrame, outDir: String, checkpoint: String,
+      maxBytes: Int = 10 << 20,
+      watermark: String = "10 minutes",
+      dropMostlySilent: Boolean = true): StreamingQuery = {
+    import graft.functions.{Pcm, Riff}
+    classify(media
+        .where(col("content").isNotNull &&
+          length(col("content")) >= 64 && // at least one 64-sample frame
+          length(col("content")) <= maxBytes))
       .where(col("container") =!= "riff_rejected")
       .withColumn("payload",
         when(col("container") === "wav",

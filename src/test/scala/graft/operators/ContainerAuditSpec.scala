@@ -9,47 +9,68 @@ import graft.queries.AdsbQueries
 class ContainerAuditSpec extends SparkSpec {
 
   test("claim_j fails exactly the rate check; everything else passes") {
-    // (structure, riff_size, rate, payload, demux_complete, consistent)
+    // (structure, riff_size, rate, payload, demux_complete,
+    //  codec_reason, consistent)
     val rows = AdsbQueries.defs("mm18_container_audit")(spark, "unused")
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
-          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(9)),
+          r.getString(8)))
       .toMap
+    def checks(k: (String, String)) = rows(k)._1
+    def reason(k: (String, String)) = rows(k)._2
     // one row per bundled RIFF container
     assert(rows.keySet === Set(
       ("wav", "dialog_h_w"), ("wav", "chant_i"), ("wav", "claim_j"),
       ("wav", "dialog_h_16"), ("wav", "duet_s8"), ("wav", "organ_24"),
       ("wav", "hymn_x"), ("wav", "phone_u"), ("wav", "fax_a"),
-      ("wav", "bell_r64"), ("wav", "flute_f32"),
+      ("wav", "bell_r64"), ("wav", "flute_f32"), ("wav", "talk_mp3"),
       ("avi", "vid_scene_a"), ("avi", "vid_junk"), ("avi", "vid_pre"),
       ("avi", "vid_mix"), ("avi", "vid_talk"), ("avi", "vid_scene_b"),
       ("avi", "vid_duet"), ("avi", "vid_wall"),
       ("avi", "vid_mj"), ("avi", "vid_mj_raw"),
-      ("avi", "vid_duet_c")))
+      ("avi", "vid_duet_c"), ("avi", "vid_h264")))
     // the lying byte_rate: structure fine, size fine, payload fine,
     // rate WRONG, consistent false
-    assert(rows(("wav", "claim_j")) ===
+    assert(checks(("wav", "claim_j")) ===
       ((true, true, false, true, true, false)))
     // the interleaved fixture's two off-dims frames (17 B, 11 B vs
     // the declared 6x3): structurally valid and complete, but the
     // per-frame dims check flags it — visible, never hidden
-    assert(rows(("avi", "vid_mix")) ===
+    assert(checks(("avi", "vid_mix")) ===
       ((true, true, false, true, true, false)))
     // round-13 (ADVICE r12 #1): the 4102-sub-chunk movi hits the
     // 4096 walk cap — every per-chunk check that DID run passes, but
     // the walk cannot attest it saw every chunk: demux_complete
     // false, consistent false. The audit never reads a truncated
     // list as "the chunks".
-    assert(rows(("avi", "vid_wall")) ===
+    assert(checks(("avi", "vid_wall")) ===
       ((true, true, true, true, false, false)))
+    // round-15 (VERDICT r14 ask #4): the codec column NAMES what the
+    // fail-closed gates reject. talk_mp3 is structurally CONSISTENT
+    // (codec rejection is a different axis than header honesty);
+    // vid_h264's declared frames are honestly not demuxable as raw
+    // (payload_ok false) and its reason is the named 'h264' class.
+    assert(checks(("wav", "talk_mp3")) ===
+      ((true, true, true, true, true, true)))
+    assert(reason(("wav", "talk_mp3")) === "mp3_layer3")
+    assert(checks(("avi", "vid_h264")) ===
+      ((true, true, true, false, true, false)))
+    assert(reason(("avi", "vid_h264")) === "h264")
+    // a codec the engine decodes at an unsupported layout says so
+    assert(reason(("wav", "organ_24")) === "unsupported_layout")
+    // everything decodable — including MJPG — reads 'ok'
+    (rows.keySet -- Set(("wav", "talk_mp3"), ("wav", "organ_24"),
+      ("avi", "vid_h264")))
+      .foreach(k => assert(reason(k) === "ok", k.toString))
     // every honestly-built fixture is fully consistent — including
     // the round-13 16-bit/stereo/24-bit wavs (rate_ok's
     // block_align = channels·bits/8 identity covers all three)
     (rows.keySet -- Set(("wav", "claim_j"), ("avi", "vid_mix"),
-      ("avi", "vid_wall")))
+      ("avi", "vid_wall"), ("avi", "vid_h264")))
       .foreach { k =>
-        assert(rows(k) === ((true, true, true, true, true, true)),
+        assert(checks(k) === ((true, true, true, true, true, true)),
           k.toString)
       }
   }

