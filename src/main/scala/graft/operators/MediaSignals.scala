@@ -177,6 +177,91 @@ object MediaSignals {
     writeTable(segs, segCols, s"$path/segs", "append")
   }
 
+  /** mm22's containment PAIR LEG over a (model, h1, h2) signature
+    * frame — ONE home (round-15) shared by the batch verdict table
+    * and the streaming matcher, so the hot cap (64) and the ppm cut
+    * can never drift between them: hot signatures drop from both
+    * intersection and sizes, pairs materialize only through shared
+    * signatures (inverted-index equi-join, never all-pairs), and
+    * containment = 10⁶·|∩| / min(|A|,|B|). */
+  def containmentLeg(sigs0: DataFrame, shared: String,
+      cont: String): DataFrame = {
+    // share the SIGNATURE frame, not the hot-filtered one: the
+    // hot-set aggregation and the anti-join both consume it
+    val sigs = Dedup.share(sigs0)
+    val hot = sigs.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 64)
+      .select(col("h1"), col("h2"))
+    val kept = sigs.join(hot, Seq("h1", "h2"), "left_anti")
+    val sizes = kept.groupBy(col("model"))
+      .agg(count(lit(1)).as("_ns"))
+    kept.select(col("model").as("model_a"), col("h1"), col("h2"))
+      .join(kept.select(col("model").as("model_b"), col("h1"),
+        col("h2")), Seq("h1", "h2"))
+      .where(col("model_a") < col("model_b"))
+      .groupBy(col("model_a"), col("model_b"))
+      .agg(count(lit(1)).as(shared))
+      .join(sizes.select(col("model").as("model_a"),
+        col("_ns").as("_na")), Seq("model_a"))
+      .join(sizes.select(col("model").as("model_b"),
+        col("_ns").as("_nb")), Seq("model_b"))
+      .select(col("model_a"), col("model_b"), col(shared),
+        expr(s"(1000000L * $shared) div least(_na, _nb)").as(cont))
+  }
+
+  /** The mm22 verdict merge: full-outer the two modality legs and
+    * class each pair at the 10⁶ containment cut. Unordered — callers
+    * add their presentation sort. */
+  def verdictMerge(vleg: DataFrame, aleg: DataFrame): DataFrame =
+    vleg.join(aleg, Seq("model_a", "model_b"), "full_outer")
+      .select(col("model_a"), col("model_b"),
+        coalesce(col("v_shared"), lit(0L)).as("v_shared"),
+        coalesce(col("v_cont_ppm"), lit(0L)).as("v_cont_ppm"),
+        coalesce(col("a_shared"), lit(0L)).as("a_shared"),
+        coalesce(col("a_cont_ppm"), lit(0L)).as("a_cont_ppm"))
+      .withColumn("verdict",
+        when(col("v_cont_ppm") === 1000000L &&
+          col("a_cont_ppm") === 1000000L, "full_dup")
+          .when(col("v_cont_ppm") === 1000000L, "video_only_dup")
+          .when(col("a_cont_ppm") === 1000000L, "audio_only_dup")
+          .otherwise("related"))
+
+  /** Match a NEW batch of containers' signals against the store —
+    * the d10 `matchNew` shape at the container grain (round-15,
+    * VERDICT r14 stretch #7): verdict rows for every pair involving
+    * at least one batch container, computed over store ∪ batch so
+    * the hot-signature sets (and therefore every number) equal what
+    * the batch mm22 table reports for the same total corpus —
+    * batch-replay ≡ at-rest, spec-pinned. Batch models collect to
+    * the driver for the pair filter: a micro-batch holds a bounded
+    * number of CONTAINERS (not signals), the same size class as the
+    * d10 batch-id set. Batch models must be disjoint from stored
+    * models (the [[append]] contract — match, then append). */
+  def matchVerdicts(spark: SparkSession, path: String,
+      newFrames: DataFrame, newSegs: DataFrame): DataFrame = {
+    requireMeta(spark, path, "match")
+    val vSigs = frames(spark, path)
+      .select(col("model"), col("ahash_hi").as("h1"),
+        col("ahash_lo").as("h2"))
+      .unionByName(newFrames.select(col("model"),
+        col("ahash_hi").as("h1"), col("ahash_lo").as("h2")))
+      .distinct()
+    val aSigs = segs(spark, path)
+      .select(col("model"), col("fp_hi").as("h1"),
+        col("fp_lo").as("h2"))
+      .unionByName(newSegs.select(col("model"),
+        col("fp_hi").as("h1"), col("fp_lo").as("h2")))
+      .distinct()
+    val nm = newFrames.select(col("model"))
+      .unionByName(newSegs.select(col("model"))).distinct()
+      .collect().map(_.getString(0))
+    verdictMerge(
+      containmentLeg(vSigs, "v_shared", "v_cont_ppm"),
+      containmentLeg(aSigs, "a_shared", "a_cont_ppm"))
+      .where(col("model_a").isin(nm: _*) || col("model_b").isin(nm: _*))
+      .orderBy(col("model_a"), col("model_b"))
+  }
+
   /** The persisted frame-hash lattice (mm19 grain). */
   def frames(spark: SparkSession, path: String): DataFrame = {
     requireMeta(spark, path, "read")

@@ -125,7 +125,13 @@ object AdsbQueries {
     * every consumer alike. Then every declared frame's payload must
     * fit in the blob. */
   private def aviAdmitted(s: SparkSession): DataFrame =
-    Riff.withAviColumns(Meta.loadMediaFiles(s, Meta.mediaDir(), "avi"))
+    aviAdmittedOf(Meta.loadMediaFiles(s, Meta.mediaDir(), "avi"))
+
+  /** [[aviAdmitted]] over an arbitrary (model, content) blob frame —
+    * generalized round-15 so the streaming dup-verdict leg derives
+    * the SAME lattice from its micro-batches. */
+  private[graft] def aviAdmittedOf(blobs: DataFrame): DataFrame =
+    Riff.withAviColumns(blobs)
       .where(col("avi_ok"))
       // codec-routed frames (round-14): MJPG videos carry their
       // JPEG frames in 00dc sub-chunks (`avi_frames` routes on the
@@ -256,9 +262,18 @@ object AdsbQueries {
     * length class (a flat contour of any span is all-zero bits, so
     * without the length word every flat burst would collide at
     * hamming 0). */
-  private def audioSegFingerprints(s: SparkSession): DataFrame = {
+  private[graft] def audioSegFingerprints(s: SparkSession): DataFrame =
+    graft.operators.Dedup.share(
+      segFingerprintsOfCanonical(audioPcmBlobs(s)))
+
+  /** The segment-fingerprint derivation over an arbitrary CANONICAL
+    * (model, content, length) blob frame (unsigned-8 mono samples —
+    * [[graft.functions.Pcm]]'s canonical stream) — the ingest kernel
+    * the streaming dup-verdict leg shares with the batch build path. */
+  private[graft] def segFingerprintsOfCanonical(
+      canon: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fx = audioPcmBlobs(s)
+    val fx = canon
       .withColumn("n_frames", floor(col("length") / 64).cast("int"))
       .where(col("n_frames") >= 1)
       .withColumn("energies", graft.functions.FrameSums.frameEnergies(
@@ -269,7 +284,7 @@ object AdsbQueries {
       .withColumn("is_silent", col("energy") < 4096L)
     val byFrame = Window.partitionBy(col("model"))
       .orderBy(col("frame_idx"))
-    graft.operators.Dedup.share(fx
+    (fx
       .withColumn("sil_prefix",
         sum(when(col("is_silent"), 1L).otherwise(0L)).over(byFrame))
       .where(!col("is_silent"))
@@ -423,9 +438,16 @@ object AdsbQueries {
     * the at-rest [[graft.operators.MediaSignals]] store: ingest
     * derives these once, every composite consumer (mm22, streaming
     * verdicts) serves from the persisted table. */
-  private def mm19FrameHashes(s: SparkSession): DataFrame = {
+  private def mm19FrameHashes(s: SparkSession): DataFrame =
+    frameHashesOf(Meta.loadMediaFiles(s, Meta.mediaDir(), "avi"))
+
+  /** The frame-hash derivation over an arbitrary (model, content)
+    * blob frame — the ingest kernel the streaming dup-verdict leg
+    * shares with the batch build path (bit-identical by
+    * construction: same admission, same decode, same grid). */
+  private[graft] def frameHashesOf(blobs: DataFrame): DataFrame = {
     import graft.functions.BmpAHash
-    val hashed0 = aviAdmitted(s)
+    val hashed0 = aviAdmittedOf(blobs)
       .select(col("model"), transform(col("dbs"), pk => {
         val off = shiftrightunsigned(pk, 32)
         val sz = pk.bitwiseAND(lit(4294967295L))
@@ -1099,52 +1121,17 @@ object AdsbQueries {
     // (vid_mj, vid_mj_raw) video_only_dup, the dialog trio
     // audio_only_dup.
     "mm22_container_dup" -> ((s, _) => {
-      def pairLeg(sigs0: DataFrame, shared: String,
-          cont: String): DataFrame = {
-        // share the SIGNATURE frame, not the hot-filtered one: the
-        // hot-set aggregation and the anti-join both consume it —
-        // one store read serves both
-        val sigs = graft.operators.Dedup.share(sigs0)
-        val hot = sigs.groupBy(col("h1"), col("h2"))
-          .agg(count(lit(1)).as("_n")).where(col("_n") > 64)
-          .select(col("h1"), col("h2"))
-        val kept = sigs.join(hot, Seq("h1", "h2"), "left_anti")
-        val sizes = kept.groupBy(col("model"))
-          .agg(count(lit(1)).as("_ns"))
-        kept.select(col("model").as("model_a"), col("h1"), col("h2"))
-          .join(kept.select(col("model").as("model_b"), col("h1"),
-            col("h2")), Seq("h1", "h2"))
-          .where(col("model_a") < col("model_b"))
-          .groupBy(col("model_a"), col("model_b"))
-          .agg(count(lit(1)).as(shared))
-          .join(sizes.select(col("model").as("model_a"),
-            col("_ns").as("_na")), Seq("model_a"))
-          .join(sizes.select(col("model").as("model_b"),
-            col("_ns").as("_nb")), Seq("model_b"))
-          .select(col("model_a"), col("model_b"), col(shared),
-            expr(s"(1000000L * $shared) div least(_na, _nb)").as(cont))
-      }
+      import graft.operators.MediaSignals
       val store = mediaSignalsPath(s)
-      val vleg = pairLeg(graft.operators.MediaSignals.frames(s, store)
-        .select(col("model"), col("ahash_hi").as("h1"),
-          col("ahash_lo").as("h2")).distinct(),
-        "v_shared", "v_cont_ppm")
-      val aleg = pairLeg(graft.operators.MediaSignals.segs(s, store)
-        .select(col("model"), col("fp_hi").as("h1"),
-          col("fp_lo").as("h2")).distinct(),
-        "a_shared", "a_cont_ppm")
-      vleg.join(aleg, Seq("model_a", "model_b"), "full_outer")
-        .select(col("model_a"), col("model_b"),
-          coalesce(col("v_shared"), lit(0L)).as("v_shared"),
-          coalesce(col("v_cont_ppm"), lit(0L)).as("v_cont_ppm"),
-          coalesce(col("a_shared"), lit(0L)).as("a_shared"),
-          coalesce(col("a_cont_ppm"), lit(0L)).as("a_cont_ppm"))
-        .withColumn("verdict",
-          when(col("v_cont_ppm") === 1000000L &&
-            col("a_cont_ppm") === 1000000L, "full_dup")
-            .when(col("v_cont_ppm") === 1000000L, "video_only_dup")
-            .when(col("a_cont_ppm") === 1000000L, "audio_only_dup")
-            .otherwise("related"))
+      MediaSignals.verdictMerge(
+        MediaSignals.containmentLeg(MediaSignals.frames(s, store)
+          .select(col("model"), col("ahash_hi").as("h1"),
+            col("ahash_lo").as("h2")).distinct(),
+          "v_shared", "v_cont_ppm"),
+        MediaSignals.containmentLeg(MediaSignals.segs(s, store)
+          .select(col("model"), col("fp_hi").as("h1"),
+            col("fp_lo").as("h2")).distinct(),
+          "a_shared", "a_cont_ppm"))
         .orderBy(col("model_a"), col("model_b"))
     }),
 

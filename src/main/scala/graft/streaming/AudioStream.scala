@@ -126,26 +126,33 @@ object AudioStream {
       .outputMode("append")
       .start()
 
+  /** The CANONICAL sample stream of a [[classify]]-ed admitted row —
+    * the unsigned-8-mono payload every consumer (energy lattice,
+    * segment fingerprints, dedup key) runs on. One home with the
+    * batch corpus' Pcm.pcmCanonical kernel. */
+  private[streaming] def canonicalPayload: org.apache.spark.sql.Column = {
+    import graft.functions.{Pcm, Riff}
+    when(col("container") === "wav",
+      Pcm.pcmCanonical(Riff.wavPayload, col("audio_format"),
+        col("bits_per_sample"), col("n_channels")))
+      .when(col("container") === "avi",
+        Pcm.pcmCanonical(col("avi_audio"), col("avi_audio_format"),
+          col("avi_audio_bits"), col("avi_audio_channels")))
+      .otherwise(col("content"))
+  }
+
   /** Gate + cross-container dedup + day-partitioned sink for a stream
     * of (media_id, content binary, ingest_ts) rows. */
   def start(media: DataFrame, outDir: String, checkpoint: String,
       maxBytes: Int = 10 << 20,
       watermark: String = "10 minutes",
       dropMostlySilent: Boolean = true): StreamingQuery = {
-    import graft.functions.{Pcm, Riff}
     classify(media
         .where(col("content").isNotNull &&
           length(col("content")) >= 64 && // at least one 64-sample frame
           length(col("content")) <= maxBytes))
       .where(col("container") =!= "riff_rejected")
-      .withColumn("payload",
-        when(col("container") === "wav",
-          Pcm.pcmCanonical(Riff.wavPayload, col("audio_format"),
-            col("bits_per_sample"), col("n_channels")))
-          .when(col("container") === "avi",
-            Pcm.pcmCanonical(col("avi_audio"), col("avi_audio_format"),
-              col("avi_audio_bits"), col("avi_audio_channels")))
-          .otherwise(col("content")))
+      .withColumn("payload", canonicalPayload)
       .where(length(col("payload")) >= 64)
       .withColumn("energies", graft.functions.FrameSums.frameEnergies(
         col("payload"), lit(0), lit(64)))

@@ -56,6 +56,46 @@ object MediaStream {
     * before it is a pure projection, so the shuffle carries only
     * already-gated rows.
     */
+  /** ONLINE container-dup verdicts (round-15, VERDICT r14 stretch
+    * #7): per micro-batch, derive each ingested container's
+    * perceptual signals with the SAME kernels the batch build path
+    * uses (the mm19 frame-hash lattice; the mm21 segment
+    * fingerprints over the canonical audio stream) and match them
+    * against the at-rest [[graft.operators.MediaSignals]] store —
+    * the d10 `matchNew` shape at the container grain. Emits
+    * mm22-class verdict rows for every pair involving a batch
+    * container; `MediaSignals.matchVerdicts` computes over
+    * store ∪ batch, so a batch-replay of the stream equals the
+    * at-rest mm22 table for the same total corpus (spec-pinned).
+    * Each epoch OVERWRITEs `outDir/batch_id=N` — idempotent replay
+    * (the foreachBatch convention). Matching is read-only; appending
+    * the batch's signals to the store stays the ingest pipeline's
+    * separate (validated) `MediaSignals.append` step. */
+  def startDupVerdicts(media: DataFrame, storePath: String,
+      outDir: String, checkpoint: String): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val blobs = batch
+          .select(col("media_id").cast("string").as("model"),
+            col("content"))
+          .persist()
+        try {
+          val fr = graft.queries.AdsbQueries.frameHashesOf(blobs)
+          val canon = AudioStream.classify(blobs)
+            .where(col("container") =!= "riff_rejected")
+            .withColumn("payload", AudioStream.canonicalPayload)
+            .select(col("model"), col("payload").as("content"),
+              length(col("payload")).cast("long").as("length"))
+          val sg = graft.queries.AdsbQueries
+            .segFingerprintsOfCanonical(canon)
+          graft.operators.MediaSignals.matchVerdicts(
+              batch.sparkSession, storePath, fr, sg)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        } finally { blobs.unpersist(blocking = false); () }
+      }
+      .start()
+
   def start(media: DataFrame, outDir: String, checkpoint: String,
       maxBytes: Int = 10 << 20,
       watermark: String = "10 minutes",
