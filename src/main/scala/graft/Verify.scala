@@ -37,6 +37,7 @@ object Verify {
     // Optional extra args: run only these query names (iteration aid;
     // the driver passes none and gets the full dump).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -50,8 +51,9 @@ object Verify {
         // is acceptable at the sf0.01 gate scale.
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        timings(name) = (System.nanoTime() - t0) / 1e9
         System.err.println(
-          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          f"[verify] $name ok in ${timings(name)}%.1fs")
       } catch { case e: Throwable =>
         // A throwing query must stay VISIBLE in the round artifact: a
         // skipped dump would silently vanish from the driver's compare
@@ -92,6 +94,14 @@ object Verify {
     // to the `_error` markers' suspenders.
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    // Per-query wall seconds (round-15, VERDICT r14 #5): the raw half
+    // of the round's verify manifest — tools/check.py merges its
+    // ok/rows verdicts with these into verify_manifest.json, so the
+    // round's hard correctness signal survives a driver artifact
+    // hiccup (CORRECTNESS_r14.json landed empty).
+    Files.writeString(Paths.get(s"$outDir/verify_timings.json"),
+      timings.map { case (k, v) => s"${q(k)}: ${"%.2f".format(v)}" }
         .mkString("{", ",", "}"))
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +

@@ -42,16 +42,23 @@ def normalize(df):
     return rows
 
 
-def main(sf_dir, out_dir, only):
+def main(sf_dir, out_dir, only, manifest=None, sf_label=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        timings = json.load(open(f"{out_dir}/verify_timings.json"))
+    except Exception:
+        timings = {}
+    results = {}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        results[name] = {"ok": False, "rows": 0,
+                         "seconds": timings.get(name)}
         try:
             mine = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -82,10 +89,33 @@ def main(sf_dir, out_dir, only):
             n_bad += 1
         else:
             print(f"OK   {name} ({len(a)} rows)")
+            results[name] = {"ok": True, "rows": len(a),
+                             "seconds": timings.get(name)}
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
+    if manifest:
+        # round-close manifest (VERDICT r14 #5): merge this run's
+        # verdicts into {sf_label: {query: {ok, rows, seconds}}} so the
+        # round's hard correctness signal is a committed artifact
+        try:
+            existing = json.load(open(manifest))
+        except Exception:
+            existing = {}
+        existing[sf_label or sf_dir] = results
+        json.dump(existing, open(manifest, "w"), indent=1, sort_keys=True)
+        print(f"manifest -> {manifest}")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
+    args = sys.argv[1:]
+    manifest = sf_label = None
+    if "--manifest" in args:
+        i = args.index("--manifest")
+        manifest = args[i + 1]
+        del args[i:i + 2]
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_label = args[i + 1]
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], set(args[2:]), manifest, sf_label))
