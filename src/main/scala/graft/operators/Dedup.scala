@@ -604,16 +604,23 @@ object Dedup {
       idCol.as("id"),
       explode(array_distinct(split(textCol, " "))).as("tok"))
     val hashed = tok.select(col("id"), phash(col("tok"), 0).as("h"))
-    // shiftright with a non-literal shift needs the SQL form.
-    val bits = hashed
-      .select(col("id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .select(col("id"), col("bit"),
-        when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1).as("w"))
-    bits.groupBy("id", "bit")
-      .agg(sum(col("w")).as("s"))
-      .groupBy("id")
-      .agg(sum(
-        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
-          .otherwise(0L)).as("simhash"))
+    // COLUMNAR bit-majority (round-15, the minhashMinColumns idiom):
+    // the 60 per-bit ±1 sums are 60 aggregate COLUMNS of one map-side
+    // combinable groupBy(id), not 60 exploded rows per token feeding
+    // a (id, bit) exchange and a second groupBy(id) — the row variant
+    // shuffled 60× the token count and paid two exchanges; this
+    // shuffles one 60-long buffer per id through one. The sums are
+    // the same integers in the same ±1 arithmetic, so the fingerprint
+    // (and the DuckDB oracle, which keeps the row form) is bit-exact.
+    val sums = (0 until 60).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    hashed.groupBy("id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 60).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 }

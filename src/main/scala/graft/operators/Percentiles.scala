@@ -34,13 +34,25 @@ object Percentiles {
       if (pct.scale <= 0) s"p${pct.toBigInteger}"
       else ("p" + pct.toPlainString).replace('.', '_')
     }
-    def pct(q: Double): Column =
-      if (exact) percentile(valueCol, lit(q))
-      else percentile_approx(valueCol, lit(q), lit(accuracy))
-    val aggs = quantiles.map(q => round(pct(q), roundDigits).as(name(q))) :+
-      count(lit(1)).as("n")
-    df.groupBy(groupCol)
-      .agg(aggs.head, aggs.tail: _*)
-      .orderBy(groupCol)
+    // ONE holistic buffer for ALL quantiles (round-15): percentile /
+    // approx_percentile accept an ARRAY of percentages and compute
+    // every quantile from a single per-group value buffer — the
+    // per-quantile form built (and sorted) one full buffer PER
+    // quantile, so k quantiles paid k× the dominant memory and sort
+    // cost. Same function, same interpolation on the same sorted
+    // values: results are bit-identical.
+    val pcts = array(quantiles.map(lit): _*)
+    val qsCol =
+      if (exact) percentile(valueCol, pcts)
+      else percentile_approx(valueCol, pcts, lit(accuracy))
+    val named = quantiles.zipWithIndex.map { case (q, i) =>
+      round(col("_qs").getItem(i), roundDigits).as(name(q))
+    }
+    val grouped = df.groupBy(groupCol)
+      .agg(qsCol.as("_qs"), count(lit(1)).as("n"))
+    val groupName = grouped.columns.head
+    grouped
+      .select(col(groupName) +: named :+ col("n"): _*)
+      .orderBy(col(groupName))
   }
 }
