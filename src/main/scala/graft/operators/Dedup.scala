@@ -508,12 +508,24 @@ object Dedup {
     // filter-count over the freshly checkpointed round state.
     val parts = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
+    // Round-15 prologue diet: both directions come from ONE explode
+    // over the pair stream — the union form referenced `pairs` twice,
+    // so an un-materialized caller pipeline (d7/d8/d18/p8/p17 all
+    // pass the live verify pipeline) executed once per direction —
+    // and the defensive `distinct()` shuffle is gone: min-label
+    // propagation is duplicate-insensitive (every per-round operator
+    // is a min/max over neighbors, and the convergence count rides a
+    // per-id aggregate), so duplicate edges can change cost, never
+    // labels — and every current caller passes already-distinct
+    // (id_a < id_b) pairs, whose two orientations are disjoint by
+    // construction.
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
-      .distinct()
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("src"),
+          col("id_b").cast("long").as("dst")),
+        struct(col("id_b").cast("long").as("src"),
+          col("id_a").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(parts, col("dst"))
       .localCheckpoint(true)
     // seed with min(self, neighbors) — the state identity labels reach

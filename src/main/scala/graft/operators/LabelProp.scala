@@ -139,18 +139,22 @@ object LabelProp {
     var e = undirect(edges).repartition(parts, col("src"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      // keep is NOT checkpointed (round-15): its two join legs are
+      // canonically identical aggregates over the checkpointed e, so
+      // exchange/broadcast reuse computes the survivor set once per
+      // round inside next's own job — the separate eager
+      // materialization was one extra job per round for a frame next
+      // immediately re-read.
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
         .where(col("dg") >= k).select(col("src").as("kid"))
-        .localCheckpoint(true)
       val next = e.join(keep.withColumnRenamed("kid", "src"), Seq("src"))
         .join(keep.withColumnRenamed("kid", "dst"), Seq("dst"))
         .select(col("src"), col("dst"))
         .repartition(parts, col("src"))
         .localCheckpoint(true)
-      // next is materialized: the round's survivor list and the
-      // superseded edge set reclaim now (ADVICE r9) — only the FINAL
-      // e stays, the returned plan reads it lazily
-      Bridge.unpersistCheckpoint(keep)
+      // next is materialized: the superseded edge set reclaims now
+      // (ADVICE r9) — only the FINAL e stays, the returned plan reads
+      // it lazily
       Bridge.unpersistCheckpoint(e)
       e = next
     }

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * (topN + selectK·topN² rows per query), never the corpus; the
   * corpus-sized work happened upstream in the candidate generator
   * (s1 brute force, or any ANN index — the operator only sees
-  * candidate frames). Each round eagerly localCheckpoints the two
-  * tiny loop frames (the [[Dedup.connectedComponents]] convention):
-  * plan depth stays O(1) and the candidate generator is never
-  * re-executed by the loop's growing lineage.
+  * candidate frames). Each round eagerly localCheckpoints the
+  * selected set (the [[Dedup.connectedComponents]] convention): plan
+  * depth stays O(1) and the candidate generator is never re-executed
+  * by the loop's growing lineage; the remaining set is derived per
+  * round from the checkpointed inputs (c0 anti selected) rather than
+  * carrying its own materialization.
   *
   * Engine-exactness: rel/pair similarities arrive ROUNDED (5 digits)
   * from the candidate builder; the marginal score is then a fixed
@@ -56,10 +58,15 @@ object Mmr {
       .select(col("qid"), col("vec_id"), lit(1L).as("mmr_rank"),
         round(col("sim"), roundDigits).as("mmr_score"))
       .localCheckpoint(true)
-    var remaining = c0.join(selected.select(col("qid"), col("vec_id")),
-        Seq("qid", "vec_id"), "left_anti")
-      .localCheckpoint(true)
     for (it <- 2 to selectK) {
+      // remaining is DERIVED per round (round-15): c0 anti the
+      // cumulative selected set — by induction identical to the
+      // incrementally-maintained frame this replaces, but both inputs
+      // are already-checkpointed RDDs, so the anti-join folds into
+      // the round's one job instead of paying its own
+      // materialization job per round (2 checkpoints/round → 1).
+      val remaining = c0.join(selected.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
       val psR = ps.select(col("qid").as("_pqid"), col("id_a"),
         col("id_b"), col("psim"))
       val mx = remaining
@@ -89,9 +96,6 @@ object Mmr {
         .select(col("qid"), col("vec_id"), lit(it.toLong).as("mmr_rank"),
           round(col("_score"), roundDigits).as("mmr_score"))
       selected = selected.unionByName(pick).localCheckpoint(true)
-      remaining = remaining.join(pick.select(col("qid"), col("vec_id")),
-          Seq("qid", "vec_id"), "left_anti")
-        .localCheckpoint(true)
     }
     selected.orderBy(col("qid"), col("mmr_rank"))
   }

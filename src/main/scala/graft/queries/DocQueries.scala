@@ -2441,22 +2441,28 @@ object DocQueries {
       import graft.functions.PortableHash.phashCol
       val depth = 4; val width = 1024
       val rows = array((0 until depth).map(lit): _*)
-      // share()d (round-12, VERDICT r11 "what's wrong" #1): the
-      // exploded token stream feeds BOTH the x4-exploded counter
-      // build and the exact twin — unshared, each branch re-split
-      // and re-exploded the whole corpus text (the scan-budget rule)
-      val toks = Dedup.share(docs(s, dir)
+      // Round-15 rewrite: the counters derive from the exact per-token
+      // counts the DECLARED query computes anyway — Σ count(tok) per
+      // (row, bucket) is bit-identical to counting occurrences per
+      // bucket, so the d·|occurrences| md5 row-hash pass and its
+      // 4-way explode of the full token stream collapse to d·|vocab|,
+      // and the token stream loses its cache (its only consumer left
+      // is the one map-side-combinable count groupBy). The bucketed
+      // vocab frame is share()d: it feeds both the counter build and
+      // the estimate join. At 100 TB WITHOUT the exact twin, counters
+      // build straight off occurrences map-side exactly as before —
+      // this reuse exists because the declared query carries `exact`.
+      val toks = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
-        .where(length(col("tok")) > 0))
-      val counters = toks
-        .select(explode(rows).as("r"), col("tok"))
-        .select(col("r"), (phashCol(col("tok"), col("r")) % width).as("b"))
-        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+        .where(length(col("tok")) > 0)
       val exactCnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
-      exactCnt
+      val bucketed = Dedup.share(exactCnt
         .select(col("tok"), col("exact"), explode(rows).as("r"))
         .select(col("tok"), col("exact"), col("r"),
-          (phashCol(col("tok"), col("r")) % width).as("b"))
+          (phashCol(col("tok"), col("r")) % width).as("b")))
+      val counters = bucketed.groupBy(col("r"), col("b"))
+        .agg(sum(col("exact")).as("c"))
+      bucketed
         .join(broadcast(counters), Seq("r", "b"))
         .groupBy(col("tok"), col("exact"))
         .agg(min(col("c")).as("est"))
