@@ -312,10 +312,43 @@ object Ivf {
   }
 
   /** Rebuild the driver-side codebook from a [[persist]]ed index's
-    * quantizer sidecar (norms recomputed — they are derived data). */
+    * quantizer sidecar (norms recomputed — they are derived data).
+    *
+    * Memoized per quantizer directory, keyed by the directory's FILE
+    * LISTING signature (sorted name:length:mtime — round-15): the
+    * sidecar is index METADATA read by every serve call, and the
+    * parquet read + collect was a full driver job per search. The
+    * listing key makes the memo SELF-INVALIDATING against every
+    * mutation path — [[persist]] overwrites and the
+    * [[IndexMaintenance]] rebuild/swap machinery stage-renames, and
+    * parquet part files carry fresh UUID names on any rewrite, so a
+    * swapped quantizer can never serve a stale codebook (the s19
+    * continuity property RebuildSpec pins). A listing failure falls
+    * back to the direct read, which surfaces the real error. */
+  private val codebookMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(Int, Array[Float], Double)])]()
   def loadCodebook(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[(Int, Array[Float], Double)] =
-    collectCodebook(spark.read.parquet(quantizerPath(path)))
+      path: String): Array[(Int, Array[Float], Double)] = {
+    val qp = quantizerPath(path)
+    val sig =
+      try {
+        val p = new org.apache.hadoop.fs.Path(qp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).map(s =>
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString("|")
+      } catch { case _: Throwable => null }
+    if (sig == null) collectCodebook(spark.read.parquet(qp))
+    else {
+      val cached = codebookMemo.get(qp)
+      if (cached != null && cached._1 == sig) cached._2
+      else {
+        val cb = collectCodebook(spark.read.parquet(qp))
+        codebookMemo.put(qp, (sig, cb))
+        cb
+      }
+    }
+  }
 
   /** [[searchPersisted]] with the codebook loaded from the sidecar —
     * the fresh-session entry point: everything needed to serve the

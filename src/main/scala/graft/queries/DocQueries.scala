@@ -2322,7 +2322,10 @@ object DocQueries {
     }),
 
     "d16_threshold_sweep" -> ((s, dir) => {
-      val pairs = verifiedPairs(docs(s, dir))
+      // share()d (round-15): the threshold-exploded frame feeds BOTH
+      // the pair-count and the distinct-doc branches — unshared, each
+      // re-executed the whole candidate+verify join tail
+      val pairs = Dedup.share(verifiedPairs(docs(s, dir)))
       val e = pairs.select(col("id_a"), col("id_b"), col("jaccard"),
           explode(typedlit((2 to 9).map(_.toLong))).as("threshold_x10"))
         .where(col("jaccard") >=
@@ -2381,9 +2384,13 @@ object DocQueries {
       import graft.functions.PortableHash.phash
       val sh = Dedup.share(Dedup.shingleRows(
         docs(s, dir), col("doc_id"), col("text"), n = 3))
-      val cands = Dedup.minhashCandidatesFromShingles(sh,
-        numHashes = 16, bands = 4)
-      val sig = Dedup.minhashMinColumns(sh, 16)
+      // round-15 shares: cands feeds the estimate AND exact-intersect
+      // branches, sig both signature sides, shd three consumers (two
+      // co legs + sizes) — unshared, each reference re-executed its
+      // pipeline tail
+      val cands = Dedup.share(Dedup.minhashCandidatesFromShingles(sh,
+        numHashes = 16, bands = 4))
+      val sig = Dedup.share(Dedup.minhashMinColumns(sh, 16))
       val sigA = sig.select(col("id").as("id_a") +:
         (0 until 16).map(k => col(s"mh$k").as(s"a$k")): _*)
       val sigB = sig.select(col("id").as("id_b") +:
@@ -2393,7 +2400,8 @@ object DocQueries {
           (0 until 16).map(k =>
             when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
             .reduce(_ + _).as("est16"))
-      val shd = sh.select(col("id"), phash(col("sh"), 0).as("h")).distinct()
+      val shd = Dedup.share(
+        sh.select(col("id"), phash(col("sh"), 0).as("h")).distinct())
       val sizes = shd.groupBy("id").agg(count(lit(1)).as("n_sh"))
       val co = cands
         .join(shd.as("ca"), col("id_a") === col("ca.id"))
@@ -2486,10 +2494,16 @@ object DocQueries {
     // NULL metrics via the left joins.
     "t26_repetition_profile" -> ((s, dir) => {
       import graft.functions.PortableHash.phash
-      val d = docs(s, dir)
+      // ONE corpus scan (round-15): the token arrays split once and
+      // share() — the three gram passes and the n_tok projection all
+      // explode off the cached arrays instead of four scan+split
+      // passes over the corpus text
+      val tk = Dedup.share(docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks")))
       def gramCnt(n: Int): DataFrame =
-        Dedup.shingleRows(d, col("doc_id"), col("text"), n)
-          .select(col("id").as("doc_id"), phash(col("sh"), n).as("h"))
+        tk.select(col("doc_id"),
+            explode(Dedup.shingles(col("toks"), n)).as("sh"))
+          .select(col("doc_id"), phash(col("sh"), n).as("h"))
           .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
       val p2 = gramCnt(2).groupBy(col("doc_id"))
         .agg(max(col("c")).as("max2"), sum(col("c")).as("ng2"))
@@ -2498,8 +2512,8 @@ object DocQueries {
       val p5 = gramCnt(5).groupBy(col("doc_id"))
         .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
           .as("dup5"), sum(col("c")).as("n5"))
-      d.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      tk.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"))
         .join(p2, Seq("doc_id"), "left")
         .join(p3, Seq("doc_id"), "left")
         .join(p5, Seq("doc_id"), "left")
