@@ -488,7 +488,12 @@ object Dedup {
     * real cluster use reliable `checkpoint` instead if executor loss
     * mid-build must be survivable.
     *
-    * `pairs` needs columns (id_a, id_b); output (id, label) covers
+    * `pairs` needs columns (id_a, id_b) and SHOULD be deduplicated
+    * with id_a < id_b (every current caller's shape): duplicate
+    * edges never change labels (min-label propagation is duplicate-
+    * insensitive) but each one rides every round's join and shuffle,
+    * so a raw pair stream multiplies the loop's cost for nothing.
+    * Output (id, label) covers
     * every id that appears in some pair (singletons are their own
     * canonical by definition and don't need rows). `maxIters` is a
     * safety valve, not a tuning knob: a graph whose diameter exceeds
@@ -506,8 +511,6 @@ object Dedup {
     // (previous label folded in via a tagged union), so the old
     // per-round next⋈labels compare-join is gone — `changed` is a
     // filter-count over the freshly checkpointed round state.
-    val parts = pairs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
     // Round-15 prologue diet: both directions come from ONE explode
     // over the pair stream — the union form referenced `pairs` twice,
     // so an un-materialized caller pipeline (d7/d8/d18/p8/p17 all
@@ -518,16 +521,30 @@ object Dedup {
     // per-id aggregate), so duplicate edges can change cost, never
     // labels — and every current caller passes already-distinct
     // (id_a < id_b) pairs, whose two orientations are disjoint by
-    // construction.
-    val edges = pairs
+    // construction. Callers SHOULD pass deduplicated pairs: labels
+    // stay correct under duplicates, but every duplicate edge rides
+    // every round's join/shuffle (ADVICE r15).
+    //
+    // Round-16 (VERDICT r15 #1): the loop partition count follows the
+    // MEASURED edge bytes, not the core count — the raw edge list is
+    // checkpointed once un-pinned (one execution of the caller's
+    // pipeline), sized through the block manager, then re-pinned to
+    // hash(dst) at that data-driven count (see [[Parts]]). The extra
+    // pass re-reads the materialized 16-byte edge rows, never the
+    // caller's pipeline.
+    val edges0 = pairs
       .select(explode(array(
         struct(col("id_a").cast("long").as("src"),
           col("id_b").cast("long").as("dst")),
         struct(col("id_b").cast("long").as("src"),
           col("id_a").cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    val parts = Parts.forCheckpointed(edges0)
+    val edges = edges0
       .repartition(parts, col("dst"))
       .localCheckpoint(true)
+    Bridge.unpersistCheckpoint(edges0)
     // seed with min(self, neighbors) — the state identity labels reach
     // after one full propagation round, for the cost of one groupBy
     // (no join): star-shaped clusters, the common dedup case, then
@@ -544,6 +561,20 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
+      // Round-16 job diet (VERDICT r15 #1): the convergence count
+      // rides an ACCUMULATOR bumped while the checkpoint job
+      // materializes each row — the separate per-round count() job
+      // is gone (2 driver actions per round → 1). Accumulator
+      // semantics are safe here: a retried/speculated task can only
+      // ADD (over-count ⇒ at worst one extra round, never a wrong
+      // label), and an under-count is impossible because every
+      // partition materializes at least once. The UDF is marked
+      // non-deterministic so the optimizer can never duplicate or
+      // collapse the bumping projection.
+      val acc = pairs.sparkSession.sparkContext.longAccumulator
+      val bump = udf((l: Long, p: java.lang.Long) => {
+        if (p == null || p.longValue != l) acc.add(1L); l
+      }).asNondeterministic()
       // every id has EXACTLY one self-tagged row (labels is keyed by
       // id, and viaNeighbors only re-emits edge sources, all of which
       // labels covers), so max(when(self)) recovers the previous
@@ -551,17 +582,18 @@ object Dedup {
       val next = labels.withColumn("self", lit(1))
         .unionByName(viaNeighbors.withColumn("self", lit(0)))
         .groupBy(col("id"))
-        .agg(min(col("label")).as("label"),
+        .agg(min(col("label")).as("_lbl"),
           max(when(col("self") === 1, col("label"))).as("prev"))
+        .select(col("id"), bump(col("_lbl"), col("prev")).as("label"))
         .localCheckpoint(true) // truncate lineage; O(1) plan depth
-      changed = next.where(col("label") =!= col("prev")).count()
+      changed = acc.value
       // next is eagerly materialized: the superseded round's blocks
       // are unreachable from any live plan — reclaim them NOW instead
       // of waiting for a driver GC to collect their weak refs
       // (round-10, ADVICE r9: long-lived sessions accumulated every
       // round's labels in storage memory / tmpfs)
       Bridge.unpersistCheckpoint(labels)
-      labels = next.select(col("id"), col("label"))
+      labels = next
       iter += 1
     }
     // the returned labels frame is a flat checkpoint — it references

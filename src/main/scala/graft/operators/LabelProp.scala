@@ -20,13 +20,21 @@ import org.apache.spark.sql.graftbridge.Bridge
 object LabelProp {
 
   /** Undirected, deduplicated, self-loop-free edge view of a directed
-    * edge list: both orientations of every edge, each once. */
-  def undirect(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    * edge list: both orientations of every edge, each once.
+    *
+    * Both orientations come from ONE explode (round-16 — the
+    * [[Dedup.connectedComponents]] prologue diet): the union form
+    * referenced `edges` twice, so an un-materialized caller pipeline
+    * (g2/g5 pass the live IVF knn join) executed once per
+    * orientation. */
+  def undirect(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-  }
 
   /** Community labels after `iterations` synchronous votes, as
     * `(id, community)`. Initial label = own id; each round a node
@@ -70,10 +78,15 @@ object LabelProp {
     * — exposed so `LabelPropSpec` can pin one round's exchange count. */
   private[operators] def lpaInputs(nodes: DataFrame,
       edges: DataFrame): (DataFrame, DataFrame) = {
-    val parts = nodes.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val e = undirect(edges).repartition(parts, col("src"))
-      .localCheckpoint(true)
+    // Round-16 (VERDICT r15 #1): the loop partition count follows the
+    // MEASURED undirected-edge bytes (see [[Parts]]), not the core
+    // count — the un-pinned checkpoint executes the caller's edge
+    // pipeline once, the re-pin re-reads only materialized long
+    // pairs.
+    val e0 = undirect(edges).localCheckpoint(true)
+    val parts = Parts.forCheckpointed(e0)
+    val e = e0.repartition(parts, col("src")).localCheckpoint(true)
+    Bridge.unpersistCheckpoint(e0)
     // ONE checkpoint for the label seed (withColumn preserves the
     // hash(id) partitioning, so checkpointing n separately only left
     // an extra unreachable |V| block set behind — ADVICE r9)
@@ -134,10 +147,11 @@ object LabelProp {
       rounds: Int = 8): DataFrame = {
     require(k >= 1, s"k: $k")
     require(rounds >= 1, s"rounds: $rounds")
-    val parts = nodes.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    var e = undirect(edges).repartition(parts, col("src"))
-      .localCheckpoint(true)
+    // data-driven loop partition count — see [[lpaInputs]]
+    val e0 = undirect(edges).localCheckpoint(true)
+    val parts = Parts.forCheckpointed(e0)
+    var e = e0.repartition(parts, col("src")).localCheckpoint(true)
+    Bridge.unpersistCheckpoint(e0)
     for (_ <- 1 to rounds) {
       // keep is NOT checkpointed (round-15): its two join legs are
       // canonically identical aggregates over the checkpointed e, so

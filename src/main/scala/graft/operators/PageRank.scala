@@ -52,7 +52,6 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct: $dampPct")
     val base = (100L - dampPct) * 10000L
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // out-degree joined ONCE; the loop below only ever joins ranks in.
     // Round-9 exchange-elimination (the LabelProp.communities note in
     // full): e is hash(src) and n/ranks hash(id) ONCE up front, with
@@ -61,10 +60,17 @@ object PageRank {
     // so the per-round e⋈ranks (src = id) and n⋈in_sum (id) joins are
     // both co-partitioned — the only per-round exchange left is the
     // in-sum aggregation's (mass moving src→dst is the algorithm).
-    val parts = nodes.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val e = edges.join(deg, Seq("src")).repartition(parts, col("src"))
+    // Round-16 (VERDICT r15 #1): the loop partition count follows the
+    // MEASURED edge bytes (see [[Parts]]), not the core count — and
+    // the degree join runs over the CHECKPOINTED edges, so the
+    // caller's (un-materialized) edge pipeline executes exactly once
+    // instead of once per reference (the undirect/CC prologue diet).
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val parts = Parts.forCheckpointed(e0)
+    val e = e0.join(deg, Seq("src")).repartition(parts, col("src"))
       .localCheckpoint(true)
+    Bridge.unpersistCheckpoint(e0)
     val n = nodes.select(col("id")).repartition(parts, col("id"))
       .localCheckpoint(true)
     var ranks = n.withColumn("r", lit(1000000L)).localCheckpoint(true)

@@ -36,6 +36,27 @@ object Bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(false))
 
+  /** Total stored bytes of an eagerly `localCheckpoint`ed frame's
+    * blocks (memory + disk), read from the block manager's storage
+    * status — a MEASUREMENT of the frame's size, available without
+    * any extra job. 0 when the frame holds no checkpointed RDD or
+    * its blocks are gone (callers must treat 0 as "unknown/tiny"). */
+  def checkpointedBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    val ids = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    df.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids(i.id)).map(i => i.memSize + i.diskSize).sum
+  }
+
+  /** The session's AQE advisory partition size in bytes — the one
+    * knob that already means "how big should a post-shuffle partition
+    * be", reused for data-size-driven loop partition counts. */
+  def advisoryPartitionBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.getConf(org.apache.spark.sql.internal.SQLConf
+        .ADVISORY_PARTITION_SIZE_IN_BYTES)
+
   /** Register a 2-arg expression builder as a SQL function. */
   def registerBinary(spark: org.apache.spark.sql.SparkSession, name: String,
       builder: (Expression, Expression) => Expression): Unit =

@@ -201,7 +201,12 @@ class LabelPropSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       val shuffles = "Exchange hashpartitioning".r
         .findAllIn(plan).size
-      assert(shuffles == 2, s"expected 2 vote-agg exchanges, got $shuffles:\n$plan")
+      // ≤ 2 (round-16): with the data-size-driven loop partition
+      // count (Parts), a fixture-sized graph pins to ONE partition
+      // and even the vote aggregations need no exchange — the bound
+      // that matters is "never MORE than the two vote aggs", i.e. the
+      // joins stay co-partitioned.
+      assert(shuffles <= 2, s"expected <=2 vote-agg exchanges, got $shuffles:\n$plan")
       // broadcasts are fine (tiny checkpointed label stats — at corpus
       // scale real stats flip these to the co-partitioned joins the
       // repartition set up); what must never appear is a shuffle of
