@@ -2538,7 +2538,10 @@ object DocQueries {
     // (max, count); one doc-keyed left join assembles.
     "p25_gopher_gate" -> ((s, dir) => {
       import graft.functions.PortableHash.phash
-      val d = docs(s, dir)
+      // share()d: the projected corpus feeds BOTH the 2-shingle
+      // repetition pass and the gopher text walk (round-16 — the
+      // t26 one-scan rule; two full corpus scans → one)
+      val d = Dedup.share(docs(s, dir).select(col("doc_id"), col("text")))
       val g2 = Dedup.shingleRows(d, col("doc_id"), col("text"), 2)
         .select(col("id").as("doc_id"), phash(col("sh"), 2).as("h"))
         .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
@@ -2869,17 +2872,22 @@ object DocQueries {
         .withColumn("is_stop",
           col("tok").isin(stop: _*) || length(col("tok")) === 0)
       val wPhr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val ph = toks.withColumn("phrase_id",
+      // share()d (round-16, VERDICT r15 #6 — the t26 treatment): ph
+      // feeds pl AND occ, pl feeds occ AND the final ptext join, occ
+      // feeds ws AND ps — unshared, the corpus scan + posexplode +
+      // phrase window executed FIVE times through those references
+      // (plan: 5 'Scan parquet documents' mentions → 1).
+      val ph = Dedup.share(toks.withColumn("phrase_id",
           sum(when(col("is_stop"), 1L).otherwise(0L)).over(wPhr))
         .where(!col("is_stop"))
-        .select(col("doc_id"), col("pos"), col("tok"), col("phrase_id"))
-      val pl = ph.groupBy(col("doc_id"), col("phrase_id"))
+        .select(col("doc_id"), col("pos"), col("tok"), col("phrase_id")))
+      val pl = Dedup.share(ph.groupBy(col("doc_id"), col("phrase_id"))
         .agg(count(lit(1)).as("plen"),
           array_join(expr("transform(array_sort(" +
             "collect_list(struct(pos, tok))), x -> x.tok)"), " ")
-            .as("ptext"))
-      val occ = ph.join(pl.select(col("doc_id"), col("phrase_id"),
-        col("plen")), Seq("doc_id", "phrase_id"))
+            .as("ptext")))
+      val occ = Dedup.share(ph.join(pl.select(col("doc_id"),
+        col("phrase_id"), col("plen")), Seq("doc_id", "phrase_id")))
       val ws = occ.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
         .withColumn("wscore_ppm", expr("(1000000L * deg) div freq"))
