@@ -382,9 +382,14 @@ object Dedup {
       n: Int = 3,
       minDf: Long = 10L,
       maxHotFrac: Double = 0.3): DataFrame = {
-    val perDocGram = shingleRows(docs, idCol, textCol, n)
+    // share()d (round-16): perDocGram feeds BOTH the document-
+    // frequency aggregate and the join's left side — unshared, the
+    // corpus scan + shingle explode + per-doc aggregate executed
+    // twice per run. The cached frame is (id, hash, count) — one row
+    // per distinct gram per doc, never text.
+    val perDocGram = share(shingleRows(docs, idCol, textCol, n)
       .groupBy(col("id"), phash(col("sh"), 0).as("gh"))
-      .agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("occ")))
     val gramDf = perDocGram.groupBy(col("gh"))
       .agg(count(lit(1)).as("df"))
     perDocGram.join(gramDf, "gh")

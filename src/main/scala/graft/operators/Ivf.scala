@@ -324,9 +324,22 @@ object Ivf {
     * parquet part files carry fresh UUID names on any rewrite, so a
     * swapped quantizer can never serve a stale codebook (the s19
     * continuity property RebuildSpec pins). A listing failure falls
-    * back to the direct read, which surfaces the real error. */
-  private val codebookMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(Int, Array[Float], Double)])]()
+    * back to the direct read, which surfaces the real error.
+    *
+    * BOUNDED (round-16, ADVICE r15): at most [[codebookMemoCap]]
+    * directories stay memoized (insertion-order eviction — a
+    * resident service creating ephemeral staged index paths must not
+    * leak k×dim float arrays per path for process lifetime). The
+    * returned array is the CACHED instance and is READ-ONLY by
+    * contract: every caller treats it as immutable model state; an
+    * in-place sort/scale would poison later serves. */
+  private[operators] val codebookMemoCap = 64
+  private val codebookMemo = new java.util.LinkedHashMap[
+      String, (String, Array[(Int, Array[Float], Double)])]() {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, (String, Array[(Int, Array[Float], Double)])]): Boolean =
+      size() > codebookMemoCap
+  }
   def loadCodebook(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[(Int, Array[Float], Double)] = {
     val qp = quantizerPath(path)
@@ -337,14 +350,14 @@ object Ivf {
         fs.listStatus(p).map(s =>
           s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
           .sorted.mkString("|")
-      } catch { case _: Throwable => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
     if (sig == null) collectCodebook(spark.read.parquet(qp))
     else {
-      val cached = codebookMemo.get(qp)
+      val cached = codebookMemo.synchronized { codebookMemo.get(qp) }
       if (cached != null && cached._1 == sig) cached._2
       else {
         val cb = collectCodebook(spark.read.parquet(qp))
-        codebookMemo.put(qp, (sig, cb))
+        codebookMemo.synchronized { codebookMemo.put(qp, (sig, cb)) }
         cb
       }
     }

@@ -36,4 +36,21 @@ object Parts {
     val advisory = math.max(1L, Bridge.advisoryPartitionBytes(df.sparkSession))
     math.max(1L, (bytes + advisory - 1L) / advisory).toInt
   }
+
+  /** Re-pin an eagerly checkpointed frame to hash(`key`) at the
+    * data-driven count — SKIPPED (frame returned unchanged, old
+    * blocks kept) when the inherited layout is already within 2× of
+    * that count: loop state that is bounded/metadata-sized by
+    * contract (Mmr's query-batch frames) then pays no extra
+    * materialization job, while a core-count-fine inherited layout
+    * still collapses to the data-driven one. */
+  def pin(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val parts = forCheckpointed(df)
+    if (df.rdd.getNumPartitions <= 2L * parts) df
+    else {
+      val pinned = df.repartition(parts, key).localCheckpoint(true)
+      Bridge.unpersistCheckpoint(df)
+      pinned
+    }
+  }
 }

@@ -48,11 +48,14 @@ object Percentiles {
     val named = quantiles.zipWithIndex.map { case (q, i) =>
       round(col("_qs").getItem(i), roundDigits).as(name(q))
     }
+    // select/order by the ORIGINAL group Column, not a re-resolved
+    // col(name) (ADVICE r15): a group column named with dots would
+    // re-parse as nested-field access, and one named "n" would
+    // collide with the count alias.
     val grouped = df.groupBy(groupCol)
       .agg(qsCol.as("_qs"), count(lit(1)).as("n"))
-    val groupName = grouped.columns.head
     grouped
-      .select(col(groupName) +: named :+ col("n"): _*)
-      .orderBy(col(groupName))
+      .select(groupCol +: named :+ col("n"): _*)
+      .orderBy(groupCol)
   }
 }

@@ -101,8 +101,13 @@ object DocQueries {
     import s.implicits._
     val w = Seq(("en", 4L), ("de", 3L), ("fr", 2L), ("es", 1L))
       .toDF("lang", "wt")
-    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .join(broadcast(w), Seq("lang"))
+    // share()d (round-16): counts feeds BOTH the scale aggregate and
+    // the threshold projection — unshared, the corpus-wide language
+    // count aggregated twice per run (4 cached rows buy back a full
+    // pass over d for p6/p8).
+    val counts = Dedup.share(
+      d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .join(broadcast(w), Seq("lang")))
     val scale = counts.agg(min(expr("n * 1000000 div wt")).as("sc"))
     val thresh = counts.crossJoin(broadcast(scale))
       .select(col("lang"), expr("wt * sc div n").as("thresh"))
