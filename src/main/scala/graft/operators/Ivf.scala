@@ -334,7 +334,7 @@ object Ivf {
     * contract: every caller treats it as immutable model state; an
     * in-place sort/scale would poison later serves. */
   private[operators] val codebookMemoCap = 64
-  private val codebookMemo = new java.util.LinkedHashMap[
+  private[operators] val codebookMemo = new java.util.LinkedHashMap[
       String, (String, Array[(Int, Array[Float], Double)])]() {
     override def removeEldestEntry(e: java.util.Map.Entry[
         String, (String, Array[(Int, Array[Float], Double)])]): Boolean =

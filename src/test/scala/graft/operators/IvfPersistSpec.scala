@@ -168,4 +168,30 @@ class IvfPersistSpec extends SparkSpec {
     assert(maxDrift._2,
       s"the worst-drifted (poisoned) cluster is unflagged: $drifted")
   }
+
+  test("codebook memo: serves the cached instance, bounded at the cap") {
+    val index = Ivf.build(emb, col("vec_id"), col("embedding"), k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-memo")
+      .resolve("index").toString
+    Ivf.persist(index, dir)
+    // two loads of an unchanged sidecar serve the SAME cached array
+    // (the read-only-by-contract instance — see loadCodebook scaladoc)
+    val a = Ivf.loadCodebook(spark, dir)
+    val b = Ivf.loadCodebook(spark, dir)
+    assert(a eq b, "unchanged sidecar must serve the memoized instance")
+    // the memo is bounded: flooding it with ephemeral keys (the
+    // staged-index-path lifecycle of a resident service) evicts in
+    // insertion order and never grows past the cap (ADVICE r15 —
+    // unbounded growth leaked k×dim floats per dead path)
+    Ivf.codebookMemo.synchronized {
+      (0 until Ivf.codebookMemoCap + 16).foreach { i =>
+        Ivf.codebookMemo.put(s"/ephemeral/staged-$i", ("sig", Array.empty))
+      }
+      assert(Ivf.codebookMemo.size <= Ivf.codebookMemoCap,
+        s"memo grew past the cap: ${Ivf.codebookMemo.size}")
+    }
+    // a fresh load after eviction still works (re-reads the sidecar)
+    val c = Ivf.loadCodebook(spark, dir)
+    assert(c.map(_._1).toSeq === a.map(_._1).toSeq)
+  }
 }
